@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet scans over the harness tables (TESTDATA.md).
+  *
+  * Columnar scan with Catalyst pushdown is the engine's ingestion
+  * contract — the Spark-native analog of the reference's chunked zarr
+  * read + variable selection (reference:
+  * pipelines/precipitation_pipeline.py:79-101, which slices time and
+  * reads a single variable). Here filter pushdown + column pruning
+  * reach the parquet reader automatically; at 100 TB this is the
+  * difference between scanning a column subset of pruned row groups
+  * and scanning everything.
+  */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert to microsecond
+    * timestamps with integer division (the harness data is µs-grained,
+    * so this is lossless). Double division would corrupt epoch-nanos
+    * (~1.7e18 > 2^53) — `div` keeps it integral.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

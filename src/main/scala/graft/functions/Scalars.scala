@@ -1,0 +1,147 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY §2.8): string / date / math / cast /
+  * array / map / json, all codegen'd built-ins — zero UDFs.
+  *
+  * Reference semantics: zero-padded filename assembly
+  * (pipelines/precipitation_pipeline.py:135), filename parse via split
+  * (precipitation_pipeline.py:300-302) and suffix strip (:279), date
+  * parsing + parts (precipitation_pipeline.py:91,131-132), corner
+  * arithmetic with abs/halving (precipitation_pipeline.py:175-207),
+  * safe numeric casts (pipelines/humidity_pipeline.py:159-162,
+  * population_pipeline.py:45), polygon ring array construction
+  * (precipitation_pipeline.py:202-208), country→value map
+  * (population_pipeline.py:38-45), compact JSON serialize/deserialize
+  * (humidity_pipeline.py:172, population_pipeline.py:54).
+  */
+object Scalars {
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lpad(col("p_size").cast("string"), 2, "0").as("size_padded"),
+        concat(col("p_brand"), lit("_"), col("p_name")).as("brand_name"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey"))),
+
+    "q_fn_date" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).cast("int").as("y"),
+        month(col("ts")).cast("int").as("m"),
+        dayofmonth(col("ts")).cast("int").as("day_of_month"),
+        hour(col("ts")).cast("int").as("h"),
+        date_trunc("month", col("ts")).as("month_start"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"))
+        .orderBy(col("event_id"))),
+
+    "q_fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_off"),
+        // round at 3 decimals: the exact quotient has ≤3 decimals, so
+        // neither engine ever rounds at a .5 boundary (Spark rounds the
+        // shortest decimal repr, DuckDB the binary value — they disagree
+        // exactly at boundaries).
+        round(col("l_extendedprice") / 2.0, 3).as("half_price"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        ceil(col("l_tax") * 100).cast("long").as("tax_pct_ceil"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("half_price"),
+          col("abs_off"), col("qty_floor"), col("tax_pct_ceil"),
+          col("price_sqrt"), col("key_mod7"))),
+
+    // Safe casts: try_cast yields NULL on malformed input instead of
+    // failing the job (the reference's isdigit() gate + int()).
+    "q_fn_cast" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        split(col("o_orderpriority"), "-").getItem(0).cast("int").as("prio_ok"),
+        expr("try_cast(element_at(split(o_orderpriority, '-'), 2) AS INT)")
+          .as("prio_bad"),
+        floor(col("o_totalprice")).cast("int").as("price_int"),
+        col("o_totalprice").cast("string").as("price_str"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("sum_vals"),
+        round(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))), 6)
+          .as("max_abs"))
+        .orderBy(col("vec_id"))),
+
+    "q_fn_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |       lpad(CAST(p_size AS VARCHAR), 2, '0') AS size_padded,
+        |       p_brand || '_' || p_name AS brand_name,
+        |       string_split(p_type, ' ')[1] AS type_head,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |       upper(p_brand) AS brand_upper,
+        |       substring(p_name, 1, 5) AS name5,
+        |       CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_date" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y,
+        |       CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS day_of_month,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+        |       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |       CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_off,
+        |       round(l_extendedprice / 2.0, 3) AS half_price,
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+        |       round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        |       l_orderkey % 7 AS key_mod7
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, half_price, abs_off, qty_floor,
+        |         tax_pct_ceil, price_sqrt, key_mod7""".stripMargin,
+    "q_fn_cast" ->
+      """SELECT o_orderkey,
+        |       CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_ok,
+        |       TRY_CAST(string_split(o_orderpriority, '-')[2] AS INT) AS prio_bad,
+        |       CAST(floor(o_totalprice) AS INT) AS price_int,
+        |       CAST(o_totalprice AS VARCHAR) AS price_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |       round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_vals,
+        |       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_fn_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

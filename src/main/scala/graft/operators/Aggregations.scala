@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.4).
+  *
+  * Reference semantics: the (year, month) groupby is the reference's
+  * central aggregation (pipelines/precipitation_pipeline.py:134-141);
+  * ungrouped counts for validation (precipitation_pipeline.py:106-109);
+  * distinct coordinate extraction (precipitation_pipeline.py:170-171);
+  * key→value map build with last-wins
+  * (pipelines/population_pipeline.py:38-45); run-level totals printed
+  * alongside monthly ones (precipitation_pipeline.py:627-633) — the
+  * rollup analog; single-year extraction from a wide table
+  * (population_pipeline.py:43) — the pivot analog.
+  *
+  * Scale posture: every aggregate here is a HashAggregateExec with
+  * map-side partial aggregation (the shuffle carries one row per
+  * group per mapper, not the raw data); countDistinct expands to a
+  * two-phase aggregate; approx_count_distinct is the HLL++ sketch —
+  * constant memory per group, the only sane distinct at 100 TB;
+  * rollup/cube expand the grouping sets BEFORE the shuffle so it is
+  * still one pass.
+  */
+object Aggregations {
+
+  val queries: Map[String, Q] = Map(
+    // Ungrouped global aggregate (validation counts analog).
+    "q_agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))),
+
+    // Distinct values of a column (unique coordinates analog).
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_returnflag")).distinct()
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    // HLL++ sketch — no oracle (approximate by design); asserted
+    // within tolerance in AggregationsSpec.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // Key→value aggregation: one value per key, arg-max semantics
+    // (deterministic replacement for the reference's last-wins dict).
+    "q_agg_map_build" -> ((s, d) =>
+      Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_acctbal"), col("c_custkey")).as("latest_bal"),
+          count(lit(1)).as("n_keys"))
+        .orderBy(col("c_nationkey"))),
+
+    // Rollup: (year, month) → year → grand total, one pass.
+    "q_agg_rollup" -> ((s, d) =>
+      Climate.withYearMonth(Tables.orders(s, d), "o_orderdate")
+        .rollup(col("year"), col("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("year").asc_nulls_first, col("month").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Per-group stats (climate normals analog).
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(avg(col("l_quantity")), 4).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // Pivot with a FIXED value set — unbounded pivot domains are a
+    // driver-side collect and do not scale.
+    "q_pivot" -> ((s, d) =>
+      Climate.withYearMonth(Tables.lineitem(s, d), "l_shipdate")
+        .groupBy(col("year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("year"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       min(l_shipdate) AS min_ship,
+        |       max(l_shipdate) AS max_ship,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem""".stripMargin,
+    "q_agg_distinct" ->
+      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY 1",
+    "q_agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_map_build" ->
+      """SELECT c_nationkey,
+        |       arg_max(c_acctbal, c_custkey) AS latest_bal,
+        |       count(*) AS n_keys
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)
+        |ORDER BY year ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS year,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join surface (SURVEY §2.3).
+  *
+  * Reference semantics: the population pipeline's hand-rolled
+  * broadcast hash join — build a country→value dict, probe per
+  * feature, drop misses (pipelines/population_pipeline.py:38-45 build,
+  * :57-65 probe; inner semantics via `continue` on miss) — and the
+  * land mask, which is a left-semi join in disguise
+  * (pipelines/precipitation_pipeline.py:159-167). The previous-month
+  * targeting in utils/spot_manager.py:52-58 is the as-of analog.
+  *
+  * Scale posture:
+  *  - dims (nation/region/supplier) are broadcast — no shuffle of the
+  *    fact side; Catalyst picks BroadcastHashJoin under the threshold
+  *    and AQE can switch strategy at runtime.
+  *  - fact-fact joins (lineitem⋈orders) shuffle both sides on the key
+  *    → sort-merge join; with AQE skew-join splitting oversized
+  *    partitions.
+  *  - the as-of join is the union+window formulation: ONE shuffle on
+  *    (user_id) + a linear scan, instead of an O(n·m) range join —
+  *    this is the shape that survives 100 TB.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Broadcast hash join, inner, small dim side.
+    "q_join_broadcast" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Large-large equi join → shuffle (sort-merge); aggregated so the
+    // compare stays small while the join itself is full-size.
+    "q_join_shuffle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Left outer: unmatched left rows survive with NULLs (the
+    // complement of the reference's drop-on-miss probe).
+    "q_join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Existence filter (the land-mask shape).
+    "q_join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Non-existence filter (the ocean complement).
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Cartesian (small × small only; anything larger is a design bug).
+    "q_join_cross" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_regionkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"))
+      r.crossJoin(n).orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // Theta (non-equi) join on a small dim self-pair → broadcast
+    // nested loop; bounded side must be broadcastable.
+    "q_join_theta" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("a"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("b"))
+      n1.join(n2, col("a") < col("b"), "inner").orderBy(col("a"), col("b"))
+    }),
+
+    // As-of join: for each 'purchase' event, the latest 'view' ts by
+    // the same user at or before it. Union+window formulation: tag
+    // both sides, sort within user by ts, carry the last view ts
+    // forward — one shuffle, linear state, no range-join blowup.
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // views sort before purchases at equal ts (is_probe ASC puts the
+      // build row first) so an equal-ts view IS matched (ts >= ts).
+      val tagged = views.withColumn("is_probe", lit(0))
+        .unionByName(purch.withColumn("is_probe", lit(1)))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("matched_ts",
+          last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("event_id"), col("user_id"), col("matched_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Point-in-interval join: equi key + range predicate; planned as a
+    // shuffled equi join with the range as a post-join filter.
+    "q_join_interval" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= date_add(o("o_orderdate"), 30), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("o_orderpriority"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        |ORDER BY 1, 2""".stripMargin,
+    "q_join_theta" ->
+      """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
+        |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+        |ORDER BY 1, 2""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, v.ts AS matched_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_interval" ->
+      """SELECT o_orderpriority, count(*) AS n_in_window
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans, projections, filters, conditional
+  * projection, sorts/limits/top-k, set operations (SURVEY §2.1, §2.2,
+  * §2.6, §2.7).
+  *
+  * Reference semantics: column projection
+  * (pipelines/precipitation_pipeline.py:139), NULL elimination
+  * (precipitation_pipeline.py:107), numeric-string validation gate
+  * (pipelines/population_pipeline.py:44-45), conditional defaults
+  * (precipitation_pipeline.py:174-182), sorted emission
+  * (precipitation_pipeline.py:170-171), multi-source union analog
+  * (utils/pipeline_manager.py:236-250).
+  *
+  * Scale posture: projections + filters are pushed into the parquet
+  * scan by Catalyst (PushedFilters/ReadSchema — verified in
+  * PlanSpec); sorts are range-partitioned spillable SortExec; top-k
+  * plans as TakeOrderedAndProject (no global sort materialization);
+  * set ops are hash-partitioned shuffles with partial aggregation.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // Full-table columnar scan. Pushdown-friendly: no transformation,
+    // only a deterministic total order for the compare.
+    "q_scan_parquet" -> ((s, d) =>
+      Tables.orders(s, d).orderBy(col("o_orderkey"))),
+
+    // Projection: ReadSchema should contain exactly these 3 columns.
+    "q_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // NULL elimination on the measure (dropna analog).
+    "q_filter_not_null" -> ((s, d) =>
+      Tables.orders(s, d).na.drop(Seq("o_totalprice"))
+        .filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Numeric-string validation gate before a safe cast.
+    "q_filter_regex" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").rlike("^[0-9]+-"))
+        .select(col("o_orderkey"),
+          split(col("o_orderpriority"), "-").getItem(0).cast("int").as("prio_num"))
+        .orderBy(col("o_orderkey"))),
+
+    // Conditional projection with fallback default.
+    "q_case_when" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit("debt"))
+            .when(col("c_acctbal") < 5000, lit("low"))
+            .otherwise(lit("high")).as("band"))
+        .orderBy(col("c_custkey"))),
+
+    // Global sort: range partition + spillable external sort.
+    "q_sort" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    "q_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey")).limit(100)),
+
+    // Top-k: plans as TakeOrderedAndProject — per-partition heap then
+    // driver merge of k rows, never a full global sort.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // Set operations over schema-aligned projections; `src` tag keeps
+    // the union order-checkable.
+    "q_union_all" -> ((s, d) =>
+      Tables.customer(s, d).select(lit("c").as("src"), col("c_custkey").as("k"))
+        .unionByName(
+          Tables.supplier(s, d).select(lit("s").as("src"), col("s_suppkey").as("k")))
+        .orderBy(col("src"), col("k"))),
+
+    "q_union_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))),
+
+    "q_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))),
+
+    "q_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+    "q_filter_not_null" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice IS NOT NULL AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_regex" ->
+      """SELECT o_orderkey,
+        |       CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num
+        |FROM orders
+        |WHERE regexp_matches(o_orderpriority, '^[0-9]+-')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_case_when" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_limit" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'c' AS src, c_custkey AS k FROM customer
+        |UNION ALL
+        |SELECT 's' AS src, s_suppkey AS k FROM supplier
+        |ORDER BY src, k""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function surface (SURVEY §2.5).
+  *
+  * Reference semantics: the neighbor-gap computation in grid-resolution
+  * inference (pipelines/precipitation_pipeline.py:174-182) is a lag;
+  * everything else generalizes it (ranked/running/moving/frame forms).
+  *
+  * Scale posture: every window here is PARTITIONED (partitionBy a
+  * key) — a global window moves the whole relation to one task and is
+  * only acceptable over provably tiny inputs (the distinct-coordinate
+  * set in Climate.gridResolution). Window order keys always include a
+  * unique tiebreaker so results are deterministic under ties.
+  */
+object Windows {
+
+  private def perCustomerByDate = Window
+    .partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"), col("drnk"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_window_lag_lead" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(perCustomerByDate))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(perCustomerByDate))
+        .withColumn("delta",
+          round(col("o_totalprice") - col("prev_price"), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+          col("next_price"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    "q_window_running" -> ((s, d) => {
+      val w = perCustomerByDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_window_moving_avg" -> ((s, d) => {
+      val w = perCustomerByDate.rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .withColumn("mov_avg", round(avg(col("o_totalprice")).over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("mov_avg"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Value-range frame: all orders by the same customer within the
+    // preceding 90 days (epoch-second range, not row count).
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-90L * 86400, 0)
+      Tables.orders(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("sum_90d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("sum_90d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .repartition(1) // global quartiles: single ordered pass by design
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .select(col("c_custkey"), col("quartile"), col("pct_rank"))
+        .orderBy(col("c_custkey"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank()       OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk,
+        |         row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice)  OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(avg(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS sum_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT c_custkey,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
