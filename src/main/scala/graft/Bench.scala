@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
+  * one JSON line of per-query seconds.
+  *
+  * Methodology: the timed action is a noop-format write — it executes
+  * the FULL physical plan (including sorts and projections that
+  * `count()` would let Catalyst prune away) without paying sink IO.
+  * A complete untimed warmup pass runs first so JVM/JIT/codegen
+  * warmup is not attributed to whichever query happens to run first;
+  * round-over-round comparisons then measure plans, not warmup noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +18,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    def exec(name: String, fn: Q): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // untimed warmup: full pass (codegen compile, parquet footer cache)
+    queries.foreach { case (n, f) =>
+      try exec(n, f) catch { case _: Throwable => () }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name, fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,12 +29,18 @@ object Tables {
     * timestamps with integer division (the harness data is µs-grained,
     * so this is lossless). Double division would corrupt epoch-nanos
     * (~1.7e18 > 2^53) — `div` keeps it integral.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` is set once at session
+    * construction by every entry point (Verify, Bench, SparkTestBase);
+    * the guard here only covers externally-built sessions and writes a
+    * constant, so it is idempotent (no order sensitivity, no race).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption(NanosConf).contains("true")) s.conf.set(NanosConf, "true")
     t(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

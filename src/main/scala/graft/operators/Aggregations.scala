@@ -47,7 +47,7 @@ object Aggregations {
         .orderBy(col("l_returnflag"))),
 
     // HLL++ sketch — no oracle (approximate by design); asserted
-    // within tolerance in AggregationsSpec.
+    // within ±5% of exact in OperatorSemanticsSpec.
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
@@ -75,15 +75,15 @@ object Aggregations {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
-    "q_agg_grouping_sets" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-          |FROM orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-          |ORDER BY o_orderstatus ASC NULLS FIRST,
-          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
-    }),
+    // Dataset groupingSets API (Spark 4) — no temp-view session state.
+    "q_agg_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
 
     // Per-group stats (climate normals analog).
     "q_agg_stats" -> ((s, d) =>

@@ -18,19 +18,37 @@ import org.apache.spark.sql.functions._
   *    distinct coordinates, with a default fallback
   *    (precipitation_pipeline.py:170-182)
   *
-  * Scale posture: the time filter is a plain boolean tree over
-  * year()/month() so it stays inside whole-stage codegen; the monthly
-  * aggregation is a hash aggregate with map-side partials; resolution
-  * inference never leaves the cluster (no driver round-trip — the
-  * inferred scalar flows through a 1-row aggregate).
+  * Scale posture: the time filter over a raw timestamp is a plain
+  * range predicate so it reaches parquet PushedFilters (row-group
+  * skipping — see timestampRange); the monthly aggregation is a hash
+  * aggregate with map-side partials; resolution inference never
+  * leaves the cluster (no driver round-trip — the inferred scalar
+  * flows through a 1-row aggregate).
   */
 object Climate {
 
   /** The reference's exact boolean tree: rows within the inclusive
     * (y0,m0)..(y1,m1) month range (precipitation_pipeline.py:66-70).
+    * Use this form ONLY when the inputs are already integer year/month
+    * columns (e.g. hive partition columns, where it prunes partitions);
+    * over a raw timestamp use [[timestampRange]] — a function-wrapped
+    * predicate (year(ts) > …) cannot reach parquet PushedFilters.
     */
   def timeRange(y: Column, m: Column, y0: Int, m0: Int, y1: Int, m1: Int): Column =
     ((y > y0) || (y === y0 && m >= m0)) && ((y < y1) || (y === y1 && m <= m1))
+
+  /** Identical month-range semantics expressed as a raw range on the
+    * timestamp column itself: [first day of (y0,m0), first day of the
+    * month AFTER (y1,m1)). The literals fold to timestamp constants, so
+    * the predicate pushes into the parquet scan (row-group min/max
+    * skipping) — at 100 TB this prunes the largest table's scan instead
+    * of decoding every row (asserted in PlanSpec).
+    */
+  def timestampRange(ts: Column, y0: Int, m0: Int, y1: Int, m1: Int): Column = {
+    val (ny, nm) = if (m1 == 12) (y1 + 1, 1) else (y1, m1 + 1)
+    ts >= lit(f"$y0%04d-$m0%02d-01").cast("timestamp") &&
+      ts < lit(f"$ny%04d-$nm%02d-01").cast("timestamp")
+  }
 
   /** Derived year/month columns (precipitation_pipeline.py:131-132). */
   def withYearMonth(df: DataFrame, ts: String): DataFrame =
@@ -44,11 +62,11 @@ object Climate {
   def monthlyAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_quantity").isNotNull)
+      .filter(timestampRange(col("l_shipdate"), 1996, 2, 1999, 10))
     withYearMonth(li, "l_shipdate")
-      .filter(timeRange(col("year"), col("month"), 1996, 2, 1999, 10))
       .groupBy(col("year"), col("month"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("year"), col("month"))
@@ -71,8 +89,9 @@ object Climate {
   val queries: Map[String, Q] = Map(
     "q_agg_group_monthly" -> (monthlyAgg _),
     "q_filter_time_range" -> ((s, d) => {
-      val li = withYearMonth(Tables.lineitem(s, d), "l_shipdate")
-      li.filter(timeRange(col("year"), col("month"), 1996, 2, 1999, 10))
+      val li = Tables.lineitem(s, d)
+        .filter(timestampRange(col("l_shipdate"), 1996, 2, 1999, 10))
+      withYearMonth(li, "l_shipdate")
         .select(col("l_orderkey"), col("l_linenumber"), col("year"), col("month"))
         // lineitem has no unique key in the harness data: total order over
         // every output column keeps the oracle compare deterministic.
@@ -90,7 +109,7 @@ object Climate {
   val oracle: Map[String, String] = Map(
     "q_agg_group_monthly" ->
       """SELECT CAST(year(l_shipdate) AS INT) AS year, CAST(month(l_shipdate) AS INT) AS month,
-        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
         |       count(*) AS n_rows
         |FROM lineitem

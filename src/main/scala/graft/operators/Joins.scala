@@ -125,7 +125,10 @@ object Joins {
       val o = Tables.orders(s, d)
       li.join(o, li("l_orderkey") === o("o_orderkey") &&
           li("l_shipdate") >= o("o_orderdate") &&
-          li("l_shipdate") <= date_add(o("o_orderdate"), 30), "inner")
+          // timestamp interval arithmetic (not date_add, which truncates
+          // to DATE and yields midnight of day+30) so time-of-day is
+          // preserved, matching the oracle's + INTERVAL 30 DAY.
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"), "inner")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_in_window"))
         .orderBy(col("o_orderpriority"))

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * (utils/pipeline_manager.py:236-250).
   *
   * Scale posture: projections + filters are pushed into the parquet
-  * scan by Catalyst (PushedFilters/ReadSchema — verified in
-  * PlanSpec); sorts are range-partitioned spillable SortExec; top-k
+  * scan by Catalyst (PushedFilters/ReadSchema — asserted in
+  * src/test/scala/graft/PlanSpec.scala); sorts are range-partitioned
+  * spillable SortExec; top-k
   * plans as TakeOrderedAndProject (no global sort materialization);
   * set ops are hash-partitioned shuffles with partial aggregation.
   */

@@ -22,6 +22,7 @@ class OperatorSemanticsSpec extends SparkTestBase {
     val df = SparkEntry.queries("q_agg_group_monthly")(spark, sf)
     val total = df.agg(sum("n_rows")).head.getLong(0)
     val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity").isNotNull)
       .filter(year(col("l_shipdate")).between(1996, 1999))
       .filter(!(year(col("l_shipdate")) === 1996 && month(col("l_shipdate")) < 2))
       .filter(!(year(col("l_shipdate")) === 1999 && month(col("l_shipdate")) > 10))

@@ -18,7 +18,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def load_spark(path):
-    files = glob.glob(os.path.join(path, "*.parquet"))
+    # sorted: glob order is filesystem-dependent; the positional compare
+    # below relies on a stable file order if a result ever has >1 part.
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
         return None
     con = duckdb.connect()
