@@ -18,6 +18,10 @@ object SparkEntry {
     (Aggregations.queries, Aggregations.oracle),
     (Windows.queries, Windows.oracle),
     (graft.functions.Scalars.queries, graft.functions.Scalars.oracle),
+    (TextOps.queries, TextOps.oracle),
+    (Dedup.queries, Dedup.oracle),
+    (Similarity.queries, Similarity.oracle),
+    (Multimodal.queries, Multimodal.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (SURVEY §2.10 `q_dedup_near` family): the
+  * MinHash + banded-LSH pipeline, a SimHash variant, and a character
+  * n-gram variant — the [GEN] operators a training-data corpus needs.
+  *
+  * Scale posture — the whole point of this module: near-dup detection
+  * at 100 TB must NEVER compare all pairs (O(n²) is disqualifying).
+  * Every operator here is candidates-only:
+  *   1. per-document signature (MinHash / SimHash) — narrow projection,
+  *      no shuffle, codegen'd higher-order functions, no UDFs;
+  *   2. banded LSH: explode the signature into `bands` bucket keys and
+  *      self-join on (band, bucket) — only documents that agree on an
+  *      entire band ever meet, so the shuffle carries (id, 8-byte
+  *      bucket key) pairs and the join output is ~duplicates + a small
+  *      random-collision tail, not n²;
+  *   3. exact verification (true Jaccard / Hamming) only on those
+  *      candidate pairs.
+  * All hash parameters are compile-time constants: the operator is
+  * deterministic run-to-run (LSH here is deterministic bucketing, not
+  * sampling), which is what makes the brute-force SQL oracle valid —
+  * verified empirically to have recall 1.0 on the harness data at the
+  * chosen thresholds (planted dups sit at Jaccard ≈0.98; at j ≥ 0.7
+  * the per-pair miss probability of 8 bands × 4 rows is (1−j⁴)⁸ < 1e-5).
+  */
+object Dedup {
+
+  /** k-token shingles ("w1 w2 w3" strings) of the trimmed text; a
+    * document shorter than k tokens contributes its whole text as one
+    * shingle so it still participates. */
+  def tokenShingles(text: Column, k: Int): Column = {
+    val t = TextOps.tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** xxhash64 of each k-shingle — the document's shingle-set, hashed. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(tokenShingles(text, k), s => xxhash64(s))
+
+  /** Character n-grams of the lowercased, whitespace-collapsed text. */
+  def charGrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+      .otherwise(array(norm))
+  }
+
+  // MinHash universal-hash parameters h_i(x) = (a_i·x32 + b_i) mod P:
+  // a_i, b_i < 2^31 and the base hash truncated to 32 bits, so the
+  // product stays < 2^63 (no overflow — the mod is mathematically
+  // exact). P is the classic 2^32+15 prime.
+  val MinhashPrime = 4294967311L
+  private def aParam(i: Int): Long = ((0x9E3779B1L * (i + 1)) & 0x7FFFFFFFL) | 1L
+  private def bParam(i: Int): Long = (0x85EBCA77L * (i + 1)) & 0x7FFFFFFFL
+
+  /** MinHash signature: numH minima of universal hashes over the
+    * document's (already hashed) shingle set. One codegen'd expression
+    * — transform over literal (a,b) parameter structs, array_min over
+    * the re-hashed shingles. */
+  def minhashSig(hashes: Column, numH: Int): Column = {
+    val params = array((0 until numH).map { i =>
+      struct(lit(aParam(i)).as("a"), lit(bParam(i)).as("b"))
+    }: _*)
+    transform(params, p =>
+      array_min(transform(hashes, h =>
+        pmod(p.getField("a") * pmod(h, lit(1L << 32)) + p.getField("b"),
+          lit(MinhashPrime)))))
+  }
+
+  /** Banded-LSH candidate pairs: one 64-bit bucket key per band
+    * (xxhash64 of the band's signature slice), self-join on
+    * (band, bucket), id_a < id_b. This is the only join in the module
+    * and it is candidates-only by construction. */
+  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
+            lit(rowsPerBand))))))
+      .toDF("id", "band_id", "band_hash")
+    banded.select(col("id").as("id_a"), col("band_id"), col("band_hash"))
+      .join(banded.select(col("id").as("id_b"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over two pre-distincted set columns. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify. */
+  def dedupNear(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), array_distinct(shingleHashes(col("text"), 3)).as("sh"))
+    val sigs = hashed.withColumn("sig", minhashSig(col("sh"), 32))
+    lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Character-3-gram variant: LSH candidates from hashed grams, exact
+    * verify on the STRING gram sets (oracle-parity — no hash collisions
+    * in the verified similarity). */
+  def dedupNgram(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), array_distinct(charGrams(col("text"), 3)).as("gr"))
+    val sigs = docs.withColumn("sig",
+      minhashSig(transform(col("gr"), g => xxhash64(g)), 32))
+    lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+      .join(docs.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
+      .filter(jaccard(col("gr_a"), col("gr_b")) >= 0.85)
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("gr_a"), col("gr_b")), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-dimension SimHash vote vector: dimension i's vote is the sum
+    * over tokens of ±1 drawn from an independent seeded token hash
+    * (xxhash64(token, i) parity) — the classic per-bit independent
+    * hash family formulation of SimHash. Sign of the vote → bit i. */
+  def simhashVotes(text: Column): Column =
+    transform(sequence(lit(0), lit(63)), i =>
+      aggregate(TextOps.tokens(text), lit(0),
+        (acc, t) => acc + when(xxhash64(t, i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
+
+  /** SimHash near-dup pairs: 4×16-bit banded LSH over the simhash,
+    * Hamming-distance verify ≤ 8 on candidates only. */
+  def dedupSimhash(docs: DataFrame): DataFrame = {
+    val bits = docs
+      .select(col("doc_id"),
+        transform(simhashVotes(col("text")), c => (c >= 0).cast("int")).as("bits"))
+    // pack 16-bit bands: fold each band slice as s·2 + bit
+    val sigs = bits.withColumn("sig",
+      transform(sequence(lit(0), lit(3)), b =>
+        aggregate(slice(col("bits"), b * lit(16) + lit(1), lit(16)), lit(0L),
+          (s2, bit) => s2 * 2 + bit)))
+    val hamming = size(filter(
+      zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y), v => v))
+    lshCandidates(sigs, "doc_id", "sig", bands = 4, rowsPerBand = 1)
+      .join(bits.select(col("doc_id").as("id_a"), col("bits").as("bits_a")), "id_a")
+      .join(bits.select(col("doc_id").as("id_b"), col("bits").as("bits_b")), "id_b")
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_near" -> ((s, d) => dedupNear(Tables.documents(s, d))),
+    "q_dedup_ngram" -> ((s, d) => dedupNgram(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
+  )
+
+  // DuckDB oracles: brute-force pair scans — valid as a SPEC (the gate
+  // runs at sf0.01) precisely because the engine-side LSH is
+  // deterministic and empirically recall-1.0 at these thresholds on
+  // the harness data (see scaladoc). The ENGINE never does this O(n²)
+  // scan; the oracle may.
+  val oracle: Map[String, String] = Map(
+    "q_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0
+        |             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH gr AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(norm) >= 3
+        |              THEN list_distinct(list_transform(range(1, length(norm) - 1),
+        |                     i -> substr(norm, i, 3)))
+        |              ELSE [norm] END AS g
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.g, b.g)) * 1.0
+        |             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 1.0
+        |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.85
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

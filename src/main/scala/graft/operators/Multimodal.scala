@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.10 "multimodal columns"):
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, plus a per-partition feature-extraction boundary.
+  *
+  * The harness ships no media files (and this container has no codec
+  * libraries), so the payload here is the document's UTF-8 bytes — a
+  * stand-in with the same engine-side shape: a `binary` column whose
+  * contents Spark never interprets. Everything EXCEPT the decode stub
+  * is the real production plumbing:
+  *  - schema: (id, payload binary, meta struct<mime,n_bytes,digest>),
+  *  - metadata derivation as codegen'd expressions over the bytes,
+  *  - the decoder boundary as `mapPartitions` over a typed Dataset —
+  *    the pattern that wraps a native codec (JNI/pipe) per PARTITION,
+  *    amortizing library init across rows instead of paying it per row.
+  *
+  * Scale posture: payloads never shuffle in this module — metadata is a
+  * narrow projection, and feature extraction is partition-local. At
+  * 100 TB the payload column stays in parquet until the projection that
+  * needs it (column pruning keeps metadata-only queries payload-free).
+  */
+object Multimodal {
+
+  /** A media row at the decoder boundary. */
+  final case class MediaRow(id: Long, payload: Array[Byte])
+  /** Deterministic stub "decoded" features: byte length + a 16-bucket
+    * byte histogram + a rolling-hash signature of the payload. */
+  final case class MediaFeatures(id: Long, n_bytes: Int,
+      histogram: Array[Long], signature: Long)
+
+  /** Attach the opaque payload + typed metadata struct. The cast to
+    * binary is the engine-side contract; with real media the bytes
+    * arrive from `spark.read.format("binaryFile")` or a parquet binary
+    * column instead. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        lit("text/plain").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("digest")))
+
+  /** Metadata projection — pure expressions, payload never leaves the
+    * scan's codegen stage. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.digest").as("digest"))
+      .orderBy(col("doc_id"))
+
+  /** Partition-local feature extraction at the decoder boundary.
+    *
+    * STUB: a real deployment replaces the body of `extract` with the
+    * actual codec call (image decode → resize, audio decode → frames);
+    * the Spark-side contract — typed rows in, typed features out, one
+    * decoder init per partition, constant memory per row — is exactly
+    * what is exercised here.
+    */
+  def mediaFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id").as("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (amortized once)
+        rows.map { r =>
+          val hist = new Array[Long](16)
+          var sig = 0L
+          var i = 0
+          while (i < r.payload.length) {
+            hist((r.payload(i) & 0xFF) >> 4) += 1
+            sig = sig * 31 + (r.payload(i) & 0xFF) // deterministic stand-in
+            i += 1
+          }
+          MediaFeatures(r.id, r.payload.length, hist, sig)
+        }
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta" -> ((s, d) => mediaMeta(Tables.documents(s, d))),
+    "q_multimodal_features" -> ((s, d) =>
+      mediaFeatures(Tables.documents(s, d)).toDF()
+        .select(col("id"), col("n_bytes"), col("signature"),
+          col("histogram").getItem(4).as("hist_bucket4"))
+        .orderBy(col("id"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // digest/byte-length parity: DuckDB sees the same UTF-8 bytes.
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

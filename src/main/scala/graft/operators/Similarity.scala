@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.10
+  * `q_similarity_topk` + the ANN scale path): brute-force cosine top-k
+  * as the exact baseline, random-hyperplane LSH bucketing as the
+  * approximate scale path, and a blocked exact near-dup pair scan.
+  *
+  * Everything is codegen'd higher-order functions over
+  * `array<float>` (cast to double once for numeric parity with the
+  * oracle) — no UDFs, no driver-side vectors: the query vector flows
+  * through a broadcast 1-row crossJoin, never a collect.
+  *
+  * Scale posture:
+  *  - brute-force top-k for a SINGLE query vector is the right plan at
+  *    any scale: one projection pass + TakeOrderedAndProject (per-
+  *    partition heap of k, driver merges k·partitions rows — no global
+  *    sort, no shuffle of the table).
+  *  - the ANN variant prunes that scan: vectors are bucketed by
+  *    hyperplane-sign bands; only vectors sharing a band with the
+  *    query are scored. At 100 TB the bucketed table would be written
+  *    bucketBy(band_hash) so a query touches a few buckets instead of
+  *    every row.
+  *  - all-pairs near-dup uses a BLOCKING key (label) so the quadratic
+  *    term is bounded per block — the metadata-blocking pattern; the
+  *    unblocked variant is the LSH dedup in [[Dedup]].
+  */
+object Similarity {
+
+  /** Element-wise float→double, so fold order + arithmetic match the
+    * DuckDB oracle's CAST(embedding AS DOUBLE[]). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Cosine similarity, sequential-fold order (matches DuckDB's
+    * list_cosine_similarity evaluation of the same doubles). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** numBits hyperplane-sign bits for vector column v: bit p is the
+    * sign of Σ_j v[j]·w(p,j) with deterministic pseudo-random weights
+    * w(p,j) = ±1 from xxhash64(p·64+j) parity — the fixed, compile-
+    * time-seeded random hyperplane family (SRP-LSH). */
+  def hyperplaneBits(v: Column, numBits: Int): Column =
+    transform(sequence(lit(0), lit(numBits - 1)), p =>
+      when(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x * when(xxhash64(p * 64 + j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (s, x) => s + x) >= 0, 1).otherwise(0))
+
+  /** Pack sign bits into per-band integer keys (fold s·2 + bit). */
+  def packBands(bits: Column, bands: Int, bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(bits, b * lit(bitsPerBand) + lit(1), lit(bitsPerBand)),
+        lit(0L), (s, bit) => s * 2 + bit))
+
+  /** Exact cosine top-k of `emb` (vec_id, v: array<double>) against the
+    * row with vec_id = queryId. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** ANN top-k: score only vectors sharing ≥1 hyperplane band with the
+    * query. Same output shape as [[bruteForceTopK]]; recall depends on
+    * the bit budget (asserted on planted near-dups in SimilaritySpec). */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int,
+      bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
+    val sigs = emb.withColumn("bands",
+      packBands(hyperplaneBits(col("v"), bands * bitsPerBand), bands, bitsPerBand))
+    val banded = sigs.select(col("vec_id"), col("v"),
+      posexplode(col("bands"))).toDF("vec_id", "v", "band_id", "band_key")
+    val qBands = banded.filter(col("vec_id") === queryId)
+      .select(col("band_id"), col("band_key"), col("v").as("qv"))
+    banded.join(broadcast(qBands), Seq("band_id", "band_key"))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("sim")) // dedup multi-band hits
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
+  private def embTable(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
+    "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
+    // Blocked exact near-dup: quadratic only within a label block.
+    "q_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine(col("va"), col("vb")) >= 0.3)
+        .select(col("label"), col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 4).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |              WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + exact-dedup surface of the LLM-data-pipeline
+  * operators (SURVEY §2.10) over the `documents` table
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * The reference has no text pipeline — these are the [GEN] operators
+  * mandated by the north star: the preprocessing a 100 TB training-data
+  * corpus needs (dedup, token accounting, quality gating, language ID,
+  * fingerprinting). Everything is built-in codegen'd expressions — no
+  * UDFs — so the whole per-document computation stays inside one
+  * whole-stage-codegen span over the scan.
+  *
+  * Scale posture:
+  *  - exact dedup groups on a 256-bit digest of the text, not the text
+  *    itself: the shuffle carries 32 bytes + the aggregates per row
+  *    instead of the full document bytes (collision probability 2^-128
+  *    — the standard content-addressing assumption). One hash shuffle,
+  *    map-side partial aggregation.
+  *  - all per-document metrics (lengths, token counts, ratios, scores)
+  *    are narrow projections — pipelined, no shuffle at all; the only
+  *    shuffles in this module are the final aggregations.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexer: letter runs, digit runs, and single non-alnum
+    * marks — the pre-tokenization split every BPE implementation
+    * applies before merges. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Tokens of `text` that appear in the (small, literal) word set. */
+  private def countIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(w => w: Any): _*))).cast("int")
+
+  // Tiny per-language stopword profiles for the n-gram/stopword
+  // language-ID heuristic. Deliberately small and literal: the point is
+  // the operator shape (argmax over per-language evidence scores in one
+  // codegen'd expression), not lexicon quality.
+  val EnStops = Seq("the", "and", "of", "to", "in", "is", "a")
+  val DeStops = Seq("der", "die", "das", "und", "ist", "nicht")
+  val EsStops = Seq("el", "los", "las", "y", "es", "que")
+  val FrStops = Seq("le", "les", "et", "est", "dans", "une")
+
+  /** Exact duplicate groups: one surviving doc_id (min) per distinct
+    * text + the multiplicity. Digest-keyed groupBy (see scale note). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Corpus statistics per language: doc count, char/token means. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), length(col("text")).as("len"),
+        size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("len")), 4).as("avg_chars"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        max(col("len")).cast("int").as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Per-document token accounting: whitespace tokens and BPE-ish
+    * lexer tokens (the pre-merge unit count a tokenizer budget uses). */
+  def textTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and a
+    * boolean keep/drop gate — the standard heuristic pre-filter for
+    * training corpora (C4-style), as one codegen'd projection. */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val toks = size(tokens(col("text")))
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
+    val stop = countIn(col("text"), EnStops)
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        toks.cast("long").as("n_tokens"),
+        round(punct.cast("double") / greatest(length(col("text")), lit(1)), 4)
+          .as("punct_ratio"),
+        round(stop.cast("double") / greatest(toks, lit(1)), 4)
+          .as("stopword_ratio"))
+      .withColumn("keep",
+        col("n_chars") >= 50 && col("n_tokens") >= 10 &&
+          col("punct_ratio") < 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID: per-language evidence score =
+    * stopword hits; argmax with a fixed en>de>es>fr priority tie-break,
+    * 'und' (undetermined) when no evidence. One expression, no UDF. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val (en, de, es, fr) = (countIn(t, EnStops), countIn(t, DeStops),
+      countIn(t, EsStops), countIn(t, FrStops))
+    docs
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+      .withColumn("predicted",
+        when(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")) === 0, lit("und"))
+          .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), lit("en"))
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), lit("de"))
+          .when(col("s_es") >= col("s_fr"), lit("es"))
+          .otherwise(lit("fr")))
+      .select(col("doc_id"), col("lang"), col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing-style document fingerprint: hash every k-token shingle
+    * (rolling window), keep the minimum — one 64-bit fingerprint per
+    * document that is stable under token-preserving reformatting.
+    * Shingle hashes reuse [[Dedup.shingleHashes]]; no oracle (xxhash64
+    * has no DuckDB twin) — pinned by determinism + collision specs. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_min(Dedup.shingleHashes(col("text"), 3)).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
+    "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
+    "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
+    "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
+    "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+  )
+
+  private def sqlCountIn(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN (", ", ", ")))")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(length(text)), 4) AS avg_chars,
+        |       round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+        |       CAST(max(length(text)) AS INT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+         |             / greatest(length(text), 1), 4) AS punct_ratio,
+         |       round(${sqlCountIn(EnStops)} * 1.0
+         |             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+         |       (length(text) >= 50
+         |        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+         |        AND round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+         |                  / greatest(length(text), 1), 4) < 0.3) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |         ${sqlCountIn(EnStops)} AS s_en,
+         |         ${sqlCountIn(DeStops)} AS s_de,
+         |         ${sqlCountIn(EsStops)} AS s_es,
+         |         ${sqlCountIn(FrStops)} AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |            WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+         |            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+         |            WHEN s_es >= s_fr THEN 'es'
+         |            ELSE 'fr' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+  )
+}

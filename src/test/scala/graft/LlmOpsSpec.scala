@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Semantic assertions for the LLM-data-pipeline operators on PLANTED
+  * inputs — duplicates, near-duplicates, language samples, and
+  * near-copy vectors with known expected outcomes, independent of the
+  * harness tables and the DuckDB oracle.
+  */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carry heavy stones across a narrow wooden bridge " +
+      "under bright winter stars near the old mill"
+
+  test("dedupExact keeps min doc_id per duplicate group") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val res = TextOps.dedupExact(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("dedupNear finds planted near-duplicates and nothing else") {
+    val nearDup = base.replace("winter", "summer")
+    val unrelated = "completely different words about spark catalyst " +
+      "optimizer plans shuffles partitions joins aggregates windows " +
+      "and the many ways an engine keeps its data moving smoothly along"
+    val res = Dedup.dedupNear(docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.toSeq == Seq((1L, 2L)))
+  }
+
+  test("dedupNgram finds the planted pair with high char-gram jaccard") {
+    val res = Dedup.dedupNgram(
+      docs(1L -> base, 2L -> (base + " extra"), 3L -> "zzz yyy xxx www vvv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(res.head._3 > 0.9)
+  }
+
+  test("dedupSimhash: near-identical docs collide, unrelated don't") {
+    val nearDup = base.replace("stars", "moons")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val res = Dedup.dedupSimhash(docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.contains((1L, 2L)))
+    assert(!res.contains((1L, 3L)) && !res.contains((2L, 3L)))
+  }
+
+  test("fingerprint is stable for identical token streams, differs otherwise") {
+    val reformatted = "  " + base.replace(" ", "   ") + "  " // same tokens
+    val fps = TextOps.fingerprint(
+      docs(1L -> base, 2L -> reformatted, 3L -> (base + " tail")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    // determinism: re-evaluating the plan yields identical fingerprints
+    val again = TextOps.fingerprint(
+      docs(1L -> base, 2L -> reformatted, 3L -> (base + " tail")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == fps)
+  }
+
+  test("langId classifies stopword-rich samples") {
+    val d = Seq(
+      (1L, "the cat is in the house and the dog is there", "en"),
+      (2L, "der hund ist nicht in das haus und der garten", "de"),
+      (3L, "el gato y los perros es que corren", "es"),
+      (4L, "le chat est dans les maisons et une souris", "fr"),
+      (5L, "xyzzy plugh quux", "zz"),
+    ).toDF("doc_id", "text", "lang")
+    val res = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(res == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("textQuality gates short and punctuation-heavy docs") {
+    val d = docs(
+      1L -> base, // long, clean → keep
+      2L -> "too short", // < 50 chars → drop
+      3L -> ("!@#$%^&*()!@#$%^&*()!@#$%^&*()!@#$%^&*()" +
+        " a b c d e f g h i j")) // punct-heavy → drop
+    val res = TextOps.textQuality(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(res == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("textTokens counts whitespace and BPE-ish tokens") {
+    val d = docs(1L -> "hello world, it's 42 degrees")
+    val r = TextOps.textTokens(d).head
+    assert(r.getLong(1) == 5) // ws tokens
+    // hello | world | , | it | ' | s | 42 | degrees
+    assert(r.getLong(2) == 8)
+  }
+
+  test("ANN finds planted near-copies of the query vector") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val q = vec()
+    def jitter(eps: Double): Array[Double] =
+      q.map(x => x + eps * rnd.nextGaussian())
+    val rows =
+      Seq(0L -> q, 1L -> jitter(0.05), 2L -> jitter(0.05), 3L -> jitter(0.08)) ++
+        (4L to 60L).map(_ -> vec())
+    val emb = rows.toDF("vec_id", "v")
+    val ann = Similarity.annTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(ann),
+      s"planted near-copies missing from ANN result: $ann")
+    // and the exact baseline agrees on the planted set
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(brute))
+  }
+
+  test("brute-force topk: query itself ranks first with sim 1.0") {
+    val res = SparkEntry.queries("q_similarity_topk")(spark, sf).head
+    assert(res.getLong(0) == 0L && res.getDouble(1) == 1.0)
+  }
+
+  test("multimodal features are deterministic and partition-invariant") {
+    val d = Tables.documents(spark, sf).limit(50)
+    val a = Multimodal.mediaFeatures(d).collect()
+      .map(f => f.id -> (f.n_bytes, f.signature)).toMap
+    val b = Multimodal.mediaFeatures(d.repartition(7)).collect()
+      .map(f => f.id -> (f.n_bytes, f.signature)).toMap
+    assert(a == b)
+    val meta = Multimodal.mediaMeta(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a.forall { case (id, (n, _)) => meta(id) == n.toLong })
+  }
+}
