@@ -91,6 +91,21 @@ object Scalars {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id"))),
+
+    // Map build + probe (population_pipeline.py:38-45 builds a
+    // country→population dict, :60 probes it): per-region name→key map
+    // via map_from_entries, probed with element_at, then exploded back
+    // to sorted rows so the oracle compare is deterministic (map
+    // internal ordering is not).
+    "q_fn_map" -> ((s, d) => {
+      val m = Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_entries(
+          collect_list(struct(col("n_name"), col("n_nationkey")))).as("m"))
+        .withColumn("canada_key", element_at(col("m"), "CANADA"))
+      m.select(col("n_regionkey"), explode(col("m")), col("canada_key"))
+        .orderBy(col("n_regionkey"), col("key"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,5 +158,10 @@ object Scalars {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_map" ->
+      """SELECT n_regionkey, n_name AS key, n_nationkey AS value,
+        |       max(CASE WHEN n_name = 'CANADA' THEN n_nationkey END)
+        |         OVER (PARTITION BY n_regionkey) AS canada_key
+        |FROM nation ORDER BY n_regionkey, key""".stripMargin,
   )
 }

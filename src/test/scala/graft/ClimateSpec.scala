@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Climate
+
+/** Climate composites: golden-file feature construction, land-mask
+  * semantics on planted cells, and the end-to-end partitioned-sink
+  * pipeline layout (FIXTURES.md §B.2/§B.4).
+  */
+class ClimateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("geojsonFeature golden: compact JSON, closed 5-point ring, half-res offsets") {
+    val df = Seq((1.5, 2.5, 3.25, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("lat", "lon", "v", "ts")
+    val json = df.select(Climate.geojsonFeature(col("lat"), col("lon"), col("v"),
+      "precipitation", col("ts"), lit(0.25), lit(0.3125)).as("f")).head.getString(0)
+    val expected =
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":""" +
+        """[[[2.1875,1.25],[2.8125,1.25],[2.8125,1.75],[2.1875,1.75],[2.1875,1.25]]]},""" +
+        """"properties":{"precipitation":3.25,"time":"2024-01-01 00:00:00","lat":1.5,"lon":2.5}}"""
+    assert(json == expected)
+  }
+
+  test("landMask keeps exactly the points whose cell is in the lookup") {
+    val pts = Seq((1L, 0, 0), (2L, 5, 5), (3L, 0, 1))
+      .toDF("id", "cell_lat", "cell_lon")
+    val land = Seq((0, 0), (0, 1)).toDF("cell_lat", "cell_lon")
+    val kept = Climate.landMask(pts, land).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("land mask query partitions customers (semi ∪ anti = all)") {
+    val masked = SparkEntry.queries("q_filter_land_mask")(spark, sf).count()
+    val all = Tables.customer(spark, sf).count()
+    assert(masked > 0 && masked < all)
+  }
+
+  test("climatePipeline: one lazy plan to a hive (year,month) layout") {
+    val out = Files.createTempDirectory("graft_e2e").toString
+    Climate.climatePipeline(spark, sf, out)
+    val back = spark.read.parquet(out)
+    assert(back.columns.sorted.toSeq == Seq("feature", "month", "year"))
+    val n = back.count()
+    assert(n > 0)
+    // hive layout: year=*/month=* directories
+    val yearDirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(yearDirs.nonEmpty && yearDirs.forall(_.matches("year=\\d+")))
+    // every feature is a well-formed Polygon feature
+    val kinds = back.select(
+      get_json_object(col("feature"), "$.geometry.type").as("g")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("Polygon"))
+    // ring is closed: first point == last point
+    val ring = back.select(from_json(
+      get_json_object(col("feature"), "$.geometry.coordinates"),
+      org.apache.spark.sql.types.DataTypes.createArrayType(
+        org.apache.spark.sql.types.DataTypes.createArrayType(
+          org.apache.spark.sql.types.DataTypes.createArrayType(
+            org.apache.spark.sql.types.DataTypes.DoubleType)))).as("c"))
+      .select(element_at(element_at(col("c"), 1), 1).as("first"),
+        element_at(element_at(col("c"), 1), 5).as("last"))
+    assert(ring.filter(col("first") =!= col("last")).count() == 0)
+  }
+}
