@@ -74,16 +74,40 @@ object Climate {
 
   /** Grid-resolution inference (precipitation_pipeline.py:170-182):
     * distinct values → sorted neighbor gaps → min gap, with a default
-    * when fewer than two distinct values exist. Distributed form:
-    * distinct (shuffle) → single-partition window lag (the distinct
-    * value set is tiny relative to input) → min + coalesce.
+    * when fewer than two distinct values exist.
+    *
+    * Distributed form — NO single-task window over the distinct set
+    * (whose cardinality can approach the table's, e.g. a continuous
+    * column): the distinct values are range-bucketed by approximate
+    * quantiles (a broadcast 1-row aggregate — bucketing quality only
+    * affects balance, never the answer), neighbor gaps are computed
+    * per bucket under a PARTITIONED window, and the cross-bucket
+    * boundary pairs are resolved in a second window over one row per
+    * bucket — provably ≤ `buckets` rows, the one place a global
+    * window is safe. Every consecutive pair is covered exactly once.
     */
-  def gridResolution(df: DataFrame, coord: String, default: Double): DataFrame = {
+  def gridResolution(df: DataFrame, coord: String, default: Double,
+      buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(coord))
-    df.select(col(coord)).distinct()
+    val dist = df.select(col(coord)).filter(col(coord).isNotNull).distinct()
+    val bounds = dist.agg(percentile_approx(col(coord),
+      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+      lit(10000)).as("bounds"))
+    val bucketed = dist.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(filter(col("bounds"), b => b <= col(coord))))
+      .drop("bounds")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(coord))
+    val perBucket = bucketed
       .withColumn("gap", abs(col(coord) - lag(col(coord), 1).over(w)))
-      .agg(coalesce(round(min(col("gap")), 4), lit(default)).as("resolution"))
+      .groupBy(col("bucket"))
+      .agg(min(col("gap")).as("min_gap"),
+        min(col(coord)).as("lo"), max(col(coord)).as("hi"))
+    val wb = Window.orderBy(col("bucket")) // ≤ `buckets` rows: tiny by construction
+    perBucket
+      .withColumn("boundary_gap", abs(col("lo") - lag(col("hi"), 1).over(wb)))
+      .agg(coalesce(
+        round(least(min(col("min_gap")), min(col("boundary_gap"))), 4),
+        lit(default)).as("resolution"))
   }
 
   /** Integer grid-cell index for a coordinate: floor((x+offset)/band).

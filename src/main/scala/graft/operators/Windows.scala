@@ -10,17 +10,47 @@ import org.apache.spark.sql.expressions.Window
   * inference (pipelines/precipitation_pipeline.py:174-182) is a lag;
   * everything else generalizes it (ranked/running/moving/frame forms).
   *
-  * Scale posture: every window here is PARTITIONED (partitionBy a
-  * key) — a global window moves the whole relation to one task and is
-  * only acceptable over provably tiny inputs (the distinct-coordinate
-  * set in Climate.gridResolution). Window order keys always include a
+  * Scale posture: every window over unbounded input is PARTITIONED
+  * (partitionBy a key) — a global window moves the whole relation to
+  * one task; where a global order is genuinely required
+  * (ntile/percent_rank), it is decomposed into range-partitioned
+  * local windows plus a cumulative pass over one row per partition
+  * (see withGlobalRowNumber). Window order keys always include a
   * unique tiebreaker so results are deterministic under ties.
   */
 object Windows {
 
+  import org.apache.spark.sql.{Column, DataFrame}
+
   private def perCustomerByDate = Window
     .partitionBy(col("o_custkey"))
     .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  /** Distributed global row number over a total order — the scale-safe
+    * replacement for `row_number() OVER (ORDER BY …)` (which moves the
+    * whole relation to ONE task): range-repartition on the sort key,
+    * local row_number per range partition, then add per-partition
+    * offsets computed from a cumulative sum over one row per partition
+    * (provably tiny — the only unpartitioned window, over ≤
+    * shuffle-partitions rows). Sort keys must be a total order (include
+    * a unique tiebreaker) so range boundaries are unambiguous.
+    */
+  def withGlobalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
+          .cast("long"))
+    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(out, col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> ((s, d) => {
@@ -75,12 +105,24 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Global ntile/percent_rank WITHOUT a single-task window: both are
+    // pure functions of (global row number, total count) — rn comes
+    // from the distributed withGlobalRowNumber, N from a broadcast
+    // 1-row aggregate, and the SQL-standard ntile bucket formula
+    // (first N mod n buckets get ⌈N/n⌉ rows) is integer arithmetic.
     "q_window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .repartition(1) // global quartiles: single ordered pass by design
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      val base = Tables.customer(s, d)
+      withGlobalRowNumber(base, "rn", col("c_acctbal"), col("c_custkey"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+        .withColumn("q", expr("n_total div 4"))
+        .withColumn("r", expr("n_total % 4"))
+        .withColumn("quartile",
+          expr("""IF(rn <= r * (q + 1),
+                     (rn + q) div (q + 1),
+                     r + (rn - r * (q + 1) + q - 1) div q)""").cast("long"))
+        .withColumn("pct_rank",
+          when(col("n_total") === 1, lit(0.0))
+            .otherwise(round((col("rn") - 1).cast("double") / (col("n_total") - 1), 6)))
         .select(col("c_custkey"), col("quartile"), col("pct_rank"))
         .orderBy(col("c_custkey"))
     }),

@@ -1,0 +1,76 @@
+package graft
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * survives a 100× scale-up — scan pruning, pushdown, broadcast
+  * strategy, top-k strategy, and the absence of whole-relation
+  * single-task windows. These pin the PLAN, complementing the
+  * value-level oracle.
+  */
+class PlanSpec extends SparkTestBase {
+
+  // formatted explain: full (untruncated) PushedFilters/ReadSchema;
+  // the raw executedPlan string keeps partitioning arguments visible.
+  private def executed(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      qe.executedPlan.toString()
+  }
+
+  test("q_filter_time_range: range predicate reaches parquet PushedFilters") {
+    val plan = executed("q_filter_time_range")
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"l_shipdate range not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q_agg_group_monthly (flagship): scan is pruned by the time range") {
+    val plan = executed("q_agg_group_monthly")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate") &&
+      plan.contains("IsNotNull(l_quantity)"),
+      s"flagship filters not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q_project: ReadSchema contains only the projected columns") {
+    val plan = executed("q_project")
+    val schema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(schema.contains("l_orderkey") && schema.contains("l_linenumber") &&
+      schema.contains("l_extendedprice") && !schema.contains("l_shipdate") &&
+      !schema.contains("l_quantity"), schema)
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    assert(executed("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast plans as BroadcastHashJoin") {
+    assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter_land_mask plans as a broadcast LEFT-SEMI hash join") {
+    val plan = executed("q_filter_land_mask")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q_window_ntile: range-partitioned, no repartition(1), no whole-table global window") {
+    val plan = executed("q_window_ntile")
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    // the only SinglePartition exchange feeds the tiny per-partition
+    // offset aggregate, never the base scan: the window over _pid is
+    // hash-partitioned
+    assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
+  }
+
+  test("q_agg_min_diff: neighbor gaps under a bucket-partitioned window") {
+    val plan = executed("q_agg_min_diff")
+    assert(plan.contains("hashpartitioning(bucket"), plan.take(2000))
+  }
+
+  test("q_similarity_topk: single-pass top-k, broadcast query vector") {
+    val plan = executed("q_similarity_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+}
