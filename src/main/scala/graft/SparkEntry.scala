@@ -22,6 +22,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
+    (graft.sources.IO.queries, graft.sources.IO.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
