@@ -23,6 +23,7 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (graft.sources.IO.queries, graft.sources.IO.oracle),
+    (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

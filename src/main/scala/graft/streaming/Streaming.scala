@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-windowed / streaming surface (SURVEY §2.9). The reference's
+  * calendar-driven monthly batching (utils/spot_manager.py:154-183,
+  * previous-month targeting :52-58) is micro-batching by hand; here the
+  * same semantics are Structured-Streaming-native windowed aggregates.
+  *
+  * Each transform below is written over a plain DataFrame so the SAME
+  * code runs in batch mode (registered queries, DuckDB-oracle-checked
+  * at sf0.01) and under `readStream` (StreamingSpec drives them with a
+  * MemoryStream plus watermarks — late-data drops, stateful dedup, and
+  * arbitrary state live only there, since they have no batch oracle).
+  *
+  * Scale posture: windowed aggregates shuffle once on (window key ⊕
+  * group key) with map-side partials; in streaming mode the state
+  * store holds one row per open window — bounded by `withWatermark`,
+  * which is what makes a 100 TB/day stream's state finite.
+  */
+object Streaming {
+
+  /** Tumbling 1-hour windows: count + sum per window. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("total"))
+
+  /** Sliding 1-hour windows every 15 minutes (each event in 4). */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      tumblingHourly(Tables.events(s, d)).orderBy(col("window_start"))),
+    "q_stream_sliding" -> ((s, d) =>
+      slidingHourly(Tables.events(s, d)).orderBy(col("window_start"))),
+    "q_stream_session" -> ((s, d) =>
+      sessions(Tables.events(s, d)).orderBy(col("user_id"), col("session_start"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // an event at t belongs to the 4 slide-aligned windows starting at
+    // floor15(t) − k·15min, k = 0..3
+    "q_stream_sliding" ->
+      """SELECT ws AS window_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS ws
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gaps-and-islands: a new session starts when the gap since the
+    // previous event is ≥ the 30-minute inactivity timeout
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.Streaming
+
+/** Streaming-only semantics (SURVEY §2.9) driven by MemoryStream —
+  * watermark late-data drops, stateful dedup, session merging, and
+  * arbitrary per-key state. These have no batch oracle; the batch
+  * forms of the windowed aggregates are oracle-checked separately.
+  */
+/** Top-level so Spark can synthesize an Encoder (inner classes can't
+  * be encoded for typed Dataset operations). */
+case class Ev(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_sink_$qn" }
+
+  test("tumbling window with watermark drops late rows in append mode") {
+    val in = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = Streaming.tumblingHourly(in.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:05:00"), 1, 1, 1.0),
+        Ev(t("2024-01-01 10:20:00"), 1, 2, 2.0),
+        Ev(t("2024-01-01 13:00:00"), 1, 3, 3.0))
+      q.processAllAvailable() // watermark → 12:00; [10:00,11:00) finalizes
+      in.addData(
+        Ev(t("2024-01-01 10:40:00"), 1, 4, 100.0), // LATE: behind watermark
+        Ev(t("2024-01-01 15:00:00"), 1, 5, 5.0))
+      q.processAllAvailable() // watermark → 14:00; [13:00,14:00) finalizes
+      val rows = spark.table(name)
+        .select(col("window_start").cast("string"), col("n"), col("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", 2L, 3.0), // late 100.0 NOT included
+        ("2024-01-01 13:00:00", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap across batches") {
+    val in = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = Streaming.sessions(in.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 1, 1.0),
+        Ev(t("2024-01-01 10:20:00"), 1, 2, 1.0), // same session (gap 20m)
+        Ev(t("2024-01-01 11:30:00"), 1, 3, 1.0), // new session (gap 70m)
+        Ev(t("2024-01-01 10:10:00"), 2, 4, 1.0))
+      in.addData(Ev(t("2024-01-01 20:00:00"), 9, 9, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", 2L)))
+      assert(rows.contains((1L, "2024-01-01 11:30:00", 1L)))
+      assert(rows.contains((2L, "2024-01-01 10:10:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val in = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = in.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 100, 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, 100, 1.0)) // dup in-batch
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:02:00"), 1, 100, 1.0)) // dup cross-batch
+      in.addData(Ev(t("2024-01-01 10:03:00"), 1, 200, 1.0))
+      q.processAllAvailable()
+      val ids = spark.table(name).select(col("event_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 100L) == 1 && ids.count(_ == 200L) == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries per-user running counts across batches") {
+    val in = MemoryStream[Ev](spark)
+    val name = nextName()
+    val counted = in.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator((user, total))
+      }.toDF("user_id", "running")
+    val q = counted.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, 1, 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, 2, 1.0),
+        Ev(t("2024-01-01 10:02:00"), 2, 3, 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 11:00:00"), 1, 4, 1.0))
+      q.processAllAvailable()
+      val byBatch = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(byBatch.count { case (u, c) => u == 1L && c == 2L } == 1) // batch 1
+      assert(byBatch.count { case (u, c) => u == 1L && c == 3L } == 1) // batch 2: state carried
+      assert(byBatch.count { case (u, c) => u == 2L && c == 1L } == 1)
+    } finally q.stop()
+  }
+}
