@@ -23,7 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated name filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def exec(name: String, fn: Q): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // untimed warmup: full pass (codegen compile, parquet footer cache)

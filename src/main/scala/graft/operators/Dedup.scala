@@ -29,29 +29,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k-token shingles ("w1 w2 w3" strings) of the trimmed text; a
-    * document shorter than k tokens contributes its whole text as one
-    * shingle so it still participates. */
-  def tokenShingles(text: Column, k: Int): Column = {
-    val t = TextOps.tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+  // PERFORMANCE CONTRACT for the shingle/gram builders: the input
+  // column MUST be a materialized attribute (produced by a prior
+  // projection), never an inline expression. An expression captured
+  // inside a higher-order-function lambda is re-evaluated PER ELEMENT
+  // — an inline `split(trim(text))` inside the slice lambda turns one
+  // regex per row into one regex per shingle (observed: 300× regex
+  // blow-up per document at sf0.1).
 
-  /** xxhash64 of each k-shingle — the document's shingle-set, hashed. */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(tokenShingles(text, k), s => xxhash64(s))
+  /** k-token shingles ("w1 w2 w3" strings) over a MATERIALIZED token
+    * array column; a document shorter than k tokens contributes its
+    * whole token stream as one shingle so it still participates. */
+  def tokenShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
 
-  /** Character n-grams of the lowercased, whitespace-collapsed text. */
-  def charGrams(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** xxhash64 of each k-shingle of a materialized token array. */
+  def shingleHashes(toks: Column, k: Int): Column =
+    transform(tokenShingles(toks, k), s => xxhash64(s))
+
+  /** Lowercased, whitespace-collapsed normalization (materialize this
+    * as a column before feeding it to [[charGrams]]). */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-grams over a MATERIALIZED normalized-string column. */
+  def charGrams(norm: Column, n: Int): Column =
     when(length(norm) >= n,
       transform(sequence(lit(1), length(norm) - (n - 1)),
         i => norm.substr(i, lit(n))))
       .otherwise(array(norm))
-  }
 
   // MinHash universal-hash parameters h_i(x) = (a_i·x32 + b_i) mod P:
   // a_i, b_i < 2^31 and the base hash truncated to 32 bits, so the
@@ -97,10 +106,24 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Spread CPU-heavy per-document signature work across the cluster:
+    * a small parquet source arrives as ONE input split, which would
+    * pin the (interpreted higher-order-function) minhash/simhash
+    * computation to a single core — observed 1-of-32 utilization at
+    * sf0.1. The narrow row shuffle is trivial next to the per-row CPU. */
+  private def spread(docs: DataFrame): DataFrame = {
+    // explicit numPartitions: REPARTITION_BY_NUM is exempt from AQE
+    // partition coalescing, which would otherwise fold a small (by
+    // BYTES) but CPU-expensive dataset back onto one core
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.repartition(n, col("doc_id"))
+  }
+
   /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify. */
-  def dedupNear(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), array_distinct(shingleHashes(col("text"), 3)).as("sh"))
+  def dedupNear(docsIn: DataFrame): DataFrame = {
+    val hashed = spread(docsIn)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingleHashes(col("toks"), 3)).as("sh"))
     val sigs = hashed.withColumn("sig", minhashSig(col("sh"), 32))
     lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
       .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -111,15 +134,36 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Character-3-gram variant: LSH candidates from hashed grams, exact
-    * verify on the STRING gram sets (oracle-parity — no hash collisions
-    * in the verified similarity). */
+  /** Character-5-gram variant with a two-stage verify.
+    *
+    * 5-grams (not 3): on a small-alphabet corpus, 3-gram sets overlap
+    * so much that background pairs sit at Jaccard ≈0.6 — LSH buckets
+    * stop discriminating, candidate pairs explode toward n², and one
+    * oversized bucket becomes a single multi-minute task (observed at
+    * sf0.1). 5-grams span word boundaries, dropping background overlap
+    * to ≈0.3 while planted near-dups stay ≥0.9.
+    *
+    * Verify is two-stage: (1) a CHEAP minhash-estimate prefilter — the
+    * fraction of agreeing signature components, 32 long-compares per
+    * pair — prunes the background candidates before (2) the exact
+    * Jaccard over the hashed gram sets runs on the survivors only.
+    * Set ops on 64-bit gram hashes, not strings: same answer
+    * (collision odds ~1e-8 corpus-wide), a fraction of the cost.
+    */
   def dedupNgram(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
-      .select(col("doc_id"), array_distinct(charGrams(col("text"), 3)).as("gr"))
-    val sigs = docs.withColumn("sig",
-      minhashSig(transform(col("gr"), g => xxhash64(g)), 32))
-    lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+    val docs = spread(docsIn)
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+      .select(col("doc_id"),
+        array_distinct(transform(charGrams(col("norm"), 5), g => xxhash64(g))).as("gr"))
+    val sigs = docs.withColumn("sig", minhashSig(col("gr"), 32))
+    val survivors = lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est", size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
+      .filter(col("est") >= 0.6) // planted ≥0.9 ⇒ est ≥0.6 w.p. 1-1e-9
+      .select(col("id_a"), col("id_b"))
+    survivors
       .join(docs.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
       .filter(jaccard(col("gr_a"), col("gr_b")) >= 0.85)
@@ -128,22 +172,27 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 64-dimension SimHash vote vector: dimension i's vote is the sum
-    * over tokens of ±1 drawn from an independent seeded token hash
-    * (xxhash64(token, i) parity) — the classic per-bit independent
-    * hash family formulation of SimHash. Sign of the vote → bit i. */
-  def simhashVotes(text: Column): Column =
-    transform(sequence(lit(0), lit(63)), i =>
-      aggregate(TextOps.tokens(text), lit(0),
-        (acc, t) => acc + when(xxhash64(t, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)))
+  /** 64-dimension SimHash vote vector over a PRE-HASHED token array:
+    * each token is hashed once (xxhash64), and vote i sums ±1 from bit
+    * i of that hash — the classic simhash formulation. The bit index
+    * is a compile-time Int, so the shifts are literal (codegen-able)
+    * and the expensive hash runs once per token, not once per
+    * (token × bit). */
+  def simhashVotes(hashedTokens: Column): Column =
+    array((0 until 64).map { i =>
+      aggregate(hashedTokens, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+    }: _*)
 
   /** SimHash near-dup pairs: 4×16-bit banded LSH over the simhash,
     * Hamming-distance verify ≤ 8 on candidates only. */
   def dedupSimhash(docs: DataFrame): DataFrame = {
-    val bits = docs
+    val bits = spread(docs)
       .select(col("doc_id"),
-        transform(simhashVotes(col("text")), c => (c >= 0).cast("int")).as("bits"))
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        transform(simhashVotes(col("th")), c => (c >= 0).cast("int")).as("bits"))
     // pack 16-bit bands: fold each band slice as s·2 + bit
     val sigs = bits.withColumn("sig",
       transform(sequence(lit(0), lit(3)), b =>
@@ -190,9 +239,9 @@ object Dedup {
     "q_dedup_ngram" ->
       """WITH gr AS (
         |  SELECT doc_id,
-        |         CASE WHEN length(norm) >= 3
-        |              THEN list_distinct(list_transform(range(1, length(norm) - 1),
-        |                     i -> substr(norm, i, 3)))
+        |         CASE WHEN length(norm) >= 5
+        |              THEN list_distinct(list_transform(range(1, length(norm) - 3),
+        |                     i -> substr(norm, i, 5)))
         |              ELSE [norm] END AS g
         |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
         |        FROM documents))

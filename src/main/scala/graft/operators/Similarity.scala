@@ -37,21 +37,40 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
+  private def dotSelf(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x)
+
+  /** CPU-spreading repartition with explicit numPartitions (exempt
+    * from AQE coalescing; see Dedup.spread for rationale). */
+  private def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col("vec_id"))
+  }
+
   /** Cosine similarity, sequential-fold order (matches DuckDB's
     * list_cosine_similarity evaluation of the same doubles). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Deterministic ±1 hyperplane weight matrix (numBits × dim), fixed
+    * at plan-build time from a seeded generator and baked into the
+    * plan as LITERAL arrays — zero per-row hashing at execution
+    * (SRP-LSH with a compile-time random basis). */
+  private def hyperplanes(numBits: Int, dim: Int): IndexedSeq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(numBits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
   /** numBits hyperplane-sign bits for vector column v: bit p is the
-    * sign of Σ_j v[j]·w(p,j) with deterministic pseudo-random weights
-    * w(p,j) = ±1 from xxhash64(p·64+j) parity — the fixed, compile-
-    * time-seeded random hyperplane family (SRP-LSH). */
-  def hyperplaneBits(v: Column, numBits: Int): Column =
-    transform(sequence(lit(0), lit(numBits - 1)), p =>
+    * sign of ⟨v, w_p⟩ against the literal hyperplane basis. */
+  def hyperplaneBits(v: Column, numBits: Int, dim: Int = 64): Column = {
+    val w = hyperplanes(numBits, dim)
+    array(w.map { plane =>
       when(aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x * when(xxhash64(p * 64 + j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-        lit(0.0), (s, x) => s + x) >= 0, 1).otherwise(0))
+        zip_with(v, array(plane.map(lit(_)): _*), (x, wj) => x * wj),
+        lit(0.0), (s, x) => s + x) >= 0, 1).otherwise(0)
+    }: _*)
+  }
 
   /** Pack sign bits into per-band integer keys (fold s·2 + bit). */
   def packBands(bits: Column, bands: Int, bitsPerBand: Int): Column =
@@ -73,7 +92,9 @@ object Similarity {
     * the bit budget (asserted on planted near-dups in SimilaritySpec). */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
       bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
-    val sigs = emb.withColumn("bands",
+    // spread first: a single-split source would otherwise compute every
+    // signature on one core (explicit numPartitions — AQE-coalesce-proof)
+    val sigs = spread(emb).withColumn("bands",
       packBands(hyperplaneBits(col("v"), bands * bitsPerBand), bands, bitsPerBand))
     val banded = sigs.select(col("vec_id"), col("v"),
       posexplode(col("bands"))).toDF("vec_id", "v", "band_id", "band_key")
@@ -93,16 +114,23 @@ object Similarity {
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
     // Blocked exact near-dup: quadratic only within a label block.
+    // Vectors are L2-normalized ONCE before the pair join, so the
+    // per-pair work is a single dot product (cosine = ⟨â,b̂⟩) — the
+    // normalization cost is O(n), not O(pairs).
     "q_embed_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nv", transform(col("v"), x => x / sqrt(dotSelf(col("v")))))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("nv").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("nv").as("vb"))
+      val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (s2, x) => s2 + x)
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .filter(cosine(col("va"), col("vb")) >= 0.3)
+        .withColumn("sim_raw", sim)
+        .filter(col("sim_raw") >= 0.3)
         .select(col("label"), col("id_a"), col("id_b"),
-          round(cosine(col("va"), col("vb")), 4).as("sim"))
+          round(col("sim_raw"), 4).as("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
   )

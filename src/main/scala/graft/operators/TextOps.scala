@@ -127,8 +127,9 @@ object TextOps {
     * has no DuckDB twin) — pinned by determinism + collision specs. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_min(Dedup.shingleHashes(col("text"), 3)).as("fp"))
+        array_min(Dedup.shingleHashes(col("toks"), 3)).as("fp"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
