@@ -176,7 +176,10 @@ object Climate {
     * disk between every stage (precipitation_pipeline.py:604-640).
     * The inferred resolutions flow through broadcast 1-row aggregates
     * (crossJoin), never a driver collect. */
-  def climatePipeline(s: SparkSession, dir: String, outDir: String): Unit = {
+  /** Shared composite plan: scan -> pushdown time filter -> land-mask
+    * semi-join -> distributed resolution inference (broadcast 1-row
+    * aggregates, no driver collect) -> feature build. */
+  private[operators] def compositeFrame(s: SparkSession, dir: String): DataFrame = {
     val grid = syntheticGrid(Tables.events(s, dir))
       .filter(timestampRange(col("ts"), 2024, 1, 2024, 12))
       .filter(col("value").isNotNull)
@@ -193,14 +196,30 @@ object Climate {
     val lonRes = gridResolution(masked, "lon", 0.625)
       .withColumnRenamed("resolution", "lon_res")
     withYearMonth(masked.crossJoin(broadcast(latRes)).crossJoin(broadcast(lonRes)), "ts")
-      .select(col("year"), col("month"),
-        geojsonFeature(col("lat"), col("lon"), col("value"), "precipitation",
+      .select(col("event_id"), col("year"), col("month"),
+        geojsonFeature(col("lat"), col("lon"), round(col("value"), 4), "precipitation",
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
-      .write.partitionBy("year", "month").mode("overwrite").parquet(outDir)
   }
+
+  def climatePipeline(s: SparkSession, dir: String, outDir: String): Unit =
+    compositeFrame(s, dir)
+      .select(col("year"), col("month"), col("feature"))
+      .write.partitionBy("year", "month").mode("overwrite").parquet(outDir)
+
+  /** Empty-relation short-circuit (precipitation_pipeline.py:152-154,
+    * humidity_pipeline.py:117-134): the reference guards every stage
+    * with `if df.empty: return`. Spark-side, `head(1).isEmpty` is the
+    * cheap test (one task, first non-empty partition only — never a
+    * full count). Used by drivers to skip sinks for empty slices. */
+  def isEmptyRelation(df: DataFrame): Boolean = df.head(1).isEmpty
 
   val queries: Map[String, Q] = Map(
     "q_agg_group_monthly" -> (monthlyAgg _),
+    // The full composite as ONE lazy plan (sink-less form of
+    // climatePipeline; rows-only check — JSON string formatting has no
+    // cross-engine oracle, the golden spec pins it instead).
+    "q_climate_composite" -> ((s, d) =>
+      compositeFrame(s, d).orderBy(col("event_id"))),
     // Land mask over synthetic cells: probe = customers hashed onto a
     // 6×12-band grid, land lookup = supplier cells on the same grid.
     "q_filter_land_mask" -> ((s, d) => {

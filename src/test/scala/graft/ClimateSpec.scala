@@ -38,6 +38,12 @@ class ClimateSpec extends SparkTestBase {
     assert(masked > 0 && masked < all)
   }
 
+  test("isEmptyRelation short-circuits without a full count") {
+    val li = Tables.lineitem(spark, sf)
+    assert(!Climate.isEmptyRelation(li))
+    assert(Climate.isEmptyRelation(li.filter(col("l_quantity") < -1)))
+  }
+
   test("climatePipeline: one lazy plan to a hive (year,month) layout") {
     val out = Files.createTempDirectory("graft_e2e").toString
     Climate.climatePipeline(spark, sf, out)
