@@ -62,27 +62,14 @@ object Dedup {
         i => norm.substr(i, lit(n))))
       .otherwise(array(norm))
 
-  // MinHash universal-hash parameters h_i(x) = (a_i·x32 + b_i) mod P:
-  // a_i, b_i < 2^31 and the base hash truncated to 32 bits, so the
-  // product stays < 2^63 (no overflow — the mod is mathematically
-  // exact). P is the classic 2^32+15 prime.
-  val MinhashPrime = 4294967311L
-  private def aParam(i: Int): Long = ((0x9E3779B1L * (i + 1)) & 0x7FFFFFFFL) | 1L
-  private def bParam(i: Int): Long = (0x85EBCA77L * (i + 1)) & 0x7FFFFFFFL
-
   /** MinHash signature: numH minima of universal hashes over the
-    * document's (already hashed) shingle set. One codegen'd expression
-    * — transform over literal (a,b) parameter structs, array_min over
-    * the re-hashed shingles. */
-  def minhashSig(hashes: Column, numH: Int): Column = {
-    val params = array((0 until numH).map { i =>
-      struct(lit(aParam(i)).as("a"), lit(bParam(i)).as("b"))
-    }: _*)
-    transform(params, p =>
-      array_min(transform(hashes, h =>
-        pmod(p.getField("a") * pmod(h, lit(1L << 32)) + p.getField("b"),
-          lit(MinhashPrime)))))
-  }
+    * document's (already hashed) shingle set — delegates to the native
+    * codegen'd [[graft.plans.MinHashSig]] expression (parameters and
+    * arithmetic documented there). */
+  def minhashSig(hashes: Column, numH: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(hashes), numH))
 
   /** Banded-LSH candidate pairs: one 64-bit bucket key per band
     * (xxhash64 of the band's signature slice), self-join on

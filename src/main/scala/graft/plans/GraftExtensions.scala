@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * native expressions under SQL names so `spark.sql("… graft_minhash
+  * (hashes, 32) …")` works next to the Column API. Installed by every
+  * session builder via `.withExtensions(new GraftExtensions)` — the
+  * Column-side path (`Dedup.minhashSig`) does NOT depend on the
+  * extension being present.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash(hashes, numHashes)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinHashSig(children.head, n)
+      }))
+  }
+}

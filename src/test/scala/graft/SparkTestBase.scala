@@ -14,6 +14,7 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
