@@ -161,16 +161,13 @@ object Dedup {
 
   /** 64-dimension SimHash vote vector over a PRE-HASHED token array:
     * each token is hashed once (xxhash64), and vote i sums ±1 from bit
-    * i of that hash — the classic simhash formulation. The bit index
-    * is a compile-time Int, so the shifts are literal (codegen-able)
-    * and the expensive hash runs once per token, not once per
-    * (token × bit). */
+    * i of that hash — the classic simhash formulation, delegated to
+    * the native codegen'd [[graft.plans.SimHashVotes]] expression
+    * (one tight loop instead of 64 interpreted aggregates per row). */
   def simhashVotes(hashedTokens: Column): Column =
-    array((0 until 64).map { i =>
-      aggregate(hashedTokens, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-    }: _*)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.SimHashVotes(
+        org.apache.spark.sql.GraftBridge.expression(hashedTokens)))
 
   /** SimHash near-dup pairs: 4×16-bit banded LSH over the simhash,
     * Hamming-distance verify ≤ 8 on candidates only. */

@@ -25,5 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_votes"),
+      new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash_votes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash_votes(hashedTokens)")
+        SimHashVotes(children.head)
+      }))
   }
 }

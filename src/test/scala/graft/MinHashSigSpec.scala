@@ -49,6 +49,20 @@ class MinHashSigSpec extends SparkTestBase {
     assert(row.getSeq[Long](0) == reference(Seq(1L, 2L, 3L), 8))
   }
 
+  test("SimHashVotes matches the per-bit HOF formulation") {
+    def refVotes(hs: Seq[Long]): Seq[Int] =
+      (0 until 64).map(i => hs.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum)
+    val hoF = samples.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "hs")
+      .select(col("id"), graft.operators.Dedup.simhashVotes(col("hs")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(hoF(i) == refVotes(s), s"sample $i")
+    }
+    // SQL registration
+    val row = spark.sql("SELECT graft_simhash_votes(array(5L, -1L)) AS v").head
+    assert(row.getSeq[Int](0) == refVotes(Seq(5L, -1L)))
+  }
+
   test("null input row yields null signature") {
     val df = Seq((1, Some(Seq(1L, 2L))), (2, None))
       .toDF("id", "hs")
