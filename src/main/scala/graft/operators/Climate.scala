@@ -110,6 +110,46 @@ object Climate {
         lit(default)).as("resolution"))
   }
 
+  /** Multi-axis resolution inference in ONE pass: unpivot the
+    * coordinate columns to (axis, value) rows, run the same bucketed
+    * min-gap per axis (windows partitioned by (axis, bucket)), and
+    * fold to a single row with one `<axis>_res` column per axis.
+    * Where calling [[gridResolution]] per column re-evaluates the
+    * (possibly expensive) input subtree once per axis, this evaluates
+    * it once for ALL axes — at 100 TB that is the difference between
+    * one scan and N.
+    */
+  def gridResolutions(df: DataFrame, axes: Seq[(String, Double)],
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = axes.map { case (c, _) =>
+      struct(lit(c).as("axis"), col(c).cast("double").as("v")) }
+    val dist = df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.axis").as("axis"), col("p.v").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val bounds = dist.groupBy(col("axis")).agg(percentile_approx(col("v"),
+      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+      lit(10000)).as("bounds"))
+    val bucketed = dist.join(broadcast(bounds), "axis")
+      .withColumn("bucket", size(filter(col("bounds"), b => b <= col("v"))))
+      .drop("bounds")
+    val w = Window.partitionBy(col("axis"), col("bucket")).orderBy(col("v"))
+    val perBucket = bucketed
+      .withColumn("gap", abs(col("v") - lag(col("v"), 1).over(w)))
+      .groupBy(col("axis"), col("bucket"))
+      .agg(min(col("gap")).as("min_gap"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val wb = Window.partitionBy(col("axis")).orderBy(col("bucket")) // ≤ buckets rows/axis
+    val perAxis = perBucket
+      .withColumn("boundary_gap", abs(col("lo") - lag(col("hi"), 1).over(wb)))
+      .groupBy(col("axis"))
+      .agg(round(least(min(col("min_gap")), min(col("boundary_gap"))), 4).as("res"))
+    perAxis.agg(
+      axes.head match { case (c, d) =>
+        coalesce(max(when(col("axis") === c, col("res"))), lit(d)).as(s"${c}_res") },
+      axes.tail.map { case (c, d) =>
+        coalesce(max(when(col("axis") === c, col("res"))), lit(d)).as(s"${c}_res") }: _*)
+  }
+
   /** Integer grid-cell index for a coordinate: floor((x+offset)/band).
     * Joining on integer cell indices (not floats) keeps the semi-join
     * key exact — float equality across engines is a correctness trap. */
@@ -191,11 +231,9 @@ object Climate {
       grid.withColumn("cell_lat", cellIndex(col("lat"), 90.0, 30.0))
         .withColumn("cell_lon", cellIndex(col("lon"), 180.0, 30.0)),
       land)
-    val latRes = gridResolution(masked, "lat", 0.5)
-      .withColumnRenamed("resolution", "lat_res")
-    val lonRes = gridResolution(masked, "lon", 0.625)
-      .withColumnRenamed("resolution", "lon_res")
-    withYearMonth(masked.crossJoin(broadcast(latRes)).crossJoin(broadcast(lonRes)), "ts")
+    // both axes inferred in one pass over `masked` (vs one scan per axis)
+    val res = gridResolutions(masked, Seq("lat" -> 0.5, "lon" -> 0.625))
+    withYearMonth(masked.crossJoin(broadcast(res)), "ts")
       .select(col("event_id"), col("year"), col("month"),
         geojsonFeature(col("lat"), col("lon"), round(col("value"), 4), "precipitation",
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))

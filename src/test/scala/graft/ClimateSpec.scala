@@ -38,6 +38,19 @@ class ClimateSpec extends SparkTestBase {
     assert(masked > 0 && masked < all)
   }
 
+  test("gridResolutions (one pass, all axes) agrees with per-axis gridResolution") {
+    val df = Seq((0.0, 10.0), (0.5, 12.5), (1.5, 20.0), (2.0, 11.25))
+      .toDF("lat", "lon")
+    val multi = Climate.gridResolutions(df, Seq("lat" -> 9.0, "lon" -> 9.0)).head
+    val lat1 = Climate.gridResolution(df, "lat", 9.0).head.getDouble(0)
+    val lon1 = Climate.gridResolution(df, "lon", 9.0).head.getDouble(0)
+    assert(multi.getDouble(0) == lat1 && multi.getDouble(1) == lon1)
+    // single-value axis falls back to its default
+    val one = Seq((1.0, 3.25)).toDF("lat", "lon")
+    val r = Climate.gridResolutions(one, Seq("lat" -> 0.5, "lon" -> 0.625)).head
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.625)
+  }
+
   test("isEmptyRelation short-circuits without a full count") {
     val li = Tables.lineitem(spark, sf)
     assert(!Climate.isEmptyRelation(li))
