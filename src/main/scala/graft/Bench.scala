@@ -34,15 +34,20 @@ object Bench {
     queries.foreach { case (n, f) =>
       try exec(n, f) catch { case _: Throwable => () }
     }
+    // a failed query reports -1, never a bogus "fast" time — silent
+    // failure would read as a speedup in round-over-round comparisons
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(name, fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(name, fn); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

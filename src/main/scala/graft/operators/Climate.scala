@@ -74,50 +74,31 @@ object Climate {
 
   /** Grid-resolution inference (precipitation_pipeline.py:170-182):
     * distinct values → sorted neighbor gaps → min gap, with a default
-    * when fewer than two distinct values exist.
+    * when fewer than two distinct values exist. Single-axis
+    * convenience over [[gridResolutions]] (one implementation of the
+    * bucketed distributed min-gap — see its scaladoc). */
+  def gridResolution(df: DataFrame, coord: String, default: Double,
+      buckets: Int = 32): DataFrame =
+    gridResolutions(df, Seq(coord -> default), buckets)
+      .withColumnRenamed(s"${coord}_res", "resolution")
+
+  /** Multi-axis resolution inference in ONE pass: unpivot the
+    * coordinate columns to (axis, value) rows, run the bucketed
+    * min-gap per axis, fold to a single row with one `<axis>_res`
+    * column per axis. Evaluates the (possibly expensive) input
+    * subtree once for ALL axes — at 100 TB that is the difference
+    * between one scan and N.
     *
     * Distributed form — NO single-task window over the distinct set
     * (whose cardinality can approach the table's, e.g. a continuous
-    * column): the distinct values are range-bucketed by approximate
-    * quantiles (a broadcast 1-row aggregate — bucketing quality only
-    * affects balance, never the answer), neighbor gaps are computed
-    * per bucket under a PARTITIONED window, and the cross-bucket
-    * boundary pairs are resolved in a second window over one row per
-    * bucket — provably ≤ `buckets` rows, the one place a global
-    * window is safe. Every consecutive pair is covered exactly once.
-    */
-  def gridResolution(df: DataFrame, coord: String, default: Double,
-      buckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dist = df.select(col(coord)).filter(col(coord).isNotNull).distinct()
-    val bounds = dist.agg(percentile_approx(col(coord),
-      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
-      lit(10000)).as("bounds"))
-    val bucketed = dist.crossJoin(broadcast(bounds))
-      .withColumn("bucket", size(filter(col("bounds"), b => b <= col(coord))))
-      .drop("bounds")
-    val w = Window.partitionBy(col("bucket")).orderBy(col(coord))
-    val perBucket = bucketed
-      .withColumn("gap", abs(col(coord) - lag(col(coord), 1).over(w)))
-      .groupBy(col("bucket"))
-      .agg(min(col("gap")).as("min_gap"),
-        min(col(coord)).as("lo"), max(col(coord)).as("hi"))
-    val wb = Window.orderBy(col("bucket")) // ≤ `buckets` rows: tiny by construction
-    perBucket
-      .withColumn("boundary_gap", abs(col("lo") - lag(col("hi"), 1).over(wb)))
-      .agg(coalesce(
-        round(least(min(col("min_gap")), min(col("boundary_gap"))), 4),
-        lit(default)).as("resolution"))
-  }
-
-  /** Multi-axis resolution inference in ONE pass: unpivot the
-    * coordinate columns to (axis, value) rows, run the same bucketed
-    * min-gap per axis (windows partitioned by (axis, bucket)), and
-    * fold to a single row with one `<axis>_res` column per axis.
-    * Where calling [[gridResolution]] per column re-evaluates the
-    * (possibly expensive) input subtree once per axis, this evaluates
-    * it once for ALL axes — at 100 TB that is the difference between
-    * one scan and N.
+    * column): distinct values are range-bucketed by per-axis
+    * approximate quantiles (a broadcast aggregate — bucketing quality
+    * only affects balance, never the answer), neighbor gaps are
+    * computed under a window PARTITIONED by (axis, bucket), and the
+    * cross-bucket boundary pairs are resolved in a second window over
+    * one row per bucket — provably ≤ `buckets` rows per axis, the one
+    * place an axis-partitioned ordered window is safe. Every
+    * consecutive pair is covered exactly once.
     */
   def gridResolutions(df: DataFrame, axes: Seq[(String, Double)],
       buckets: Int = 32): DataFrame = {
@@ -209,13 +190,6 @@ object Climate {
         lon.as("lon")).as("properties")))
   }
 
-  /** The end-to-end climate composite (SURVEY §7.3 step 6): scan →
-    * pushdown time filter → land-mask semi-join → grid-resolution
-    * inference → feature build → (year,month)-partitioned sink, as ONE
-    * lazy plan with one action — where the reference materializes to
-    * disk between every stage (precipitation_pipeline.py:604-640).
-    * The inferred resolutions flow through broadcast 1-row aggregates
-    * (crossJoin), never a driver collect. */
   /** Shared composite plan: scan -> pushdown time filter -> land-mask
     * semi-join -> distributed resolution inference (broadcast 1-row
     * aggregates, no driver collect) -> feature build. */
@@ -239,6 +213,10 @@ object Climate {
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
   }
 
+  /** The end-to-end climate composite (SURVEY §7.3 step 6):
+    * [[compositeFrame]] → (year,month)-partitioned sink, ONE lazy plan
+    * with one action — where the reference materializes to disk
+    * between every stage (precipitation_pipeline.py:604-640). */
   def climatePipeline(s: SparkSession, dir: String, outDir: String): Unit =
     compositeFrame(s, dir)
       .select(col("year"), col("month"), col("feature"))

@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   *      candidate pairs.
   * All hash parameters are compile-time constants: the operator is
   * deterministic run-to-run (LSH here is deterministic bucketing, not
-  * sampling), which is what makes the brute-force SQL oracle valid —
-  * verified empirically to have recall 1.0 on the harness data at the
-  * chosen thresholds (planted dups sit at Jaccard ≈0.98; at j ≥ 0.7
-  * the per-pair miss probability of 8 bands × 4 rows is (1−j⁴)⁸ < 1e-5).
+  * sampling), which is what makes the brute-force SQL oracle valid
+  * FOR THIS HARNESS DATA: candidate recall is verified empirically
+  * 1.0 at both sf0.001 and sf0.01 — every pair the oracle emits sits
+  * well above the verify threshold (minimum found Jaccard 0.90 for
+  * shingles, 0.93 for char-grams, with an empty gap down to the
+  * background at ≤0.4), where the 8-band × 4-row miss probability is
+  * (1−j⁴)⁸ ≤ 2e-4 per pair. LSH recall is inherently < 1 for pairs AT
+  * the threshold; on data with mass near the threshold the oracle
+  * would need the engine's banding replicated in SQL, not a brute
+  * force scan.
   */
 object Dedup {
 
@@ -115,9 +121,10 @@ object Dedup {
     lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
       .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+      .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b"))) // one set-op pass
+      .filter(col("jaccard_raw") >= 0.7)
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -148,14 +155,15 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est", size(filter(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
-      .filter(col("est") >= 0.6) // planted ≥0.9 ⇒ est ≥0.6 w.p. 1-1e-9
+      .filter(col("est") >= 0.6) // true j ≥0.9 ⇒ est ≥0.6 w.p. 1-1e-9
       .select(col("id_a"), col("id_b"))
     survivors
       .join(docs.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
-      .filter(jaccard(col("gr_a"), col("gr_b")) >= 0.85)
+      .withColumn("jaccard_raw", jaccard(col("gr_a"), col("gr_b"))) // one set-op pass
+      .filter(col("jaccard_raw") >= 0.9)
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("gr_a"), col("gr_b")), 4).as("jaccard"))
+        round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -177,11 +185,8 @@ object Dedup {
         transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
       .select(col("doc_id"),
         transform(simhashVotes(col("th")), c => (c >= 0).cast("int")).as("bits"))
-    // pack 16-bit bands: fold each band slice as s·2 + bit
-    val sigs = bits.withColumn("sig",
-      transform(sequence(lit(0), lit(3)), b =>
-        aggregate(slice(col("bits"), b * lit(16) + lit(1), lit(16)), lit(0L),
-          (s2, bit) => s2 * 2 + bit)))
+    // pack 16-bit bands (shared fold helper, see Similarity.packBands)
+    val sigs = bits.withColumn("sig", Similarity.packBands(col("bits"), 4, 16))
     val hamming = size(filter(
       zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y), v => v))
     lshCandidates(sigs, "doc_id", "sig", bands = 4, rowsPerBand = 1)
@@ -234,7 +239,7 @@ object Dedup {
         |             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
         |FROM gr a JOIN gr b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.g, b.g)) * 1.0
-        |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.85
+        |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,9 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Population {
 
-  /** Write the wide CSV fixture; returns its directory. */
+  /** Write the wide CSV fixture; returns its directory (under the IO
+    * scratch root, deleted at JVM exit). */
   def wideCsvFixture(s: SparkSession, d: String): String = {
-    val out = Files.createTempDirectory("graft_pop_").toString
+    val out = graft.sources.IO.tmp("graft_pop_")
     val real = Tables.nation(s, d).select(
       col("n_name").as("Country Name"),
       ((col("n_nationkey") + 1) * 1000 + 17).cast("string").as("2023"),

@@ -114,20 +114,24 @@ object Similarity {
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
     // Blocked exact near-dup: quadratic only within a label block.
-    // Vectors are L2-normalized ONCE before the pair join, so the
-    // per-pair work is a single dot product (cosine = ⟨â,b̂⟩) — the
-    // normalization cost is O(n), not O(pairs).
+    // Norms are precomputed ONCE per vector (O(n), not O(pairs)), and
+    // the per-pair similarity is dot(a,b)/(‖a‖·‖b‖) over the RAW
+    // values — the same operation order as the oracle's
+    // list_cosine_similarity, so floating-point results match
+    // bit-for-bit (normalize-each-element-first would reorder the
+    // arithmetic and can flip threshold/rounding boundaries).
     "q_embed_neardup" -> ((s, d) => {
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        .withColumn("nv", transform(col("v"), x => x / sqrt(dotSelf(col("v")))))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("nv").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("nv").as("vb"))
-      val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0), (s2, x) => s2 + x)
+        .withColumn("nrm", sqrt(dotSelf(col("v"))))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("sim_raw", sim)
+        .withColumn("sim_raw",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim_raw") >= 0.3)
         .select(col("label"), col("id_a"), col("id_b"),
           round(col("sim_raw"), 4).as("sim"))

@@ -35,8 +35,16 @@ object External {
     * {"pbf":"<dir>/<name>"}}} — the shape of the reference's config
     * write (precipitation_pipeline.py:315-347), minus server paths. */
   def writeTileConfig(layerNames: Seq[String], dataDir: String, outPath: String): Unit = {
+    // JSON string escaping — unescaped quotes/backslashes/control
+    // chars in a layer name or path would emit malformed JSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val entries = layerNames.sorted.map { n =>
-      s""""$n":{"pbf":"$dataDir/$n"}"""
+      s""""${esc(n)}":{"pbf":"${esc(s"$dataDir/$n")}"}"""
     }.mkString(",")
     Files.writeString(Paths.get(outPath), s"""{"styles":{},"data":{$entries}}""")
   }

@@ -30,8 +30,22 @@ import graft.operators.Climate
   */
 object IO {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Per-process scratch root, recursively deleted at JVM exit — the
+    * round-trip queries run repeatedly (warmup + timed + verify) and
+    * must not accumulate table copies under /tmp across runs. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft_io_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private[graft] def tmp(prefix: String): String =
+    Files.createTempDirectory(scratchRoot, prefix).toString
 
   val NationSchema: StructType = StructType(Seq(
     StructField("n_nationkey", IntegerType),

@@ -62,9 +62,10 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
   }
 
-  test("q_agg_min_diff: neighbor gaps under a bucket-partitioned window") {
+  test("q_agg_min_diff: neighbor gaps under an (axis,bucket)-partitioned window") {
     val plan = executed("q_agg_min_diff")
-    assert(plan.contains("hashpartitioning(bucket"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(axis") && plan.contains("bucket"),
+      plan.take(2000))
   }
 
   test("q_similarity_topk: single-pass top-k, broadcast query vector") {
