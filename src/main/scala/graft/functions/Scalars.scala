@@ -63,15 +63,19 @@ object Scalars {
           col("price_sqrt"), col("key_mod7"))),
 
     // Safe casts: try_cast yields NULL on malformed input instead of
-    // failing the job (the reference's isdigit() gate + int()).
+    // failing the job (the reference's isdigit() gate + int()). The
+    // regex split is materialized once and both casts read the array —
+    // inlining it per output column would run the regex twice per row.
     "q_fn_cast" -> ((s, d) =>
-      Tables.orders(s, d).select(
-        col("o_orderkey"),
-        split(col("o_orderpriority"), "-").getItem(0).cast("int").as("prio_ok"),
-        expr("try_cast(element_at(split(o_orderpriority, '-'), 2) AS INT)")
-          .as("prio_bad"),
-        floor(col("o_totalprice")).cast("int").as("price_int"),
-        col("o_totalprice").cast("string").as("price_str"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          split(col("o_orderpriority"), "-").as("prio_parts"))
+        .select(
+          col("o_orderkey"),
+          col("prio_parts").getItem(0).cast("int").as("prio_ok"),
+          expr("try_cast(element_at(prio_parts, 2) AS INT)").as("prio_bad"),
+          floor(col("o_totalprice")).cast("int").as("price_int"),
+          col("o_totalprice").cast("string").as("price_str"))
         .orderBy(col("o_orderkey"))),
 
     "q_fn_array" -> ((s, d) =>

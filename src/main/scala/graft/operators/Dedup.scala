@@ -178,21 +178,30 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(hashedTokens)))
 
   /** SimHash near-dup pairs: 4×16-bit banded LSH over the simhash,
-    * Hamming-distance verify ≤ 8 on candidates only. */
+    * Hamming-distance verify ≤ 8 on candidates only. The 64 sign bits
+    * are packed into ONE long, so the per-pair verify is a single
+    * `bit_count(a ^ b)` — a codegen'd popcount instead of a 64-element
+    * interpreted array comparison. */
   def dedupSimhash(docs: DataFrame): DataFrame = {
     val bits = spread(docs)
       .select(col("doc_id"),
         transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
       .select(col("doc_id"),
         transform(simhashVotes(col("th")), c => (c >= 0).cast("int")).as("bits"))
-    // pack 16-bit bands (shared fold helper, see Similarity.packBands)
-    val sigs = bits.withColumn("sig", Similarity.packBands(col("bits"), 4, 16))
-    val hamming = size(filter(
-      zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y), v => v))
-    lshCandidates(sigs, "doc_id", "sig", bands = 4, rowsPerBand = 1)
-      .join(bits.select(col("doc_id").as("id_a"), col("bits").as("bits_a")), "id_a")
-      .join(bits.select(col("doc_id").as("id_b"), col("bits").as("bits_b")), "id_b")
-      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      // bands for LSH + the full 64 bits packed into one long for
+      // verify. Packed as two 32-bit halves joined bitwise — a single
+      // 64-element s·2+bit fold would overflow the sign bit, which
+      // ANSI mode (Spark 4 default) rejects.
+      .select(col("doc_id"),
+        Similarity.packBands(col("bits"), 4, 16).as("sig"),
+        shiftleft(element_at(Similarity.packBands(col("bits"), 2, 32), 1), 32)
+          .bitwiseOR(element_at(Similarity.packBands(col("bits"), 2, 32), 2))
+          .as("h64"))
+    lshCandidates(bits, "doc_id", "sig", bands = 4, rowsPerBand = 1)
+      .join(bits.select(col("doc_id").as("id_a"), col("h64").as("h_a")), "id_a")
+      .join(bits.select(col("doc_id").as("id_b"), col("h64").as("h_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .filter(col("hamming") <= 8)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -70,6 +70,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to 4 overlapping windows") {
+    val in = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = Streaming.slidingHourly(in.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:20:00"), 1, 1, 1.0))
+      in.addData(Ev(t("2024-01-01 14:00:00"), 1, 2, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val starts = spark.table(name)
+        .select(col("window_start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // event at 10:20 belongs to the 1h windows starting 09:30..10:15
+      assert(starts == Set(
+        ("2024-01-01 09:30:00", 1L), ("2024-01-01 09:45:00", 1L),
+        ("2024-01-01 10:00:00", 1L), ("2024-01-01 10:15:00", 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val in = MemoryStream[Ev](spark)
     val name = nextName()
