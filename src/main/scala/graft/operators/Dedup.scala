@@ -78,9 +78,20 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(hashes), numH))
 
   /** Banded-LSH candidate pairs: one 64-bit bucket key per band
-    * (xxhash64 of the band's signature slice), self-join on
-    * (band, bucket), id_a < id_b. This is the only join in the module
-    * and it is candidates-only by construction. */
+    * (xxhash64 of the band's signature slice), then bucket-local
+    * upper-triangle pair expansion.
+    *
+    * Pair generation is a GROUP-BY, not a self-join: ids are collected
+    * (sorted) per (band, bucket) and the i<j pairs are expanded with
+    * array expressions. A self-join formulation evaluates the whole
+    * signature subtree once PER SIDE (Spark does not reuse the
+    * exchange across differently-aliased join inputs — observed: 2×
+    * minhash computation, 4× corpus scan per run); the group-by
+    * evaluates it exactly once. Buckets are bounded because the
+    * feature/banding choice keeps them discriminative — a bucket
+    * holding a large fraction of the corpus means the threshold/bands
+    * are mistuned for the data (that, not the operator shape, is what
+    * must be fixed — see the 5-gram note below). */
   def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col(idCol),
@@ -88,11 +99,17 @@ object Dedup {
           b => xxhash64(slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
             lit(rowsPerBand))))))
       .toDF("id", "band_id", "band_hash")
-    banded.select(col("id").as("id_a"), col("band_id"), col("band_hash"))
-      .join(banded.select(col("id").as("id_b"), col("band_id"), col("band_hash")),
-        Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(
+            slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            b => struct(element_at(col("ids"), i + 1).as("id_a"),
+              b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard over two pre-distincted set columns. */
