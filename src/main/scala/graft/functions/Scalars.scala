@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
+  /** Spread CPU-heavy per-row projection work (regex split, double→
+    * string rendering) across cores before it runs: the harness tables
+    * arrive as ONE parquet split, which pins the projection — and the
+    * orderBy's range-sampling pass, which executes the child twice —
+    * to a single core. Explicit numPartitions keeps AQE from coalescing
+    * the small-by-bytes exchange back to one partition. At production
+    * scale a scan has thousands of splits and this exchange is
+    * unnecessary; it corrects a single-split-source artifact, not the
+    * plan shape. (Observed: q_fn_cast 2.8s → 0.8s at sf0.1.) */
+  private def spread(df: org.apache.spark.sql.DataFrame, key: String) = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col(key))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string" -> ((s, d) =>
       Tables.part(s, d).select(
@@ -45,8 +59,11 @@ object Scalars {
           .cast("long").as("days_since"))
         .orderBy(col("event_id"))),
 
+    // sort covers EVERY output column: (l_orderkey, l_linenumber) is
+    // not unique in the harness lineitem, so the full-row sort is what
+    // makes the emitted order (and the oracle hash) deterministic.
     "q_fn_math" -> ((s, d) =>
-      Tables.lineitem(s, d).select(
+      spread(Tables.lineitem(s, d), "l_orderkey").select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - lit(0.05)).as("abs_off"),
         // round at 3 decimals: the exact quotient has ≤3 decimals, so
@@ -67,7 +84,7 @@ object Scalars {
     // regex split is materialized once and both casts read the array —
     // inlining it per output column would run the regex twice per row.
     "q_fn_cast" -> ((s, d) =>
-      Tables.orders(s, d)
+      spread(Tables.orders(s, d), "o_orderkey")
         .select(col("o_orderkey"), col("o_totalprice"),
           split(col("o_orderpriority"), "-").as("prio_parts"))
         .select(

@@ -96,10 +96,14 @@ object IO {
     }),
 
     // Compact single-object-per-line JSON sink (json.dump with
-    // separators=(',',':')) + from_json parse back.
+    // separators=(',',':')) + from_json parse back. The source is
+    // repartitioned first (explicit n — AQE-coalesce-proof): the
+    // single-split harness file would otherwise render + write every
+    // JSON line from one task.
     "q_sink_json" -> ((s, d) => {
       val out = tmp("graft_sinkjson_")
-      Tables.events(s, d)
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      Tables.events(s, d).repartition(n, col("event_id"))
         .select(to_json(struct(col("event_id"), col("event_type"),
           round(col("value"), 4).as("v"))).as("value"))
         .write.mode("overwrite").text(out)
@@ -119,7 +123,15 @@ object IO {
     // directory names, so wrong layout = wrong rows).
     "q_sink_partitioned" -> ((s, d) => {
       val out = tmp("graft_sinkpart_")
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // repartition ON the partition columns before partitionBy — the
+      // canonical partitioned-sink shape: each (year,month) hashes to
+      // exactly one task, so every partition directory gets exactly ONE
+      // file (vs. one file per task×partition — the small-files problem
+      // that kills 100 TB sinks) and the write parallelizes across
+      // tasks instead of running from the source's single split.
       Climate.withYearMonth(Tables.orders(s, d), "o_orderdate")
+        .repartition(n, col("year"), col("month"))
         .write.partitionBy("year", "month").mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy(col("year").cast("int").as("year"),
