@@ -85,6 +85,21 @@ object Aggregations {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Exact interpolated percentiles per group. Exact `percentile`
+    // buffers the group's values, so it is for bounded-cardinality
+    // groups (here: per-flag price distributions); the sketch-based
+    // scale path (approx_percentile/ApproximatePercentile, constant
+    // memory per group) is what gridResolutions and the ntile rewrite
+    // already use at unbounded cardinality.
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"))
+        .orderBy(col("l_returnflag"))),
+
     // Per-group stats (climate normals analog).
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -143,6 +158,13 @@ object Aggregations {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |       round(avg(l_quantity), 4) AS avg_qty,

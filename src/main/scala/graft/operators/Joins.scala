@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -26,6 +27,60 @@ import org.apache.spark.sql.expressions.Window
   *    this is the shape that survives 100 TB.
   */
 object Joins {
+
+  /** Salt fan-out for the skew-mitigated join. */
+  val SaltCount = 8
+
+  /** Skew-mitigated large-large equi join (manual salting — the
+    * mitigation that works even where AQE's skew-join splitting can't,
+    * e.g. under a required distribution or on a build side):
+    * the probe side appends a deterministic salt in [0, S) derived from
+    * NON-key columns, the other side is exploded S× with every salt, and
+    * the join key becomes (key, salt) — a single hot key now spreads
+    * over S shuffle partitions instead of one straggler task. Identical
+    * join semantics: each probe row meets each matching build row
+    * exactly once (at its own salt).
+    *
+    * Cost model: S× replication of the SMALLER side's shuffle vs. an
+    * S-way split of the hottest key's partition — worth it exactly when
+    * the skew term dominates, which is when this operator is reached
+    * for. */
+  def saltedJoin(big: DataFrame, bigKey: String, saltSrc: Seq[String],
+      small: DataFrame, smallKey: String): DataFrame = {
+    val salted = big.withColumn("salt",
+      pmod(xxhash64(saltSrc.map(col): _*), lit(SaltCount)).cast("int"))
+    val fanned = small.withColumn("salt",
+      explode(array((0 until SaltCount).map(i => lit(i)): _*)))
+    salted.join(fanned,
+      salted(bigKey) === fanned(smallKey) && salted("salt") === fanned("salt"),
+      "inner")
+  }
+
+  /** Co-located (bucketed) large-large join: both sides are written as
+    * 8-bucket tables hash-bucketed AND sorted on the join key, so the
+    * sort-merge join reads bucket i of each side in the same task —
+    * ZERO shuffle and zero sort at query time (asserted in PlanSpec).
+    * This is the 100 TB pattern for a fact-fact join that runs
+    * repeatedly: pay the distribution once at ingest, never per query.
+    * Join-only frame exposed for the plan assertion; the registered
+    * query aggregates it for the oracle row. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val warehouse = graft.sources.IO.tmp("graft_bucketed_")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouse/orders").saveAsTable("graft_bkt_orders")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouse/lineitem").saveAsTable("graft_bkt_lineitem")
+    // merge hint: at harness scale Catalyst would otherwise broadcast
+    // the small side and never exercise the bucket co-location; at
+    // 100 TB neither side is broadcastable and SMJ is the natural pick
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+  }
 
   val queries: Map[String, Q] = Map(
     // Broadcast hash join, inner, small dim side.
@@ -92,6 +147,27 @@ object Joins {
       val n2 = Tables.nation(s, d).select(col("n_nationkey").as("b"))
       n1.join(n2, col("a") < col("b"), "inner").orderBy(col("a"), col("b"))
     }),
+
+    // Skew-mitigated salted join (same rows as a plain join — the
+    // oracle proves salting changes distribution, never semantics).
+    "q_join_salted" -> ((s, d) => {
+      saltedJoin(Tables.lineitem(s, d), "l_orderkey",
+          Seq("l_linenumber", "l_partkey"),
+          Tables.orders(s, d), "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Bucket-co-located join (plan shape pinned in PlanSpec: zero
+    // exchanges below the join).
+    "q_join_bucketed" -> ((s, d) =>
+      bucketedJoin(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))),
 
     // As-of join: for each 'purchase' event, the latest 'view' ts by
     // the same user at or before it. Union+window formulation: tag
@@ -165,6 +241,16 @@ object Joins {
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
         |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
         |ORDER BY 1, 2""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, v.ts AS matched_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

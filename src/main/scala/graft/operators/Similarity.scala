@@ -106,6 +106,45 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    * that complements the SRP-LSH variant:
+    *   1. centroids: a deterministic seed set (the `nCentroids` lowest
+    *     vec_ids — at 100 TB this would be a k-means sample refined
+    *     offline; centroid choice affects recall, never correctness of
+    *     the returned similarities);
+    *   2. assignment: every vector goes to its argmax-cosine centroid
+    *     via a broadcast of the (tiny) centroid table — one narrow
+    *     pass, no shuffle of the vectors. At scale this is done once at
+    *     ingest and the table is stored bucketBy(cell), making a query
+    *     a few-bucket read instead of a full scan;
+    *   3. probe: the query vector scores only vectors in its `nProbe`
+    *     nearest cells — exact cosine on that slice, then top-k.
+    * Recall is tunable by nProbe (asserted on the harness corpus in
+    * SimilaritySpec against the brute-force oracle). */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // argmax-cosine cell per vector; (csim, cent_id) struct ordering
+    // makes centroid ties deterministic (higher cent_id wins — any
+    // fixed rule works, it only has to be one rule)
+    val assign = spread(emb).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id"))).as("cell"))
+    val cells = emb.join(assign, "vec_id")
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .select(col("cent_id").as("cell"), cosine(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    cells.join(broadcast(probed), "cell")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   private def embTable(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -113,6 +152,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
+    "q_similarity_ivf" -> ((s, d) => ivfTopK(embTable(s, d), 0L, 20)),
     // Blocked exact near-dup: quadratic only within a label block.
     // Norms are precomputed ONCE per vector (O(n), not O(pairs)), and
     // the per-pair similarity is dot(a,b)/(‖a‖·‖b‖) over the RAW

@@ -120,6 +120,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --- PII masking + URL-canonicalization dedup -----------------------
+  // The harness corpus is synthetic word soup with `srcN` source tags,
+  // so both operators PLANT their targets deterministically from row
+  // columns inside the query (the oracle replays the identical
+  // construction in SQL) — the masking/canonicalization logic itself is
+  // what the oracle checks. Patterns are shared Java-regex/RE2 syntax
+  // (character classes, \b, anchors) so both engines compile them
+  // identically.
+
+  /** Email + NANP-style phone patterns (ASCII word-boundary guarded). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails then phones; counts are taken BEFORE redaction.
+    * Narrow codegen'd projection — the shape that scrubs 100 TB in one
+    * pipelined pass over the scan. */
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  /** Canonical URL: lowercase, strip scheme + www., strip query string,
+    * strip one trailing slash — the standard near-URL-dup key. */
+  def canonicalUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(u), "^https?://(www\\.)?", ""),
+        "\\?.*$", ""),
+      "/$", "")
+
+  /** PII scrub over a planted contact line: doc_id, masked text, and
+    * per-kind redaction counts. */
+  def piiMask(docs: DataFrame): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id"), lit("@"), col("source"), lit(".com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+      substring(col("text"), 1, 40))
+    docs
+      .select(col("doc_id"), contact.as("raw"))
+      .select(col("doc_id"),
+        maskPii(col("raw")).as("masked"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL dedup: canonicalize a planted messy URL, keep min doc_id per
+    * canonical form + multiplicity (shuffle carries the canonical
+    * string key — bounded by URL length, not document size). */
+  def dedupUrl(docs: DataFrame): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.com/Articles/"),
+      (col("doc_id") % 7).cast("string"), lit("/?utm_source=feed&lang="), col("lang"))
+    docs
+      .select(canonicalUrl(url).as("canonical_url"), col("doc_id"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** Winnowing-style document fingerprint: hash every k-token shingle
     * (rolling window), keep the minimum — one 64-bit fingerprint per
     * document that is stable under token-preserving reformatting.
@@ -139,6 +198,8 @@ object TextOps {
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "q_text_pii_mask" -> ((s, d) => piiMask(Tables.documents(s, d))),
+    "q_dedup_url" -> ((s, d) => dedupUrl(Tables.documents(s, d))),
   )
 
   private def sqlCountIn(words: Seq[String]): String =
@@ -172,6 +233,31 @@ object TextOps {
          |        AND round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
          |                  / greatest(length(text), 1), 4) < 0.3) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_pii_mask" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'user' || doc_id || '@' || source || '.com or 555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+        |           || substring(text, 1, 40) AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '[EMAIL]', 'g'),
+        |         '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS masked,
+        |       CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(r, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.' || upper(source) || '.Example.com/Articles/'
+        |           || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&lang=' || lang AS url
+        |  FROM documents)
+        |SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |         '^https?://(www\.)?', ''), '\?.*$', ''), '/$', '') AS canonical_url,
+        |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

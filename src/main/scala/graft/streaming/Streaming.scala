@@ -42,6 +42,27 @@ object Streaming {
       .select(col("user_id"),
         col("session_window.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream inner join: each purchase matched to every view by
+    * the same user in the preceding 30 minutes. The time-range
+    * condition is what BOUNDS THE STATE in streaming mode — with
+    * watermarks on both sides, rows older than (watermark − 30 min)
+    * are evicted, so state is finite on an unbounded stream (the exact
+    * condition Structured Streaming requires to accept the join in
+    * append mode). Same code runs in batch (oracle-checked) and under
+    * readStream (StreamingSpec). */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumblingHourly(Tables.events(s, d)).orderBy(col("window_start"))),
@@ -49,6 +70,13 @@ object Streaming {
       slidingHourly(Tables.events(s, d)).orderBy(col("window_start"))),
     "q_stream_session" -> ((s, d) =>
       sessions(Tables.events(s, d)).orderBy(col("user_id"), col("session_start"))),
+    "q_stream_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      viewPurchaseJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("view_ts"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,5 +109,13 @@ object Streaming {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_ts""".stripMargin,
   )
 }

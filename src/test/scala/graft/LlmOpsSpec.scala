@@ -119,6 +119,91 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Set(0L, 1L, 2L, 3L).subsetOf(brute))
   }
 
+  test("IVF probes the query's cells and finds planted near-copies") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val q = vec()
+    def jitter(eps: Double): Array[Double] =
+      q.map(x => x + eps * rnd.nextGaussian())
+    // ids 0..7 are the centroid seed set; the planted near-copies of
+    // vector 0 land in cells centered on one of 0..3 (mutually similar),
+    // all of which the query probes at nProbe=4
+    val rows =
+      Seq(0L -> q, 1L -> jitter(0.05), 2L -> jitter(0.05), 3L -> jitter(0.08)) ++
+        (4L to 80L).map(_ -> vec())
+    val emb = rows.toDF("vec_id", "v")
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nCentroids = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(ivf),
+      s"planted near-copies missing from IVF result: $ivf")
+    // IVF recall vs the exact scan on the harness corpus: ≥ half of
+    // the true top-20 with 4 of 16 cells probed
+    val hEmb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val brute = Similarity.bruteForceTopK(hEmb, 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val hIvf = Similarity.ivfTopK(hEmb, 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute & hIvf).size >= 10,
+      s"IVF recall too low: ${(brute & hIvf).size}/20")
+  }
+
+  test("maskPii redacts every email and phone, counts them pre-redaction") {
+    val d = Seq(
+      (1L, "write a.b-c_9@mail.example.org or call 555-0134 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.ai and 123-4567 999-0000"),
+    ).toDF("doc_id", "raw")
+    val res = d.select(col("doc_id"),
+      TextOps.maskPii(col("raw")).as("m"),
+      regexp_count(col("raw"), lit(TextOps.EmailRe)).as("ne"),
+      regexp_count(col("raw"), lit(TextOps.PhoneRe)).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(res(1L) == ("write [EMAIL] or call [PHONE] today", 1, 1))
+    assert(res(2L) == ("no pii here at all", 0, 0))
+    assert(res(3L) == ("two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]", 2, 2))
+  }
+
+  test("canonicalUrl collapses scheme/www/query/trailing-slash variants") {
+    val d = Seq(
+      "HTTPS://WWW.Site.Example.com/Articles/4/?utm_source=feed",
+      "http://site.example.com/articles/4",
+      "https://site.example.com/Articles/4/",
+      "site.example.com/articles/4?ref=x",
+    ).toDF("url")
+    val canon = d.select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("site.example.com/articles/4"), canon.toString)
+  }
+
+  test("saltedJoin returns exactly the plain join's rows on a hot-key input") {
+    import graft.operators.Joins
+    // one key carries 90% of the rows — the shape salting exists for
+    val big = ((1 to 900).map(i => (7L, i)) ++ (1 to 100).map(i => (i.toLong % 5, i)))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("sk", "name")
+    val salted = Joins.saltedJoin(big, "k", Seq("payload"), small, "sk")
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = big.join(small, col("k") === col("sk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain && salted("hot") == 900L)
+  }
+
+  test("dedupUrl keeps min doc_id per canonical url over the harness corpus") {
+    val res = TextOps.dedupUrl(Tables.documents(spark, sf)).collect()
+    assert(res.nonEmpty)
+    // canonicalization must have stripped scheme, query, and case
+    assert(res.forall { r =>
+      val u = r.getString(0)
+      !u.contains("?") && !u.contains("https") && u == u.toLowerCase
+    })
+    // groups partition the corpus: multiplicities sum to the doc count
+    val total = res.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
   test("brute-force topk: query itself ranks first with sim 1.0") {
     val res = SparkEntry.queries("q_similarity_topk")(spark, sf).head
     assert(res.getLong(0) == 0L && res.getDouble(1) == 1.0)

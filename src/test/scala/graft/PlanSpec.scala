@@ -68,6 +68,24 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("bucketed join: sort-merge over bucketed scans with ZERO exchanges") {
+    val qe = graft.operators.Joins.bucketedJoin(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    // the property that matters at 100 TB: no network movement. (A
+    // LOCAL per-bucket sort remains — Spark ≥3.0 ignores sortBy
+    // metadata on read by default, SPARK-28632 — linear, in-memory,
+    // no exchange.)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("q_join_salted: shuffle keys include the salt") {
+    val plan = executed("q_join_salted")
+    assert(plan.contains("salt"), plan.take(2000))
+  }
+
   test("q_similarity_topk: single-pass top-k, broadcast query vector") {
     val plan = executed("q_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))

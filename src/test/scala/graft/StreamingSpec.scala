@@ -90,6 +90,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to views within the time bound") {
+    val views = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = Streaming.viewPurchaseJoin(
+      views.toDF().withWatermark("ts", "1 hour"),
+      purchases.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 10, 1.0),
+        Ev(t("2024-01-01 09:00:00"), 2, 11, 1.0))
+      purchases.addData(
+        Ev(t("2024-01-01 10:10:00"), 1, 100, 1.0), // 10m after view → match
+        Ev(t("2024-01-01 10:30:00"), 2, 101, 1.0)) // view 90m earlier → no match
+      // advance both watermarks so results emit in append mode
+      views.addData(Ev(t("2024-01-01 14:00:00"), 9, 12, 1.0))
+      purchases.addData(Ev(t("2024-01-01 14:00:00"), 9, 102, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("purchase_id"), col("user_id"), col("view_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows.contains((100L, 1L, "2024-01-01 10:00:00")))
+      assert(!rows.exists(_._1 == 101L)) // stale view never joins
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val in = MemoryStream[Ev](spark)
     val name = nextName()
