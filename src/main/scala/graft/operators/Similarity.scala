@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * as the exact baseline, random-hyperplane LSH bucketing as the
   * approximate scale path, and a blocked exact near-dup pair scan.
   *
-  * Everything is codegen'd higher-order functions over
-  * `array<float>` (cast to double once for numeric parity with the
-  * oracle) — no UDFs, no driver-side vectors: the query vector flows
-  * through a broadcast 1-row crossJoin, never a collect.
+  * Vectors are `array<float>` cast to double once (numeric parity
+  * with the oracle); the dot-product inner loop is the native
+  * codegen'd [[graft.plans.VectorDot]] expression — no UDFs, no
+  * driver-side vectors: the query vector flows through a broadcast
+  * 1-row crossJoin, never a collect.
   *
   * Scale posture:
   *  - brute-force top-k for a SINGLE query vector is the right plan at
@@ -34,11 +35,17 @@ object Similarity {
     * DuckDB oracle's CAST(embedding AS DOUBLE[]). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Dot product via the native codegen'd [[graft.plans.VectorDot]]
+    * expression — one tight Java loop per row instead of the
+    * per-element interpreted HOF fold (same sequential sum order,
+    * bit-identical results; parity asserted in VectorDotSpec). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.VectorDot(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
-  private def dotSelf(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x)
+  private def dotSelf(a: Column): Column = dot(a, a)
 
   /** CPU-spreading repartition with explicit numPartitions (exempt
     * from AQE coalescing; see Dedup.spread for rationale). */
@@ -66,9 +73,7 @@ object Similarity {
   def hyperplaneBits(v: Column, numBits: Int, dim: Int = 64): Column = {
     val w = hyperplanes(numBits, dim)
     array(w.map { plane =>
-      when(aggregate(
-        zip_with(v, array(plane.map(lit(_)): _*), (x, wj) => x * wj),
-        lit(0.0), (s, x) => s + x) >= 0, 1).otherwise(0)
+      when(dot(v, array(plane.map(lit(_)): _*)) >= 0, 1).otherwise(0)
     }: _*)
   }
 

@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b)")
+        VectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash_votes"),
       new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash_votes"),
       (children: Seq[Expression]) => {
