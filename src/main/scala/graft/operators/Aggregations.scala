@@ -91,13 +91,27 @@ object Aggregations {
     // scale path (approx_percentile/ApproximatePercentile, constant
     // memory per group) is what gridResolutions and the ntile rewrite
     // already use at unbounded cardinality.
+    // spread first: exact percentile's partial aggregation buffers
+    // values per group, and a single-split source would build that
+    // state on one core (explicit numPartitions — AQE-coalesce-proof;
+    // a production scan arrives already multi-split)
     "q_agg_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        // ONE percentile buffer per measure: the array form computes
+        // all three cut points from a single value buffer (three
+        // separate percentile() calls would each hold their own copy
+        // of every value — 3× the aggregation state)
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
           round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          col("qty_p90"))
         .orderBy(col("l_returnflag"))),
 
     // Per-group stats (climate normals analog).

@@ -66,12 +66,19 @@ object Joins {
     * query aggregates it for the oracle row. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val warehouse = graft.sources.IO.tmp("graft_bucketed_")
+    // repartition(8, key) before bucketBy(8, key): repartition and the
+    // bucket spec use the same murmur3 hash, so each task holds exactly
+    // one bucket's rows — a parallel write that still yields ONE file
+    // per bucket (vs. the single-split source writing all 8 buckets
+    // from one task, or N tasks writing N files per bucket)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$warehouse/orders").saveAsTable("graft_bkt_orders")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$warehouse/lineitem").saveAsTable("graft_bkt_lineitem")
     // merge hint: at harness scale Catalyst would otherwise broadcast
