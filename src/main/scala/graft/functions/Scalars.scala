@@ -113,6 +113,18 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id"))),
 
+    // Generator (UDTF-surface, SURVEY §2.11): posexplode flattens the
+    // embedding vectors to (vec_id, pos, val) rows — the monthly
+    // file fan-out / row-generator shape. Narrow: each input row
+    // expands in place, no shuffle before the output sort.
+    "q_fn_explode" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"), x => round(x.cast("double"), 6))))
+        .toDF("vec_id", "pos", "val")
+        .orderBy(col("vec_id"), col("pos"))),
+
     // Map build + probe (population_pipeline.py:38-45 builds a
     // country→population dict, :60 probes it): per-region name→key map
     // via map_from_entries, probed with element_at, then exploded back
@@ -179,6 +191,13 @@ object Scalars {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_explode" ->
+      """SELECT vec_id,
+        |       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |       unnest(list_transform(CAST(embedding AS DOUBLE[]),
+        |              x -> round(x, 6))) AS val
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin,
     "q_fn_map" ->
       """SELECT n_regionkey, n_name AS key, n_nationkey AS value,
         |       max(CASE WHEN n_name = 'CANADA' THEN n_nationkey END)

@@ -114,6 +114,17 @@ object Aggregations {
           col("qty_p90"))
         .orderBy(col("l_returnflag"))),
 
+    // Bivariate statistics per group: correlation + covariance (the
+    // measure-vs-measure diagnostics a climate/QA pipeline runs).
+    // Single-pass streaming aggregates — constant state per group.
+    "q_agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar_pop"))
+        .orderBy(col("l_returnflag"))),
+
     // Per-group stats (climate normals analog).
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -172,6 +183,12 @@ object Aggregations {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+        |       round(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_pop
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

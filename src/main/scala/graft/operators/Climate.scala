@@ -181,7 +181,19 @@ object Climate {
     * are `to_json`'s native format (= json.dump(separators=(',',':')),
     * humidity_pipeline.py:172). */
   def geojsonFeature(lat: Column, lon: Column, value: Column,
-      valueName: String, time: Column, halfLat: Column, halfLon: Column): Column = {
+      valueName: String, time: Column, halfLat: Column, halfLon: Column): Column =
+    geojsonFeatureWith(lat, lon, halfLat, halfLon,
+      struct(
+        value.as(valueName),
+        time.cast("string").as("time"),
+        lat.as("lat"),
+        lon.as("lon")))
+
+  /** Feature constructor over an arbitrary properties struct — the
+    * geometry (closed 5-point half-resolution rectangle) is identical
+    * across the reference's pipelines; only the property set varies. */
+  def geojsonFeatureWith(lat: Column, lon: Column,
+      halfLat: Column, halfLon: Column, properties: Column): Column = {
     def pt(x: Column, y: Column) = array(x, y)
     to_json(struct(
       lit("Feature").as("type"),
@@ -194,12 +206,51 @@ object Climate {
           pt(lon - halfLon, lat + halfLat), // NW
           pt(lon - halfLon, lat - halfLat)  // close ring
         )).as("coordinates")).as("geometry"),
-      struct(
-        value.as(valueName),
-        time.cast("string").as("time"),
-        lat.as("lat"),
-        lon.as("lon")).as("properties")))
+      properties.as("properties")))
   }
+
+  /** The temperature pipeline's property variant — {<var>, time} ONLY,
+    * no lat/lon echo (temperature_pipeline.py:107-120). */
+  def temperatureFeature(lat: Column, lon: Column, value: Column,
+      time: Column, halfLat: Column, halfLon: Column): Column =
+    geojsonFeatureWith(lat, lon, halfLat, halfLon,
+      struct(value.as("temperature"), time.cast("string").as("time")))
+
+  /** The humidity pipeline's property variant — explicit numeric casts
+    * on the value and coordinates plus a str() time
+    * (humidity_pipeline.py:155-163). */
+  def humidityFeature(lat: Column, lon: Column, value: Column,
+      time: Column, halfLat: Column, halfLon: Column): Column =
+    geojsonFeatureWith(lat, lon, halfLat, halfLon,
+      struct(
+        value.cast("double").as("humidity"),
+        time.cast("string").as("time"),
+        lat.cast("double").as("lat"),
+        lon.cast("double").as("lon")))
+
+  /** Per-(year,month) FeatureCollection assembly — the reference's
+    * actual output document (json.dump({'type': 'FeatureCollection',
+    * 'features': [...]}, separators=(',',':')),
+    * temperature_pipeline.py:119-120, humidity_pipeline.py:170-172):
+    * one compact-JSON document per month, features ordered by the
+    * given key so the document is deterministic.
+    *
+    * Scale note: a month's document is materialized as ONE row (the
+    * reference's own file-per-month contract) — the per-month
+    * collect_list is the operator's semantic, not an accident; months
+    * too large for one document should shard the partition key, not
+    * this operator. */
+  def featureCollection(df: DataFrame, featureCol: String,
+      orderCol: String): DataFrame =
+    df.groupBy(col("year"), col("month"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(orderCol), col(featureCol)))),
+          p => p.getField(featureCol)),
+        ",").as("features_joined"))
+      .select(col("year"), col("month"),
+        concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
+          col("features_joined"), lit("]}")).as("collection"))
 
   /** Shared composite plan: scan -> pushdown time filter -> land-mask
     * semi-join -> distributed resolution inference (broadcast 1-row
@@ -266,6 +317,18 @@ object Climate {
           geojsonFeature(col("lat"), col("lon"), round(col("value"), 4),
             "precipitation", col("ts"), lit(0.25), lit(0.3125)).as("feature"))
         .orderBy(col("event_id"))),
+    // Monthly FeatureCollection documents (the reference's
+    // file-per-month output, assembled in-engine; rows-only check —
+    // the golden spec pins the document format).
+    "q_geojson_collection" -> ((s, d) => {
+      val feats = withYearMonth(
+        syntheticGrid(Tables.events(s, d)).filter(col("value").isNotNull), "ts")
+        .select(col("year"), col("month"), col("event_id"),
+          temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
+            col("ts"), lit(0.25), lit(0.3125)).as("feature"))
+      featureCollection(feats, "feature", "event_id")
+        .orderBy(col("year"), col("month"))
+    }),
     "q_filter_time_range" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .filter(timestampRange(col("l_shipdate"), 1996, 2, 1999, 10))

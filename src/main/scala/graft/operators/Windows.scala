@@ -126,6 +126,22 @@ object Windows {
         .select(col("c_custkey"), col("quartile"), col("pct_rank"))
         .orderBy(col("c_custkey"))
     }),
+
+    // Frame-boundary value functions: first/last/nth over the FULL
+    // partition frame (last_value needs unbounded following — the
+    // default frame stops at the current row). Order key is the
+    // unique c_custkey, so every value is deterministic.
+    "q_window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          first(col("c_custkey")).over(w).as("first_k"),
+          last(col("c_custkey")).over(w).as("last_k"),
+          nth_value(col("c_custkey"), 2).over(w).as("second_k"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +187,15 @@ object Windows {
         |       round(percent_rank() OVER w, 6) AS pct_rank
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT c_custkey,
+        |       first_value(c_custkey) OVER w AS first_k,
+        |       last_value(c_custkey)  OVER w AS last_k,
+        |       nth_value(c_custkey, 2) OVER w AS second_k
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_custkey""".stripMargin,
   )
 }

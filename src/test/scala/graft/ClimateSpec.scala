@@ -23,6 +23,35 @@ class ClimateSpec extends SparkTestBase {
     assert(json == expected)
   }
 
+  test("feature property variants match each pipeline's shape") {
+    val df = Seq((1.5, 2.5, 3.25, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("lat", "lon", "v", "ts")
+    val temp = df.select(Climate.temperatureFeature(col("lat"), col("lon"),
+      col("v"), col("ts"), lit(0.25), lit(0.3125)).as("f")).head.getString(0)
+    // temperature (temperature_pipeline.py:117): {temperature, time} only
+    assert(temp.endsWith(""""properties":{"temperature":3.25,"time":"2024-01-01 00:00:00"}}"""), temp)
+    assert(!temp.contains(""""lat""""))
+    val hum = df.select(Climate.humidityFeature(col("lat"), col("lon"),
+      col("v"), col("ts"), lit(0.25), lit(0.3125)).as("f")).head.getString(0)
+    // humidity (humidity_pipeline.py:158-163): value + time + lat/lon casts
+    assert(hum.endsWith(
+      """"properties":{"humidity":3.25,"time":"2024-01-01 00:00:00","lat":1.5,"lon":2.5}}"""), hum)
+  }
+
+  test("featureCollection assembles one compact document per month, ordered") {
+    val df = Seq(
+      (2024, 1, 2L, "{\"b\":2}"),
+      (2024, 1, 1L, "{\"a\":1}"),
+      (2024, 2, 3L, "{\"c\":3}"),
+    ).toDF("year", "month", "event_id", "feature")
+    val out = Climate.featureCollection(df, "feature", "event_id")
+      .orderBy(col("year"), col("month"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (2024, 1, """{"type":"FeatureCollection","features":[{"a":1},{"b":2}]}"""),
+      (2024, 2, """{"type":"FeatureCollection","features":[{"c":3}]}""")))
+  }
+
   test("landMask keeps exactly the points whose cell is in the lookup") {
     val pts = Seq((1L, 0, 0), (2L, 5, 5), (3L, 0, 1))
       .toDF("id", "cell_lat", "cell_lon")
