@@ -18,6 +18,25 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(df.filter(col("year") === 1999 && col("month") === 10).count() > 0)
   }
 
+  test("observe() collects validation counts in the SAME pass as the query") {
+    // the reference prints row counts before/after each filter stage
+    // as a separate len(df) per stage (precipitation_pipeline.py:
+    // 106-109, :167); Observation attaches the counts to the one
+    // flagship pass — zero extra scans, zero extra actions
+    val obs = new org.apache.spark.sql.Observation("validation")
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity").isNotNull)
+      .observe(obs,
+        count(lit(1)).as("n_after_null_filter"),
+        sum(when(operators.Climate.timestampRange(
+          col("l_shipdate"), 1996, 2, 1999, 10), 1).otherwise(0)).as("n_in_range"))
+    val kept = li.filter(operators.Climate.timestampRange(
+      col("l_shipdate"), 1996, 2, 1999, 10)).count()
+    val m = obs.get
+    assert(m("n_in_range") == kept)
+    assert(m("n_after_null_filter").asInstanceOf[Long] >= kept)
+  }
+
   test("q_agg_group_monthly sums match a direct recomputation") {
     val df = SparkEntry.queries("q_agg_group_monthly")(spark, sf)
     val total = df.agg(sum("n_rows")).head.getLong(0)
