@@ -386,5 +386,107 @@ object Climate {
       """SELECT coalesce(round(min(gap), 4), 0.5) AS resolution FROM (
         |  SELECT abs(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_acctbal)) AS gap
         |  FROM (SELECT DISTINCT c_acctbal FROM customer))""".stripMargin,
+    // DuckDB json_object emits the same compact separators, key order,
+    // shortest-round-trip doubles, and trailing-zero-trimmed µs
+    // timestamps as Spark's to_json — verified byte-identical at
+    // sf0.001 and sf0.01, which upgrades all three feature builders
+    // from rows-only to full hash-checked rows.
+    "q_geojson_feature" ->
+      """WITH g AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         round(value, 4) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id,
+        |  CAST(json_object(
+        |    'type', 'Feature',
+        |    'geometry', json_object(
+        |      'type', 'Polygon',
+        |      'coordinates', [[
+        |        [lon - 0.3125, lat - 0.25],
+        |        [lon + 0.3125, lat - 0.25],
+        |        [lon + 0.3125, lat + 0.25],
+        |        [lon - 0.3125, lat + 0.25],
+        |        [lon - 0.3125, lat - 0.25]]]),
+        |    'properties', json_object(
+        |      'precipitation', v,
+        |      'time', CAST(tts AS VARCHAR),
+        |      'lat', lat,
+        |      'lon', lon)) AS VARCHAR) AS feature
+        |FROM g ORDER BY event_id""".stripMargin,
+    "q_climate_composite" ->
+      """WITH grid AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         value
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2025-01-01'
+        |    AND value IS NOT NULL),
+        |land AS (
+        |  SELECT DISTINCT
+        |         CAST(floor((((s_acctbal % 180) + 180) % 180 - 90 + 90) / 30) AS INT) AS cell_lat,
+        |         CAST(floor(((((s_acctbal * 7) % 360) + 360) % 360 - 180 + 180) / 30) AS INT) AS cell_lon
+        |  FROM supplier),
+        |masked AS (
+        |  SELECT g.* FROM grid g
+        |  WHERE EXISTS (SELECT 1 FROM land l
+        |                WHERE l.cell_lat = CAST(floor((g.lat + 90) / 30) AS INT)
+        |                  AND l.cell_lon = CAST(floor((g.lon + 180) / 30) AS INT))),
+        |res AS (
+        |  SELECT
+        |    coalesce(round((SELECT min(gap) FROM (
+        |      SELECT v - lag(v) OVER (ORDER BY v) AS gap
+        |      FROM (SELECT DISTINCT lat AS v FROM masked))), 4), 0.5) AS lat_res,
+        |    coalesce(round((SELECT min(gap) FROM (
+        |      SELECT v - lag(v) OVER (ORDER BY v) AS gap
+        |      FROM (SELECT DISTINCT lon AS v FROM masked))), 4), 0.625) AS lon_res)
+        |SELECT event_id,
+        |  CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month,
+        |  CAST(json_object(
+        |    'type', 'Feature',
+        |    'geometry', json_object(
+        |      'type', 'Polygon',
+        |      'coordinates', [[
+        |        [lon - lon_res/2, lat - lat_res/2],
+        |        [lon + lon_res/2, lat - lat_res/2],
+        |        [lon + lon_res/2, lat + lat_res/2],
+        |        [lon - lon_res/2, lat + lat_res/2],
+        |        [lon - lon_res/2, lat - lat_res/2]]]),
+        |    'properties', json_object(
+        |      'precipitation', round(value, 4),
+        |      'time', CAST(tts AS VARCHAR),
+        |      'lat', lat,
+        |      'lon', lon)) AS VARCHAR) AS feature
+        |FROM masked, res ORDER BY event_id""".stripMargin,
+    "q_geojson_collection" ->
+      """WITH g AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         round(value, 4) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month,
+        |    CAST(json_object(
+        |      'type', 'Feature',
+        |      'geometry', json_object(
+        |        'type', 'Polygon',
+        |        'coordinates', [[
+        |          [lon - 0.3125, lat - 0.25],
+        |          [lon + 0.3125, lat - 0.25],
+        |          [lon + 0.3125, lat + 0.25],
+        |          [lon - 0.3125, lat + 0.25],
+        |          [lon - 0.3125, lat - 0.25]]]),
+        |      'properties', json_object(
+        |        'temperature', v,
+        |        'time', CAST(tts AS VARCHAR))) AS VARCHAR) AS feature
+        |  FROM g)
+        |SELECT year, month,
+        |  '{"type":"FeatureCollection","features":[' ||
+        |  string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
+        |FROM f GROUP BY year, month ORDER BY year, month""".stripMargin,
   )
 }
