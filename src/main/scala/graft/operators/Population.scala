@@ -83,9 +83,36 @@ object Population {
     "q_population_composite" -> ((s, d) => populationPipeline(s, d)),
   )
 
-  // Feature JSON has no cross-engine oracle; the relational spine
-  // (CSV scan, regex gate, cast, broadcast inner join) is separately
-  // oracle-checked (q_scan_csv, q_filter_regex, q_fn_cast,
-  // q_join_broadcast). PopulationSpec pins gate/drop semantics.
-  val oracle: Map[String, String] = Map.empty
+  // Full oracle: the CSV fixture is a deterministic function of
+  // `nation` and every junk row is gated (non-numeric) or join-dropped
+  // (unknown country), so the oracle reconstructs the surviving rows
+  // straight from nation — including the feature JSON, which DuckDB
+  // json_object renders byte-identically to to_json (same key order,
+  // compact separators, shortest-round-trip doubles; the gate/drop
+  // semantics themselves are additionally pinned in PopulationSpec).
+  val oracle: Map[String, String] = Map(
+    "q_population_composite" ->
+      """WITH c AS (
+        |  SELECT n_name,
+        |         CAST((n_nationkey + 1) * 1250 + 3 AS BIGINT) AS population,
+        |         (n_nationkey % 18) * 10.0 - 85.0 AS lat,
+        |         (n_nationkey % 36) * 10.0 - 175.0 AS lon
+        |  FROM nation)
+        |SELECT n_name AS country, population, 2024 AS year,
+        |  CAST(json_object(
+        |    'type', 'Feature',
+        |    'geometry', json_object(
+        |      'type', 'Polygon',
+        |      'coordinates', [[
+        |        [lon - 0.5, lat - 0.5],
+        |        [lon + 0.5, lat - 0.5],
+        |        [lon + 0.5, lat + 0.5],
+        |        [lon - 0.5, lat + 0.5],
+        |        [lon - 0.5, lat - 0.5]]]),
+        |    'properties', json_object(
+        |      'name', n_name,
+        |      'population', population,
+        |      'year', 2024)) AS VARCHAR) AS feature
+        |FROM c ORDER BY country""".stripMargin,
+  )
 }
