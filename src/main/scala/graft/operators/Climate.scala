@@ -294,8 +294,8 @@ object Climate {
   val queries: Map[String, Q] = Map(
     "q_agg_group_monthly" -> (monthlyAgg _),
     // The full composite as ONE lazy plan (sink-less form of
-    // climatePipeline; rows-only check — JSON string formatting has no
-    // cross-engine oracle, the golden spec pins it instead).
+    // climatePipeline) — fully hash-checked: the oracle replays scan →
+    // mask → resolution → feature in SQL, byte-identical JSON included.
     "q_climate_composite" -> ((s, d) =>
       compositeFrame(s, d).orderBy(col("event_id"))),
     // Land mask over synthetic cells: probe = customers hashed onto a
@@ -318,8 +318,8 @@ object Climate {
             "precipitation", col("ts"), lit(0.25), lit(0.3125)).as("feature"))
         .orderBy(col("event_id"))),
     // Monthly FeatureCollection documents (the reference's
-    // file-per-month output, assembled in-engine; rows-only check —
-    // the golden spec pins the document format).
+    // file-per-month output, assembled in-engine; hash-checked against
+    // a string_agg oracle, document format additionally golden-tested).
     "q_geojson_collection" -> ((s, d) => {
       val feats = withYearMonth(
         syntheticGrid(Tables.events(s, d)).filter(col("value").isNotNull), "ts")

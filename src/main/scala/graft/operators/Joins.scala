@@ -59,7 +59,9 @@ object Joins {
   /** Co-located (bucketed) large-large join: both sides are written as
     * 8-bucket tables hash-bucketed AND sorted on the join key, so the
     * sort-merge join reads bucket i of each side in the same task —
-    * ZERO shuffle and zero sort at query time (asserted in PlanSpec).
+    * ZERO exchanges at query time (asserted in PlanSpec; a LOCAL
+    * per-bucket sort remains because Spark ≥3.0 ignores sortBy
+    * metadata on read, SPARK-28632 — linear and in-memory, no network).
     * This is the 100 TB pattern for a fact-fact join that runs
     * repeatedly: pay the distribution once at ingest, never per query.
     * Join-only frame exposed for the plan assertion; the registered
@@ -173,7 +175,8 @@ object Joins {
       bucketedJoin(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
         .orderBy(col("o_orderpriority"))),
 
     // As-of join: for each 'purchase' event, the latest 'view' ts by
@@ -255,7 +258,8 @@ object Joins {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |       round(sum(l_extendedprice), 2) AS revenue
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_asof" ->

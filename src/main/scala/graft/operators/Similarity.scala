@@ -94,7 +94,7 @@ object Similarity {
 
   /** ANN top-k: score only vectors sharing ≥1 hyperplane band with the
     * query. Same output shape as [[bruteForceTopK]]; recall depends on
-    * the bit budget (asserted on planted near-dups in SimilaritySpec). */
+    * the bit budget (asserted on planted near-dups in LlmOpsSpec). */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
       bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
     // spread first: a single-split source would otherwise compute every
@@ -125,7 +125,7 @@ object Similarity {
     *   3. probe: the query vector scores only vectors in its `nProbe`
     *     nearest cells — exact cosine on that slice, then top-k.
     * Recall is tunable by nProbe (asserted on the harness corpus in
-    * SimilaritySpec against the brute-force oracle). */
+    * LlmOpsSpec against the brute-force oracle). */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = emb.filter(col("vec_id") < nCentroids)
