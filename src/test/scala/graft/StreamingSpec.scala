@@ -15,6 +15,24 @@ import graft.streaming.Streaming
   * be encoded for typed Dataset operations). */
 case class Ev(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
 
+/** transformWithState processor (Spark 4 arbitrary-state API — the
+  * successor to flatMapGroupsWithState): per-user running event total
+  * in a ValueState, emitted once per batch. */
+class RunningTotalProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val c = (if (total.exists()) total.get() else 0L) + rows.size
+    total.update(c)
+    Iterator((key, c))
+  }
+}
+
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -137,6 +155,43 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(_.getLong(0)).toSeq
       assert(ids.count(_ == 100L) == 1 && ids.count(_ == 200L) == 1)
     } finally q.stop()
+  }
+
+  test("transformWithState (RocksDB store) carries per-user totals across batches") {
+    // transformWithState requires the RocksDB state store provider;
+    // scoped to this query and restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val name = nextName()
+      val counted = in.toDS().groupByKey(_.user_id)
+        .transformWithState(new RunningTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+        .toDF("user_id", "running")
+      val q = counted.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(Ev(t("2024-01-01 10:00:00"), 1, 1, 1.0),
+          Ev(t("2024-01-01 10:01:00"), 1, 2, 1.0),
+          Ev(t("2024-01-01 10:02:00"), 2, 3, 1.0))
+        q.processAllAvailable()
+        in.addData(Ev(t("2024-01-01 11:00:00"), 1, 4, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.count { case (u, c) => u == 1L && c == 2L } == 1) // batch 1
+        assert(rows.count { case (u, c) => u == 1L && c == 3L } == 1) // batch 2: state carried
+        assert(rows.count { case (u, c) => u == 2L && c == 1L } == 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("flatMapGroupsWithState carries per-user running counts across batches") {
