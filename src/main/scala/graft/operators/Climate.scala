@@ -284,6 +284,33 @@ object Climate {
       .select(col("year"), col("month"), col("feature"))
       .write.partitionBy("year", "month").mode("overwrite").parquet(outDir)
 
+  /** Great-circle (haversine) distance in km — the geodesic primitive
+    * a climate engine needs for station-to-cell matching and radius
+    * queries. Pure codegen'd math expressions (sin/cos/asin/sqrt);
+    * the operand order is fixed so the doubles match the oracle's
+    * evaluation of the same formula. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    lit(2 * 6371.0) * asin(sqrt(
+      pow(sin(dLat), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)))
+  }
+
+  /** Fixed-width value histogram: integer bucket = floor(v / width) —
+    * the color-scale-breakpoint analog
+    * (docs/ALL_PIPELINES_PBF_WORKFLOW.md:22-36 defines fixed value
+    * bands per pipeline). One hash aggregate; bucket ids are exact
+    * integer arithmetic on both engines, no float-boundary ambiguity
+    * in the group keys. */
+  def valueHistogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / width).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 4).as("lo"),
+        round(max(col(valueCol)), 4).as("hi"))
+      .orderBy(col("bucket"))
+
   /** Empty-relation short-circuit (precipitation_pipeline.py:152-154,
     * humidity_pipeline.py:117-134): the reference guards every stage
     * with `if df.empty: return`. Spark-side, `head(1).isEmpty` is the
@@ -345,6 +372,15 @@ object Climate {
     }),
     "q_agg_min_diff" -> ((s, d) =>
       gridResolution(Tables.customer(s, d), "c_acctbal", 0.5)),
+    // Distance from every grid cell to a reference station at (0, 0).
+    "q_fn_geo" -> ((s, d) =>
+      syntheticGrid(Tables.events(s, d))
+        .select(col("event_id"),
+          round(haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)), 4)
+            .as("dist_km"))
+        .orderBy(col("event_id"))),
+    "q_agg_histogram" -> ((s, d) =>
+      valueHistogram(Tables.events(s, d), "value", 25.0)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +422,19 @@ object Climate {
       """SELECT coalesce(round(min(gap), 4), 0.5) AS resolution FROM (
         |  SELECT abs(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_acctbal)) AS gap
         |  FROM (SELECT DISTINCT c_acctbal FROM customer))""".stripMargin,
+    "q_fn_geo" ->
+      """SELECT event_id,
+        |       round(2 * 6371.0 * asin(sqrt(
+        |         pow(sin(radians(0.0 - ((event_id % 360) * 0.5 - 90.0)) / 2), 2) +
+        |         cos(radians((event_id % 360) * 0.5 - 90.0)) * cos(radians(0.0)) *
+        |         pow(sin(radians(0.0 - (((event_id * 7) % 576) * 0.625 - 180.0)) / 2), 2))), 4)
+        |         AS dist_km
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS INT) AS bucket, count(*) AS n,
+        |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB json_object emits the same compact separators, key order,
     // shortest-round-trip doubles, and trailing-zero-trimmed µs
     // timestamps as Spark's to_json — verified byte-identical at
