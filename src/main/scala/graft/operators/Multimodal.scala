@@ -82,6 +82,18 @@ object Multimodal {
       }
   }
 
+  /** The multimodal TRAINING-ROW join: text + metadata + embedding
+    * linked by id — the shape every multimodal training pipeline
+    * materializes before sharding. The embedding side carries the
+    * (narrow) vector; the payload stays pruned out of this query
+    * entirely — only metadata columns flow through the join. */
+  def trainingRows(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("label"),
+        size(col("embedding")).as("dim")), "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> ((s, d) => mediaMeta(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
@@ -89,6 +101,8 @@ object Multimodal {
         .select(col("id"), col("n_bytes"), col("signature"),
           col("histogram").getItem(4).as("hist_bucket4"))
         .orderBy(col("id"))),
+    "q_multimodal_join" -> ((s, d) =>
+      trainingRows(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,5 +112,11 @@ object Multimodal {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT d.doc_id, d.lang,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |       e.label, CAST(len(e.embedding) AS INT) AS dim
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
