@@ -19,19 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
-  /** Spread CPU-heavy per-row projection work (regex split, double→
-    * string rendering) across cores before it runs: the harness tables
-    * arrive as ONE parquet split, which pins the projection — and the
-    * orderBy's range-sampling pass, which executes the child twice —
-    * to a single core. Explicit numPartitions keeps AQE from coalescing
-    * the small-by-bytes exchange back to one partition. At production
-    * scale a scan has thousands of splits and this exchange is
-    * unnecessary; it corrects a single-split-source artifact, not the
-    * plan shape. (Observed: q_fn_cast 2.8s → 0.8s at sf0.1.) */
-  private def spread(df: org.apache.spark.sql.DataFrame, key: String) = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(n, col(key))
-  }
+  // graft.spread before the regex/string-heavy projections: the
+  // orderBy's range-sampling pass executes the child twice, so a
+  // single-split source pays the single-core projection twice over
+  // (observed: q_fn_cast 2.8s → 0.8s at sf0.1).
+  private def spread(df: org.apache.spark.sql.DataFrame, key: String) =
+    graft.spread(df, col(key))
 
   val queries: Map[String, Q] = Map(
     "q_fn_string" -> ((s, d) =>

@@ -91,14 +91,11 @@ object Aggregations {
     // scale path (approx_percentile/ApproximatePercentile, constant
     // memory per group) is what gridResolutions and the ntile rewrite
     // already use at unbounded cardinality.
-    // spread first: exact percentile's partial aggregation buffers
-    // values per group, and a single-split source would build that
-    // state on one core (explicit numPartitions — AQE-coalesce-proof;
-    // a production scan arrives already multi-split)
+    // graft.spread first: exact percentile's partial aggregation
+    // buffers values per group, and a single-split source would build
+    // that state on one core
     "q_agg_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("l_orderkey"))
+      graft.spread(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         // ONE percentile buffer per measure: the array form computes
         // all three cut points from a single value buffer (three

@@ -157,20 +157,15 @@ object Climate {
     * (precipitation_pipeline.py:177,182) — and both steps are exact
     * binary doubles, so arithmetic is bit-stable across engines.
     *
-    * The scan is spread first: everything downstream of it in the
-    * composite (cell quantization, broadcast semi-join, feature
+    * The scan is graft.spread first: everything downstream of it in
+    * the composite (cell quantization, broadcast semi-join, feature
     * rendering) is NARROW, so a single-split parquet source would pin
-    * the whole pipeline to one core. Explicit numPartitions — AQE
-    * would coalesce a small-by-bytes exchange back to one partition.
-    * A production scan has thousands of splits; this corrects the
-    * single-file-source artifact, not the plan shape. */
-  def syntheticGrid(events: DataFrame): DataFrame = {
-    val n = events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    events.repartition(n, col("event_id"))
+    * the whole pipeline to one core. */
+  def syntheticGrid(events: DataFrame): DataFrame =
+    graft.spread(events, col("event_id"))
       .select(col("event_id"), col("ts"), col("value"),
         ((col("event_id") % 360) * 0.5 - 90.0).as("lat"),
         (((col("event_id") * 7) % 576) * 0.625 - 180.0).as("lon"))
-  }
 
   /** GeoJSON Feature constructor
     * (precipitation_pipeline.py:188-228): closed 5-point rectangle

@@ -93,37 +93,24 @@ object Dedup {
     * are mistuned for the data (that, not the operator shape, is what
     * must be fixed — see the 5-gram note below). */
   def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
-            lit(rowsPerBand))))))
-      .toDF("id", "band_id", "band_hash")
-    banded.groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(
-            slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-            b => struct(element_at(col("ids"), i + 1).as("id_a"),
-              b.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-  }
+      bands: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatesEst(sigs, idCol, sigCol, bands, rowsPerBand, minEst = 0.0)
 
-  /** Banded-LSH candidate pairs WITH a bucket-local signature
-    * prefilter: like [[lshCandidates]], but each bucket member carries
-    * its full MinHash signature into the pair expansion, and the
+  /** Banded-LSH candidate pairs, optionally WITH a bucket-local
+    * signature prefilter (the single implementation behind
+    * [[lshCandidates]]): each bucket member carries its full MinHash
+    * signature into the pair expansion, and when `minEst > 0` the
     * signature-agreement estimate (fraction of equal components) is
     * computed and thresholded INSIDE the bucket — so low-estimate
     * pairs die where the data already sits, without ever being
-    * shuffled through a join. Use when banding is weakly
-    * discriminative for the corpus (many background candidates):
-    * observed 602k candidates → ~300 survivors at sf0.1 for
-    * char-5-grams, where joining signatures for every candidate moved
-    * ~0.3 GB; carrying the 32-long signature into buckets moves
-    * 8 bands × 256 B per document instead. */
+    * shuffled through a join. Use the prefilter when banding is
+    * weakly discriminative for the corpus (many background
+    * candidates): observed 602k candidates → ~300 survivors at sf0.1
+    * for char-5-grams, where joining signatures for every candidate
+    * moved ~0.3 GB; carrying the 32-long signature into buckets moves
+    * 8 bands × 256 B per document instead. With `minEst = 0` the
+    * per-pair estimate is skipped entirely and the output is the raw
+    * candidate set. */
   def lshCandidatesEst(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
     val numH = bands * rowsPerBand
@@ -133,22 +120,29 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
             lit(rowsPerBand))))))
       .toDF("id", "sig", "band_id", "band_hash")
+    // upper-triangle (i < j) pair expansion over the sorted bucket
+    // members; `other` is the j-side struct, `self` the i-side
+    def pairsFrom(i: org.apache.spark.sql.Column) = {
+      val self = element_at(col("ms"), i + 1)
+      val expanded = transform(
+        slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+        m => struct(
+          self.getField("id").as("id_a"),
+          m.getField("id").as("id_b"),
+          (size(filter(
+            zip_with(self.getField("sig"), m.getField("sig"),
+              (x, y) => x === y),
+            v => v)) / lit(numH.toDouble)).as("est")))
+      if (minEst > 0) filter(expanded, p => p.getField("est") >= minEst)
+      else transform(
+        slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+        m => struct(self.getField("id").as("id_a"), m.getField("id").as("id_b")))
+    }
     banded.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i =>
-          filter(
-            transform(
-              slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-              m => struct(
-                element_at(col("ms"), i + 1).getField("id").as("id_a"),
-                m.getField("id").as("id_b"),
-                (size(filter(
-                  zip_with(element_at(col("ms"), i + 1).getField("sig"),
-                    m.getField("sig"), (x, y) => x === y),
-                  v => v)) / lit(numH.toDouble)).as("est"))),
-            p => p.getField("est") >= minEst)))).as("p"))
+        transform(sequence(lit(0), size(col("ms")) - 2), i => pairsFrom(i)))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
@@ -157,18 +151,11 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Spread CPU-heavy per-document signature work across the cluster:
-    * a small parquet source arrives as ONE input split, which would
-    * pin the (interpreted higher-order-function) minhash/simhash
-    * computation to a single core — observed 1-of-32 utilization at
-    * sf0.1. The narrow row shuffle is trivial next to the per-row CPU. */
-  private def spread(docs: DataFrame): DataFrame = {
-    // explicit numPartitions: REPARTITION_BY_NUM is exempt from AQE
-    // partition coalescing, which would otherwise fold a small (by
-    // BYTES) but CPU-expensive dataset back onto one core
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    docs.repartition(n, col("doc_id"))
-  }
+  /** graft.spread: per-document signature work is CPU-heavy and a
+    * single-split source would pin it to one core — observed 1-of-32
+    * utilization at sf0.1. */
+  private def spread(docs: DataFrame): DataFrame =
+    graft.spread(docs, col("doc_id"))
 
   /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify. */
   def dedupNear(docsIn: DataFrame): DataFrame = {

@@ -47,12 +47,10 @@ object Similarity {
 
   private def dotSelf(a: Column): Column = dot(a, a)
 
-  /** CPU-spreading repartition with explicit numPartitions (exempt
-    * from AQE coalescing; see Dedup.spread for rationale). */
-  private def spread(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(n, col("vec_id"))
-  }
+  /** graft.spread: per-vector signature/assignment work is CPU-heavy
+    * and a single-split source would pin it to one core. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.spread(df, col("vec_id"))
 
   /** Cosine similarity, sequential-fold order (matches DuckDB's
     * list_cosine_similarity evaluation of the same doubles). */

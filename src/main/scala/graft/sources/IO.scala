@@ -96,14 +96,12 @@ object IO {
     }),
 
     // Compact single-object-per-line JSON sink (json.dump with
-    // separators=(',',':')) + from_json parse back. The source is
-    // repartitioned first (explicit n — AQE-coalesce-proof): the
-    // single-split harness file would otherwise render + write every
-    // JSON line from one task.
+    // separators=(',',':')) + from_json parse back. graft.spread
+    // first: the single-split harness file would otherwise render +
+    // write every JSON line from one task.
     "q_sink_json" -> ((s, d) => {
       val out = tmp("graft_sinkjson_")
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-      Tables.events(s, d).repartition(n, col("event_id"))
+      graft.spread(Tables.events(s, d), col("event_id"))
         .select(to_json(struct(col("event_id"), col("event_type"),
           round(col("value"), 4).as("v"))).as("value"))
         .write.mode("overwrite").text(out)

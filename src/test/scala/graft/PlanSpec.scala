@@ -81,9 +81,13 @@ class PlanSpec extends SparkTestBase {
       s"bucketed join must not shuffle:\n${plan.take(2000)}")
   }
 
-  test("q_join_salted: shuffle keys include the salt") {
+  test("q_join_salted: the join SHUFFLES on (key, salt)") {
     val plan = executed("q_join_salted")
-    assert(plan.contains("salt"), plan.take(2000))
+    // the property under test is the shuffle distribution itself — a
+    // broadcast plan would also contain the string 'salt' but would
+    // never exercise the skew mitigation
+    assert("hashpartitioning\\([^)]*salt".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
   }
 
   test("q_similarity_topk: single-pass top-k, broadcast query vector") {
