@@ -140,13 +140,15 @@ object TextOps {
     regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
 
   /** Canonical URL: lowercase, strip scheme + www., strip query string,
-    * strip one trailing slash — the standard near-URL-dup key. */
+    * strip ALL trailing slashes (one would leave `host//` → `host/`
+    * non-idempotent — caught by the PropertySpec idempotence law) —
+    * the standard near-URL-dup key. */
   def canonicalUrl(u: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(lower(u), "^https?://(www\\.)?", ""),
         "\\?.*$", ""),
-      "/$", "")
+      "/+$", "")
 
   /** PII scrub over a planted contact line: doc_id, masked text, and
     * per-kind redaction counts. */
@@ -255,7 +257,7 @@ object TextOps {
         |           || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&lang=' || lang AS url
         |  FROM documents)
         |SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
-        |         '^https?://(www\.)?', ''), '\?.*$', ''), '/$', '') AS canonical_url,
+        |         '^https?://(www\.)?', ''), '\?.*$', ''), '/+$', '') AS canonical_url,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_lang_id" ->

@@ -63,6 +63,92 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin ≡ plain join for all inputs (multiplicities included)") {
+    import graft.operators.Joins
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 1000))
+    val dimGen = Gen.listOfN(4, Gen.zip(Gen.choose(0L, 6L), Gen.alphaLowerStr.map(_.take(4))))
+    forAllSeeded(Gen.zip(Gen.listOfN(50, rowGen), dimGen), trials = 8) {
+      case (facts, dims) =>
+        if (facts.nonEmpty && dims.nonEmpty) {
+          val big = facts.toDF("k", "payload")
+          val small = dims.toDF("sk", "name")
+          val salted = Joins.saltedJoin(big, "k", Seq("payload"), small, "sk")
+            .select(col("k"), col("payload"), col("name"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+          val plain = big.join(small, col("k") === col("sk"))
+            .select(col("k"), col("payload"), col("name"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+          assert(salted == plain)
+        }
+    }
+  }
+
+  test("canonicalUrl and maskPii are idempotent for all inputs") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http://", "https://", "HTTPS://", "")
+      www <- Gen.oneOf("www.", "WWW.", "")
+      host <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+      path <- Gen.alphaLowerStr.map(_.take(6))
+      slash <- Gen.oneOf("/", "")
+      query <- Gen.oneOf("", "?utm=x", "?a=1&b=2")
+    } yield s"$scheme$www$host.example.com/$path$slash$query"
+    forAllSeeded(Gen.listOfN(25, urlGen), trials = 8) { (urls: List[String]) =>
+      if (urls.nonEmpty) {
+        val once = urls.toDF("u").select(TextOps.canonicalUrl(col("u")).as("c"))
+        val twice = once.select(TextOps.canonicalUrl(col("c")).as("c2"))
+        assert(once.collect().map(_.getString(0)).toSeq ==
+          twice.collect().map(_.getString(0)).toSeq)
+      }
+    }
+    val piiGen = Gen.oneOf(
+      Gen.const("contact a.b@x.io or 555-0134 now"),
+      wordGen, Gen.const("dial 123-4567 then 999-0000"))
+    forAllSeeded(Gen.listOfN(10, piiGen), trials = 5) { (texts: List[String]) =>
+      if (texts.nonEmpty) {
+        val once = texts.toDF("t").select(TextOps.maskPii(col("t")).as("m"))
+        val twice = once.select(TextOps.maskPii(col("m")).as("m2"))
+        assert(once.collect().map(_.getString(0)).toSeq ==
+          twice.collect().map(_.getString(0)).toSeq)
+      }
+    }
+  }
+
+  test("haversine: symmetric, zero at identity, non-negative, ≤ half circumference") {
+    val ptGen = Gen.zip(Gen.choose(-90.0, 90.0), Gen.choose(-180.0, 180.0))
+    forAllSeeded(Gen.listOfN(20, Gen.zip(ptGen, ptGen)), trials = 8) { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.map { case ((a, b), (c, d)) => (a, b, c, d) }
+          .toDF("lat1", "lon1", "lat2", "lon2")
+          .select(
+            Climate.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("d12"),
+            Climate.haversineKm(col("lat2"), col("lon2"), col("lat1"), col("lon1")).as("d21"),
+            Climate.haversineKm(col("lat1"), col("lon1"), col("lat1"), col("lon1")).as("dself"))
+        df.collect().foreach { r =>
+          val (d12, d21, dself) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+          assert(math.abs(d12 - d21) < 1e-9)
+          assert(dself == 0.0)
+          assert(d12 >= 0.0 && d12 <= 6371.0 * math.Pi + 1e-6)
+        }
+      }
+    }
+  }
+
+  test("histogram buckets partition the non-null rows; lo/hi inside the bucket") {
+    forAllSeeded(Gen.listOfN(60, Gen.choose(-100.0, 400.0)), trials = 8) { vs =>
+      if (vs.nonEmpty) {
+        val df = vs.toDF("value")
+        val hist = Climate.valueHistogram(df, "value", 25.0).collect()
+        assert(hist.map(_.getLong(1)).sum == vs.length)
+        hist.foreach { r =>
+          val (b, lo, hi) = (r.getInt(0), r.getDouble(2), r.getDouble(3))
+          assert(lo <= hi)
+          // rounded lo/hi stay within a half-step of the bucket range
+          assert(lo >= b * 25.0 - 0.001 && hi < (b + 1) * 25.0 + 0.001)
+        }
+      }
+    }
+  }
+
   test("land semi-join output ⊆ input and ∪ with anti = input") {
     forAllSeeded(Gen.zip(Gen.listOfN(30, Gen.choose(0, 5)),
       Gen.listOfN(5, Gen.choose(0, 5))), trials = 8) {
