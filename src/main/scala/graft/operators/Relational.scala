@@ -30,6 +30,26 @@ object Relational {
     "q_scan_parquet" -> ((s, d) =>
       Tables.orders(s, d).orderBy(col("o_orderkey"))),
 
+    // SQL front end: the same engine surface through spark.sql — a
+    // TPC-H-Q1-shaped pricing summary compiled by the SQL parser into
+    // the identical Catalyst plan the DataFrame API would build
+    // (scan-pruned, partial-aggregated). View name is query-scoped; no
+    // session state leaks between runs.
+    "q_sql_entry" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                  AS sum_qty,
+               round(sum(l_extendedprice), 2)                             AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc,
+               round(avg(l_quantity), 4)                                  AS avg_qty,
+               count(*)                                                   AS n
+        FROM graft_sql_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     // Projection: ReadSchema should contain exactly these 3 columns.
     "q_project" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -105,6 +125,17 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "q_sql_entry" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
