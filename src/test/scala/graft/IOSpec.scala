@@ -22,6 +22,23 @@ class IOSpec extends SparkTestBase {
       s"one directory per (year,month): got ${monthDirs.length}, want $expected")
   }
 
+  test("partition-col repartition before partitionBy: exactly ONE file per partition") {
+    val out = Files.createTempDirectory("graft_onefile_").toString
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Climate.withYearMonth(Tables.orders(spark, sf), "o_orderdate")
+      .repartition(n, col("year"), col("month"))
+      .write.partitionBy("year", "month").mode("overwrite").parquet(out)
+    val monthDirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory))
+    assert(monthDirs.nonEmpty)
+    // each (year,month) hashes to one task -> one data file per dir
+    // (the anti-small-files property q_sink_partitioned relies on)
+    monthDirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
+
   test("csv sink writes a header line") {
     val out = Files.createTempDirectory("graft_hdr_").toString
     Tables.nation(spark, sf).coalesce(1).write.mode("overwrite")

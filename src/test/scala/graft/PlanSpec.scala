@@ -90,6 +90,14 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q_sql_entry: the SQL path gets the same parquet pushdown as the DataFrame API") {
+    val plan = executed("q_sql_entry")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      s"SQL-path filter not pushed:\n${plan.take(2000)}")
+    val schema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"), schema)
+  }
+
   test("q_similarity_topk: single-pass top-k, broadcast query vector") {
     val plan = executed("q_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
