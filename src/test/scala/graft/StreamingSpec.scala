@@ -108,6 +108,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink sees each micro-batch exactly once with its batch id") {
+    // the production sink pattern for the reference's per-month file
+    // emission (precipitation_pipeline.py:123-144): each micro-batch
+    // arrives as a plain DataFrame + monotone batch id, so any batch
+    // writer (hive-partitioned parquet, JDBC, ...) plugs in unchanged
+    val in = MemoryStream[Ev](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, 1, 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, 2, 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:02:00"), 2, 3, 1.0))
+      q.processAllAvailable()
+      val byId = seen.synchronized(seen.toList).toMap
+      assert(byId(0L) == 2L && byId(1L) == 1L, byId.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases to views within the time bound") {
     val views = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
