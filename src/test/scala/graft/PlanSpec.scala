@@ -98,6 +98,24 @@ class PlanSpec extends SparkTestBase {
     assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"), schema)
   }
 
+  test("hot per-row pipelines run inside WholeStageCodegen spans") {
+    // the per-row metric pipelines must run inside generated code —
+    // a UDF in the hot path would produce a span-free plan. AQE shows
+    // codegen only in the FINAL plan, so execute (tiny sf) first; the
+    // `*(n)` stage prefix is the codegen marker in the plan string.
+    // (Projections containing higher-order-function lambdas stay
+    // interpreted by design — Spark HOFs don't participate — which is
+    // exactly why the hot HOF loops were replaced with the native
+    // MinHashSig/SimHashVotes/VectorDot expressions.)
+    Seq("q_text_quality", "q_fn_math", "q_fn_geo", "q_case_when",
+        "q_similarity_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("*("), s"$q has no codegen stage:\n${plan.take(1500)}")
+    }
+  }
+
   test("q_similarity_topk: single-pass top-k, broadcast query vector") {
     val plan = executed("q_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
