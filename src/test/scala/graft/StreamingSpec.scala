@@ -108,6 +108,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream + AvailableNow + checkpoint: each month file processed once") {
+    // the reference's calendar-driven batching (spot_manager.py:154-183
+    // launches a run per month; pipeline skips already-produced months)
+    // IS a file-source stream with Trigger.AvailableNow: drop a new
+    // month's file in the directory, run once, checkpoint remembers
+    // what was already processed — restarts reprocess NOTHING
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("graft_fsrc_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val name = nextName()
+    val schema = StructType(Seq(StructField("month", IntegerType),
+      StructField("v", DoubleType)))
+    def writeMonth(m: Int): Unit =
+      Seq((m, m * 1.5), (m, m * 2.5)).toDF("month", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy(col("month")).agg(sum(col("v")).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeMonth(1)
+    runOnce()
+    writeMonth(2) // a new month lands
+    runOnce()     // restart from checkpoint: only month 2 is new input
+    val totals = spark.table(name)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // month 1 was NOT re-read (complete mode state carries it; its
+    // total would double to 8.0 if the file were reprocessed)
+    assert(totals == Map(1 -> 4.0, 2 -> 8.0), totals.toString)
+  }
+
   test("foreachBatch sink sees each micro-batch exactly once with its batch id") {
     // the production sink pattern for the reference's per-month file
     // emission (precipitation_pipeline.py:123-144): each micro-batch
