@@ -376,6 +376,23 @@ object Climate {
         .orderBy(col("event_id"))),
     "q_agg_histogram" -> ((s, d) =>
       valueHistogram(Tables.events(s, d), "value", 25.0)),
+    // GeoJSON document validation (humidity_pipeline.py:95-110): parse
+    // the assembled FeatureCollection back and check it is non-empty —
+    // expressed over the documents the engine just built, so the
+    // validate path exercises real parse-after-serialize round trips.
+    "q_geojson_validate" -> ((s, d) => {
+      val feats = withYearMonth(
+        syntheticGrid(Tables.events(s, d)).filter(col("value").isNotNull), "ts")
+        .select(col("year"), col("month"), col("event_id"),
+          temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
+            col("ts"), lit(0.25), lit(0.3125)).as("feature"))
+      featureCollection(feats, "feature", "event_id")
+        .select(col("year"), col("month"),
+          json_array_length(get_json_object(col("collection"), "$.features"))
+            .cast("long").as("n_features"))
+        .withColumn("valid", col("n_features") > 0)
+        .orderBy(col("year"), col("month"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -417,6 +434,41 @@ object Climate {
       """SELECT coalesce(round(min(gap), 4), 0.5) AS resolution FROM (
         |  SELECT abs(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_acctbal)) AS gap
         |  FROM (SELECT DISTINCT c_acctbal FROM customer))""".stripMargin,
+    // rebuilds the collection the same way the q_geojson_collection
+    // oracle does, then validates it through DuckDB's JSON parser —
+    // an independent parse of the engine-shaped document
+    "q_geojson_validate" ->
+      """WITH g AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         round(value, 4) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month,
+        |    CAST(json_object(
+        |      'type', 'Feature',
+        |      'geometry', json_object(
+        |        'type', 'Polygon',
+        |        'coordinates', [[
+        |          [lon - 0.3125, lat - 0.25],
+        |          [lon + 0.3125, lat - 0.25],
+        |          [lon + 0.3125, lat + 0.25],
+        |          [lon - 0.3125, lat + 0.25],
+        |          [lon - 0.3125, lat - 0.25]]]),
+        |      'properties', json_object(
+        |        'temperature', v,
+        |        'time', CAST(tts AS VARCHAR))) AS VARCHAR) AS feature
+        |  FROM g),
+        |c AS (
+        |  SELECT year, month,
+        |    '{"type":"FeatureCollection","features":[' ||
+        |    string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
+        |  FROM f GROUP BY year, month)
+        |SELECT year, month,
+        |       CAST(json_array_length(collection, '$.features') AS BIGINT) AS n_features,
+        |       json_array_length(collection, '$.features') > 0 AS valid
+        |FROM c ORDER BY year, month""".stripMargin,
     "q_fn_geo" ->
       """SELECT event_id,
         |       round(2 * 6371.0 * asin(sqrt(
