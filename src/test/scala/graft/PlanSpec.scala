@@ -90,6 +90,12 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q_fn_explode: the row filter pushes below the generator into the scan") {
+    val plan = executed("q_fn_explode")
+    assert(plan.contains("LessThan(vec_id,20)"),
+      s"vec_id filter not pushed:\n${plan.take(2000)}")
+  }
+
   test("q_sql_entry: the SQL path gets the same parquet pushdown as the DataFrame API") {
     val plan = executed("q_sql_entry")
     assert(plan.contains("LessThanOrEqual(l_shipdate"),
