@@ -124,19 +124,29 @@ object Similarity {
     *     nearest cells — exact cosine on that slice, then top-k.
     * Recall is tunable by nProbe (asserted on the harness corpus in
     * LlmOpsSpec against the brute-force oracle). */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nCentroids)
+  /** The deterministic centroid seed set: the `nCentroids` lowest
+    * vec_ids as (cent_id, cv). */
+  def centroids(emb: DataFrame, nCentroids: Int): DataFrame =
+    emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // argmax-cosine cell per vector; (csim, cent_id) struct ordering
-    // makes centroid ties deterministic (higher cent_id wins — any
-    // fixed rule works, it only has to be one rule)
-    val assign = spread(emb).crossJoin(broadcast(cents))
+
+  /** Ingest-time IVF assignment: every vector's argmax-cosine cell via
+    * a broadcast of the centroid table; (csim, cent_id) struct ordering
+    * makes centroid ties deterministic (higher cent_id wins — any fixed
+    * rule works, it only has to be one rule). At scale this output is
+    * what gets stored bucketBy(cell) — bucket pruning then makes a
+    * probe query read only its cells (proved in PlanSpec). */
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame =
+    spread(emb).crossJoin(broadcast(centroids(emb, nCentroids)))
       .select(col("vec_id"), col("cent_id"),
         cosine(col("v"), col("cv")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id"))).as("cell"))
-    val cells = emb.join(assign, "vec_id")
+
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(emb, nCentroids)
+    val cells = emb.join(ivfAssign(emb, nCentroids), "vec_id")
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probed = cents.crossJoin(broadcast(qv))
       .select(col("cent_id").as("cell"), cosine(col("cv"), col("qv")).as("csim"))

@@ -90,6 +90,35 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("IVF cells stored bucketBy(cell): a probe reads only its buckets") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        Similarity.toDouble(org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val cells = emb.join(Similarity.ivfAssign(emb), "vec_id")
+    val path = graft.sources.IO.tmp("graft_ivf_store_")
+    cells.write.mode("overwrite").bucketBy(16, "cell")
+      .option("path", s"$path/cells").saveAsTable("graft_ivf_cells")
+    // a probe of 4 cells must read ≤ 4 of the 16 buckets — the scan
+    // prunes buckets by the filter, which is what turns an ANN probe
+    // into a few-bucket read instead of a full scan at 100 TB.
+    // (autoBucketedScan would switch a bare filter scan to non-bucketed
+    // for parallelism at this tiny size; disable it for the assertion —
+    // at real scale the pruned read is the win.)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table("graft_ivf_cells")
+        .filter(org.apache.spark.sql.functions.col("cell").isin(0, 1, 2, 3))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString()
+      val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n${plan.take(1500)}")
+      assert(m.get.group(1).toInt <= 4, plan.take(1500))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q_fn_explode: the row filter pushes below the generator into the scan") {
     val plan = executed("q_fn_explode")
     assert(plan.contains("LessThan(vec_id,20)"),
