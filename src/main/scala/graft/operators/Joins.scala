@@ -81,6 +81,10 @@ object Joins {
   private val bucketedBuilt = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // table names carry the sfDir so two scale factors in ONE session
+    // each get their own bucketed tables — a shared name would let the
+    // second build overwrite the first while its cache entry survives
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     bucketedBuilt.getOrElseUpdate(d, {
       val warehouse = graft.sources.IO.tmp("graft_bucketed_")
       // repartition(8, key) before bucketBy(8, key): repartition and the
@@ -92,18 +96,18 @@ object Joins {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$warehouse/orders").saveAsTable("graft_bkt_orders")
+        .option("path", s"$warehouse/orders").saveAsTable(s"graft_bkt_orders_$tag")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"))
         .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$warehouse/lineitem").saveAsTable("graft_bkt_lineitem")
+        .option("path", s"$warehouse/lineitem").saveAsTable(s"graft_bkt_lineitem_$tag")
     })
     // merge hint: at harness scale Catalyst would otherwise broadcast
     // the small side and never exercise the bucket co-location; at
     // 100 TB neither side is broadcastable and SMJ is the natural pick
-    s.table("graft_bkt_lineitem").hint("merge")
-      .join(s.table("graft_bkt_orders"),
+    s.table(s"graft_bkt_lineitem_$tag").hint("merge")
+      .join(s.table(s"graft_bkt_orders_$tag"),
         col("l_orderkey") === col("o_orderkey"), "inner")
   }
 

@@ -33,21 +33,25 @@ object Relational {
     // SQL front end: the same engine surface through spark.sql — a
     // TPC-H-Q1-shaped pricing summary compiled by the SQL parser into
     // the identical Catalyst plan the DataFrame API would build
-    // (scan-pruned, partial-aggregated). View name is query-scoped; no
-    // session state leaks between runs.
+    // (scan-pruned, partial-aggregated). The temp view is per-call
+    // unique and dropped immediately after analysis (spark.sql
+    // analyzes eagerly, inlining the view into the plan), so
+    // concurrent invocations with different sfDirs never share state.
     "q_sql_entry" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
-      s.sql("""
+      val view = s"graft_sql_lineitem_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                  AS sum_qty,
                round(sum(l_extendedprice), 2)                             AS sum_base,
                round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc,
                round(avg(l_quantity), 4)                                  AS avg_qty,
                count(*)                                                   AS n
-        FROM graft_sql_lineitem
+        FROM $view
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
+      finally s.catalog.dropTempView(view)
     }),
 
     // Projection: ReadSchema should contain exactly these 3 columns.

@@ -47,6 +47,15 @@ object IO {
   private[graft] def tmp(prefix: String): String =
     Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** Eager recursive delete for callers that want cleanup before JVM
+    * exit (tests dropping their warehouse dirs). */
+  private[graft] def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   val NationSchema: StructType = StructType(Seq(
     StructField("n_nationkey", IntegerType),
     StructField("n_name", StringType),

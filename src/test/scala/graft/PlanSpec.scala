@@ -116,7 +116,12 @@ class PlanSpec extends SparkTestBase {
       val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
       assert(m.isDefined, s"no bucket pruning in plan:\n${plan.take(1500)}")
       assert(m.get.group(1).toInt <= 4, plan.take(1500))
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      // leave no catalog/warehouse residue for the rest of the suite
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
+      graft.sources.IO.rmTree(path)
+    }
   }
 
   test("q_fn_explode: the row filter pushes below the generator into the scan") {
