@@ -247,6 +247,15 @@ object Climate {
         concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
           col("features_joined"), lit("]}")).as("collection"))
 
+  /** The synthetic land-cell lookup shared by every composite: supplier
+    * account balances hashed onto the same 30°-band grid the probe side
+    * quantizes to (the data-driven stand-in for the vendored land mask). */
+  private[operators] def landCells(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      cellIndex((col("s_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
+      cellIndex((col("s_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
+      .distinct()
+
   /** Shared composite plan: scan -> pushdown time filter -> land-mask
     * semi-join -> distributed resolution inference (broadcast 1-row
     * aggregates, no driver collect) -> feature build. */
@@ -254,20 +263,98 @@ object Climate {
     val grid = syntheticGrid(Tables.events(s, dir))
       .filter(timestampRange(col("ts"), 2024, 1, 2024, 12))
       .filter(col("value").isNotNull)
-    val land = Tables.supplier(s, dir).select(
-      cellIndex((col("s_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
-      cellIndex((col("s_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
-      .distinct()
     val masked = landMask(
       grid.withColumn("cell_lat", cellIndex(col("lat"), 90.0, 30.0))
         .withColumn("cell_lon", cellIndex(col("lon"), 180.0, 30.0)),
-      land)
+      landCells(s, dir))
     // both axes inferred in one pass over `masked` (vs one scan per axis)
     val res = gridResolutions(masked, Seq("lat" -> 0.5, "lon" -> 0.625))
     withYearMonth(masked.crossJoin(broadcast(res)), "ts")
       .select(col("event_id"), col("year"), col("month"),
         geojsonFeature(col("lat"), col("lon"), round(col("value"), 4), "precipitation",
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
+  }
+
+  /** PER-(year,month) multi-axis resolution inference — the humidity
+    * and temperature pipelines' split-then-infer order: each monthly
+    * file infers its own grid resolution from ITS distinct coordinates
+    * (humidity_pipeline.py:136-139, temperature_pipeline.py:102-105),
+    * unlike the global inference in [[gridResolutions]].
+    *
+    * Scale posture: the window input is the DISTINCT
+    * (year, month, axis, value) set, whose per-month cardinality is the
+    * grid's axis size — a property of the measurement grid, independent
+    * of row volume — so the (year,month,axis)-partitioned ordered window
+    * is bounded. One pass over the input covers all axes (unpivot). */
+  private[graft] def monthlyResolutions(df: DataFrame,
+      axes: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = axes.map { case (c, _) =>
+      struct(lit(c).as("axis"), col(c).cast("double").as("v")) }
+    val dist = df.select(col("year"), col("month"), explode(array(pairs: _*)).as("p"))
+      .select(col("year"), col("month"), col("p.axis").as("axis"), col("p.v").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val w = Window.partitionBy(col("year"), col("month"), col("axis")).orderBy(col("v"))
+    val perAxis = dist
+      .withColumn("gap", col("v") - lag(col("v"), 1).over(w))
+      .groupBy(col("year"), col("month"), col("axis"))
+      .agg(round(min(col("gap")), 4).as("res"))
+    perAxis.groupBy(col("year"), col("month")).agg(
+      axes.head match { case (c, d) =>
+        coalesce(max(when(col("axis") === c, col("res"))), lit(d)).as(s"${c}_res") },
+      axes.tail.map { case (c, d) =>
+        coalesce(max(when(col("axis") === c, col("res"))), lit(d)).as(s"${c}_res") }: _*)
+  }
+
+  /** Shared prefix of the humidity/temperature composites: scan ->
+    * reference-default time window (2022-01..2025-05,
+    * humidity_pipeline.py:28-31) -> NaN drop -> land mask -> per-month
+    * resolution attach (broadcast: one row per month). */
+  private[operators] def monthlyMasked(s: SparkSession, dir: String): DataFrame = {
+    val grid = syntheticGrid(Tables.events(s, dir))
+      .filter(timestampRange(col("ts"), 2022, 1, 2025, 5))
+      .filter(col("value").isNotNull)
+    val masked = withYearMonth(landMask(
+      grid.withColumn("cell_lat", cellIndex(col("lat"), 90.0, 30.0))
+        .withColumn("cell_lon", cellIndex(col("lon"), 180.0, 30.0)),
+      landCells(s, dir)), "ts")
+    masked.join(
+      broadcast(monthlyResolutions(masked, Seq("lat" -> 0.5, "lon" -> 0.625))),
+      Seq("year", "month"))
+  }
+
+  /** End-to-end TEMPERATURE composite (temperature_pipeline.py:170-187
+    * run order: download -> monthly split -> land-masked GeoJSON ->
+    * per-month FeatureCollection). Property set is {temperature, time}
+    * ONLY — no lat/lon echo (temperature_pipeline.py:114-120). */
+  def temperatureComposite(s: SparkSession, dir: String): DataFrame = {
+    val feats = monthlyMasked(s, dir)
+      .select(col("year"), col("month"), col("event_id"),
+        temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
+          col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
+    featureCollection(feats, "feature", "event_id")
+      .orderBy(col("year"), col("month"))
+  }
+
+  /** End-to-end HUMIDITY composite (humidity_pipeline.py:339-360 run
+    * order) — the validation-heavy lifecycle: explicit numeric casts on
+    * value and coordinates (humidity_pipeline.py:155-163 via
+    * [[humidityFeature]]), NaN drops before AND after the mask
+    * (:104,:131 — one idempotent null filter here), then each month's
+    * document re-parsed and checked non-empty exactly as
+    * validate_geojson does (:95-110): parse -> count features ->
+    * valid = count > 0. */
+  def humidityComposite(s: SparkSession, dir: String): DataFrame = {
+    val feats = monthlyMasked(s, dir)
+      .select(col("year"), col("month"), col("event_id"),
+        humidityFeature(col("lat"), col("lon"), round(col("value"), 4),
+          col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
+    featureCollection(feats, "feature", "event_id")
+      .select(col("year"), col("month"), col("collection"),
+        json_array_length(get_json_object(col("collection"), "$.features"))
+          .cast("long").as("n_features"))
+      .withColumn("valid", col("n_features") > 0)
+      .orderBy(col("year"), col("month"))
   }
 
   /** The end-to-end climate composite (SURVEY §7.3 step 6):
@@ -320,6 +407,11 @@ object Climate {
     // mask → resolution → feature in SQL, byte-identical JSON included.
     "q_climate_composite" -> ((s, d) =>
       compositeFrame(s, d).orderBy(col("event_id"))),
+    // The remaining two reference programs, composed end-to-end:
+    // temperature (no lat/lon echo in properties) and humidity (cast +
+    // parse-back validation lifecycle) — both fully hash-checked.
+    "q_temperature_composite" -> (temperatureComposite _),
+    "q_humidity_composite" -> (humidityComposite _),
     // Land mask over synthetic cells: probe = customers hashed onto a
     // 6×12-band grid, land lookup = supplier cells on the same grid.
     "q_filter_land_mask" -> ((s, d) => {
@@ -557,6 +649,118 @@ object Climate {
         |      'lat', lat,
         |      'lon', lon)) AS VARCHAR) AS feature
         |FROM masked, res ORDER BY event_id""".stripMargin,
+    // both composites share the masked-grid + per-month-resolution
+    // CTEs; they differ exactly where the reference pipelines differ —
+    // the properties object and the humidity validation columns
+    "q_temperature_composite" ->
+      """WITH grid AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         value
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2022-01-01'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2025-06-01'
+        |    AND value IS NOT NULL),
+        |land AS (
+        |  SELECT DISTINCT
+        |         CAST(floor((((s_acctbal % 180) + 180) % 180 - 90 + 90) / 30) AS INT) AS cell_lat,
+        |         CAST(floor(((((s_acctbal * 7) % 360) + 360) % 360 - 180 + 180) / 30) AS INT) AS cell_lon
+        |  FROM supplier),
+        |masked AS (
+        |  SELECT g.*, CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month
+        |  FROM grid g
+        |  WHERE EXISTS (SELECT 1 FROM land l
+        |                WHERE l.cell_lat = CAST(floor((g.lat + 90) / 30) AS INT)
+        |                  AND l.cell_lon = CAST(floor((g.lon + 180) / 30) AS INT))),
+        |res AS (
+        |  SELECT year, month,
+        |         coalesce(round(min(CASE WHEN axis = 'lat' THEN gap END), 4), 0.5) AS lat_res,
+        |         coalesce(round(min(CASE WHEN axis = 'lon' THEN gap END), 4), 0.625) AS lon_res
+        |  FROM (
+        |    SELECT year, month, axis,
+        |           v - lag(v) OVER (PARTITION BY year, month, axis ORDER BY v) AS gap
+        |    FROM (SELECT DISTINCT year, month, 'lat' AS axis, lat AS v FROM masked
+        |          UNION SELECT DISTINCT year, month, 'lon' AS axis, lon AS v FROM masked))
+        |  GROUP BY year, month),
+        |f AS (
+        |  SELECT m.event_id, m.year, m.month,
+        |    CAST(json_object(
+        |      'type', 'Feature',
+        |      'geometry', json_object(
+        |        'type', 'Polygon',
+        |        'coordinates', [[
+        |          [lon - lon_res/2, lat - lat_res/2],
+        |          [lon + lon_res/2, lat - lat_res/2],
+        |          [lon + lon_res/2, lat + lat_res/2],
+        |          [lon - lon_res/2, lat + lat_res/2],
+        |          [lon - lon_res/2, lat - lat_res/2]]]),
+        |      'properties', json_object(
+        |        'temperature', round(value, 4),
+        |        'time', CAST(tts AS VARCHAR))) AS VARCHAR) AS feature
+        |  FROM masked m JOIN res USING (year, month))
+        |SELECT year, month,
+        |  '{"type":"FeatureCollection","features":[' ||
+        |  string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
+        |FROM f GROUP BY year, month ORDER BY year, month""".stripMargin,
+    "q_humidity_composite" ->
+      """WITH grid AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         value
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2022-01-01'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2025-06-01'
+        |    AND value IS NOT NULL),
+        |land AS (
+        |  SELECT DISTINCT
+        |         CAST(floor((((s_acctbal % 180) + 180) % 180 - 90 + 90) / 30) AS INT) AS cell_lat,
+        |         CAST(floor(((((s_acctbal * 7) % 360) + 360) % 360 - 180 + 180) / 30) AS INT) AS cell_lon
+        |  FROM supplier),
+        |masked AS (
+        |  SELECT g.*, CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month
+        |  FROM grid g
+        |  WHERE EXISTS (SELECT 1 FROM land l
+        |                WHERE l.cell_lat = CAST(floor((g.lat + 90) / 30) AS INT)
+        |                  AND l.cell_lon = CAST(floor((g.lon + 180) / 30) AS INT))),
+        |res AS (
+        |  SELECT year, month,
+        |         coalesce(round(min(CASE WHEN axis = 'lat' THEN gap END), 4), 0.5) AS lat_res,
+        |         coalesce(round(min(CASE WHEN axis = 'lon' THEN gap END), 4), 0.625) AS lon_res
+        |  FROM (
+        |    SELECT year, month, axis,
+        |           v - lag(v) OVER (PARTITION BY year, month, axis ORDER BY v) AS gap
+        |    FROM (SELECT DISTINCT year, month, 'lat' AS axis, lat AS v FROM masked
+        |          UNION SELECT DISTINCT year, month, 'lon' AS axis, lon AS v FROM masked))
+        |  GROUP BY year, month),
+        |f AS (
+        |  SELECT m.event_id, m.year, m.month,
+        |    CAST(json_object(
+        |      'type', 'Feature',
+        |      'geometry', json_object(
+        |        'type', 'Polygon',
+        |        'coordinates', [[
+        |          [lon - lon_res/2, lat - lat_res/2],
+        |          [lon + lon_res/2, lat - lat_res/2],
+        |          [lon + lon_res/2, lat + lat_res/2],
+        |          [lon - lon_res/2, lat + lat_res/2],
+        |          [lon - lon_res/2, lat - lat_res/2]]]),
+        |      'properties', json_object(
+        |        'humidity', round(value, 4),
+        |        'time', CAST(tts AS VARCHAR),
+        |        'lat', lat,
+        |        'lon', lon)) AS VARCHAR) AS feature
+        |  FROM masked m JOIN res USING (year, month)),
+        |c AS (
+        |  SELECT year, month,
+        |    '{"type":"FeatureCollection","features":[' ||
+        |    string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
+        |  FROM f GROUP BY year, month)
+        |SELECT year, month, collection,
+        |       CAST(json_array_length(collection, '$.features') AS BIGINT) AS n_features,
+        |       json_array_length(collection, '$.features') > 0 AS valid
+        |FROM c ORDER BY year, month""".stripMargin,
     "q_geojson_collection" ->
       """WITH g AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,

@@ -80,6 +80,40 @@ class ClimateSpec extends SparkTestBase {
     assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.625)
   }
 
+  test("monthlyResolutions: each month infers its OWN grid resolution") {
+    // month 1 is a 0.5° grid, month 2 a 1.0° grid, month 3 has a single
+    // point per axis (falls back to the default) — the split-then-infer
+    // order of humidity_pipeline.py:136-139 / temperature_pipeline.py:102-105
+    val df = Seq(
+      (2024, 1, 0.0, 10.0), (2024, 1, 0.5, 10.625), (2024, 1, 1.5, 12.5),
+      (2024, 2, 0.0, 10.0), (2024, 2, 1.0, 11.25),
+      (2024, 3, 4.0, 40.0),
+    ).toDF("year", "month", "lat", "lon")
+    val res = Climate.monthlyResolutions(df, Seq("lat" -> 0.5, "lon" -> 0.625))
+      .orderBy(col("year"), col("month"))
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(res == Seq((1, 0.5, 0.625), (2, 1.0, 1.25), (3, 0.5, 0.625)))
+  }
+
+  test("temperature/humidity composites: per-pipeline property + validation semantics") {
+    val t = Climate.temperatureComposite(spark, sf).collect()
+    assert(t.nonEmpty)
+    val tDoc = t.head.getAs[String]("collection")
+    // temperature properties carry NO lat/lon echo (temperature_pipeline.py:117)
+    assert(tDoc.contains("\"temperature\":"))
+    assert(!tDoc.contains("\"humidity\":") && !tDoc.contains("\"lat\":"), tDoc.take(400))
+    val h = Climate.humidityComposite(spark, sf).collect()
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      val doc = r.getAs[String]("collection")
+      // humidity properties echo lat/lon (humidity_pipeline.py:158-163)
+      assert(doc.contains("\"humidity\":") && doc.contains("\"lat\":"), doc.take(400))
+      // the validation lifecycle (humidity_pipeline.py:95-110): the
+      // n_features column IS the parse-back count and gates `valid`
+      assert(r.getAs[Long]("n_features") > 0 && r.getAs[Boolean]("valid"))
+    }
+  }
+
   test("isEmptyRelation short-circuits without a full count") {
     val li = Tables.lineitem(spark, sf)
     assert(!Climate.isEmptyRelation(li))
