@@ -223,6 +223,12 @@ object Climate {
         lat.cast("double").as("lat"),
         lon.cast("double").as("lon")))
 
+  /** Default per-document feature bound for [[featureCollection]]: at
+    * ~300 B/feature a full shard is ~300 MB — an order of magnitude
+    * under Spark's 2 GB single-value ceiling, with headroom for fat
+    * properties. */
+  val MaxFeaturesPerDoc: Int = 1 << 20
+
   /** Per-(year,month) FeatureCollection assembly — the reference's
     * actual output document (json.dump({'type': 'FeatureCollection',
     * 'features': [...]}, separators=(',',':')),
@@ -230,22 +236,48 @@ object Climate {
     * one compact-JSON document per month, features ordered by the
     * given key so the document is deterministic.
     *
-    * Scale note: a month's document is materialized as ONE row (the
-    * reference's own file-per-month contract) — the per-month
-    * collect_list is the operator's semantic, not an accident; months
-    * too large for one document should shard the partition key, not
-    * this operator. */
+    * Scale posture: delegates to [[featureCollectionSharded]] — a month
+    * whose feature count exceeds `maxPerDoc` degrades into numbered
+    * document parts instead of dying on Spark's 2 GB single-value limit
+    * in one aggregation task; in-bound months produce BYTE-IDENTICAL
+    * output to the unsharded form (single shard, asserted in
+    * ClimateSpec). */
   def featureCollection(df: DataFrame, featureCol: String,
-      orderCol: String): DataFrame =
-    df.groupBy(col("year"), col("month"))
+      orderCol: String, maxPerDoc: Int = MaxFeaturesPerDoc): DataFrame =
+    featureCollectionSharded(df, featureCol, orderCol, maxPerDoc)
+      .drop("shard")
+
+  /** Sharded FeatureCollection: shard i of a month holds features with
+    * order-rank in [i·maxPerDoc, (i+1)·maxPerDoc) — CONTIGUOUS in the
+    * document order, so concatenating the parts' feature arrays in
+    * shard order reproduces the unsharded document exactly; months at
+    * or under the bound emit one shard (index 0) whose document is
+    * byte-identical to the unsharded form.
+    *
+    * Scale posture: the rank is a (year,month)-partitioned window —
+    * an EXTERNAL sort that spills to disk, replacing the unbounded
+    * in-memory collect_list array as the whole-month stage; each
+    * per-shard collect_list then holds at most `maxPerDoc` features.
+    * The groupBy reuses the window's (year,month) hash partitioning
+    * (group keys are a superset), so sharding adds no extra shuffle.
+    * `orderCol` must be unique within a month (it already must be for
+    * the document order itself to be deterministic). */
+  def featureCollectionSharded(df: DataFrame, featureCol: String,
+      orderCol: String, maxPerDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("year"), col("month")).orderBy(col(orderCol))
+    df.withColumn("shard",
+        ((row_number().over(w) - 1) / maxPerDoc).cast("int"))
+      .groupBy(col("year"), col("month"), col("shard"))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col(orderCol), col(featureCol)))),
           p => p.getField(featureCol)),
         ",").as("features_joined"))
-      .select(col("year"), col("month"),
+      .select(col("year"), col("month"), col("shard"),
         concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
           col("features_joined"), lit("]}")).as("collection"))
+  }
 
   /** The synthetic land-cell lookup shared by every composite: supplier
     * account balances hashed onto the same 30°-band grid the probe side

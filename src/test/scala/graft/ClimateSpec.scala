@@ -80,6 +80,51 @@ class ClimateSpec extends SparkTestBase {
     assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.625)
   }
 
+  test("featureCollectionSharded: oversized months split, in-bound months byte-identical") {
+    // month 1 has 5 features, month 2 has 2; bound = 2
+    val df = (1L to 5L).map(i => (2024, 1, i, s"""{"f":$i}""")) ++
+      Seq((2024, 2, 6L, """{"f":6}"""), (2024, 2, 7L, """{"f":7}"""))
+    val feats = df.toDF("year", "month", "event_id", "feature")
+    val sharded = Climate.featureCollectionSharded(feats, "feature", "event_id", 2)
+      .orderBy(col("year"), col("month"), col("shard"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // an oversized month splits into ceil(5/2)=3 contiguously-numbered parts
+    assert(sharded.map(t => (t._1, t._2)) == Seq((1, 0), (1, 1), (1, 2), (2, 0)))
+    // no single document (aggregation row) exceeds the bound
+    sharded.foreach { case (_, _, doc) =>
+      val n = spark.range(1).select(
+        json_array_length(get_json_object(lit(doc), "$.features"))).head.getInt(0)
+      assert(n <= 2, doc)
+    }
+    // concatenating the parts' feature arrays in shard order reproduces
+    // the unsharded document exactly
+    def stripEnvelope(doc: String) = doc
+      .stripPrefix("""{"type":"FeatureCollection","features":[""").stripSuffix("]}")
+    val unsharded = Climate.featureCollectionSharded(feats, "feature", "event_id", 100)
+      .orderBy(col("year"), col("month"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val reassembled = sharded.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(t => stripEnvelope(t._3)).mkString(",")).toMap
+    assert(reassembled == unsharded.map(t => t._1 -> stripEnvelope(t._3)).toMap)
+    // in-bound months: ONE shard (index 0), byte-identical to the
+    // default (bounded) featureCollection path
+    assert(unsharded.forall(_._2 == 0))
+    val plain = Climate.featureCollection(feats, "feature", "event_id")
+      .orderBy(col("year"), col("month"))
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(plain == unsharded.map(t => (t._1, t._3)))
+  }
+
+  test("featureCollectionSharded: sharding adds NO shuffle beyond (year,month)") {
+    val feats = (1L to 100L).map(i => (2024, 1, i, s"f$i"))
+      .toDF("year", "month", "event_id", "feature")
+    val plan = Climate.featureCollectionSharded(feats, "feature", "event_id", 10)
+      .queryExecution.executedPlan.toString
+    // one exchange: the window's hashpartitioning(year, month). The
+    // (year,month,shard) aggregation reuses it (group keys ⊇ keys).
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("monthlyResolutions: each month infers its OWN grid resolution") {
     // month 1 is a 0.5° grid, month 2 a 1.0° grid, month 3 has a single
     // point per axis (falls back to the default) — the split-then-infer
