@@ -33,25 +33,60 @@ object Multimodal {
   final case class MediaFeatures(id: Long, n_bytes: Int,
       histogram: Array[Long], signature: Long)
 
+  /** Typed metadata struct over an existing (doc_id, payload) frame —
+    * the payload-contract half shared by the text-bytes stand-in and
+    * the file-backed ingest. */
+  private def withMeta(payloads: DataFrame, mime: org.apache.spark.sql.Column): DataFrame =
+    payloads.withColumn("meta", struct(
+      mime.as("mime"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("digest")))
+
   /** Attach the opaque payload + typed metadata struct. The cast to
     * binary is the engine-side contract; with real media the bytes
-    * arrive from `spark.read.format("binaryFile")` or a parquet binary
-    * column instead. */
+    * arrive from [[filePayloads]] or a parquet binary column instead. */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      col("text").cast("binary").as("payload"))
-      .withColumn("meta", struct(
-        lit("text/plain").as("mime"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        sha2(col("payload"), 256).as("digest")))
+    withMeta(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      lit("text/plain"))
 
-  /** Metadata projection — pure expressions, payload never leaves the
-    * scan's codegen stage. */
-  def mediaMeta(docs: DataFrame): DataFrame =
-    withPayload(docs)
+  /** FILE-BACKED payload ingest: `spark.read.format("binaryFile")` over
+    * a directory tree — Spark's distributed binary-file source yields
+    * (path, modificationTime, length, content); mapped here into the
+    * same (doc_id, payload, meta) contract as [[withPayload]], with the
+    * id parsed from the file name and the mime type from the extension.
+    *
+    * Scale posture: the source lists files in parallel and assigns one
+    * file per task row — payload bytes stream from storage straight
+    * into the partition that owns them, and
+    * `spark.sql.files.maxPartitionBytes` packs small files into shared
+    * tasks. Metadata-only readers should prefer the source's own
+    * `length` column (no content read) — kept here as `n_bytes` via
+    * the same expression contract so digests stay comparable. */
+  def filePayloads(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)[^/]*$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        when(col("path").endsWith(".png"), "image/png")
+          .when(col("path").endsWith(".wav"), "audio/wav")
+          .when(col("path").endsWith(".txt"), "text/plain")
+          .otherwise("application/octet-stream").as("_mime"))
+    withMeta(raw, col("_mime")).drop("_mime")
+  }
+
+  /** Metadata projection over any payload-contract frame — pure
+    * expressions, payload never leaves the scan's codegen stage. */
+  def mediaMetaOf(payloads: DataFrame): DataFrame =
+    payloads
       .select(col("doc_id"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"), col("meta.digest").as("digest"))
       .orderBy(col("doc_id"))
+
+  /** Metadata projection for the documents-table stand-in. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    mediaMetaOf(withPayload(docs))
 
   /** Partition-local feature extraction at the decoder boundary.
     *
@@ -61,10 +96,15 @@ object Multimodal {
     * decoder init per partition, constant memory per row — is exactly
     * what is exercised here.
     */
-  def mediaFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
-    val spark = docs.sparkSession
+  def mediaFeatures(docs: DataFrame): Dataset[MediaFeatures] =
+    mediaFeaturesOf(withPayload(docs))
+
+  /** Same decoder boundary over ANY payload-contract frame (text
+    * stand-in or [[filePayloads]]). */
+  def mediaFeaturesOf(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    withPayload(docs)
+    payloads
       .select(col("doc_id").as("id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
         // per-partition decoder init would go here (amortized once)

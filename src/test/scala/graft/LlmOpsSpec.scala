@@ -220,4 +220,38 @@ class LlmOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a.forall { case (id, (n, _)) => meta(id) == n.toLong })
   }
+
+  test("binaryFile ingest: file-backed payloads honor the same contract") {
+    // deterministic fixture tree: nested dirs, mixed extensions, known bytes
+    val root = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    val bytesOf = (id: Int) => Array.tabulate[Byte](id * 37 + 5)(j => ((id * 131 + j * 7) % 256).toByte)
+    val files = Seq(
+      (1, "img_1.png", "image/png"), (2, "clip_2.wav", "audio/wav"),
+      (3, "doc_3.txt", "text/plain"), (4, "blob_4", "application/octet-stream"))
+    files.foreach { case (id, name, _) =>
+      val sub = new java.io.File(root, s"batch${id % 2}"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, name).toPath, bytesOf(id))
+    }
+    try {
+      val payloads = Multimodal.filePayloads(spark, root.toString)
+      // metadata: id from filename, mime from extension, exact size + sha-256
+      val meta = Multimodal.mediaMetaOf(payloads).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+      assert(meta.keySet == files.map(_._1.toLong).toSet)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      files.foreach { case (id, _, mime) =>
+        val (m, n, digest) = meta(id.toLong)
+        assert(m == mime, s"id=$id mime")
+        assert(n == bytesOf(id).length.toLong, s"id=$id size")
+        val expect = sha.digest(bytesOf(id)).map("%02x".format(_)).mkString
+        assert(digest == expect, s"id=$id digest")
+      }
+      // the decoder boundary is partition-invariant on the file path too
+      val f1 = Multimodal.mediaFeaturesOf(payloads).collect()
+        .map(f => f.id -> (f.n_bytes, f.signature, f.histogram.toSeq)).toMap
+      val f2 = Multimodal.mediaFeaturesOf(payloads.repartition(7)).collect()
+        .map(f => f.id -> (f.n_bytes, f.signature, f.histogram.toSeq)).toMap
+      assert(f1 == f2 && f1.keySet == meta.keySet)
+    } finally graft.sources.IO.rmTree(root.toString)
+  }
 }
