@@ -151,6 +151,30 @@ object Climate {
   def landMask(points: DataFrame, landCells: DataFrame): DataFrame =
     points.join(broadcast(landCells), Seq("cell_lat", "cell_lon"), "left_semi")
 
+  /** Build the land-cell BITMASK from the lookup — the codegen'd
+    * alternative to the semi-join (SURVEY §7.4). The collect here IS
+    * the broadcast build: the lookup is bounded by the land-mask
+    * contract (a global 1 km mask is a few MB of cell indices — the
+    * same bytes `broadcast(landCells)` ships to every executor), and it
+    * lands as ~1 bit/cell instead of a hash relation of rows. For
+    * lookups too large or dynamic to embed, [[landMask]] remains the
+    * fallback. */
+  def landCellMask(landCells: DataFrame): graft.plans.CellMask =
+    graft.plans.CellMask.fromCells(
+      landCells.select(col("cell_lat"), col("cell_lon"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))))
+
+  /** Land-mask as a pure codegen'd FILTER: no join operator in the
+    * plan — the probe runs inside the scan's whole-stage-codegen loop
+    * (two bounds checks + one bit test per row), bit-identical to
+    * [[landMask]] (CellMaskSpec), plan shape pinned in PlanSpec. */
+  def landMaskExpr(points: DataFrame, mask: graft.plans.CellMask): DataFrame =
+    points.filter(org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CellMaskContains(
+        org.apache.spark.sql.GraftBridge.expression(col("cell_lat")),
+        org.apache.spark.sql.GraftBridge.expression(col("cell_lon")),
+        mask)))
+
   /** Synthetic (lat, lon) grid derived deterministically from harness
     * columns (the testdata has no coordinates): 0.5°/0.625° steps —
     * the reference's own grid resolutions
@@ -282,7 +306,7 @@ object Climate {
   /** The synthetic land-cell lookup shared by every composite: supplier
     * account balances hashed onto the same 30°-band grid the probe side
     * quantizes to (the data-driven stand-in for the vendored land mask). */
-  private[operators] def landCells(s: SparkSession, dir: String): DataFrame =
+  private[graft] def landCells(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir).select(
       cellIndex((col("s_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
       cellIndex((col("s_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
@@ -445,16 +469,14 @@ object Climate {
     "q_temperature_composite" -> (temperatureComposite _),
     "q_humidity_composite" -> (humidityComposite _),
     // Land mask over synthetic cells: probe = customers hashed onto a
-    // 6×12-band grid, land lookup = supplier cells on the same grid.
+    // 6×12-band grid, land lookup = supplier cells on the same grid —
+    // pinned to the codegen'd BITMASK-expression form (no join in the
+    // plan); the semi-join form stays available as [[landMask]].
     "q_filter_land_mask" -> ((s, d) => {
       val pts = Tables.customer(s, d).select(col("c_custkey"),
         cellIndex((col("c_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
         cellIndex((col("c_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
-      val land = Tables.supplier(s, d).select(
-        cellIndex((col("s_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
-        cellIndex((col("s_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
-        .distinct()
-      landMask(pts, land).orderBy(col("c_custkey"))
+      landMaskExpr(pts, landCellMask(landCells(s, d))).orderBy(col("c_custkey"))
     }),
     "q_geojson_feature" -> ((s, d) =>
       syntheticGrid(Tables.events(s, d))

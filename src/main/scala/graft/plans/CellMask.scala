@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
+
+/** Dense bitmask over a quantized (latCell, lonCell) grid — the
+  * broadcast-side payload of the land-mask probe (SURVEY §7.4's
+  * optional custom piece). One bit per grid cell, row-major from the
+  * grid's min corner: a full global 1 km-quantized mask is tens of MB
+  * of BITS (vs hundreds of MB as a broadcast hash relation of cell-pair
+  * rows), and the probe is two subtractions, two bounds checks, one
+  * word index — no hashing, no probe walk.
+  */
+final case class CellMask(latMin: Int, lonMin: Int, nLat: Int, nLon: Int,
+    words: Array[Long]) {
+  require(words.length == ((nLat.toLong * nLon + 63) >> 6).toInt,
+    s"word count ${words.length} does not cover ${nLat}x$nLon cells")
+
+  def contains(lat: Int, lon: Int): Boolean = {
+    val i = lat - latMin
+    val j = lon - lonMin
+    if (i < 0 || i >= nLat || j < 0 || j >= nLon) false
+    else {
+      val idx = i * nLon + j
+      ((words(idx >>> 6) >>> (idx & 63)) & 1L) != 0L
+    }
+  }
+}
+
+object CellMask {
+  /** Build from the distinct land-cell set. The extent is the cells'
+    * bounding box; everything outside it probes to false. */
+  def fromCells(cells: Iterable[(Int, Int)]): CellMask = {
+    require(cells.nonEmpty, "cannot build a CellMask from zero cells")
+    val latMin = cells.iterator.map(_._1).min
+    val latMax = cells.iterator.map(_._1).max
+    val lonMin = cells.iterator.map(_._2).min
+    val lonMax = cells.iterator.map(_._2).max
+    val nLat = latMax - latMin + 1
+    val nLon = lonMax - lonMin + 1
+    val words = new Array[Long](((nLat.toLong * nLon + 63) >> 6).toInt)
+    cells.foreach { case (la, lo) =>
+      val idx = (la - latMin) * nLon + (lo - lonMin)
+      words(idx >>> 6) |= 1L << (idx & 63)
+    }
+    CellMask(latMin, lonMin, nLat, nLon, words)
+  }
+}
+
+/** Native Catalyst expression: `cell ∈ mask` as a codegen'd bit probe.
+  *
+  * The semi-join formulation ([[graft.operators.Climate.landMask]])
+  * ships the lookup as a broadcast hash relation and pays a hash +
+  * probe-walk per row; this expression embeds the same set as a literal
+  * bitmask in the plan, so the per-row cost inside the scan's
+  * whole-stage-codegen loop is integer arithmetic only — and the filter
+  * participates in codegen'd predicate pipelines (no join operator in
+  * the plan at all). Bit-identical to the semi-join on non-null cells;
+  * NULL cell indices yield NULL (dropped by Filter), exactly as a
+  * null-rejecting join key drops them — parity asserted in
+  * CellMaskSpec, plan shape pinned in PlanSpec. The semi-join remains
+  * the fallback for lookups too large or too dynamic to embed.
+  */
+case class CellMaskContains(latCell: Expression, lonCell: Expression,
+    mask: CellMask) extends BinaryExpression {
+
+  override def left: Expression = latCell
+  override def right: Expression = lonCell
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (latCell.dataType, lonCell.dataType) match {
+      case (IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int) cell indices, " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_cellmask"
+
+  override protected def nullSafeEval(la: Any, lo: Any): Any =
+    mask.contains(la.asInstanceOf[Int], lo.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo) => {
+      // the words array rides along as a plan reference object — the
+      // grid geometry folds into the generated source as constants
+      val w = ctx.addReferenceObj("cellMaskWords", mask.words, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $i = $la - (${mask.latMin});
+         |int $j = $lo - (${mask.lonMin});
+         |if ($i < 0 || $i >= ${mask.nLat} || $j < 0 || $j >= ${mask.nLon}) {
+         |  ${ev.value} = false;
+         |} else {
+         |  int $idx = $i * ${mask.nLon} + $j;
+         |  ${ev.value} = (($w[$idx >>> 6] >>> ($idx & 63)) & 1L) != 0L;
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellMaskContains =
+    copy(latCell = newLeft, lonCell = newRight)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Climate
+import graft.plans.CellMask
+
+/** The bitmask land-mask expression: bit-identical to the semi-join
+  * form, correct null/out-of-range semantics, and identical results
+  * under codegen and interpreted evaluation.
+  */
+class CellMaskSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CellMask.contains: exact membership, out-of-extent is false") {
+    val m = CellMask.fromCells(Seq((2, 3), (2, 5), (-1, 3)))
+    assert(m.contains(2, 3) && m.contains(2, 5) && m.contains(-1, 3))
+    assert(!m.contains(2, 4) && !m.contains(-1, 5) && !m.contains(0, 3))
+    // outside the bounding box entirely
+    assert(!m.contains(100, 3) && !m.contains(2, -100) && !m.contains(-2, 3))
+    // a mask wider than one word (6x12 = 72 bits spans two longs)
+    val wide = CellMask.fromCells((0 until 6).flatMap(i => (0 until 12).map(j => (i, j))))
+    assert((0 until 6).forall(i => (0 until 12).forall(j => wide.contains(i, j))))
+    assert(!wide.contains(6, 0) && !wide.contains(0, 12))
+  }
+
+  test("expression form is bit-identical to the semi-join on the registered query's data") {
+    val pts = Tables.customer(spark, sf).select(col("c_custkey"),
+      Climate.cellIndex((col("c_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
+      Climate.cellIndex((col("c_acctbal") * 7 % 360 + 360) % 360 - 180, 180.0, 30.0).as("cell_lon"))
+    val land = Climate.landCells(spark, sf)
+    val viaJoin = Climate.landMask(pts, land)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val viaExpr = Climate.landMaskExpr(pts, Climate.landCellMask(land))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaExpr == viaJoin && viaExpr.nonEmpty)
+  }
+
+  test("NULL cell indices are dropped, exactly like a null-rejecting join key") {
+    val pts = Seq[(Long, Option[Int], Option[Int])](
+      (1L, Some(0), Some(0)), (2L, None, Some(0)), (3L, Some(0), None),
+      (4L, Some(5), Some(5)))
+      .toDF("id", "cell_lat", "cell_lon")
+    val land = Seq((0, 0), (5, 5)).toDF("cell_lat", "cell_lon")
+    val viaJoin = Climate.landMask(pts, land)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaExpr = Climate.landMaskExpr(pts, Climate.landCellMask(land))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaJoin == Seq(1L, 4L) && viaExpr == viaJoin)
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val pts = spark.range(0, 1000).select(col("id"),
+      pmod(col("id"), lit(11)).cast("int").minus(2).as("cell_lat"),
+      pmod(col("id") * 3, lit(17)).cast("int").minus(4).as("cell_lon"))
+    val mask = CellMask.fromCells(Seq((0, 0), (1, 5), (3, 12), (-2, -4), (8, 0)))
+    def run(): Seq[Long] = Climate.landMaskExpr(pts, mask)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val withCodegen = run()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val interpreted = try run() finally spark.conf.set(key, prev)
+    assert(withCodegen == interpreted && withCodegen.nonEmpty)
+  }
+}

@@ -48,8 +48,21 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
-  test("q_filter_land_mask plans as a broadcast LEFT-SEMI hash join") {
+  test("q_filter_land_mask plans as the codegen'd bitmask FILTER — no join at all") {
     val plan = executed("q_filter_land_mask")
+    assert(plan.contains("graft_cellmask"), plan.take(2000))
+    assert(!plan.contains("Join"),
+      s"bitmask form must not plan a join:\n${plan.take(2000)}")
+  }
+
+  test("landMask semi-join fallback plans as a broadcast LEFT-SEMI hash join") {
+    import graft.operators.Climate
+    val pts = Tables.customer(spark, sf).select(
+      org.apache.spark.sql.functions.col("c_custkey"),
+      Climate.cellIndex(org.apache.spark.sql.functions.col("c_acctbal"), 90.0, 30.0).as("cell_lat"),
+      Climate.cellIndex(org.apache.spark.sql.functions.col("c_acctbal"), 180.0, 30.0).as("cell_lon"))
+    val plan = Climate.landMask(pts, Climate.landCells(spark, sf))
+      .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(2000))
   }
 
