@@ -113,6 +113,11 @@ class ClimateSpec extends SparkTestBase {
       .orderBy(col("year"), col("month"))
       .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(plain == unsharded.map(t => (t._1, t._3)))
+    // the adaptive default path degrades an out-of-bound month into
+    // document parts instead of one oversized row
+    val degraded = Climate.featureCollection(feats, "feature", "event_id", maxPerDoc = 2)
+      .collect().map(_.getInt(1)).toSeq
+    assert(degraded.count(_ == 1) == 3 && degraded.count(_ == 2) == 1)
   }
 
   test("featureCollectionSharded: sharding adds NO shuffle beyond (year,month)") {
