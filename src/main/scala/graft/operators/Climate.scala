@@ -492,6 +492,39 @@ object Climate {
         round(max(col(valueCol)), 4).as("hi"))
       .orderBy(col("bucket"))
 
+  /** EQUI-HEIGHT value histogram: `buckets` buckets with (near-)equal
+    * row counts — the quantile-driven complement of the fixed-width
+    * [[valueHistogram]] (a color scale where every band colors the same
+    * number of cells, vs. the reference's fixed value bands,
+    * docs/ALL_PIPELINES_PBF_WORKFLOW.md:22-36). The split is the
+    * SQL-standard ntile: the first `N mod buckets` buckets take
+    * ⌈N/buckets⌉ rows.
+    *
+    * Scale posture: NO single-task global window — the global row
+    * number comes from [[Windows.withGlobalRowNumber]] (range
+    * repartition + per-partition row_number + broadcast offsets), the
+    * total count from a broadcast 1-row aggregate, and the bucket id is
+    * pure integer arithmetic, so the heavy stages stay fully parallel.
+    * `tiebreak` must be unique for a deterministic split of equal
+    * values. */
+  def equiHeightHistogram(df: DataFrame, valueCol: String, tiebreak: String,
+      buckets: Int): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+    Windows.withGlobalRowNumber(base, "rn", col(valueCol), col(tiebreak))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+      .withColumn("q", expr(s"n_total div $buckets"))
+      .withColumn("r", expr(s"n_total % $buckets"))
+      .withColumn("bucket",
+        expr(s"""IF(rn <= r * (q + 1),
+                   (rn + q) div (q + 1),
+                   r + (rn - r * (q + 1) + q - 1) div q)""").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 4).as("lo"),
+        round(max(col(valueCol)), 4).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Empty-relation short-circuit (precipitation_pipeline.py:152-154,
     * humidity_pipeline.py:117-134): the reference guards every stage
     * with `if df.empty: return`. Spark-side, `head(1).isEmpty` is the
@@ -565,6 +598,8 @@ object Climate {
         .orderBy(col("event_id"))),
     "q_agg_histogram" -> ((s, d) =>
       valueHistogram(Tables.events(s, d), "value", 25.0)),
+    "q_agg_histogram_eq" -> ((s, d) =>
+      equiHeightHistogram(Tables.events(s, d), "value", "event_id", 16)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
     // the assembled FeatureCollection back and check it is non-empty —
     // expressed over the documents the engine just built, so the
@@ -670,6 +705,15 @@ object Climate {
       """SELECT CAST(floor(value / 25.0) AS INT) AS bucket, count(*) AS n,
         |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the engine's distributed (rn, N) arithmetic must reproduce the
+    // oracle's single ntile() window exactly
+    "q_agg_histogram_eq" ->
+      """SELECT bucket, count(*) AS n,
+        |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM (SELECT value,
+        |             CAST(ntile(16) OVER (ORDER BY value, event_id) AS INT) AS bucket
+        |      FROM events WHERE value IS NOT NULL)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB json_object emits the same compact separators, key order,
     // shortest-round-trip doubles, and trailing-zero-trimmed µs
