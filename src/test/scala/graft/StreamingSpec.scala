@@ -33,6 +33,40 @@ class RunningTotalProcessor
   }
 }
 
+/** Event-time session closer: counts a user's events, (re)arms a timer
+  * at last-event-time + 1 h on every batch, and emits the closed
+  * session from handleExpiredTimer once the WATERMARK passes the gap —
+  * the timer-driven flavor of session windowing (state that must fire
+  * WITHOUT further input for its key).
+  */
+class SessionCloseProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+  private val GapMs = 3600 * 1000L
+  @transient private var nEvents: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    nEvents = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    var maxTs = Long.MinValue
+    rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+    nEvents.update(n)
+    // one armed timer per key: re-arm at the new last-seen event time
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(maxTs + GapMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val n = if (nEvents.exists()) nEvents.get() else 0L
+    nEvents.clear()
+    Iterator((key, n))
+  }
+}
+
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -247,6 +281,47 @@ class StreamingSpec extends SparkTestBase {
         assert(rows.count { case (u, c) => u == 1L && c == 2L } == 1) // batch 1
         assert(rows.count { case (u, c) => u == 1L && c == 3L } == 1) // batch 2: state carried
         assert(rows.count { case (u, c) => u == 2L && c == 1L } == 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState event-time TIMERS close sessions when the watermark passes") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val name = nextName()
+      val closed = in.toDS().withWatermark("ts", "1 hour")
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionCloseProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+        .toDF("user_id", "n_events")
+      val q = closed.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // sessions: user 1 (2 events, last 10:05), user 2 (1 event, 10:10)
+        in.addData(Ev(t("2024-01-01 10:00:00"), 1, 1, 1.0),
+          Ev(t("2024-01-01 10:05:00"), 1, 2, 1.0),
+          Ev(t("2024-01-01 10:10:00"), 2, 3, 1.0))
+        q.processAllAvailable()
+        assert(spark.table(name).isEmpty) // nothing closed yet
+        // u3@13:00 advances the watermark to 12:00 at END of this batch
+        in.addData(Ev(t("2024-01-01 13:00:00"), 3, 4, 1.0))
+        q.processAllAvailable()
+        // next batch evaluates timers against watermark 12:00:
+        // u1's 11:05 and u2's 11:10 fire; u3's 14:00 does not
+        in.addData(Ev(t("2024-01-01 13:30:00"), 3, 5, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows == Set((1L, 2L), (2L, 1L)), rows)
       } finally q.stop()
     } finally {
       prev match {
