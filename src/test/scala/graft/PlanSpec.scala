@@ -137,6 +137,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("composite filters sit on the scan side of the spread repartition") {
+    // the humidity/temperature composites spread the scan (explicit
+    // repartition) before CPU-heavy narrow stages. The events table
+    // stores TIMESTAMP(NANOS) as long, so the time range is a function
+    // of the raw column and cannot push into parquet — what MUST hold:
+    // the null predicates push, the scan reads only the 3 needed
+    // columns, and the range filter evaluates directly on scan output
+    // (before any exchange), discarding rows before they shuffle.
+    val plan = executed("q_temperature_composite")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), IsNotNull(value)]"),
+      s"null predicates not pushed:\n${plan.take(2000)}")
+    val eventsSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema:")).find(_.contains("event_id"))
+      .getOrElse("")
+    assert(!eventsSchema.contains("user_id") && !eventsSchema.contains("event_type"),
+      s"events scan not pruned: $eventsSchema")
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Condition :") && l.contains("2022-01-01")).getOrElse("")
+    assert(filterLine.contains("ts#") && filterLine.contains("2025-06-01"),
+      s"time range does not evaluate at the scan:\n${plan.take(2000)}")
+  }
+
   test("q_fn_explode: the row filter pushes below the generator into the scan") {
     val plan = executed("q_fn_explode")
     assert(plan.contains("LessThan(vec_id,20)"),
