@@ -52,11 +52,18 @@ object PipelineManager {
           // own job group: cancellation/diagnosis scoped to this pipeline
           s.sparkContext.setJobGroup(s"graft-pipeline-$name",
             s"graft pipeline: $name", interruptOnCancel = true)
+          // own scheduler pool: a no-op under default FIFO, but when the
+          // session runs the FAIR scheduler each pipeline gets latency
+          // isolation without any change here
+          s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
           try { body(); PipelineResult(name, ok = true, None) }
           catch { case e: Throwable =>
             PipelineResult(name, ok = false,
               Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
-          finally s.sparkContext.clearJobGroup()
+          finally {
+            s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            s.sparkContext.clearJobGroup()
+          }
         }
       }
       RunSummary(Await.result(Future.sequence(futs), Duration.Inf))

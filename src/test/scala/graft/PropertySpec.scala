@@ -149,6 +149,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CellMask.contains ≡ set membership for all cell sets and probes") {
+    val cellGen = for {
+      la <- Gen.choose(-40, 40)
+      lo <- Gen.choose(-40, 40)
+    } yield (la, lo)
+    forAllSeeded(Gen.nonEmptyListOf(cellGen)) { (cells: List[(Int, Int)]) =>
+      val set = cells.toSet
+      val mask = graft.plans.CellMask.fromCells(cells)
+      // every probe in a band around the extent (covers inside, edges,
+      // and out-of-extent) agrees with plain set membership
+      val las = cells.map(_._1)
+      val los = cells.map(_._2)
+      for {
+        la <- (las.min - 2) to (las.max + 2)
+        lo <- (los.min - 2) to (los.max + 2)
+      } assert(mask.contains(la, lo) == set((la, lo)), s"($la,$lo)")
+    }
+  }
+
   test("land semi-join output ⊆ input and ∪ with anti = input") {
     forAllSeeded(Gen.zip(Gen.listOfN(30, Gen.choose(0, 5)),
       Gen.listOfN(5, Gen.choose(0, 5))), trials = 8) {
