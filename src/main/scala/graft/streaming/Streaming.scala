@@ -63,6 +63,28 @@ object Streaming {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Streaming sink with the reference's MONTHLY-FILE layout: each
+    * micro-batch lands as hive (year, month) partitions under `outDir`
+    * via foreachBatch — the streaming form of the batch
+    * `partitionBy(year, month)` sink (precipitation_pipeline.py:123-144
+    * file-per-month contract). Append mode: a month receives new files
+    * as batches arrive; readers see one logical partition per month.
+    *
+    * Scale posture: foreachBatch reuses the batch committer — one file
+    * per task per touched partition, no coalesce(1); checkpointing
+    * makes the sink exactly-once per batch id (re-run batches overwrite
+    * their own files via the committer's task-attempt protocol). */
+  def monthlyFileSink(stream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("year", "month").parquet(outDir)
+      }
+      .start()
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumblingHourly(Tables.events(s, d)).orderBy(col("window_start"))),

@@ -290,6 +290,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("monthlyFileSink lands each batch as hive (year,month) partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_msink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_msink_ckpt").toString
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.monthlyFileSink(in.toDF(), out, ckpt)
+    try {
+      in.addData(Ev(t("2024-01-10 10:00:00"), 1, 1, 1.0),
+        Ev(t("2024-02-05 09:00:00"), 1, 2, 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-02-20 12:00:00"), 2, 3, 3.0)) // same month, new batch
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      // hive layout: month partitions accumulate across batches
+      val perMonth = back.groupBy(col("year"), col("month")).count()
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(perMonth == Map((2024, 1) -> 1L, (2024, 2) -> 2L))
+      val yearDirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+      assert(yearDirs.toSeq == Seq("year=2024"))
+    } finally {
+      q.stop()
+      graft.sources.IO.rmTree(out); graft.sources.IO.rmTree(ckpt)
+    }
+  }
+
   test("transformWithState event-time TIMERS close sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
