@@ -131,6 +131,21 @@ object Aggregations {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Per-group MODE (most frequent value), fully deterministic: ties
+    // break toward the larger value. Two hash aggregates — counts per
+    // (group, value), then arg-max by the (count, value) pair via
+    // max_by with a struct ordering key; both shuffles carry only
+    // (group, value, count), never rows. (The engines' native mode()
+    // functions tie-break differently — this formulation hash-matches.)
+    "q_agg_mode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"),
+            struct(col("cnt"), col("l_quantity"))).as("mode_qty"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy(col("l_returnflag"))),
+
     // Pivot with a FIXED value set — unbounded pivot domains are a
     // driver-side collect and do not scale.
     "q_pivot" -> ((s, d) =>
@@ -142,6 +157,16 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same deterministic tie-break expressed as a rank over the
+    // (count desc, value desc) order — the pair arg-max in window form
+    "q_agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+        |FROM (SELECT l_returnflag, l_quantity, cnt,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY cnt DESC, l_quantity DESC) AS rn
+        |      FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |            FROM lineitem GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
     "q_agg_global" ->
       """SELECT count(*) AS n_rows,
         |       round(sum(l_quantity), 2) AS sum_qty,
