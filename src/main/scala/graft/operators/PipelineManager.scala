@@ -41,9 +41,16 @@ object PipelineManager {
   }
 
   /** Run `pipelines` concurrently on `s`, at most `parallelism` at a
-    * time; always returns one result per pipeline, in input order. */
+    * time; always returns one result per pipeline, in input order.
+    *
+    * `timeout` is the whole run's deadline (the engine analog of the
+    * reference's per-subprocess `timeout=1800`,
+    * temperature_pipeline.py:147): a pipeline still running at the
+    * deadline has its job group cancelled (running Spark tasks
+    * interrupted) and is tallied as a `timeout` failure — a hung
+    * pipeline can delay the summary, never block it forever. */
   def runAll(s: SparkSession, pipelines: Seq[(String, () => Unit)],
-      parallelism: Int = 3): RunSummary = {
+      parallelism: Int = 3, timeout: Duration = Duration.Inf): RunSummary = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
@@ -66,8 +73,19 @@ object PipelineManager {
           }
         }
       }
-      RunSummary(Await.result(Future.sequence(futs), Duration.Inf))
-    } finally pool.shutdown()
+      val deadline = if (timeout.isFinite) Some(System.nanoTime + timeout.toNanos) else None
+      val results = pipelines.zip(futs).map { case ((name, _), f) =>
+        val remaining = deadline
+          .map(d => Duration.fromNanos(math.max(0L, d - System.nanoTime)))
+          .getOrElse(Duration.Inf)
+        try Await.result(f, remaining)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          s.sparkContext.cancelJobGroup(s"graft-pipeline-$name")
+          PipelineResult(name, ok = false, Some("timeout"))
+        }
+      }
+      RunSummary(results)
+    } finally { pool.shutdownNow(); () }
   }
 
   /** The reference's default data-type set, end-to-end: precipitation,

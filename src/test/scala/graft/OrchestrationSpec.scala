@@ -23,6 +23,19 @@ class OrchestrationSpec extends SparkTestBase {
       Seq("collection", "month", "n_features", "valid", "year"))
   }
 
+  test("a hung pipeline is cancelled at the deadline; siblings still complete") {
+    import scala.concurrent.duration._
+    val out = java.nio.file.Files.createTempDirectory("graft_orch_hang").toString
+    val summary = PipelineManager.runAll(spark, Seq(
+      "fast" -> (() =>
+        Tables.nation(spark, sf).write.mode("overwrite").parquet(s"$out/fast")),
+      "hung" -> (() => Thread.sleep(120000))),
+      timeout = 15.seconds)
+    assert(summary.successCount == 1 && summary.failedNames == Seq("hung"), summary)
+    assert(summary.results.find(_.name == "hung").get.error.contains("timeout"))
+    assert(spark.read.parquet(s"$out/fast").count() > 0)
+  }
+
   test("an injected failure is tallied and does NOT stop sibling pipelines") {
     val out = Files.createTempDirectory("graft_orch_fail").toString
     val summary = PipelineManager.runAll(spark, Seq(
