@@ -71,9 +71,15 @@ object Streaming {
     * as batches arrive; readers see one logical partition per month.
     *
     * Scale posture: foreachBatch reuses the batch committer — one file
-    * per task per touched partition, no coalesce(1); checkpointing
-    * makes the sink exactly-once per batch id (re-run batches overwrite
-    * their own files via the committer's task-attempt protocol). */
+    * per task per touched partition, no coalesce(1). Delivery contract:
+    * checkpointing never re-runs a COMMITTED batch (clean stop/restart
+    * is duplicate-free — spec'd), but a crash between the write and the
+    * checkpoint commit replays that one batch → at-least-once, the
+    * standard append-mode foreachBatch semantics. Exactly-once under
+    * crash-replay needs an idempotent write (partition the output by
+    * batch id and overwrite dynamically, or a transactional table
+    * format) — deliberately not traded for the reference's plain
+    * year/month directory contract here. */
   def monthlyFileSink(stream: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream

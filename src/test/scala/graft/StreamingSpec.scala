@@ -309,6 +309,17 @@ class StreamingSpec extends SparkTestBase {
       assert(perMonth == Map((2024, 1) -> 1L, (2024, 2) -> 2L))
       val yearDirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
       assert(yearDirs.toSeq == Seq("year=2024"))
+      // clean stop + restart from the same checkpoint: committed
+      // batches are NOT re-run (no duplicates), new data still lands
+      q.stop()
+      val q2 = Streaming.monthlyFileSink(in.toDF(), out, ckpt)
+      try {
+        in.addData(Ev(t("2024-03-01 08:00:00"), 3, 4, 4.0))
+        q2.processAllAvailable()
+        val again = spark.read.parquet(out)
+        assert(again.count() == 4)
+        assert(again.select(col("event_id")).distinct().count() == 4)
+      } finally q2.stop()
     } finally {
       q.stop()
       graft.sources.IO.rmTree(out); graft.sources.IO.rmTree(ckpt)
