@@ -159,6 +159,19 @@ class PlanSpec extends SparkTestBase {
       s"time range does not evaluate at the scan:\n${plan.take(2000)}")
   }
 
+  test("composites join only by broadcast — no sort-merge join anywhere") {
+    // the land-mask semi-join and the per-month resolution attach must
+    // both broadcast (their right sides are bounded: the cell lookup
+    // and one row per month); an SMJ would mean the fact side shuffles
+    Seq("q_humidity_composite", "q_temperature_composite").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"$q land mask not broadcast semi:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q has a sort-merge join:\n${plan.take(1500)}")
+    }
+  }
+
   test("q_fn_explode: the row filter pushes below the generator into the scan") {
     val plan = executed("q_fn_explode")
     assert(plan.contains("LessThan(vec_id,20)"),
