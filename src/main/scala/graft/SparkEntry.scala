@@ -22,6 +22,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
+    (Snapshot.queries, Snapshot.oracle),
     (Population.queries, Population.oracle),
     (graft.sources.IO.queries, graft.sources.IO.oracle),
     (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),

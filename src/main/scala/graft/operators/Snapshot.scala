@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot (CDC-style) diff — the incremental-ingest primitive a
+  * training-data pipeline needs between crawl snapshots: classify every
+  * key as insert / update / delete / unchanged across two versions of a
+  * table. The reference's analog is its skip-existing-outputs check
+  * (each month re-run only produces missing files,
+  * utils/pipeline_manager.py continue semantics); the engine
+  * generalizes it to row-level change detection.
+  *
+  * Scale posture: each side reduces to (key, 32-byte digest) BEFORE the
+  * join, so the full-outer shuffle carries digests — never document
+  * bytes — and the classification is one codegen'd projection over the
+  * joined pair. At 100 TB this is the difference between shuffling
+  * 64 B/row and shuffling the corpus.
+  */
+object Snapshot {
+
+  /** Row digest over `cols`, null-safe (NUL-separated concat keeps
+    * adjacent values from colliding across the boundary). */
+  def rowDigest(cols: Seq[String]): Column =
+    sha2(concat_ws("\u0000", cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*), 256)
+
+  /** Classify every key across two snapshots. Output: (key, change)
+    * with change ∈ insert | update | delete | unchanged. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      digestCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(key), rowDigest(digestCols).as("old_digest"))
+    val n = newDf.select(col(key), rowDigest(digestCols).as("new_digest"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("old_digest").isNull, "insert")
+          .when(col("new_digest").isNull, "delete")
+          .when(not(col("old_digest") <=> col("new_digest")), "update")
+          .otherwise("unchanged").as("change"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // two deterministic "crawl snapshots" derived from documents:
+    // the new crawl drops every 11th doc, rewrites every remaining 7th,
+    // and discovers a shifted-id batch — the diff must classify all four
+    // outcomes; only changed keys are emitted (the unchanged mass stays
+    // in the cluster).
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .filter(col("change") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the oracle classifies by comparing the text itself — digest-free,
+    // so it cross-checks the digest-based engine path end-to-end
+    "q_snapshot_diff" ->
+      """WITH old_snap AS (SELECT doc_id, text FROM documents),
+        |new_snap AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |            WHEN n.doc_id IS NULL THEN 'delete'
+        |            WHEN o.text IS DISTINCT FROM n.text THEN 'update'
+        |            ELSE 'unchanged' END AS change
+        |FROM old_snap o FULL OUTER JOIN new_snap n USING (doc_id)
+        |WHERE (CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |            WHEN n.doc_id IS NULL THEN 'delete'
+        |            WHEN o.text IS DISTINCT FROM n.text THEN 'update'
+        |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -221,6 +221,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.forall { case (id, (n, _)) => meta(id) == n.toLong })
   }
 
+  test("snapshotDiff classifies all four outcomes, null-safely") {
+    import graft.operators.Snapshot
+    val oldSnap = Seq((1L, "same"), (2L, "was"), (3L, "gone"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "now"), (4L, "new"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val diff = Snapshot.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "update", 3L -> "delete",
+      4L -> "insert", 5L -> "unchanged"))
+  }
+
   test("binaryFile ingest: file-backed payloads honor the same contract") {
     // deterministic fixture tree: nested dirs, mixed extensions, known bytes
     val root = java.nio.file.Files.createTempDirectory("graft_media").toFile
