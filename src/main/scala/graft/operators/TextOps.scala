@@ -79,6 +79,25 @@ object TextOps {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** SEQUENCE PACKING: assign documents to ~`budgetTokens`-token
+    * training shards by position in the corpus order — the
+    * context-window packing step every LLM training pipeline runs
+    * before sharding. A document's bin is its START offset in the
+    * global token stream div the budget (documents may straddle a
+    * boundary; the trainer's concat-then-chunk step handles the split),
+    * which makes the assignment a pure function of the global prefix
+    * sum — computed DISTRIBUTED via [[Windows.withGlobalPrefixSum]]
+    * (range repartition + broadcast offsets, no single-task window).
+    * `orderCol` must be a unique total order (corpus position). */
+  def packSequences(docs: DataFrame, budgetTokens: Int): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    Windows.withGlobalPrefixSum(withTok, col("n_tok"), "cum", col("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"(cum - n_tok) div $budgetTokens").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * boolean keep/drop gate — the standard heuristic pre-filter for
     * training corpora (C4-style), as one codegen'd projection. */
@@ -197,6 +216,7 @@ object TextOps {
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), 1024)),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
@@ -222,6 +242,15 @@ object TextOps {
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // single ntile-free window sum — the oracle form of the engine's
+    // distributed two-level prefix sum
+    "q_pack_sequences" ->
+      """SELECT doc_id, n_tok, CAST((cum - n_tok) // 1024 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum
+        |      FROM (SELECT doc_id,
+        |                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |       CAST(length(text) AS BIGINT) AS n_chars,

@@ -52,6 +52,29 @@ object Windows {
       .drop("_pid", "_lrn")
   }
 
+  /** Distributed GLOBAL running sum over the `sortCols` total order —
+    * the prefix-sum sibling of [[withGlobalRowNumber]], same two-level
+    * shape: range repartition, per-partition running sum under a
+    * _pid-partitioned window, then each partition's total offset added
+    * back from a broadcast ≤`shuffle.partitions`-row aggregate. No
+    * single-task global window anywhere; every stage is parallel. */
+  def withGlobalPrefixSum(df: DataFrame, valueCol: Column, out: String,
+      sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs",
+        sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+    val offsets = local.groupBy(col("_pid")).agg(sum(valueCol).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(out, col("_lcs") + col("_off"))
+      .drop("_pid", "_lcs")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))

@@ -75,6 +75,13 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
   }
 
+  test("q_pack_sequences: distributed prefix sum, no single-task global window") {
+    val plan = executed("q_pack_sequences")
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    // the running sum windows over _pid partitions — never the whole relation
+    assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
+  }
+
   test("q_agg_min_diff: neighbor gaps under an (axis,bucket)-partitioned window") {
     val plan = executed("q_agg_min_diff")
     assert(plan.contains("hashpartitioning(axis") && plan.contains("bucket"),
