@@ -79,6 +79,28 @@ object TextOps {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Reproducible STRATIFIED SAMPLING (data mixing): keep a document
+    * iff the first 8 hex digits of sha-256(doc_id:salt) fall under the
+    * stratum's threshold — `floor(rate · 2^32)` rendered as 8-digit
+    * hex, compared as STRINGS (uniform digest ⇒ exact expected rate;
+    * lowercase hex compares identically across engines). The standard
+    * per-source mixing step of a training-corpus pipeline, done as a
+    * pure codegen'd projection + filter: no RNG (seeds don't replicate
+    * across engines or retried tasks), fully deterministic under
+    * retries, partition moves, AND re-runs — the property a 100 TB
+    * sampling job must have for its output to be auditable. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double, salt: String): DataFrame = {
+    def hexThreshold(rate: Double): String =
+      f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (v, r)) => when(col(stratumCol) === v, lit(hexThreshold(r))).otherwise(acc)
+    }
+    docs.filter(
+      substring(sha2(concat(col("doc_id").cast("string"), lit(":" + salt)), 256), 1, 8)
+        < threshold)
+  }
+
   /** SEQUENCE PACKING: assign documents to ~`budgetTokens`-token
     * training shards by position in the corpus order — the
     * context-window packing step every LLM training pipeline runs
@@ -217,6 +239,13 @@ object TextOps {
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), 1024)),
+    // down-weight the dominant language, keep the rest at 3/4 — the
+    // mixing ratios are arbitrary; the CONTRACT is determinism
+    "q_sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d), "lang",
+          Seq("en" -> 0.5), defaultRate = 0.75, salt = "mix1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
@@ -242,6 +271,12 @@ object TextOps {
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // thresholds: floor(rate·2^32) as 8-hex — 0.5→'80000000', 0.75→'c0000000'
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)
+        |      < CASE WHEN lang = 'en' THEN '80000000' ELSE 'c0000000' END
+        |ORDER BY doc_id""".stripMargin,
     // single ntile-free window sum — the oracle form of the engine's
     // distributed two-level prefix sum
     "q_pack_sequences" ->

@@ -221,6 +221,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.forall { case (id, (n, _)) => meta(id) == n.toLong })
   }
 
+  test("stratifiedSample: rates land near target, selection is partition-invariant") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val kept = TextOps.stratifiedSample(docs, "lang",
+      Seq("en" -> 0.5), defaultRate = 0.75, salt = "mix1")
+    val byLang = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized rate within ±0.15 of target per stratum (n≈70-200)
+    totals.foreach { case (lang, n) =>
+      val target = if (lang == "en") 0.5 else 0.75
+      val realized = byLang.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(realized - target) < 0.15, s"$lang: $realized vs $target")
+    }
+    // deterministic: identical selection regardless of partitioning
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextOps.stratifiedSample(docs.repartition(7), "lang",
+        Seq("en" -> 0.5), defaultRate = 0.75, salt = "mix1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // a different salt draws a different (overlapping) sample
+    val c = TextOps.stratifiedSample(docs, "lang",
+        Seq("en" -> 0.5), defaultRate = 0.75, salt = "mix2")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(c != a)
+  }
+
   test("snapshotDiff classifies all four outcomes, null-safely") {
     import graft.operators.Snapshot
     val oldSnap = Seq((1L, "same"), (2L, "was"), (3L, "gone"), (5L, null: String))
