@@ -35,36 +35,27 @@ object Windows {
     * shuffle-partitions rows). Sort keys must be a total order (include
     * a unique tiebreaker) so range boundaries are unambiguous.
     */
-  def withGlobalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val local = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lrn",
-        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
-          .cast("long"))
-    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(
-        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(out, col("_lrn") + col("_off"))
-      .drop("_pid", "_lrn")
-  }
+  def withGlobalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame =
+    // row number IS the prefix sum of 1 (exact on ties too: the rows
+    // frame below makes the running sum per-row, and sortCols are a
+    // total order by contract)
+    withGlobalPrefixSum(df, lit(1L), out, sortCols: _*)
 
   /** Distributed GLOBAL running sum over the `sortCols` total order —
-    * the prefix-sum sibling of [[withGlobalRowNumber]], same two-level
-    * shape: range repartition, per-partition running sum under a
-    * _pid-partitioned window, then each partition's total offset added
-    * back from a broadcast ≤`shuffle.partitions`-row aggregate. No
-    * single-task global window anywhere; every stage is parallel. */
+    * the generalization of [[withGlobalRowNumber]]: range repartition,
+    * per-partition running sum under a _pid-partitioned window (rows
+    * frame — per-row even among sort-key peers), then each partition's
+    * total offset added back from a broadcast ≤`shuffle.partitions`-row
+    * aggregate (the only unpartitioned window, over one row per
+    * partition). No single-task whole-relation window anywhere. */
   def withGlobalPrefixSum(df: DataFrame, valueCol: Column, out: String,
       sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val local = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lcs",
-        sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+        sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offsets = local.groupBy(col("_pid")).agg(sum(valueCol).as("_cnt"))
       .withColumn("_off", coalesce(sum(col("_cnt")).over(
         Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
