@@ -190,9 +190,34 @@ object Similarity {
           round(col("sim_raw"), 4).as("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Per-label CENTROIDS — the class-prototype computation every
+    // embedding pipeline runs (clustering seeds, prototypes, debias
+    // vectors). Fully distributed: posexplode to (label, pos, x), one
+    // hash aggregate per (label, pos) with map-side partials, then
+    // re-assemble each centroid ordered by position — the shuffle
+    // carries scalar partial sums, never whole vectors.
+    // flat (label, pos, mean) rows — scalar cells oracle-hash cleanly;
+    // assembling the array form is a trailing collect_list per label
+    // when a consumer wants vectors (same rows either way)
+    "q_embed_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("x")), 4).as("m"), count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pos"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // 1-based subscripts shifted to match posexplode's 0-based pos;
+    // the testdata embedding dim is fixed at 64 (FIXTURES.md)
+    "q_embed_centroids" ->
+      """SELECT label, pos - 1 AS pos,
+        |       round(avg(CAST(embedding[pos] AS DOUBLE)), 4) AS m,
+        |       count(*) AS n_vecs
+        |FROM embeddings, generate_series(1, 64) AS t(pos)
+        |GROUP BY label, pos ORDER BY 1, 2""".stripMargin,
     "q_similarity_topk" ->
       """SELECT vec_id,
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
