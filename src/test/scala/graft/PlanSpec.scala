@@ -75,6 +75,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
   }
 
+  test("q_snapshot_diff: shuffles carry digests, never document bytes") {
+    val qe = SparkEntry.queries("q_snapshot_diff")(spark, sf).queryExecution
+    val plan = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // every Exchange input schema must be digest/key-only — the text
+    // column is reduced to sha-256 BELOW the shuffle boundary
+    val lines = plan.linesIterator.toVector
+    val exchanges = lines.zipWithIndex.filter(_._1.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges.nonEmpty, plan.take(1500))
+    exchanges.foreach { case (_, i) =>
+      val input = lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"),
+        s"shuffle carries the text column: $input")
+      assert(input.contains("digest") || input.contains("doc_id"), input)
+    }
+  }
+
   test("q_pack_sequences: distributed prefix sum, no single-task global window") {
     val plan = executed("q_pack_sequences")
     assert(plan.contains("rangepartitioning"), plan.take(2000))
