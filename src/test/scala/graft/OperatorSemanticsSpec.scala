@@ -115,4 +115,40 @@ class OperatorSemanticsSpec extends SparkTestBase {
       .select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("equi-height histogram: buckets partition the rows with near-equal heights") {
+    val res = SparkEntry.queries("q_agg_histogram_eq")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull).count()
+    assert(res.map(_._2).sum == total)            // partition of non-null rows
+    assert(res.map(_._2).max - res.map(_._2).min <= 1) // SQL-standard ntile heights
+    // value ranges are non-overlapping and ordered with the buckets
+    res.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3 + 1e-9) }
+  }
+
+  test("stratified sampling degenerate rates: 0 keeps nothing, 1 keeps (almost) all") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val none = TextOps.stratifiedSample(docs, "lang", Nil, defaultRate = 0.0, salt = "s")
+    assert(none.count() == 0)
+    // rate 1.0 clamps to threshold 'ffffffff': only a digest prefix of
+    // exactly ffffffff (p = 2^-32 per doc) could drop — none here
+    val all = TextOps.stratifiedSample(docs, "lang", Nil, defaultRate = 1.0, salt = "s")
+    assert(all.count() == docs.count())
+  }
+
+  test("packSequences: bins are contiguous and within budget except straddlers") {
+    import graft.operators.TextOps
+    val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bin ids never decrease in corpus order, start at 0, no gaps
+    val bins = res.map(_._3)
+    assert(bins.head == 0L && bins.sliding(2).forall { case Array(a, b) => b == a || b == a + 1 })
+    // every bin's token mass stays under budget + one straddling doc
+    res.groupBy(_._3).foreach { case (_, ds) =>
+      val mass = ds.map(_._2).sum
+      assert(mass < 1024 + ds.map(_._2).max, s"over-packed bin: $mass")
+    }
+  }
 }
