@@ -116,6 +116,30 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("bucketedJoin serves two scale factors in one session without cross-talk") {
+    import graft.operators.Joins
+    val a = Joins.bucketedJoin(spark, "/root/testdata/sf0.001").count()
+    val b = Joins.bucketedJoin(spark, "/root/testdata/sf0.01").count()
+    assert(b > a) // 10x the data, more join rows
+    // the first sfDir still answers from ITS tables after the second build
+    assert(Joins.bucketedJoin(spark, "/root/testdata/sf0.001").count() == a)
+  }
+
+  test("q_sql_entry: concurrent different-sfDir invocations don't share view state") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    def run(d: String): Long = SparkEntry.queries("q_sql_entry")(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val expected = dirs.map(run) // sequential ground truth
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(dirs.map(d => Future(run(d)))), 2.minutes)
+      assert(got == expected, s"concurrent sql_entry mixed up scale factors: $got")
+    }
+  }
+
   test("equi-height histogram: buckets partition the rows with near-equal heights") {
     val res = SparkEntry.queries("q_agg_histogram_eq")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
