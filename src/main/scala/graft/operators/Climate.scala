@@ -261,6 +261,15 @@ object Climate {
     * properties. */
   val MaxFeaturesPerDoc: Int = 1 << 20
 
+  /** Largest-month statistic, memoized per canonicalized input plan —
+    * repeated invocations over the same frame (verify, bench
+    * warmup+timed) pay the counting pass once per process. Keys compare
+    * STRUCTURALLY (canonicalized plan equality), so distinct inputs
+    * never share an entry. */
+  private val largestMonthCache =
+    scala.collection.concurrent.TrieMap
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+
   /** Per-(year,month) FeatureCollection assembly — the reference's
     * actual output document (json.dump({'type': 'FeatureCollection',
     * 'features': [...]}, separators=(',',':')),
@@ -280,15 +289,6 @@ object Climate {
     * single-value death the unbounded plan would hit becomes numbered
     * document parts. In-bound output is byte-identical on both routes
     * (ClimateSpec). */
-  /** Largest-month statistic, memoized per canonicalized input plan —
-    * repeated invocations over the same frame (verify, bench
-    * warmup+timed) pay the counting pass once per process. Keys compare
-    * STRUCTURALLY (canonicalized plan equality), so distinct inputs
-    * never share an entry. */
-  private val largestMonthCache =
-    scala.collection.concurrent.TrieMap
-      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
-
   def featureCollection(df: DataFrame, featureCol: String,
       orderCol: String, maxPerDoc: Int = MaxFeaturesPerDoc): DataFrame = {
     val largestMonth = largestMonthCache.getOrElseUpdate(
