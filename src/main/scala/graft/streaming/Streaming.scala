@@ -91,6 +91,36 @@ object Streaming {
       }
       .start()
 
+  /** The idempotent batch writer behind [[monthlyFileSinkIdempotent]]:
+    * the batch lands under its own batch_id partition with DYNAMIC
+    * partition overwrite, so a replayed batch id overwrites exactly its
+    * own partitions — same rows, no duplicates (spec'd by invoking this
+    * twice with one id). Exposed so the replay property is testable
+    * without crashing a streaming query mid-commit. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch
+      .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "year", "month").parquet(outDir)
+
+  /** EXACTLY-ONCE variant of [[monthlyFileSink]]: trades the plain
+    * year/month directory contract for a leading batch_id partition,
+    * in exchange for idempotence under crash-replay (an uncommitted
+    * batch that re-runs overwrites its own partitions instead of
+    * appending duplicates). Readers treat batch_id as an extra
+    * partition column; per-month views are `WHERE year=… AND month=…`
+    * across batches. */
+  def monthlyFileSinkIdempotent(stream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, id, outDir)
+      }
+      .start()
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumblingHourly(Tables.events(s, d)).orderBy(col("window_start"))),

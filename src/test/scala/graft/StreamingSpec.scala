@@ -326,6 +326,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("idempotent sink: a REPLAYED batch overwrites itself — no duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_idemp").toString
+    try {
+      val b0 = Seq(Ev(t("2024-01-10 10:00:00"), 1, 1, 1.0),
+        Ev(t("2024-02-05 09:00:00"), 1, 2, 2.0)).toDF()
+      val b1 = Seq(Ev(t("2024-02-20 12:00:00"), 2, 3, 3.0)).toDF()
+      Streaming.writeBatchIdempotent(b0, 0L, out)
+      Streaming.writeBatchIdempotent(b1, 1L, out)
+      val before = spark.read.parquet(out)
+      assert(before.count() == 3)
+      // crash-replay of batch 0: the re-run write must be a no-op in
+      // effect — same rows, no duplicates, batch 1 untouched
+      Streaming.writeBatchIdempotent(b0, 0L, out)
+      val after = spark.read.parquet(out)
+      assert(after.count() == 3)
+      assert(after.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      // and the streaming wrapper drives the same writer end-to-end
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_idemp_ckpt").toString
+      val in = MemoryStream[Ev](spark)
+      val q = Streaming.monthlyFileSinkIdempotent(in.toDF(), s"$out.stream", ckpt)
+      try {
+        in.addData(Ev(t("2024-03-01 08:00:00"), 3, 4, 4.0))
+        q.processAllAvailable()
+        assert(spark.read.parquet(s"$out.stream").count() == 1)
+      } finally { q.stop(); graft.sources.IO.rmTree(s"$out.stream"); graft.sources.IO.rmTree(ckpt) }
+    } finally graft.sources.IO.rmTree(out)
+  }
+
   test("transformWithState event-time TIMERS close sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
