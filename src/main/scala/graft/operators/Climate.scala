@@ -409,7 +409,7 @@ object Climate {
     * reference-default time window (2022-01..2025-05,
     * humidity_pipeline.py:28-31) -> NaN drop -> land mask -> per-month
     * resolution attach (broadcast: one row per month). */
-  private[operators] def monthlyMasked(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def monthlyMasked(s: SparkSession, dir: String): DataFrame = {
     val grid = syntheticGrid(Tables.events(s, dir))
       .filter(timestampRange(col("ts"), 2022, 1, 2025, 5))
       .filter(col("value").isNotNull)
