@@ -122,6 +122,55 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame at the decoder boundary. */
+  final case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** FRAME-SAMPLE at the decoder boundary: emit every `every`-th
+    * fixed-size frame of each payload — the video/audio sampling step
+    * of a multimodal pipeline, as partition-local `mapPartitions` (one
+    * demuxer init per partition in a real deployment).
+    *
+    * STUB boundary (declared): real media frames come from the codec's
+    * demuxer; this container has none, so frames are fixed
+    * `frameBytes`-byte slices — deterministic, so the Spark-side
+    * contract (schema, fan-out row counts, partition invariance,
+    * per-frame bytes) is fully testable, and the frame-INDEX arithmetic
+    * is DuckDB-oracle-checked (q_multimodal_frames). */
+  def frameSample(payloads: DataFrame, frameBytes: Int, every: Int): Dataset[Frame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").as("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition demuxer init would go here (amortized once)
+        rows.flatMap { r =>
+          val n = (r.payload.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, n, every).map { i =>
+            Frame(r.id, i, java.util.Arrays.copyOfRange(r.payload,
+              i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length)))
+          }
+        }
+      }
+  }
+
+  /** RESIZE at the decoder boundary: normalize every payload to exactly
+    * `targetBytes` (truncate or zero-pad) — the fixed-shape batching
+    * step before a training tensor. STUB transform (a real deployment
+    * decodes + rescales); the plumbing — partition-local, constant
+    * memory per row, metadata recomputed from the RESIZED bytes — is
+    * real and spec-tested (partition invariance + exact output sizes). */
+  def payloadResize(payloads: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val resized = payloads.select(col("doc_id").as("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          MediaRow(r.id, java.util.Arrays.copyOf(r.payload, targetBytes))
+        }
+      }
+    withMeta(resized.toDF().select(col("id").as("doc_id"), col("payload")),
+      lit("application/octet-stream"))
+  }
+
   /** The multimodal TRAINING-ROW join: text + metadata + embedding
     * linked by id — the shape every multimodal training pipeline
     * materializes before sharding. The embedding side carries the
@@ -143,6 +192,14 @@ object Multimodal {
         .orderBy(col("id"))),
     "q_multimodal_join" -> ((s, d) =>
       trainingRows(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // frame fan-out: every 2nd 256-byte frame; sizes/indices are pure
+    // arithmetic on payload length (oracle-checked); the frame BYTES
+    // themselves flow through mapPartitions and are spec-checked
+    "q_multimodal_frames" -> ((s, d) =>
+      frameSample(withPayload(Tables.documents(s, d)), 256, 2).toDF()
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,6 +209,17 @@ object Multimodal {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame indices 0, 2, 4… of ceil(len/256) frames; last frame is the
+    // remainder. generate_series needs a constant bound (no lateral
+    // column args in this DuckDB) — 4096 covers any harness document.
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |       CAST((i - 1) * 2 AS BIGINT) AS frame_idx,
+        |       CAST(least(256, octet_length(encode(text)) - (i - 1) * 2 * 256) AS BIGINT)
+        |         AS frame_n_bytes
+        |FROM documents, generate_series(1, 4096) AS t(i)
+        |WHERE (i - 1) * 2 * 256 < octet_length(encode(text))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang,
         |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,

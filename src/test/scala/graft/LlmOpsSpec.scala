@@ -261,6 +261,40 @@ class LlmOpsSpec extends SparkTestBase {
       4L -> "insert", 5L -> "unchanged"))
   }
 
+  test("frameSample emits the exact byte slices; resize normalizes every payload") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val payloads = Multimodal.withPayload(docs)
+    val raw = payloads.select(col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // every 2nd 256-byte frame, bytes identical to a JVM-side slice
+    val frames = Multimodal.frameSample(payloads, 256, 2).collect()
+    frames.foreach { f =>
+      val p = raw(f.id)
+      val expect = java.util.Arrays.copyOfRange(p, f.frame_idx * 256,
+        math.min((f.frame_idx + 1) * 256, p.length))
+      assert(java.util.Arrays.equals(f.frame, expect), s"id=${f.id} idx=${f.frame_idx}")
+      assert(f.frame_idx % 2 == 0)
+    }
+    // fan-out count: ceil(n_frames / 2) sampled frames per doc
+    val perDoc = frames.groupBy(_.id).view.mapValues(_.length).toMap
+    raw.foreach { case (id, p) =>
+      val nFrames = (p.length + 255) / 256
+      assert(perDoc(id) == (nFrames + 1) / 2, s"id=$id")
+    }
+    // partition invariance of the sampled set
+    val again = Multimodal.frameSample(payloads.repartition(7), 256, 2)
+      .collect().map(f => (f.id, f.frame_idx, f.frame.toSeq)).toSet
+    assert(again == frames.map(f => (f.id, f.frame_idx, f.frame.toSeq)).toSet)
+    // resize: every payload exactly targetBytes, truncate-or-pad, meta recomputed
+    val resized = Multimodal.payloadResize(payloads, 128)
+    val rr = resized.select(col("doc_id"), col("payload"), col("meta.n_bytes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+    rr.foreach { case (id, p, n) =>
+      assert(p.length == 128 && n == 128L)
+      assert(java.util.Arrays.equals(p, java.util.Arrays.copyOf(raw(id), 128)), s"id=$id")
+    }
+  }
+
   test("binaryFile ingest: file-backed payloads honor the same contract") {
     // deterministic fixture tree: nested dirs, mixed extensions, known bytes
     val root = java.nio.file.Files.createTempDirectory("graft_media").toFile
