@@ -44,7 +44,8 @@ object PipelineManager {
     * time; always returns one result per pipeline, in input order.
     *
     * `timeout` is the whole run's deadline (the engine analog of the
-    * reference's per-subprocess `timeout=1800`,
+    * reference's PIPELINE_TIMEOUT=7200 budget, pipeline_config.py:51,
+    * and the per-subprocess `timeout=1800`,
     * temperature_pipeline.py:147): a pipeline still running at the
     * deadline has its job group cancelled (running Spark tasks
     * interrupted) and is tallied as a `timeout` failure — a hung
