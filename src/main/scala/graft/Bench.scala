@@ -42,12 +42,20 @@ object Bench {
       try exec(n, f) catch { case _: Throwable => () }
     }
     // a failed query reports -1, never a bogus "fast" time — silent
-    // failure would read as a speedup in round-over-round comparisons
+    // failure would read as a speedup in round-over-round comparisons.
+    // MIN-OF-N timed passes: a background process on the machine can
+    // inflate one pass, never all of them, so the min is the
+    // contention-proof per-query time (a single-shot record once forged
+    // a 22x phantom regression under builder contention).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(name, fn); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to math.max(1, passes)).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { exec(name, fn); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -161,16 +161,65 @@ object Climate {
     * fallback. */
   private val cellMaskCache =
     scala.collection.concurrent.TrieMap
-      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, graft.plans.CellMask]
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+        graft.plans.CellMask]
 
-  def landCellMask(landCells: DataFrame): graft.plans.CellMask =
-    // memoized per canonicalized lookup plan (structural equality):
-    // the mask build — like a broadcast — is paid once per process,
-    // not once per query invocation
-    cellMaskCache.getOrElseUpdate(landCells.queryExecution.analyzed.canonicalized,
+  /** Memo caches key on (canonicalized plan, source fingerprint), not
+    * the plan alone: canonicalization compares file sources by ROOT
+    * PATH, so a lookup overwritten or appended at the same path within
+    * one JVM would hit a plan-only key and silently serve stale
+    * results. [[sourceFingerprint]] makes any data change a miss.
+    * Caches are also BOUNDED — past [[PlanCacheBound]] entries they
+    * clear wholesale (memoization is a throughput aid, never a
+    * correctness dependency) — and [[clearPlanCaches]] empties them on
+    * demand. */
+  private val PlanCacheBound = 64
+
+  /** Fingerprint of the concrete files behind a plan's file sources:
+    * (path, length, modificationTime) of every file the scan would
+    * read, taken from each relation's own FileIndex listing (already
+    * computed for the scan — no extra IO). Plans without file sources
+    * (e.g. local relations, which embed their data in the plan and so
+    * are fully covered by canonicalized equality) fingerprint to a
+    * constant. */
+  private def sourceFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val entries = fs.location match {
+            case p: PartitioningAwareFileIndex =>
+              p.allFiles().map(f =>
+                s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+            case other =>
+              other.inputFiles.toSeq.map(p => s"$p#${other.sizeInBytes}")
+          }
+          entries.sorted.foreach(e =>
+            md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Drop every memoized mask/statistic — for callers that just bulk-
+    * rewrote data and want rebuilds without waiting for fingerprint
+    * misses to age entries out. */
+  def clearPlanCaches(): Unit = { cellMaskCache.clear(); largestMonthCache.clear() }
+
+  def landCellMask(landCells: DataFrame): graft.plans.CellMask = {
+    // memoized per (canonicalized lookup plan, file fingerprint): the
+    // mask build — like a broadcast — is paid once per process per
+    // concrete data version, not once per query invocation
+    if (cellMaskCache.size >= PlanCacheBound) cellMaskCache.clear()
+    cellMaskCache.getOrElseUpdate(
+      (landCells.queryExecution.analyzed.canonicalized, sourceFingerprint(landCells)),
       graft.plans.CellMask.fromCells(
         landCells.select(col("cell_lat"), col("cell_lon"))
           .collect().map(r => (r.getInt(0), r.getInt(1)))))
+  }
 
   /** Land-mask as a pure codegen'd FILTER: no join operator in the
     * plan — the probe runs inside the scan's whole-stage-codegen loop
@@ -261,14 +310,17 @@ object Climate {
     * properties. */
   val MaxFeaturesPerDoc: Int = 1 << 20
 
-  /** Largest-month statistic, memoized per canonicalized input plan —
-    * repeated invocations over the same frame (verify, bench
-    * warmup+timed) pay the counting pass once per process. Keys compare
-    * STRUCTURALLY (canonicalized plan equality), so distinct inputs
-    * never share an entry. */
+  /** Largest-month statistic, memoized per (canonicalized input plan,
+    * source fingerprint) — repeated invocations over the same frame
+    * (verify, bench warmup+timed) pay the counting pass once per
+    * process. Keys compare STRUCTURALLY and by concrete file listing
+    * (see [[sourceFingerprint]]), so distinct inputs — including the
+    * same path after an overwrite/append — never share an entry; a
+    * stale statistic here could route a now-oversized month through
+    * the unbounded in-memory plan. */
   private val largestMonthCache =
     scala.collection.concurrent.TrieMap
-      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Long]
 
   /** Per-(year,month) FeatureCollection assembly — the reference's
     * actual output document (json.dump({'type': 'FeatureCollection',
@@ -288,17 +340,24 @@ object Climate {
     * degrades to disk and whose output rows are bounded — the 2 GB
     * single-value death the unbounded plan would hit becomes numbered
     * document parts. In-bound output is byte-identical on both routes
-    * (ClimateSpec). */
+    * (ClimateSpec).
+    *
+    * Output schema is route-STABLE: (year, month, shard, collection).
+    * In-bound months always carry shard 0; an oversized month's parts
+    * carry their contiguous shard index, so callers can reassemble the
+    * document (concatenate feature arrays in shard order) — the index
+    * is never silently dropped. */
   def featureCollection(df: DataFrame, featureCol: String,
       orderCol: String, maxPerDoc: Int = MaxFeaturesPerDoc): DataFrame = {
+    if (largestMonthCache.size >= PlanCacheBound) largestMonthCache.clear()
     val largestMonth = largestMonthCache.getOrElseUpdate(
-      df.queryExecution.analyzed.canonicalized, {
+      (df.queryExecution.analyzed.canonicalized, sourceFingerprint(df)), {
         val top = df.groupBy(col("year"), col("month"))
           .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
         if (top.isNullAt(0)) 0L else top.getLong(0)
       })
     if (largestMonth > maxPerDoc)
-      featureCollectionSharded(df, featureCol, orderCol, maxPerDoc).drop("shard")
+      featureCollectionSharded(df, featureCol, orderCol, maxPerDoc)
     else
       df.groupBy(col("year"), col("month"))
         .agg(array_join(
@@ -306,7 +365,7 @@ object Climate {
             array_sort(collect_list(struct(col(orderCol), col(featureCol)))),
             p => p.getField(featureCol)),
           ",").as("features_joined"))
-        .select(col("year"), col("month"),
+        .select(col("year"), col("month"), lit(0).as("shard"),
           concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
             col("features_joined"), lit("]}")).as("collection"))
   }
@@ -432,7 +491,7 @@ object Climate {
         temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
     featureCollection(feats, "feature", "event_id")
-      .orderBy(col("year"), col("month"))
+      .orderBy(col("year"), col("month"), col("shard"))
   }
 
   /** End-to-end HUMIDITY composite (humidity_pipeline.py:339-360 run
@@ -449,11 +508,11 @@ object Climate {
         humidityFeature(col("lat"), col("lon"), round(col("value"), 4),
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
     featureCollection(feats, "feature", "event_id")
-      .select(col("year"), col("month"), col("collection"),
+      .select(col("year"), col("month"), col("shard"), col("collection"),
         json_array_length(get_json_object(col("collection"), "$.features"))
           .cast("long").as("n_features"))
       .withColumn("valid", col("n_features") > 0)
-      .orderBy(col("year"), col("month"))
+      .orderBy(col("year"), col("month"), col("shard"))
   }
 
   /** The end-to-end climate composite (SURVEY §7.3 step 6):
@@ -571,7 +630,7 @@ object Climate {
           temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
             col("ts"), lit(0.25), lit(0.3125)).as("feature"))
       featureCollection(feats, "feature", "event_id")
-        .orderBy(col("year"), col("month"))
+        .orderBy(col("year"), col("month"), col("shard"))
     }),
     "q_filter_time_range" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -611,11 +670,11 @@ object Climate {
           temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
             col("ts"), lit(0.25), lit(0.3125)).as("feature"))
       featureCollection(feats, "feature", "event_id")
-        .select(col("year"), col("month"),
+        .select(col("year"), col("month"), col("shard"),
           json_array_length(get_json_object(col("collection"), "$.features"))
             .cast("long").as("n_features"))
         .withColumn("valid", col("n_features") > 0)
-        .orderBy(col("year"), col("month"))
+        .orderBy(col("year"), col("month"), col("shard"))
     }),
   )
 
@@ -689,7 +748,7 @@ object Climate {
         |    '{"type":"FeatureCollection","features":[' ||
         |    string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
         |  FROM f GROUP BY year, month)
-        |SELECT year, month,
+        |SELECT year, month, CAST(0 AS INT) AS shard,
         |       CAST(json_array_length(collection, '$.features') AS BIGINT) AS n_features,
         |       json_array_length(collection, '$.features') > 0 AS valid
         |FROM c ORDER BY year, month""".stripMargin,
@@ -840,7 +899,7 @@ object Climate {
         |        'temperature', round(value, 4),
         |        'time', CAST(tts AS VARCHAR))) AS VARCHAR) AS feature
         |  FROM masked m JOIN res USING (year, month))
-        |SELECT year, month,
+        |SELECT year, month, CAST(0 AS INT) AS shard,
         |  '{"type":"FeatureCollection","features":[' ||
         |  string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
         |FROM f GROUP BY year, month ORDER BY year, month""".stripMargin,
@@ -898,7 +957,7 @@ object Climate {
         |    '{"type":"FeatureCollection","features":[' ||
         |    string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
         |  FROM f GROUP BY year, month)
-        |SELECT year, month, collection,
+        |SELECT year, month, CAST(0 AS INT) AS shard, collection,
         |       CAST(json_array_length(collection, '$.features') AS BIGINT) AS n_features,
         |       json_array_length(collection, '$.features') > 0 AS valid
         |FROM c ORDER BY year, month""".stripMargin,
@@ -925,7 +984,7 @@ object Climate {
         |        'temperature', v,
         |        'time', CAST(tts AS VARCHAR))) AS VARCHAR) AS feature
         |  FROM g)
-        |SELECT year, month,
+        |SELECT year, month, CAST(0 AS INT) AS shard,
         |  '{"type":"FeatureCollection","features":[' ||
         |  string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
         |FROM f GROUP BY year, month ORDER BY year, month""".stripMargin,

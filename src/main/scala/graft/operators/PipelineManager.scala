@@ -48,45 +48,106 @@ object PipelineManager {
     * and the per-subprocess `timeout=1800`,
     * temperature_pipeline.py:147): a pipeline still running at the
     * deadline has its job group cancelled (running Spark tasks
-    * interrupted) and is tallied as a `timeout` failure — a hung
-    * pipeline can delay the summary, never block it forever. */
+    * interrupted), its DRIVER thread interrupted (non-Spark driver
+    * work — a parse loop, a blocking client call — stops too, not just
+    * cluster tasks), and is tallied as a `timeout` failure; a pipeline
+    * still QUEUED behind the parallelism limit at the deadline is
+    * flagged so its body never starts. A hung pipeline can delay the
+    * summary, never block it forever — and a timed-out pipeline's side
+    * effects (e.g. an overwrite sink) cannot land after the summary
+    * unless the body swallows the interrupt, which the scaladoc of
+    * `pipelines` forbids. */
   def runAll(s: SparkSession, pipelines: Seq[(String, () => Unit)],
       parallelism: Int = 3, timeout: Duration = Duration.Inf): RunSummary = {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futs = pipelines.map { case (name, body) =>
-        Future {
-          // own job group: cancellation/diagnosis scoped to this pipeline
-          s.sparkContext.setJobGroup(s"graft-pipeline-$name",
-            s"graft pipeline: $name", interruptOnCancel = true)
-          // own scheduler pool: a no-op under default FIFO, but when the
-          // session runs the FAIR scheduler each pipeline gets latency
-          // isolation without any change here
-          s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
-          try { body(); PipelineResult(name, ok = true, None) }
-          catch { case e: Throwable =>
-            PipelineResult(name, ok = false,
-              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
-          finally {
-            s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-            s.sparkContext.clearJobGroup()
+        val timedOut = new AtomicBoolean(false)
+        val worker = new AtomicReference[Thread](null)
+        val fut = Future {
+          // a queued pipeline whose deadline already passed never starts
+          if (timedOut.get) PipelineResult(name, ok = false, Some("timeout"))
+          else {
+            worker.set(Thread.currentThread())
+            Thread.interrupted() // shed any interrupt aimed at a prior occupant
+            // own job group: cancellation/diagnosis scoped to this pipeline
+            s.sparkContext.setJobGroup(s"graft-pipeline-$name",
+              s"graft pipeline: $name", interruptOnCancel = true)
+            // own scheduler pool: a no-op under default FIFO, but when the
+            // session runs the FAIR scheduler each pipeline gets latency
+            // isolation without any change here
+            s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
+            try { body(); PipelineResult(name, ok = true, None) }
+            catch { case e: Throwable =>
+              PipelineResult(name, ok = false,
+                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
+            finally {
+              worker.set(null)
+              s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+              s.sparkContext.clearJobGroup()
+              // a timeout interrupt that raced the hand-off above must not
+              // leak into the pool thread's NEXT pipeline
+              Thread.interrupted()
+            }
           }
         }
+        (timedOut, worker, fut)
       }
       val deadline = if (timeout.isFinite) Some(System.nanoTime + timeout.toNanos) else None
-      val results = pipelines.zip(futs).map { case ((name, _), f) =>
+      val results = pipelines.zip(futs).map { case ((name, _), (timedOut, worker, f)) =>
         val remaining = deadline
           .map(d => Duration.fromNanos(math.max(0L, d - System.nanoTime)))
           .getOrElse(Duration.Inf)
         try Await.result(f, remaining)
         catch { case _: java.util.concurrent.TimeoutException =>
+          timedOut.set(true)
           s.sparkContext.cancelJobGroup(s"graft-pipeline-$name")
+          // stop the pipeline's DRIVER work too: job-group cancellation
+          // only reaches Spark tasks, not the thread driving them
+          Option(worker.get).foreach(_.interrupt())
           PipelineResult(name, ok = false, Some("timeout"))
         }
       }
       RunSummary(results)
     } finally { pool.shutdownNow(); () }
+  }
+
+  /** DRY-RUN (the reference's rehearsal harness,
+    * utils/pipeline_manager.py:106-108,171-174: `--dry-run` walks every
+    * pipeline and reports what WOULD run without executing): resolve
+    * each pipeline's declared frame through analysis + optimization —
+    * missing tables, bad columns, type errors all surface here — and
+    * render its physical plan, launching ZERO query jobs: no scans, no
+    * shuffles, no sinks. (Resolving a parquet source's schema reads one
+    * file FOOTER — a metadata job, the dry-run analog of the
+    * reference's input existence checks — and is the only cluster
+    * activity; OrchestrationSpec pins exactly that.) Returns the
+    * per-pipeline outcome plus the explain text for the ones that
+    * resolved; `RunSummary.allSucceeded` answers "would the real run
+    * plan cleanly?".
+    *
+    * Takes plan THUNKS (not sinks): a dry-runnable pipeline declares
+    * its frame separately from its sink, which is also what keeps the
+    * frame one lazy Catalyst plan in the real run. */
+  def dryRunAll(s: SparkSession,
+      pipelines: Seq[(String, () => org.apache.spark.sql.DataFrame)])
+      : (RunSummary, Map[String, String]) = {
+    val outcomes = pipelines.map { case (name, plan) =>
+      try {
+        val df = plan()
+        // executedPlan forces analysis + optimization + physical
+        // planning; explainString renders it — none of these run a job
+        val text = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        (PipelineResult(name, ok = true, None), Some(name -> text))
+      } catch { case e: Throwable =>
+        (PipelineResult(name, ok = false,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")), None)
+      }
+    }
+    (RunSummary(outcomes.map(_._1)), outcomes.flatMap(_._2).toMap)
   }
 
   /** The reference's default data-type set, end-to-end: precipitation,
@@ -102,4 +163,21 @@ object PipelineManager {
       "humidity" -> (() =>
         Climate.humidityComposite(s, dir)
           .write.mode("overwrite").parquet(s"$outRoot/humidity"))))
+
+  /** Dry-run of the same three-pipeline set [[runClimatePipelines]]
+    * executes: every frame is resolved and physically planned, no sink
+    * writes, no pipeline jobs. (The temperature/humidity composites'
+    * adaptive document routing computes its one memoized 1-row routing
+    * statistic at PLAN-BUILD time — that is part of planning, exactly
+    * as AQE's statistics are; the pipelines' own work never runs.) */
+  def dryRunClimatePipelines(s: SparkSession, dir: String)
+      : (RunSummary, Map[String, String]) = {
+    import org.apache.spark.sql.functions.col
+    dryRunAll(s, Seq(
+      "precipitation" -> (() =>
+        Climate.compositeFrame(s, dir)
+          .select(col("year"), col("month"), col("feature"))),
+      "temperature" -> (() => Climate.temperatureComposite(s, dir)),
+      "humidity" -> (() => Climate.humidityComposite(s, dir))))
+  }
 }

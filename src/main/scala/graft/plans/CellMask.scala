@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
   */
 final case class CellMask(latMin: Int, lonMin: Int, nLat: Int, nLon: Int,
     words: Array[Long]) {
+  // the dense row-major index i*nLon+j is int arithmetic in contains()
+  // AND in the generated code — a grid past 2^31-1 cells would truncate
+  // identically on both the build and probe sides and go silently
+  // wrong, so oversized extents must fail the BUILD loudly
+  require(nLat.toLong * nLon <= Int.MaxValue,
+    s"grid of ${nLat}x$nLon cells exceeds the dense bitmask's 2^31-1 " +
+      "addressable bound; use the broadcast semi-join form for such extents")
   require(words.length == ((nLat.toLong * nLon + 63) >> 6).toInt,
     s"word count ${words.length} does not cover ${nLat}x$nLon cells")
 
@@ -40,6 +47,11 @@ object CellMask {
     val lonMax = cells.iterator.map(_._2).max
     val nLat = latMax - latMin + 1
     val nLon = lonMax - lonMin + 1
+    // fail BEFORE allocating the word array (the case-class require
+    // would catch it too, but only after a multi-hundred-MB allocation)
+    require(nLat.toLong * nLon <= Int.MaxValue,
+      s"grid of ${nLat}x$nLon cells exceeds the dense bitmask's 2^31-1 " +
+        "addressable bound; use the broadcast semi-join form for such extents")
     val words = new Array[Long](((nLat.toLong * nLon + 63) >> 6).toInt)
     cells.foreach { case (la, lo) =>
       val idx = (la - latMin) * nLon + (lo - lonMin)

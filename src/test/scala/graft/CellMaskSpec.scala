@@ -23,6 +23,29 @@ class CellMaskSpec extends SparkTestBase {
     assert(!wide.contains(6, 0) && !wide.contains(0, 12))
   }
 
+  test("oversized grid extents fail the BUILD loudly (no silent int truncation)") {
+    // 65536 x 65536 cells = 2^32 > 2^31-1: the dense row-major index
+    // would truncate identically on build and probe, so membership
+    // would go silently wrong — the build must refuse instead
+    val ex = intercept[IllegalArgumentException] {
+      CellMask.fromCells(Seq((0, 0), (65535, 65535)))
+    }
+    assert(ex.getMessage.contains("2^31"), ex.getMessage)
+  }
+
+  test("landCellMask rebuilds when the lookup path is rewritten (no stale memo)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mask_cache").toString + "/cells"
+    Seq((0, 0)).toDF("cell_lat", "cell_lon").write.mode("overwrite").parquet(dir)
+    val m1 = Climate.landCellMask(spark.read.parquet(dir))
+    assert(m1.contains(0, 0) && !m1.contains(7, 7))
+    // overwrite the SAME path: the canonicalized plan compares equal,
+    // but the file fingerprint differs — the memo must miss and rebuild
+    Seq((7, 7)).toDF("cell_lat", "cell_lon").write.mode("overwrite").parquet(dir)
+    val m2 = Climate.landCellMask(spark.read.parquet(dir))
+    assert(m2.contains(7, 7) && !m2.contains(0, 0))
+  }
+
   test("expression form is bit-identical to the semi-join on the registered query's data") {
     val pts = Tables.customer(spark, sf).select(col("c_custkey"),
       Climate.cellIndex((col("c_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),

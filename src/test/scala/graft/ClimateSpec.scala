@@ -46,10 +46,12 @@ class ClimateSpec extends SparkTestBase {
     ).toDF("year", "month", "event_id", "feature")
     val out = Climate.featureCollection(df, "feature", "event_id")
       .orderBy(col("year"), col("month"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // schema is route-stable (year, month, shard, collection); in-bound
+    // months always carry shard 0
     assert(out.toSeq == Seq(
-      (2024, 1, """{"type":"FeatureCollection","features":[{"a":1},{"b":2}]}"""),
-      (2024, 2, """{"type":"FeatureCollection","features":[{"c":3}]}""")))
+      (2024, 1, 0, """{"type":"FeatureCollection","features":[{"a":1},{"b":2}]}"""),
+      (2024, 2, 0, """{"type":"FeatureCollection","features":[{"c":3}]}""")))
   }
 
   test("landMask keeps exactly the points whose cell is in the lookup") {
@@ -111,13 +113,36 @@ class ClimateSpec extends SparkTestBase {
     assert(unsharded.forall(_._2 == 0))
     val plain = Climate.featureCollection(feats, "feature", "event_id")
       .orderBy(col("year"), col("month"))
-      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
-    assert(plain == unsharded.map(t => (t._1, t._3)))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(plain == unsharded)
     // the adaptive default path degrades an out-of-bound month into
-    // document parts instead of one oversized row
+    // NUMBERED document parts (the shard index survives the route, so
+    // callers can reassemble) instead of one oversized row
     val degraded = Climate.featureCollection(feats, "feature", "event_id", maxPerDoc = 2)
-      .collect().map(_.getInt(1)).toSeq
-    assert(degraded.count(_ == 1) == 3 && degraded.count(_ == 2) == 1)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+    assert(degraded.filter(_._1 == 1).map(_._2).sorted == Seq(0, 1, 2))
+    assert(degraded.filter(_._1 == 2).map(_._2) == Seq(0))
+  }
+
+  test("featureCollection routing statistic invalidates when the path is rewritten") {
+    val dir = Files.createTempDirectory("graft_fc_cache").toString + "/feats"
+    def write(n: Int): Unit = (1 to n).map(i => (2024, 1, i.toLong, s"""{"f":$i}"""))
+      .toDF("year", "month", "event_id", "feature")
+      .write.mode("overwrite").parquet(dir)
+    // 2 features, bound 2 → in-bound route, one shard-0 document
+    write(2)
+    val small = Climate.featureCollection(
+      spark.read.parquet(dir), "feature", "event_id", maxPerDoc = 2)
+      .collect().map(_.getInt(2)).toSeq
+    assert(small == Seq(0))
+    // overwrite the SAME path with 5 features: a stale largest-month
+    // statistic would route through the unbounded in-memory plan — the
+    // fingerprinted memo must recount and take the sharded route
+    write(5)
+    val large = Climate.featureCollection(
+      spark.read.parquet(dir), "feature", "event_id", maxPerDoc = 2)
+      .collect().map(_.getInt(2)).sorted.toSeq
+    assert(large == Seq(0, 1, 2))
   }
 
   test("featureCollectionSharded: sharding adds NO shuffle beyond (year,month)") {

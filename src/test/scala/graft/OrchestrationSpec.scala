@@ -17,10 +17,11 @@ class OrchestrationSpec extends SparkTestBase {
       val n = spark.read.parquet(s"$out/$p").count()
       assert(n > 0, s"$p wrote no rows")
     }
-    // humidity output carries its validation columns end-to-end
+    // humidity output carries its validation columns end-to-end (plus
+    // the route-stable shard index of the adaptive document assembly)
     val hum = spark.read.parquet(s"$out/humidity")
     assert(hum.columns.sorted.toSeq ==
-      Seq("collection", "month", "n_features", "valid", "year"))
+      Seq("collection", "month", "n_features", "shard", "valid", "year"))
   }
 
   test("a hung pipeline is cancelled at the deadline; siblings still complete") {
@@ -34,6 +35,79 @@ class OrchestrationSpec extends SparkTestBase {
     assert(summary.successCount == 1 && summary.failedNames == Seq("hung"), summary)
     assert(summary.results.find(_.name == "hung").get.error.contains("timeout"))
     assert(spark.read.parquet(s"$out/fast").count() > 0)
+  }
+
+  test("timeout interrupts the pipeline's DRIVER thread, not just its job group") {
+    import scala.concurrent.duration._
+    import java.util.concurrent.atomic.AtomicBoolean
+    val interrupted = new AtomicBoolean(false)
+    val sideEffectLanded = new AtomicBoolean(false)
+    val summary = PipelineManager.runAll(spark, Seq(
+      // non-Spark driver work: a job-group cancel alone would never
+      // reach this sleep, and the post-sleep side effect would land
+      // AFTER being tallied as a timeout failure
+      "driver_hang" -> (() => {
+        try Thread.sleep(120000)
+        catch { case e: InterruptedException =>
+          interrupted.set(true); throw new RuntimeException(e) }
+        sideEffectLanded.set(true)
+      })),
+      timeout = 5.seconds)
+    assert(summary.failedNames == Seq("driver_hang"), summary)
+    // give the interrupt a moment to land on the worker
+    val deadline = System.nanoTime + 10e9.toLong
+    while (!interrupted.get && System.nanoTime < deadline) Thread.sleep(50)
+    assert(interrupted.get, "worker thread was never interrupted")
+    assert(!sideEffectLanded.get, "timed-out pipeline's side effect still landed")
+  }
+
+  test("dryRunAll: plans resolve and render, failures surface, ZERO query jobs launch") {
+    import org.apache.spark.sql.functions.col
+    // job-group-scoped job detection: dryRunAll runs its thunks on THIS
+    // thread, so any job it launched would inherit this group — jobs
+    // from concurrently-running suites (other threads) are excluded
+    val group = "graft-dryrun-zero-jobs"
+    val tracker = spark.sparkContext.statusTracker
+    def stageNames(): Seq[String] =
+      tracker.getJobIdsForGroup(group).toSeq.flatMap(j =>
+        tracker.getJobInfo(j).toSeq.flatMap(_.stageIds().toSeq)).flatMap(s =>
+        tracker.getStageInfo(s).toSeq.map(_.name()))
+    spark.sparkContext.setJobGroup(group, "dry-run spec", interruptOnCancel = false)
+    try {
+      val (summary, plans) = PipelineManager.dryRunAll(spark, Seq(
+        "monthly" -> (() => graft.operators.Climate.monthlyAgg(spark, sf)),
+        "join" -> (() => SparkEntry.queries("q_join_broadcast")(spark, sf)),
+        "bad_column" -> (() =>
+          Tables.nation(spark, sf).select(col("no_such_column")))))
+      // the rehearsal verdict: resolvable pipelines pass, the analysis
+      // error is caught and reported, siblings unaffected
+      assert(summary.successCount == 2 && summary.failedNames == Seq("bad_column"))
+      assert(plans.keySet == Set("monthly", "join"))
+      assert(plans.values.forall(p => p.contains("Scan") && p.nonEmpty))
+      // the ONLY cluster activity is parquet source-schema resolution
+      // (one footer read per source — metadata, the rehearsal analog of
+      // the reference's input existence checks); no query job — scan,
+      // shuffle, aggregate, sink — may run
+      val metadataOnly = stageNames()
+      assert(metadataOnly.forall(_.startsWith("parquet at")),
+        s"dry-run launched query work: $metadataOnly")
+      // ...and the detector itself works: a real action under the same
+      // group IS visible to the tracker (guards against a vacuous pass)
+      spark.range(10).count()
+      val deadline = System.nanoTime + 10e9.toLong
+      while (stageNames().forall(_.startsWith("parquet at"))
+        && System.nanoTime < deadline) Thread.sleep(50)
+      assert(stageNames().exists(n => !n.startsWith("parquet at")),
+        "sentinel job invisible — the zero-query-jobs assertion would be vacuous")
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  test("dryRunClimatePipelines rehearses all three reference pipelines, no sinks") {
+    val (summary, plans) = PipelineManager.dryRunClimatePipelines(spark, sf)
+    assert(summary.allSucceeded && summary.successCount == 3, summary)
+    assert(plans.keySet == Set("precipitation", "temperature", "humidity"))
+    // each rendered physical plan reaches its source scans
+    assert(plans.values.forall(_.contains("Scan")))
   }
 
   test("an injected failure is tallied and does NOT stop sibling pipelines") {
