@@ -67,6 +67,68 @@ object IO {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** sfDirs whose hive (year,month) orders layout is already written —
+    * the layout is the INGEST artifact dynamic partition pruning reads;
+    * like the bucketed-join tables it is paid once per (process, sfDir)
+    * so repeated invocations (verify, bench warmup + timed passes)
+    * measure the pruned read, not a re-write. */
+  private val hiveOrdersBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The reference's file-per-month layout as a hive-partitioned parquet
+    * table (precipitation_pipeline.py:123-144 writes one file per
+    * (year,month); :277-283 then processes ONE month by path). Readers
+    * get the same process-only-this-month contract from partition
+    * pruning — static when the month is a literal, DYNAMIC when it
+    * arrives at runtime from a joined dimension (q_prune_dynamic). */
+  private[graft] def hivePartitionedOrders(s: SparkSession, d: String): String =
+    hiveOrdersBuilt.getOrElseUpdate(d, {
+      val out = tmp("graft_hive_orders_")
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      Climate.withYearMonth(Tables.orders(s, d), "o_orderdate")
+        .repartition(n, col("year"), col("month"))
+        .write.partitionBy("year", "month").mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Nation CSV directory plus one file of rows violating the declared
+    * schema (non-integer keys) — the ingest-validation fixture for the
+    * malformed-row policies. The reference is validation-heavy on
+    * ingest (humidity_pipeline.py:114-134 guards empty/NaN records
+    * row by row); Spark's scan-level equivalent is the parser mode:
+    * PERMISSIVE quarantines bad rows in `_corrupt_record`,
+    * DROPMALFORMED silently drops them, FAILFAST aborts the scan.
+    * `header=true` drops the first line of EVERY file, so the bad file
+    * carries its own header line. */
+  private val malformedBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def malformedNationCsv(s: SparkSession, d: String): String =
+    malformedBuilt.getOrElseUpdate("csv:" + d, {
+      val out = tmp("graft_badcsv_")
+      Tables.nation(s, d).write.mode("overwrite").option("header", true).csv(out)
+      Files.writeString(java.nio.file.Paths.get(out, "part-zz-malformed.csv"),
+        "n_nationkey,n_name,n_regionkey\n" +
+          "notanint,BADLAND,0\n" +
+          "88,TRUNCATED,notanint\n")
+      out
+    })
+
+  /** Region JSON-lines directory plus one file of lines that are not
+    * valid JSON objects (truncated object, free text) — the JSON twin
+    * of [[malformedNationCsv]]. */
+  private[graft] def malformedRegionJson(s: SparkSession, d: String): String =
+    malformedBuilt.getOrElseUpdate("json:" + d, {
+      val out = tmp("graft_badjson_")
+      Tables.region(s, d).write.mode("overwrite").json(out)
+      Files.writeString(java.nio.file.Paths.get(out, "part-zz-malformed.json"),
+        "{\"r_regionkey\": 999, \"r_name\"\n" +
+          "not json at all\n")
+      out
+    })
+
+  /** The corrupt-capture column name (Spark's default, declared
+    * explicitly so the schema and the filters agree). */
+  val CorruptCol = "_corrupt_record"
+
   val queries: Map[String, Q] = Map(
     // Header CSV sink + schema'd scan (pd.read_csv / df.to_csv shape).
     "q_scan_csv" -> ((s, d) => {
@@ -147,6 +209,65 @@ object IO {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("year"), col("month"))
     }),
+
+    // PERMISSIVE scan over a dirty CSV directory: schema-violating rows
+    // land whole in `_corrupt_record` and are filtered out; the clean
+    // subset must hash-match the oracle over the original table — the
+    // quarantine loses nothing and invents nothing. The parsed scan is
+    // CACHED before the split: Spark refuses raw-file queries whose
+    // pruned schema is only `_corrupt_record` (a downstream count/
+    // aggregate prunes to exactly that), and the cache is also the
+    // split-stream shape — clean branch and quarantine branch read ONE
+    // parse. At 100 TB the cache becomes a staging write of the parsed
+    // + corrupt columns; the fixture memo keeps the plan identical
+    // across invocations so one cache entry is reused, never stacked.
+    "q_scan_csv_malformed" -> ((s, d) => {
+      val out = malformedNationCsv(s, d)
+      s.read.option("header", true).option("mode", "PERMISSIVE")
+        .schema(NationSchema.add(CorruptCol, StringType)).csv(out)
+        .cache()
+        .filter(col(CorruptCol).isNull)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // The JSON twin: non-JSON lines quarantined, clean subset exact.
+    "q_scan_json_malformed" -> ((s, d) => {
+      val out = malformedRegionJson(s, d)
+      s.read.option("mode", "PERMISSIVE")
+        .schema(StructType(RegionSchema.fields :+ StructField(CorruptCol, StringType)))
+        .json(out)
+        .cache()
+        .filter(col(CorruptCol).isNull)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // Dynamic partition pruning over the monthly layout — the
+    // reference's "process only this month" contract
+    // (precipitation_pipeline.py:277-283 loops per-month files) when
+    // the month set is only known at RUNTIME: the months come from a
+    // filtered dimension (months in which a ≥49-quantity lineitem
+    // shipped during Q1), so no static filter exists on the fact scan.
+    // Catalyst inserts a dynamicpruning subquery that reuses the dim's
+    // broadcast: the partitioned scan reads ~21 of 80 (year,month)
+    // directories instead of all of them (pinned in PlanSpec with the
+    // scan's partitions-read metric). At 100 TB this is the difference
+    // between touching one month and scanning seven years.
+    "q_prune_dynamic" -> ((s, d) => {
+      val fact = s.read.parquet(hivePartitionedOrders(s, d))
+      val dim = Tables.lineitem(s, d)
+        .filter(quarter(col("l_shipdate")) === 1 && col("l_quantity") >= 49)
+        .select(year(col("l_shipdate")).as("year"),
+          month(col("l_shipdate")).as("month"))
+        .distinct()
+      fact.join(broadcast(dim), Seq("year", "month"))
+        .groupBy(col("year").cast("int").as("year"),
+          col("month").cast("int").as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("year"), col("month"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,5 +286,20 @@ object IO {
         |       CAST(month(o_orderdate) AS INT) AS month,
         |       count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scan_csv_malformed" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_json_malformed" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_prune_dynamic" ->
+      """SELECT f.year, f.month, count(*) AS n,
+        |       round(sum(f.o_totalprice), 2) AS total
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |             CAST(month(o_orderdate) AS INT) AS month, o_totalprice
+        |      FROM orders) f
+        |JOIN (SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS year,
+        |             CAST(month(l_shipdate) AS INT) AS month
+        |      FROM lineitem
+        |      WHERE quarter(l_shipdate) = 1 AND l_quantity >= 49) d
+        |  ON f.year = d.year AND f.month = d.month
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

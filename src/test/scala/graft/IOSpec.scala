@@ -63,4 +63,61 @@ class IOSpec extends SparkTestBase {
     assert(lines.forall(l => l.startsWith("{\"r_regionkey\":") && !l.contains(", ") &&
       !l.contains(": ")))
   }
+
+  test("malformed CSV: PERMISSIVE quarantines exactly the planted rows, whole") {
+    import graft.sources.IO
+    val out = IO.malformedNationCsv(spark, sf)
+    val rows = spark.read.option("header", true).option("mode", "PERMISSIVE")
+      .schema(IO.NationSchema.add(IO.CorruptCol, org.apache.spark.sql.types.StringType))
+      .csv(out).collect()
+    val (bad, clean) = rows.partition(r => r.getAs[String](IO.CorruptCol) != null)
+    assert(clean.length.toLong == Tables.nation(spark, sf).count())
+    // both planted rows captured VERBATIM (the quarantine keeps the
+    // original text for repair, the reference's row-guard posture)
+    assert(bad.map(_.getAs[String](IO.CorruptCol)).sorted.toSeq ==
+      Seq("88,TRUNCATED,notanint", "notanint,BADLAND,0"))
+    // the typed columns of a corrupt row are null where the parse failed
+    assert(bad.forall(r => r.isNullAt(0) || r.isNullAt(2)))
+  }
+
+  test("malformed CSV: DROPMALFORMED yields exactly the clean subset") {
+    import graft.sources.IO
+    val out = IO.malformedNationCsv(spark, sf)
+    // collect(), not count(): the zero-column count fast path skips
+    // row parsing entirely, so the drop policy never runs there
+    val dropped = spark.read.option("header", true).option("mode", "DROPMALFORMED")
+      .schema(IO.NationSchema).csv(out).collect()
+    assert(dropped.length.toLong == Tables.nation(spark, sf).count())
+    assert(dropped.forall(r => !r.isNullAt(0) && !r.isNullAt(2)))
+  }
+
+  test("malformed CSV: FAILFAST aborts the scan") {
+    import graft.sources.IO
+    val out = IO.malformedNationCsv(spark, sf)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", true).option("mode", "FAILFAST")
+        .schema(IO.NationSchema).csv(out).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage.take(500))
+  }
+
+  test("malformed JSON: the three policies agree with the CSV contract") {
+    import graft.sources.IO
+    import org.apache.spark.sql.types._
+    val out = IO.malformedRegionJson(spark, sf)
+    val withCorrupt = StructType(IO.RegionSchema.fields :+
+      StructField(IO.CorruptCol, StringType))
+    val nClean = Tables.region(spark, sf).count()
+    val rows = spark.read.option("mode", "PERMISSIVE")
+      .schema(withCorrupt).json(out).collect()
+    val (bad, clean) = rows.partition(r => r.getAs[String](IO.CorruptCol) != null)
+    assert(clean.length.toLong == nClean && bad.length == 2)
+    assert(spark.read.option("mode", "DROPMALFORMED")
+      .schema(IO.RegionSchema).json(out).count() == nClean)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.option("mode", "FAILFAST")
+        .schema(IO.RegionSchema).json(out).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage.take(500))
+  }
 }

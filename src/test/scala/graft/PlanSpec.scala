@@ -234,4 +234,32 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan.take(2000))
   }
+
+  test("q_prune_dynamic: runtime month dim dynamically prunes the hive partition scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_prune_dynamic")(spark, sf)
+    // the pruning subquery must be IN the plan (not optimized away to a
+    // static filter — the month set only exists at runtime)
+    val planned = df.queryExecution.executedPlan.toString()
+    assert(planned.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in plan:\n${planned.take(2000)}")
+    df.collect()
+    // after execution the partitioned scan must have READ only the dim's
+    // months: the layout holds 80 (year,month) directories, Q1 shipping
+    // months are ~20 — the partitions-read metric is the proof the
+    // subquery reached the file index, not just the plan text
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft_hive_orders_")))
+    assert(factScan.isDefined, "partitioned fact scan not found in executed plan")
+    val read = factScan.get.metrics("numPartitions").value
+    assert(read > 0 && read <= 40,
+      s"expected ~20 of 80 partitions read under dynamic pruning, got $read")
+  }
 }
