@@ -326,6 +326,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("shardedCollectionSink: bounded document parts land across micro-batches") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shsink_ckpt").toString
+    val in = MemoryStream[Ev](spark)
+    // feature = a one-field JSON object; order = event_id (unique within
+    // the month); maxPerDoc = 2 forces sharding inside every batch
+    val feats = in.toDF()
+      .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+      .select(col("year"), col("month"), col("event_id"),
+        concat(lit("{\"id\":"), col("event_id"), lit("}")).as("feature"))
+    val q = graft.streaming.Streaming.shardedCollectionSink(
+      feats, "feature", "event_id", 2, out, ckpt)
+    try {
+      // batch 0: five January events -> shards 0,1,2 (2+2+1 features)
+      in.addData((1L to 5L).map(i =>
+        Ev(t(s"2024-01-0$i 10:00:00"), 1, i, i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 1: three more January events + one February -> the month
+      // keeps growing but every NEW part stays bounded
+      in.addData(Ev(t("2024-01-20 10:00:00"), 1, 6, 6.0),
+        Ev(t("2024-01-21 10:00:00"), 1, 7, 7.0),
+        Ev(t("2024-01-22 10:00:00"), 1, 8, 8.0),
+        Ev(t("2024-02-01 10:00:00"), 2, 9, 9.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      val docs = back.select(col("year"), col("month"), col("batch_id"),
+        col("shard"), col("collection")).collect()
+      // every part is a well-formed FeatureCollection with <= 2 features
+      docs.foreach { r =>
+        val c = r.getAs[String]("collection")
+        assert(c.startsWith("{\"type\":\"FeatureCollection\",\"features\":[") &&
+          c.endsWith("]}"), c)
+        val n = "\\{\"id\":\\d+\\}".r.findAllIn(c).length
+        assert(n >= 1 && n <= 2, s"part exceeds maxPerDoc: $c")
+      }
+      // all 9 features present exactly once across all parts
+      val ids = docs.flatMap(r => "\\d+".r.findAllIn(
+        r.getAs[String]("collection")).map(_.toLong)).sorted
+      assert(ids.toSeq == (1L to 9L), ids.mkString(","))
+      // shard indices are contiguous from 0 within each (month, batch)
+      docs.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2))).foreach {
+        case (_, part) =>
+          val shards = part.map(_.getInt(3)).sorted.toSeq
+          assert(shards == (0 until shards.length), shards.mkString(","))
+      }
+      // January accumulated parts from BOTH batches under one partition
+      val janBatches = docs.filter(r => r.getInt(1) == 1).map(_.getLong(2)).distinct
+      assert(janBatches.sorted.toSeq == Seq(0L, 1L))
+    } finally {
+      q.stop()
+      graft.sources.IO.rmTree(out); graft.sources.IO.rmTree(ckpt)
+    }
+  }
+
   test("idempotent sink: a REPLAYED batch overwrites itself — no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("graft_idemp").toString
     try {
