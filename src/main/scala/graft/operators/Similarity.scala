@@ -81,6 +81,17 @@ object Similarity {
       aggregate(slice(bits, b * lit(bitsPerBand) + lit(1), lit(bitsPerBand)),
         lit(0L), (s, bit) => s * 2 + bit))
 
+  /** Banded SRP signature via the native [[graft.plans.SrpBands]]
+    * expression — one codegen'd bands × bits × dim loop. Replaces
+    * `packBands(hyperplaneBits(...))` in the query path: the composed
+    * form materializes the basis as ~4096 literals whose Catalyst
+    * analysis costs SECONDS per plan at the 64-bit default budget
+    * (pure driver overhead). Bit-identical buckets (SrpBandsSpec). */
+  def srpBands(v: Column, bands: Int, bitsPerBand: Int, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.SrpBands(
+        org.apache.spark.sql.GraftBridge.expression(v), bands, bitsPerBand, dim))
+
   /** Exact cosine top-k of `emb` (vec_id, v: array<double>) against the
     * row with vec_id = queryId. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -107,8 +118,7 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     // spread first: a single-split source would otherwise compute every
     // signature on one core (explicit numPartitions — AQE-coalesce-proof)
-    val sigs = spread(emb).withColumn("bands",
-      packBands(hyperplaneBits(col("v"), bands * bitsPerBand), bands, bitsPerBand))
+    val sigs = spread(emb).withColumn("bands", srpBands(col("v"), bands, bitsPerBand))
     val banded = sigs.select(col("vec_id"), col("v"),
       posexplode(col("bands"))).toDF("vec_id", "v", "band_id", "band_key")
     val qBands = banded.filter(col("vec_id") === queryId)
