@@ -248,10 +248,41 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Eval-set DECONTAMINATION: flag every training document sharing at
+    * least one k-token shingle with the held-out eval set (the n-gram
+    * overlap check run before training so benchmark text never leaks
+    * into the corpus). The harness eval set is the deterministic
+    * doc_id % holdoutMod == 0 slice — in production it is the actual
+    * benchmark suite, which is SMALL by nature, and that is the scale
+    * contract: the eval gram set broadcasts, the training side streams
+    * through a broadcast hash join, and nothing shuffles on grams.
+    *
+    * Grams are compared as xxhash64 values (the shuffle/broadcast
+    * carries 8 bytes per gram, not text); a false flag needs a 64-bit
+    * collision between a train gram and an eval gram — odds ~n²/2⁶⁵,
+    * negligible corpus-wide (the string-comparing oracle cross-checks
+    * exactly this). Output: flagged doc ids with their distinct
+    * shared-gram counts. */
+  def decontaminate(docsIn: DataFrame, holdoutMod: Int = 20, k: Int = 8): DataFrame = {
+    val grams = spread(docsIn)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("toks"), k))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % holdoutMod === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % holdoutMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      // grams are per-doc distinct and the eval side is distinct, so a
+      // plain count IS the distinct shared-gram count
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_near" -> ((s, d) => dedupNear(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => dedupNgram(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
+    "q_dedup_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
   )
 
   // DuckDB oracles: brute-force pair scans — valid as a SPEC (the gate
@@ -260,6 +291,24 @@ object Dedup {
   // the harness data (see scaladoc). The ENGINE never does this O(n²)
   // scan; the oracle may.
   val oracle: Map[String, String] = Map(
+    // decontamination oracle compares the SHINGLE STRINGS themselves —
+    // a digest-free cross-check of the engine's hash-compare path
+    "q_dedup_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 8
+        |              THEN list_distinct(list_transform(range(1, len(t) - 6),
+        |                     i -> array_to_string(t[i:i+7], ' ')))
+        |              ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM tr WHERE g IN (SELECT g FROM ev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_near" ->
       """WITH sh AS (
         |  SELECT doc_id,

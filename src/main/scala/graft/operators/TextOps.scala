@@ -141,6 +141,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals — the duplicate-text quality gate
+    * that complements [[textQuality]]'s length/punct/stopword gate:
+    * duplicate-word fraction, most-frequent-token fraction, and
+    * duplicate-2-gram fraction, with a keep flag at fixed thresholds.
+    * (Line-based signals are omitted: the harness corpus is
+    * single-line documents.)
+    *
+    * Scale posture: one explode per stream (tokens, 2-gram shingles)
+    * into a two-level aggregation — the (doc_id, token) partials
+    * combine map-side, so the shuffle carries counts, never token
+    * text volume beyond the distinct set; the per-doc reduction keys
+    * both branches by doc_id, so the final join reuses that
+    * partitioning. No per-doc quadratic HOF (an
+    * `array_max(transform(distinct, count-in-array))` formulation is
+    * O(L²) per document — disqualifying for book-length docs). */
+  def textRepetition(docs: DataFrame): DataFrame = {
+    val base = graft.spread(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tokStats = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("nd"), max(col("c")).as("topc"))
+    val gramStats = base.select(col("doc_id"),
+        explode(Dedup.tokenShingles(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n2"), count(lit(1)).as("nd2"))
+    tokStats.join(gramStats, "doc_id")
+      // keep evaluates the UNROUNDED ratios (the rounded columns are
+      // presentation; a flag computed from rounded values would flip on
+      // boundary documents)
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(lit(1.0) - col("nd") / col("n"), 4).as("dup_word_frac"),
+        round(col("topc") / col("n"), 4).as("top_token_frac"),
+        round(lit(1.0) - col("nd2") / col("n2"), 4).as("dup_2gram_frac"),
+        (lit(1.0) - col("nd") / col("n") <= 0.6 &&
+          col("topc") / col("n") <= 0.12 &&
+          lit(1.0) - col("nd2") / col("n2") <= 0.1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-profile language ID: per-language evidence score =
     * stopword hits; argmax with a fixed en>de>es>fr priority tie-break,
     * 'und' (undetermined) when no evidence. One expression, no UDF. */
@@ -247,6 +288,7 @@ object TextOps {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
+    "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "q_text_pii_mask" -> ((s, d) => piiMask(Tables.documents(s, d))),
@@ -299,6 +341,26 @@ object TextOps {
          |        AND round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
          |                  / greatest(length(text), 1), 4) < 0.3) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+        |         (SELECT max(c) FROM (SELECT count(*) AS c
+        |                              FROM unnest(t) AS u(tok) GROUP BY tok)) AS topc,
+        |         CASE WHEN len(t) >= 2
+        |              THEN len(list_distinct(list_transform(range(1, len(t)),
+        |                     i -> t[i] || ' ' || t[i+1]))) ELSE 1 END AS nd2,
+        |         CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 1 END AS n2
+        |  FROM toks)
+        |SELECT doc_id, n AS n_tokens,
+        |       round(1.0 - 1.0 * nd / n, 4) AS dup_word_frac,
+        |       round(1.0 * topc / n, 4) AS top_token_frac,
+        |       round(1.0 - 1.0 * nd2 / n2, 4) AS dup_2gram_frac,
+        |       (1.0 - 1.0 * nd / n <= 0.6 AND 1.0 * topc / n <= 0.12
+        |        AND 1.0 - 1.0 * nd2 / n2 <= 0.1) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_pii_mask" ->
       """WITH raw AS (
         |  SELECT doc_id,

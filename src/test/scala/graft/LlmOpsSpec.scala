@@ -45,6 +45,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(res.head._3 > 0.9)
   }
 
+  test("decontaminate flags exactly the train docs sharing an 8-gram with the eval slice") {
+    // doc 20 is the eval slice (20 % 20 == 0); doc 1 embeds a full
+    // 8-token window of it, doc 2 shares only a 7-token prefix (one
+    // token short of a shingle), doc 3 is disjoint
+    val evalText = "zero one two three four five six seven eight nine"
+    val leaked = "intro words then zero one two three four five six seven closing"
+    val sevenOnly = "zero one two three four five six STOP different tail words here"
+    val clean = "entirely unrelated vocabulary occupying its own distinct space today"
+    val res = Dedup.decontaminate(
+        docs(20L -> evalText, 1L -> leaked, 2L -> sevenOnly, 3L -> clean))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L), s"got $res")
+  }
+
+  test("textRepetition scores a degenerate doc and keeps a diverse one") {
+    val repetitive = Seq.fill(20)("spam").mkString(" ") // one token, 20×
+    val diverse = "every word in this sentence appears exactly once today"
+    val res = TextOps.textRepetition(docs(1L -> repetitive, 2L -> diverse))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // 20× "spam": 1 distinct of 20 tokens, top token 100%, 1 distinct
+    // of 19 2-grams (1 - 1/19 = 0.9474)
+    assert(res(1L) == ((0.95, 1.0, 0.9474, false)))
+    // all-distinct 9-token doc: zero duplication, top token 1/9
+    assert(res(2L) == ((0.0, 0.1111, 0.0, true)))
+  }
+
   test("dedupSimhash: near-identical docs collide, unrelated don't") {
     val nearDup = base.replace("stars", "moons")
     val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota " +
