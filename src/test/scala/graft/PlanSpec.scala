@@ -235,6 +235,22 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q_text_repetition: both aggregation levels reuse the spread's doc_id partitioning") {
+    val plan = executed("q_text_repetition")
+    val exchanges = plan.linesIterator
+      .filter(_.matches("\\(\\d+\\) Exchange.*")).toVector
+    // exactly 3 shuffles: one hash(doc_id) spread per branch (the
+    // single-split-source correction) and the final presentation sort.
+    // Both the (doc_id, token/gram) merge and the per-doc reduction run
+    // ON the spread's distribution — doc_id partitioning co-locates
+    // every finer grouping, so neither aggregation level re-shuffles,
+    // and the stats join needs no exchange at all (small side
+    // broadcasts). A 4th exchange means that reuse broke.
+    assert(exchanges.length == 3,
+      s"expected 3 exchanges, got ${exchanges.length}:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("q_prune_dynamic: runtime month dim dynamically prunes the hive partition scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
