@@ -39,5 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_simhash_votes(hashedTokens)")
         SimHashVotes(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_bands"),
+      new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_srp_bands(v, bands, bitsPerBand, dim)")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"$name must be an integer literal, got $other")
+        }
+        SrpBands(children.head, intLit(children(1), "bands"),
+          intLit(children(2), "bitsPerBand"), intLit(children(3), "dim"))
+      }))
   }
 }

@@ -151,6 +151,36 @@ object Streaming {
       }
       .start()
 
+  /** The idempotent batch writer behind
+    * [[shardedCollectionSinkIdempotent]]: the batch's sharded document
+    * parts land under their own batch_id partition with DYNAMIC
+    * partition overwrite — a crash-replayed batch id overwrites
+    * exactly its own parts instead of appending duplicate shards
+    * (spec'd by double invocation, same contract as
+    * [[writeBatchIdempotent]]). */
+  def writeShardedBatch(batch: DataFrame, batchId: Long, featureCol: String,
+      orderCol: String, maxPerDoc: Int, outDir: String): Unit =
+    graft.operators.Climate
+      .featureCollectionSharded(batch, featureCol, orderCol, maxPerDoc)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "year", "month").parquet(outDir)
+
+  /** EXACTLY-ONCE variant of [[shardedCollectionSink]]: same bounded
+    * per-part contract, with the batch_id leading the partition path so
+    * crash-replay is idempotent. A month's logical document is its
+    * parts in (batch_id, shard) order, read across batch partitions. */
+  def shardedCollectionSinkIdempotent(stream: DataFrame, featureCol: String,
+      orderCol: String, maxPerDoc: Int, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeShardedBatch(batch, id, featureCol, orderCol, maxPerDoc, outDir)
+      }
+      .start()
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumblingHourly(Tables.events(s, d)).orderBy(col("window_start"))),

@@ -46,6 +46,17 @@ class SrpBandsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL registration via GraftExtensions: graft_srp_bands()") {
+    val viaSql = spark.sql(
+      """SELECT graft_srp_bands(array(CAST(1.0 AS DOUBLE), -2.0, 0.5), 2, 8, 64) AS b""")
+      .head.getSeq[Long](0)
+    val viaColumn = spark.range(1)
+      .select(Similarity.srpBands(
+        array(lit(1.0), lit(-2.0), lit(0.5)), 2, 8).as("b"))
+      .head.getSeq[Long](0)
+    assert(viaSql == viaColumn && viaSql.length == 2)
+  }
+
   test("keys stay within the bitsPerBand range") {
     val keys = emb.select(explode(Similarity.srpBands(col("v"), 8, 8)).as("k"))
       .agg(min(col("k")), max(col("k"))).head()

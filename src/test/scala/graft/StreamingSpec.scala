@@ -380,6 +380,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sharded sink idempotent variant: a replayed batch overwrites its own parts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shidem").toString
+    try {
+      def feats(ids: Long*) = ids.map(i =>
+          (2024, 1, i, s"""{"id":$i}""")).toDF("year", "month", "event_id", "feature")
+      graft.streaming.Streaming.writeShardedBatch(
+        feats(1L, 2L, 3L), 0L, "feature", "event_id", 2, out)
+      graft.streaming.Streaming.writeShardedBatch(
+        feats(4L, 5L), 1L, "feature", "event_id", 2, out)
+      assert(spark.read.parquet(out).count() == 3) // shards: 2 + 1
+      // crash-replay of batch 0 must be a no-op in effect
+      graft.streaming.Streaming.writeShardedBatch(
+        feats(1L, 2L, 3L), 0L, "feature", "event_id", 2, out)
+      val after = spark.read.parquet(out)
+      assert(after.count() == 3)
+      val ids = after.collect().flatMap(r => "\\d+".r.findAllIn(
+        r.getAs[String]("collection")).map(_.toLong)).sorted
+      assert(ids.toSeq == (1L to 5L), ids.mkString(","))
+    } finally graft.sources.IO.rmTree(out)
+  }
+
   test("idempotent sink: a REPLAYED batch overwrites itself — no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("graft_idemp").toString
     try {
