@@ -183,18 +183,17 @@ object Climate {
     * are fully covered by canonicalized equality) fingerprint to a
     * constant. */
   private def sourceFingerprint(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val md = java.security.MessageDigest.getInstance("MD5")
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          val entries = fs.location match {
-            case p: PartitioningAwareFileIndex =>
-              p.allFiles().map(f =>
-                s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
-            case other =>
-              other.inputFiles.toSeq.map(p => s"$p#${other.sizeInBytes}")
-          }
+          // listFiles yields (path, length, mtime) for ANY FileIndex
+          // implementation — a path+size-only fallback would miss an
+          // in-place overwrite of identical total size, exactly the
+          // staleness class this fingerprint exists to catch
+          val entries = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
           entries.sorted.foreach(e =>
             md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         case _ => ()
@@ -485,14 +484,25 @@ object Climate {
     * run order: download -> monthly split -> land-masked GeoJSON ->
     * per-month FeatureCollection). Property set is {temperature, time}
     * ONLY — no lat/lon echo (temperature_pipeline.py:114-120). */
-  def temperatureComposite(s: SparkSession, dir: String): DataFrame = {
-    val feats = monthlyMasked(s, dir)
+  private def temperatureFeats(s: SparkSession, dir: String): DataFrame =
+    monthlyMasked(s, dir)
       .select(col("year"), col("month"), col("event_id"),
         temperatureFeature(col("lat"), col("lon"), round(col("value"), 4),
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
-    featureCollection(feats, "feature", "event_id")
+
+  def temperatureComposite(s: SparkSession, dir: String): DataFrame =
+    featureCollection(temperatureFeats(s, dir), "feature", "event_id")
       .orderBy(col("year"), col("month"), col("shard"))
-  }
+
+  /** Rehearsal (dry-run) form of [[temperatureComposite]]: the document
+    * stage is the UNCONDITIONALLY sharded plan, so BUILDING the frame
+    * runs no routing-statistic job — a true zero-query-jobs rehearsal.
+    * The rehearsed plan is one of the two real routes (the bounded
+    * one), whose in-bound output is byte-identical to the other. */
+  def temperatureCompositeRehearsal(s: SparkSession, dir: String): DataFrame =
+    featureCollectionSharded(temperatureFeats(s, dir), "feature", "event_id",
+        MaxFeaturesPerDoc)
+      .orderBy(col("year"), col("month"), col("shard"))
 
   /** End-to-end HUMIDITY composite (humidity_pipeline.py:339-360 run
     * order) — the validation-heavy lifecycle: explicit numeric casts on
@@ -502,26 +512,46 @@ object Climate {
     * document re-parsed and checked non-empty exactly as
     * validate_geojson does (:95-110): parse -> count features ->
     * valid = count > 0. */
-  def humidityComposite(s: SparkSession, dir: String): DataFrame = {
-    val feats = monthlyMasked(s, dir)
+  private def humidityFeats(s: SparkSession, dir: String): DataFrame =
+    monthlyMasked(s, dir)
       .select(col("year"), col("month"), col("event_id"),
         humidityFeature(col("lat"), col("lon"), round(col("value"), 4),
           col("ts"), col("lat_res") / 2, col("lon_res") / 2).as("feature"))
-    featureCollection(feats, "feature", "event_id")
+
+  /** The humidity parse-back validation projection, shared by the real
+    * composite and its rehearsal so both plan the same lifecycle. */
+  private def humidityValidated(docs: DataFrame): DataFrame =
+    docs
       .select(col("year"), col("month"), col("shard"), col("collection"),
         json_array_length(get_json_object(col("collection"), "$.features"))
           .cast("long").as("n_features"))
       .withColumn("valid", col("n_features") > 0)
       .orderBy(col("year"), col("month"), col("shard"))
-  }
 
-  /** The end-to-end climate composite (SURVEY §7.3 step 6):
-    * [[compositeFrame]] → (year,month)-partitioned sink, ONE lazy plan
-    * with one action — where the reference materializes to disk
-    * between every stage (precipitation_pipeline.py:604-640). */
-  def climatePipeline(s: SparkSession, dir: String, outDir: String): Unit =
+  def humidityComposite(s: SparkSession, dir: String): DataFrame =
+    humidityValidated(
+      featureCollection(humidityFeats(s, dir), "feature", "event_id"))
+
+  /** Rehearsal (dry-run) form of [[humidityComposite]] — see
+    * [[temperatureCompositeRehearsal]] for the contract. */
+  def humidityCompositeRehearsal(s: SparkSession, dir: String): DataFrame =
+    humidityValidated(
+      featureCollectionSharded(humidityFeats(s, dir), "feature", "event_id",
+        MaxFeaturesPerDoc))
+
+  /** The precipitation pipeline's output frame — ONE definition shared
+    * by the real sink ([[climatePipeline]]) and the dry-run rehearsal,
+    * so the rehearsed plan is exactly the plan the real run executes. */
+  def precipitationFrame(s: SparkSession, dir: String): DataFrame =
     compositeFrame(s, dir)
       .select(col("year"), col("month"), col("feature"))
+
+  /** The end-to-end climate composite (SURVEY §7.3 step 6):
+    * [[precipitationFrame]] → (year,month)-partitioned sink, ONE lazy
+    * plan with one action — where the reference materializes to disk
+    * between every stage (precipitation_pipeline.py:604-640). */
+  def climatePipeline(s: SparkSession, dir: String, outDir: String): Unit =
+    precipitationFrame(s, dir)
       .write.partitionBy("year", "month").mode("overwrite").parquet(outDir)
 
   /** Great-circle (haversine) distance in km — the geodesic primitive

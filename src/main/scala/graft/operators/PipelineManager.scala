@@ -62,16 +62,29 @@ object PipelineManager {
     import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // the ONE deadline, fixed before anything is submitted: a queued
+    // pipeline checks it directly at start, so "never starts past the
+    // deadline" holds even before the results loop reaches its entry
+    val deadline = if (timeout.isFinite) Some(System.nanoTime + timeout.toNanos) else None
+    def deadlinePassed: Boolean = deadline.exists(System.nanoTime >= _)
     try {
       val futs = pipelines.map { case (name, body) =>
         val timedOut = new AtomicBoolean(false)
         val worker = new AtomicReference[Thread](null)
+        // `lock` fences interrupt delivery against body hand-off: the
+        // timeout path interrupts ONLY while it can see this pipeline
+        // still owns the thread, and the body releases ownership AND
+        // sheds any delivered interrupt under the same lock — so a
+        // timeout interrupt can never leak into the pool thread's next
+        // pipeline (the race the plain AtomicReference left open).
+        val lock = new Object
         val fut = Future {
-          // a queued pipeline whose deadline already passed never starts
-          if (timedOut.get) PipelineResult(name, ok = false, Some("timeout"))
+          val owned = lock.synchronized {
+            if (timedOut.get || deadlinePassed) false
+            else { worker.set(Thread.currentThread()); Thread.interrupted(); true }
+          }
+          if (!owned) PipelineResult(name, ok = false, Some("timeout"))
           else {
-            worker.set(Thread.currentThread())
-            Thread.interrupted() // shed any interrupt aimed at a prior occupant
             // own job group: cancellation/diagnosis scoped to this pipeline
             s.sparkContext.setJobGroup(s"graft-pipeline-$name",
               s"graft pipeline: $name", interruptOnCancel = true)
@@ -84,31 +97,32 @@ object PipelineManager {
               PipelineResult(name, ok = false,
                 Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
             finally {
-              worker.set(null)
               s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
               s.sparkContext.clearJobGroup()
-              // a timeout interrupt that raced the hand-off above must not
-              // leak into the pool thread's NEXT pipeline
-              Thread.interrupted()
+              lock.synchronized { worker.set(null); Thread.interrupted() }
             }
           }
         }
-        (timedOut, worker, fut)
+        (timedOut, worker, lock, fut)
       }
-      val deadline = if (timeout.isFinite) Some(System.nanoTime + timeout.toNanos) else None
-      val results = pipelines.zip(futs).map { case ((name, _), (timedOut, worker, f)) =>
-        val remaining = deadline
-          .map(d => Duration.fromNanos(math.max(0L, d - System.nanoTime)))
-          .getOrElse(Duration.Inf)
-        try Await.result(f, remaining)
-        catch { case _: java.util.concurrent.TimeoutException =>
-          timedOut.set(true)
-          s.sparkContext.cancelJobGroup(s"graft-pipeline-$name")
-          // stop the pipeline's DRIVER work too: job-group cancellation
-          // only reaches Spark tasks, not the thread driving them
-          Option(worker.get).foreach(_.interrupt())
-          PipelineResult(name, ok = false, Some("timeout"))
-        }
+      val results = pipelines.zip(futs).map {
+        case ((name, _), (timedOut, worker, lock, f)) =>
+          val remaining = deadline
+            .map(d => Duration.fromNanos(math.max(0L, d - System.nanoTime)))
+            .getOrElse(Duration.Inf)
+          try Await.result(f, remaining)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            s.sparkContext.cancelJobGroup(s"graft-pipeline-$name")
+            // stop the pipeline's DRIVER work too: job-group cancellation
+            // only reaches Spark tasks, not the thread driving them.
+            // Interrupt under the hand-off lock: it lands only while this
+            // pipeline still owns the thread.
+            lock.synchronized {
+              timedOut.set(true)
+              Option(worker.get).foreach(_.interrupt())
+            }
+            PipelineResult(name, ok = false, Some("timeout"))
+          }
       }
       RunSummary(results)
     } finally { pool.shutdownNow(); () }
@@ -166,18 +180,17 @@ object PipelineManager {
 
   /** Dry-run of the same three-pipeline set [[runClimatePipelines]]
     * executes: every frame is resolved and physically planned, no sink
-    * writes, no pipeline jobs. (The temperature/humidity composites'
-    * adaptive document routing computes its one memoized 1-row routing
-    * statistic at PLAN-BUILD time — that is part of planning, exactly
-    * as AQE's statistics are; the pipelines' own work never runs.) */
+    * writes, no query jobs AT ALL. The precipitation frame is the very
+    * [[Climate.precipitationFrame]] the real sink writes; the
+    * temperature/humidity rehearsals route the document stage through
+    * the unconditionally sharded plan, because the adaptive route's
+    * 1-row statistic is a REAL job (full scan + mask + windows) — the
+    * one thing a rehearsal must not pay. The rehearsed document plan is
+    * one of the two routes the real run can take. */
   def dryRunClimatePipelines(s: SparkSession, dir: String)
-      : (RunSummary, Map[String, String]) = {
-    import org.apache.spark.sql.functions.col
+      : (RunSummary, Map[String, String]) =
     dryRunAll(s, Seq(
-      "precipitation" -> (() =>
-        Climate.compositeFrame(s, dir)
-          .select(col("year"), col("month"), col("feature"))),
-      "temperature" -> (() => Climate.temperatureComposite(s, dir)),
-      "humidity" -> (() => Climate.humidityComposite(s, dir))))
-  }
+      "precipitation" -> (() => Climate.precipitationFrame(s, dir)),
+      "temperature" -> (() => Climate.temperatureCompositeRehearsal(s, dir)),
+      "humidity" -> (() => Climate.humidityCompositeRehearsal(s, dir))))
 }

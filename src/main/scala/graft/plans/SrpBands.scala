@@ -25,13 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Null vector elements contribute 0 to the dot product (the composed
   * form's VectorDot has no null elements in practice — the ANN surface
   * feeds it cast, non-null embeddings; parity is asserted on that
-  * domain).
+  * domain). A NULL vector yields a NULL signature (standard unary
+  * null propagation), so null-vector rows drop out of banding rather
+  * than colliding in an accidental all-zero bucket — a deliberate
+  * divergence from the composed form, whose `when(null ≥ 0)` fallback
+  * bucketed every null vector at key 0 (spec-pinned).
   */
 case class SrpBands(child: Expression, bands: Int, bitsPerBand: Int, dim: Int)
   extends UnaryExpression {
 
-  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62,
-    "bands and bitsPerBand must be positive; keys must fit a long")
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62 && dim > 0,
+    "bands, bitsPerBand, and dim must be positive; keys must fit a long" +
+      s" (got bands=$bands, bitsPerBand=$bitsPerBand, dim=$dim)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -102,12 +102,28 @@ class OrchestrationSpec extends SparkTestBase {
     } finally spark.sparkContext.clearJobGroup()
   }
 
-  test("dryRunClimatePipelines rehearses all three reference pipelines, no sinks") {
-    val (summary, plans) = PipelineManager.dryRunClimatePipelines(spark, sf)
+  test("dryRunClimatePipelines rehearses all three reference pipelines, ZERO query jobs") {
+    // the composites' adaptive document route computes a real routing-
+    // statistic job — the rehearsal must take the sharded route instead,
+    // so the SAME zero-query-jobs property pinned for dryRunAll holds
+    // for the full three-pipeline rehearsal too
+    val group = "graft-dryrun-climate-zero-jobs"
+    val tracker = spark.sparkContext.statusTracker
+    def stageNames(): Seq[String] =
+      tracker.getJobIdsForGroup(group).toSeq.flatMap(j =>
+        tracker.getJobInfo(j).toSeq.flatMap(_.stageIds().toSeq)).flatMap(s =>
+        tracker.getStageInfo(s).toSeq.map(_.name()))
+    spark.sparkContext.setJobGroup(group, "climate dry-run spec", interruptOnCancel = false)
+    val (summary, plans) =
+      try PipelineManager.dryRunClimatePipelines(spark, sf)
+      finally spark.sparkContext.clearJobGroup()
     assert(summary.allSucceeded && summary.successCount == 3, summary)
     assert(plans.keySet == Set("precipitation", "temperature", "humidity"))
     // each rendered physical plan reaches its source scans
     assert(plans.values.forall(_.contains("Scan")))
+    val metadataOnly = stageNames()
+    assert(metadataOnly.forall(_.startsWith("parquet at")),
+      s"climate dry-run launched query work: $metadataOnly")
   }
 
   test("an injected failure is tallied and does NOT stop sibling pipelines") {

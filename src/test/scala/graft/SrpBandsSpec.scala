@@ -62,4 +62,19 @@ class SrpBandsSpec extends SparkTestBase {
       .agg(min(col("k")), max(col("k"))).head()
     assert(keys.getLong(0) >= 0L && keys.getLong(1) < (1L << 8))
   }
+
+  test("a NULL vector yields a NULL signature; non-positive dims fail loudly") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(Seq(1.0, -1.0))), (2L, None))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), Similarity.srpBands(col("v"), 2, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isDefined && rows(2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.plans.SrpBands(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1.0), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)), 2, 8, 0)
+    }
+  }
 }
