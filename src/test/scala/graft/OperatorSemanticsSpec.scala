@@ -116,6 +116,18 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("hive orders layout: per-sfDir isolation and stable memoization") {
+    import graft.sources.IO
+    val a = IO.hivePartitionedOrders(spark, "/root/testdata/sf0.001")
+    val b = IO.hivePartitionedOrders(spark, "/root/testdata/sf0.01")
+    // distinct sfDirs get distinct layouts; re-invocation reuses the
+    // already-written one (the pay-once-at-ingest contract)
+    assert(a != b)
+    assert(IO.hivePartitionedOrders(spark, "/root/testdata/sf0.001") == a)
+    assert(spark.read.parquet(b).count() >
+      spark.read.parquet(a).count())
+  }
+
   test("bucketedJoin serves two scale factors in one session without cross-talk") {
     import graft.operators.Joins
     val a = Joins.bucketedJoin(spark, "/root/testdata/sf0.001").count()
