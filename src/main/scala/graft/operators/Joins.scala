@@ -111,6 +111,34 @@ object Joins {
         col("l_orderkey") === col("o_orderkey"), "inner")
   }
 
+  /** Pure RANGE join — |t_probe − t_build| ≤ window with NO equi key.
+    * Catalyst plans a bare range predicate as BroadcastNestedLoopJoin:
+    * O(n·m) compares, and impossible when neither side fits a
+    * broadcast. Bucketing the time axis into window-wide cells and
+    * exploding the probe side over {b−1, b, b+1} turns it into an EQUI
+    * join on the bucket: any pair within the window shares one of the
+    * probe's three buckets with the build row's single bucket — and
+    * meets exactly ONCE there (the build row has one bucket), so no
+    * dedup pass is needed. The exact |Δt| predicate then filters
+    * bucket-locally. Cost model: 3× replication of the probe side's
+    * shuffle buys a keyed, partitionable join instead of a quadratic
+    * loop — the standard temporal-correlation shape at 100 TB.
+    * Arithmetic is exact integer microseconds (unix_micros), so bucket
+    * assignment and the predicate agree bit-for-bit with the oracle's
+    * epoch_us. */
+  def rangeBucketedJoin(probe: DataFrame, probeTs: String,
+      build: DataFrame, buildTs: String, windowSec: Int): DataFrame = {
+    val w = windowSec * 1000000L
+    val builds = build.withColumn("_b", floor(unix_micros(col(buildTs)) / w))
+    val probes = probe
+      .withColumn("_pb", floor(unix_micros(col(probeTs)) / w))
+      .withColumn("_b", explode(array(col("_pb") - 1, col("_pb"), col("_pb") + 1)))
+      .drop("_pb")
+    probes.join(builds, "_b")
+      .filter(abs(unix_micros(col(probeTs)) - unix_micros(col(buildTs))) <= w)
+      .drop("_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // Broadcast hash join, inner, small dim side.
     "q_join_broadcast" -> ((s, d) => {
@@ -224,6 +252,25 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Pure range join (NO equi key): every (purchase, view) pair across
+    // ALL users within ±120 s — the cross-entity temporal correlation
+    // a bare range predicate would plan as a nested loop; here an equi
+    // join on time buckets (see rangeBucketedJoin).
+    "q_join_range_bucketed" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+      // signed delta in EXACT integer micros — a seconds division here
+      // would hit the engines' differing negative-integer-division
+      // conventions (Spark div truncates, DuckDB // floors)
+      rangeBucketedJoin(purch, "p_ts", views, "v_ts", 120)
+        .select(col("purchase_id"), col("view_id"),
+          (unix_micros(col("v_ts")) - unix_micros(col("p_ts"))).as("dt_us"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
     // Point-in-interval join: equi key + range predicate; planned as a
     // shuffled equi join with the range as a post-join filter.
     "q_join_interval" -> ((s, d) => {
@@ -288,6 +335,13 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_range_bucketed" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       epoch_us(v.ts) - epoch_us(p.ts) AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 120 * 1000000
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "q_join_interval" ->
       """SELECT o_orderpriority, count(*) AS n_in_window
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

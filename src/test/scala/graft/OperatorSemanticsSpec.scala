@@ -174,6 +174,26 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(all.count() == docs.count())
   }
 
+  test("rangeBucketedJoin equals the naive theta join, pairs unique, boundary inclusive") {
+    import graft.operators.Joins
+    val e = Tables.events(spark, sf)
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val bucketed = Joins.rangeBucketedJoin(purch, "p_ts", views, "v_ts", 120)
+      .select("purchase_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the probe's 3-bucket explode must meet each qualifying pair
+    // exactly once — a dedup pass hiding double-counting would mask it
+    assert(bucketed.length == bucketed.distinct.length, "pair emitted twice")
+    val naive = purch.join(views,
+        abs(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) <= 120L * 1000000L)
+      .select("purchase_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.sorted.sameElements(naive.sorted),
+      s"bucketed=${bucketed.length} naive=${naive.length}")
+    assert(bucketed.nonEmpty, "fixture yields no pairs — test is vacuous")
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -251,6 +251,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("q_join_range_bucketed: the keyless range join plans as an EQUI join on buckets") {
+    val plan = executed("q_join_range_bucketed")
+    // the whole point: a bare |Δt| <= w predicate would plan as a
+    // nested loop; the bucket expansion must yield a keyed join
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q_prune_dynamic: runtime month dim dynamically prunes the hive partition scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
