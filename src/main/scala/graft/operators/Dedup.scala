@@ -157,8 +157,10 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame =
     graft.spread(docs, col("doc_id"))
 
-  /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify. */
-  def dedupNear(docsIn: DataFrame): DataFrame = {
+  /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify,
+    * UNORDERED — the composition point for [[dedupClusters]] /
+    * [[dedupResolve]], which must not inherit a useless global sort. */
+  def nearDupPairs(docsIn: DataFrame): DataFrame = {
     val hashed = spread(docsIn)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingleHashes(col("toks"), 3)).as("sh"))
@@ -170,7 +172,98 @@ object Dedup {
       .filter(col("jaccard_raw") >= 0.7)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify. */
+  def dedupNear(docsIn: DataFrame): DataFrame =
+    nearDupPairs(docsIn).orderBy(col("id_a"), col("id_b"))
+
+  /** Connected components over an undirected duplicate-pair edge list
+    * via alternating large-star / small-star contraction (the public
+    * MapReduce CC algorithm of Kiveris et al., SoCC'14). Pair finding
+    * (LSH) emits EDGES, but a dedup job needs COMPONENTS: A~B and B~C
+    * put all three documents in one duplicate cluster even when A~C
+    * never surfaced as a pair.
+    *
+    * Scale posture: star contraction converges in O(log n) rounds
+    * (tree heights at least halve per round), vs O(component diameter)
+    * for naive min-label propagation — and each round is two keyed
+    * aggregate+join pairs over an edge relation that only ever carries
+    * two longs per row. No adjacency lists are materialized (the
+    * min-neighbor reduction is an aggregate, not a collect), so a
+    * 10⁸-member component costs the same per row as a 2-member one.
+    * The driver loop is the classic Spark fixpoint shape: each round
+    * localCheckpoints the shrinking edge set to truncate lineage —
+    * without it analysis/codegen time doubles per round.
+    *
+    * Output: (doc_id, cluster_id) for every node appearing in an edge
+    * — cluster_id = min doc_id of the component, roots map to
+    * themselves. Docs with no duplicate edge are absent by contract
+    * (singleton clusters are the whole corpus; emitting them would
+    * dwarf the answer).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("hi"),
+        least(col(idA), col(idB)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: symmetrize; each node links every LARGER neighbor
+      // to m(u) = min(neighbors ∪ u). The two identical `sym` subtrees
+      // (aggregate build + join probe) shuffle on the same key, so the
+      // exchange is planned once and reused.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR: edges already directed hi→lo; each node links its
+      // smaller neighbors AND itself to m(u) = min(smaller neighbors)
+      val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(mins2, "hi").select(col("lo").as("x"), col("m"))
+        .union(mins2.select(col("hi").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      // both sides are distinct sets: equal counts + empty one-way
+      // difference ⇒ set equality (exact, no checksum shortcut)
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // at the fixpoint the edge set is a star forest: (member, root)
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo"), col("lo")).distinct())
+  }
+
+  /** Duplicate clusters of the corpus: near-dup pairs → connected
+    * components → (doc_id, cluster_id, canonical). The canonical
+    * member (cluster representative a resolve step keeps) is min
+    * doc_id — deterministic and join-free; swap in any other keep
+    * policy by re-ranking members per cluster_id. */
+  def dedupClusters(docsIn: DataFrame): DataFrame =
+    connectedComponents(nearDupPairs(docsIn).select(col("id_a"), col("id_b")))
+      .withColumn("canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** End-to-end corpus dedup: drop every non-canonical duplicate;
+    * docs untouched by any near-dup pair survive. The anti join
+    * broadcasts in practice (the drop list is duplicates only, tiny
+    * relative to the corpus) — the corpus itself never reshuffles. */
+  def dedupResolve(docsIn: DataFrame): DataFrame = {
+    val drop = connectedComponents(nearDupPairs(docsIn).select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    docsIn.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Character-5-gram variant with a two-stage verify.
@@ -283,6 +376,8 @@ object Dedup {
     "q_dedup_ngram" -> ((s, d) => dedupNgram(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_dedup_cluster" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
+    "q_dedup_resolve" -> ((s, d) => dedupResolve(Tables.documents(s, d))),
   )
 
   // DuckDB oracles: brute-force pair scans — valid as a SPEC (the gate
@@ -325,6 +420,58 @@ object Dedup {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0
         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // cluster/resolve oracles: the same brute-force pair scan, then an
+    // exact transitive closure by recursive CTE — valid at gate scale
+    // because duplicate components are tiny (closure is per-component
+    // quadratic). The ENGINE side is the O(log n)-round star contraction.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |  WHERE e2.v <> r.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+        |       least(u, min(v)) = u AS canonical
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |  WHERE e2.v <> r.u)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH gr AS (
         |  SELECT doc_id,

@@ -66,6 +66,29 @@ object Windows {
       .drop("_pid", "_lcs")
   }
 
+  /** Gap-based sessionization over (user_id, ts, event_id) events: a
+    * session breaks after > gapSec of inactivity. One row per session:
+    * (user_id, session_id ordinal-within-user, n_events, start_us,
+    * end_us). One shuffle total — the break-flag lag, the running-sum
+    * ordinal, AND the final per-session aggregate all live on the
+    * window's user_id hash partitioning (partitioning by a subset of
+    * the grouping keys satisfies the aggregate's distribution), and
+    * sessions never span users, so the layout holds at any scale. */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = lag(col("us"), 1).over(w)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(prev.isNull || col("us") - prev > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -141,6 +164,19 @@ object Windows {
         .orderBy(col("c_custkey"))
     }),
 
+    // Gap-based SESSIONIZATION — the batch analog of the streaming
+    // session window (Streaming.scala): a session breaks after >30 min
+    // of user inactivity. Break flag = lag diff, session ordinal =
+    // running sum, both over the same user_id-partitioned window; the
+    // final per-session aggregate groups by (user_id, session_id),
+    // which the window's hash partitioning on user_id already
+    // satisfies — ONE shuffle total, on the key sessions can never
+    // span. Exact integer-microsecond arithmetic (see q_join_range_
+    // bucketed for why seconds division is oracle-hostile).
+    "q_sessionize" -> ((s, d) =>
+      sessionize(Tables.events(s, d), gapSec = 1800)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // Frame-boundary value functions: first/last/nth over the FULL
     // partition frame (last_value needs unbounded following — the
     // default frame stops at the current row). Order key is the
@@ -159,6 +195,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800 * 1000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS BIGINT) AS session_id
+        |      FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -355,4 +355,68 @@ class LlmOpsSpec extends SparkTestBase {
       assert(f1 == f2 && f1.keySet == meta.keySet)
     } finally graft.sources.IO.rmTree(root.toString)
   }
+
+  test("connectedComponents: chains, separate components, long path, empty input") {
+    def cc(edges: (Long, Long)*): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A~B, B~C transitively cluster even though A~C never surfaced;
+    // {5,6} stays separate; edge orientation and duplicates don't matter
+    assert(cc(2L -> 1L, 2L -> 3L, 3L -> 2L, 5L -> 6L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a 12-node path (diameter 11) exercises multiple contraction
+    // rounds; min id sits at one END of the path (worst case)
+    val path = (1L to 11L).map(i => i -> (i + 1))
+    assert(cc(path: _*) == (1L to 12L).map(_ -> 1L).toMap)
+    assert(cc() == Map.empty)
+  }
+
+  test("dedupClusters groups planted near-dup chains; resolve keeps canonicals + untouched docs") {
+    // 1~2 and 2~3 are near-dups (one word apart); 3 vs 1 differ by two
+    // words — the pair finder may or may not emit (1,3), but the
+    // CLUSTER must hold all three either way; 4 is unrelated
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("winter", "summer"),
+      3L -> base.replace("winter", "summer").replace("quick", "slow"),
+      4L -> ("totally different content about catalyst optimizer rules " +
+        "and shuffle exchanges and the joy of pushed down predicates " +
+        "living inside a columnar scan far away from everything else"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val clusters = Dedup.dedupClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.map(c => c._1 -> c._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${clusters.toSeq}")
+    assert(clusters.filter(_._3).map(_._1).toSeq == Seq(1L))
+    val kept = Dedup.dedupResolve(d).collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 4L)), s"kept ${kept.toSeq}")
+  }
+
+  test("sessionize splits on gaps > threshold, one shuffle, user-isolated") {
+    import org.apache.spark.sql.functions.{timestamp_micros => tsu}
+    val min = 60L * 1000000L
+    // user 1: events at 0,10,25 min (one session), then 70,75 (second);
+    // user 2: single event; boundary: gap of EXACTLY 30 min stays fused
+    val rows = Seq(
+      (1L, 101L, 0L), (1L, 102L, 10 * min), (1L, 103L, 25 * min),
+      (1L, 104L, 70 * min), (1L, 105L, 75 * min),
+      (2L, 201L, 5 * min),
+      (3L, 301L, 0L), (3L, 302L, 30 * min))
+    val ev = rows.toDF("user_id", "event_id", "us0")
+      .select(col("user_id"), col("event_id"), tsu(col("us0")).as("ts"))
+    val res = graft.operators.Windows.sessionize(ev, gapSec = 1800)
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(res.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 25 * min),
+      (1L, 2L, 2L, 70 * min, 75 * min),
+      (2L, 1L, 1L, 5 * min, 5 * min),
+      (3L, 1L, 2L, 0L, 30 * min)), s"got ${res.toSeq}")
+    // the session aggregate reuses the window's user_id partitioning:
+    // exactly ONE exchange in the whole plan
+    val plan = graft.operators.Windows.sessionize(ev, 1800)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly 1 exchange:\n$plan")
+  }
 }
