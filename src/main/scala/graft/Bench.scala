@@ -12,6 +12,34 @@ import org.apache.spark.sql.SparkSession
   * round-over-round comparisons then measure plans, not warmup noise.
   */
 object Bench {
+  /** Quiet-machine reference for the calibration probe (seconds),
+    * measured on the build machine (local[32], JDK 17; median of warm
+    * samples across two fresh JVMs: 0.50–0.59, typical 0.52). A record
+    * whose MEDIAN observed calibration exceeds this by
+    * [[CalibrationTolerance]] is self-marked `"contaminated": true`:
+    * the probe is pure in-memory CPU (xxhash64 over a range — no disk,
+    * no shuffle), so its median only rises when something else is
+    * eating the cores for a sustained stretch, exactly the condition
+    * that forged phantom per-query regressions in two prior records.
+    * The median (not max) is the statistic because single-sample
+    * scheduling spikes of ~1.3x occur even on a quiet machine.
+    */
+  val CalibrationRefSec = 0.52
+  val CalibrationTolerance = 1.3
+  val CalibrationRows = 400000000L
+
+  /** CPU-bound, fixed-size, in-memory probe. Same cost every run by
+    * construction; any variance is machine contention, not plan change.
+    */
+  def calibrationProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, CalibrationRows, 1L, 32)
+      .selectExpr("pmod(xxhash64(id), 1000003) AS h") // pmod keeps the ANSI sum from overflowing
+      .agg(org.apache.spark.sql.functions.sum("h"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,21 +76,43 @@ object Bench {
     // contention-proof per-query time (a single-shot record once forged
     // a 22x phantom regression under builder contention).
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
-    val results = queries.map { case (name, fn) =>
+    // CALIBRATION: the probe is sampled before, between-thirds-of, and
+    // after the timed section (warm once so JIT is not in sample 0).
+    // min-of-N defeats a transient spike but NOT sustained contention
+    // across all passes — the calibration samples make that failure
+    // mode visible inside the record itself instead of forging
+    // per-query "regressions" a human must adjudicate later.
+    calibrationProbe(spark) // untimed warmup of the probe's codegen
+    val calSamples = scala.collection.mutable.ArrayBuffer(calibrationProbe(spark))
+    val calEvery = math.max(1, queries.size / 3)
+    val perPass = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = queries.zipWithIndex.map { case ((name, fn), i) =>
       val times = (1 to math.max(1, passes)).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { exec(name, fn); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      perPass(name) = times
+      if ((i + 1) % calEvery == 0) calSamples += calibrationProbe(spark)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    calSamples += calibrationProbe(spark)
+    def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val pp = perPass.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sortedCal = calSamples.sorted
+    val calMedian = sortedCal(sortedCal.size / 2)
+    val calRatio = calMedian / CalibrationRefSec
+    val contaminated = calRatio > CalibrationTolerance
+    val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":${calSamples.map(fmt).mkString("[", ",", "]")},"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,8 +53,14 @@ object Population {
       ((col("n_nationkey") % 18) * 10.0 - 85.0).as("lat"),
       ((col("n_nationkey") % 36) * 10.0 - 175.0).as("lon"))
 
-  def populationPipeline(s: SparkSession, d: String, year: Int = 2024): DataFrame = {
-    val wide = s.read.option("header", true).csv(wideCsvFixture(s, d))
+  /** `wideIn` lets a caller feed the wide table from another source —
+    * the reference's real entry is a downloaded ZIP (its CSV expanded
+    * via [[graft.sources.Zip.readZippedCsv]], proven equivalent in
+    * PopulationSpec); default is the plain CSV fixture. */
+  def populationPipeline(s: SparkSession, d: String, year: Int = 2024,
+                         wideIn: Option[DataFrame] = None): DataFrame = {
+    val wide = wideIn.getOrElse(
+      s.read.option("header", true).csv(wideCsvFixture(s, d)))
     val gated = wide
       .select(col("Country Name").as("country"),
         col(year.toString).as("pop_str"))

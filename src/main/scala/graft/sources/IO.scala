@@ -129,6 +129,35 @@ object IO {
     * explicitly so the schema and the filters agree). */
   val CorruptCol = "_corrupt_record"
 
+  /** Nation CSV packed into multiple `.zip` archives — one archive per
+    * CSV part file (zip is not splittable, so archives are the scan's
+    * parallelism unit) plus a non-CSV junk member the entry filter
+    * must skip. Fixture for [[Zip]], the reference's zip→CSV ingest
+    * (population_pipeline.py:16-25). */
+  private[graft] def zippedNationDir(s: SparkSession, d: String): String =
+    malformedBuilt.getOrElseUpdate("zip:" + d, {
+      val csvDir = tmp("graft_zipsrc_")
+      Tables.nation(s, d).repartition(2).write.mode("overwrite")
+        .option("header", true).csv(csvDir)
+      val out = tmp("graft_zip_")
+      val parts = new java.io.File(csvDir).listFiles
+        .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val zos = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(new java.io.File(out, f"archive_$i%02d.zip")))
+        if (i == 0) { // junk member: reader must skip non-CSV entries
+          zos.putNextEntry(new java.util.zip.ZipEntry("README.txt"))
+          zos.write("not,a,csv\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          zos.closeEntry()
+        }
+        zos.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+        java.nio.file.Files.copy(f.toPath, zos)
+        zos.closeEntry()
+        zos.close()
+      }
+      out
+    })
+
   val queries: Map[String, Q] = Map(
     // Header CSV sink + schema'd scan (pd.read_csv / df.to_csv shape).
     "q_scan_csv" -> ((s, d) => {
@@ -243,6 +272,15 @@ object IO {
         .orderBy(col("r_regionkey"))
     }),
 
+    // Zip-archive ingest (the reference's unzip→read_csv): binaryFile
+    // scan of the archives, partition-local java.util.zip expansion,
+    // schema'd CSV parse — the clean rows must hash-match the oracle
+    // over the original table (nothing lost or invented through the
+    // compress→pack→expand→parse round trip).
+    "q_scan_zip" -> ((s, d) =>
+      Zip.readZippedCsv(s, zippedNationDir(s, d) + "/*.zip", NationSchema)
+        .orderBy(col("n_nationkey"))),
+
     // Dynamic partition pruning over the monthly layout — the
     // reference's "process only this month" contract
     // (precipitation_pipeline.py:277-283 loops per-month files) when
@@ -287,6 +325,7 @@ object IO {
         |       count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_scan_csv_malformed" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_zip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_json_malformed" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_prune_dynamic" ->

@@ -101,6 +101,33 @@ class IOSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage.take(500))
   }
 
+  test("zip ingest: expanded CSV entries equal the source table, junk entries skipped") {
+    import graft.sources.{IO, Zip}
+    val dir = IO.zippedNationDir(spark, sf)
+    // ≥2 archives: the scan's parallelism unit (zip is not splittable)
+    val archives = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".zip"))
+    assert(archives.length >= 2, s"want ≥2 archives, got ${archives.length}")
+    val got = Zip.readZippedCsv(spark, dir + "/*.zip", IO.NationSchema)
+    val want = Tables.nation(spark, sf)
+    assert(got.count() == want.count())
+    // exact set equality both directions — the README.txt junk member
+    // must contribute nothing, the CSV members everything
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the expansion parallelizes: one input partition per archive
+    assert(Zip.zipCsvLines(spark, dir + "/*.zip").rdd.getNumPartitions >= 1)
+  }
+
+  test("zip ingest: per-entry header dropped, header=false keeps every line") {
+    import graft.sources.{IO, Zip}
+    val dir = IO.zippedNationDir(spark, sf)
+    val n = Tables.nation(spark, sf).count()
+    val withHeaders = Zip.zipCsvLines(spark, dir + "/*.zip", header = false).count()
+    val without = Zip.zipCsvLines(spark, dir + "/*.zip").count()
+    // each of the 2 CSV entries carries exactly one header line
+    assert(without == n && withHeaders == n + 2,
+      s"n=$n withHeaders=$withHeaders without=$without")
+  }
+
   test("malformed JSON: the three policies agree with the CSV contract") {
     import graft.sources.IO
     import org.apache.spark.sql.types._

@@ -20,6 +20,32 @@ class PopulationSpec extends SparkTestBase {
     assert(names == expected)
   }
 
+  test("zip-fed composite equals the CSV-fed composite (the reference's real entry)") {
+    import graft.sources.Zip
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // pack the wide CSV fixture into a zip — population_pipeline.py's
+    // actual ingest shape (download zip → unzip → read CSV); the HTTP
+    // half is a driver utility, the archive half is this engine path
+    val csvDir = Population.wideCsvFixture(spark, sf)
+    val zipDir = graft.sources.IO.tmp("graft_popzip_")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(
+      new java.io.File(zipDir, "population.zip")))
+    new java.io.File(csvDir).listFiles.filter(_.getName.endsWith(".csv")).foreach { f =>
+      zos.putNextEntry(new ZipEntry(f.getName))
+      java.nio.file.Files.copy(f.toPath, zos)
+      zos.closeEntry()
+    }
+    zos.close()
+    val wideSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Country Name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("2023", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("2024", org.apache.spark.sql.types.StringType)))
+    val viaZip = Population.populationPipeline(spark, sf,
+      wideIn = Some(Zip.readZippedCsv(spark, zipDir + "/*.zip", wideSchema)))
+    val direct = Population.populationPipeline(spark, sf)
+    assert(viaZip.exceptAll(direct).isEmpty && direct.exceptAll(viaZip).isEmpty)
+  }
+
   test("population values and enriched feature properties are correct") {
     val df = Population.populationPipeline(spark, sf)
     val joined = df.join(Tables.nation(spark, sf),
