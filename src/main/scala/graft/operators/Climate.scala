@@ -152,13 +152,14 @@ object Climate {
     points.join(broadcast(landCells), Seq("cell_lat", "cell_lon"), "left_semi")
 
   /** Build the land-cell BITMASK from the lookup — the codegen'd
-    * alternative to the semi-join (SURVEY §7.4). The collect here IS
-    * the broadcast build: the lookup is bounded by the land-mask
-    * contract (a global 1 km mask is a few MB of cell indices — the
-    * same bytes `broadcast(landCells)` ships to every executor), and it
-    * lands as ~1 bit/cell instead of a hash relation of rows. For
-    * lookups too large or dynamic to embed, [[landMask]] remains the
-    * fallback. */
+    * alternative to the semi-join (SURVEY §7.4). The build is fully
+    * DISTRIBUTED ([[graft.plans.CellMask.fromCellsDistributed]]):
+    * per-partition word arrays OR-merged via treeReduce, so the driver
+    * receives ~1 bit/cell of already-merged words and never a cell
+    * row — at the reference's real ~1 km mask resolution (~5x10^8
+    * cells) the bitmask is ~64 MB while a row collect would blow the
+    * driver. For lookups too large (past the 2^31-1 dense-grid bound)
+    * or too dynamic to embed, [[landMask]] remains the fallback. */
   private val cellMaskCache =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
@@ -215,9 +216,8 @@ object Climate {
     if (cellMaskCache.size >= PlanCacheBound) cellMaskCache.clear()
     cellMaskCache.getOrElseUpdate(
       (landCells.queryExecution.analyzed.canonicalized, sourceFingerprint(landCells)),
-      graft.plans.CellMask.fromCells(
-        landCells.select(col("cell_lat"), col("cell_lon"))
-          .collect().map(r => (r.getInt(0), r.getInt(1)))))
+      graft.plans.CellMask.fromCellsDistributed(
+        landCells.select(col("cell_lat"), col("cell_lon"))))
   }
 
   /** Land-mask as a pure codegen'd FILTER: no join operator in the

@@ -37,6 +37,50 @@ final case class CellMask(latMin: Int, lonMin: Int, nLat: Int, nLon: Int,
 }
 
 object CellMask {
+
+  /** Distributed build from a two-int-column DataFrame of cells: the
+    * extent is one 4-scalar aggregate, then each partition folds its
+    * cells into a dense word array and the arrays OR-merge through
+    * `treeReduce` — the driver never collects a single cell ROW, it
+    * receives already-merged word ARRAYS (~1 bit/cell). This is what
+    * lets the build scale to the reference's real mask resolution
+    * (global_land_mask at ~1 km is ~5x10^8 cells: the bitmask is
+    * ~64 MB and fits; a driver collect of the cell rows does not).
+    * NULL cells are skipped — a null index can never probe true,
+    * exactly as a null-rejecting join key drops the row in the
+    * semi-join form. */
+  def fromCellsDistributed(cells: org.apache.spark.sql.DataFrame): CellMask = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cls = cells.columns
+    require(cls.length == 2, s"expected (latCell, lonCell) columns, got ${cls.mkString(",")}")
+    val ext = cells.agg(min(col(cls(0))), max(col(cls(0))),
+      min(col(cls(1))), max(col(cls(1)))).head()
+    require(!ext.isNullAt(0), "cannot build a CellMask from zero cells")
+    val (latMin, latMax, lonMin, lonMax) =
+      (ext.getInt(0), ext.getInt(1), ext.getInt(2), ext.getInt(3))
+    val nLat = latMax - latMin + 1
+    val nLon = lonMax - lonMin + 1
+    require(nLat.toLong * nLon <= Int.MaxValue,
+      s"grid of ${nLat}x$nLon cells exceeds the dense bitmask's 2^31-1 " +
+        "addressable bound; use the broadcast semi-join form for such extents")
+    val nWords = ((nLat.toLong * nLon + 63) >> 6).toInt
+    // primitives only in the task closure (never `this`, never the df)
+    val (laMin, loMin, nLonC) = (latMin, lonMin, nLon)
+    val words = cells.rdd.mapPartitions { it =>
+      val arr = new Array[Long](nWords)
+      it.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val idx = (r.getInt(0) - laMin) * nLonC + (r.getInt(1) - loMin)
+          arr(idx >>> 6) |= 1L << (idx & 63)
+        }
+      }
+      Iterator.single(arr)
+    }.treeReduce({ (a, b) =>
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }, depth = 2)
+    CellMask(latMin, lonMin, nLat, nLon, words)
+  }
+
   /** Build from the distinct land-cell set. The extent is the cells'
     * bounding box; everything outside it probes to false. */
   def fromCells(cells: Iterable[(Int, Int)]): CellMask = {

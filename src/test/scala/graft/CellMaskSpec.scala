@@ -46,6 +46,44 @@ class CellMaskSpec extends SparkTestBase {
     assert(m2.contains(7, 7) && !m2.contains(0, 0))
   }
 
+  test("distributed build: parity with the driver build on a >=1e6-cell grid, word-sized task results") {
+    // 1200x1000 extent, ~43% of cells set by a deterministic rule —
+    // 514k land cells over a 1.2e6-cell grid, ten-plus times the
+    // quantized fixture and big enough that collecting cell ROWS would
+    // dominate task results; the distributed build's results must stay
+    // word-array sized (~150 KB here) per task instead.
+    val nLat = 1200
+    val nLon = 1000
+    val cellsDf = spark.range(0, nLat.toLong * nLon).repartition(4)
+      .filter(pmod(col("id"), lit(7)) < 3)
+      .select((col("id") / nLon).cast("int").as("la"),
+        pmod(col("id"), lit(nLon)).cast("int").as("lo"))
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          maxResult.getAndUpdate(m => math.max(m, te.taskMetrics.resultSize))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist = try CellMask.fromCellsDistributed(cellsDf) finally {
+      Thread.sleep(2000) // drain the listener bus before reading maxResult
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // zero driver ROW collection: the largest task result is a word
+    // array (nWords = 1.2e6/64 = 18750 longs = 150 KB, plus task
+    // overhead), nowhere near the ~1 MB+ a per-task row collect of
+    // 128k cells would ship
+    assert(maxResult.get() > 0 && maxResult.get() < 600L * 1024,
+      s"largest task result ${maxResult.get()} bytes — row-collect sized, not word-array sized")
+    // exact parity with the driver-side build over the same cell set
+    val local = CellMask.fromCells(
+      (0L until nLat.toLong * nLon).filter(_ % 7 < 3)
+        .map(id => ((id / nLon).toInt, (id % nLon).toInt)))
+    assert(dist.latMin == local.latMin && dist.lonMin == local.lonMin &&
+      dist.nLat == local.nLat && dist.nLon == local.nLon)
+    assert(java.util.Arrays.equals(dist.words, local.words))
+  }
+
   test("expression form is bit-identical to the semi-join on the registered query's data") {
     val pts = Tables.customer(spark, sf).select(col("c_custkey"),
       Climate.cellIndex((col("c_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
