@@ -203,7 +203,15 @@ object Dedup {
     * dwarf the answer).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
+      idB: String = "id_b", maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds the
+    * fixpoint took — the observable the O(log n) convergence claim is
+    * soak-tested against (SoakSpec asserts rounds ≤ log2(n)+2 on a
+    * planted long-chain component, the worst case for propagation). */
+  def connectedComponentsWithRounds(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 25): (DataFrame, Int) = {
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("hi"),
         least(col(idA), col(idB)).as("lo"))
@@ -240,8 +248,8 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // at the fixpoint the edge set is a star forest: (member, root)
-    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
-      .union(edges.select(col("lo"), col("lo")).distinct())
+    (edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo"), col("lo")).distinct()), round)
   }
 
   /** Duplicate clusters of the corpus: near-dup pairs → connected

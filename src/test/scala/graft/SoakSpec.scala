@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Climate, Windows}
+import graft.operators.{Climate, Dedup, Windows}
 
 /** Large-fixture soak of the distributed window primitives — evidence
   * the 100 TB posture holds beyond the sf0.1 harness tables. A 3M-row
@@ -142,6 +142,83 @@ class SoakSpec extends SparkTestBase {
            || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} |
            |""".stripMargin
       java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), doc)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("CC fixpoint soak: 1M planted edges, long chain converges in <= log2(n)+2 rounds") {
+    // worst case for component propagation: one PATH component of 2^18
+    // nodes (any label-propagation scheme needs O(diameter) rounds on
+    // it; star contraction must stay O(log n)), plus 250k path-of-4
+    // components — ~1.01M edges total, ~30x the sf0.1 pair fixture.
+    val chainN = 262144L // 2^18 nodes, 0..chainN-1
+    val fillBase = 1000000L
+    val nFill = 250000L
+    val chain = spark.range(0L, chainN - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val fill = spark.range(0L, nFill)
+      .select((lit(fillBase) + col("id") * 4).as("b"))
+      .select(explode(array(
+        struct(col("b").as("id_a"), (col("b") + 1).as("id_b")),
+        struct((col("b") + 1).as("id_a"), (col("b") + 2).as("id_b")),
+        struct((col("b") + 2).as("id_a"), (col("b") + 3).as("id_b")))).as("e"))
+      .select(col("e.id_a"), col("e.id_b"))
+    val edges = chain.union(fill).repartition(8)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val (cc, rounds) = Dedup.connectedComponentsWithRounds(edges)
+      val total = cc.count()
+      val tWall = (System.nanoTime() - t0) / 1e9
+
+      // O(log n) convergence on the worst-case component shape
+      val bound = (math.log(chainN.toDouble) / math.log(2)).ceil.toInt + 2
+      assert(rounds <= bound, s"$rounds rounds > log2(n)+2 = $bound")
+
+      // every edge-touched node labeled, exactly one root per component
+      assert(total == chainN + nFill * 4, s"rows: $total")
+      assert(cc.filter(col("cluster_id") === 0).count() == chainN,
+        "the whole chain must collapse to cluster 0")
+      assert(cc.filter(col("doc_id") === col("cluster_id")).count() == 1 + nFill)
+      val wrongFill = cc.filter(col("doc_id") >= fillBase)
+        .filter(col("cluster_id") =!=
+          expr(s"$fillBase + ((doc_id - $fillBase) DIV 4) * 4")).count()
+      assert(wrongFill == 0, s"$wrongFill filler nodes in the wrong cluster")
+
+      // drain the listener bus before reading the stage log
+      Thread.sleep(2000)
+      val log = stages.toArray(Array.empty[(Int, Int, Long)])
+      val violations = log.filter { case (_, tasks, bytes) =>
+        tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+      val maxSingle = log.filter(_._2 == 1).map(_._3).maxOption.getOrElse(0L)
+
+      val section =
+        s"""
+           |## Connected-components fixpoint (regenerated by SoakSpec)
+           |
+           |~1.01M planted edges: one 2^18-node PATH (worst-case diameter)
+           |+ 250k path-of-4 components, local[4]. Star contraction
+           |converged in **$rounds rounds** (bound log2(n)+2 = $bound) in
+           |${f"$tWall%.1f"} s wall; every chain node labeled cluster 0, one
+           |root per component, all filler clusters exact. Largest
+           |single-task shuffle read across the whole fixpoint:
+           |${maxSingle / 1024} KB (budget ${SingleTaskShuffleBudget / 1024 / 1024} MB).
+           |""".stripMargin
+      val p = java.nio.file.Paths.get("SOAK.md")
+      val existing = if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p) else ""
+      val trimmed = existing.split("\n## Connected-components", 2)(0)
+      java.nio.file.Files.writeString(p, trimmed + section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
