@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *    sort, no shuffle of the table).
   *  - the ANN variant prunes that scan: vectors are bucketed by
   *    hyperplane-sign bands; only vectors sharing a band with the
-  *    query are scored. At 100 TB the bucketed table would be written
-  *    bucketBy(band_hash) so a query touches a few buckets instead of
-  *    every row.
+  *    query are scored. At 100 TB the banded table ([[srpBanded]]) is
+  *    stored bucketBy(band_addr) so a probe reads only the ≤`bands`
+  *    buckets its query signature addresses instead of every row —
+  *    bucket pruning pinned in PlanSpec, mirroring the IVF layout.
   *  - all-pairs near-dup uses a BLOCKING key (label) so the quadratic
   *    term is bounded per block — the metadata-blocking pattern; the
   *    unblocked variant is the LSH dedup in [[Dedup]].
@@ -114,16 +115,31 @@ object Similarity {
     * near-neighbor (cos ≳ 0.92) shares ≥1 band — measured ≥0.95
     * planted recall at the default (AnnTuningSpec), vs 0.5-ish for the
     * same 64 bits cut into fewer, wider bands. */
-  def annScoredCandidates(emb: DataFrame, queryId: Long,
-      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+  /** Ingest-time banded SRP signature rows: one row per (vector, band)
+    * keyed by a SINGLE combined band address
+    * (band_id · 2^bitsPerBand + band_key — bijective with the
+    * (band_id, band_key) pair since band_key < 2^bitsPerBand). One
+    * column on purpose: Spark's bucket pruning applies to
+    * single-column bucket specs, so at 100 TB this output is stored
+    * `bucketBy(band_addr)` and a probe reads only the ≤`bands` buckets
+    * its query signature addresses (pinned in PlanSpec, mirroring the
+    * IVF bucketBy(cell) layout). */
+  def srpBanded(emb: DataFrame, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     // spread first: a single-split source would otherwise compute every
     // signature on one core (explicit numPartitions — AQE-coalesce-proof)
-    val sigs = spread(emb).withColumn("bands", srpBands(col("v"), bands, bitsPerBand))
-    val banded = sigs.select(col("vec_id"), col("v"),
-      posexplode(col("bands"))).toDF("vec_id", "v", "band_id", "band_key")
+    spread(emb).withColumn("bands", srpBands(col("v"), bands, bitsPerBand))
+      .select(col("vec_id"), col("v"), posexplode(col("bands")))
+      .toDF("vec_id", "v", "band_id", "band_key")
+      .withColumn("band_addr",
+        col("band_id").cast("long") * (1L << bitsPerBand) + col("band_key"))
+  }
+
+  def annScoredCandidates(emb: DataFrame, queryId: Long,
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val banded = srpBanded(emb, bands, bitsPerBand)
     val qBands = banded.filter(col("vec_id") === queryId)
-      .select(col("band_id"), col("band_key"), col("v").as("qv"))
-    banded.join(broadcast(qBands), Seq("band_id", "band_key"))
+      .select(col("band_addr"), col("v").as("qv"))
+    banded.join(broadcast(qBands), Seq("band_addr"))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
       .groupBy(col("vec_id")).agg(max(col("sim")).as("sim")) // dedup multi-band hits
   }

@@ -161,6 +161,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("SRP bands stored bucketBy(band_addr): a probe reads only its buckets") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        Similarity.toDouble(org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val banded = Similarity.srpBanded(emb)
+    val path = graft.sources.IO.tmp("graft_srp_store_")
+    banded.write.mode("overwrite").bucketBy(16, "band_addr")
+      .option("path", s"$path/bands").saveAsTable("graft_srp_bands")
+    // a probe carries the query's 8 band addresses — the scan must
+    // read ≤ 8 of the 16 buckets, which is what turns an SRP probe
+    // into a few-bucket read instead of a full scan at 100 TB (the
+    // layout the srpBanded scaladoc promises; same pin as the IVF
+    // bucketBy(cell) case above).
+    val qAddrs = banded
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("band_addr").collect().map(_.getLong(0)).toSeq
+    assert(qAddrs.length == 8, s"query signature: ${qAddrs.length} bands")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table("graft_srp_bands")
+        .filter(org.apache.spark.sql.functions.col("band_addr").isin(qAddrs: _*))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString()
+      val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n${plan.take(1500)}")
+      assert(m.get.group(1).toInt <= 8, plan.take(1500))
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS graft_srp_bands")
+      graft.sources.IO.rmTree(path)
+    }
+  }
+
   test("composite filters sit on the scan side of the spread repartition") {
     // the humidity/temperature composites spread the scan (explicit
     // repartition) before CPU-heavy narrow stages. The events table
