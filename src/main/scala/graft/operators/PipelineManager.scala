@@ -29,8 +29,34 @@ import scala.concurrent.duration.Duration
 object PipelineManager {
 
   /** One pipeline's outcome (the reference's per-type success/failed
-    * bookkeeping, pipeline_manager.py:234-249). */
-  final case class PipelineResult(name: String, ok: Boolean, error: Option[String])
+    * bookkeeping, pipeline_manager.py:234-249). `attempts` counts
+    * executions of the body, so a flaky-once pipeline that succeeded
+    * on retry reports ok=true, attempts=2. */
+  final case class PipelineResult(name: String, ok: Boolean, error: Option[String],
+      attempts: Int = 1)
+
+  /** Bounded per-pipeline retry with exponential backoff — the engine
+    * analog of the reference's spot-capacity fallback ladder
+    * (utils/spot_manager.py:36-48: try spot, back off through fallback
+    * configs, give up after the ladder is exhausted). `maxAttempts` is
+    * TOTAL executions (1 = no retry, the default elsewhere). */
+  final case class RetryPolicy(maxAttempts: Int = 3, backoffMillis: Long = 200,
+      backoffFactor: Double = 2.0) {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+  }
+
+  /** No retries — [[runAll]]'s default, the reference's plain loop. */
+  val NoRetry: RetryPolicy = RetryPolicy(maxAttempts = 1)
+
+  /** FATAL vs RETRYABLE classification: analysis-class failures
+    * (missing table, bad column, type error — `AnalysisException` and
+    * subclasses) cannot be fixed by running the same plan again, so
+    * they fail fast; anything else (executor loss, IO hiccough, a
+    * transient service — the failures the reference's ladder exists
+    * for) is worth another attempt. Interrupts are never retried:
+    * they ARE the cancellation channel. */
+  def defaultIsFatal(e: Throwable): Boolean =
+    e.isInstanceOf[org.apache.spark.sql.AnalysisException]
 
   /** The run summary (pipeline_manager.py:251-257). */
   final case class RunSummary(results: Seq[PipelineResult]) {
@@ -58,7 +84,9 @@ object PipelineManager {
     * unless the body swallows the interrupt, which the scaladoc of
     * `pipelines` forbids. */
   def runAll(s: SparkSession, pipelines: Seq[(String, () => Unit)],
-      parallelism: Int = 3, timeout: Duration = Duration.Inf): RunSummary = {
+      parallelism: Int = 3, timeout: Duration = Duration.Inf,
+      retry: RetryPolicy = NoRetry,
+      isFatal: Throwable => Boolean = defaultIsFatal): RunSummary = {
     import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
@@ -92,10 +120,36 @@ object PipelineManager {
             // session runs the FAIR scheduler each pipeline gets latency
             // isolation without any change here
             s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
-            try { body(); PipelineResult(name, ok = true, None) }
-            catch { case e: Throwable =>
-              PipelineResult(name, ok = false,
-                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
+            // the retry ladder: re-execute the body on RETRYABLE
+            // failures with exponential backoff, fail fast on fatal
+            // (analysis-class) ones, and never outlive the deadline —
+            // a backoff sleep interrupted by the timeout path reports
+            // as a timeout, not as one more attempt
+            try {
+              var attempt = 0
+              var delay = retry.backoffMillis
+              var result: PipelineResult = null
+              while (result == null) {
+                attempt += 1
+                try { body(); result = PipelineResult(name, ok = true, None, attempt) }
+                catch {
+                  case e: InterruptedException =>
+                    result = PipelineResult(name, ok = false, Some("timeout"), attempt)
+                  case e: Throwable =>
+                    val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                    if (isFatal(e) || attempt >= retry.maxAttempts ||
+                        timedOut.get || deadlinePassed)
+                      result = PipelineResult(name, ok = false, Some(msg), attempt)
+                    else {
+                      try Thread.sleep(delay)
+                      catch { case _: InterruptedException =>
+                        result = PipelineResult(name, ok = false, Some("timeout"), attempt) }
+                      delay = math.max(1L, (delay * retry.backoffFactor).toLong)
+                    }
+                }
+              }
+              result
+            }
             finally {
               s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
               s.sparkContext.clearJobGroup()

@@ -61,6 +61,53 @@ class OrchestrationSpec extends SparkTestBase {
     assert(!sideEffectLanded.get, "timed-out pipeline's side effect still landed")
   }
 
+  test("retry ladder: flaky-once succeeds on attempt 2, fatal fails fast") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val flakyCalls = new AtomicInteger(0)
+    val fatalCalls = new AtomicInteger(0)
+    val summary = PipelineManager.runAll(spark, Seq(
+      // injected transient: the class of failure the reference's spot
+      // fallback ladder exists for (utils/spot_manager.py:36-48)
+      "flaky_once" -> (() => {
+        if (flakyCalls.incrementAndGet() == 1)
+          throw new java.io.IOException("injected transient failure")
+      }),
+      // analysis failure: running the same plan again cannot fix a
+      // missing table — must fail on attempt 1, no backoff burned
+      "fatal_analysis" -> (() => {
+        fatalCalls.incrementAndGet()
+        spark.table("graft_no_such_table_xyz").collect(); ()
+      })),
+      retry = PipelineManager.RetryPolicy(maxAttempts = 3, backoffMillis = 50))
+    val flaky = summary.results.find(_.name == "flaky_once").get
+    val fatal = summary.results.find(_.name == "fatal_analysis").get
+    assert(flaky.ok && flaky.attempts == 2 && flakyCalls.get == 2, summary)
+    assert(!fatal.ok && fatal.attempts == 1 && fatalCalls.get == 1, summary)
+    assert(summary.successCount == 1 && summary.failedNames == Seq("fatal_analysis"))
+  }
+
+  test("retry ladder: a persistent transient failure exhausts maxAttempts, never more") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val calls = new AtomicInteger(0)
+    val summary = PipelineManager.runAll(spark, Seq(
+      "always_down" -> (() => {
+        calls.incrementAndGet()
+        throw new java.io.IOException("service still down")
+      })),
+      retry = PipelineManager.RetryPolicy(maxAttempts = 3, backoffMillis = 10))
+    val r = summary.results.head
+    assert(!r.ok && r.attempts == 3 && calls.get == 3, summary)
+    assert(r.error.get.contains("IOException"), r)
+    // and the default policy stays retry-free: one attempt only
+    calls.set(0)
+    val noRetry = PipelineManager.runAll(spark, Seq(
+      "always_down" -> (() => {
+        calls.incrementAndGet()
+        throw new java.io.IOException("service still down")
+      })))
+    assert(!noRetry.results.head.ok && noRetry.results.head.attempts == 1 && calls.get == 1)
+  }
+
   test("dryRunAll: plans resolve and render, failures surface, ZERO query jobs launch") {
     import org.apache.spark.sql.functions.col
     // job-group-scoped job detection: dryRunAll runs its thunks on THIS
