@@ -179,29 +179,45 @@ object Climate {
   /** Fingerprint of the concrete files behind a plan's file sources:
     * (path, length, modificationTime) of every file the scan would
     * read, taken from each relation's own FileIndex listing (already
-    * computed for the scan — no extra IO). Plans without file sources
-    * (e.g. local relations, which embed their data in the plan and so
-    * are fully covered by canonicalized equality) fingerprint to a
-    * constant. */
-  private def sourceFingerprint(df: DataFrame): String = {
+    * computed for the scan — no extra IO).
+    *
+    * Returns None — and callers must then SKIP memoization entirely
+    * (fail closed) — when the plan contains anything the listing
+    * cannot cover: a non-file v1 relation, a DSv2 or RDD-backed or
+    * any other unrecognized leaf, or a subquery expression (whose
+    * nested plan this traversal does not descend into). The covered
+    * leaves are v1 file relations (fingerprinted by listing) and
+    * LocalRelation/OneRowRelation/Range, which embed their data in
+    * the plan and so are fully covered by canonicalized equality. */
+  private[graft] def sourceFingerprint(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical
     val md = java.security.MessageDigest.getInstance("MD5")
-    df.queryExecution.analyzed.foreach {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          // listFiles yields (path, length, mtime) for ANY FileIndex
-          // implementation — a path+size-only fallback would miss an
-          // in-place overwrite of identical total size, exactly the
-          // staleness class this fingerprint exists to catch
-          val entries = fs.location.listFiles(Nil, Nil).flatMap(_.files)
-            .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
-          entries.sorted.foreach(e =>
-            md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    var covered = true
+    df.queryExecution.analyzed.foreach { node =>
+      if (node.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
+        covered = false
+      node match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            // listFiles yields (path, length, mtime) for ANY FileIndex
+            // implementation — a path+size-only fallback would miss an
+            // in-place overwrite of identical total size, exactly the
+            // staleness class this fingerprint exists to catch
+            val entries = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+            entries.sorted.foreach(e =>
+              md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case _ => covered = false
+        }
+        case _: logical.LocalRelation | _: logical.OneRowRelation |
+             _: logical.Range => ()
+        case _: logical.LeafNode => covered = false
         case _ => ()
       }
-      case _ => ()
     }
-    md.digest().map("%02x".format(_)).mkString
+    if (covered) Some(md.digest().map("%02x".format(_)).mkString) else None
   }
 
   /** Drop every memoized mask/statistic — for callers that just bulk-
@@ -212,12 +228,19 @@ object Climate {
   def landCellMask(landCells: DataFrame): graft.plans.CellMask = {
     // memoized per (canonicalized lookup plan, file fingerprint): the
     // mask build — like a broadcast — is paid once per process per
-    // concrete data version, not once per query invocation
-    if (cellMaskCache.size >= PlanCacheBound) cellMaskCache.clear()
-    cellMaskCache.getOrElseUpdate(
-      (landCells.queryExecution.analyzed.canonicalized, sourceFingerprint(landCells)),
-      graft.plans.CellMask.fromCellsDistributed(
-        landCells.select(col("cell_lat"), col("cell_lon"))))
+    // concrete data version, not once per query invocation. A lookup
+    // whose sources the fingerprint cannot cover (DSv2, RDD-backed,
+    // subqueries) is NOT memoized — fail closed, rebuild every call —
+    // rather than risking a stale mask behind a constant fingerprint.
+    def build() = graft.plans.CellMask.fromCellsDistributed(
+      landCells.select(col("cell_lat"), col("cell_lon")))
+    sourceFingerprint(landCells) match {
+      case None => build()
+      case Some(fp) =>
+        if (cellMaskCache.size >= PlanCacheBound) cellMaskCache.clear()
+        cellMaskCache.getOrElseUpdate(
+          (landCells.queryExecution.analyzed.canonicalized, fp), build())
+    }
   }
 
   /** Land-mask as a pure codegen'd FILTER: no join operator in the
@@ -348,13 +371,19 @@ object Climate {
     * is never silently dropped. */
   def featureCollection(df: DataFrame, featureCol: String,
       orderCol: String, maxPerDoc: Int = MaxFeaturesPerDoc): DataFrame = {
-    if (largestMonthCache.size >= PlanCacheBound) largestMonthCache.clear()
-    val largestMonth = largestMonthCache.getOrElseUpdate(
-      (df.queryExecution.analyzed.canonicalized, sourceFingerprint(df)), {
-        val top = df.groupBy(col("year"), col("month"))
-          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
-        if (top.isNullAt(0)) 0L else top.getLong(0)
-      })
+    def computeLargest(): Long = {
+      val top = df.groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+      if (top.isNullAt(0)) 0L else top.getLong(0)
+    }
+    // fail closed on uncoverable sources: recompute rather than memoize
+    val largestMonth = sourceFingerprint(df) match {
+      case None => computeLargest()
+      case Some(fp) =>
+        if (largestMonthCache.size >= PlanCacheBound) largestMonthCache.clear()
+        largestMonthCache.getOrElseUpdate(
+          (df.queryExecution.analyzed.canonicalized, fp), computeLargest())
+    }
     if (largestMonth > maxPerDoc)
       featureCollectionSharded(df, featureCol, orderCol, maxPerDoc)
     else

@@ -263,15 +263,16 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** End-to-end corpus dedup: drop every non-canonical duplicate;
-    * docs untouched by any near-dup pair survive. The anti join
-    * broadcasts in practice (the drop list is duplicates only, tiny
-    * relative to the corpus) — the corpus itself never reshuffles. */
+    * docs untouched by any near-dup pair survive. Returns the
+    * SURVIVORS' FULL ROWS — whatever schema `docsIn` has (beyond the
+    * required doc_id and text), unordered; callers project/order as
+    * needed. The anti join broadcasts in practice (the drop list is
+    * duplicates only, tiny relative to the corpus) — the corpus
+    * itself never reshuffles. */
   def dedupResolve(docsIn: DataFrame): DataFrame = {
     val drop = connectedComponents(nearDupPairs(docsIn).select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     docsIn.join(drop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** Character-5-gram variant with a two-stage verify.
@@ -385,7 +386,8 @@ object Dedup {
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
-    "q_dedup_resolve" -> ((s, d) => dedupResolve(Tables.documents(s, d))),
+    "q_dedup_resolve" -> ((s, d) => dedupResolve(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
   )
 
   // DuckDB oracles: brute-force pair scans — valid as a SPEC (the gate

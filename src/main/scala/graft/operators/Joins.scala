@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -129,9 +129,15 @@ object Joins {
   def rangeBucketedJoin(probe: DataFrame, probeTs: String,
       build: DataFrame, buildTs: String, windowSec: Int): DataFrame = {
     val w = windowSec * 1000000L
-    val builds = build.withColumn("_b", floor(unix_micros(col(buildTs)) / w))
+    // integral floor division (x - pmod(x, w) is exactly divisible, so
+    // `div` truncation IS the floor): exact at ANY timestamp magnitude,
+    // where floor(long / long) goes through double division and is only
+    // exact while the quotient's half-ulp stays below 1/w
+    def bucket(tsCol: String): Column =
+      expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${w}L)) div ${w}L")
+    val builds = build.withColumn("_b", bucket(buildTs))
     val probes = probe
-      .withColumn("_pb", floor(unix_micros(col(probeTs)) / w))
+      .withColumn("_pb", bucket(probeTs))
       .withColumn("_b", explode(array(col("_pb") - 1, col("_pb"), col("_pb") + 1)))
       .drop("_pb")
     probes.join(builds, "_b")

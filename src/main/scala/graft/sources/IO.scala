@@ -79,16 +79,26 @@ object IO {
     * (year,month); :277-283 then processes ONE month by path). Readers
     * get the same process-only-this-month contract from partition
     * pruning — static when the month is a literal, DYNAMIC when it
-    * arrives at runtime from a joined dimension (q_prune_dynamic). */
-  private[graft] def hivePartitionedOrders(s: SparkSession, d: String): String =
-    hiveOrdersBuilt.getOrElseUpdate(d, {
+    * arrives at runtime from a joined dimension (q_prune_dynamic).
+    *
+    * Memo key = sfDir + the orders scan's file-listing fingerprint
+    * (same staleness posture as the Climate plan caches): orders data
+    * rewritten at the same path within one JVM misses the memo and
+    * re-ingests instead of serving a stale layout. */
+  private[graft] def hivePartitionedOrders(s: SparkSession, d: String): String = {
+    def build(): String = {
       val out = tmp("graft_hive_orders_")
       val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       Climate.withYearMonth(Tables.orders(s, d), "o_orderdate")
         .repartition(n, col("year"), col("month"))
         .write.partitionBy("year", "month").mode("overwrite").parquet(out)
       out
-    })
+    }
+    Climate.sourceFingerprint(Tables.orders(s, d)) match {
+      case None => build() // fail closed: no memo for uncoverable sources
+      case Some(fp) => hiveOrdersBuilt.getOrElseUpdate(s"$d#$fp", build())
+    }
+  }
 
   /** Nation CSV directory plus one file of rows violating the declared
     * schema (non-integer keys) — the ingest-validation fixture for the
@@ -128,6 +138,24 @@ object IO {
   /** The corrupt-capture column name (Spark's default, declared
     * explicitly so the schema and the filters agree). */
   val CorruptCol = "_corrupt_record"
+
+  /** Staging-write split of a PERMISSIVE scan — the 100 TB form of the
+    * malformed-scan queries' `.cache()`: the dirty source is parsed
+    * ONCE into a staging parquet of (typed columns + corrupt column),
+    * and clean/quarantine branches both read the STAGING table — a
+    * disk-shaped answer (re-readable, survives executor loss, no
+    * memory residency requirement) where the cache is memory-shaped.
+    * After this returns, the SOURCE files are never touched again —
+    * IOSpec proves it by deleting them and still reading both splits.
+    * Returns (clean, quarantine): clean drops the corrupt column,
+    * quarantine keeps the verbatim rejected text for repair. */
+  def stagedMalformedSplit(s: SparkSession, parsed: DataFrame,
+      stagingDir: String): (DataFrame, DataFrame) = {
+    parsed.write.mode("overwrite").parquet(stagingDir)
+    val staged = s.read.parquet(stagingDir)
+    (staged.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      staged.filter(col(CorruptCol).isNotNull))
+  }
 
   /** Nation CSV packed into multiple `.zip` archives — one archive per
     * CSV part file (zip is not splittable, so archives are the scan's
@@ -247,9 +275,13 @@ object IO {
     // pruned schema is only `_corrupt_record` (a downstream count/
     // aggregate prunes to exactly that), and the cache is also the
     // split-stream shape — clean branch and quarantine branch read ONE
-    // parse. At 100 TB the cache becomes a staging write of the parsed
-    // + corrupt columns; the fixture memo keeps the plan identical
-    // across invocations so one cache entry is reused, never stacked.
+    // parse. The cache is DELIBERATELY process-lifetime (no unpersist):
+    // the fixture memo keeps the plan identical across invocations so
+    // exactly one entry is reused, never stacked; a caller varying
+    // paths/options per query should use [[stagedMalformedSplit]] —
+    // the disk-shaped form of the same one-parse contract and the
+    // 100 TB substitution for this cache (IOSpec proves its source is
+    // read once and never again).
     "q_scan_csv_malformed" -> ((s, d) => {
       val out = malformedNationCsv(s, d)
       s.read.option("header", true).option("mode", "PERMISSIVE")

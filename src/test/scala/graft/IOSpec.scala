@@ -101,6 +101,35 @@ class IOSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage.take(500))
   }
 
+  test("staged malformed split: one parse, source never re-read, same rows as the cache path") {
+    import graft.sources.IO
+    import org.apache.spark.sql.types.StringType
+    // a PRIVATE copy of the dirty fixture — it gets deleted below, so
+    // it must not be the memoized directory other tests share
+    val src = Files.createTempDirectory("graft_staged_src_").toString
+    Tables.nation(spark, sf).write.mode("overwrite").option("header", true).csv(src)
+    Files.writeString(java.nio.file.Paths.get(src, "part-zz-malformed.csv"),
+      "n_nationkey,n_name,n_regionkey\n" +
+        "notanint,BADLAND,0\n" +
+        "88,TRUNCATED,notanint\n")
+    val parsed = spark.read.option("header", true).option("mode", "PERMISSIVE")
+      .schema(IO.NationSchema.add(IO.CorruptCol, StringType)).csv(src)
+    val staging = IO.tmp("graft_staged_")
+    val (clean, quarantine) = IO.stagedMalformedSplit(spark, parsed, staging)
+    // ONE parse, by construction: delete the SOURCE files — if either
+    // split lazily re-read them, the collects below would fail or
+    // return nothing
+    IO.rmTree(src)
+    val cleanRows = clean.orderBy(col("n_nationkey")).collect()
+    val cachedRows = graft.SparkEntry.queries("q_scan_csv_malformed")(spark, sf).collect()
+    assert(cleanRows.map(_.toSeq).toSeq == cachedRows.map(_.toSeq).toSeq,
+      "staged clean split must equal the cache-path query row for row")
+    val bad = quarantine.collect()
+    assert(bad.length == 2)
+    assert(bad.map(_.getAs[String](IO.CorruptCol)).sorted.toSeq ==
+      Seq("88,TRUNCATED,notanint", "notanint,BADLAND,0"))
+  }
+
   test("zip ingest: expanded CSV entries equal the source table, junk entries skipped") {
     import graft.sources.{IO, Zip}
     val dir = IO.zippedNationDir(spark, sf)
