@@ -25,6 +25,7 @@ object SparkEntry {
     (Snapshot.queries, Snapshot.oracle),
     (Population.queries, Population.oracle),
     (graft.sources.IO.queries, graft.sources.IO.oracle),
+    (graft.sources.zarr.Zarr.queries, graft.sources.zarr.Zarr.oracle),
     (graft.streaming.Streaming.queries, graft.streaming.Streaming.oracle),
   )
 

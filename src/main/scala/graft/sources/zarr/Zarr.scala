@@ -1,0 +1,178 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User surface of the zarr connector ([[ZarrDataSource]]) plus the
+  * deterministic fixture the registered queries read (the harness has
+  * no real zarr store; the fixture writer doubles as the write-side
+  * proof that the reader decodes the format, not just its own bytes —
+  * raw, zlib and gzip chunks all round-trip, ZarrSpec).
+  */
+object Zarr {
+
+  /** One zarr array as a flat DataFrame: index columns named by
+    * `_ARRAY_DIMENSIONS` + `value`. */
+  def readArray(s: SparkSession, dir: String): DataFrame =
+    s.read.format(classOf[ZarrDataSource].getName).load(dir)
+
+  /** xarray `to_dataframe` analog over a zarr GROUP: the variable's
+    * index columns are swapped for coordinate VALUES via broadcast
+    * joins against the group's 1-D coordinate arrays (tiny by
+    * construction — one value per index), exactly how the reference's
+    * `ds.to_dataframe()` flattens (time, lat, lon) onto each row.
+    * Dims with no stored coordinate array keep their integer index. */
+  def toDataFrame(s: SparkSession, groupDir: String, varName: String): DataFrame = {
+    val meta = ZarrMeta.read(s"$groupDir/$varName")
+    var df = readArray(s, s"$groupDir/$varName").withColumnRenamed("value", varName)
+    meta.dims.foreach { dim =>
+      if (Files.exists(Paths.get(groupDir, dim, ".zarray"))) {
+        val coordDir = s"$groupDir/$dim"
+        val idxCol = ZarrMeta.read(coordDir).dims.head
+        val coord = readArray(s, coordDir)
+          .select(col(idxCol).as(s"__${dim}_idx"), col("value").as(s"__${dim}_val"))
+        df = df.join(broadcast(coord), df(dim) === coord(s"__${dim}_idx"))
+          .drop(dim).drop(s"__${dim}_idx")
+          .withColumnRenamed(s"__${dim}_val", dim)
+      }
+    }
+    df.select(meta.dims.map(col).toSeq :+ col(varName): _*)
+  }
+
+  // ---------------------------------------------------------------- fixture
+
+  /** Write one zarr v2 array: padded C-order chunks of `f(globalIdx)`,
+    * `.zarray` + `.zattrs` metadata. `<f8` only (the fixture dtype);
+    * ZarrSpec writes the other dtypes by hand. */
+  private[graft] def writeArray(dir: String, shape: Array[Long], chunks: Array[Int],
+      dims: Array[String], compressor: Option[String], fillValue: Double,
+      f: Array[Long] => Double): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val compJson = compressor match {
+      case None => "null"
+      case Some(id) => s"""{"id":"$id","level":5}"""
+    }
+    Files.writeString(d.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+         |"chunks":[${chunks.mkString(",")}],"dtype":"<f8",
+         |"compressor":$compJson,"fill_value":$fillValue,
+         |"order":"C","filters":null}""".stripMargin)
+    Files.writeString(d.resolve(".zattrs"),
+      s"""{"_ARRAY_DIMENSIONS":[${dims.map("\"" + _ + "\"").mkString(",")}]}""")
+    val n = shape.length
+    val counts = shape.zip(chunks).map { case (s0, c) => ((s0 + c - 1) / c).toInt }
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    def writeChunk(cc: Array[Int]): Unit = {
+      val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Long](n)
+      (0 until chunkElems).foreach { p =>
+        var rem = p.toLong
+        var inBounds = true
+        var dd = n - 1
+        while (dd >= 0) {
+          idx(dd) = cc(dd).toLong * chunks(dd) + rem % chunks(dd)
+          rem /= chunks(dd)
+          if (idx(dd) >= shape(dd)) inBounds = false
+          dd -= 1
+        }
+        buf.putDouble(if (inBounds) f(idx) else fillValue) // padded edge
+      }
+      val raw = buf.array()
+      val bytes = compressor match {
+        case None => raw
+        case Some("zlib") =>
+          val defl = new java.util.zip.Deflater(5)
+          defl.setInput(raw); defl.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length)
+          val tmp = new Array[Byte](8192)
+          while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+          defl.end(); out.toByteArray
+        case Some("gzip") =>
+          val out = new java.io.ByteArrayOutputStream(raw.length)
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(raw); g.close(); out.toByteArray
+        case Some(other) => throw new IllegalArgumentException(other)
+      }
+      Files.write(d.resolve(cc.mkString(".")), bytes)
+      ()
+    }
+    def expand(dd: Int, acc: Array[Int]): Unit =
+      if (dd == n) writeChunk(acc)
+      else (0 until counts(dd)).foreach(c => expand(dd + 1, acc :+ c))
+    expand(0, Array.empty)
+  }
+
+  /** The fixture VALUE function — shared with the DuckDB oracle, which
+    * recomputes it over generate_series. */
+  private def precipValue(i: Array[Long]): Double =
+    (i(0) * 10000 + i(1) * 100 + i(2)).toDouble
+
+  /** Deterministic climate-shaped zarr group: `precip[time=6, lat=20,
+    * lon=30]` in zlib chunks of (2,8,16) — an 18-chunk grid WITH padded
+    * edge chunks (20%8, 30%16 ≠ 0) — plus 1-D coordinate arrays per
+    * dim, the layout xarray writes. Built once per process. */
+  private val built = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def climateGroup(s: SparkSession): String = {
+    val cur = built.get
+    if (cur != null) cur
+    else {
+      val dir = graft.sources.IO.tmp("graft_zarr_")
+      writeArray(s"$dir/precip", Array(6L, 20L, 30L), Array(2, 8, 16),
+        Array("time", "lat", "lon"), Some("zlib"), 0.0, precipValue)
+      writeArray(s"$dir/time", Array(6L), Array(6), Array("time"), None, 0.0,
+        i => (i(0) * 3600).toDouble)
+      writeArray(s"$dir/lat", Array(20L), Array(20), Array("lat"), None, 0.0,
+        i => -90.0 + i(0) * 0.5)
+      writeArray(s"$dir/lon", Array(30L), Array(30), Array("lon"), None, 0.0,
+        i => -180.0 + i(0) * 0.625)
+      if (built.compareAndSet(null, dir)) dir else built.get
+    }
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // the raw chunked-array scan: every element exact through the
+    // zlib chunk grid, padded edges excluded
+    "q_scan_zarr" -> ((s, _) =>
+      readArray(s, climateGroup(s) + "/precip")
+        .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
+          col("lon").as("lon_idx"), col("value"))
+        .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
+
+    // the reference's actual read shape: open group, flatten to a
+    // (time, lat, lon, var) table with coordinate VALUES on each row
+    // (xr.open_dataset(...).to_dataframe, precipitation_pipeline.py:79-86)
+    "q_scan_zarr_coords" -> ((s, _) => {
+      val g = climateGroup(s)
+      toDataFrame(s, g, "precip")
+        .orderBy(col("time"), col("lat"), col("lon"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the fixture is a pure function of the index space, so the oracle
+    // regenerates it from scratch — full coverage of every element the
+    // connector decodes (chunk walk, zlib, edge padding, C order)
+    "q_scan_zarr" ->
+      """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_scan_zarr_coords" ->
+      """SELECT CAST(t.g * 3600 AS DOUBLE) AS time,
+        |       -90 + y.g * 0.5 AS lat,
+        |       -180 + x.g * 0.625 AS lon,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS precip
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+  )
+}

@@ -1,0 +1,335 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Zarr v2 chunked-array reader as a Spark DataSource V2 — the
+  * reference's NATIVE source format (xr.open_dataset(engine="zarr"),
+  * precipitation_pipeline.py:79-86), exposed the way xarray's
+  * to_dataframe flattens it: one row per array element, index columns
+  * named by the `_ARRAY_DIMENSIONS` attribute (the xarray convention)
+  * plus a `value` column of the array dtype.
+  *
+  * Scope (the subset the reference actually exercises): zarr format 2,
+  * C order, little-endian `<f8 <f4 <i8 <i4`, compressor `null`/zlib/
+  * gzip, `.`- or `/`-separated chunk keys, missing chunks = fill
+  * value. Anything else fails LOUDLY at schema inference — silent
+  * misreads of an unsupported codec are the one unacceptable outcome.
+  *
+  * Scale design — the two properties that make zarr viable at 100 TB:
+  *  - CHUNK = PARTITION: one InputPartition per stored chunk, so the
+  *    scan parallelizes exactly like the store is laid out and a task
+  *    decodes one chunk buffer (bounded memory, no re-chunking).
+  *  - CHUNK PRUNING: index-range predicates push down and intersect
+  *    against each chunk's index box before anything is read — the
+  *    engine-side analog of the reference's "filter time THEN read"
+  *    (its time_filter applies before extraction). A time-sliced query
+  *    reads only the chunks whose time range intersects (ZarrSpec pins
+  *    the pruned partition count). Pruning is chunk-granular; Spark
+  *    re-evaluates the row-level residual, so results are exact.
+  */
+object ZarrMeta {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  final case class Meta(shape: Array[Long], chunks: Array[Int], dtype: String,
+      compressor: Option[String], fillValue: Double, dimSeparator: String,
+      dims: Array[String]) extends Serializable {
+    def nDims: Int = shape.length
+    def chunkCounts: Array[Int] =
+      shape.zip(chunks).map { case (s, c) => ((s + c - 1) / c).toInt }
+    def elemSize: Int = dtype.last match {
+      case '8' => 8
+      case '4' => 4
+    }
+    def valueType: DataType = dtype match {
+      case "<f8" => DoubleType
+      case "<f4" => FloatType
+      case "<i8" => LongType
+      case "<i4" => IntegerType
+    }
+    def schema: StructType = StructType(
+      dims.map(d => StructField(d, LongType, nullable = false)) :+
+        StructField("value", valueType, nullable = false))
+  }
+
+  def read(dir: String): Meta = {
+    val zarray = mapper.readTree(Files.readString(Paths.get(dir, ".zarray")))
+    require(zarray.path("zarr_format").asInt == 2,
+      s"zarr_format ${zarray.path("zarr_format")} unsupported (need 2)")
+    require(zarray.path("order").asText == "C",
+      s"order '${zarray.path("order").asText}' unsupported (need C)")
+    require(zarray.path("filters").isNull,
+      "zarr filters are unsupported")
+    val dtype = zarray.path("dtype").asText
+    require(Set("<f8", "<f4", "<i8", "<i4")(dtype),
+      s"dtype '$dtype' unsupported (little-endian f8/f4/i8/i4 only)")
+    val comp = zarray.path("compressor")
+    val compressor =
+      if (comp.isNull) None
+      else {
+        val id = comp.path("id").asText
+        require(id == "zlib" || id == "gzip",
+          s"compressor '$id' unsupported (null/zlib/gzip only)")
+        Some(id)
+      }
+    val shape = zarray.path("shape").elements.asScala.map(_.asLong).toArray
+    val chunks = zarray.path("chunks").elements.asScala.map(_.asInt).toArray
+    require(shape.nonEmpty && shape.length == chunks.length,
+      s"shape/chunks rank mismatch: ${shape.length} vs ${chunks.length}")
+    val fillNode = zarray.path("fill_value")
+    val fill =
+      if (fillNode.isNull) 0.0
+      else if (fillNode.isTextual) fillNode.asText match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case t => t.toDouble
+      }
+      else fillNode.asDouble
+    val sep = {
+      val n = zarray.path("dimension_separator")
+      if (n.isMissingNode || n.isNull) "." else n.asText
+    }
+    val attrsPath = Paths.get(dir, ".zattrs")
+    val dims: Array[String] =
+      if (Files.exists(attrsPath)) {
+        val attrs = mapper.readTree(Files.readString(attrsPath))
+        val ad = attrs.path("_ARRAY_DIMENSIONS")
+        if (ad.isArray) ad.elements.asScala.map(_.asText).toArray
+        else shape.indices.map(i => s"i$i").toArray
+      } else shape.indices.map(i => s"i$i").toArray
+    require(dims.length == shape.length,
+      s"_ARRAY_DIMENSIONS rank ${dims.length} != shape rank ${shape.length}")
+    Meta(shape, chunks, dtype, compressor, fill, sep, dims)
+  }
+}
+
+class ZarrDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrMeta.read(options.get("path")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    new ZarrTable(path, ZarrMeta.read(path))
+  }
+}
+
+class ZarrTable(path: String, meta: ZarrMeta.Meta) extends Table with SupportsRead {
+  override def name(): String = s"zarr:$path"
+  override def schema(): StructType = meta.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path, meta)
+}
+
+class ZarrScanBuilder(path: String, meta: ZarrMeta.Meta) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = meta.schema
+  // per-dim inclusive index bounds, tightened by pushed predicates
+  private val lo = Array.fill(meta.nDims)(0L)
+  private val hi = meta.shape.map(_ - 1)
+  private var pushed: Array[Filter] = Array.empty
+
+  private def dimIndex(name: String): Int = meta.dims.indexOf(name)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val used = filters.filter {
+      case EqualTo(a, v) if dimIndex(a) >= 0 =>
+        val d = dimIndex(a)
+        asLong(v).exists { x =>
+          lo(d) = math.max(lo(d), x); hi(d) = math.min(hi(d), x); true }
+      case GreaterThan(a, v) if dimIndex(a) >= 0 =>
+        val d = dimIndex(a)
+        asLong(v).exists { x => lo(d) = math.max(lo(d), x + 1); true }
+      case GreaterThanOrEqual(a, v) if dimIndex(a) >= 0 =>
+        val d = dimIndex(a)
+        asLong(v).exists { x => lo(d) = math.max(lo(d), x); true }
+      case LessThan(a, v) if dimIndex(a) >= 0 =>
+        val d = dimIndex(a)
+        asLong(v).exists { x => hi(d) = math.min(hi(d), x - 1); true }
+      case LessThanOrEqual(a, v) if dimIndex(a) >= 0 =>
+        val d = dimIndex(a)
+        asLong(v).exists { x => hi(d) = math.min(hi(d), x); true }
+      case _ => false
+    }
+    pushed = used
+    // pruning is CHUNK-granular: every filter still needs row-level
+    // evaluation above the scan, so all of them come back as residual
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ZarrScan(path, meta, required, lo.clone(), hi.clone())
+}
+
+/** One stored chunk. `coords` is the chunk's index in the chunk grid. */
+final case class ZarrChunkPartition(coords: Array[Int]) extends InputPartition
+
+class ZarrScan(path: String, meta: ZarrMeta.Meta, required: StructType,
+    lo: Array[Long], hi: Array[Long]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val box = meta.dims.indices
+      .map(d => s"${meta.dims(d)}∈[${lo(d)},${hi(d)}]").mkString(", ")
+    s"graft-zarr $path [$box]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val counts = meta.chunkCounts
+    // enumerate the chunk grid; keep chunks whose index box intersects
+    // the pushed bounds — the read-only-this-slice contract
+    def expand(d: Int, acc: Array[Int]): Iterator[Array[Int]] =
+      if (d == meta.nDims) Iterator.single(acc)
+      else (0 until counts(d)).iterator.flatMap { c =>
+        val cLo = c.toLong * meta.chunks(d)
+        val cHi = math.min(cLo + meta.chunks(d), meta.shape(d)) - 1
+        if (cHi < lo(d) || cLo > hi(d)) Iterator.empty
+        else expand(d + 1, acc :+ c)
+      }
+    expand(0, Array.empty).map(c => ZarrChunkPartition(c): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrReaderFactory(path, meta, required.fieldNames)
+}
+
+class ZarrReaderFactory(path: String, meta: ZarrMeta.Meta,
+    requiredFields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZarrChunkReader(path, meta, requiredFields,
+      partition.asInstanceOf[ZarrChunkPartition].coords)
+}
+
+/** Decodes ONE chunk: raw/zlib/gzip bytes → little-endian buffer →
+  * C-order walk emitting in-bounds elements (zarr stores edge chunks
+  * padded to full chunk size; padding positions are skipped, never
+  * emitted). A missing chunk file yields the fill value everywhere —
+  * zarr's sparse-store contract. */
+class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
+    requiredFields: Array[String], chunkCoords: Array[Int])
+    extends PartitionReader[InternalRow] {
+
+  private val n = meta.nDims
+  private val chunkElems = meta.chunks.map(_.toLong).product
+  // required-field plan: dim index, or -1 for the value column
+  private val fieldPlan: Array[Int] =
+    requiredFields.map(f => if (f == "value") -1 else meta.dims.indexOf(f))
+
+  private val buf: Option[ByteBuffer] = {
+    val key = chunkCoords.mkString(meta.dimSeparator)
+    val p = Paths.get(path, key)
+    if (!Files.exists(p)) None
+    else {
+      val raw = Files.readAllBytes(p)
+      val bytes = meta.compressor match {
+        case None => raw
+        case Some("zlib") =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(tmp)
+            if (k == 0 && !inf.finished())
+              throw new java.io.IOException(s"truncated zlib chunk $key")
+            out.write(tmp, 0, k)
+          }
+          inf.end()
+          out.toByteArray
+        case Some("gzip") =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val tmp = new Array[Byte](8192)
+          var k = in.read(tmp)
+          while (k >= 0) { out.write(tmp, 0, k); k = in.read(tmp) }
+          out.toByteArray
+        case Some(other) =>
+          throw new IllegalStateException(s"unsupported compressor $other")
+      }
+      require(bytes.length.toLong == chunkElems * meta.elemSize,
+        s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+    }
+  }
+
+  private var pos = -1L
+  private val offsets = new Array[Long](n) // per-dim offset within the chunk
+  private val globals = new Array[Long](n) // global indices of current element
+
+  private def decodePos(p: Long): Boolean = {
+    // C order: last dimension fastest
+    var rem = p
+    var d = n - 1
+    var inBounds = true
+    while (d >= 0) {
+      offsets(d) = rem % meta.chunks(d)
+      rem /= meta.chunks(d)
+      globals(d) = chunkCoords(d).toLong * meta.chunks(d) + offsets(d)
+      if (globals(d) >= meta.shape(d)) inBounds = false
+      d -= 1
+    }
+    inBounds
+  }
+
+  override def next(): Boolean = {
+    pos += 1
+    while (pos < chunkElems && !decodePos(pos)) pos += 1
+    pos < chunkElems
+  }
+
+  private def valueAt(p: Long): Any = buf match {
+    case Some(b) => meta.dtype match {
+      case "<f8" => b.getDouble((p * 8).toInt)
+      case "<f4" => b.getFloat((p * 4).toInt)
+      case "<i8" => b.getLong((p * 8).toInt)
+      case "<i4" => b.getInt((p * 4).toInt)
+    }
+    case None => meta.dtype match { // missing chunk: fill value
+      case "<f8" => meta.fillValue
+      case "<f4" => meta.fillValue.toFloat
+      case "<i8" => meta.fillValue.toLong
+      case "<i4" => meta.fillValue.toInt
+    }
+  }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](fieldPlan.length)
+    var i = 0
+    while (i < fieldPlan.length) {
+      row(i) = if (fieldPlan(i) < 0) valueAt(pos) else globals(fieldPlan(i))
+      i += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = ()
+}

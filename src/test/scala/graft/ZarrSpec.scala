@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.zarr.{Zarr, ZarrMeta}
+
+/** The zarr v2 connector: chunk-grid partitioning, chunk pruning via
+  * pushed index predicates, codecs, fill value for missing chunks,
+  * padded edge chunks, column pruning, and the coordinate-join
+  * flatten. Values are oracle-checked end-to-end by q_scan_zarr /
+  * q_scan_zarr_coords; these pin the connector-level properties the
+  * oracle can't see.
+  */
+class ZarrSpec extends SparkTestBase {
+
+  private lazy val group = Zarr.climateGroup(spark)
+
+  test("chunk = partition: the full scan plans one partition per stored chunk") {
+    // time 6/2 = 3, lat 20/8 = 3 (padded), lon 30/16 = 2 (padded) → 18
+    val df = Zarr.readArray(spark, s"$group/precip")
+    assert(df.rdd.getNumPartitions == 18)
+    // every element decodes: 6*20*30 in-bounds rows, padding skipped
+    assert(df.count() == 3600)
+  }
+
+  test("chunk pruning: index predicates cut the partition list before any read") {
+    val df = Zarr.readArray(spark, s"$group/precip")
+    // time >= 4 → only the third time-chunk row of the grid: 1*3*2
+    assert(df.filter(col("time") >= 4).rdd.getNumPartitions == 6)
+    // point predicate on every dim → exactly one chunk
+    val one = df.filter(col("time") === 0 && col("lat") < 8 && col("lon") >= 16)
+    assert(one.rdd.getNumPartitions == 1)
+    // pruning is an optimization, never a semantics change
+    assert(one.count() == 1 * 8 * 14) // t=0 only; lon 16..29 = 14 in-bounds cols
+    assert(df.filter(col("time") >= 4).count() == 2 * 20 * 30)
+    // the pushed box shows in the scan description (observability)
+    val desc = df.filter(col("time") >= 4).queryExecution.executedPlan.toString()
+    assert(desc.contains("graft-zarr"), desc.take(800))
+  }
+
+  test("raw, zlib and gzip chunks decode to identical rows") {
+    val base = graft.sources.IO.tmp("graft_zarr_codec_")
+    val f = (i: Array[Long]) => (i(0) * 100 + i(1)).toDouble
+    Seq(None, Some("zlib"), Some("gzip")).zipWithIndex.foreach { case (c, k) =>
+      Zarr.writeArray(s"$base/a$k", Array(7L, 5L), Array(3, 2),
+        Array("r", "c"), c, 0.0, f)
+    }
+    val rows = (0 to 2).map(k => Zarr.readArray(spark, s"$base/a$k")
+      .orderBy(col("r"), col("c")).collect().map(_.toSeq).toSeq)
+    assert(rows(0) == rows(1) && rows(1) == rows(2))
+    assert(rows(0).size == 35)
+  }
+
+  test("missing chunk files read as the fill value (zarr sparse-store contract)") {
+    val dir = graft.sources.IO.tmp("graft_zarr_fill_") + "/a"
+    Zarr.writeArray(dir, Array(4L, 4L), Array(2, 2), Array("r", "c"),
+      None, -1.5, i => (i(0) * 10 + i(1)).toDouble)
+    // drop one interior chunk: rows (2..3, 0..1)
+    Files.delete(Paths.get(dir, "1.0"))
+    val got = Zarr.readArray(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 16)
+    assert(got((2L, 0L)) == -1.5 && got((3L, 1L)) == -1.5)
+    assert(got((0L, 0L)) == 0.0 && got((1L, 3L)) == 13.0)
+  }
+
+  test("column pruning: any field subset, in any order, decodes correctly") {
+    val df = Zarr.readArray(spark, s"$group/precip")
+    val v = df.select("value").agg(sum("value")).head.getDouble(0)
+    val full = df.agg(sum("value")).head.getDouble(0)
+    assert(v == full)
+    val reordered = df.select(col("value"), col("lon"), col("time"))
+      .filter(col("time") === 1 && col("lon") === 29).orderBy(col("value"))
+      .collect()
+    assert(reordered.length == 20)
+    assert(reordered.head.getDouble(0) == 10029.0) // t=1,y=0,x=29
+    assert(reordered.last.getDouble(0) == 11929.0) // t=1,y=19,x=29
+  }
+
+  test("coordinate-join flatten matches the index-space function (xarray to_dataframe)") {
+    val df = Zarr.toDataFrame(spark, group, "precip")
+    assert(df.columns.toSeq == Seq("time", "lat", "lon", "precip"))
+    assert(df.count() == 3600)
+    val bad = df.filter(
+      col("precip") =!= ((col("time") / 3600) * 10000 +
+        ((col("lat") + 90.0) / 0.5) * 100 + (col("lon") + 180.0) / 0.625)).count()
+    assert(bad == 0)
+  }
+
+  test("unsupported stores fail LOUDLY at metadata read, never misread") {
+    val dir = graft.sources.IO.tmp("graft_zarr_bad_")
+    def meta(d: String, body: String): Unit = {
+      Files.createDirectories(Paths.get(dir, d))
+      Files.writeString(Paths.get(dir, d, ".zarray"), body)
+    }
+    meta("forder", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<f8",
+      |"compressor":null,"fill_value":0,"order":"F","filters":null}""".stripMargin)
+    meta("blosc", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<f8",
+      |"compressor":{"id":"blosc"},"fill_value":0,"order":"C","filters":null}""".stripMargin)
+    meta("bigend", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":">f8",
+      |"compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
+    Seq("forder", "blosc", "bigend").foreach { d =>
+      val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
+      assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
+    }
+  }
+
+  test("non-f8 dtypes decode: f4, i8, i4 hand-written chunks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr_dtypes_")
+    def store(name: String, dtype: String, put: (ByteBuffer, Int) => Unit, elem: Int): String = {
+      val d = Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(".zarray"),
+        s"""{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"$dtype",
+           |"compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
+      val buf = ByteBuffer.allocate(4 * elem).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 4).foreach(i => put(buf, i * 7))
+      Files.write(d.resolve("0"), buf.array())
+      d.toString
+    }
+    val f4 = store("f4", "<f4", (b, v) => { b.putFloat(v.toFloat); () }, 4)
+    val i8 = store("i8", "<i8", (b, v) => { b.putLong(v.toLong); () }, 8)
+    val i4 = store("i4", "<i4", (b, v) => { b.putInt(v); () }, 4)
+    assert(Zarr.readArray(spark, f4).orderBy(col("i0")).collect()
+      .map(_.getFloat(1)).toSeq == Seq(0f, 7f, 14f, 21f))
+    assert(Zarr.readArray(spark, i8).orderBy(col("i0")).collect()
+      .map(_.getLong(1)).toSeq == Seq(0L, 7L, 14L, 21L))
+    assert(Zarr.readArray(spark, i4).orderBy(col("i0")).collect()
+      .map(_.getInt(1)).toSeq == Seq(0, 7, 14, 21))
+  }
+}
