@@ -28,7 +28,15 @@ object Zarr {
     * Dims with no stored coordinate array keep their integer index. */
   def toDataFrame(s: SparkSession, groupDir: String, varName: String): DataFrame = {
     val meta = ZarrMeta.read(s"$groupDir/$varName")
-    var df = readArray(s, s"$groupDir/$varName").withColumnRenamed("value", varName)
+    joinCoords(s, groupDir, meta,
+      readArray(s, s"$groupDir/$varName").withColumnRenamed("value", varName), varName)
+  }
+
+  /** Swap each index column for the group's stored coordinate values
+    * (dims with no coordinate array keep their integer index). */
+  private def joinCoords(s: SparkSession, groupDir: String, meta: ZarrMeta.Meta,
+      in: DataFrame, varName: String): DataFrame = {
+    var df = in
     meta.dims.foreach { dim =>
       if (Files.exists(Paths.get(groupDir, dim, ".zarray"))) {
         val coordDir = s"$groupDir/$dim"
@@ -41,6 +49,38 @@ object Zarr {
       }
     }
     df.select(meta.dims.map(col).toSeq :+ col(varName): _*)
+  }
+
+  /** Coordinate-VALUE slice, the reference's `sel(time=filtered_times)`
+    * / filter-then-read (precipitation_pipeline.py:91-101): resolve the
+    * [loVal, hiVal] range to an INDEX range through the dim's 1-D
+    * coordinate array (tiny by construction — read once, driver-side,
+    * exactly like xarray's index lookup), then apply it as an index
+    * predicate on the variable scan so CHUNK PRUNING engages. Returns
+    * the flattened frame of [[toDataFrame]] restricted to the slice;
+    * only chunks intersecting the index range are ever read (pinned in
+    * ZarrSpec via the partition count). */
+  def sliceByCoord(s: SparkSession, groupDir: String, varName: String,
+      dim: String, loVal: Double, hiVal: Double): DataFrame = {
+    val meta = ZarrMeta.read(s"$groupDir/$varName")
+    val d = meta.dims.indexOf(dim)
+    require(d >= 0, s"dim '$dim' not in ${meta.dims.mkString(",")}")
+    val coordDir = s"$groupDir/$dim"
+    require(Files.exists(Paths.get(coordDir, ".zarray")),
+      s"no coordinate array for dim '$dim'")
+    val idxCol = ZarrMeta.read(coordDir).dims.head
+    // the coord array is one value per index — driver-collecting the
+    // matching index RANGE is the xarray .sel lookup, not a data read
+    val bounds = readArray(s, coordDir)
+      .filter(col("value") >= loVal && col("value") <= hiVal)
+      .agg(min(col(idxCol)).as("lo"), max(col(idxCol)).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return toDataFrame(s, groupDir, varName).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    joinCoords(s, groupDir, meta,
+      readArray(s, s"$groupDir/$varName")
+        .filter(col(dim) >= lo && col(dim) <= hi) // pushes → chunk pruning
+        .withColumnRenamed("value", varName), varName)
   }
 
   // ---------------------------------------------------------------- fixture

@@ -87,6 +87,22 @@ class ZarrSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("sliceByCoord: a time-VALUE slice prunes chunks through the coord lookup") {
+    // time coord values are t*3600; [14400, 21600] → indices 4..5 →
+    // the third time-chunk only: 3 lat-chunks × 2 lon-chunks = 6 of 18
+    val sliced = Zarr.sliceByCoord(spark, group, "precip", "time", 14400.0, 21600.0)
+    assert(sliced.rdd.getNumPartitions == 6,
+      s"expected 6 pruned partitions, got ${sliced.rdd.getNumPartitions}")
+    assert(sliced.count() == 2 * 20 * 30)
+    assert(sliced.columns.toSeq == Seq("time", "lat", "lon", "precip"))
+    // values carry coordinate semantics, restricted to the slice
+    val times = sliced.select("time").distinct().collect().map(_.getDouble(0)).sorted
+    assert(times.toSeq == Seq(14400.0, 18000.0))
+    // an empty slice yields an empty frame with the full schema
+    val none = Zarr.sliceByCoord(spark, group, "precip", "time", 1e9, 2e9)
+    assert(none.isEmpty && none.columns.toSeq == Seq("time", "lat", "lon", "precip"))
+  }
+
   test("unsupported stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_bad_")
     def meta(d: String, body: String): Unit = {
