@@ -275,6 +275,43 @@ object Dedup {
     docsIn.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL corpus dedup — the crawl-over-crawl shape a training
+    * pipeline runs far more often than a full-corpus pass: drop each
+    * NEW doc that near-duplicates the EXISTING corpus or an
+    * earlier-id new doc; existing docs are never dropped and the
+    * existing corpus is never reshuffled beyond its signature pass.
+    * Pairwise greedy by id (x drops iff some duplicate pair reaches it
+    * from an existing doc or a smaller-id new doc) — deliberately NOT
+    * component-based: in components connected only through a new doc,
+    * the unconnected earlier members each survive, which is the
+    * incremental contract (nothing kept is a near-dup of anything
+    * else kept from this batch... up to chain transitivity, same as
+    * every LSH-incremental system).
+    *
+    * Scale posture: both sides stream through ONE LSH banding pass
+    * (signatures computed once); at 100 TB the existing side's banded
+    * signatures are the stored artifact (bucketBy(band), exactly the
+    * [[Similarity.srpBanded]] layout) so a new crawl only computes its
+    * own signatures and probes the buckets it lands in. Requires
+    * disjoint doc_id spaces (the id IS the tie-break). */
+  def dedupIncremental(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val tagged = existing.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newDocs.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val pairs = nearDupPairs(tagged)
+    val sym = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    val flags = tagged.select(col("doc_id"), col("is_new"))
+    val drops = sym
+      .join(flags.select(col("doc_id").as("x"), col("is_new").as("x_new")), "x")
+      .filter(col("x_new")) // only NEW docs can drop
+      .join(flags.select(col("doc_id").as("y"), col("is_new").as("y_new")), "y")
+      .filter(!col("y_new") || col("y") < col("x")) // existing, or earlier new
+      .select(col("x").as("doc_id")).distinct()
+    newDocs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Character-5-gram variant with a two-stage verify.
     *
     * 5-grams (not 3): on a small-alphabet corpus, 3-gram sets overlap
@@ -388,6 +425,16 @@ object Dedup {
     "q_dedup_cluster" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
     "q_dedup_resolve" -> ((s, d) => dedupResolve(Tables.documents(s, d))
       .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // parity split (even ids = existing corpus, odd = the new crawl):
+    // deterministic, no scalar pre-job, and the harness's planted
+    // near-dup runs (consecutive ids) straddle the two sides
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      dedupIncremental(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    }),
   )
 
   // DuckDB oracles: brute-force pair scans — valid as a SPEC (the gate
@@ -481,6 +528,30 @@ object Dedup {
         |FROM documents d
         |WHERE d.doc_id NOT IN (
         |  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u)
+        |ORDER BY doc_id""".stripMargin,
+    // incremental: pairwise NOT EXISTS — no recursive closure, because
+    // the operator's contract is greedy-by-id, not component-based
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.u = d.doc_id
+        |      AND (e.v % 2 = 0 OR e.v < e.u))
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH gr AS (

@@ -392,6 +392,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(kept.sameElements(Array(1L, 4L)), s"kept ${kept.toSeq}")
   }
 
+  test("dedupIncremental: new-vs-existing and new-vs-earlier-new drop; existing untouched") {
+    val fresh =
+      "a completely different passage describing catalyst rules and " +
+        "columnar scans where predicates travel downward until they rest " +
+        "inside the reader and rows never leave their parquet homes early"
+    val existing = docs(
+      2L -> base,
+      4L -> ("yet another unrelated existing document listing shuffle " +
+        "partitions and broadcast thresholds and the gentle art of " +
+        "salting hot keys before anyone notices the skew at all"))
+    val newDocs = docs(
+      1L -> ("an unrelated new document about watermark semantics and " +
+        "late arriving events that linger in state stores until the " +
+        "clock of the stream finally lets them be forgotten forever"),
+      3L -> base.replace("winter", "summer"), // near-dup of EXISTING 2
+      5L -> fresh, // kept: first of its run
+      7L -> fresh.replace("early", "late")) // near-dup of EARLIER NEW 5
+    val kept = Dedup.dedupIncremental(newDocs, existing)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 5L), s"kept $kept")
+  }
+
   test("sessionize splits on gaps > threshold, one shuffle, user-isolated") {
     import org.apache.spark.sql.functions.{timestamp_micros => tsu}
     val min = 60L * 1000000L
