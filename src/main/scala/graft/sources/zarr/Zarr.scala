@@ -3,6 +3,8 @@ package graft.sources.zarr
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,7 +40,7 @@ object Zarr {
       in: DataFrame, varName: String): DataFrame = {
     var df = in
     meta.dims.foreach { dim =>
-      if (Files.exists(Paths.get(groupDir, dim, ".zarray"))) {
+      if (ZarrMeta.hasArray(groupDir, dim)) {
         val coordDir = s"$groupDir/$dim"
         val idxCol = ZarrMeta.read(coordDir).dims.head
         val coord = readArray(s, coordDir)
@@ -66,7 +68,7 @@ object Zarr {
     val d = meta.dims.indexOf(dim)
     require(d >= 0, s"dim '$dim' not in ${meta.dims.mkString(",")}")
     val coordDir = s"$groupDir/$dim"
-    require(Files.exists(Paths.get(coordDir, ".zarray")),
+    require(ZarrMeta.hasArray(groupDir, dim),
       s"no coordinate array for dim '$dim'")
     val idxCol = ZarrMeta.read(coordDir).dims.head
     // the coord array is one value per index — driver-collecting the
@@ -145,6 +147,28 @@ object Zarr {
       if (dd == n) writeChunk(acc)
       else (0 until counts(dd)).foreach(c => expand(dd + 1, acc :+ c))
     expand(0, Array.empty)
+  }
+
+  /** Consolidate a group's per-array metadata into one `.zmetadata`
+    * document (zarr_consolidated_format 1 — what xarray's
+    * `consolidated=True` reads): after this, arrays resolve through
+    * the single group document even if their own `.zarray`/`.zattrs`
+    * are absent, the one-metadata-fetch contract remote stores need. */
+  def consolidate(groupDir: String): Unit = {
+    val g = Paths.get(groupDir)
+    val entries = Files.list(g).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        val za = s""""$name/.zarray":${Files.readString(p.resolve(".zarray"))}"""
+        val at = if (Files.exists(p.resolve(".zattrs")))
+          Some(s""""$name/.zattrs":${Files.readString(p.resolve(".zattrs"))}""")
+        else None
+        Iterator(za) ++ at.iterator
+      }.mkString(",")
+    Files.writeString(g.resolve(".zmetadata"),
+      s"""{"zarr_consolidated_format":1,"metadata":{$entries}}""")
+    ()
   }
 
   /** The fixture VALUE function — shared with the DuckDB oracle, which

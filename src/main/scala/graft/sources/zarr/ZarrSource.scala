@@ -63,8 +63,47 @@ object ZarrMeta {
         StructField("value", valueType, nullable = false))
   }
 
+  /** Array metadata: the per-array `.zarray`/`.zattrs` documents, or —
+    * when the array directory carries none — the parent group's
+    * CONSOLIDATED `.zmetadata` (the document xarray's
+    * `consolidated=True` reads, one metadata fetch for the whole group
+    * instead of one per key: the flag the reference passes,
+    * precipitation_pipeline.py:83). */
   def read(dir: String): Meta = {
-    val zarray = mapper.readTree(Files.readString(Paths.get(dir, ".zarray")))
+    val local = Paths.get(dir, ".zarray")
+    if (Files.exists(local)) {
+      val attrsPath = Paths.get(dir, ".zattrs")
+      val attrs = if (Files.exists(attrsPath))
+        Some(mapper.readTree(Files.readString(attrsPath))) else None
+      build(mapper.readTree(Files.readString(local)), attrs)
+    } else {
+      val arrayDir = Paths.get(dir).toAbsolutePath.normalize
+      val name = arrayDir.getFileName.toString
+      val zm = arrayDir.getParent.resolve(".zmetadata")
+      require(Files.exists(zm),
+        s"no .zarray in $dir and no consolidated .zmetadata in its group")
+      val doc = mapper.readTree(Files.readString(zm))
+      require(doc.path("zarr_consolidated_format").asInt == 1,
+        "unsupported zarr_consolidated_format")
+      val md = doc.path("metadata")
+      val za = md.path(s"$name/.zarray")
+      require(!za.isMissingNode, s"'$name/.zarray' absent from consolidated metadata")
+      val at = md.path(s"$name/.zattrs")
+      build(za, if (at.isMissingNode) None else Some(at))
+    }
+  }
+
+  /** Does the group contain array `name` — by its own `.zarray` or by
+    * an entry in the group's consolidated `.zmetadata`? */
+  def hasArray(groupDir: String, name: String): Boolean =
+    Files.exists(Paths.get(groupDir, name, ".zarray")) || {
+      val zm = Paths.get(groupDir, ".zmetadata")
+      Files.exists(zm) && mapper.readTree(Files.readString(zm))
+        .path("metadata").has(s"$name/.zarray")
+    }
+
+  private def build(zarray: com.fasterxml.jackson.databind.JsonNode,
+      attrsOpt: Option[com.fasterxml.jackson.databind.JsonNode]): Meta = {
     require(zarray.path("zarr_format").asInt == 2,
       s"zarr_format ${zarray.path("zarr_format")} unsupported (need 2)")
     require(zarray.path("order").asText == "C",
@@ -101,14 +140,13 @@ object ZarrMeta {
       val n = zarray.path("dimension_separator")
       if (n.isMissingNode || n.isNull) "." else n.asText
     }
-    val attrsPath = Paths.get(dir, ".zattrs")
-    val dims: Array[String] =
-      if (Files.exists(attrsPath)) {
-        val attrs = mapper.readTree(Files.readString(attrsPath))
+    val dims: Array[String] = attrsOpt match {
+      case Some(attrs) =>
         val ad = attrs.path("_ARRAY_DIMENSIONS")
         if (ad.isArray) ad.elements.asScala.map(_.asText).toArray
         else shape.indices.map(i => s"i$i").toArray
-      } else shape.indices.map(i => s"i$i").toArray
+      case None => shape.indices.map(i => s"i$i").toArray
+    }
     require(dims.length == shape.length,
       s"_ARRAY_DIMENSIONS rank ${dims.length} != shape rank ${shape.length}")
     Meta(shape, chunks, dtype, compressor, fill, sep, dims)

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.sources.zarr.{Zarr, ZarrMeta}
 
@@ -101,6 +102,35 @@ class ZarrSpec extends SparkTestBase {
     // an empty slice yields an empty frame with the full schema
     val none = Zarr.sliceByCoord(spark, group, "precip", "time", 1e9, 2e9)
     assert(none.isEmpty && none.columns.toSeq == Seq("time", "lat", "lon", "precip"))
+  }
+
+  test("consolidated .zmetadata: the group reads with NO per-array metadata files") {
+    // copy the climate group, consolidate, then DELETE every per-array
+    // .zarray/.zattrs — everything must resolve through the one group
+    // document (what xarray's consolidated=True reads; the reference
+    // passes it at precipitation_pipeline.py:83)
+    val copy = graft.sources.IO.tmp("graft_zarr_consol_")
+    def cp(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst)
+      ()
+    }
+    val root = Paths.get(group)
+    Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+      cp(p, Paths.get(copy).resolve(root.relativize(p)))
+    }
+    Zarr.consolidate(copy)
+    Files.walk(Paths.get(copy)).iterator().asScala
+      .filter(p => p.getFileName.toString == ".zarray" || p.getFileName.toString == ".zattrs")
+      .toSeq.foreach(p => Files.delete(p))
+    val viaConsolidated = Zarr.toDataFrame(spark, copy, "precip")
+      .orderBy(col("time"), col("lat"), col("lon")).collect().map(_.toSeq).toSeq
+    val direct = Zarr.toDataFrame(spark, group, "precip")
+      .orderBy(col("time"), col("lat"), col("lon")).collect().map(_.toSeq).toSeq
+    assert(viaConsolidated == direct && direct.size == 3600)
+    // and the value-slice path works consolidated too (chunk pruning intact)
+    val sliced = Zarr.sliceByCoord(spark, copy, "precip", "time", 14400.0, 21600.0)
+    assert(sliced.rdd.getNumPartitions == 6 && sliced.count() == 1200)
   }
 
   test("unsupported stores fail LOUDLY at metadata read, never misread") {
