@@ -185,4 +185,41 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("zarr: write→read round-trips the index-space function for all shapes/chunks/codecs") {
+    import graft.sources.zarr.Zarr
+    val storeGen = for {
+      rank <- Gen.choose(1, 3)
+      shape <- Gen.listOfN(rank, Gen.choose(1L, 9L))
+      // chunks may exceed the shape (one padded chunk) or divide it
+      // unevenly (padded edges) — both legal zarr layouts
+      chunks <- Gen.sequence[List[Int], Int](shape.map(s =>
+        Gen.choose(1, s.toInt + 2)))
+      codec <- Gen.oneOf(None, Some("zlib"), Some("gzip"))
+      seed <- Gen.choose(1L, 1000L)
+    } yield (shape.toArray, chunks.toArray, codec, seed)
+    forAllSeeded(storeGen, trials = 12) { case (shape, chunks, codec, seed) =>
+      val f = (i: Array[Long]) =>
+        i.zipWithIndex.map { case (v, d) => v * math.pow(10, d + 1) }.sum + seed
+      val dir = graft.sources.IO.tmp("graft_zarr_prop_") + "/a"
+      val dims = shape.indices.map(d => s"d$d").toArray
+      Zarr.writeArray(dir, shape, chunks, dims, codec, 0.0, f)
+      val got = Zarr.readArray(spark, dir).collect().map { r =>
+        shape.indices.map(r.getLong).toArray -> r.getDouble(shape.length)
+      }
+      // exactly the in-bounds index space, every value exact
+      assert(got.length.toLong == shape.product)
+      got.foreach { case (idx, v) =>
+        assert(v == f(idx.map(_.toLong)), s"${idx.toSeq} -> $v")
+      }
+      // and an index slice equals the unpruned filter (pruning is an
+      // optimization, never a semantics change)
+      if (shape(0) > 1) {
+        val cut = shape(0) / 2
+        val sliced = Zarr.readArray(spark, dir)
+          .filter(col("d0") >= cut).collect().length.toLong
+        assert(sliced == (shape(0) - cut) * shape.drop(1).product)
+      }
+    }
+  }
 }
