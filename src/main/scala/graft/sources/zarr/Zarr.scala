@@ -124,29 +124,87 @@ object Zarr {
         }
         buf.putDouble(if (inBounds) f(idx) else fillValue) // padded edge
       }
-      val raw = buf.array()
-      val bytes = compressor match {
-        case None => raw
-        case Some("zlib") =>
-          val defl = new java.util.zip.Deflater(5)
-          defl.setInput(raw); defl.finish()
-          val out = new java.io.ByteArrayOutputStream(raw.length)
-          val tmp = new Array[Byte](8192)
-          while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
-          defl.end(); out.toByteArray
-        case Some("gzip") =>
-          val out = new java.io.ByteArrayOutputStream(raw.length)
-          val g = new java.util.zip.GZIPOutputStream(out)
-          g.write(raw); g.close(); out.toByteArray
-        case Some(other) => throw new IllegalArgumentException(other)
-      }
-      Files.write(d.resolve(cc.mkString(".")), bytes)
+      Files.write(d.resolve(cc.mkString(".")),
+        ZarrCodec.compress(buf.array(), compressor))
       ()
     }
     def expand(dd: Int, acc: Array[Int]): Unit =
       if (dd == n) writeChunk(acc)
       else (0 until counts(dd)).foreach(c => expand(dd + 1, acc :+ c))
     expand(0, Array.empty)
+  }
+
+  /** DISTRIBUTED zarr sink — the write side of the connector, chunked
+    * the same way the read side parallelizes: every row is keyed by
+    * its chunk coordinate, rows repartition so each chunk's rows land
+    * in ONE task, and the task materializes its chunks' buffers
+    * (fill-initialized, so absent rows read back as the fill value)
+    * and writes them through the shared [[ZarrCodec]]. One shuffle,
+    * chunk = write unit = the store's own layout, task memory bounded
+    * by (chunks owned) × (chunk bytes).
+    *
+    * `df` must carry `dims` columns of integral indices in
+    * [0, shape_d) plus a `value` column castable to `<f8` (the dtype
+    * this writer emits). Files land on the task's filesystem —
+    * correct on local[n]; a multi-node deployment points `dir` at
+    * shared storage, a config (not code) change, same as every file
+    * sink here. */
+  def writeArrayDistributed(df: DataFrame, dir: String, shape: Array[Long],
+      chunks: Array[Int], dims: Array[String], compressor: Option[String] = Some("zlib"),
+      fillValue: Double = 0.0): Unit = {
+    require(dims.length == shape.length && shape.length == chunks.length,
+      s"rank mismatch: dims=${dims.length} shape=${shape.length} chunks=${chunks.length}")
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val compJson = compressor match {
+      case None => "null"
+      case Some(id) => s"""{"id":"$id","level":5}"""
+    }
+    Files.writeString(d.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+         |"chunks":[${chunks.mkString(",")}],"dtype":"<f8",
+         |"compressor":$compJson,"fill_value":$fillValue,
+         |"order":"C","filters":null}""".stripMargin)
+    Files.writeString(d.resolve(".zattrs"),
+      s"""{"_ARRAY_DIMENSIONS":[${dims.map("\"" + _ + "\"").mkString(",")}]}""")
+    // chunk key: "c0.c1...." — nonneg indices, so `div` IS floor
+    val chunkKey = concat_ws(".",
+      dims.zip(chunks).map { case (dm, c) =>
+        expr(s"CAST(`$dm` AS BIGINT) div $c").cast("string") }: _*)
+    val n = shape.length
+    val (shapeC, chunksC, dimsC, dirC, compC, fillC) =
+      (shape, chunks, dims, dir, compressor, fillValue)
+    df.select(dims.map(c => col(c).cast("long").as(c)) :+
+        col("value").cast("double").as("value"): _*)
+      .withColumn("_chunk", chunkKey)
+      .repartition(col("_chunk"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val chunkElems = chunksC.map(_.toLong).product.toInt
+        val bufs = scala.collection.mutable.Map.empty[String, ByteBuffer]
+        rows.foreach { r =>
+          val key = r.getString(n + 1)
+          val buf = bufs.getOrElseUpdate(key, {
+            val b = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+            (0 until chunkElems).foreach(i => b.putDouble(i * 8, fillC))
+            b
+          })
+          // C-order position of the row within its chunk
+          var p = 0L
+          var dd = 0
+          while (dd < n) {
+            val idx = r.getLong(dd)
+            require(idx >= 0 && idx < shapeC(dd),
+              s"${dimsC(dd)}=$idx outside [0, ${shapeC(dd)})")
+            p = p * chunksC(dd) + (idx % chunksC(dd))
+            dd += 1
+          }
+          buf.putDouble((p * 8).toInt, r.getDouble(n))
+        }
+        bufs.foreach { case (key, buf) =>
+          Files.write(Paths.get(dirC, key),
+            ZarrCodec.compress(buf.array(), compC))
+        }
+      }
   }
 
   /** Consolidate a group's per-array metadata into one `.zmetadata`
@@ -210,6 +268,26 @@ object Zarr {
           col("lon").as("lon_idx"), col("value"))
         .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
 
+    // the DISTRIBUTED sink → scan round trip: rows built in Spark,
+    // shuffled to their chunks, written through the codec, read back
+    // through the connector — any loss in chunk addressing, C-order
+    // packing, codec, or fill handling breaks the hash match
+    "q_sink_zarr" -> ((s, _) => {
+      val out = graft.sources.IO.tmp("graft_zarr_sink_") + "/cube"
+      val rows = s.range(0L, 6L * 20 * 30).select(
+        expr("id div 600").as("time"),
+        expr("(id div 30) % 20").as("lat"),
+        expr("id % 30").as("lon"))
+        .withColumn("value",
+          (col("time") * 10000 + col("lat") * 100 + col("lon")).cast("double"))
+      writeArrayDistributed(rows, out, Array(6L, 20L, 30L), Array(2, 8, 16),
+        Array("time", "lat", "lon"))
+      readArray(s, out)
+        .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
+          col("lon").as("lon_idx"), col("value"))
+        .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))
+    }),
+
     // the reference's actual read shape: open group, flatten to a
     // (time, lat, lon, var) table with coordinate VALUES on each row
     // (xr.open_dataset(...).to_dataframe, precipitation_pipeline.py:79-86)
@@ -225,6 +303,12 @@ object Zarr {
     // regenerates it from scratch — full coverage of every element the
     // connector decodes (chunk walk, zlib, edge padding, C order)
     "q_scan_zarr" ->
+      """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sink_zarr" ->
       """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
         |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
         |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),

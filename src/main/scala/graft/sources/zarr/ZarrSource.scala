@@ -153,6 +153,26 @@ object ZarrMeta {
   }
 }
 
+/** Shared chunk codec: the writer's compress and the reader's
+  * decompress must be exact inverses for every supported id. */
+private[zarr] object ZarrCodec {
+  def compress(raw: Array[Byte], codec: Option[String]): Array[Byte] = codec match {
+    case None => raw
+    case Some("zlib") =>
+      val defl = new java.util.zip.Deflater(5)
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+      defl.end(); out.toByteArray
+    case Some("gzip") =>
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(raw); g.close(); out.toByteArray
+    case Some(other) => throw new IllegalArgumentException(s"unsupported codec $other")
+  }
+}
+
 class ZarrDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrMeta.read(options.get("path")).schema

@@ -133,6 +133,55 @@ class ZarrSpec extends SparkTestBase {
     assert(sliced.rdd.getNumPartitions == 6 && sliced.count() == 1200)
   }
 
+  test("distributed sink: chunk files byte-identical to the driver writer's") {
+    val base = graft.sources.IO.tmp("graft_zarr_sink_par_")
+    val f = (i: Array[Long]) => (i(0) * 1000 + i(1) * 10 + i(2)).toDouble
+    val (shape, chunks) = (Array(5L, 7L, 4L), Array(2, 3, 4))
+    Zarr.writeArray(s"$base/driver", shape, chunks,
+      Array("a", "b", "c"), Some("zlib"), -2.0, f)
+    val rows = spark.range(0L, shape.product).select(
+      expr("id div 28").as("a"), expr("(id div 4) % 7").as("b"),
+      expr("id % 4").as("c"))
+      .withColumn("value",
+        (col("a") * 1000 + col("b") * 10 + col("c")).cast("double"))
+    Zarr.writeArrayDistributed(rows, s"$base/dist", shape, chunks,
+      Array("a", "b", "c"), Some("zlib"), -2.0)
+    // same chunk file SET with byte-identical contents: padding,
+    // C-order packing and codec all agree with the driver writer
+    val names = (d: String) => new java.io.File(d).listFiles
+      .filter(!_.getName.startsWith(".")).map(_.getName).sorted.toSeq
+    assert(names(s"$base/driver") == names(s"$base/dist"))
+    names(s"$base/driver").foreach { nm =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$base/driver", nm)),
+        Files.readAllBytes(Paths.get(s"$base/dist", nm))), s"chunk $nm differs")
+    }
+  }
+
+  test("distributed sink: rows absent from a chunk read back as the fill value") {
+    val dir = graft.sources.IO.tmp("graft_zarr_sink_fill_") + "/a"
+    // only the diagonal is written; everything else must read as fill
+    val rows = spark.range(0L, 4L).select(col("id").as("r"), col("id").as("c"))
+      .withColumn("value", (col("r") * 11).cast("double"))
+    Zarr.writeArrayDistributed(rows, dir, Array(4L, 4L), Array(2, 2),
+      Array("r", "c"), None, -9.0)
+    val got = Zarr.readArray(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(got.size == 16)
+    (0L until 4L).foreach { i =>
+      assert(got((i, i)) == i * 11.0)
+      assert(got((i, (i + 1) % 4)) == -9.0)
+    }
+    // out-of-bounds indices must fail the WRITE loudly, not corrupt
+    val bad = spark.range(0L, 1L).select(lit(7L).as("r"), lit(0L).as("c"))
+      .withColumn("value", lit(1.0))
+    val e = intercept[org.apache.spark.SparkException] {
+      Zarr.writeArrayDistributed(bad, dir + "2", Array(4L, 4L), Array(2, 2),
+        Array("r", "c"), None, 0.0)
+    }
+    assert(e.getMessage.contains("outside") || e.getCause != null)
+  }
+
   test("unsupported stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_bad_")
     def meta(d: String, body: String): Unit = {
