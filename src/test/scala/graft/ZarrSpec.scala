@@ -133,6 +133,34 @@ class ZarrSpec extends SparkTestBase {
     assert(sliced.rdd.getNumPartitions == 6 && sliced.count() == 1200)
   }
 
+  test("pipeline tie-in: the climate stages compose on the zarr read") {
+    import graft.operators.Climate
+    // zarr group → to_dataframe flatten → the REAL pipeline stages.
+    // The fixture's coordinate spacings are the reference's native grid
+    // (0.5° lat / 0.625° lon, precipitation_pipeline.py:177,182):
+    // resolution inference must RECOVER them from the store's coords —
+    // defaults are planted at 99 so a fallback would be visible.
+    val flat = Zarr.toDataFrame(spark, group, "precip")
+      .withColumn("ts", timestamp_seconds(col("time")))
+    val withYm = Climate.withYearMonth(flat, "ts")
+    val res = Climate.monthlyResolutions(withYm,
+      Seq("lat" -> 99.0, "lon" -> 99.0)).collect()
+    assert(res.length == 1) // epoch-hour fixture times: one (year,month)
+    assert(res.head.getDouble(2) == 0.5 && res.head.getDouble(3) == 0.625,
+      s"inferred ${res.head}")
+    // and the land-mask stage: quantize cells, probe a lookup — the
+    // semi-join partitions the zarr rows exactly
+    // 5° cells: the fixture spans ~9.5° lat × ~18° lon, so quantization
+    // yields several distinct cells and the 2-cell lookup is a proper
+    // subset (a 30° grid would swallow the whole extent in one cell)
+    val pts = flat
+      .withColumn("cell_lat", Climate.cellIndex(col("lat"), 90.0, 5.0))
+      .withColumn("cell_lon", Climate.cellIndex(col("lon"), 180.0, 5.0))
+    val land = pts.select(col("cell_lat"), col("cell_lon")).distinct().limit(2)
+    val kept = Climate.landMask(pts, land).count()
+    assert(kept > 0 && kept < flat.count())
+  }
+
   test("distributed sink: chunk files byte-identical to the driver writer's") {
     val base = graft.sources.IO.tmp("graft_zarr_sink_par_")
     val f = (i: Array[Long]) => (i(0) * 1000 + i(1) * 10 + i(2)).toDouble
