@@ -154,6 +154,9 @@ object Zarr {
       fillValue: Double = 0.0): Unit = {
     require(dims.length == shape.length && shape.length == chunks.length,
       s"rank mismatch: dims=${dims.length} shape=${shape.length} chunks=${chunks.length}")
+    require(chunks.map(_.toLong).product * 8 <= Int.MaxValue,
+      s"chunk of ${chunks.mkString("x")} f8 elements exceeds the 2^31-1 " +
+        "byte buffer bound; pick smaller chunks")
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val compJson = compressor match {

@@ -126,6 +126,16 @@ object ZarrMeta {
     val chunks = zarray.path("chunks").elements.asScala.map(_.asInt).toArray
     require(shape.nonEmpty && shape.length == chunks.length,
       s"shape/chunks rank mismatch: ${shape.length} vs ${chunks.length}")
+    require(shape.forall(_ >= 1) && chunks.forall(_ >= 1),
+      s"non-positive shape/chunks: ${shape.mkString(",")} / ${chunks.mkString(",")}")
+    // chunk buffers address with int offsets (ByteBuffer's own bound):
+    // a >2 GB chunk would silently truncate — refuse it at metadata
+    // read, on BOTH the read and write paths (no sane store uses
+    // chunks anywhere near this; zarr guidance is ~1-100 MB)
+    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
+    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
+      s"chunk of ${chunks.mkString("x")} ${dtype} elements exceeds the 2^31-1 " +
+        "byte buffer bound; re-chunk the store")
     val fillNode = zarray.path("fill_value")
     val fill =
       if (fillNode.isNull) 0.0

@@ -226,6 +226,11 @@ class ZarrSpec extends SparkTestBase {
       val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
       assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
     }
+    // a >2 GB chunk would truncate int buffer offsets — must refuse
+    meta("bigchunk", """{"zarr_format":2,"shape":[1000000000],"chunks":[600000000],
+      |"dtype":"<f8","compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/bigchunk"))
+    assert(e.getMessage.contains("2^31"), e.getMessage)
   }
 
   test("non-f8 dtypes decode: f4, i8, i4 hand-written chunks") {
