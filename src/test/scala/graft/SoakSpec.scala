@@ -221,4 +221,73 @@ class SoakSpec extends SparkTestBase {
       java.nio.file.Files.writeString(p, trimmed + section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
+    import graft.sources.zarr.Zarr
+    val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
+    val chunks = Array(10, 50, 75)    // 5*4*4 = 80 chunks of 37.5k elems
+    val dir = graft.sources.IO.tmp("graft_zarr_soak_") + "/cube"
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = spark.range(0L, t * y * x).select(
+        expr(s"id div ${y * x}").as("t"),
+        expr(s"(id div $x) % $y").as("y"),
+        expr(s"id % $x").as("x"))
+        .withColumn("value",
+          (col("t") * 1000000 + col("y") * 1000 + col("x")).cast("double"))
+      val t0 = System.nanoTime()
+      Zarr.writeArrayDistributed(rows, dir, Array(t, y, x), chunks,
+        Array("t", "y", "x"))
+      val tWrite = (System.nanoTime() - t0) / 1e9
+
+      val back = Zarr.readArray(spark, dir)
+      assert(back.rdd.getNumPartitions == 80)
+      val t1 = System.nanoTime()
+      val got = back.agg(count(lit(1)).as("n"), sum(col("value")).as("s")).head()
+      val tRead = (System.nanoTime() - t1) / 1e9
+      val want = rows.agg(sum(col("value"))).head().getDouble(0)
+      assert(got.getLong(0) == t * y * x && got.getDouble(1) == want)
+
+      // a time slice reads only its chunks, at scan speed
+      val t2 = System.nanoTime()
+      val sliced = back.filter(col("t") >= 40)
+      assert(sliced.rdd.getNumPartitions == 16) // 1 of 5 t-chunks
+      assert(sliced.count() == 10 * y * x)
+      val tSlice = (System.nanoTime() - t2) / 1e9
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val section =
+        s"""
+           |## Zarr connector soak (regenerated by SoakSpec)
+           |
+           |3M-element f8 cube (50×200×300, 24 MB) through the DISTRIBUTED
+           |sink (chunk-keyed shuffle, 80 chunks) and back through the
+           |chunked scan, local[4]. Write ${f"$tWrite%.1f"} s; full scan +
+           |aggregate ${f"$tRead%.1f"} s over 80 chunk-partitions, sum exact
+           |vs the source rows; a 1-of-5 time slice plans 16 partitions and
+           |counts in ${f"$tSlice%.1f"} s. Same listener invariant as above:
+           |no single-task stage read a relation-sized shuffle.
+           |""".stripMargin
+      val p = java.nio.file.Paths.get("SOAK.md")
+      val existing = if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p) else ""
+      val trimmed = existing.split("\n## Zarr connector", 2)(0)
+      java.nio.file.Files.writeString(p, trimmed + section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
