@@ -26,14 +26,19 @@ object Bench {
     */
   val CalibrationRefSec = 0.52
   val CalibrationTolerance = 1.3
-  val CalibrationRows = 400000000L
+  /** Per-slice probe size: total work scales with the thread count so
+    * the wall time — and therefore [[CalibrationRefSec]] — is
+    * CPU-count-invariant (the driver runs 32; 32 × 12.5M = the 400M-row
+    * probe the reference value was measured on). */
+  val CalibrationRowsPerSlice = 12500000L
 
-  /** CPU-bound, fixed-size, in-memory probe. Same cost every run by
-    * construction; any variance is machine contention, not plan change.
-    */
+  /** CPU-bound, fixed-per-core-size, in-memory probe. Same cost every
+    * run by construction; any variance is machine contention, not plan
+    * change. */
   def calibrationProbe(spark: SparkSession): Double = {
+    val slices = spark.sparkContext.defaultParallelism
     val t0 = System.nanoTime()
-    spark.range(0L, CalibrationRows, 1L, 32)
+    spark.range(0L, CalibrationRowsPerSlice * slices, 1L, slices)
       .selectExpr("pmod(xxhash64(id), 1000003) AS h") // pmod keeps the ANSI sum from overflowing
       .agg(org.apache.spark.sql.functions.sum("h"))
       .write.format("noop").mode("overwrite").save()
