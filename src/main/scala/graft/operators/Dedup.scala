@@ -299,9 +299,13 @@ object Dedup {
       .withColumn("is_new", lit(false))
       .unionByName(newDocs.select(col("doc_id"), col("text"))
         .withColumn("is_new", lit(true)))
-    val pairs = nearDupPairs(tagged)
-    val sym = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    // symmetrize by EXPLODE, not self-union: a union would reference
+    // the whole LSH pipeline twice and recompute it absent exchange
+    // reuse; the generator touches each pair once
+    val sym = nearDupPairs(tagged).select(explode(array(
+      struct(col("id_a").as("x"), col("id_b").as("y")),
+      struct(col("id_b").as("x"), col("id_a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
     val flags = tagged.select(col("doc_id"), col("is_new"))
     val drops = sym
       .join(flags.select(col("doc_id").as("x"), col("is_new").as("x_new")), "x")
