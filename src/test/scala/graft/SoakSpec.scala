@@ -17,7 +17,9 @@ import graft.operators.{Climate, Dedup, Windows}
   * reads more than a trivial number of shuffle records — the big
   * shuffles all fan out, and the only single-task stages are the
   * ≤shuffle-partitions-row offset/statistic aggregates. Wall-times are
-  * recorded into SOAK.md (regenerated per run).
+  * recorded into SOAK.md via [[SoakDoc.upsert]] — each suite replaces
+  * ONLY its own section, so a partial run can never drop a sibling
+  * suite's evidence.
   */
 class SoakSpec extends SparkTestBase {
 
@@ -141,7 +143,8 @@ class SoakSpec extends SparkTestBase {
            || featureCollectionSharded (20k/doc → ${Copies * 5} parts) | ${n / 1000000.0}M | ${f"$tShard%.1f"} |
            || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} |
            |""".stripMargin
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), doc)
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Distributed-primitive soak", doc)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -214,11 +217,8 @@ class SoakSpec extends SparkTestBase {
            |single-task shuffle read across the whole fixpoint:
            |${maxSingle / 1024} KB (budget ${SingleTaskShuffleBudget / 1024 / 1024} MB).
            |""".stripMargin
-      val p = java.nio.file.Paths.get("SOAK.md")
-      val existing = if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readString(p) else ""
-      val trimmed = existing.split("\n## Connected-components", 2)(0)
-      java.nio.file.Files.writeString(p, trimmed + section)
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Connected-components fixpoint", section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -283,11 +283,8 @@ class SoakSpec extends SparkTestBase {
            |counts in ${f"$tSlice%.1f"} s. Same listener invariant as above:
            |no single-task stage read a relation-sized shuffle.
            |""".stripMargin
-      val p = java.nio.file.Paths.get("SOAK.md")
-      val existing = if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readString(p) else ""
-      val trimmed = existing.split("\n## Zarr connector", 2)(0)
-      java.nio.file.Files.writeString(p, trimmed + section)
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Zarr connector soak", section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
