@@ -83,6 +83,11 @@ object Zarr {
       readArray(s, s"$groupDir/$varName")
         .filter(col(dim) >= lo && col(dim) <= hi) // pushes → chunk pruning
         .withColumnRenamed("value", varName), varName)
+      // residual VALUE filter: the [lo,hi] index span is only exact on a
+      // monotonic coordinate array; on a non-monotonic or sparse one the
+      // span over-covers, so re-check the joined coordinate value — the
+      // same rows xarray's sel(dim=filtered) would keep
+      .filter(col(dim) >= loVal && col(dim) <= hiVal)
   }
 
   // ---------------------------------------------------------------- fixture
@@ -134,14 +139,30 @@ object Zarr {
     expand(0, Array.empty)
   }
 
+  /** Test instrumentation for the sink's memory bound: live chunk
+    * buffers across all sink tasks in this JVM (meaningful on
+    * local[n], where tasks share the process). The flush-on-key-change
+    * writer holds at most ONE buffer per task, so the high-water mark
+    * is bounded by the number of concurrently RUNNING tasks — never by
+    * chunks owned (pinned in ZarrSpec). */
+  private[graft] val liveBuffers = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val liveBuffersHighWater = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** DISTRIBUTED zarr sink — the write side of the connector, chunked
     * the same way the read side parallelizes: every row is keyed by
     * its chunk coordinate, rows repartition so each chunk's rows land
-    * in ONE task, and the task materializes its chunks' buffers
-    * (fill-initialized, so absent rows read back as the fill value)
-    * and writes them through the shared [[ZarrCodec]]. One shuffle,
-    * chunk = write unit = the store's own layout, task memory bounded
-    * by (chunks owned) × (chunk bytes).
+    * in ONE task AND sort within the task by chunk key, so the task
+    * streams chunk-by-chunk: materialize one fill-initialized buffer,
+    * fill it, flush it through the shared [[ZarrCodec]] when the key
+    * changes, reuse nothing. One shuffle (the sort rides the shuffle's
+    * spill machinery, no extra exchange), chunk = write unit = the
+    * store's own layout, task memory bounded by ONE chunk buffer
+    * regardless of how many chunks hash to the task.
+    *
+    * Each chunk file is written to a task-attempt-unique temp name and
+    * atomically renamed into place, so a zombie or speculative task
+    * attempt can never interleave bytes with the committed writer —
+    * last rename wins with a complete chunk either way.
     *
     * `df` must carry `dims` columns of integral indices in
     * [0, shape_d) plus a `value` column castable to `<f8` (the dtype
@@ -181,16 +202,35 @@ object Zarr {
         col("value").cast("double").as("value"): _*)
       .withColumn("_chunk", chunkKey)
       .repartition(col("_chunk"))
+      .sortWithinPartitions("_chunk")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val chunkElems = chunksC.map(_.toLong).product.toInt
-        val bufs = scala.collection.mutable.Map.empty[String, ByteBuffer]
+        var key: String = null
+        var buf: ByteBuffer = null
+        def flush(): Unit = if (buf != null) {
+          val target = Paths.get(dirC, key)
+          val tmp = Files.createTempFile(target.getParent, s".$key.", ".tmp")
+          Files.write(tmp, ZarrCodec.compress(buf.array(), compC))
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          buf = null
+          liveBuffers.decrementAndGet()
+          ()
+        }
         rows.foreach { r =>
-          val key = r.getString(n + 1)
-          val buf = bufs.getOrElseUpdate(key, {
-            val b = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
-            (0 until chunkElems).foreach(i => b.putDouble(i * 8, fillC))
-            b
-          })
+          val k = r.getString(n + 1)
+          if (k != key) { // sorted by key: each chunk appears exactly once
+            flush()
+            key = k
+            buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < chunkElems) { buf.putDouble(i * 8, fillC); i += 1 }
+            val live = liveBuffers.incrementAndGet()
+            var hw = liveBuffersHighWater.get()
+            while (live > hw && !liveBuffersHighWater.compareAndSet(hw, live))
+              hw = liveBuffersHighWater.get()
+          }
           // C-order position of the row within its chunk
           var p = 0L
           var dd = 0
@@ -203,11 +243,54 @@ object Zarr {
           }
           buf.putDouble((p * 8).toInt, r.getDouble(n))
         }
-        bufs.foreach { case (key, buf) =>
-          Files.write(Paths.get(dirC, key),
-            ZarrCodec.compress(buf.array(), compC))
-        }
+        flush()
       }
+  }
+
+  /** GROUP-level distributed sink — the write shape of the reference's
+    * store (variable array + one 1-D coordinate array per dim +
+    * consolidated metadata, precipitation_pipeline.py:79-86), i.e. the
+    * xarray `Dataset.to_zarr(consolidated=True)` analog: `df` carries
+    * coordinate VALUE columns (what a flattened to_dataframe frame
+    * looks like), and this sink factorizes each dim into its sorted
+    * distinct values (the index — tiny by construction, one value per
+    * index, the same driver-side footprint as xarray's index objects),
+    * writes the coordinate arrays, maps rows to integer indices via
+    * broadcast joins against those same values, streams the variable
+    * through [[writeArrayDistributed]] (one shuffle, one chunk buffer
+    * per task), and consolidates `.zmetadata`. Round trip:
+    * [[toDataFrame]] over the written group returns `df` exactly
+    * (pinned by the q_sink_zarr_group oracle). */
+  def writeGroupDistributed(df: DataFrame, groupDir: String, varName: String,
+      dims: Seq[String], chunks: Array[Int], compressor: Option[String] = Some("zlib"),
+      fillValue: Double = 0.0): Unit = {
+    val s = df.sparkSession
+    val coordVals: Map[String, Array[Double]] = dims.map { dm =>
+      dm -> df.select(col(dm).cast("double")).distinct()
+        .orderBy(col(dm)).collect().map(_.getDouble(0))
+    }.toMap
+    dims.foreach { dm =>
+      val vals = coordVals(dm)
+      writeArray(s"$groupDir/$dm", Array(vals.length.toLong),
+        Array(vals.length), Array(dm), None, 0.0, i => vals(i(0).toInt))
+    }
+    var indexed = df.select(
+      dims.map(dm => col(dm).cast("double").as(dm)) :+
+        col("value").cast("double").as("value"): _*)
+    dims.foreach { dm =>
+      import s.implicits._
+      val coord = coordVals(dm).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toSeq
+        .toDF("__v", "__i") // exact binary equality: values CAME from this column
+      indexed = indexed.join(broadcast(coord), indexed(dm) === coord("__v"))
+        .drop(dm).drop("__v").withColumnRenamed("__i", dm)
+    }
+    writeArrayDistributed(indexed, s"$groupDir/$varName",
+      dims.map(dm => coordVals(dm).length.toLong).toArray, chunks,
+      dims.toArray, compressor, fillValue)
+    // the variable's dim names land in .zattrs via writeArrayDistributed;
+    // consolidation makes the group one-metadata-fetch readable
+    consolidate(groupDir)
   }
 
   /** Consolidate a group's per-array metadata into one `.zmetadata`
@@ -299,6 +382,29 @@ object Zarr {
       toDataFrame(s, g, "precip")
         .orderBy(col("time"), col("lat"), col("lon"))
     }),
+
+    // the GROUP round trip — the reference's write shape (to_zarr with
+    // coords + consolidated metadata) driven from a coordinate-VALUED
+    // frame: factorize dims, write coords + variable + .zmetadata, read
+    // back through the coords-joining scan. Any loss in the coordinate
+    // factorization, index mapping, chunked write, or consolidation
+    // breaks the hash match against the regenerated oracle.
+    "q_sink_zarr_group" -> ((s, _) => {
+      val out = graft.sources.IO.tmp("graft_zarr_group_") + "/group"
+      val rows = s.range(0L, 6L * 20 * 30).select(
+        expr("id div 600").as("t"),
+        expr("(id div 30) % 20").as("y"),
+        expr("id % 30").as("x"))
+        .select(
+          (col("t") * 3600).cast("double").as("time"),
+          (lit(-90.0) + col("y") * 0.5).as("lat"),
+          (lit(-180.0) + col("x") * 0.625).as("lon"),
+          (col("t") * 10000 + col("y") * 100 + col("x")).cast("double").as("value"))
+      writeGroupDistributed(rows, out, "precip",
+        Seq("time", "lat", "lon"), Array(2, 8, 16))
+      toDataFrame(s, out, "precip")
+        .orderBy(col("time"), col("lat"), col("lon"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +424,14 @@ object Zarr {
         |     generate_series(0, 29) x(g)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_scan_zarr_coords" ->
+      """SELECT CAST(t.g * 3600 AS DOUBLE) AS time,
+        |       -90 + y.g * 0.5 AS lat,
+        |       -180 + x.g * 0.625 AS lon,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS precip
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sink_zarr_group" ->
       """SELECT CAST(t.g * 3600 AS DOUBLE) AS time,
         |       -90 + y.g * 0.5 AS lat,
         |       -180 + x.g * 0.625 AS lon,

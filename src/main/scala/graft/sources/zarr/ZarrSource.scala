@@ -183,6 +183,51 @@ private[zarr] object ZarrCodec {
   }
 }
 
+/** Loads + decodes ONE chunk's bytes: raw/zlib/gzip file → validated
+  * little-endian buffer; `None` = missing chunk file (zarr's
+  * sparse-store contract — every element reads as the fill value).
+  * Shared by the row and columnar readers. */
+private[zarr] object ZarrChunkIO {
+  def load(path: String, meta: ZarrMeta.Meta, chunkCoords: Array[Int]): Option[ByteBuffer] = {
+    val chunkElems = meta.chunks.map(_.toLong).product
+    val key = chunkCoords.mkString(meta.dimSeparator)
+    val p = Paths.get(path, key)
+    if (!Files.exists(p)) None
+    else {
+      val raw = Files.readAllBytes(p)
+      val bytes = meta.compressor match {
+        case None => raw
+        case Some("zlib") =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(tmp)
+            if (k == 0 && !inf.finished())
+              throw new java.io.IOException(s"truncated zlib chunk $key")
+            out.write(tmp, 0, k)
+          }
+          inf.end()
+          out.toByteArray
+        case Some("gzip") =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val tmp = new Array[Byte](8192)
+          var k = in.read(tmp)
+          while (k >= 0) { out.write(tmp, 0, k); k = in.read(tmp) }
+          out.toByteArray
+        case Some(other) =>
+          throw new IllegalStateException(s"unsupported compressor $other")
+      }
+      require(bytes.length.toLong == chunkElems * meta.elemSize,
+        s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+    }
+  }
+}
+
 class ZarrDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrMeta.read(options.get("path")).schema
@@ -294,6 +339,16 @@ class ZarrReaderFactory(path: String, meta: ZarrMeta.Meta,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrChunkReader(path, meta, requiredFields,
       partition.asInstanceOf[ZarrChunkPartition].coords)
+
+  // the chunk buffer is ALREADY a columnar little-endian array, and
+  // every supported dtype is a fixed-width primitive — hand Spark
+  // ColumnarBatches (vectorized scan → ColumnarToRow stays codegen'd)
+  // instead of one boxed GenericInternalRow per element
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarChunkReader(path, meta, requiredFields,
+      partition.asInstanceOf[ZarrChunkPartition].coords)
 }
 
 /** Decodes ONE chunk: raw/zlib/gzip bytes → little-endian buffer →
@@ -311,43 +366,7 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
   private val fieldPlan: Array[Int] =
     requiredFields.map(f => if (f == "value") -1 else meta.dims.indexOf(f))
 
-  private val buf: Option[ByteBuffer] = {
-    val key = chunkCoords.mkString(meta.dimSeparator)
-    val p = Paths.get(path, key)
-    if (!Files.exists(p)) None
-    else {
-      val raw = Files.readAllBytes(p)
-      val bytes = meta.compressor match {
-        case None => raw
-        case Some("zlib") =>
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(raw)
-          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-          val tmp = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val k = inf.inflate(tmp)
-            if (k == 0 && !inf.finished())
-              throw new java.io.IOException(s"truncated zlib chunk $key")
-            out.write(tmp, 0, k)
-          }
-          inf.end()
-          out.toByteArray
-        case Some("gzip") =>
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw))
-          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-          val tmp = new Array[Byte](8192)
-          var k = in.read(tmp)
-          while (k >= 0) { out.write(tmp, 0, k); k = in.read(tmp) }
-          out.toByteArray
-        case Some(other) =>
-          throw new IllegalStateException(s"unsupported compressor $other")
-      }
-      require(bytes.length.toLong == chunkElems * meta.elemSize,
-        s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
-      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
-    }
-  }
+  private val buf: Option[ByteBuffer] = ZarrChunkIO.load(path, meta, chunkCoords)
 
   private var pos = -1L
   private val offsets = new Array[Long](n) // per-dim offset within the chunk
@@ -400,4 +419,90 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
   }
 
   override def close(): Unit = ()
+}
+
+/** Vectorized chunk reader — the native-format hot path. The chunk is
+  * already one contiguous columnar little-endian buffer, so elements
+  * transfer into `OnHeapColumnVector`s in 4096-row batches with no
+  * per-element row allocation; edge-chunk padding positions are
+  * skipped, missing chunks vectorize the fill value. Emits exactly the
+  * rows [[ZarrChunkReader]] would (ZarrSpec parity + the q_scan_zarr
+  * oracle cover both paths through the same plans). */
+class ZarrColumnarChunkReader(path: String, meta: ZarrMeta.Meta,
+    requiredFields: Array[String], chunkCoords: Array[Int])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val n = meta.nDims
+  private val chunkElems = meta.chunks.map(_.toLong).product
+  // required-field plan: dim index, or -1 for the value column
+  private val fieldPlan: Array[Int] =
+    requiredFields.map(f => if (f == "value") -1 else meta.dims.indexOf(f))
+  private val buf: Option[ByteBuffer] = ZarrChunkIO.load(path, meta, chunkCoords)
+
+  private val BatchRows = 4096
+  private val vectors: Array[OnHeapColumnVector] = fieldPlan.map { p =>
+    new OnHeapColumnVector(BatchRows, if (p < 0) meta.valueType else LongType)
+  }
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  private var pos = 0L // next chunk position to examine
+  private val offsets = new Array[Long](n)
+  private val globals = new Array[Long](n)
+
+  private def decodePos(p: Long): Boolean = {
+    // C order: last dimension fastest
+    var rem = p
+    var d = n - 1
+    var inBounds = true
+    while (d >= 0) {
+      offsets(d) = rem % meta.chunks(d)
+      rem /= meta.chunks(d)
+      globals(d) = chunkCoords(d).toLong * meta.chunks(d) + offsets(d)
+      if (globals(d) >= meta.shape(d)) inBounds = false
+      d -= 1
+    }
+    inBounds
+  }
+
+  private def putValue(v: OnHeapColumnVector, row: Int, p: Long): Unit = buf match {
+    case Some(b) => meta.dtype match {
+      case "<f8" => v.putDouble(row, b.getDouble((p * 8).toInt))
+      case "<f4" => v.putFloat(row, b.getFloat((p * 4).toInt))
+      case "<i8" => v.putLong(row, b.getLong((p * 8).toInt))
+      case "<i4" => v.putInt(row, b.getInt((p * 4).toInt))
+    }
+    case None => meta.dtype match { // missing chunk: fill value
+      case "<f8" => v.putDouble(row, meta.fillValue)
+      case "<f4" => v.putFloat(row, meta.fillValue.toFloat)
+      case "<i8" => v.putLong(row, meta.fillValue.toLong)
+      case "<i4" => v.putInt(row, meta.fillValue.toInt)
+    }
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var rows = 0
+    while (rows < BatchRows && pos < chunkElems) {
+      if (decodePos(pos)) {
+        var f = 0
+        while (f < fieldPlan.length) {
+          val fp = fieldPlan(f)
+          if (fp >= 0) vectors(f).putLong(rows, globals(fp))
+          else putValue(vectors(f), rows, pos)
+          f += 1
+        }
+        rows += 1
+      }
+      pos += 1
+    }
+    batch.setNumRows(rows)
+    rows > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
 }

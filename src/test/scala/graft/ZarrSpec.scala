@@ -210,6 +210,102 @@ class ZarrSpec extends SparkTestBase {
     assert(e.getMessage.contains("outside") || e.getCause != null)
   }
 
+  test("distributed sink: ONE live chunk buffer per task, however many chunks it owns") {
+    // 4x8x8 chunks of 2x2x2 over a 8x16x16 cube = 256 chunks across 4
+    // shuffle partitions (~64 chunks/task). The flush-on-key-change
+    // writer holds one buffer at a time, so the JVM-wide high-water
+    // mark is bounded by the CONCURRENT task count (4 on local[4]) —
+    // the round-6 buffer-Map writer would have driven it to ~256.
+    val dir = graft.sources.IO.tmp("graft_zarr_onebuf_") + "/a"
+    val rows = spark.range(0L, 8L * 16 * 16).select(
+      expr("id div 256").as("a"), expr("(id div 16) % 16").as("b"),
+      expr("id % 16").as("c"))
+      .withColumn("value", col("a").cast("double"))
+    Zarr.liveBuffersHighWater.set(0)
+    Zarr.liveBuffers.set(0) // an earlier intentionally-aborted write leaks its count
+    Zarr.writeArrayDistributed(rows, dir, Array(8L, 16L, 16L), Array(2, 2, 2),
+      Array("a", "b", "c"), Some("zlib"))
+    val hw = Zarr.liveBuffersHighWater.get()
+    assert(hw >= 1 && hw <= 4, s"live-buffer high water $hw, expected <= 4 tasks")
+    assert(Zarr.liveBuffers.get() == 0, "buffers must all be flushed")
+    // and no stray temp files from the atomic-rename protocol
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.endsWith(".tmp")))
+    assert(Zarr.readArray(spark, dir).agg(sum("value")).head.getDouble(0)
+      == (0 until 8).map(_.toDouble * 256).sum)
+  }
+
+  test("columnar read path: vectorized batches, row-reader parity per chunk") {
+    // the scan hands Spark ColumnarBatches (no per-element row boxing);
+    // the plan shows the ColumnarToRow bridge
+    val df = Zarr.readArray(spark, s"$group/precip")
+    assert(df.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString().take(600))
+    // direct parity: both readers emit identical rows for an EDGE chunk
+    // (padding skip) across full and reordered/pruned projections
+    import graft.sources.zarr.{ZarrChunkPartition, ZarrReaderFactory, ZarrMeta => ZM}
+    val meta = ZM.read(s"$group/precip")
+    for (fields <- Seq(Array("time", "lat", "lon", "value"), Array("value", "lon"))) {
+      val fac = new ZarrReaderFactory(s"$group/precip", meta, fields)
+      val part = ZarrChunkPartition(Array(2, 2, 1)) // padded in lat AND lon
+      val rowReader = fac.createReader(part)
+      val rows = Iterator.continually(rowReader)
+        .takeWhile(_.next()).map(_.get().copy()).toVector
+      val colReader = fac.createColumnarReader(part)
+      val batches = Iterator.continually(colReader)
+        .takeWhile(_.next()).flatMap(r => r.get().rowIterator().asScala.map(_.copy()))
+        .toVector
+      assert(batches.size == rows.size && rows.nonEmpty)
+      rows.zip(batches).foreach { case (a, b) =>
+        fields.indices.foreach { i =>
+          assert(a.get(i, meta.schema(fields(i)).dataType)
+            == b.get(i, meta.schema(fields(i)).dataType), s"field ${fields(i)}")
+        }
+      }
+    }
+  }
+
+  test("group sink: coords + variable + consolidated metadata round-trip") {
+    val out = graft.sources.IO.tmp("graft_zarr_group_rt_") + "/g"
+    val src = spark.range(0L, 3L * 4 * 5).select(
+      expr("id div 20").as("t"), expr("(id div 5) % 4").as("y"), expr("id % 5").as("x"))
+      .select(
+        (col("t") * 100).cast("double").as("time"),
+        (lit(10.0) + col("y") * 0.25).as("lat"),
+        (lit(-5.0) + col("x") * 1.5).as("lon"),
+        (col("t") * 1000 + col("y") * 10 + col("x")).cast("double").as("value"))
+    Zarr.writeGroupDistributed(src, out, "tmax", Seq("time", "lat", "lon"), Array(2, 2, 2))
+    // store shape: variable + one coord array per dim + .zmetadata
+    assert(Files.exists(Paths.get(out, ".zmetadata")))
+    Seq("tmax", "time", "lat", "lon").foreach(a =>
+      assert(Files.exists(Paths.get(out, a, ".zarray")), a))
+    val back = Zarr.toDataFrame(spark, out, "tmax")
+      .orderBy(col("time"), col("lat"), col("lon"))
+      .collect().map(_.toSeq).toSeq
+    val want = src.withColumnRenamed("value", "tmax")
+      .orderBy(col("time"), col("lat"), col("lon")).collect().map(_.toSeq).toSeq
+    assert(back == want)
+    // and the group survives on consolidated metadata ALONE
+    Files.walk(Paths.get(out)).iterator().asScala
+      .filter(p => p.getFileName.toString == ".zarray" || p.getFileName.toString == ".zattrs")
+      .toSeq.foreach(Files.delete(_))
+    assert(Zarr.toDataFrame(spark, out, "tmax").count() == 60)
+  }
+
+  test("sliceByCoord: non-monotonic coordinate values never leak out-of-range rows") {
+    // coord values [0, 10, 5, 20]: a [0,5] VALUE slice maps to index
+    // span [0,2], which COVERS index 1 (value 10) — the residual value
+    // filter must drop it (xarray's sel keeps exactly values {0,5})
+    val g = graft.sources.IO.tmp("graft_zarr_nonmono_")
+    val coordVals = Array(0.0, 10.0, 5.0, 20.0)
+    Zarr.writeArray(s"$g/v", Array(4L), Array(2), Array("t"), None, 0.0,
+      i => i(0) * 1.0)
+    Zarr.writeArray(s"$g/t", Array(4L), Array(4), Array("t"), None, 0.0,
+      i => coordVals(i(0).toInt))
+    val got = Zarr.sliceByCoord(spark, g, "v", "t", 0.0, 5.0)
+      .orderBy(col("t")).collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((0.0, 0.0), (5.0, 2.0)), got.mkString(","))
+  }
+
   test("unsupported stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_bad_")
     def meta(d: String, body: String): Unit = {
