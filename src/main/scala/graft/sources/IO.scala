@@ -152,10 +152,43 @@ object IO {
   def stagedMalformedSplit(s: SparkSession, parsed: DataFrame,
       stagingDir: String): (DataFrame, DataFrame) = {
     parsed.write.mode("overwrite").parquet(stagingDir)
+    readStagedSplit(s, stagingDir)
+  }
+
+  /** The clean/quarantine branches over an ALREADY-written staging
+    * table (the read half of [[stagedMalformedSplit]]). */
+  def readStagedSplit(s: SparkSession, stagingDir: String): (DataFrame, DataFrame) = {
     val staged = s.read.parquet(stagingDir)
     (staged.filter(col(CorruptCol).isNull).drop(CorruptCol),
       staged.filter(col(CorruptCol).isNotNull))
   }
+
+  /** Memoized staging tables for the malformed-scan QUERIES — the
+    * dirty fixture is parsed ONCE per (process, sfDir) into a staging
+    * parquet, and every query invocation reads the staging table, not
+    * the source: the disk-shaped one-parse contract of
+    * [[stagedMalformedSplit]] on the registered query path (the
+    * process-lifetime `.cache()` it replaces was the memory-shaped
+    * answer — wrong shape at 100 TB, where the parsed split must
+    * survive executor loss and eviction). */
+  private def stagedMalformedCsvDir(s: SparkSession, d: String): String =
+    malformedBuilt.getOrElseUpdate("stagedcsv:" + d, {
+      val staging = tmp("graft_stagedcsv_")
+      val parsed = s.read.option("header", true).option("mode", "PERMISSIVE")
+        .schema(NationSchema.add(CorruptCol, StringType)).csv(malformedNationCsv(s, d))
+      stagedMalformedSplit(s, parsed, staging)
+      staging
+    })
+
+  private def stagedMalformedJsonDir(s: SparkSession, d: String): String =
+    malformedBuilt.getOrElseUpdate("stagedjson:" + d, {
+      val staging = tmp("graft_stagedjson_")
+      val parsed = s.read.option("mode", "PERMISSIVE")
+        .schema(StructType(RegionSchema.fields :+ StructField(CorruptCol, StringType)))
+        .json(malformedRegionJson(s, d))
+      stagedMalformedSplit(s, parsed, staging)
+      staging
+    })
 
   /** Nation CSV packed into multiple `.zip` archives — one archive per
     * CSV part file (zip is not splittable, so archives are the scan's
@@ -270,37 +303,25 @@ object IO {
     // PERMISSIVE scan over a dirty CSV directory: schema-violating rows
     // land whole in `_corrupt_record` and are filtered out; the clean
     // subset must hash-match the oracle over the original table — the
-    // quarantine loses nothing and invents nothing. The parsed scan is
-    // CACHED before the split: Spark refuses raw-file queries whose
-    // pruned schema is only `_corrupt_record` (a downstream count/
-    // aggregate prunes to exactly that), and the cache is also the
-    // split-stream shape — clean branch and quarantine branch read ONE
-    // parse. The cache is DELIBERATELY process-lifetime (no unpersist):
-    // the fixture memo keeps the plan identical across invocations so
-    // exactly one entry is reused, never stacked; a caller varying
-    // paths/options per query should use [[stagedMalformedSplit]] —
-    // the disk-shaped form of the same one-parse contract and the
-    // 100 TB substitution for this cache (IOSpec proves its source is
-    // read once and never again).
+    // quarantine loses nothing and invents nothing. The query routes
+    // through the STAGED split ([[stagedMalformedSplit]]): the dirty
+    // source is parsed once per (process, sfDir) into a staging
+    // parquet, and every invocation reads the staging table — the
+    // disk-shaped one-parse contract (re-readable, survives executor
+    // loss, no memory-residency requirement; also sidesteps Spark's
+    // refusal of raw-file queries whose pruned schema is only the
+    // corrupt column). IOSpec proves one-parse by deleting the source
+    // and pins the query plan to the parquet staging scan.
     "q_scan_csv_malformed" -> ((s, d) => {
-      val out = malformedNationCsv(s, d)
-      s.read.option("header", true).option("mode", "PERMISSIVE")
-        .schema(NationSchema.add(CorruptCol, StringType)).csv(out)
-        .cache()
-        .filter(col(CorruptCol).isNull)
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val (clean, _) = readStagedSplit(s, stagedMalformedCsvDir(s, d))
+      clean.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
 
     // The JSON twin: non-JSON lines quarantined, clean subset exact.
     "q_scan_json_malformed" -> ((s, d) => {
-      val out = malformedRegionJson(s, d)
-      s.read.option("mode", "PERMISSIVE")
-        .schema(StructType(RegionSchema.fields :+ StructField(CorruptCol, StringType)))
-        .json(out)
-        .cache()
-        .filter(col(CorruptCol).isNull)
-        .select(col("r_regionkey"), col("r_name"))
+      val (clean, _) = readStagedSplit(s, stagedMalformedJsonDir(s, d))
+      clean.select(col("r_regionkey"), col("r_name"))
         .orderBy(col("r_regionkey"))
     }),
 

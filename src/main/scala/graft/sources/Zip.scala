@@ -4,6 +4,8 @@ import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.zip.ZipInputStream
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -11,28 +13,59 @@ import org.apache.spark.sql.types.StructType
   * HTTP+zip source (population_pipeline.py:16-25 downloads a zip,
   * unzips, reads the CSV inside). The HTTP half is a driver utility
   * (and this env is zero-egress); the archive→table half is engine
-  * work: a `binaryFile` scan of `*.zip` followed by partition-local
-  * `java.util.zip` expansion into CSV lines, parsed by the normal
-  * schema'd CSV reader.
+  * work, with TWO parallelization units:
   *
-  * Scale posture: a zip archive is NOT splittable (entries are
-  * deflate-compressed against a central directory), so each archive is
-  * one `binaryFile` row and one task — parallelism comes from the
-  * NUMBER of archives, which is the natural unit at scale (the
-  * reference's source publishes one zip per dataset/year). Entry
-  * contents stream through the codec line-by-line; nothing beyond the
-  * raw archive bytes (already the binaryFile row) is materialized.
-  * `binaryFile` caps a row at `spark.sql.sources.binaryFile
-  * .maxLength` (2 GB default) — archives beyond that must be split at
-  * publish time, same as any non-splittable format.
+  *  - PER ENTRY ([[zipCsvLinesByEntry]], the default for locally-
+  *    addressable archives): zip entries are independently addressable
+  *    through the archive's central directory (`java.util.zip.ZipFile`
+  *    seeks straight to an entry's local header — no upstream entry is
+  *    decompressed), so (archive, entry) is the partition unit and ONE
+  *    big archive fans out across tasks. This matches the reference's
+  *    real source: a single zip (population_pipeline.py:16).
+  *  - PER ARCHIVE ([[zipCsvLines]]): a `binaryFile` scan row per
+  *    archive, expanded by a partition-local `ZipInputStream` cursor.
+  *    Works on ANY Hadoop filesystem (the bytes arrive as the scan
+  *    row), at archive-count parallelism — the fallback when archives
+  *    are not local files.
+  *
+  * Entry contents stream line-by-line through the codec in both modes;
+  * nothing beyond one archive row (per-archive mode) or one inflater
+  * window (per-entry mode) is materialized. `binaryFile` caps a row at
+  * `spark.sql.sources.binaryFile.maxLength` (2 GB default) — archives
+  * beyond that must be split at publish time in per-archive mode; the
+  * per-entry path reads through `ZipFile` and has no such cap.
+  *
+  * CONSTRAINT (both modes): entries are split into physical lines
+  * BEFORE the CSV parser runs, so quoted fields containing embedded
+  * newlines (legal CSV) are unsupported — a line with unbalanced
+  * quotes fails LOUDLY rather than silently splitting a record.
   */
 object Zip {
 
+  /** Fail loudly on the no-multiline-records constraint: a physical
+    * line with an odd number of `"` chars is a quoted field spanning
+    * lines (or a stray quote) — silently emitting it would corrupt the
+    * record into two rows. */
+  private def guardLine(line: String, where: String): String = {
+    var q = 0
+    var i = 0
+    while (i < line.length) {
+      if (line.charAt(i) == '"') q += 1
+      i += 1
+    }
+    if ((q & 1) == 1) throw new IllegalArgumentException(
+      s"unbalanced quotes in a line of $where: zip CSV ingest splits entries into " +
+        "physical lines before parsing, so quoted fields with embedded newlines " +
+        "are unsupported — re-export without multiline records")
+    line
+  }
+
   /** CSV lines of every `*.csv` entry inside every archive matched by
-    * `path`. With `header=true` the first line of EACH entry is
-    * dropped (every member file carries its own header, mirroring
-    * Spark's own per-file CSV header handling). Non-CSV entries and
-    * directories are skipped.
+    * `path`, one `binaryFile` row — and one task — per ARCHIVE. With
+    * `header=true` the first line of EACH entry is dropped (every
+    * member file carries its own header, mirroring Spark's own
+    * per-file CSV header handling). Non-CSV entries and directories
+    * are skipped.
     */
   def zipCsvLines(s: SparkSession, path: String, header: Boolean = true): Dataset[String] = {
     import s.implicits._
@@ -53,8 +86,10 @@ object Zip {
               e = zin.getNextEntry
             if (e == null) false
             else {
+              val name = e.getName
               val r = new BufferedReader(new InputStreamReader(zin, StandardCharsets.UTF_8))
               lines = Iterator.continually(r.readLine()).takeWhile(_ != null)
+                .map(guardLine(_, name))
               if (header && lines.hasNext) lines.next()
               true
             }
@@ -71,12 +106,71 @@ object Zip {
       }
   }
 
+  /** The CSV entries of the archives matched by `path`, listed through
+    * each archive's CENTRAL DIRECTORY — metadata only, nothing
+    * decompressed. Archives must be locally-addressable files (the
+    * shared-storage deployment mode of every file source here). */
+  private[graft] def csvEntries(s: SparkSession, path: String): Seq[(String, String)] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty).toSeq
+    matched.map(_.getPath.toUri).flatMap { uri =>
+      require(uri.getScheme == null || uri.getScheme == "file",
+        s"per-entry zip ingest needs locally-addressable archives, got $uri " +
+          "(use zipCsvLines for remote filesystems)")
+      val ap = new java.io.File(uri.getPath).getAbsolutePath
+      val zf = new java.util.zip.ZipFile(ap)
+      try zf.entries().asScala
+        .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
+        .map(e => (ap, e.getName)).toVector
+      finally zf.close()
+    }
+  }
+
+  /** CSV lines at PER-ENTRY parallelism: (archive, entry) is the
+    * partition unit, so one big multi-entry archive fans out across
+    * tasks instead of serializing through a single cursor. Each task
+    * opens its archive's central directory and streams exactly its own
+    * entry. Emits the same lines as [[zipCsvLines]] over the same
+    * archives (pinned in IOSpec). */
+  def zipCsvLinesByEntry(s: SparkSession, path: String, header: Boolean = true): Dataset[String] = {
+    import s.implicits._
+    val pairs = csvEntries(s, path)
+    val headerC = header
+    s.createDataset(pairs)
+      .repartition(math.max(pairs.length, 1)) // one (archive, entry) per task
+      .flatMap { case (ap, entryName) =>
+        new Iterator[String] {
+          private val zf = new java.util.zip.ZipFile(ap)
+          private val r = new BufferedReader(new InputStreamReader(
+            zf.getInputStream(zf.getEntry(entryName)), StandardCharsets.UTF_8))
+          private var line = r.readLine()
+          if (headerC && line != null) line = r.readLine()
+          if (line == null) { r.close(); zf.close() }
+          def hasNext: Boolean = line != null
+          def next(): String = {
+            if (line == null) throw new NoSuchElementException(s"$entryName exhausted")
+            val out = guardLine(line, entryName)
+            line = r.readLine()
+            if (line == null) { r.close(); zf.close() }
+            out
+          }
+        }
+      }
+  }
+
   /** Schema'd table over the CSV entries of zip archives: the
     * reference's unzip→read_csv, as one lazy plan. The schema is
     * DECLARED (SURVEY §1.4) — no inference pass over the expanded
-    * lines.
+    * lines. Local archives take the per-ENTRY parallel path; any other
+    * filesystem falls back to the per-archive `binaryFile` expansion.
     */
   def readZippedCsv(s: SparkSession, path: String, schema: StructType,
-                    header: Boolean = true): DataFrame =
-    s.read.schema(schema).csv(zipCsvLines(s, path, header))
+                    header: Boolean = true): DataFrame = {
+    val scheme = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration).getScheme
+    val lines = if (scheme == "file") zipCsvLinesByEntry(s, path, header)
+                else zipCsvLines(s, path, header)
+    s.read.schema(schema).csv(lines)
+  }
 }

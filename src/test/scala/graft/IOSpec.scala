@@ -121,9 +121,22 @@ class IOSpec extends SparkTestBase {
     // return nothing
     IO.rmTree(src)
     val cleanRows = clean.orderBy(col("n_nationkey")).collect()
-    val cachedRows = graft.SparkEntry.queries("q_scan_csv_malformed")(spark, sf).collect()
-    assert(cleanRows.map(_.toSeq).toSeq == cachedRows.map(_.toSeq).toSeq,
-      "staged clean split must equal the cache-path query row for row")
+    val queryRows = graft.SparkEntry.queries("q_scan_csv_malformed")(spark, sf).collect()
+    assert(cleanRows.map(_.toSeq).toSeq == queryRows.map(_.toSeq).toSeq,
+      "staged clean split must equal the registered query row for row")
+
+    // the REGISTERED queries route through the staged split: their
+    // plans scan the parquet STAGING table — no raw csv/json scan, no
+    // process-lifetime cache — so the one-parse proof above covers the
+    // query path itself
+    Seq("q_scan_csv_malformed" -> "csv", "q_scan_json_malformed" -> "json")
+      .foreach { case (q, raw) =>
+        val plan = graft.SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString()
+        assert(plan.toLowerCase.contains("parquet"), s"$q must scan staging parquet")
+        assert(!plan.toLowerCase.contains(s"filescan $raw"), s"$q re-reads the raw $raw source")
+        assert(!plan.contains("InMemoryTableScan"), s"$q still cache-shaped")
+      }
     val bad = quarantine.collect()
     assert(bad.length == 2)
     assert(bad.map(_.getAs[String](IO.CorruptCol)).sorted.toSeq ==
@@ -155,6 +168,61 @@ class IOSpec extends SparkTestBase {
     // each of the 2 CSV entries carries exactly one header line
     assert(without == n && withHeaders == n + 2,
       s"n=$n withHeaders=$withHeaders without=$without")
+  }
+
+  test("zip ingest: ONE multi-entry archive fans out per entry, lines identical") {
+    import graft.sources.{IO, Zip}
+    // the reference's real source is a single zip (population_pipeline
+    // .py:16) — per-ARCHIVE parallelism would make it one task. Build
+    // one archive with 3 CSV entries + junk; the central-directory
+    // path must plan one task per entry.
+    val dir = IO.tmp("graft_zip_entries_")
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/one.zip"))
+    def entry(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    entry("a.csv", "k,v\n1,aa\n2,bb\n")
+    entry("README.txt", "not a csv\n")
+    entry("b.csv", "k,v\n3,cc\n")
+    entry("c.csv", "k,v\n4,dd\n5,ee\n6,ff\n")
+    zip.close()
+
+    val byEntry = Zip.zipCsvLinesByEntry(spark, s"$dir/*.zip")
+    assert(byEntry.rdd.getNumPartitions == 3,
+      s"one task per CSV entry: got ${byEntry.rdd.getNumPartitions}")
+    val byArchive = Zip.zipCsvLines(spark, s"$dir/*.zip")
+    assert(byEntry.collect().sorted.toSeq == byArchive.collect().sorted.toSeq)
+    // the schema'd reader routes local paths through the per-entry path
+    val df = Zip.readZippedCsv(spark, s"$dir/*.zip",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(df.rdd.getNumPartitions == 3 && df.count() == 6)
+  }
+
+  test("zip ingest: a quoted field spanning lines fails LOUDLY, both paths") {
+    import graft.sources.{IO, Zip}
+    val dir = IO.tmp("graft_zip_multiline_")
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/bad.zip"))
+    zip.putNextEntry(new java.util.zip.ZipEntry("m.csv"))
+    zip.write("k,v\n1,\"line one\nline two\"\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zip.closeEntry()
+    zip.close()
+    Seq(
+      () => Zip.zipCsvLinesByEntry(spark, s"$dir/*.zip").collect(),
+      () => Zip.zipCsvLines(spark, s"$dir/*.zip").collect()
+    ).foreach { run =>
+      val e = intercept[org.apache.spark.SparkException](run())
+      def quoteMsg(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("unbalanced quotes"))
+          || quoteMsg(t.getCause))
+      assert(quoteMsg(e), s"expected the unbalanced-quotes error, got: $e")
+    }
   }
 
   test("malformed JSON: the three policies agree with the CSV contract") {
