@@ -131,10 +131,24 @@ object PipelineManager {
               var result: PipelineResult = null
               while (result == null) {
                 attempt += 1
+                // an InterruptedException is only a timeout when the
+                // timeout path actually fired (it sets timedOut under
+                // the lock BEFORE interrupting); a body that throws one
+                // on its own (e.g. wrapping an interrupted await) is a
+                // real failure — report it as itself and re-assert the
+                // interrupt status so the finally-block shed sees it
+                def interruptResult(e: InterruptedException): PipelineResult =
+                  if (timedOut.get || deadlinePassed)
+                    PipelineResult(name, ok = false, Some("timeout"), attempt)
+                  else {
+                    Thread.currentThread().interrupt()
+                    PipelineResult(name, ok = false,
+                      Some(s"InterruptedException: ${e.getMessage}"), attempt)
+                  }
                 try { body(); result = PipelineResult(name, ok = true, None, attempt) }
                 catch {
                   case e: InterruptedException =>
-                    result = PipelineResult(name, ok = false, Some("timeout"), attempt)
+                    result = interruptResult(e)
                   case e: Throwable =>
                     val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
                     if (isFatal(e) || attempt >= retry.maxAttempts ||
@@ -142,8 +156,8 @@ object PipelineManager {
                       result = PipelineResult(name, ok = false, Some(msg), attempt)
                     else {
                       try Thread.sleep(delay)
-                      catch { case _: InterruptedException =>
-                        result = PipelineResult(name, ok = false, Some("timeout"), attempt) }
+                      catch { case e2: InterruptedException =>
+                        result = interruptResult(e2) }
                       delay = math.max(1L, (delay * retry.backoffFactor).toLong)
                     }
                 }

@@ -65,12 +65,23 @@ object CellMask {
         "addressable bound; use the broadcast semi-join form for such extents")
     val nWords = ((nLat.toLong * nLon + 63) >> 6).toInt
     // primitives only in the task closure (never `this`, never the df)
-    val (laMin, loMin, nLonC) = (latMin, lonMin, nLon)
+    val (laMin, laMax, loMin, loMax, nLonC) = (latMin, latMax, lonMin, lonMax, nLon)
     val words = cells.rdd.mapPartitions { it =>
       val arr = new Array[Long](nWords)
       it.foreach { r =>
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val idx = (r.getInt(0) - laMin) * nLonC + (r.getInt(1) - loMin)
+          val la = r.getInt(0)
+          val lo = r.getInt(1)
+          // this fold is the SECOND evaluation of `cells` (the extent
+          // aggregate was the first): a non-deterministic source can
+          // emit a cell outside the first-pass extent here, and its
+          // flat index would silently set a bit in an adjacent lat row
+          // — fail loudly instead of corrupting the mask
+          require(la >= laMin && la <= laMax && lo >= loMin && lo <= loMax,
+            s"cell ($la,$lo) outside the first-pass extent " +
+              s"[$laMin..$laMax]x[$loMin..$loMax]: the cells input is " +
+              "non-deterministic across evaluations")
+          val idx = (la - laMin) * nLonC + (lo - loMin)
           arr(idx >>> 6) |= 1L << (idx & 63)
         }
       }

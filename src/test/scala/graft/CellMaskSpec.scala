@@ -84,6 +84,28 @@ class CellMaskSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(dist.words, local.words))
   }
 
+  test("distributed build: a source that drifts between evaluations fails LOUDLY") {
+    import spark.implicits._
+    // fromCellsDistributed evaluates `cells` twice (extent aggregate,
+    // then the word fold). A NON-DETERMINISTIC source can emit a cell
+    // outside the first-pass extent in the second pass — whose flat
+    // index would silently set a bit in an adjacent lat row. Plant
+    // exactly that drift: evaluation 1 emits (0..2, 0..2), later
+    // evaluations emit (99, 2).
+    CellMaskSpec.evals.set(0)
+    val cells = spark.range(0, 3, 1, 1).mapPartitions { it =>
+      val eval = CellMaskSpec.evals.incrementAndGet()
+      it.map(i => (if (eval > 1 && i == 2) 99 else i.toInt, i.toInt))
+    }.toDF("la", "lo")
+    val e = intercept[org.apache.spark.SparkException] {
+      CellMask.fromCellsDistributed(cells)
+    }
+    def drifted(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("outside the first-pass extent"))
+        || drifted(t.getCause))
+    assert(drifted(e), s"expected the loud extent-drift failure, got: $e")
+  }
+
   test("expression form is bit-identical to the semi-join on the registered query's data") {
     val pts = Tables.customer(spark, sf).select(col("c_custkey"),
       Climate.cellIndex((col("c_acctbal") % 180 + 180) % 180 - 90, 90.0, 30.0).as("cell_lat"),
@@ -123,4 +145,11 @@ class CellMaskSpec extends SparkTestBase {
     val interpreted = try run() finally spark.conf.set(key, prev)
     assert(withCodegen == interpreted && withCodegen.nonEmpty)
   }
+}
+
+/** Static evaluation counter for the extent-drift test: executor and
+  * driver share the JVM on local[n], so the task closure can count
+  * dataset evaluations through it. */
+object CellMaskSpec {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
 }

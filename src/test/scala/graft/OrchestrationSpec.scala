@@ -108,6 +108,25 @@ class OrchestrationSpec extends SparkTestBase {
     assert(!noRetry.results.head.ok && noRetry.results.head.attempts == 1 && calls.get == 1)
   }
 
+  test("a body's OWN InterruptedException reports as itself, never as 'timeout'") {
+    // no timeout configured: an InterruptedException surfacing from the
+    // body (e.g. wrapping an interrupted await) is a real failure and
+    // must keep its identity — labeling it "timeout" would send an
+    // operator hunting for a deadline that never fired
+    val summary = PipelineManager.runAll(spark, Seq(
+      "self_interrupting" -> (() =>
+        throw new InterruptedException("await poisoned by a sibling"))))
+    val r = summary.results.head
+    assert(!r.ok, r)
+    assert(r.error.get.contains("InterruptedException")
+      && r.error.get.contains("await poisoned"), r)
+    assert(r.error.get != "timeout", r)
+    // and the pool thread is reusable afterwards: the finally-block
+    // shed cleared the re-asserted interrupt before the next pipeline
+    val next = PipelineManager.runAll(spark, Seq("fine" -> (() => ())))
+    assert(next.results.head.ok)
+  }
+
   test("dryRunAll: plans resolve and render, failures surface, ZERO query jobs launch") {
     import org.apache.spark.sql.functions.col
     // job-group-scoped job detection: dryRunAll runs its thunks on THIS
