@@ -222,6 +222,106 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("incremental dedup soak: 150k docs, 500-member hot cluster, exact survivors") {
+    // 30× the sf0.1 documents table, with the skew a crawl-over-crawl
+    // dedup actually faces: one 500-member IDENTICAL-text cluster (250
+    // existing + 250 new — every band puts all 500 in ONE bucket, the
+    // worst bucket-local expansion), 20k existing↔new near-dup pairs,
+    // 5k new↔new pairs (earlier id must survive, later must drop), and
+    // ~100k singleton docs of unique pseudo-random text. Near-dups are
+    // an APPENDED token (shingle-Jaccard 28/29 ≈ 0.97: per-pair LSH
+    // miss odds ~1e-7, so the survivor set is exactly computable — a
+    // substituted token's j ≈ 0.81 would deterministically miss ~1% of
+    // pairs through the 8×4 banding and blur the count). Asserted
+    // EXACTLY, plus the standing listener invariant: no single-task
+    // stage absorbs a relation-sized shuffle.
+    import graft.operators.Dedup
+    val vocab = 50000
+    def textFor(cluster: org.apache.spark.sql.Column,
+        variant: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base = concat_ws(" ", transform(sequence(lit(0), lit(29)), k =>
+        concat(lit("t"), pmod(xxhash64(cluster, k), lit(vocab)))))
+      when(variant =!= 0, concat(base, lit(" v"), variant)).otherwise(base)
+    }
+
+    val existing = spark.range(0L, 100000L).select(col("id").as("doc_id"),
+        when(col("id") < 250, lit(-1L))                 // hot cluster, base text
+          .when(col("id") < 20250, col("id") - 249)     // pair cluster c = 1..20000
+          .otherwise(col("id") + 100000L).as("cluster"), // unique singleton
+        lit(0L).as("variant"))
+      .select(col("doc_id"), textFor(col("cluster"), col("variant")).as("text"))
+      .repartition(8)
+    val newDocs = spark.range(0L, 50000L)
+      .select((col("id") + 1000000L).as("doc_id"), col("id").as("nid"))
+      .select(col("doc_id"), col("nid"),
+        when(col("nid") < 250, lit(-1L))                       // hot: identical text → drops
+          .when(col("nid") < 20250, col("nid") - 249)          // pairs an existing base → drops
+          .when(col("nid") < 30250,                            // new↔new pair p = 0..4999
+            (col("nid") - 20250).divide(2).cast("long") + 50000L)
+          .otherwise(col("nid") + 200000L).as("cluster"),      // unique singleton
+        when(col("nid") >= 250 && col("nid") < 20250,
+            pmod(col("nid"), lit(28)) + 1)                     // near-dup perturbation
+          .when(col("nid") >= 20250 && col("nid") < 30250 && pmod(col("nid"), lit(2)) === 1,
+            pmod((col("nid") - 20250).divide(2).cast("long"), lit(28)) + 1)
+          .otherwise(lit(0L)).as("variant"))
+      .select(col("doc_id"), col("nid"), textFor(col("cluster"), col("variant")).as("text"))
+      .repartition(8)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val survivors = Dedup.dedupIncremental(newDocs.select(col("doc_id"), col("text")), existing)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val tWall = (System.nanoTime() - t0) / 1e9
+
+      // exact outcome per planted relation
+      def nid(s: Set[Long], lo: Long, hi: Long): Int =
+        s.count(d => d - 1000000L >= lo && d - 1000000L < hi)
+      assert(survivors.size == 50000 - 250 - 20000 - 5000,
+        s"expected 24750 survivors, got ${survivors.size}")
+      assert(nid(survivors, 0, 250) == 0, "hot-cluster new docs must all drop")
+      assert(nid(survivors, 250, 20250) == 0, "docs pairing an existing base must drop")
+      assert(nid(survivors, 20250, 30250) == 5000, "exactly the earlier of each new↔new pair")
+      assert((20250L until 30250L by 2).forall(n => survivors.contains(1000000L + n)),
+        "the EVEN (earlier-id) member of every new↔new pair must survive")
+      assert(nid(survivors, 30250, 50000) == 50000 - 30250, "singletons all survive")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val section =
+        s"""
+           |## Incremental dedup soak (regenerated by SoakSpec)
+           |
+           |150k docs (100k existing + 50k new crawl, 30× the sf0.1
+           |documents table), skew planted: a 500-member identical-text
+           |cluster spanning both sides (every LSH band collapses it to
+           |ONE bucket — worst bucket-local pair expansion), 20k
+           |existing↔new near-dup pairs, 5k new↔new pairs, ~100k unique
+           |singletons. dedupIncremental returned the EXACT expected
+           |survivor set (24,750: hot + existing-paired news all
+           |dropped, earlier member of each new↔new pair kept, every
+           |singleton kept) in ${f"$tWall%.1f"} s wall on local[4].
+           |Same listener invariant as above: no single-task stage read
+           |a relation-sized shuffle.
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Incremental dedup soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
