@@ -137,18 +137,18 @@ object PipelineManager {
                 // on its own (e.g. wrapping an interrupted await) is a
                 // real failure — report it as itself and re-assert the
                 // interrupt status so the finally-block shed sees it
-                def interruptResult(e: InterruptedException): PipelineResult =
+                def interruptResult(detail: String): PipelineResult =
                   if (timedOut.get || deadlinePassed)
                     PipelineResult(name, ok = false, Some("timeout"), attempt)
                   else {
                     Thread.currentThread().interrupt()
                     PipelineResult(name, ok = false,
-                      Some(s"InterruptedException: ${e.getMessage}"), attempt)
+                      Some(s"InterruptedException: $detail"), attempt)
                   }
                 try { body(); result = PipelineResult(name, ok = true, None, attempt) }
                 catch {
                   case e: InterruptedException =>
-                    result = interruptResult(e)
+                    result = interruptResult(Option(e.getMessage).getOrElse("interrupted"))
                   case e: Throwable =>
                     val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
                     if (isFatal(e) || attempt >= retry.maxAttempts ||
@@ -156,8 +156,11 @@ object PipelineManager {
                       result = PipelineResult(name, ok = false, Some(msg), attempt)
                     else {
                       try Thread.sleep(delay)
-                      catch { case e2: InterruptedException =>
-                        result = interruptResult(e2) }
+                      catch { case _: InterruptedException =>
+                        // keep the PENDING failure's identity: the sleep's
+                        // own exception carries no message, the retryable
+                        // error that caused the backoff does
+                        result = interruptResult(s"during retry backoff after $msg") }
                       delay = math.max(1L, (delay * retry.backoffFactor).toLong)
                     }
                 }

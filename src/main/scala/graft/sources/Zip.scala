@@ -42,21 +42,37 @@ import org.apache.spark.sql.types.StructType
   */
 object Zip {
 
-  /** Fail loudly on the no-multiline-records constraint: a physical
-    * line with an odd number of `"` chars is a quoted field spanning
-    * lines (or a stray quote) — silently emitting it would corrupt the
-    * record into two rows. */
-  private def guardLine(line: String, where: String): String = {
-    var q = 0
+  /** Fail loudly on the no-multiline-records constraint — but ONLY on
+    * the real hazard. This walks the line with CSV quoting rules
+    * (a quote opens a quoted field only at field start; `""` escapes
+    * inside one): a line that ENDS inside an open quoted field is a
+    * record spanning physical lines and would silently split into two
+    * corrupt rows. A stray literal quote mid-field (`Pipe 3/4"`) is
+    * parseable data and passes — the naive odd-quote-count test would
+    * have rejected it. */
+  private def endsInsideQuotedField(line: String): Boolean = {
     var i = 0
+    var inQ = false
+    var fieldStart = true
     while (i < line.length) {
-      if (line.charAt(i) == '"') q += 1
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') i += 1 // escaped ""
+          else inQ = false
+        }
+      } else if (c == '"' && fieldStart) { inQ = true; fieldStart = false }
+      else fieldStart = c == ','
       i += 1
     }
-    if ((q & 1) == 1) throw new IllegalArgumentException(
-      s"unbalanced quotes in a line of $where: zip CSV ingest splits entries into " +
-        "physical lines before parsing, so quoted fields with embedded newlines " +
-        "are unsupported — re-export without multiline records")
+    inQ
+  }
+
+  private def guardLine(line: String, where: String): String = {
+    if (endsInsideQuotedField(line)) throw new IllegalArgumentException(
+      s"a line of $where ends inside an open quoted field: zip CSV ingest splits " +
+        "entries into physical lines before parsing, so quoted fields with " +
+        "embedded newlines are unsupported — re-export without multiline records")
     line
   }
 
@@ -128,35 +144,57 @@ object Zip {
   }
 
   /** CSV lines at PER-ENTRY parallelism: (archive, entry) is the
-    * partition unit, so one big multi-entry archive fans out across
-    * tasks instead of serializing through a single cursor. Each task
-    * opens its archive's central directory and streams exactly its own
-    * entry. Emits the same lines as [[zipCsvLines]] over the same
-    * archives (pinned in IOSpec). */
+    * partition unit — `parallelize(pairs, pairs.length)` slices exactly
+    * one pair per partition (deterministically; a round-robin
+    * `repartition(n)` can land two pairs in one task and zero in
+    * another) — so one big multi-entry archive fans out across tasks
+    * instead of serializing through a single cursor. Each task opens
+    * its archive's central directory and streams exactly its own
+    * entry; readers close on exhaustion AND on task completion, so an
+    * early-terminated scan (limit, failure) never leaks the ZipFile's
+    * file descriptor. Emits the same lines as [[zipCsvLines]] over the
+    * same archives (pinned in IOSpec).
+    *
+    * Refuses archives with DUPLICATE entry names (legal in the format,
+    * e.g. append-updated zips): `ZipFile` addresses entries by name, so
+    * the per-entry path would read the first same-named entry twice
+    * and lose the second — [[readZippedCsv]] falls back to the
+    * sequential-cursor path for such archives instead. */
   def zipCsvLinesByEntry(s: SparkSession, path: String, header: Boolean = true): Dataset[String] = {
     import s.implicits._
     val pairs = csvEntries(s, path)
+    val dups = pairs.groupBy(identity).collect { case (p, g) if g.size > 1 => p }
+    require(dups.isEmpty,
+      s"duplicate entry names ${dups.take(3).mkString(", ")} — ZipFile addresses " +
+        "entries by name; use zipCsvLines (sequential cursor) for these archives")
     val headerC = header
-    s.createDataset(pairs)
-      .repartition(math.max(pairs.length, 1)) // one (archive, entry) per task
+    val rdd = s.sparkContext
+      .parallelize(pairs, math.max(pairs.length, 1)) // one (archive, entry) per slice
       .flatMap { case (ap, entryName) =>
         new Iterator[String] {
           private val zf = new java.util.zip.ZipFile(ap)
           private val r = new BufferedReader(new InputStreamReader(
             zf.getInputStream(zf.getEntry(entryName)), StandardCharsets.UTF_8))
+          private var closed = false
+          private def close(): Unit = if (!closed) { closed = true; r.close(); zf.close() }
+          // deterministic close even when the iterator is never drained
+          // (limit/take, a failure downstream, guardLine throwing)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => close()))
           private var line = r.readLine()
           if (headerC && line != null) line = r.readLine()
-          if (line == null) { r.close(); zf.close() }
+          if (line == null) close()
           def hasNext: Boolean = line != null
           def next(): String = {
             if (line == null) throw new NoSuchElementException(s"$entryName exhausted")
             val out = guardLine(line, entryName)
             line = r.readLine()
-            if (line == null) { r.close(); zf.close() }
+            if (line == null) close()
             out
           }
         }
       }
+    s.createDataset(rdd)
   }
 
   /** Schema'd table over the CSV entries of zip archives: the
@@ -169,7 +207,14 @@ object Zip {
                     header: Boolean = true): DataFrame = {
     val scheme = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration).getScheme
-    val lines = if (scheme == "file") zipCsvLinesByEntry(s, path, header)
+    // per-entry needs local archives AND name-unique entries (see
+    // zipCsvLinesByEntry); otherwise the sequential cursor is correct
+    // at archive-count parallelism
+    val perEntryOk = scheme == "file" && {
+      val pairs = csvEntries(s, path)
+      pairs.distinct.size == pairs.size
+    }
+    val lines = if (perEntryOk) zipCsvLinesByEntry(s, path, header)
                 else zipCsvLines(s, path, header)
     s.read.schema(schema).csv(lines)
   }

@@ -144,7 +144,11 @@ object Zarr {
     * local[n], where tasks share the process). The flush-on-key-change
     * writer holds at most ONE buffer per task, so the high-water mark
     * is bounded by the number of concurrently RUNNING tasks — never by
-    * chunks owned (pinned in ZarrSpec). */
+    * chunks owned (pinned in ZarrSpec). OFF by default: production
+    * writes pay one boolean read per chunk, nothing else; only the
+    * spec flips `instrumentSink` on (so a failed task can't leak a
+    * count into anyone else's measurement either). */
+  private[graft] val instrumentSink = new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] val liveBuffers = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] val liveBuffersHighWater = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -215,7 +219,7 @@ object Zarr {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           buf = null
-          liveBuffers.decrementAndGet()
+          if (instrumentSink.get) liveBuffers.decrementAndGet()
           ()
         }
         rows.foreach { r =>
@@ -226,10 +230,12 @@ object Zarr {
             buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
             var i = 0
             while (i < chunkElems) { buf.putDouble(i * 8, fillC); i += 1 }
-            val live = liveBuffers.incrementAndGet()
-            var hw = liveBuffersHighWater.get()
-            while (live > hw && !liveBuffersHighWater.compareAndSet(hw, live))
-              hw = liveBuffersHighWater.get()
+            if (instrumentSink.get) {
+              val live = liveBuffers.incrementAndGet()
+              var hw = liveBuffersHighWater.get()
+              while (live > hw && !liveBuffersHighWater.compareAndSet(hw, live))
+                hw = liveBuffersHighWater.get()
+            }
           }
           // C-order position of the row within its chunk
           var p = 0L
@@ -282,7 +288,19 @@ object Zarr {
       val coord = coordVals(dm).zipWithIndex
         .map { case (v, i) => (v, i.toLong) }.toSeq
         .toDF("__v", "__i") // exact binary equality: values CAME from this column
-      indexed = indexed.join(broadcast(coord), indexed(dm) === coord("__v"))
+      // LEFT join + loud null check: this pass is a RE-evaluation of
+      // `df` after the factorization collected its values — a
+      // non-deterministic source can emit a coordinate value absent
+      // from the first pass here, and an inner join would silently
+      // DROP that row (the written cell would read back as fill).
+      // Same drift class CellMask.fromCellsDistributed guards against.
+      indexed = indexed.join(broadcast(coord), indexed(dm) === coord("__v"), "left")
+        .withColumn("__i",
+          when(col("__i").isNull, raise_error(concat(
+            lit(s"coordinate value for dim '$dm' ("), col(dm),
+            lit(") absent from the factorization pass: the input is " +
+              "non-deterministic across evaluations"))))
+            .otherwise(col("__i")))
         .drop(dm).drop("__v").withColumnRenamed("__i", dm)
     }
     writeArrayDistributed(indexed, s"$groupDir/$varName",

@@ -219,10 +219,65 @@ class IOSpec extends SparkTestBase {
     ).foreach { run =>
       val e = intercept[org.apache.spark.SparkException](run())
       def quoteMsg(t: Throwable): Boolean =
-        t != null && (Option(t.getMessage).exists(_.contains("unbalanced quotes"))
+        t != null && (Option(t.getMessage).exists(_.contains("open quoted field"))
           || quoteMsg(t.getCause))
-      assert(quoteMsg(e), s"expected the unbalanced-quotes error, got: $e")
+      assert(quoteMsg(e), s"expected the open-quoted-field error, got: $e")
     }
+  }
+
+  test("zip ingest: a stray literal quote is DATA, not a multiline hazard") {
+    import graft.sources.{IO, Zip}
+    // `2,Pipe 3/4"` — a quote not at field start is a literal character
+    // to the CSV parser; the guard must pass it (the naive odd-count
+    // check rejected it). Quoted fields with escaped "" also pass.
+    val dir = IO.tmp("graft_zip_strayq_")
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/q.zip"))
+    zip.putNextEntry(new java.util.zip.ZipEntry("q.csv"))
+    zip.write("k,v\n1,Pipe 3/4\"\n2,\"say \"\"hi\"\"\"\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zip.closeEntry()
+    zip.close()
+    val got = Zip.zipCsvLinesByEntry(spark, s"$dir/*.zip").collect().sorted
+    assert(got.toSeq == Seq("1,Pipe 3/4\"", "2,\"say \"\"hi\"\"\""), got.mkString("|"))
+    assert(Zip.zipCsvLines(spark, s"$dir/*.zip").collect().sorted.toSeq == got.toSeq)
+  }
+
+  test("zip ingest: duplicate entry names fall back to the sequential cursor") {
+    import graft.sources.{IO, Zip}
+    // legal zip: two entries named data.csv (append-updated archive).
+    // ZipFile addresses by NAME, so the per-entry path would read the
+    // first twice and lose the second — it must refuse, and
+    // readZippedCsv must fall back to the cursor path, which streams
+    // both correctly.
+    val dir = IO.tmp("graft_zip_dup_")
+    // ZipOutputStream refuses to WRITE duplicates, so build with two
+    // equal-length names and byte-patch the second to the first — name
+    // bytes appear verbatim in the local header and central directory
+    // and are not covered by any checksum, so the result is a valid
+    // archive with two entries both named data1.csv
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/dup.zip"))
+    Seq("data1.csv" -> "k,v\n1,old\n", "data2.csv" -> "k,v\n2,new\n").foreach {
+      case (name, body) =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(name))
+        zip.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zip.closeEntry()
+    }
+    zip.close()
+    val p = java.nio.file.Paths.get(s"$dir/dup.zip")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    java.nio.file.Files.write(p, new String(java.nio.file.Files.readAllBytes(p), iso)
+      .replace("data2.csv", "data1.csv").getBytes(iso))
+    intercept[IllegalArgumentException] {
+      Zip.zipCsvLinesByEntry(spark, s"$dir/*.zip")
+    }
+    val df = Zip.readZippedCsv(spark, s"$dir/*.zip",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == Seq((1L, "old"), (2L, "new")))
   }
 
   test("malformed JSON: the three policies agree with the CSV contract") {

@@ -222,9 +222,11 @@ class ZarrSpec extends SparkTestBase {
       expr("id % 16").as("c"))
       .withColumn("value", col("a").cast("double"))
     Zarr.liveBuffersHighWater.set(0)
-    Zarr.liveBuffers.set(0) // an earlier intentionally-aborted write leaks its count
-    Zarr.writeArrayDistributed(rows, dir, Array(8L, 16L, 16L), Array(2, 2, 2),
+    Zarr.liveBuffers.set(0)
+    Zarr.instrumentSink.set(true) // counters only tick inside this window
+    try Zarr.writeArrayDistributed(rows, dir, Array(8L, 16L, 16L), Array(2, 2, 2),
       Array("a", "b", "c"), Some("zlib"))
+    finally Zarr.instrumentSink.set(false)
     val hw = Zarr.liveBuffersHighWater.get()
     assert(hw >= 1 && hw <= 4, s"live-buffer high water $hw, expected <= 4 tasks")
     assert(Zarr.liveBuffers.get() == 0, "buffers must all be flushed")
@@ -291,6 +293,28 @@ class ZarrSpec extends SparkTestBase {
     assert(Zarr.toDataFrame(spark, out, "tmax").count() == 60)
   }
 
+  test("group sink: coordinate drift between passes fails LOUDLY, never writes fill") {
+    import spark.implicits._
+    // writeGroupDistributed re-evaluates its input after the
+    // factorization pass collected the coordinate values; a
+    // non-deterministic source emitting a NEW value in the write pass
+    // must fail loudly — an inner join would silently drop the row and
+    // the cell would read back as fill. Plant exactly that drift.
+    ZarrSpec.evals.set(0)
+    val src = spark.range(0, 4, 1, 1).mapPartitions { it =>
+      val eval = ZarrSpec.evals.incrementAndGet()
+      it.map(i => (if (eval > 1 && i == 3) 999.0 else i.toDouble * 10, i.toDouble))
+    }.toDF("t", "value")
+    val out = graft.sources.IO.tmp("graft_zarr_drift_") + "/g"
+    val e = intercept[Exception] {
+      Zarr.writeGroupDistributed(src, out, "v", Seq("t"), Array(2))
+    }
+    def drifted(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("absent from the factorization"))
+        || drifted(t.getCause))
+    assert(drifted(e), s"expected the loud coordinate-drift failure, got: $e")
+  }
+
   test("sliceByCoord: non-monotonic coordinate values never leak out-of-range rows") {
     // coord values [0, 10, 5, 20]: a [0,5] VALUE slice maps to index
     // span [0,2], which COVERS index 1 (value 10) — the residual value
@@ -353,4 +377,10 @@ class ZarrSpec extends SparkTestBase {
     assert(Zarr.readArray(spark, i4).orderBy(col("i0")).collect()
       .map(_.getInt(1)).toSeq == Seq(0, 7, 14, 21))
   }
+}
+
+/** Static evaluation counter for the coordinate-drift test (executor
+  * and driver share the JVM on local[n]). */
+object ZarrSpec {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
 }
