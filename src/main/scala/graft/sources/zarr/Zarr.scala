@@ -271,9 +271,15 @@ object Zarr {
       dims: Seq[String], chunks: Array[Int], compressor: Option[String] = Some("zlib"),
       fillValue: Double = 0.0): Unit = {
     val s = df.sparkSession
-    val coordVals: Map[String, Array[Double]] = dims.map { dm =>
-      dm -> df.select(col(dm).cast("double")).distinct()
-        .orderBy(col(dm)).collect().map(_.getDouble(0))
+    // ONE factorization pass for every dim (collect_set per dim in a
+    // single aggregate), not one distinct-scan per dim — at 100 TB the
+    // input is read twice total (factorize, write), never 1 + rank
+    // times. Driver footprint identical to per-dim distinct: one value
+    // per index, the xarray index object.
+    val aggs = dims.map(dm => collect_set(col(dm).cast("double")).as(dm))
+    val sets = df.agg(aggs.head, aggs.tail: _*).head()
+    val coordVals: Map[String, Array[Double]] = dims.zipWithIndex.map {
+      case (dm, i) => dm -> sets.getSeq[Double](i).toArray.sorted
     }.toMap
     dims.foreach { dm =>
       val vals = coordVals(dm)
