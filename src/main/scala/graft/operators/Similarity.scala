@@ -187,19 +187,27 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id"))).as("cell"))
 
-  /** The IVF candidate stage alone: every vector in the query's
-    * `nProbe` nearest cells, scored — [[ivfTopK]]'s scan set. Its size
-    * is what nProbe buys recall with (curve in ANN_TUNING.md). */
-  def ivfScoredCandidates(emb: DataFrame, queryId: Long,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** The vec_ids in the query's `nProbe` nearest cells — the IVF scan
+    * set, shared by the exact-scoring and PQ paths. */
+  private def ivfCandidateIds(emb: DataFrame, queryId: Long,
+      nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = centroids(emb, nCentroids)
-    val cells = emb.join(ivfAssign(emb, nCentroids), "vec_id")
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probed = cents.crossJoin(broadcast(qv))
       .select(col("cent_id").as("cell"), cosine(col("cv"), col("qv")).as("csim"))
       .orderBy(col("csim").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
-    cells.join(broadcast(probed), "cell")
+    ivfAssign(emb, nCentroids).join(broadcast(probed), "cell")
+      .select(col("vec_id"))
+  }
+
+  /** The IVF candidate stage alone: every vector in the query's
+    * `nProbe` nearest cells, scored — [[ivfTopK]]'s scan set. Its size
+    * is what nProbe buys recall with (curve in ANN_TUNING.md). */
+  def ivfScoredCandidates(emb: DataFrame, queryId: Long,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    emb.join(ivfCandidateIds(emb, queryId, nCentroids, nProbe), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
   }
@@ -207,6 +215,114 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
     ivfScoredCandidates(emb, queryId, nCentroids, nProbe)
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Product quantization — the memory half of the industry-standard
+    * IVF-PQ billion-scale ANN design (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): each
+    * vector splits into `m` subvectors and each subspace quantizes
+    * against its own `k`-codeword codebook, so a 64-dim float vector
+    * (256 B at rest) stores as `m` small integer codes (8 B at the
+    * 8×16 default) — a ~32× compression of the scan set, which is what
+    * lets the candidate scan live in memory at 100 TB corpus scale.
+    *
+    * Query-side scoring is ADC (asymmetric distance computation): the
+    * query precomputes one dot-product lookup table per subspace
+    * against the codebooks (m·k dots — independent of corpus size);
+    * a candidate's approximate dot is then m table lookups summed and
+    * its norm reconstructs from the same tables. The approximate
+    * ranking only selects the RERANK set; the reported top-k is exact
+    * cosine over that set — approximation moves which vectors get
+    * exact-scored, never the correctness of a reported similarity
+    * (the same contract as the IVF and SRP paths; curve in
+    * ANN_TUNING.md).
+    *
+    * Everything is joins against the (tiny, broadcast) codebook table —
+    * no literals baked into plans, no UDFs; the inner loops are the
+    * native [[graft.plans.VectorDot]]. Codebooks use the same
+    * deterministic seed posture as [[centroids]]: the `k` lowest
+    * vec_ids' subvectors (at 100 TB: k-means-refined offline — codebook
+    * quality moves recall, never reported values). */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim not divisible into $m subspaces")
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("v"), i * sub + 1, lit(sub)))))
+      .toDF("code", "sub_id", "cw")
+  }
+
+  /** Ingest-time PQ encoding: (vec_id, sub_id, code) — each subvector's
+    * argmin-L2 codeword, found via a broadcast join against the
+    * codebook and a min_by aggregate (||sv||² is constant per
+    * (vector, subspace), so argmin L2 ≡ argmin(||cw||² − 2⟨sv,cw⟩);
+    * ties break to the lowest code, deterministically). At scale THIS
+    * is the stored artifact — m bytes per vector plus the IVF cell. */
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    spread(emb)
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("v"), i * sub + 1, lit(sub)))))
+      .toDF("vec_id", "sub_id", "sv")
+      .join(broadcast(pqCodebooks(emb, m, k, dim)), "sub_id")
+      .select(col("vec_id"), col("sub_id"), col("code"),
+        (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw"))).as("d2"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
+
+  /** ADC ranking scores for every encoded vector: approx dot = Σ_m
+    * lut[sub][code], approx norm = √Σ_m ‖cw[sub][code]‖² — both from
+    * the broadcast per-query lookup table. `asim` orders candidates
+    * for the rerank cut; it is NOT a reported similarity (the constant
+    * ‖q‖ is dropped — it cannot change the ranking). */
+  def pqAdcScores(emb: DataFrame, queryId: Long,
+      m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val qsub = emb.filter(col("vec_id") === queryId)
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("v"), i * sub + 1, lit(sub)))))
+      .toDF("sub_id", "qsv")
+    val lut = pqCodebooks(emb, m, k, dim).join(broadcast(qsub), "sub_id")
+      .select(col("sub_id"), col("code"),
+        dot(col("qsv"), col("cw")).as("qdot"),
+        dot(col("cw"), col("cw")).as("cw2"))
+    pqEncode(emb, m, k, dim)
+      .join(broadcast(lut), Seq("sub_id", "code"))
+      .groupBy(col("vec_id"))
+      .agg((sum(col("qdot")) / sqrt(sum(col("cw2")))).as("asim"))
+  }
+
+  /** The exact-scored RERANK set of the IVF-PQ probe: IVF prunes to the
+    * query's cells, ADC over the candidates' codes picks the
+    * `k·rerankFactor` most promising, and THOSE get true cosines —
+    * the scan set [[ivfPqTopK]] ranks, sized for the tuning sweep. */
+  def ivfPqRerankSet(emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
+      rerankFactor: Int = 4): DataFrame = {
+    val cand = ivfCandidateIds(emb, queryId, nCentroids, nProbe)
+    val shortlist = pqAdcScores(emb, queryId, m, codebook)
+      .join(cand, "vec_id")
+      .orderBy(col("asim").desc, col("vec_id")).limit(k * rerankFactor)
+      .select(col("vec_id"))
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+  }
+
+  /** IVF-PQ ANN top-k: cell pruning (IVF) × compressed-scan ranking
+    * (PQ/ADC) × exact rerank — the standard composition for
+    * billion-vector search. Output shape identical to
+    * [[bruteForceTopK]]; recall measured against it in AnnTuningSpec. */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
+      rerankFactor: Int = 4): DataFrame =
+    ivfPqRerankSet(emb, queryId, k, nCentroids, nProbe, m, codebook, rerankFactor)
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
 
   private[graft] def embTable(s: SparkSession, d: String): DataFrame =
@@ -217,6 +333,7 @@ object Similarity {
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ivf" -> ((s, d) => ivfTopK(embTable(s, d), 0L, 20)),
+    "q_similarity_ivfpq" -> ((s, d) => ivfPqTopK(embTable(s, d), 0L, 20)),
     // Blocked exact near-dup: quadratic only within a label block.
     // Norms are precomputed ONCE per vector (O(n), not O(pairs)), and
     // the per-pair similarity is dot(a,b)/(‖a‖·‖b‖) over the RAW

@@ -90,6 +90,13 @@ class AnnTuningSpec extends SparkTestBase {
     val ivf = ivfProbes.map { p =>
       sweepRow(s"$p/16", Similarity.ivfScoredCandidates(corpus, _, 16, p))
     }
+    // IVF-PQ: same cell pruning, but the ADC pass over 8-byte codes
+    // picks the exact-scored set — rerankFactor trades exact-scan size
+    // against the chance the quantized ranking buries a true neighbor
+    val pqFactors = Seq(1, 2, 4, 8)
+    val pq = pqFactors.map { f =>
+      sweepRow(s"${f}×k", Similarity.ivfPqRerankSet(corpus, _, K, rerankFactor = f))
+    }
 
     def fmt(rows: Seq[(String, Double, Double)], knob: String): String =
       (s"| $knob | planted recall@$K | candidates scanned | corpus fraction |\n" +
@@ -131,19 +138,38 @@ class AnnTuningSpec extends SparkTestBase {
          |
          |Each probed cell adds its members to the scan. Defaults: 4/16.
          |
-         |""".stripMargin + fmt(ivf, "probes") + "\n"
+         |""".stripMargin + fmt(ivf, "probes") +
+      s"""
+         |
+         |## IVF-PQ (`ivfPqTopK`) — knob: exact-rerank factor
+         |
+         |Same cell pruning as IVF, but candidates are ranked by ADC
+         |over their 8-byte PQ codes (8 subspaces × 16 codewords — ~32×
+         |smaller than the raw vectors) and only the top rerankFactor·k
+         |get exact cosines. "Candidates scanned" here = the EXACT-scored
+         |rerank set; the ADC pass reads only codes. Defaults: 4×k.
+         |
+         |""".stripMargin + fmt(pq, "rerank") + "\n"
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("ANN_TUNING.md"), doc)
 
     val lshDefault = lsh.find(_._1 == "8×8").get
     val ivfDefault = ivf.find(_._1 == "4/16").get
+    val pqDefault = pq.find(_._1 == "4×k").get
     assert(lshDefault._2 >= 0.9,
       s"LSH default recall ${lshDefault._2} below 0.9 floor\n$doc")
     assert(ivfDefault._2 >= 0.9,
       s"IVF default recall ${ivfDefault._2} below 0.9 floor\n$doc")
+    assert(pqDefault._2 >= 0.9,
+      s"IVF-PQ default recall ${pqDefault._2} below 0.9 floor\n$doc")
     // the knob must actually move cost: the strictest config scans
     // fewer candidates than the loosest
     assert(lsh.head._3 < lsh.last._3)
     assert(ivf.head._3 < ivf.last._3)
+    assert(pq.head._3 < pq.last._3)
+    // and the PQ rerank set must be strictly smaller than the IVF
+    // exact-scan it replaces at the same probes — that is the point
+    assert(pqDefault._3 < ivfDefault._3,
+      s"PQ rerank set ${pqDefault._3} not smaller than IVF scan ${ivfDefault._3}")
   }
 }

@@ -175,6 +175,42 @@ class LlmOpsSpec extends SparkTestBase {
       s"IVF recall too low: ${(brute & hIvf).size}/20")
   }
 
+  test("PQ encode picks each subvector's true argmin codeword; IVF-PQ finds plants") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val q = vec()
+    val rows = Seq(0L -> q, 1L -> q.map(x => x + 0.05 * rnd.nextGaussian()),
+      2L -> q.map(x => x + 0.06 * rnd.nextGaussian())) ++ (3L to 80L).map(_ -> vec())
+    val emb = rows.toDF("vec_id", "v")
+    val (m, k, sub) = (8, 16, 8)
+    // ground truth argmin per (vector, subspace), brute-forced locally
+    val cb = rows.take(k).map { case (id, v) =>
+      id.toInt -> v.grouped(sub).toArray
+    }.toMap
+    val codes = Similarity.pqEncode(emb, m, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == rows.size * m)
+    rows.foreach { case (id, v) =>
+      v.grouped(sub).zipWithIndex.foreach { case (sv, si) =>
+        val want = (0 until k).minBy { c =>
+          val cw = cb(c)(si)
+          (sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }
+        assert(codes((id, si)) == want,
+          s"vec $id sub $si: encoded ${codes((id, si))}, argmin is $want")
+      }
+    }
+    // the composed path surfaces the planted near-copies and is
+    // deterministic run to run
+    val top = Similarity.ivfPqTopK(emb, 0L, 10, nCentroids = 8, nProbe = 4)
+      .collect().map(_.getLong(0))
+    assert(Set(0L, 1L, 2L).subsetOf(top.toSet),
+      s"planted near-copies missing from IVF-PQ result: ${top.toSeq}")
+    val again = Similarity.ivfPqTopK(emb, 0L, 10, nCentroids = 8, nProbe = 4)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("maskPii redacts every email and phone, counts them pre-redaction") {
     val d = Seq(
       (1L, "write a.b-c_9@mail.example.org or call 555-0134 today"),
