@@ -275,13 +275,19 @@ object Similarity {
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
   }
 
-  /** ADC ranking scores for every encoded vector: approx dot = Σ_m
-    * lut[sub][code], approx norm = √Σ_m ‖cw[sub][code]‖² — both from
-    * the broadcast per-query lookup table. `asim` orders candidates
-    * for the rerank cut; it is NOT a reported similarity (the constant
-    * ‖q‖ is dropped — it cannot change the ranking). */
+  /** ADC ranking scores: approx dot = Σ_m lut[sub][code], approx norm
+    * = √Σ_m ‖cw[sub][code]‖² — both from the broadcast per-query
+    * lookup table. `within` restricts the scored set BEFORE the lut
+    * join and aggregate (the IVF path passes its cell candidates here,
+    * so the per-query ADC pass touches only the probed cells' code
+    * rows, never the whole corpus — at rest the codes are stored
+    * alongside the IVF cell, bucketBy(cell), and this is the pruned
+    * read). `asim` orders candidates for the rerank cut; it is NOT a
+    * reported similarity (the constant ‖q‖ is dropped — it cannot
+    * change the ranking). */
   def pqAdcScores(emb: DataFrame, queryId: Long,
-      m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, k: Int = 16, dim: Int = 64,
+      within: Option[DataFrame] = None): DataFrame = {
     val sub = dim / m
     val qsub = emb.filter(col("vec_id") === queryId)
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -291,7 +297,8 @@ object Similarity {
       .select(col("sub_id"), col("code"),
         dot(col("qsv"), col("cw")).as("qdot"),
         dot(col("cw"), col("cw")).as("cw2"))
-    pqEncode(emb, m, k, dim)
+    val codes = pqEncode(emb, m, k, dim)
+    within.fold(codes)(ids => codes.join(ids, "vec_id"))
       .join(broadcast(lut), Seq("sub_id", "code"))
       .groupBy(col("vec_id"))
       .agg((sum(col("qdot")) / sqrt(sum(col("cw2")))).as("asim"))
@@ -305,8 +312,7 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
       rerankFactor: Int = 4): DataFrame = {
     val cand = ivfCandidateIds(emb, queryId, nCentroids, nProbe)
-    val shortlist = pqAdcScores(emb, queryId, m, codebook)
-      .join(cand, "vec_id")
+    val shortlist = pqAdcScores(emb, queryId, m, codebook, within = Some(cand))
       .orderBy(col("asim").desc, col("vec_id")).limit(k * rerankFactor)
       .select(col("vec_id"))
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))

@@ -161,12 +161,20 @@ object Zip {
     * and lose the second — [[readZippedCsv]] falls back to the
     * sequential-cursor path for such archives instead. */
   def zipCsvLinesByEntry(s: SparkSession, path: String, header: Boolean = true): Dataset[String] = {
-    import s.implicits._
     val pairs = csvEntries(s, path)
     val dups = pairs.groupBy(identity).collect { case (p, g) if g.size > 1 => p }
     require(dups.isEmpty,
       s"duplicate entry names ${dups.take(3).mkString(", ")} — ZipFile addresses " +
         "entries by name; use zipCsvLines (sequential cursor) for these archives")
+    zipCsvLinesFromEntries(s, pairs, header)
+  }
+
+  /** The per-entry reader over an ALREADY-listed (archive, entry) set —
+    * callers that just listed the central directory (readZippedCsv's
+    * duplicate check) reuse their listing instead of walking it again. */
+  private def zipCsvLinesFromEntries(s: SparkSession,
+      pairs: Seq[(String, String)], header: Boolean): Dataset[String] = {
+    import s.implicits._
     val headerC = header
     val rdd = s.sparkContext
       .parallelize(pairs, math.max(pairs.length, 1)) // one (archive, entry) per slice
@@ -201,21 +209,22 @@ object Zip {
     * reference's unzip→read_csv, as one lazy plan. The schema is
     * DECLARED (SURVEY §1.4) — no inference pass over the expanded
     * lines. Local archives take the per-ENTRY parallel path; any other
-    * filesystem falls back to the per-archive `binaryFile` expansion.
-    */
+    * filesystem — or an archive with duplicate entry names — falls
+    * back to the per-archive `binaryFile` expansion (the entry list is
+    * read ONCE and shared with the per-entry reader, not re-listed).
+    *
+    * Quoting is pinned to RFC 4180 (`escape` = `"`, i.e. `""` inside a
+    * quoted field), the dialect [[guardLine]]'s line scanner speaks —
+    * Spark's default backslash-escape would let a `\"`-escaped
+    * multiline record slip past the guard and silently split. */
   def readZippedCsv(s: SparkSession, path: String, schema: StructType,
                     header: Boolean = true): DataFrame = {
     val scheme = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration).getScheme
-    // per-entry needs local archives AND name-unique entries (see
-    // zipCsvLinesByEntry); otherwise the sequential cursor is correct
-    // at archive-count parallelism
-    val perEntryOk = scheme == "file" && {
-      val pairs = csvEntries(s, path)
-      pairs.distinct.size == pairs.size
-    }
-    val lines = if (perEntryOk) zipCsvLinesByEntry(s, path, header)
+    val pairs = if (scheme == "file") csvEntries(s, path) else Nil
+    val perEntryOk = pairs.nonEmpty && pairs.distinct.size == pairs.size
+    val lines = if (perEntryOk) zipCsvLinesFromEntries(s, pairs, header)
                 else zipCsvLines(s, path, header)
-    s.read.schema(schema).csv(lines)
+    s.read.schema(schema).option("escape", "\"").csv(lines)
   }
 }

@@ -209,6 +209,9 @@ object Zarr {
       .sortWithinPartitions("_chunk")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val chunkElems = chunksC.map(_.toLong).product.toInt
+        // captured ONCE per task: a write straddling the spec's on/off
+        // window must pair its increment and decrement consistently
+        val instrumented = instrumentSink.get
         var key: String = null
         var buf: ByteBuffer = null
         def flush(): Unit = if (buf != null) {
@@ -219,7 +222,7 @@ object Zarr {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           buf = null
-          if (instrumentSink.get) liveBuffers.decrementAndGet()
+          if (instrumented) liveBuffers.decrementAndGet()
           ()
         }
         rows.foreach { r =>
@@ -230,7 +233,7 @@ object Zarr {
             buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
             var i = 0
             while (i < chunkElems) { buf.putDouble(i * 8, fillC); i += 1 }
-            if (instrumentSink.get) {
+            if (instrumented) {
               val live = liveBuffers.incrementAndGet()
               var hw = liveBuffersHighWater.get()
               while (live > hw && !liveBuffersHighWater.compareAndSet(hw, live))
