@@ -209,6 +209,11 @@ class LlmOpsSpec extends SparkTestBase {
     val again = Similarity.ivfPqTopK(emb, 0L, 10, nCentroids = 8, nProbe = 4)
       .collect().map(_.getLong(0))
     assert(top.toSeq == again.toSeq)
+    // the ADC pass is candidate-PRUNED: scoring restricted to a given
+    // id set emits exactly that set's rows, never the corpus's
+    val some = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val scored = Similarity.pqAdcScores(emb, 0L, within = Some(some))
+    assert(scored.count() == some.count() && scored.count() < emb.count())
   }
 
   test("maskPii redacts every email and phone, counts them pre-redaction") {

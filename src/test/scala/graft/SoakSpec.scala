@@ -322,6 +322,77 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ANN soak: 500k vectors through IVF-PQ, planted neighbors surface") {
+    // 1000× the harness embeddings table: 500k deterministic
+    // pseudo-random 64-dim vectors plus 10 tiny-jitter near-copies of
+    // the query planted at high ids. The full composition runs at this
+    // scale — centroid assignment (broadcast 64-centroid table), PQ
+    // encode (broadcast codebooks + min_by argmin), candidate-pruned
+    // ADC, exact rerank — and must (a) surface every plant, (b) keep
+    // the standing listener invariant: no single-task stage absorbs a
+    // relation-sized shuffle (the per-vector passes are all broadcast
+    // joins + partial aggregates; the only rows that ever reach a
+    // single task are the top-k heads).
+    import graft.operators.Similarity
+    val n = 500000L
+    val dim = 64
+    val mkVec = (seed: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(dim - 1)),
+        k => pmod(xxhash64(seed, k), lit(1000)).cast("double") / 500.0 - 1.0)
+    val base = spark.range(0L, n).select(col("id").as("vec_id"), mkVec(col("id")).as("v"))
+    // plants: query 7's vector + a per-plant jitter of ±0.01 per axis —
+    // cosine ≈ 0.9997, far above the noise background (≲0.4)
+    val plants = spark.range(0L, 10L).select(
+      (col("id") + 900000L).as("vec_id"),
+      zip_with(mkVec(lit(7L)), mkVec(col("id") + 12345),
+        (x, j) => x + j / 100.0).as("v"))
+    val emb = base.unionByName(plants).repartition(8)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val top = Similarity.ivfPqTopK(emb, 7L, 16, nCentroids = 64, nProbe = 8)
+        .collect().map(_.getLong(0))
+      val tWall = (System.nanoTime() - t0) / 1e9
+      assert(top.head == 7L, s"query must rank itself first: ${top.toSeq}")
+      val plantIds = (0L until 10L).map(_ + 900000L).toSet
+      val found = plantIds.intersect(top.toSet).size
+      assert(found == 10, s"$found/10 plants in top-16: ${top.toSeq}")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val section =
+        s"""
+           |## ANN / IVF-PQ soak (regenerated by SoakSpec)
+           |
+           |500k deterministic 64-dim vectors (1000× the harness
+           |embeddings table) + 10 planted near-copies (cos ≈0.9997) of
+           |the query. Full IVF-PQ composition at 64 centroids / 8
+           |probes / 8×16 PQ: centroid assignment, codebook encode,
+           |candidate-pruned ADC, exact rerank — query first, **10/10
+           |plants in the top-16**, ${f"$tWall%.1f"} s wall on local[4].
+           |Same listener invariant as above: every per-vector pass is
+           |broadcast-join + partial aggregate; no single-task stage
+           |read a relation-sized shuffle.
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "ANN / IVF-PQ soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
