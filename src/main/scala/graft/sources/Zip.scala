@@ -190,7 +190,11 @@ object Zip {
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => close()))
           private var line = r.readLine()
-          if (headerC && line != null) line = r.readLine()
+          // guard the header too (parity with zipCsvLines, which maps
+          // guardLine over EVERY physical line before the header drop):
+          // an unterminated quoted header must fail loudly here as well,
+          // not silently drop and leak its continuation line as data
+          if (headerC && line != null) { guardLine(line, entryName); line = r.readLine() }
           if (line == null) close()
           def hasNext: Boolean = line != null
           def next(): String = {
