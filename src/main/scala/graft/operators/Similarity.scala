@@ -282,9 +282,13 @@ object Similarity {
     * so the per-query ADC pass touches only the probed cells' code
     * rows, never the whole corpus — at rest the codes are stored
     * alongside the IVF cell, bucketBy(cell), and this is the pruned
-    * read). `asim` orders candidates for the rerank cut; it is NOT a
-    * reported similarity (the constant ‖q‖ is dropped — it cannot
-    * change the ranking). */
+    * read). `within` is treated as a SET: the restriction is a
+    * left-semi join, so a caller passing duplicate vec_ids cannot
+    * multiply a vector's code rows (an inner join would scale both
+    * Σqdot and Σcw2 by the multiplicity and inflate `asim` by
+    * √multiplicity, silently distorting the shortlist). `asim` orders
+    * candidates for the rerank cut; it is NOT a reported similarity
+    * (the constant ‖q‖ is dropped — it cannot change the ranking). */
   def pqAdcScores(emb: DataFrame, queryId: Long,
       m: Int = 8, k: Int = 16, dim: Int = 64,
       within: Option[DataFrame] = None): DataFrame = {
@@ -298,7 +302,8 @@ object Similarity {
         dot(col("qsv"), col("cw")).as("qdot"),
         dot(col("cw"), col("cw")).as("cw2"))
     val codes = pqEncode(emb, m, k, dim)
-    within.fold(codes)(ids => codes.join(ids, "vec_id"))
+    within.fold(codes)(ids =>
+      codes.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .join(broadcast(lut), Seq("sub_id", "code"))
       .groupBy(col("vec_id"))
       .agg((sum(col("qdot")) / sqrt(sum(col("cw2")))).as("asim"))

@@ -184,6 +184,16 @@ object Zarr {
         "byte buffer bound; pick smaller chunks")
     val d = Paths.get(dir)
     Files.createDirectories(d)
+    // sweep temp files orphaned by a PREVIOUS write's hard-killed task
+    // attempts (a task dying between createTempFile and the atomic
+    // move never runs its finally) — without this an overwritten store
+    // accumulates `.<key>.<rand>.tmp` junk forever
+    Files.list(d).iterator().asScala
+      .filter { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith(".") && nm.endsWith(".tmp")
+      }
+      .foreach(p => Files.deleteIfExists(p))
     val compJson = compressor match {
       case None => "null"
       case Some(id) => s"""{"id":"$id","level":5}"""
@@ -217,10 +227,16 @@ object Zarr {
         def flush(): Unit = if (buf != null) {
           val target = Paths.get(dirC, key)
           val tmp = Files.createTempFile(target.getParent, s".$key.", ".tmp")
-          Files.write(tmp, ZarrCodec.compress(buf.array(), compC))
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // a failure between the temp create and the move (codec
+          // error, disk full, task kill that still unwinds the stack)
+          // must not strand the temp file; after a successful move the
+          // delete is a no-op on an absent path
+          try {
+            Files.write(tmp, ZarrCodec.compress(buf.array(), compC))
+            Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally Files.deleteIfExists(tmp)
           buf = null
           if (instrumented) liveBuffers.decrementAndGet()
           ()
@@ -279,8 +295,26 @@ object Zarr {
     // input is read twice total (factorize, write), never 1 + rank
     // times. Driver footprint identical to per-dim distinct: one value
     // per index, the xarray index object.
-    val aggs = dims.map(dm => collect_set(col(dm).cast("double")).as(dm))
+    // the same pass also counts rows and per-dim nulls: collect_set
+    // silently DROPS null elements, so an unguarded null coordinate
+    // would sail through factorization and die much later in the
+    // drift check with a misleading "non-deterministic input" message;
+    // an empty input would reach writeArray with a zero-length shape
+    // and throw a raw arithmetic error. Both fail loudly here instead.
+    val aggs = dims.map(dm => collect_set(col(dm).cast("double")).as(dm)) ++
+      dims.map(dm => count(when(col(dm).isNull, 1)).as(s"__nulls_$dm")) :+
+      count(lit(1)).as("__n")
     val sets = df.agg(aggs.head, aggs.tail: _*).head()
+    require(sets.getLong(2 * dims.length) > 0,
+      s"writeGroupDistributed($groupDir): empty input — no rows to factorize " +
+        "coordinates from; a zarr group needs at least one cell")
+    dims.zipWithIndex.foreach { case (dm, i) =>
+      val nulls = sets.getLong(dims.length + i)
+      require(nulls == 0,
+        s"writeGroupDistributed($groupDir): dim '$dm' has $nulls null coordinate " +
+          "value(s) — a null cannot be factorized into a coordinate index; " +
+          "filter or fill nulls before the sink")
+    }
     val coordVals: Map[String, Array[Double]] = dims.zipWithIndex.map {
       case (dm, i) => dm -> sets.getSeq[Double](i).toArray.sorted
     }.toMap

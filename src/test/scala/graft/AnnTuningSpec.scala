@@ -172,4 +172,19 @@ class AnnTuningSpec extends SparkTestBase {
     assert(pqDefault._3 < ivfDefault._3,
       s"PQ rerank set ${pqDefault._3} not smaller than IVF scan ${ivfDefault._3}")
   }
+
+  test("pqAdcScores: duplicate candidate ids cannot skew the ADC scores") {
+    // `within` is a SET contract enforced by a semi join: an inner join
+    // would multiply a duplicated id's code rows, scaling Σqdot and
+    // Σcw2 by the multiplicity and inflating asim by √multiplicity
+    val emb = Similarity.embTable(spark, sf)
+    val uniq = Seq(1L, 2L, 3L, 7L, 11L).toDF("vec_id")
+    val dup = uniq.unionAll(Seq(3L, 3L, 7L).toDF("vec_id"))
+    def scored(ids: DataFrame): Seq[(Long, Double)] =
+      Similarity.pqAdcScores(emb, 0L, within = Some(ids))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val (u, d) = (scored(uniq), scored(dup))
+    assert(u.map(_._1) == Seq(1L, 2L, 3L, 7L, 11L))
+    assert(u == d, s"duplicated candidates changed ADC scores:\n  uniq=$u\n  dup =$d")
+  }
 }

@@ -225,6 +225,30 @@ class IOSpec extends SparkTestBase {
     }
   }
 
+  test("zip ingest: an unterminated quoted HEADER fails loudly, both paths") {
+    import graft.sources.{IO, Zip}
+    // the header is guarded BEFORE the drop on both paths — a header
+    // ending inside an open quoted field would otherwise silently
+    // leak its continuation line as the first data row
+    val dir = IO.tmp("graft_zip_badheader_")
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/h.zip"))
+    zip.putNextEntry(new java.util.zip.ZipEntry("h.csv"))
+    zip.write("k,\"v\n1,x\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zip.closeEntry()
+    zip.close()
+    Seq(
+      () => Zip.zipCsvLinesByEntry(spark, s"$dir/*.zip").collect(),
+      () => Zip.zipCsvLines(spark, s"$dir/*.zip").collect()
+    ).foreach { run =>
+      val e = intercept[org.apache.spark.SparkException](run())
+      def quoteMsg(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("open quoted field"))
+          || quoteMsg(t.getCause))
+      assert(quoteMsg(e), s"expected the open-quoted-field error on the header, got: $e")
+    }
+  }
+
   test("zip ingest: a stray literal quote is DATA, not a multiline hazard") {
     import graft.sources.{IO, Zip}
     // `2,Pipe 3/4"` — a quote not at field start is a literal character

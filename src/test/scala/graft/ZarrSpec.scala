@@ -315,6 +315,59 @@ class ZarrSpec extends SparkTestBase {
     assert(drifted(e), s"expected the loud coordinate-drift failure, got: $e")
   }
 
+  test("group sink: a NULL coordinate value fails loudly at factorization") {
+    // collect_set silently drops nulls — without the guard the row
+    // survives factorization and dies far later in the drift check
+    // with a misleading "non-deterministic input" message
+    val src = spark.range(0L, 4L).select(
+      when(col("id") === 2, lit(null)).otherwise(col("id") * 10)
+        .cast("double").as("t"),
+      col("id").cast("double").as("value"))
+    val out = graft.sources.IO.tmp("graft_zarr_nullc_") + "/g"
+    val e = intercept[IllegalArgumentException] {
+      Zarr.writeGroupDistributed(src, out, "v", Seq("t"), Array(2))
+    }
+    assert(e.getMessage.contains("dim 't' has 1 null coordinate"), e.getMessage)
+  }
+
+  test("group sink: EMPTY input fails loudly, not with a raw arithmetic error") {
+    val src = spark.range(0L, 4L).filter(col("id") < 0)
+      .select(col("id").cast("double").as("t"), col("id").cast("double").as("value"))
+    val out = graft.sources.IO.tmp("graft_zarr_empty_") + "/g"
+    val e = intercept[IllegalArgumentException] {
+      Zarr.writeGroupDistributed(src, out, "v", Seq("t"), Array(2))
+    }
+    assert(e.getMessage.contains("empty input"), e.getMessage)
+  }
+
+  test("sink tmp hygiene: orphans swept on rewrite; a failing flush leaves no tmp") {
+    // 1) a hard-killed task attempt from a PREVIOUS write left a stray
+    //    temp file (simulated); the next write over the same store
+    //    must sweep it before its own job runs
+    val dir = graft.sources.IO.tmp("graft_zarr_tmpclean_") + "/a"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, ".0.0.orphan123.tmp"), "junk")
+    val rows = spark.range(0L, 4L).select(
+      expr("id div 2").as("r"), expr("id % 2").as("c"))
+      .withColumn("value", (col("r") * 2 + col("c")).cast("double"))
+    Zarr.writeArrayDistributed(rows, dir, Array(2L, 2L), Array(1, 1),
+      Array("r", "c"), None, 0.0)
+    val leftover = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".tmp")).toSeq
+    assert(leftover.isEmpty, s"orphaned tmp files survived the sweep: $leftover")
+    // 2) a flush that fails BETWEEN temp-create and move (here: the
+    //    codec rejects the id after the temp file exists) must delete
+    //    its temp on the way out — the try/finally, not the sweep
+    val dir2 = graft.sources.IO.tmp("graft_zarr_tmpfail_") + "/a"
+    intercept[org.apache.spark.SparkException] {
+      Zarr.writeArrayDistributed(rows, dir2, Array(2L, 2L), Array(1, 1),
+        Array("r", "c"), Some("not-a-codec"), 0.0)
+    }
+    val leftover2 = new java.io.File(dir2).listFiles.map(_.getName)
+      .filter(_.endsWith(".tmp")).toSeq
+    assert(leftover2.isEmpty, s"failing flush stranded tmp files: $leftover2")
+  }
+
   test("sliceByCoord: non-monotonic coordinate values never leak out-of-range rows") {
     // coord values [0, 10, 5, 20]: a [0,5] VALUE slice maps to index
     // span [0,2], which COVERS index 1 (value 10) — the residual value
