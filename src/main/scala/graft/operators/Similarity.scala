@@ -153,12 +153,85 @@ object Similarity {
     annScoredCandidates(emb, queryId, bands, bitsPerBand)
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
 
+  // ------------------------------------------------------------- k-means
+
+  /** Per-row best centroid id over a PACKED centroid array column
+    * (array<struct<cid, cv>>, sorted by cid): a strict `>` fold keeps
+    * the LOWEST cid on score ties, deterministically. Runs inside a
+    * higher-order `aggregate`, so each point row picks its cell in a
+    * narrow map — no shuffle, no groupBy — against the broadcast
+    * centroid table. `cosineMetric` scores by ⟨v,c⟩/‖c‖ (argmax cosine;
+    * ‖v‖ is constant per row and cannot change the argmax), else by
+    * 2⟨v,c⟩ − ‖c‖² (argmin L2; ‖v‖² constant per row — the same
+    * identity [[pqEncode]] uses). */
+  private def bestCid(v: Column, cs: Column, cosineMetric: Boolean): Column =
+    aggregate(cs,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val s =
+          if (cosineMetric) dot(v, c("cv")) / sqrt(dot(c("cv"), c("cv")))
+          else lit(2.0) * dot(v, c("cv")) - dot(c("cv"), c("cv"))
+        when(s > acc("s"), struct(s.as("s"), c("cid").as("cid"))).otherwise(acc)
+      })("cid")
+
+  /** Fixed-iteration distributed Lloyd refinement — the standard
+    * quantizer-training loop (k-means for IVF coarse centroids and PQ
+    * codebooks; Jégou et al. TPAMI 2011 train both this way), run as
+    * `iters` deterministic Spark passes:
+    *
+    *   - assignment is a NARROW map: the (tiny) centroid set packs into
+    *     one broadcast array-of-structs row per group and every point
+    *     picks its argbest cell row-locally ([[bestCid]]) — the corpus
+    *     never shuffles;
+    *   - the update shuffles SCALARS only: posexplode to
+    *     (gid, cid, pos, x), one hash aggregate per (gid, cid, pos)
+    *     with map-side partials, then per-cell reassembly ordered by
+    *     pos — the same vector-free shape as q_embed_centroids;
+    *   - empty cells keep their previous centroid (deterministic, and
+    *     a cell that captured nothing cannot corrupt its neighbors);
+    *   - each iteration `localCheckpoint`s the k-row result, so the
+    *     trained model materializes ONCE and every downstream probe
+    *     reuses the tiny table instead of re-deriving the lineage
+    *     (plan depth stays O(1) in `iters`, and the double reference
+    *     to the previous centroids — assignment + empty-cell fill —
+    *     cannot compound into an O(2^iters) tree).
+    *
+    * `points`: (gid long, pid long, v array<double>); `seeds`/result:
+    * (gid long, cid long, cv array<double>). `gid` trains independent
+    * groups in the SAME passes (PQ trains all m subspace codebooks at
+    * once; IVF uses a single group). Refinement moves recall-vs-cost
+    * (measured in ANN_TUNING.md), never the correctness of reported
+    * similarities — those are always exact cosines over the candidate
+    * set. */
+  def kmeansRefine(points: DataFrame, seeds: DataFrame, iters: Int,
+      cosineMetric: Boolean): DataFrame = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val packed = cents.groupBy(col("gid"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      val means = points.join(broadcast(packed), "gid")
+        .withColumn("cid", bestCid(col("v"), col("cs"), cosineMetric))
+        .select(col("gid"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("gid"), col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("gid"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p("m")).as("cv_new"))
+      cents = cents.join(means, Seq("gid", "cid"), "left")
+        .select(col("gid"), col("cid"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     * that complements the SRP-LSH variant:
     *   1. centroids: a deterministic seed set (the `nCentroids` lowest
-    *     vec_ids — at 100 TB this would be a k-means sample refined
-    *     offline; centroid choice affects recall, never correctness of
-    *     the returned similarities);
+    *     vec_ids) refined by [[kmeansRefine]] — distributed Lloyd
+    *     iterations with cosine assignment and mean update (centroid
+    *     quality moves recall, never correctness of the returned
+    *     similarities);
     *   2. assignment: every vector goes to its argmax-cosine centroid
     *     via a broadcast of the (tiny) centroid table — one narrow
     *     pass, no shuffle of the vectors. At scale this is done once at
@@ -170,9 +243,24 @@ object Similarity {
     * LlmOpsSpec against the brute-force oracle). */
   /** The deterministic centroid seed set: the `nCentroids` lowest
     * vec_ids as (cent_id, cv). */
-  def centroids(emb: DataFrame, nCentroids: Int): DataFrame =
+  def centroidSeeds(emb: DataFrame, nCentroids: Int): DataFrame =
     emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** Trained IVF centroids: the seed set refined by `refineIters`
+    * distributed Lloyd iterations (cosine assignment, mean update;
+    * refineIters = 0 returns the raw seeds — the pre-training
+    * behavior). Eagerly materialized and tiny, so a query pipeline
+    * trains once and every downstream stage reuses the table. */
+  def centroids(emb: DataFrame, nCentroids: Int, refineIters: Int = 2): DataFrame = {
+    val seeds = centroidSeeds(emb, nCentroids)
+    if (refineIters <= 0) seeds
+    else kmeansRefine(
+      spread(emb).select(lit(0L).as("gid"), col("vec_id").as("pid"), col("v")),
+      seeds.select(lit(0L).as("gid"), col("cent_id").as("cid"), col("cv")),
+      refineIters, cosineMetric = true)
+      .select(col("cid").as("cent_id"), col("cv"))
+  }
 
   /** Ingest-time IVF assignment: every vector's argmax-cosine cell via
     * a broadcast of the centroid table; (csim, cent_id) struct ordering
@@ -181,23 +269,31 @@ object Similarity {
     * what gets stored bucketBy(cell) — bucket pruning then makes a
     * probe query read only its cells (proved in PlanSpec). */
   def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame =
-    spread(emb).crossJoin(broadcast(centroids(emb, nCentroids)))
+    ivfAssignTo(emb, centroids(emb, nCentroids))
+
+  /** Assignment against an ALREADY-trained centroid table — pipelines
+    * train once and pass the same table here and to the probe side. */
+  def ivfAssignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    spread(emb).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         cosine(col("v"), col("cv")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id"))).as("cell"))
 
   /** The vec_ids in the query's `nProbe` nearest cells — the IVF scan
-    * set, shared by the exact-scoring and PQ paths. */
+    * set, shared by the exact-scoring and PQ paths. `cents` lets a
+    * caller supply an already-trained centroid table (the tuning sweep
+    * trains once per config, not once per probe). */
   private def ivfCandidateIds(emb: DataFrame, queryId: Long,
-      nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(emb, nCentroids)
+      nCentroids: Int, nProbe: Int,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val cs = cents.getOrElse(centroids(emb, nCentroids))
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val probed = cents.crossJoin(broadcast(qv))
+    val probed = cs.crossJoin(broadcast(qv))
       .select(col("cent_id").as("cell"), cosine(col("cv"), col("qv")).as("csim"))
       .orderBy(col("csim").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
-    ivfAssign(emb, nCentroids).join(broadcast(probed), "cell")
+    ivfAssignTo(emb, cs).join(broadcast(probed), "cell")
       .select(col("vec_id"))
   }
 
@@ -205,16 +301,18 @@ object Similarity {
     * `nProbe` nearest cells, scored — [[ivfTopK]]'s scan set. Its size
     * is what nProbe buys recall with (curve in ANN_TUNING.md). */
   def ivfScoredCandidates(emb: DataFrame, queryId: Long,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4,
+      cents: Option[DataFrame] = None): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    emb.join(ivfCandidateIds(emb, queryId, nCentroids, nProbe), "vec_id")
+    emb.join(ivfCandidateIds(emb, queryId, nCentroids, nProbe, cents), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
   }
 
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
-    ivfScoredCandidates(emb, queryId, nCentroids, nProbe)
+      nCentroids: Int = 16, nProbe: Int = 4,
+      cents: Option[DataFrame] = None): DataFrame =
+    ivfScoredCandidates(emb, queryId, nCentroids, nProbe, cents)
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
 
   // ------------------------------------------------------------------ PQ
@@ -242,10 +340,13 @@ object Similarity {
     * Everything is joins against the (tiny, broadcast) codebook table —
     * no literals baked into plans, no UDFs; the inner loops are the
     * native [[graft.plans.VectorDot]]. Codebooks use the same
-    * deterministic seed posture as [[centroids]]: the `k` lowest
-    * vec_ids' subvectors (at 100 TB: k-means-refined offline — codebook
-    * quality moves recall, never reported values). */
-  def pqCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    * deterministic training posture as [[centroids]]: the `k` lowest
+    * vec_ids' subvectors seed [[kmeansRefine]], which Lloyd-refines all
+    * `m` subspace codebooks in the same passes (codebook quality moves
+    * recall, never reported values). */
+  /** The deterministic codebook seed set: the `k` lowest vec_ids'
+    * subvectors as (code, sub_id, cw). */
+  def pqCodebookSeeds(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / m
     require(m * sub == dim, s"dim $dim not divisible into $m subspaces")
     emb.filter(col("vec_id") < k)
@@ -255,20 +356,48 @@ object Similarity {
       .toDF("code", "sub_id", "cw")
   }
 
+  /** Trained PQ codebooks: the seed set refined by `refineIters`
+    * distributed Lloyd iterations, all `m` subspaces training in the
+    * same passes (gid = sub_id; L2 assignment, mean update — the
+    * k-means PQ codebooks are defined by). refineIters = 0 returns the
+    * raw seeds. Eagerly materialized and tiny (m·k rows), so one
+    * training serves the encode pass, the LUT and every probe. */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+      refineIters: Int = 2): DataFrame = {
+    val seeds = pqCodebookSeeds(emb, m, k, dim)
+    if (refineIters <= 0) seeds
+    else {
+      val sub = dim / m
+      val points = spread(emb)
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("v"), i * sub + 1, lit(sub)))))
+        .toDF("pid", "gid", "v")
+        .select(col("gid").cast("long").as("gid"), col("pid"), col("v"))
+      kmeansRefine(points,
+        seeds.select(col("sub_id").cast("long").as("gid"),
+          col("code").cast("long").as("cid"), col("cw").as("cv")),
+        refineIters, cosineMetric = false)
+        .select(col("cid").cast("int").as("code"),
+          col("gid").cast("int").as("sub_id"), col("cv").as("cw"))
+    }
+  }
+
   /** Ingest-time PQ encoding: (vec_id, sub_id, code) — each subvector's
     * argmin-L2 codeword, found via a broadcast join against the
     * codebook and a min_by aggregate (||sv||² is constant per
     * (vector, subspace), so argmin L2 ≡ argmin(||cw||² − 2⟨sv,cw⟩);
     * ties break to the lowest code, deterministically). At scale THIS
     * is the stored artifact — m bytes per vector plus the IVF cell. */
-  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+      books: Option[DataFrame] = None): DataFrame = {
     val sub = dim / m
     spread(emb)
       .select(col("vec_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           i => slice(col("v"), i * sub + 1, lit(sub)))))
       .toDF("vec_id", "sub_id", "sv")
-      .join(broadcast(pqCodebooks(emb, m, k, dim)), "sub_id")
+      .join(broadcast(books.getOrElse(pqCodebooks(emb, m, k, dim))), "sub_id")
       .select(col("vec_id"), col("sub_id"), col("code"),
         (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw"))).as("d2"))
       .groupBy(col("vec_id"), col("sub_id"))
@@ -291,17 +420,19 @@ object Similarity {
     * (the constant ‖q‖ is dropped — it cannot change the ranking). */
   def pqAdcScores(emb: DataFrame, queryId: Long,
       m: Int = 8, k: Int = 16, dim: Int = 64,
-      within: Option[DataFrame] = None): DataFrame = {
+      within: Option[DataFrame] = None,
+      books: Option[DataFrame] = None): DataFrame = {
     val sub = dim / m
+    val bks = books.getOrElse(pqCodebooks(emb, m, k, dim))
     val qsub = emb.filter(col("vec_id") === queryId)
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
         i => slice(col("v"), i * sub + 1, lit(sub)))))
       .toDF("sub_id", "qsv")
-    val lut = pqCodebooks(emb, m, k, dim).join(broadcast(qsub), "sub_id")
+    val lut = bks.join(broadcast(qsub), "sub_id")
       .select(col("sub_id"), col("code"),
         dot(col("qsv"), col("cw")).as("qdot"),
         dot(col("cw"), col("cw")).as("cw2"))
-    val codes = pqEncode(emb, m, k, dim)
+    val codes = pqEncode(emb, m, k, dim, Some(bks))
     within.fold(codes)(ids =>
       codes.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .join(broadcast(lut), Seq("sub_id", "code"))
@@ -315,9 +446,11 @@ object Similarity {
     * the scan set [[ivfPqTopK]] ranks, sized for the tuning sweep. */
   def ivfPqRerankSet(emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
-      rerankFactor: Int = 4): DataFrame = {
-    val cand = ivfCandidateIds(emb, queryId, nCentroids, nProbe)
-    val shortlist = pqAdcScores(emb, queryId, m, codebook, within = Some(cand))
+      rerankFactor: Int = 4, cents: Option[DataFrame] = None,
+      books: Option[DataFrame] = None): DataFrame = {
+    val cand = ivfCandidateIds(emb, queryId, nCentroids, nProbe, cents)
+    val shortlist = pqAdcScores(emb, queryId, m, codebook,
+        within = Some(cand), books = books)
       .orderBy(col("asim").desc, col("vec_id")).limit(k * rerankFactor)
       .select(col("vec_id"))
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
@@ -332,8 +465,10 @@ object Similarity {
     * [[bruteForceTopK]]; recall measured against it in AnnTuningSpec. */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
-      rerankFactor: Int = 4): DataFrame =
-    ivfPqRerankSet(emb, queryId, k, nCentroids, nProbe, m, codebook, rerankFactor)
+      rerankFactor: Int = 4, cents: Option[DataFrame] = None,
+      books: Option[DataFrame] = None): DataFrame =
+    ivfPqRerankSet(emb, queryId, k, nCentroids, nProbe, m, codebook,
+        rerankFactor, cents, books)
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
 
   private[graft] def embTable(s: SparkSession, d: String): DataFrame =

@@ -86,16 +86,27 @@ class AnnTuningSpec extends SparkTestBase {
     val lsh = lshConfigs.map { case (b, w) =>
       sweepRow(s"$b×$w", Similarity.annScoredCandidates(corpus, _, b, w))
     }
+    // train each model ONCE per config and share it across the sweep —
+    // the engine pipelines do the same (one training serves every probe)
+    val cents16 = Similarity.centroids(corpus, 16)
+    val seedCents = Similarity.centroids(corpus, 16, refineIters = 0)
+    val books = Similarity.pqCodebooks(corpus)
     val ivfProbes = Seq(1, 2, 4, 8, 16)
     val ivf = ivfProbes.map { p =>
-      sweepRow(s"$p/16", Similarity.ivfScoredCandidates(corpus, _, 16, p))
+      sweepRow(s"$p/16",
+        Similarity.ivfScoredCandidates(corpus, _, 16, p, Some(cents16)))
     }
+    // seeding comparison at the default probes: the k-means refinement
+    // must not trade recall away, and the scan cost must not grow
+    val ivfSeeded = sweepRow("4/16 raw seeds",
+      Similarity.ivfScoredCandidates(corpus, _, 16, 4, Some(seedCents)))
     // IVF-PQ: same cell pruning, but the ADC pass over 8-byte codes
     // picks the exact-scored set — rerankFactor trades exact-scan size
     // against the chance the quantized ranking buries a true neighbor
     val pqFactors = Seq(1, 2, 4, 8)
     val pq = pqFactors.map { f =>
-      sweepRow(s"${f}×k", Similarity.ivfPqRerankSet(corpus, _, K, rerankFactor = f))
+      sweepRow(s"${f}×k", Similarity.ivfPqRerankSet(corpus, _, K,
+        rerankFactor = f, cents = Some(cents16), books = Some(books)))
     }
 
     def fmt(rows: Seq[(String, Double, Double)], knob: String): String =
@@ -137,8 +148,12 @@ class AnnTuningSpec extends SparkTestBase {
          |## IVF (`ivfTopK`) — knob: nProbe of 16 cells
          |
          |Each probed cell adds its members to the scan. Defaults: 4/16.
+         |Centroids are k-means refined (2 distributed Lloyd iterations
+         |over the deterministic seed set — `kmeansRefine`); the row
+         |below the sweep shows the same default config on the RAW
+         |seeds, the pre-training behavior.
          |
-         |""".stripMargin + fmt(ivf, "probes") +
+         |""".stripMargin + fmt(ivf :+ ivfSeeded, "probes") +
       s"""
          |
          |## IVF-PQ (`ivfPqTopK`) — knob: exact-rerank factor
@@ -156,6 +171,12 @@ class AnnTuningSpec extends SparkTestBase {
     val lshDefault = lsh.find(_._1 == "8×8").get
     val ivfDefault = ivf.find(_._1 == "4/16").get
     val pqDefault = pq.find(_._1 == "4×k").get
+    // refinement must pay for itself: recall at the default config at
+    // least the seeded baseline's, without growing the scanned set
+    assert(ivfDefault._2 >= ivfSeeded._2,
+      s"refined recall ${ivfDefault._2} below seeded ${ivfSeeded._2}")
+    assert(ivfDefault._3 <= ivfSeeded._3,
+      s"refined scan ${ivfDefault._3} larger than seeded ${ivfSeeded._3}")
     assert(lshDefault._2 >= 0.9,
       s"LSH default recall ${lshDefault._2} below 0.9 floor\n$doc")
     assert(ivfDefault._2 >= 0.9,
@@ -171,6 +192,26 @@ class AnnTuningSpec extends SparkTestBase {
     // exact-scan it replaces at the same probes — that is the point
     assert(pqDefault._3 < ivfDefault._3,
       s"PQ rerank set ${pqDefault._3} not smaller than IVF scan ${ivfDefault._3}")
+  }
+
+  test("k-means training is deterministic run to run") {
+    // two INDEPENDENT trainings (separate lineages, separate
+    // localCheckpoints) must produce identical models — the property
+    // the committed ANN_TUNING.md's byte-stability rests on
+    def cents(): Seq[(Long, Seq[Double])] =
+      Similarity.centroids(corpus, 16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val (c1, c2) = (cents(), cents())
+    assert(c1 == c2, "IVF centroid training not deterministic")
+    // and the training moved the centroids off the raw seeds
+    val seeds = Similarity.centroids(corpus, 16, refineIters = 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    assert(c1 != seeds, "refinement was a no-op on the training corpus")
+    def books(): Seq[(Int, Int, Seq[Double])] =
+      Similarity.pqCodebooks(corpus).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(t => (t._2, t._1)).toSeq
+    assert(books() == books(), "PQ codebook training not deterministic")
   }
 
   test("pqAdcScores: duplicate candidate ids cannot skew the ADC scores") {

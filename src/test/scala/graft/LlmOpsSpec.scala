@@ -184,16 +184,20 @@ class LlmOpsSpec extends SparkTestBase {
     val emb = rows.toDF("vec_id", "v")
     val (m, k, sub) = (8, 16, 8)
     // ground truth argmin per (vector, subspace), brute-forced locally
-    val cb = rows.take(k).map { case (id, v) =>
-      id.toInt -> v.grouped(sub).toArray
-    }.toMap
-    val codes = Similarity.pqEncode(emb, m, k).collect()
+    // against the TRAINED codebook table — the same table the engine
+    // encodes against (since round 9 codebooks are k-means-refined, so
+    // the raw seed subvectors are no longer the codewords)
+    val books = Similarity.pqCodebooks(emb, m, k)
+    val cb = books.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    assert(cb.size == k * m)
+    val codes = Similarity.pqEncode(emb, m, k, books = Some(books)).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
     assert(codes.size == rows.size * m)
     rows.foreach { case (id, v) =>
       v.grouped(sub).zipWithIndex.foreach { case (sv, si) =>
         val want = (0 until k).minBy { c =>
-          val cw = cb(c)(si)
+          val cw = cb((c, si))
           (sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum, c)
         }
         assert(codes((id, si)) == want,
