@@ -111,15 +111,29 @@ object Dedup {
     * 8 bands × 256 B per document instead. With `minEst = 0` the
     * per-pair estimate is skipped entirely and the output is the raw
     * candidate set. */
-  def lshCandidatesEst(sigs: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
-    val numH = bands * rowsPerBand
-    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+  /** Banded MinHash signature rows: one row per (doc, band) with the
+    * band's hash AND a single combined `band_addr` column
+    * (xxhash64(band_id, band_hash)). One addr column on purpose — the
+    * same posture as [[Similarity.srpBanded]]: Spark's bucket pruning
+    * applies to single-column bucket specs, so at 100 TB the EXISTING
+    * corpus's banded signatures are the stored artifact
+    * (`bucketBy(band_addr)`) and an incremental crawl probes only the
+    * buckets its own signatures address instead of rescanning the
+    * corpus (pinned in PlanSpec). */
+  def bandedSignatures(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
             lit(rowsPerBand))))))
       .toDF("id", "sig", "band_id", "band_hash")
+      .withColumn("band_addr", xxhash64(col("band_id"), col("band_hash")))
+
+  def lshCandidatesEst(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
+    val numH = bands * rowsPerBand
+    val banded = bandedSignatures(sigs, idCol, sigCol, bands, rowsPerBand)
     // upper-triangle (i < j) pair expansion over the sorted bucket
     // members; `other` is the j-side struct, `self` the i-side
     def pairsFrom(i: org.apache.spark.sql.Column) = {
@@ -160,12 +174,19 @@ object Dedup {
   /** MinHash + LSH near-dup pairs with exact shingle-Jaccard verify,
     * UNORDERED — the composition point for [[dedupClusters]] /
     * [[dedupResolve]], which must not inherit a useless global sort. */
-  def nearDupPairs(docsIn: DataFrame): DataFrame = {
-    val hashed = spread(docsIn)
+  /** (doc_id, sh, sig): hashed 3-token shingle sets and the
+    * 32-component MinHash signature — the signature pass shared by the
+    * near-dup pipeline and the incremental store artifact
+    * ([[bandedSignatures]] over this is what an ingest job persists). */
+  def docSignatures(docsIn: DataFrame): DataFrame =
+    spread(docsIn)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingleHashes(col("toks"), 3)).as("sh"))
-    val sigs = hashed.withColumn("sig", minhashSig(col("sh"), 32))
-    lshCandidates(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+      .withColumn("sig", minhashSig(col("sh"), 32))
+
+  def nearDupPairs(docsIn: DataFrame): DataFrame = {
+    val hashed = docSignatures(docsIn)
+    lshCandidates(hashed, "doc_id", "sig", bands = 8, rowsPerBand = 4)
       .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b"))) // one set-op pass
@@ -290,9 +311,11 @@ object Dedup {
     *
     * Scale posture: both sides stream through ONE LSH banding pass
     * (signatures computed once); at 100 TB the existing side's banded
-    * signatures are the stored artifact (bucketBy(band), exactly the
-    * [[Similarity.srpBanded]] layout) so a new crawl only computes its
-    * own signatures and probes the buckets it lands in. Requires
+    * signatures are the stored artifact ([[bandedSignatures]] written
+    * `bucketBy(band_addr)`, exactly the [[Similarity.srpBanded]]
+    * layout) so a new crawl only computes its own signatures and
+    * probes the buckets it lands in — bucket pruning and candidate
+    * parity against the store are pinned in PlanSpec. Requires
     * disjoint doc_id spaces (the id IS the tie-break). */
   def dedupIncremental(newDocs: DataFrame, existing: DataFrame): DataFrame = {
     val tagged = existing.select(col("doc_id"), col("text"))

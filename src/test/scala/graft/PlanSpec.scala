@@ -161,6 +161,78 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: existing-side signatures stored bucketBy(band_addr), probe prunes buckets, survivors unchanged") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, pmod, lit, least, greatest}
+    val docs = Tables.documents(spark, sf)
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    // semantic anchor: the registered operator's survivor set, before
+    // any at-rest layout machinery exists
+    val expected = Dedup.dedupIncremental(newDocs, existing)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // the at-rest artifact the scaladoc promises: the EXISTING corpus's
+    // banded MinHash signatures, bucketed by the combined band address
+    val store = Dedup.bandedSignatures(
+      Dedup.docSignatures(existing), "doc_id", "sig", 8, 4)
+    val path = graft.sources.IO.tmp("graft_incdedup_store_")
+    store.write.mode("overwrite").bucketBy(16, "band_addr")
+      .option("path", s"$path/sigs").saveAsTable("graft_inc_sigs")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // a single-document arrival (the latency path of a streaming
+      // dedup) carries ≤ 8 literal band addresses — the scan must
+      // read ≤ 8 of the 16 buckets, not the whole corpus
+      val oneDoc = Dedup.bandedSignatures(
+        Dedup.docSignatures(newDocs.filter(col("doc_id") === 1L)),
+        "doc_id", "sig", 8, 4)
+        .select("band_addr").collect().map(_.getLong(0)).distinct.toSeq
+      assert(oneDoc.nonEmpty && oneDoc.length <= 8, s"${oneDoc.length} addrs")
+      val probe = spark.table("graft_inc_sigs")
+        .filter(col("band_addr").isin(oneDoc: _*))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString()
+      val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n${plan.take(1500)}")
+      assert(m.get.group(1).toInt <= 8, plan.take(1500))
+
+      // candidate parity: the whole new batch's band join against the
+      // STORE must surface exactly the mixed (new x existing) candidate
+      // pairs the inline pipeline's bucket-groupBy generates — the
+      // exact-verify and greedy drop are pure functions of this set,
+      // so candidate parity is survivor parity for the existing side
+      val newBanded = Dedup.bandedSignatures(
+        Dedup.docSignatures(newDocs), "doc_id", "sig", 8, 4)
+      val viaStore = spark.table("graft_inc_sigs").select(
+          col("id").as("eid"), col("band_id"), col("band_hash"))
+        .join(newBanded.select(col("id").as("nid"), col("band_id"),
+          col("band_hash")), Seq("band_id", "band_hash"))
+        .select(least(col("eid"), col("nid")).as("a"),
+          greatest(col("eid"), col("nid")).as("b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inline = Dedup.lshCandidates(
+          Dedup.docSignatures(docs), "doc_id", "sig", 8, 4)
+        .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(viaStore == inline,
+        s"store-probe candidates diverge: only-store=${(viaStore -- inline).take(5)} " +
+          s"only-inline=${(inline -- viaStore).take(5)}")
+
+      // and the operator's survivor set is unchanged
+      val again = Dedup.dedupIncremental(newDocs, existing)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(again == expected)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS graft_inc_sigs")
+      graft.sources.IO.rmTree(path)
+    }
+  }
+
   test("SRP bands stored bucketBy(band_addr): a probe reads only its buckets") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)
