@@ -417,7 +417,21 @@ object Similarity {
     * Σqdot and Σcw2 by the multiplicity and inflate `asim` by
     * √multiplicity, silently distorting the shortlist). `asim` orders
     * candidates for the rerank cut; it is NOT a reported similarity
-    * (the constant ‖q‖ is dropped — it cannot change the ranking). */
+    * (the constant ‖q‖ is dropped — it cannot change the ranking).
+    *
+    * EARLY ABANDON (considered, rejected): sequential PQ scanners skip
+    * a candidate's remaining subspace lookups once its partial sum
+    * cannot reach the running k-th-best bound. That bound is global
+    * mutable state — on Spark it would mean cross-partition
+    * coordination (or per-partition bounds that abandon almost
+    * nothing) to save at most a factor of m = 8 additions per
+    * candidate in a pass that is already memory-bandwidth-bound over
+    * 8-byte codes and restricted to the probed cells' rows by the
+    * semi join above. The levers that actually move the cost curve at
+    * scale are nProbe and rerankFactor (both measured in
+    * ANN_TUNING.md) and the bucketBy(cell) at-rest layout (pinned in
+    * PlanSpec); a bound-propagating scan would buy a constant at the
+    * price of the plan's determinism and shuffle-freedom. */
   def pqAdcScores(emb: DataFrame, queryId: Long,
       m: Int = 8, k: Int = 16, dim: Int = 64,
       within: Option[DataFrame] = None,
@@ -475,11 +489,35 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
+  /** Process-lifetime trained-model cache for the REGISTERED queries:
+    * quantizer training is an INGEST-time cost (train once, probe
+    * many — the stored cents/books are the deployment artifact), so
+    * repeated invocations of the registered probes reuse one training
+    * per (dataset, params) instead of re-running Lloyd per call — the
+    * same memoization posture as the staged malformed split's
+    * one-parse contract. The cached frames are tiny localCheckpointed
+    * tables bound to this process's SparkContext. */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // keys carry the applicationId: a checkpointed table is bound to its
+  // SparkContext, so a fresh context must never see a stale entry
+  private def trainedCents(s: SparkSession, d: String, n: Int): DataFrame =
+    trained.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:cents:$d:$n",
+      _ => centroids(embTable(s, d), n))
+  private def trainedBooks(s: SparkSession, d: String): DataFrame =
+    trained.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:books:$d",
+      _ => pqCodebooks(embTable(s, d)))
+
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
-    "q_similarity_ivf" -> ((s, d) => ivfTopK(embTable(s, d), 0L, 20)),
-    "q_similarity_ivfpq" -> ((s, d) => ivfPqTopK(embTable(s, d), 0L, 20)),
+    "q_similarity_ivf" -> ((s, d) =>
+      ivfTopK(embTable(s, d), 0L, 20, cents = Some(trainedCents(s, d, 16)))),
+    "q_similarity_ivfpq" -> ((s, d) =>
+      ivfPqTopK(embTable(s, d), 0L, 20,
+        cents = Some(trainedCents(s, d, 16)),
+        books = Some(trainedBooks(s, d)))),
     // Blocked exact near-dup: quadratic only within a label block.
     // Norms are precomputed ONCE per vector (O(n), not O(pairs)), and
     // the per-pair similarity is dot(a,b)/(‖a‖·‖b‖) over the RAW

@@ -161,6 +161,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("window sweep: every partition-less Window in every registered query is the bounded prefix-sum offset stage") {
+    // A Window with no partitionBy moves its whole input to ONE task —
+    // the canonical scale-killer. The engine's contract (Windows.scala
+    // scaladoc): the ONLY unpartitioned window anywhere is the second
+    // stage of withGlobalPrefixSum/withGlobalRowNumber, which runs over
+    // a groupBy(_pid) aggregate — provably ≤ spark.sql.shuffle
+    // .partitions rows, one per range partition. That stage is also the
+    // provenance of the "No Partition Defined for Window operation"
+    // warnings in the verify/soak logs: WindowExec warns on ANY empty
+    // partitionSpec, bounded input or not. This sweep proves the
+    // contract over every registered query: any partition-less Window
+    // whose child subtree does NOT contain the _pid aggregate fails.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .filterNot(_.child.collectFirst {
+          case a: Aggregate if a.groupingExpressions.exists(
+            _.references.exists(_.name == "_pid")) => a
+        }.isDefined)
+        .map(_ => name)
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window over non-prefix-sum input in: ${offenders.distinct}")
+  }
+
   test("incremental dedup: existing-side signatures stored bucketBy(band_addr), probe prunes buckets, survivors unchanged") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, pmod, lit, least, greatest}

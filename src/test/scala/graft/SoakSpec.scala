@@ -34,6 +34,20 @@ class SoakSpec extends SparkTestBase {
     * legitimate single-task stage here stays under ~15 MB. */
   private val SingleTaskShuffleBudget = 32L * 1024 * 1024
 
+  /** Median-of-3 calibration ratio vs the bench's quiet-machine
+    * reference ([[Bench.CalibrationRefSec]]) — the machine-speed
+    * context every soak row carries so round-over-round wall-time
+    * swings adjudicate mechanically (machine-normalized wall =
+    * wall / ratio; same pattern as the bench record's `calibration`
+    * block). The probe's work is fixed per core, so the ratio is
+    * CPU-count-invariant across local[4]/local[32]. Measured AFTER the
+    * timed work, adjacent to what it contextualizes. */
+  private def calRatio(): Double = {
+    Bench.calibrationProbe(spark) // untimed codegen/JIT warmup
+    val s = Seq.fill(3)(Bench.calibrationProbe(spark)).sorted
+    s(1) / Bench.CalibrationRefSec
+  }
+
   /** 30 copies of sf0.1 events, each shifted c months and re-keyed —
     * 3M rows over 30 distinct (year,month) groups, written multi-file
     * so scans parallelize like any real layout. */
@@ -123,6 +137,7 @@ class SoakSpec extends SparkTestBase {
       assert(violations.isEmpty,
         s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
 
+      val ratio = calRatio()
       val doc =
         s"""# Distributed-primitive soak (regenerated by SoakSpec)
            |
@@ -134,14 +149,16 @@ class SoakSpec extends SparkTestBase {
            |small-byte shuffle (offset/statistic aggregates, the bounded
            |distinct grid set), never absorbing a relation-sized shuffle.
            |That is the property that makes these plans survive a 100×
-           |scale-up.
+           |scale-up. Cal ratio = this run's machine speed vs the quiet
+           |reference (median calibration probe / ${Bench.CalibrationRefSec});
+           |machine-normalized wall = wall / ratio.
            |
-           || primitive | rows in | wall s |
-           ||---|---|---|
-           || withGlobalPrefixSum (ts,event_id order) | ${n / 1000000.0}M | ${f"$tPrefix%.1f"} |
-           || equiHeightHistogram (16 buckets) | ${n / 1000000.0}M | ${f"$tHist%.1f"} |
-           || featureCollectionSharded (20k/doc → ${Copies * 5} parts) | ${n / 1000000.0}M | ${f"$tShard%.1f"} |
-           || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} |
+           || primitive | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || withGlobalPrefixSum (ts,event_id order) | ${n / 1000000.0}M | ${f"$tPrefix%.1f"} | ${f"$ratio%.2f"} |
+           || equiHeightHistogram (16 buckets) | ${n / 1000000.0}M | ${f"$tHist%.1f"} | ${f"$ratio%.2f"} |
+           || featureCollectionSharded (20k/doc → ${Copies * 5} parts) | ${n / 1000000.0}M | ${f"$tShard%.1f"} | ${f"$ratio%.2f"} |
+           || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} | ${f"$ratio%.2f"} |
            |""".stripMargin
       SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
         "Distributed-primitive soak", doc)
@@ -205,6 +222,7 @@ class SoakSpec extends SparkTestBase {
         s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
       val maxSingle = log.filter(_._2 == 1).map(_._3).maxOption.getOrElse(0L)
 
+      val ratio = calRatio()
       val section =
         s"""
            |## Connected-components fixpoint (regenerated by SoakSpec)
@@ -212,7 +230,8 @@ class SoakSpec extends SparkTestBase {
            |~1.01M planted edges: one 2^18-node PATH (worst-case diameter)
            |+ 250k path-of-4 components, local[4]. Star contraction
            |converged in **$rounds rounds** (bound log2(n)+2 = $bound) in
-           |${f"$tWall%.1f"} s wall; every chain node labeled cluster 0, one
+           |${f"$tWall%.1f"} s wall (cal ratio ${f"$ratio%.2f"});
+           |every chain node labeled cluster 0, one
            |root per component, all filler clusters exact. Largest
            |single-task shuffle read across the whole fixpoint:
            |${maxSingle / 1024} KB (budget ${SingleTaskShuffleBudget / 1024 / 1024} MB).
@@ -301,6 +320,7 @@ class SoakSpec extends SparkTestBase {
       assert(violations.isEmpty,
         s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
 
+      val ratio = calRatio()
       val section =
         s"""
            |## Incremental dedup soak (regenerated by SoakSpec)
@@ -313,9 +333,9 @@ class SoakSpec extends SparkTestBase {
            |singletons. dedupIncremental returned the EXACT expected
            |survivor set (24,750: hot + existing-paired news all
            |dropped, earlier member of each new↔new pair kept, every
-           |singleton kept) in ${f"$tWall%.1f"} s wall on local[4].
-           |Same listener invariant as above: no single-task stage read
-           |a relation-sized shuffle.
+           |singleton kept) in ${f"$tWall%.1f"} s wall (cal ratio
+           |${f"$ratio%.2f"}) on local[4]. Same listener invariant as
+           |above: no single-task stage read a relation-sized shuffle.
            |""".stripMargin
       SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
         "Incremental dedup soak", section)
@@ -383,6 +403,7 @@ class SoakSpec extends SparkTestBase {
       assert(violations.isEmpty,
         s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
 
+      val ratio = calRatio()
       val section =
         s"""
            |## ANN / IVF-PQ soak (regenerated by SoakSpec)
@@ -394,8 +415,8 @@ class SoakSpec extends SparkTestBase {
            |centroids AND codebooks, the once-per-ingest cost)
            |${f"$tTrain%.1f"} s, then centroid assignment, codebook
            |encode, candidate-pruned ADC, exact rerank — query first,
-           |**10/10 plants in the top-16**, ${f"$tWall%.1f"} s wall on
-           |local[4].
+           |**10/10 plants in the top-16**, ${f"$tWall%.1f"} s wall
+           |(cal ratio ${f"$ratio%.2f"}) on local[4].
            |Same listener invariant as above: every per-vector pass is
            |broadcast-join + partial aggregate; no single-task stage
            |read a relation-sized shuffle.
@@ -454,6 +475,7 @@ class SoakSpec extends SparkTestBase {
       assert(violations.isEmpty,
         s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
 
+      val ratio = calRatio()
       val section =
         s"""
            |## Zarr connector soak (regenerated by SoakSpec)
@@ -463,11 +485,95 @@ class SoakSpec extends SparkTestBase {
            |chunked scan, local[4]. Write ${f"$tWrite%.1f"} s; full scan +
            |aggregate ${f"$tRead%.1f"} s over 80 chunk-partitions, sum exact
            |vs the source rows; a 1-of-5 time slice plans 16 partitions and
-           |counts in ${f"$tSlice%.1f"} s. Same listener invariant as above:
+           |counts in ${f"$tSlice%.1f"} s (cal ratio ${f"$ratio%.2f"}).
+           |Same listener invariant as above:
            |no single-task stage read a relation-sized shuffle.
            |""".stripMargin
       SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
         "Zarr connector soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("staged malformed split soak: 3M dirty rows parsed once, source never re-read") {
+    import graft.sources.IO
+    // 3M-row CSV, 30% malformed (wrong arity / non-numeric value —
+    // both PERMISSIVE-quarantine shapes), written multi-file so the
+    // parse parallelizes like a real crawl drop
+    val n = 3000000L
+    val srcDir = IO.tmp("graft_stagedsoak_src_")
+    spark.range(n).select(
+      when(pmod(col("id"), lit(10)) < 3,
+        concat(lit("r"), col("id"), lit(",broken-line-no-arity")))
+        .otherwise(concat(col("id"), lit(",name_"), col("id"), lit(","),
+          (col("id") % 1000).cast("double")))
+        .as("line"))
+      .repartition(16)
+      .write.mode("overwrite").text(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+      .add(IO.CorruptCol, org.apache.spark.sql.types.StringType)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val staging = IO.tmp("graft_stagedsoak_stage_")
+      val parsed = spark.read.option("mode", "PERMISSIVE")
+        .schema(schema).csv(srcDir)
+      val t0 = System.nanoTime()
+      val (clean0, quarantine0) = IO.stagedMalformedSplit(spark, parsed, staging)
+      val tStage = (System.nanoTime() - t0) / 1e9
+      // the parse happened ONCE, into the staging write: the SOURCE is
+      // now deleted, and both branches must still answer — any re-read
+      // of the raw files would throw
+      IO.rmTree(srcDir)
+      val t1 = System.nanoTime()
+      val nClean = clean0.count()
+      val nQuar = quarantine0.count()
+      val tRead = (System.nanoTime() - t1) / 1e9
+      assert(nClean + nQuar == n, s"$nClean + $nQuar != $n")
+      assert(nQuar == (0L until n).count(_ % 10 < 3),
+        s"quarantine $nQuar != planted malformed count")
+      // quarantine keeps the verbatim rejected line for repair
+      val sample = quarantine0.select(IO.CorruptCol).head.getString(0)
+      assert(sample.contains("broken-line-no-arity"), sample)
+
+      Thread.sleep(2000)
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Staged malformed split soak (regenerated by SoakSpec)
+           |
+           |3M-row dirty CSV (30% malformed: arity/type rejects),
+           |16 source files, local[4]. One PERMISSIVE parse into the
+           |staging parquet in ${f"$tStage%.1f"} s; the SOURCE DIRECTORY
+           |WAS THEN DELETED and both branches still answered from the
+           |staging table (clean ${nClean / 1000000.0}M + quarantine
+           |${nQuar / 1000000.0}M rows counted in ${f"$tRead%.1f"} s,
+           |cal ratio ${f"$ratio%.2f"}) — the parse-once, disk-shaped
+           |contract at crawl scale. Quarantine rows keep the verbatim
+           |rejected text. Same listener invariant as above: no
+           |single-task stage read a relation-sized shuffle.
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Staged malformed split soak", section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

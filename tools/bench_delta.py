@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Self-adjudicating bench comparison (round N vs round N-1).
+
+Usage: python3 tools/bench_delta.py <prev_bench> <cur_bench> [out_md]
+
+Each input is either a driver-written BENCH_r{N}.json (whose `tail`
+field holds the — possibly front-truncated — raw bench stdout) or a
+file containing the bench's single JSON line. Per-query triples and the
+calibration ratio are extracted by regex, so truncation never loses the
+queries that survived into the tail.
+
+Adjudication: per query, compare min-of-3 wall times NORMALIZED by each
+record's calibration ratio (median in-memory probe time vs the committed
+quiet reference — the machine-speed factor). A query is flagged only if
+its normalized delta exceeds FLAG_RATIO and its absolute time is above
+ABS_FLOOR (sub-0.3 s timings are scheduler noise at local[32]; zarr
+scans have shown 1.6x swings on identical code).
+
+Annotations: tools/bench_notes.json maps query -> expected-change note
+(plan changes, new training passes, ...). Flagged queries WITH a note
+render as "expected"; flagged queries WITHOUT one render as
+"REGRESSION?" and exit nonzero so the round log shows the miss.
+
+Purely a dev tool — NOT part of the shipped library.
+"""
+import json
+import os
+import re
+import sys
+
+FLAG_RATIO = 1.3   # same tolerance the calibration probe uses
+ABS_FLOOR = 0.3    # seconds; below this, deltas are scheduler noise
+
+TRIPLE_RE = re.compile(r'"(q_\w+)":\[([0-9.eE+,\s-]+)\]')
+RATIO_RE = re.compile(r'"median_ratio":([0-9.eE+-]+)')
+
+
+def load_record(path):
+    """-> (per-query min-of-3 dict, calibration ratio, truncated?)"""
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+        if isinstance(d, dict) and "tail" in d:
+            raw = d["tail"]
+    except ValueError:
+        pass  # raw bench line (or a fragment) — regex handles it
+    mins = {}
+    for name, nums in TRIPLE_RE.findall(raw):
+        vals = [float(x) for x in nums.split(",") if x.strip()]
+        if vals:
+            mins[name] = min(vals)
+    m = RATIO_RE.search(raw)
+    ratio = float(m.group(1)) if m else 1.0
+    truncated = not raw.lstrip().startswith("{")
+    return mins, ratio, truncated
+
+
+def main():
+    prev_path, cur_path = sys.argv[1], sys.argv[2]
+    out_md = sys.argv[3] if len(sys.argv) > 3 else None
+    notes_path = os.path.join(os.path.dirname(__file__), "bench_notes.json")
+    notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
+
+    prev, prev_ratio, prev_trunc = load_record(prev_path)
+    cur, cur_ratio, cur_trunc = load_record(cur_path)
+    shared = sorted(set(prev) & set(cur))
+    if not shared:
+        print("no shared queries between records", file=sys.stderr)
+        sys.exit(2)
+
+    rows, flagged_unexplained = [], []
+    for q in shared:
+        p_norm = prev[q] / prev_ratio
+        c_norm = cur[q] / cur_ratio
+        delta = c_norm / p_norm if p_norm > 0 else float("inf")
+        flagged = delta > FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR
+        note = notes.get(q, "")
+        verdict = ""
+        if flagged:
+            verdict = "expected" if note else "REGRESSION?"
+            if not note:
+                flagged_unexplained.append(q)
+        elif delta < 1 / FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR:
+            verdict = "improved"
+        rows.append((q, prev[q], cur[q], delta, verdict, note))
+
+    hdr = (f"prev ratio {prev_ratio:.4f}"
+           + (" (tail truncated)" if prev_trunc else "")
+           + f", cur ratio {cur_ratio:.4f}"
+           + (" (tail truncated)" if cur_trunc else ""))
+    lines = [
+        "# Bench delta — calibration-normalized, min-of-3 per query",
+        "",
+        f"Calibration: {hdr}. Normalized delta = "
+        "(cur_min/cur_ratio) / (prev_min/prev_ratio); flagged only when "
+        f"> {FLAG_RATIO}x AND either side >= {ABS_FLOOR}s. "
+        "Notes come from tools/bench_notes.json.",
+        "",
+        "| query | prev min s | cur min s | norm delta | verdict | note |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q, p, c, d, v, note in rows:
+        mark = f"**{d:.2f}x**" if v.startswith("REG") else f"{d:.2f}x"
+        lines.append(f"| {q} | {p:.3f} | {c:.3f} | {mark} | {v} | {note} |")
+    only_prev = sorted(set(prev) - set(cur))
+    only_cur = sorted(set(cur) - set(prev))
+    if only_prev or only_cur:
+        lines += ["", f"Coverage drift: only-prev={only_prev} "
+                      f"only-cur={only_cur} (front-truncated tails drop "
+                      "the alphabetically-early queries)."]
+    doc = "\n".join(lines) + "\n"
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(doc)
+    print(doc)
+    if flagged_unexplained:
+        print(f"UNEXPLAINED slowdowns (> {FLAG_RATIO}x normalized): "
+              f"{flagged_unexplained}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
