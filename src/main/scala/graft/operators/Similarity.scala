@@ -202,7 +202,17 @@ object Similarity {
     * once; IVF uses a single group). Refinement moves recall-vs-cost
     * (measured in ANN_TUNING.md), never the correctness of reported
     * similarities — those are always exact cosines over the candidate
-    * set. */
+    * set.
+    *
+    * Determinism scope: assignment and tie-breaks are exactly
+    * reproducible anywhere; the mean update's floating-point sum order
+    * is fixed only for a fixed partition layout (true in local mode
+    * and on a stable cluster layout — what the AnnTuningSpec
+    * determinism pin and ANN_TUNING.md byte-stability run on). Across
+    * DIFFERENT reduce-merge orders the means can differ in the last
+    * bits, which can flip a borderline point's cell; that perturbs
+    * recall-vs-cost microscopically, never the exactness of reported
+    * similarities. */
   def kmeansRefine(points: DataFrame, seeds: DataFrame, iters: Int,
       cosineMetric: Boolean): DataFrame = {
     var cents = seeds
@@ -499,15 +509,19 @@ object Similarity {
     * tables bound to this process's SparkContext. */
   private val trained = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   // keys carry the applicationId: a checkpointed table is bound to its
-  // SparkContext, so a fresh context must never see a stale entry
+  // SparkContext, so a fresh context must never see a stale entry —
+  // and entries from DEAD contexts are evicted on the next lookup, so
+  // a JVM cycling sessions cannot accumulate dead plan graphs
+  private def trainedGet(s: SparkSession, suffix: String,
+      mk: => DataFrame): DataFrame = {
+    val prefix = s.sparkContext.applicationId + ":"
+    trained.keySet.removeIf(k => !k.startsWith(prefix))
+    trained.computeIfAbsent(prefix + suffix, _ => mk)
+  }
   private def trainedCents(s: SparkSession, d: String, n: Int): DataFrame =
-    trained.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:cents:$d:$n",
-      _ => centroids(embTable(s, d), n))
+    trainedGet(s, s"cents:$d:$n", centroids(embTable(s, d), n))
   private def trainedBooks(s: SparkSession, d: String): DataFrame =
-    trained.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:books:$d",
-      _ => pqCodebooks(embTable(s, d)))
+    trainedGet(s, s"books:$d", pqCodebooks(embTable(s, d)))
 
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),

@@ -187,13 +187,16 @@ object Zarr {
     // sweep temp files orphaned by a PREVIOUS write's hard-killed task
     // attempts (a task dying between createTempFile and the atomic
     // move never runs its finally) — without this an overwritten store
-    // accumulates `.<key>.<rand>.tmp` junk forever
-    Files.list(d).iterator().asScala
+    // accumulates `.<key>.<rand>.tmp` junk forever. Files.list holds a
+    // directory handle — close it or leak one fd per write job.
+    val tmpListing = Files.list(d)
+    try tmpListing.iterator().asScala
       .filter { p =>
         val nm = p.getFileName.toString
         nm.startsWith(".") && nm.endsWith(".tmp")
       }
       .foreach(p => Files.deleteIfExists(p))
+    finally tmpListing.close()
     val compJson = compressor match {
       case None => "null"
       case Some(id) => s"""{"id":"$id","level":5}"""
@@ -301,8 +304,12 @@ object Zarr {
     // drift check with a misleading "non-deterministic input" message;
     // an empty input would reach writeArray with a zero-length shape
     // and throw a raw arithmetic error. Both fail loudly here instead.
+    // the null count is over the CAST value — a string dim whose value
+    // casts to null (e.g. "2020-01") must trip this guard too, not
+    // just a literal null in the source column
     val aggs = dims.map(dm => collect_set(col(dm).cast("double")).as(dm)) ++
-      dims.map(dm => count(when(col(dm).isNull, 1)).as(s"__nulls_$dm")) :+
+      dims.map(dm =>
+        count(when(col(dm).cast("double").isNull, 1)).as(s"__nulls_$dm")) :+
       count(lit(1)).as("__n")
     val sets = df.agg(aggs.head, aggs.tail: _*).head()
     require(sets.getLong(2 * dims.length) > 0,
@@ -361,16 +368,19 @@ object Zarr {
     * are absent, the one-metadata-fetch contract remote stores need. */
   def consolidate(groupDir: String): Unit = {
     val g = Paths.get(groupDir)
-    val entries = Files.list(g).iterator().asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
-      .flatMap { p =>
-        val name = p.getFileName.toString
-        val za = s""""$name/.zarray":${Files.readString(p.resolve(".zarray"))}"""
-        val at = if (Files.exists(p.resolve(".zattrs")))
-          Some(s""""$name/.zattrs":${Files.readString(p.resolve(".zattrs"))}""")
-        else None
-        Iterator(za) ++ at.iterator
-      }.mkString(",")
+    val listing = Files.list(g) // close the directory handle — fd leak otherwise
+    val entries =
+      try listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+        .flatMap { p =>
+          val name = p.getFileName.toString
+          val za = s""""$name/.zarray":${Files.readString(p.resolve(".zarray"))}"""
+          val at = if (Files.exists(p.resolve(".zattrs")))
+            Some(s""""$name/.zattrs":${Files.readString(p.resolve(".zattrs"))}""")
+          else None
+          Iterator(za) ++ at.iterator
+        }.mkString(",")
+      finally listing.close()
     Files.writeString(g.resolve(".zmetadata"),
       s"""{"zarr_consolidated_format":1,"metadata":{$entries}}""")
     ()

@@ -34,18 +34,28 @@ class SoakSpec extends SparkTestBase {
     * legitimate single-task stage here stays under ~15 MB. */
   private val SingleTaskShuffleBudget = 32L * 1024 * 1024
 
-  /** Median-of-3 calibration ratio vs the bench's quiet-machine
-    * reference ([[Bench.CalibrationRefSec]]) — the machine-speed
-    * context every soak row carries so round-over-round wall-time
-    * swings adjudicate mechanically (machine-normalized wall =
-    * wall / ratio; same pattern as the bench record's `calibration`
-    * block). The probe's work is fixed per core, so the ratio is
-    * CPU-count-invariant across local[4]/local[32]. Measured AFTER the
-    * timed work, adjacent to what it contextualizes. */
+  /** Quiet-machine reference for [[Bench.calibrationProbe]] AT THE
+    * SOAK HARNESS SHAPE (local[4] on the 32-core build box; median of
+    * warm samples 0.19–0.20 s). The probe's work is fixed per core,
+    * but per-core SPEED is not thread-count-invariant — 4 busy threads
+    * on a 32-core box run at uncontended turbo while 32 saturate it
+    * (observed: the same quiet machine probes 0.52 s at local[32] vs
+    * ~0.20 s at local[4]) — so the soak carries its own reference and
+    * soak ratios are comparable only across runs of this same
+    * harness shape, which is exactly what round-over-round SOAK.md
+    * adjudication compares. */
+  private val SoakCalibrationRefSec = 0.20
+
+  /** Median-of-3 calibration ratio vs [[SoakCalibrationRefSec]] — the
+    * machine-speed context every soak row carries so round-over-round
+    * wall-time swings adjudicate mechanically (machine-normalized
+    * wall = wall / ratio; same pattern as the bench record's
+    * `calibration` block). Measured AFTER the timed work, adjacent to
+    * what it contextualizes. */
   private def calRatio(): Double = {
     Bench.calibrationProbe(spark) // untimed codegen/JIT warmup
     val s = Seq.fill(3)(Bench.calibrationProbe(spark)).sorted
-    s(1) / Bench.CalibrationRefSec
+    s(1) / SoakCalibrationRefSec
   }
 
   /** 30 copies of sf0.1 events, each shifted c months and re-keyed —
@@ -150,8 +160,9 @@ class SoakSpec extends SparkTestBase {
            |distinct grid set), never absorbing a relation-sized shuffle.
            |That is the property that makes these plans survive a 100×
            |scale-up. Cal ratio = this run's machine speed vs the quiet
-           |reference (median calibration probe / ${Bench.CalibrationRefSec});
-           |machine-normalized wall = wall / ratio.
+           |local[4] reference (median calibration probe /
+           |$SoakCalibrationRefSec s; comparable across runs of this
+           |same harness shape); machine-normalized wall = wall / ratio.
            |
            || primitive | rows in | wall s | cal ratio |
            ||---|---|---|---|

@@ -330,6 +330,28 @@ class ZarrSpec extends SparkTestBase {
     assert(e.getMessage.contains("dim 't' has 1 null coordinate"), e.getMessage)
   }
 
+  test("group sink: a coordinate that CASTS to null fails the guard too") {
+    // the factorization casts dims to double. Under ANSI (the
+    // default) a malformed string fails the cast loudly on its own;
+    // with ANSI OFF the cast nulls SILENTLY — collect_set would drop
+    // the value and the write would die later with the misleading
+    // drift message. The guard counts POST-cast nulls, so it fires
+    // first in both worlds.
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val src = spark.range(0L, 3L).select(
+        concat(lit("t"), col("id")).as("t"),
+        col("id").cast("double").as("value"))
+      val out = graft.sources.IO.tmp("graft_zarr_castnull_") + "/g"
+      val e = intercept[IllegalArgumentException] {
+        Zarr.writeGroupDistributed(src, out, "v", Seq("t"), Array(2))
+      }
+      assert(e.getMessage.contains("dim 't' has 3 null coordinate"), e.getMessage)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("group sink: EMPTY input fails loudly, not with a raw arithmetic error") {
     val src = spark.range(0L, 4L).filter(col("id") < 0)
       .select(col("id").cast("double").as("t"), col("id").cast("double").as("value"))

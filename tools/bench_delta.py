@@ -16,10 +16,17 @@ its normalized delta exceeds FLAG_RATIO and its absolute time is above
 ABS_FLOOR (sub-0.3 s timings are scheduler noise at local[32]; zarr
 scans have shown 1.6x swings on identical code).
 
-Annotations: tools/bench_notes.json maps query -> expected-change note
-(plan changes, new training passes, ...). Flagged queries WITH a note
-render as "expected"; flagged queries WITHOUT one render as
-"REGRESSION?" and exit nonzero so the round log shows the miss.
+A failed pass is recorded by the bench as -1.0; a query whose current
+min is negative is rendered FAILED and exits nonzero — a hard failure
+must never adjudicate as a speedup.
+
+Annotations: tools/bench_notes.json holds {"applies_to_prev":
+"<prev basename>", "notes": {query: note}}. Notes apply ONLY when the
+prev record's basename matches applies_to_prev — a stale note from an
+old round cannot suppress a later regression. Flagged queries WITH an
+applicable note render as "expected"; flagged queries without one
+render as "REGRESSION?" and exit nonzero so the round log shows the
+miss.
 
 Purely a dev tool — NOT part of the shipped library.
 """
@@ -59,7 +66,15 @@ def main():
     prev_path, cur_path = sys.argv[1], sys.argv[2]
     out_md = sys.argv[3] if len(sys.argv) > 3 else None
     notes_path = os.path.join(os.path.dirname(__file__), "bench_notes.json")
-    notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
+    notes = {}
+    if os.path.exists(notes_path):
+        doc = json.load(open(notes_path))
+        if doc.get("applies_to_prev") == os.path.basename(prev_path):
+            notes = doc.get("notes", {})
+        else:
+            print(f"note file targets {doc.get('applies_to_prev')!r}, "
+                  f"prev is {os.path.basename(prev_path)!r} — notes ignored",
+                  file=sys.stderr)
 
     prev, prev_ratio, prev_trunc = load_record(prev_path)
     cur, cur_ratio, cur_trunc = load_record(cur_path)
@@ -68,13 +83,23 @@ def main():
         print("no shared queries between records", file=sys.stderr)
         sys.exit(2)
 
-    rows, flagged_unexplained = [], []
+    rows, flagged_unexplained, failed = [], [], []
     for q in shared:
+        note = notes.get(q, "")
+        if cur[q] < 0:
+            # the bench's failed-pass sentinel: never let a broken query
+            # read as a delta (negative math would render it 'improved')
+            failed.append(q)
+            rows.append((q, prev[q], cur[q], float("nan"), "FAILED", note))
+            continue
+        if prev[q] < 0:
+            rows.append((q, prev[q], cur[q], float("nan"),
+                         "recovered (prev failed)", note))
+            continue
         p_norm = prev[q] / prev_ratio
         c_norm = cur[q] / cur_ratio
         delta = c_norm / p_norm if p_norm > 0 else float("inf")
         flagged = delta > FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR
-        note = notes.get(q, "")
         verdict = ""
         if flagged:
             verdict = "expected" if note else "REGRESSION?"
@@ -100,7 +125,12 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     for q, p, c, d, v, note in rows:
-        mark = f"**{d:.2f}x**" if v.startswith("REG") else f"{d:.2f}x"
+        if v == "FAILED" or v.startswith("recovered"):
+            mark = "—"
+        elif v.startswith("REG"):
+            mark = f"**{d:.2f}x**"
+        else:
+            mark = f"{d:.2f}x"
         lines.append(f"| {q} | {p:.3f} | {c:.3f} | {mark} | {v} | {note} |")
     only_prev = sorted(set(prev) - set(cur))
     only_cur = sorted(set(cur) - set(prev))
@@ -113,9 +143,13 @@ def main():
         with open(out_md, "w") as f:
             f.write(doc)
     print(doc)
+    if failed:
+        print(f"FAILED queries in current record (bench -1 sentinel): "
+              f"{failed}", file=sys.stderr)
     if flagged_unexplained:
         print(f"UNEXPLAINED slowdowns (> {FLAG_RATIO}x normalized): "
               f"{flagged_unexplained}", file=sys.stderr)
+    if failed or flagged_unexplained:
         sys.exit(1)
 
 
