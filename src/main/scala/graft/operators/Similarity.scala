@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY §2.10
@@ -495,6 +496,72 @@ object Similarity {
         rerankFactor, cents, books)
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
 
+  // ------------------------------------------------------------ kNN join
+
+  /** Batched k-NN JOIN: top-k corpus neighbors for EVERY row of a
+    * query set — the shape a training pipeline actually runs
+    * (retrieval eval sets, embedding-dedup probes, hard-negative
+    * mining); [[bruteForceTopK]] is the 1-query special case.
+    *
+    * Exact variant: broadcast the query batch (bounded by contract —
+    * an eval set, not a second corpus), score all pairs in one narrow
+    * pass, then per-query top-k via `row_number` over a window
+    * PARTITIONED by q_id with a rank filter. Catalyst rewrites that
+    * rank filter into a WindowGroupLimit that pre-reduces each map
+    * task to its local top-k per query BEFORE the shuffle (pinned in
+    * PlanSpec), so the exchange carries ≤ k·|queries| rows per task —
+    * never the full pair set. Ranking is on the RAW cosine (unique
+    * vec_id tiebreak), output similarity rounded — so rank and
+    * reported value can never disagree with the oracle over rounding
+    * boundaries. */
+  def knnJoin(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    emb.crossJoin(broadcast(
+        queries.select(col("vec_id").as("q_id"), col("v").as("qv"))))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF-pruned k-NN join — the corpus-scale path: queries rank cells
+    * against the broadcast (trained) centroid table and keep their
+    * `nProbe` nearest; corpus rows join their cell's queries, exact
+    * cosine on that slice, per-query top-k (same WindowGroupLimit
+    * pre-reduction as [[knnJoin]]). At 100 TB the corpus side is the
+    * stored bucketBy(cell) table, so each query batch reads only its
+    * probed cells. At nProbe = nCentroids this EQUALS the exact join
+    * (every cell probed — pinned in AnnTuningSpec); below that, recall
+    * follows the ANN_TUNING.md curve. */
+  def knnJoinIvf(emb: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val cs = cents.getOrElse(centroids(emb, nCentroids))
+    val qcells = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cs))
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    spread(emb).join(ivfAssignTo(emb, cs), "vec_id")
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private[graft] def embTable(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -532,6 +599,15 @@ object Similarity {
       ivfPqTopK(embTable(s, d), 0L, 20,
         cents = Some(trainedCents(s, d, 16)),
         books = Some(trainedBooks(s, d)))),
+    "q_similarity_knn_join" -> ((s, d) => {
+      val emb = embTable(s, d)
+      knnJoin(emb, emb.filter(col("vec_id") < 5), 10)
+    }),
+    "q_similarity_knn_ivf" -> ((s, d) => {
+      val emb = embTable(s, d)
+      knnJoinIvf(emb, emb.filter(col("vec_id") < 5), 10,
+        cents = Some(trainedCents(s, d, 16)))
+    }),
     // Blocked exact near-dup: quadratic only within a label block.
     // Norms are precomputed ONCE per vector (O(n), not O(pairs)), and
     // the per-pair similarity is dot(a,b)/(‖a‖·‖b‖) over the RAW
@@ -576,6 +652,21 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // rank on the RAW cosine with vec_id tiebreak (same as the Spark
+    // side), report the rounded value; row_number cast to Spark's INT
+    "q_similarity_knn_join" ->
+      """SELECT q_id, vec_id, sim, rnk FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 4) AS sim,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                           CAST(q.embedding AS DOUBLE[])) DESC,
+        |                    e.vec_id) AS INT) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 5)
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     // 1-based subscripts shifted to match posexplode's 0-based pos;
     // the testdata embedding dim is fixed at 64 (FIXTURES.md)
     "q_embed_centroids" ->

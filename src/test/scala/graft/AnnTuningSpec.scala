@@ -214,6 +214,39 @@ class AnnTuningSpec extends SparkTestBase {
     assert(books() == books(), "PQ codebook training not deterministic")
   }
 
+  test("knn join: batch equals single probes; IVF at full probes equals exact; plants surface") {
+    val qs = corpus.filter($"vec_id".isin(QueryIds: _*))
+    val exact = Similarity.knnJoin(corpus, qs, K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // batch form ≡ N single probes: same neighbor SET and same ranked
+    // similarity sequence per query (id order among exact rounding
+    // ties may differ — bruteForceTopK ranks on the rounded value to
+    // match its own oracle, knnJoin on the raw)
+    QueryIds.foreach { q =>
+      val single = Similarity.bruteForceTopK(corpus, q, K).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val batch = exact.filter(_._1 == q).sortBy(_._4)
+      assert(batch.map(_._2).toSet == single.map(_._1).toSet,
+        s"query $q: batch knn ids != single-probe ids")
+      assert(batch.map(_._3).toSeq == single.map(_._2).toSeq,
+        s"query $q: ranked similarity sequences differ")
+    }
+    // IVF with EVERY cell probed degrades to the exact join, row for row
+    val cents = Similarity.centroids(corpus, 16)
+    val full = Similarity.knnJoinIvf(corpus, qs, K, 16, 16, Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.sorted.toSeq == exact.sorted.toSeq,
+      "full-probe IVF knn join != exact knn join")
+    // and at the DEFAULT probes every planted near-neighbor surfaces
+    val dflt = Similarity.knnJoinIvf(corpus, qs, K, 16, 4, Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    QueryIds.foreach { q =>
+      assert(planted(q).subsetOf(dflt(q)),
+        s"query $q: plants missing at default probes")
+    }
+  }
+
   test("pqAdcScores: duplicate candidate ids cannot skew the ADC scores") {
     // `within` is a SET contract enforced by a semi join: an inner join
     // would multiply a duplicated id's code rows, scaling Σqdot and

@@ -187,6 +187,15 @@ class PlanSpec extends SparkTestBase {
       s"partition-less Window over non-prefix-sum input in: ${offenders.distinct}")
   }
 
+  test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
+    // the per-query top-k must NOT shuffle the full pair set: the
+    // rnk <= k filter rewrites into a Partial WindowGroupLimit below
+    // the exchange, so each map task ships at most k rows per query
+    val plan = executed("q_similarity_knn_join")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Partial"), plan.take(2000))
+  }
+
   test("incremental dedup: existing-side signatures stored bucketBy(band_addr), probe prunes buckets, survivors unchanged") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, pmod, lit, least, greatest}
