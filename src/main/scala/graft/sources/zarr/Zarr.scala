@@ -291,13 +291,34 @@ object Zarr {
     * (pinned by the q_sink_zarr_group oracle). */
   def writeGroupDistributed(df: DataFrame, groupDir: String, varName: String,
       dims: Seq[String], chunks: Array[Int], compressor: Option[String] = Some("zlib"),
-      fillValue: Double = 0.0): Unit = {
+      fillValue: Double = 0.0, maxIndexSize: Int = 1 << 22): Unit = {
     val s = df.sparkSession
+    // CARDINALITY pre-flight: the factorized index is one value per
+    // distinct coordinate (the xarray index object — driver-resident
+    // and broadcast). A non-grid column (a measurement mistyped as a
+    // dim) has corpus-scale cardinality and would OOM the driver in
+    // the collect_set pass below; a cheap approx_count_distinct pass
+    // (narrow scan, tiny result) fails loudly FIRST. The 5% HLL error
+    // is irrelevant at the bound's magnitude; default 2^22 values/dim
+    // (~32 MB of f8 per coordinate array) is far beyond any real grid
+    // axis and still broadcast-safe.
+    val cards = df.agg(
+      approx_count_distinct(col(dims.head)).as(dims.head),
+      dims.tail.map(dm => approx_count_distinct(col(dm)).as(dm)): _*).head()
+    dims.zipWithIndex.foreach { case (dm, i) =>
+      val c = cards.getLong(i)
+      require(c <= maxIndexSize,
+        s"writeGroupDistributed($groupDir): dim '$dm' has ~$c distinct " +
+          s"values (> maxIndexSize=$maxIndexSize) — a coordinate axis this " +
+          "large is almost certainly a measurement column mistyped as a " +
+          "dim; a factorized index must stay driver/broadcast-sized")
+    }
     // ONE factorization pass for every dim (collect_set per dim in a
     // single aggregate), not one distinct-scan per dim — at 100 TB the
-    // input is read twice total (factorize, write), never 1 + rank
-    // times. Driver footprint identical to per-dim distinct: one value
-    // per index, the xarray index object.
+    // input is read three times total (cardinality pre-flight,
+    // factorize, write), never 2 + rank times. Driver footprint
+    // identical to per-dim distinct: one value per index, the xarray
+    // index object, bounded by the pre-flight above.
     // the same pass also counts rows and per-dim nulls: collect_set
     // silently DROPS null elements, so an unguarded null coordinate
     // would sail through factorization and die much later in the

@@ -303,7 +303,10 @@ class ZarrSpec extends SparkTestBase {
     ZarrSpec.evals.set(0)
     val src = spark.range(0, 4, 1, 1).mapPartitions { it =>
       val eval = ZarrSpec.evals.incrementAndGet()
-      it.map(i => (if (eval > 1 && i == 3) 999.0 else i.toDouble * 10, i.toDouble))
+      // i==3's coordinate differs on EVERY evaluation, so whichever
+      // pass factorized, the later write pass sees a value absent from
+      // it — robust to how many pre-flight passes precede factorization
+      it.map(i => (if (i == 3) eval * 1000.0 else i.toDouble * 10, i.toDouble))
     }.toDF("t", "value")
     val out = graft.sources.IO.tmp("graft_zarr_drift_") + "/g"
     val e = intercept[Exception] {
@@ -350,6 +353,24 @@ class ZarrSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("dim 't' has 3 null coordinate"), e.getMessage)
     } finally spark.conf.set(key, prev)
+  }
+
+  test("group sink: a corpus-cardinality dim fails the pre-flight, not the driver") {
+    // a measurement column mistyped as a dim: every row a distinct
+    // value. The cardinality pre-flight (approx_count_distinct, cheap
+    // narrow pass) must refuse BEFORE the collect_set factorization
+    // materializes a corpus-sized index. Bound shrunk for the test;
+    // the registered q_sink_zarr_group path (default bound) unchanged.
+    val src = spark.range(0L, 1000L).select(
+      (col("id").cast("double") / 7.0).as("t"),
+      col("id").cast("double").as("value"))
+    val out = graft.sources.IO.tmp("graft_zarr_card_") + "/g"
+    val e = intercept[IllegalArgumentException] {
+      Zarr.writeGroupDistributed(src, out, "v", Seq("t"), Array(2),
+        maxIndexSize = 100)
+    }
+    assert(e.getMessage.contains("maxIndexSize") &&
+      e.getMessage.contains("dim 't'"), e.getMessage)
   }
 
   test("group sink: EMPTY input fails loudly, not with a raw arithmetic error") {
