@@ -120,6 +120,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic corpus shuffle + sharding — the pre-training pass
+    * that randomizes document order REPRODUCIBLY and cuts the shuffled
+    * order into `nShards` contiguous shards (the file layout a trainer
+    * streams). Shuffle key = md5(seed ++ doc_id): uniform mixing,
+    * engine-portable (the DuckDB oracle recomputes it bit-identically),
+    * seeded so re-runs and audits reproduce the exact order. Global
+    * position via [[Windows.withGlobalRowNumber]] (range repartition +
+    * per-partition numbering + broadcast offsets — no single-task
+    * window); shard = (pos−1) div ceil(n/nShards) with n from a
+    * broadcast 1-row count (no driver round trip). At 100 TB this IS
+    * the shuffled-shard write job: the range partitioning on the md5
+    * key is skew-free by uniformity, and each shard is a contiguous
+    * slice of the shuffled order. */
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(seed), col("doc_id").cast("string"))).as("skey"))
+    Windows.withGlobalRowNumber(keyed, "pos", col("skey"), col("doc_id"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+      .select(col("doc_id"), col("skey"), col("pos"),
+        floor((col("pos") - 1) / ceil(col("__n") / lit(nShards.toDouble)))
+          .cast("int").as("shard"))
+      .orderBy(col("pos"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * boolean keep/drop gate — the standard heuristic pre-filter for
     * training corpora (C4-style), as one codegen'd projection. */
@@ -287,6 +311,8 @@ object TextOps {
           Seq("en" -> 0.5), defaultRate = 0.75, salt = "mix1")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "q_shuffle_shards" -> ((s, d) =>
+      shuffleShards(Tables.documents(s, d), "g9s", 16)),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -314,6 +340,18 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     // thresholds: floor(rate·2^32) as 8-hex — 0.5→'80000000', 0.75→'c0000000'
+    // row_number over the md5 order = the engine's distributed global
+    // row number; shard arithmetic recomputed identically
+    "q_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |                  md5(concat('g9s', CAST(doc_id AS VARCHAR))) AS skey
+        |           FROM documents),
+        |     p AS (SELECT doc_id, skey,
+        |                  row_number() OVER (ORDER BY skey, doc_id) AS pos
+        |           FROM k)
+        |SELECT p.doc_id, p.skey, CAST(p.pos AS BIGINT) AS pos,
+        |       CAST(floor((p.pos - 1) / ceil((SELECT count(*) FROM k) / 16.0)) AS INT) AS shard
+        |FROM p ORDER BY pos""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)

@@ -401,6 +401,29 @@ class LlmOpsSpec extends SparkTestBase {
     } finally graft.sources.IO.rmTree(root.toString)
   }
 
+  test("shuffleShards: seed-reproducible order, seed-sensitive, shards balanced") {
+    val docs = Tables.documents(spark, sf)
+    def run(seed: String) = TextOps.shuffleShards(docs, seed, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val a = run("s1")
+    // same seed → byte-identical order; different seed → different order
+    assert(a.toSeq == run("s1").toSeq, "same seed must reproduce the order")
+    assert(a.map(_._1).toSeq != run("s2").map(_._1).toSeq,
+      "different seed must permute differently")
+    // positions are a dense 1..n total order and shards are contiguous
+    // slices of it, balanced to within the ceil rounding
+    val n = a.length
+    assert(a.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    val sizes = a.groupBy(_._3).map { case (sh, xs) => sh -> xs.length }
+    val shardSize = math.ceil(n / 16.0).toLong
+    assert(sizes.keys.min == 0 && sizes.keys.max == (n - 1) / shardSize)
+    assert(sizes.values.forall(_ <= shardSize), s"oversized shard: $sizes")
+    a.groupBy(_._3).foreach { case (sh, xs) =>
+      val ps = xs.map(_._2).sorted
+      assert(ps.last - ps.head == ps.length - 1, s"shard $sh not contiguous")
+    }
+  }
+
   test("connectedComponents: chains, separate components, long path, empty input") {
     def cc(edges: (Long, Long)*): Map[Long, Long] =
       Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
