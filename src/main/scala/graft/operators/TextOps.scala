@@ -144,6 +144,31 @@ object TextOps {
       .orderBy(col("pos"))
   }
 
+  /** Reproducible per-source TOKEN-BUDGET mix — "up to B tokens from
+    * each stratum": within each stratum, docs are taken in the
+    * seed-keyed digest order (the same auditable md5 order
+    * [[shuffleShards]] uses) until the stratum's running token total
+    * crosses the budget; a doc is kept iff it STARTS under budget
+    * (cum − n_tok < B), so every stratum gets ≥ 1 doc and the
+    * overshoot is bounded by one document. Deterministic under
+    * retries and re-runs — the mixing audit trail is the key order.
+    *
+    * The per-stratum running total is [[Windows.withGroupedPrefixSum]]
+    * — range-partitioned, so a dominant stratum (most corpora are
+    * 1-language-heavy) spans tasks instead of collapsing the plan to
+    * one (the naive stratum-partitioned window would). */
+  def tokenBudgetMix(docs: DataFrame, stratumCol: String, budgetTokens: Long,
+      seed: String): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col(stratumCol).as("stratum"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      md5(concat(lit(seed), col("doc_id").cast("string"))).as("skey"))
+    Windows.withGroupedPrefixSum(keyed, "stratum", col("n_tok"), "cum",
+        col("skey"), col("doc_id"))
+      .filter(col("cum") - col("n_tok") < budgetTokens)
+      .select(col("doc_id"), col("stratum"), col("n_tok"), col("cum"))
+      .orderBy(col("stratum"), col("cum"), col("doc_id"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * boolean keep/drop gate — the standard heuristic pre-filter for
     * training corpora (C4-style), as one codegen'd projection. */
@@ -313,6 +338,8 @@ object TextOps {
         .orderBy(col("doc_id"))),
     "q_shuffle_shards" -> ((s, d) =>
       shuffleShards(Tables.documents(s, d), "g9s", 16)),
+    "q_mix_token_budget" -> ((s, d) =>
+      tokenBudgetMix(Tables.documents(s, d), "lang", 2000L, "mixb")),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -340,6 +367,20 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     // thresholds: floor(rate·2^32) as 8-hex — 0.5→'80000000', 0.75→'c0000000'
+    // per-stratum window sum over the md5 order = the engine's
+    // distributed grouped prefix sum; same keep rule (starts under
+    // budget)
+    "q_mix_token_budget" ->
+      """SELECT doc_id, stratum, n_tok, CAST(cum AS BIGINT) AS cum FROM (
+        |  SELECT doc_id, lang AS stratum, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang
+        |                          ORDER BY skey, doc_id) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |               md5(concat('mixb', CAST(doc_id AS VARCHAR))) AS skey
+        |        FROM documents))
+        |WHERE cum - n_tok < 2000
+        |ORDER BY stratum, cum, doc_id""".stripMargin,
     // row_number over the md5 order = the engine's distributed global
     // row number; shard arithmetic recomputed identically
     "q_shuffle_shards" ->

@@ -66,6 +66,39 @@ object Windows {
       .drop("_pid", "_lcs")
   }
 
+  /** Distributed PER-GROUP running sum over a total order — the
+    * grouped generalization of [[withGlobalPrefixSum]]. The naive form
+    * (`sum over (partition by grp order by …)`) moves each group to
+    * ONE task, so a dominant group (30% of a 100 TB corpus in one
+    * stratum) becomes a single-task stage. Here: range-repartition on
+    * (group, sortCols) — a big group SPANS partitions contiguously —
+    * local running sums under a (_pid, group)-partitioned window, then
+    * each (partition, group)'s offset added back from a broadcast
+    * aggregate with ≤ shuffle-partitions rows PER GROUP (its window is
+    * group-partitioned and bounded; never partition-less, never
+    * relation-sized). Offset table is (partitions × groups) rows —
+    * broadcast-sized for any sane stratum count. */
+  def withGroupedPrefixSum(df: DataFrame, grpCol: String, valueCol: Column,
+      out: String, sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(parts, col(grpCol) +: sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs",
+        sum(valueCol).over(Window.partitionBy(col("_pid"), col(grpCol))
+          .orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("_pid"), col(grpCol))
+      .agg(sum(valueCol).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.partitionBy(col(grpCol)).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col(grpCol), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid", grpCol))
+      .withColumn(out, col("_lcs") + col("_off"))
+      .drop("_pid", "_lcs", "_off")
+  }
+
   /** Gap-based sessionization over (user_id, ts, event_id) events: a
     * session breaks after > gapSec of inactivity. One row per session:
     * (user_id, session_id ordinal-within-user, n_events, start_us,

@@ -424,6 +424,37 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetMix: keep rule, >=1 doc per stratum, bounded overshoot, seeded") {
+    val docs = Tables.documents(spark, sf)
+    def run(seed: String) = TextOps.tokenBudgetMix(docs, "lang", 2000L, seed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val a = run("mixb")
+    assert(a.toSeq == run("mixb").toSeq, "same seed must reproduce the mix")
+    // the kept set is EXACTLY a local replay of the keep rule: per
+    // stratum, walk the md5(seed++id) order and keep docs that start
+    // under budget
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"),
+        md5(concat(lit("mixb"), col("doc_id").cast("string"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = keyed.groupBy(_._2).flatMap { case (_, xs) =>
+      var cum = 0L
+      xs.toSeq.sortBy(x => (x._4, x._1)).flatMap { case (id, g, n, _) =>
+        val start = cum; cum += n
+        if (start < 2000L) Some((id, g, n, cum)) else None
+      }
+    }.toSet
+    assert(a.toSet == want)
+    // every stratum in the corpus is represented, overshoot < one doc
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(a.map(_._2).toSet == langs)
+    a.groupBy(_._2).foreach { case (g, xs) =>
+      assert(xs.map(_._3).sum < 2000L + xs.map(_._3).max, s"overshoot in $g")
+    }
+    // a different seed draws a different doc set (same budget)
+    assert(a.map(_._1).toSet != run("other").map(_._1).toSet)
+  }
+
   test("connectedComponents: chains, separate components, long path, empty input") {
     def cc(edges: (Long, Long)*): Map[Long, Long] =
       Dedup.connectedComponents(edges.toDF("id_a", "id_b"))

@@ -194,6 +194,29 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(bucketed.nonEmpty, "fixture yields no pairs — test is vacuous")
   }
 
+  test("withGroupedPrefixSum equals the naive grouped window, dominant group included") {
+    import graft.operators.Windows
+    import spark.implicits._
+    // skewed fixture: one group holds 80% of the rows (the shape that
+    // collapses the naive stratum-partitioned window to a single task)
+    val rows = (1L to 400L).map(i => ("big", i, i % 7 + 1)) ++
+      (1L to 50L).map(i => ("s1", i, i % 5 + 1)) ++
+      (1L to 50L).map(i => ("s2", i, i % 3 + 1))
+    val df = rows.toDF("grp", "id", "v")
+    val got = Windows.withGroupedPrefixSum(df, "grp", col("v"), "cum",
+        col("id")).select("grp", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive per-group running sum, computed locally
+    val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      xs.sortBy(_._2).scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, id, v)) =>
+        (g, id, acc + v)
+      }.tail.map { case (_, id, cum) => (g, id) -> cum }
+    }.toMap
+    assert(got == want)
+    assert(Windows.withGroupedPrefixSum(spark.emptyDataset[(String, Long, Long)]
+      .toDF("grp", "id", "v"), "grp", col("v"), "cum", col("id")).count() == 0)
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -99,6 +99,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
   }
 
+  test("q_mix_token_budget: grouped prefix sum range-partitions, never windows per-stratum") {
+    val plan = executed("q_mix_token_budget")
+    // a dominant stratum must SPAN tasks: the running sum is windowed
+    // by (_pid, stratum) over a range partitioning, and no window is
+    // partitioned by the stratum alone (that would be one task per
+    // language at 100 TB)
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(_pid"), plan.take(2000))
+    val lp = SparkEntry.queries("q_mix_token_budget")(spark, sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val strataOnly = lp.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty &&
+        !w.partitionSpec.exists(_.references.exists(_.name == "_pid")) => w
+    }.filterNot(_.child.collectFirst {
+      // the offset stage windows by stratum alone — but over the
+      // (_pid, stratum) aggregate, provably ≤ partitions rows/stratum
+      case a: Aggregate if a.groupingExpressions.exists(
+        _.references.exists(_.name == "_pid")) => a
+    }.isDefined)
+    assert(strataOnly.isEmpty,
+      s"window partitioned by the stratum alone: ${strataOnly.map(_.partitionSpec)}")
+  }
+
   test("q_agg_min_diff: neighbor gaps under an (axis,bucket)-partitioned window") {
     val plan = executed("q_agg_min_diff")
     assert(plan.contains("hashpartitioning(axis") && plan.contains("bucket"),
