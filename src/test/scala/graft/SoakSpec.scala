@@ -107,6 +107,27 @@ class SoakSpec extends SparkTestBase {
       }
       assert(ranked.getLong(0) == 1L && ranked.getLong(1) == n)
 
+      // 1b. grouped prefix sum under dominant-group skew: 80% of the
+      //     relation in ONE stratum (the 1-language-heavy corpus
+      //     shape); the listener invariant below proves the dominant
+      //     group spanned tasks instead of collapsing to one
+      val skewed = fixture.withColumn("grp",
+        when(pmod(col("event_id"), lit(10)) < 8, lit("big"))
+          .otherwise(concat(lit("s"), pmod(col("event_id"), lit(10)))))
+      val (grouped, tGrouped) = timed {
+        Windows.withGroupedPrefixSum(skewed, "grp", lit(1L), "rn",
+            col("ts"), col("event_id"))
+          .groupBy(col("grp")).agg(min(col("rn")).as("lo"),
+            max(col("rn")).as("hi"), count(lit(1)).as("cnt"))
+          .collect()
+      }
+      assert(grouped.length == 3)
+      grouped.foreach { r =>
+        assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3),
+          s"group ${r.getString(0)}: ${r.toSeq}")
+      }
+      assert(grouped.find(_.getString(0) == "big").get.getLong(3) == n * 8 / 10)
+
       // 2. equi-height histogram (global row number + arithmetic buckets)
       val (hist, tHist) = timed {
         Climate.equiHeightHistogram(fixture, "value", "event_id", 16).collect()
@@ -167,6 +188,7 @@ class SoakSpec extends SparkTestBase {
            || primitive | rows in | wall s | cal ratio |
            ||---|---|---|---|
            || withGlobalPrefixSum (ts,event_id order) | ${n / 1000000.0}M | ${f"$tPrefix%.1f"} | ${f"$ratio%.2f"} |
+           || withGroupedPrefixSum (80%-dominant stratum) | ${n / 1000000.0}M | ${f"$tGrouped%.1f"} | ${f"$ratio%.2f"} |
            || equiHeightHistogram (16 buckets) | ${n / 1000000.0}M | ${f"$tHist%.1f"} | ${f"$ratio%.2f"} |
            || featureCollectionSharded (20k/doc → ${Copies * 5} parts) | ${n / 1000000.0}M | ${f"$tShard%.1f"} | ${f"$ratio%.2f"} |
            || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} | ${f"$ratio%.2f"} |
