@@ -169,6 +169,28 @@ object TextOps {
       .orderBy(col("stratum"), col("cum"), col("doc_id"))
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-sizing question "how
+    * many token types cover X% of the corpus token stream". Token
+    * types counted corpus-wide (one digest-light shuffle with map-side
+    * partials), ranked by (count desc, token), kept while the covered
+    * mass STARTS under the target (the [[tokenBudgetMix]] keep rule:
+    * the crossing type is kept, so coverage is reached and overshoot
+    * is bounded by one type). The running mass is
+    * [[Windows.withGlobalPrefixSum]] over the (cnt desc, token) total
+    * order — range-partitioned, no single-task window even though the
+    * order is global; the corpus total rides in as a broadcast 1-row
+    * aggregate (no driver round trip). */
+  def vocabCoverage(docs: DataFrame, coverage: Double): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    Windows.withGlobalPrefixSum(counts, col("cnt"), "cum",
+        col("cnt").desc, col("token"))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("__t"))))
+      .filter(col("cum") - col("cnt") < col("__t") * coverage)
+      .select(col("token"), col("cnt"), col("cum"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * boolean keep/drop gate — the standard heuristic pre-filter for
     * training corpora (C4-style), as one codegen'd projection. */
@@ -340,6 +362,8 @@ object TextOps {
       shuffleShards(Tables.documents(s, d), "g9s", 16)),
     "q_mix_token_budget" -> ((s, d) =>
       tokenBudgetMix(Tables.documents(s, d), "lang", 2000L, "mixb")),
+    "q_vocab_coverage" -> ((s, d) =>
+      vocabCoverage(Tables.documents(s, d), 0.5)),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -381,6 +405,22 @@ object TextOps {
         |        FROM documents))
         |WHERE cum - n_tok < 2000
         |ORDER BY stratum, cum, doc_id""".stripMargin,
+    // global window sum over the (cnt desc, token) order = the
+    // engine's distributed global prefix sum; same start-under-target
+    // keep rule against the corpus token total
+    "q_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY token)
+        |SELECT token, cnt, CAST(cum AS BIGINT) AS cum FROM (
+        |  SELECT token, cnt,
+        |         sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum,
+        |         sum(cnt) OVER () AS t
+        |  FROM counts)
+        |WHERE cum - cnt < t * 0.5
+        |ORDER BY cnt DESC, token""".stripMargin,
     // row_number over the md5 order = the engine's distributed global
     // row number; shard arithmetic recomputed identically
     "q_shuffle_shards" ->

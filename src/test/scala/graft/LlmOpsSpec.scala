@@ -455,6 +455,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.map(_._1).toSet != run("other").map(_._1).toSet)
   }
 
+  test("vocabCoverage: keep rule replay, coverage reached, one-type overshoot bound") {
+    val corpus = Tables.documents(spark, sf)
+    val a = TextOps.vocabCoverage(corpus, 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // local replay of the keep rule: rank types by (cnt desc, token),
+    // keep while the running mass STARTS under half the stream
+    val counts = corpus.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    var cum = 0L
+    val want = counts.sortBy { case (t, c) => (-c, t) }.flatMap { case (t, c) =>
+      val start = cum; cum += c
+      if (start < total * 0.5) Some((t, c, cum)) else None
+    }
+    assert(a.toSeq == want.toSeq, "kept prefix must replay the keep rule in order")
+    val kept = a.map(_._2).sum
+    assert(kept >= total * 0.5, "coverage target must be reached")
+    assert(kept - a.map(_._2).min < total * 0.5,
+      "dropping the crossing type must fall back under target (one-type overshoot)")
+  }
+
   test("connectedComponents: chains, separate components, long path, empty input") {
     def cc(edges: (Long, Long)*): Map[Long, Long] =
       Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
