@@ -444,8 +444,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated-SPAN removal (the C4-style boilerplate
+    * pass): cut every document into non-overlapping `k`-token blocks,
+    * count each block's distinct-document frequency corpus-wide, drop
+    * blocks appearing in ≥ `maxDocs` documents, and reassemble the
+    * surviving blocks in original order. Documents whose every block
+    * is boilerplate vanish from the output (that IS the point of the
+    * pass). Output: (doc_id, text_clean).
+    *
+    * Scale posture: blocks are keyed by 8-byte xxhash64 digests, so
+    * the count aggregate and the count join shuffle (digest, count) /
+    * (digest, doc_id, pos, block) — each token crosses the wire once,
+    * inside exactly one block; nothing is all-pairs and no stage sees
+    * more than ~corpus bytes. (64-bit digest collisions would merge
+    * two blocks' counts; at 10^9 distinct blocks the expected number
+    * of colliding pairs is ~0.03 — documented, not guarded.)
+    * Reassembly is a per-document sort_array over (pos, block) structs
+    * — group-local, never a global window. */
+  def dedupSpans(docs: DataFrame, k: Int, maxDocs: Int): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ((size(col("t")) - 1) / lit(k)).cast("int")),
+          i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("pos", "blk")))
+      .withColumn("bdig", xxhash64(col("blk")))
+    val counts = blocks.groupBy(col("bdig"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    blocks.join(counts, "bdig")
+      .filter(col("nd") < maxDocs)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("blk")))),
+        x => x("blk")), " ").as("text_clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_near" -> ((s, d) => dedupNear(Tables.documents(s, d))),
+    "q_dedup_spans" -> ((s, d) =>
+      dedupSpans(Tables.documents(s, d), 3, 2).orderBy(col("doc_id"))),
     "q_dedup_ngram" -> ((s, d) => dedupNgram(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
@@ -470,6 +507,28 @@ object Dedup {
   // the harness data (see scaladoc). The ENGINE never does this O(n²)
   // scan; the oracle may.
   val oracle: Map[String, String] = Map(
+    // span-dedup oracle counts the BLOCK STRINGS themselves — a
+    // digest-free cross-check of the engine's xxhash64-keyed path;
+    // 1-based list positions (vs the engine's 0-based posexplode) only
+    // order the reassembly, they never reach the output
+    "q_dedup_spans" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, CAST((len(t) - 1) // 3 AS BIGINT) + 2),
+        |           i -> {'pos': i,
+        |                 'blk': array_to_string(t[((i-1)*3+1):((i-1)*3+3)], ' ')}) AS l
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0),
+        |blocks AS (
+        |  SELECT doc_id, u.pos AS pos, u.blk AS blk
+        |  FROM (SELECT doc_id, unnest(l) AS u FROM b)),
+        |counts AS (
+        |  SELECT blk, count(DISTINCT doc_id) AS nd FROM blocks GROUP BY blk)
+        |SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text_clean
+        |FROM blocks JOIN counts USING (blk)
+        |WHERE nd < 2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // decontamination oracle compares the SHINGLE STRINGS themselves —
     // a digest-free cross-check of the engine's hash-compare path
     "q_dedup_decontaminate" ->

@@ -39,23 +39,68 @@ object Snapshot {
           .otherwise("unchanged").as("change"))
   }
 
+  /** Apply a classified change set to a snapshot — the MERGE half of
+    * the CDC pair: rows whose key carries a delete or update leave the
+    * old snapshot, and the change set's insert/update payloads come in.
+    * `changes` must carry (key, change, payload-cols…) with change ∈
+    * insert | update | delete (unchanged rows may be present and are
+    * ignored — they carry no payload obligation).
+    *
+    * Scale posture: one anti-join of the snapshot against the
+    * (typically tiny) touched-key set plus a union with the payload
+    * rows — the snapshot mass streams through untouched, AQE
+    * broadcasts the key set when it is small, and
+    * apply(diff(old, new), old) ≡ new by construction (the registered
+    * query's oracle IS the new snapshot, proving the round trip). */
+  def snapshotApply(oldDf: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payloadCols = oldDf.columns.filterNot(_ == key).toSeq
+    val outCols = (key +: payloadCols).map(col)
+    val touched = changes
+      .filter(col("change").isin("delete", "update"))
+      .select(col(key))
+    val incoming = changes
+      .filter(col("change").isin("insert", "update"))
+      .select(outCols: _*)
+    oldDf.join(touched, Seq(key), "left_anti")
+      .select(outCols: _*)
+      .unionByName(incoming)
+  }
+
+  // two deterministic "crawl snapshots" derived from documents: the new
+  // crawl drops every 11th doc, rewrites every remaining 7th, and
+  // discovers a shifted-id batch — all four diff outcomes occur
+  private def oldCrawl(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+
+  private def newCrawl(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
   val queries: Map[String, Q] = Map(
-    // two deterministic "crawl snapshots" derived from documents:
-    // the new crawl drops every 11th doc, rewrites every remaining 7th,
-    // and discovers a shifted-id batch — the diff must classify all four
-    // outcomes; only changed keys are emitted (the unchanged mass stays
-    // in the cluster).
+    // only changed keys are emitted (the unchanged mass stays in the
+    // cluster)
     "q_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val oldSnap = docs.select(col("doc_id"), col("text"))
-      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      snapshotDiff(oldCrawl(docs), newCrawl(docs), "doc_id", Seq("text"))
         .filter(col("change") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    }),
+    // diff the two crawls, attach the new-crawl payload to the change
+    // set, apply it to the OLD snapshot — the result must BE the new
+    // snapshot (the oracle recomputes it directly, closing the
+    // diff→apply round trip end-to-end)
+    "q_snapshot_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = oldCrawl(docs)
+      val newSnap = newCrawl(docs)
+      val changes = snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .filter(col("change") =!= "unchanged")
+        .join(newSnap, Seq("doc_id"), "left")
+      snapshotApply(oldSnap, changes, "doc_id")
         .orderBy(col("doc_id"))
     }),
   )
@@ -81,6 +126,15 @@ object Snapshot {
         |            WHEN n.doc_id IS NULL THEN 'delete'
         |            WHEN o.text IS DISTINCT FROM n.text THEN 'update'
         |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+    // the oracle IS the new snapshot — apply(diff(old, new), old) must
+    // reproduce it row for row
+    "q_snapshot_apply" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |FROM documents WHERE doc_id % 11 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -101,6 +101,42 @@ object TextOps {
         < threshold)
   }
 
+  /** Rebalance the corpus to TARGET mixture proportions — the domain/
+    * language rebalancing step of a training-data pipeline ("make the
+    * mix 20% per language"). The largest total size T satisfying every
+    * stratum's target from its available count is T = min_g(count_g /
+    * target_g); each stratum then keeps rate_g = target_g · T / count_g
+    * of its documents (the binding stratum keeps everything) via the
+    * same RNG-free digest threshold as [[stratifiedSample]] —
+    * deterministic under retries and re-runs. Strata absent from
+    * `targets` are dropped (target 0).
+    *
+    * Scale posture: the rates derive from a per-stratum count aggregate
+    * (G rows) crossed with a broadcast 1-row min — no driver round
+    * trip — and re-attach to the corpus by broadcast join, so the
+    * corpus itself never reshuffles; the keep predicate is a codegen'd
+    * projection + filter. */
+  def mixProportions(docs: DataFrame, stratumCol: String,
+      targets: Seq[(String, Double)], salt: String): DataFrame = {
+    val targetExpr = targets.foldLeft(lit(0.0)) {
+      case (acc, (v, t)) => when(col(stratumCol) === v, lit(t)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__target", targetExpr)
+      .filter(col("__target") > 0)
+    val tMin = counts.agg(min(col("__cnt") / col("__target")).as("__t"))
+    val rates = counts.crossJoin(broadcast(tMin))
+      .select(col(stratumCol),
+        (col("__target") * col("__t") / col("__cnt")).as("__rate"))
+    val thr = format_string("%08x",
+      least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
+    docs.join(broadcast(rates), stratumCol)
+      .filter(col("__rate") >= 1.0 ||
+        substring(sha2(concat(col("doc_id").cast("string"), lit(":" + salt)), 256), 1, 8)
+          < thr)
+      .drop("__rate")
+  }
+
   /** SEQUENCE PACKING: assign documents to ~`budgetTokens`-token
     * training shards by position in the corpus order — the
     * context-window packing step every LLM training pipeline runs
@@ -364,6 +400,14 @@ object TextOps {
       tokenBudgetMix(Tables.documents(s, d), "lang", 2000L, "mixb")),
     "q_vocab_coverage" -> ((s, d) =>
       vocabCoverage(Tables.documents(s, d), 0.5)),
+    // uniform 20%-per-language target: the binding (rarest) language
+    // keeps everything, the dominant one downsamples hardest
+    "q_mix_proportions" -> ((s, d) =>
+      mixProportions(Tables.documents(s, d), "lang",
+          Seq("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+          "mixp")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -421,6 +465,25 @@ object TextOps {
         |  FROM counts)
         |WHERE cum - cnt < t * 0.5
         |ORDER BY cnt DESC, token""".stripMargin,
+    // identical IEEE double chain (cnt/target, min, target*T/cnt) in
+    // both engines — every literal cast to DOUBLE so DuckDB's DECIMAL
+    // arithmetic never enters; printf('%08x') mirrors format_string
+    "q_mix_proportions" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang,
+        |         CAST(0.2 AS DOUBLE)
+        |           * (SELECT min(cnt / CAST(0.2 AS DOUBLE)) FROM counts)
+        |           / cnt AS rate
+        |  FROM counts)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE r.rate >= 1.0
+        |   OR substr(sha256(CAST(d.doc_id AS VARCHAR) || ':mixp'), 1, 8)
+        |      < printf('%08x', CAST(least(floor(r.rate * 4294967296.0),
+        |                                  4294967295) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
     // row_number over the md5 order = the engine's distributed global
     // row number; shard arithmetic recomputed identically
     "q_shuffle_shards" ->

@@ -333,6 +333,79 @@ class LlmOpsSpec extends SparkTestBase {
       4L -> "insert", 5L -> "unchanged"))
   }
 
+  test("snapshotApply closes the diff round trip: apply(diff(old,new), old) == new") {
+    import graft.operators.Snapshot
+    val oldSnap = Seq((1L, "same"), (2L, "was"), (3L, "gone"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "now"), (4L, "new"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val changes = Snapshot.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .filter(col("change") =!= "unchanged")
+      .join(newSnap, Seq("doc_id"), "left")
+    val merged = Snapshot.snapshotApply(oldSnap, changes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = newSnap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == want)
+    // an empty change set is the identity
+    val idOut = Snapshot.snapshotApply(oldSnap, changes.limit(0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(idOut == oldSnap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("dedupSpans removes cross-doc repeated blocks, keeps order, drops hollow docs") {
+    // doc 1/2 share the boilerplate block "aa bb cc" (plus unique tails);
+    // doc 3 is entirely that block; doc 4 is untouched unique content
+    val d = docs(
+      1L -> "aa bb cc one two three",
+      2L -> "aa bb cc four five six",
+      3L -> "aa bb cc",
+      4L -> "seven eight nine ten eleven twelve")
+    val res = Dedup.dedupSpans(d, 3, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res == Map(
+      1L -> "one two three",
+      2L -> "four five six",
+      4L -> "seven eight nine ten eleven twelve"), s"got $res")
+    // a trailing partial block survives independently of the full ones
+    val tail = Dedup.dedupSpans(docs(
+      1L -> "aa bb cc zz",
+      2L -> "aa bb cc yy"), 3, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tail == Map(1L -> "zz", 2L -> "yy"), s"got $tail")
+  }
+
+  test("mixProportions hits the uniform target: binding stratum whole, replayable") {
+    val corpus = Tables.documents(spark, sf)
+    val targets = Seq("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    def run(salt: String) = TextOps.mixProportions(corpus, "lang", targets, salt)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = run("mixp")
+    assert(a.toSeq == run("mixp").toSeq, "same salt must reproduce the mix")
+    // local replay of the rate computation + digest predicate
+    val byLang = corpus.select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cnt = byLang.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tMin = cnt.values.map(_ / 0.2).min
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex8(id: Long) = md.digest(s"$id:mixp".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val want = byLang.filter { case (id, g) =>
+      val rate = 0.2 * tMin / cnt(g)
+      rate >= 1.0 || hex8(id) < f"${math.min(math.floor(rate * 4294967296.0).toLong, 4294967295L)}%08x"
+    }.toSet
+    assert(a.toSet == want)
+    // the binding (rarest) stratum keeps every document; the mix is
+    // far closer to uniform than the skewed input (en/fr ~3.4x)
+    val keptPerLang = a.groupBy(_._2).view.mapValues(_.length).toMap
+    val binding = cnt.minBy(_._2)._1
+    assert(keptPerLang(binding).toLong == cnt(binding))
+    assert(keptPerLang.values.max.toDouble / keptPerLang.values.min <= 2.0,
+      s"mix not rebalanced: $keptPerLang")
+    // a different salt draws a different doc set
+    assert(a.map(_._1).toSet != run("other").map(_._1).toSet)
+  }
+
   test("frameSample emits the exact byte slices; resize normalizes every payload") {
     val docs = Tables.documents(spark, sf).limit(30)
     val payloads = Multimodal.withPayload(docs)
