@@ -137,6 +137,26 @@ object TextOps {
       .drop("__rate")
   }
 
+  /** EPOCH UPSAMPLING — the repeat-factor half of data mixing: emit
+    * each document `n_g` times (epoch 1..n_g) where `n_g` is its
+    * stratum's integer repeat factor ("see curated sources 3×, the web
+    * crawl once"). Deterministic and exact — no sampling — so the
+    * trainer's shard manifest is reproducible; strata absent from
+    * `factors` use `defaultFactor`.
+    *
+    * Scale posture: a codegen'd `explode(sequence(1, n))` projection —
+    * no shuffle at all; the fan-out multiplies rows inside the scan
+    * stage and downstream repartitioning (shuffle/pack) sees the
+    * already-weighted stream. */
+  def upsampleEpochs(docs: DataFrame, stratumCol: String,
+      factors: Seq[(String, Int)], defaultFactor: Int): DataFrame = {
+    val n = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (v, f)) => when(col(stratumCol) === v, lit(f)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col(stratumCol),
+      explode(sequence(lit(1), n)).as("epoch"))
+  }
+
   /** SEQUENCE PACKING: assign documents to ~`budgetTokens`-token
     * training shards by position in the corpus order — the
     * context-window packing step every LLM training pipeline runs
@@ -400,6 +420,11 @@ object TextOps {
       tokenBudgetMix(Tables.documents(s, d), "lang", 2000L, "mixb")),
     "q_vocab_coverage" -> ((s, d) =>
       vocabCoverage(Tables.documents(s, d), 0.5)),
+    // upweight the rare languages (fr hardest), web-scale en once
+    "q_mix_epochs" -> ((s, d) =>
+      upsampleEpochs(Tables.documents(s, d), "lang",
+          Seq("en" -> 1, "fr" -> 3), defaultFactor = 2)
+        .orderBy(col("doc_id"), col("epoch"))),
     // uniform 20%-per-language target: the binding (rarest) language
     // keeps everything, the dominant one downsamples hardest
     "q_mix_proportions" -> ((s, d) =>
@@ -465,6 +490,13 @@ object TextOps {
         |  FROM counts)
         |WHERE cum - cnt < t * 0.5
         |ORDER BY cnt DESC, token""".stripMargin,
+    // constant-bound generate_series + factor filter (installed DuckDB
+    // can't make the series lateral over a column)
+    "q_mix_epochs" ->
+      """SELECT doc_id, lang, CAST(e AS INT) AS epoch
+        |FROM documents, generate_series(1, 3) AS g(e)
+        |WHERE e <= (CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 3 ELSE 2 END)
+        |ORDER BY doc_id, epoch""".stripMargin,
     // identical IEEE double chain (cnt/target, min, target*T/cnt) in
     // both engines — every literal cast to DOUBLE so DuckDB's DECIMAL
     // arithmetic never enters; printf('%08x') mirrors format_string

@@ -406,6 +406,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.map(_._1).toSet != run("other").map(_._1).toSet)
   }
 
+  test("upsampleEpochs fans out by stratum factor with contiguous epoch numbers") {
+    val d = docs(1L -> "a", 2L -> "b").withColumn("lang",
+      when(col("doc_id") === 1L, "en").otherwise("fr"))
+    val res = TextOps.upsampleEpochs(d, "lang", Seq("en" -> 1, "fr" -> 3), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(res.toSet == Set((1L, "en", 1), (2L, "fr", 1), (2L, "fr", 2), (2L, "fr", 3)))
+    // unlisted stratum takes the default factor
+    val other = docs(3L -> "c").withColumn("lang", lit("zh"))
+    val deflt = TextOps.upsampleEpochs(other, "lang", Seq("en" -> 1), 2)
+      .collect().map(_.getInt(2)).sorted
+    assert(deflt.toSeq == Seq(1, 2))
+  }
+
   test("frameSample emits the exact byte slices; resize normalizes every payload") {
     val docs = Tables.documents(spark, sf).limit(30)
     val payloads = Multimodal.withPayload(docs)
