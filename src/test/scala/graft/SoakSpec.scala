@@ -375,6 +375,76 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("span dedup soak: 300k docs, 100% boilerplate prefix, exact cleaned corpus") {
+    // 300k documents that all open with the same 9-token boilerplate
+    // header (3 blocks shared by EVERY doc — the worst corpus-wide
+    // block frequency) followed by a 21-token pseudo-random unique
+    // tail; 10k docs are boilerplate-ONLY and must vanish. The cleaned
+    // corpus is exactly computable: each surviving doc's text_clean is
+    // its tail, verbatim. ~3M blocks flow through the digest-keyed
+    // count/join; the standing listener invariant applies.
+    import graft.operators.Dedup
+    val boiler = "bp0 bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8"
+    def tailFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", transform(sequence(lit(0), lit(20)), k =>
+        concat(lit("u"), xxhash64(id, k))))
+    val docs = spark.range(0L, 300000L).select(col("id").as("doc_id"),
+        when(col("id") < 10000L, lit(boiler))
+          .otherwise(concat(lit(boiler + " "), tailFor(col("id")))).as("text"))
+      .repartition(8)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val cleaned = Dedup.dedupSpans(docs, 3, 2)
+      val expected = spark.range(10000L, 300000L).select(col("id").as("doc_id"),
+        tailFor(col("id")).as("text_clean"))
+      // exact corpus equality, asserted distributed: inner join on
+      // (doc_id, text_clean) must cover both sides completely
+      val matched = cleaned.join(expected, Seq("doc_id", "text_clean")).count()
+      val total = cleaned.count()
+      val tWall = (System.nanoTime() - t0) / 1e9
+      assert(total == 290000L, s"expected 290000 surviving docs, got $total")
+      assert(matched == 290000L,
+        s"cleaned text diverges from the planted tails: $matched/290000 match")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Span dedup soak (regenerated by SoakSpec)
+           |
+           |300k docs, every one opening with the same 9-token
+           |boilerplate header (3 blocks shared corpus-wide — the worst
+           |block frequency: one digest's count is 300k) plus a
+           |21-token unique tail; 10k docs boilerplate-only. ~3M blocks
+           |through the xxhash64-keyed count aggregate and count join.
+           |dedupSpans returned EXACTLY the planted cleaned corpus
+           |(290,000 docs, each text_clean its tail verbatim — inner
+           |join covered both sides; boilerplate-only docs vanished) in
+           |${f"$tWall%.1f"} s wall (cal ratio ${f"$ratio%.2f"}) on
+           |local[4]. No single-task stage read a relation-sized
+           |shuffle.
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Span dedup soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ANN soak: 500k vectors through IVF-PQ, planted neighbors surface") {
     // 1000× the harness embeddings table: 500k deterministic
     // pseudo-random 64-dim vectors plus 10 tiny-jitter near-copies of
