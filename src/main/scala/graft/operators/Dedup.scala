@@ -462,7 +462,11 @@ object Dedup {
     * Reassembly is a per-document sort_array over (pos, block) structs
     * — group-local, never a global window. */
   def dedupSpans(docs: DataFrame, k: Int, maxDocs: Int): DataFrame = {
-    val blocks = docs
+    // spread() before the tokenize+posexplode map work (single-split
+    // harness artifact; see package.scala) — it runs TWICE, once per
+    // join branch, since Spark does not reuse the exchange across
+    // differently-aliased join inputs
+    val blocks = spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), posexplode(

@@ -96,10 +96,15 @@ object TextOps {
     val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (v, r)) => when(col(stratumCol) === v, lit(hexThreshold(r))).otherwise(acc)
     }
-    docs.filter(
-      substring(sha2(concat(col("doc_id").cast("string"), lit(":" + salt)), 256), 1, 8)
-        < threshold)
+    docs.filter(digestHex8(col("doc_id"), salt) < threshold)
   }
+
+  /** First 8 hex chars of sha-256(id:salt) — the shared keep key of
+    * the RNG-free digest-threshold samplers ([[stratifiedSample]],
+    * [[mixProportions]]); lowercase hex compares identically across
+    * engines. */
+  private def digestHex8(id: Column, salt: String): Column =
+    substring(sha2(concat(id.cast("string"), lit(":" + salt)), 256), 1, 8)
 
   /** Rebalance the corpus to TARGET mixture proportions — the domain/
     * language rebalancing step of a training-data pipeline ("make the
@@ -107,9 +112,15 @@ object TextOps {
     * stratum's target from its available count is T = min_g(count_g /
     * target_g); each stratum then keeps rate_g = target_g · T / count_g
     * of its documents (the binding stratum keeps everything) via the
-    * same RNG-free digest threshold as [[stratifiedSample]] —
+    * same RNG-free [[digestHex8]] keep key as [[stratifiedSample]] —
     * deterministic under retries and re-runs. Strata absent from
-    * `targets` are dropped (target 0).
+    * `targets` are dropped (target 0). Threshold rounding differs
+    * deliberately: stratifiedSample's compile-time rates use Scala
+    * `math.round`; here the rates are DATA-DERIVED, the threshold is a
+    * runtime expression, and `floor` is the cross-engine-unambiguous
+    * choice (SQL round() tie behavior differs between engines, floor
+    * does not) — the same nominal rate can therefore keep one fewer
+    * digest value than stratifiedSample would.
     *
     * Scale posture: the rates derive from a per-stratum count aggregate
     * (G rows) crossed with a broadcast 1-row min — no driver round
@@ -131,9 +142,7 @@ object TextOps {
     val thr = format_string("%08x",
       least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
     docs.join(broadcast(rates), stratumCol)
-      .filter(col("__rate") >= 1.0 ||
-        substring(sha2(concat(col("doc_id").cast("string"), lit(":" + salt)), 256), 1, 8)
-          < thr)
+      .filter(col("__rate") >= 1.0 || digestHex8(col("doc_id"), salt) < thr)
       .drop("__rate")
   }
 
@@ -142,7 +151,9 @@ object TextOps {
     * stratum's integer repeat factor ("see curated sources 3×, the web
     * crawl once"). Deterministic and exact — no sampling — so the
     * trainer's shard manifest is reproducible; strata absent from
-    * `factors` use `defaultFactor`.
+    * `factors` use `defaultFactor`. A factor of 0 EXCLUDES the stratum
+    * (guarded explicitly — Spark's `sequence(1, 0)` would otherwise
+    * descend and emit phantom epochs); negative factors are rejected.
     *
     * Scale posture: a codegen'd `explode(sequence(1, n))` projection —
     * no shuffle at all; the fan-out multiplies rows inside the scan
@@ -150,11 +161,15 @@ object TextOps {
     * already-weighted stream. */
   def upsampleEpochs(docs: DataFrame, stratumCol: String,
       factors: Seq[(String, Int)], defaultFactor: Int): DataFrame = {
+    require(defaultFactor >= 0 && factors.forall(_._2 >= 0),
+      s"repeat factors must be >= 0: ${factors.filter(_._2 < 0)} default=$defaultFactor")
     val n = factors.foldLeft(lit(defaultFactor)) {
       case (acc, (v, f)) => when(col(stratumCol) === v, lit(f)).otherwise(acc)
     }
+    // explode drops nulls, so a 0 factor excludes the stratum instead
+    // of feeding sequence(1, 0) (which would descend to [1, 0])
     docs.select(col("doc_id"), col(stratumCol),
-      explode(sequence(lit(1), n)).as("epoch"))
+      explode(when(n >= 1, sequence(lit(1), n))).as("epoch"))
   }
 
   /** SEQUENCE PACKING: assign documents to ~`budgetTokens`-token
@@ -237,7 +252,11 @@ object TextOps {
     * order is global; the corpus total rides in as a broadcast 1-row
     * aggregate (no driver round trip). */
   def vocabCoverage(docs: DataFrame, coverage: Double): DataFrame = {
-    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+    // spread() the single-split harness scan before the per-token
+    // explode (same reason as textRepetition); the aggregate exchange
+    // below is reused for the __t total, so only the map side needs it
+    val counts = graft.spread(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     Windows.withGlobalPrefixSum(counts, col("cnt"), "cum",
         col("cnt").desc, col("token"))

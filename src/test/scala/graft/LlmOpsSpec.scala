@@ -417,6 +417,14 @@ class LlmOpsSpec extends SparkTestBase {
     val deflt = TextOps.upsampleEpochs(other, "lang", Seq("en" -> 1), 2)
       .collect().map(_.getInt(2)).sorted
     assert(deflt.toSeq == Seq(1, 2))
+    // factor 0 EXCLUDES the stratum (no phantom descending epochs);
+    // negative factors are rejected up front
+    val zero = TextOps.upsampleEpochs(d, "lang", Seq("fr" -> 0), 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(zero.toSet == Set((1L, 1), (1L, 2)), s"got ${zero.toSeq}")
+    intercept[IllegalArgumentException] {
+      TextOps.upsampleEpochs(d, "lang", Seq("fr" -> -1), 2)
+    }
   }
 
   test("frameSample emits the exact byte slices; resize normalizes every payload") {
