@@ -409,6 +409,52 @@ object TextOps {
       .orderBy(col("canonical_url"))
   }
 
+  /** BM25 relevance ranking of the corpus against a small fixed term
+    * set — the retrieval-style scorer a data pipeline uses to pull
+    * topical slices out of a crawl (quality-by-relevance selection),
+    * here in its Lucene form (idf = ln(1 + (N-df+.5)/(df+.5))).
+    *
+    * Shape: per-document term frequencies and document length are one
+    * narrow codegen'd projection over the scan (one `filter` HOF per
+    * query term — the term set is the USER'S query, a handful of
+    * words, so this is k passes over an in-memory token array, not a
+    * corpus-wide explode). The corpus statistics BM25 needs (N, avgdl,
+    * per-term df) are ONE single-row global aggregate — scalars only —
+    * broadcast back via the 1-row `crossJoin(broadcast(...))` pattern
+    * (same as the climate composites), so the whole query is: scan →
+    * 1-row agg → broadcast → scored projection → TakeOrderedAndProject.
+    * No corpus-sized shuffle anywhere; at 100 TB the only wide exchange
+    * is the partial-aggregate merge of ~(3+k) doubles per partition. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++
+        terms.indices.map { i =>
+          size(filter(col("toks"), t => t === terms(i))).cast("double").as(s"tf$i")
+        }: _*)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    // per-term contributions summed in fixed left-to-right order — the
+    // oracle mirrors the exact IEEE operation sequence
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Winnowing-style document fingerprint: hash every k-token shingle
     * (rolling window), keep the minimum — one 64-bit fingerprint per
     * document that is stable under token-preserving reformatting.
@@ -452,6 +498,8 @@ object TextOps {
           "mixp")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "q_text_bm25" -> ((s, d) =>
+      bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -473,6 +521,32 @@ object TextOps {
         |       round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
         |       CAST(max(length(text)) AS INT) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same IEEE chain as the engine: every operand is DOUBLE before
+    // any arithmetic (tf/dl/N/df all cast), contributions summed
+    // left-to-right, ln = natural log in both engines
+    "q_text_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'hash')) AS DOUBLE) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |FROM tf, st
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

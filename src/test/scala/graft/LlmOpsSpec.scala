@@ -571,6 +571,37 @@ class LlmOpsSpec extends SparkTestBase {
       "dropping the crossing type must fall back under target (one-type overshoot)")
   }
 
+  test("bm25: exact local replay of the Lucene chain, top-k order, absent term scores zero") {
+    val corpus = Tables.documents(spark, sf)
+    val terms = Seq("spark", "vector", "hash")
+    val a = TextOps.bm25(corpus, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // local replay with the IDENTICAL IEEE operation order. All corpus
+    // statistics (N, df, sum of integer-valued dl) are exact integers
+    // < 2^53, so partial-aggregation order cannot perturb them; the
+    // per-document chain is then a fixed deterministic double sequence.
+    val toks = corpus.select(col("doc_id"), col("text")).collect().map { r =>
+      r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray
+    }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toDouble).sum / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toDouble)
+    def score(ts: Array[String]): Double = terms.indices.map { i =>
+      val tf = ts.count(_ == terms(i)).toDouble
+      val idf = math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.length.toDouble / avgdl))
+    }.sum
+    val want = toks.map { case (id, ts) =>
+      id -> BigDecimal(score(ts)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    assert(a.toSeq == want, "top-20 must replay the scoring chain bit-exactly")
+    assert(a.map(_._2).min > 0.0, "harness terms occur — every kept doc scores")
+    // a term absent from every document contributes tf=0 => score 0
+    val z = TextOps.bm25(docs(1L -> "nothing here", 2L -> "still nothing"),
+      Seq("zebra")).collect().map(_.getDouble(1))
+    assert(z.forall(_ == 0.0))
+  }
+
   test("connectedComponents: chains, separate components, long path, empty input") {
     def cc(edges: (Long, Long)*): Map[Long, Long] =
       Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
