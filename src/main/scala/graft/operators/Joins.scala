@@ -145,6 +145,37 @@ object Joins {
       .drop("_b")
   }
 
+  /** Bloom-prefiltered semi join — explicit runtime row-level
+    * filtering: build a Bloom sketch of the dim keys (distributed
+    * aggregate; the driver receives merged BITS, never key rows), probe
+    * it inside the fact scan's codegen loop via
+    * [[graft.plans.BloomMightContainLong]], then remove the fpp-bounded
+    * false positives with an exact semi join over the (already tiny)
+    * survivor set. Result is row-identical to the plain semi join.
+    *
+    * Scale posture: the sketch is ~1.2 MB per million dim keys at 1%
+    * fpp — broadcastable far past the point where a hash relation of
+    * key rows is not — and fact rows that cannot join are dropped
+    * BEFORE the exchange, so the shuffle (or broadcast probe) sees
+    * only `|match| + fpp·|fact|` rows. This is the manual form of
+    * Spark's `runtimeFilter.bloomFilter` rewrite, usable where the
+    * automatic one doesn't fire (pre-filtered dims, non-equi layering,
+    * cross-job reuse of a built sketch). */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey))
+    // expected-items bound = dim row count (>= distinct keys); the
+    // count is a driver scalar, the sketch build a treeAggregate —
+    // both one pass over the (small) dim side
+    val n = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(dimKey, n, fpp)
+    val pre = fact.filter(org.apache.spark.sql.GraftBridge.column(
+      graft.plans.BloomMightContainLong(
+        org.apache.spark.sql.GraftBridge.expression(col(factKey).cast("long")),
+        bloom)))
+    pre.join(broadcast(keys), pre(factKey) === keys(dimKey), "left_semi")
+  }
+
   val queries: Map[String, Q] = Map(
     // Broadcast hash join, inner, small dim side.
     "q_join_broadcast" -> ((s, d) => {
@@ -179,6 +210,18 @@ object Joins {
     }),
 
     // Existence filter (the land-mask shape).
+    // Bloom-prefiltered semi join: high-balance customers as the
+    // selective dim, orders as the fact — the sketch drops almost the
+    // whole fact side inside the scan.
+    "q_join_bloom" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > lit(9900.0)).select("c_custkey")
+      bloomSemiJoin(orders, "o_custkey", rich, "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_join_semi" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
@@ -308,6 +351,11 @@ object Joins {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 9900.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -73,6 +73,30 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(semi + anti == c.count())
   }
 
+  test("bloomSemiJoin: row-identical to the plain semi join, probe one-sided, nulls drop") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    val rich = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > lit(9900.0)).select("c_custkey")
+    val a = operators.Joins.bloomSemiJoin(o, "o_custkey", rich, "c_custkey")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(a == want, "bloom prefilter + exact rerun must equal the semi join")
+    assert(a.nonEmpty, "harness slice must actually select something")
+    // one-sidedness: the sketch alone never rejects a true dim key —
+    // probe every dim key through the registered expression path
+    val keys = rich.as[Long].collect().toSeq
+    val bloom = rich.select(col("c_custkey").cast("long").as("k"))
+      .stat.bloomFilter("k", keys.length.max(1).toLong, 0.01)
+    assert(keys.forall(bloom.mightContainLong), "no false negatives")
+    // null fact keys are dropped, as a null-rejecting join key would be
+    val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, null))
+      .toDF("o_orderkey", "o_custkey")
+    assert(operators.Joins.bloomSemiJoin(
+      withNull, "o_custkey", rich, "c_custkey").count() == 0L)
+  }
+
   test("as-of join: matched_ts is the max view ts <= purchase ts") {
     val res = SparkEntry.queries("q_join_asof")(spark, sf)
     val e = Tables.events(spark, sf)

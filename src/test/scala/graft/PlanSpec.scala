@@ -48,6 +48,24 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_bloom: sketch probe filters the fact scan BEFORE the broadcast join") {
+    val plan = executed("q_join_bloom")
+    // the probe is a Filter expression, not a join operator
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"bloom probe missing from the plan:\n${plan.take(2000)}")
+    // exact false-positive cleanup stays broadcast — never a shuffle
+    // of the (pre-filtered) fact side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"exact rerun must be a broadcast left-semi join:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle")
+    // probe sits below the join: the Filter mentioning the sketch must
+    // appear AFTER the join operator in the top-down executedPlan dump
+    val probeAt = plan.lastIndexOf("graft_bloom_might_contain")
+    val joinAt = plan.lastIndexOf("BroadcastHashJoin")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe must sit on the scan side, below the join")
+  }
+
   test("q_filter_land_mask plans as the codegen'd bitmask FILTER — no join at all") {
     val plan = executed("q_filter_land_mask")
     assert(plan.contains("graft_cellmask"), plan.take(2000))
