@@ -122,6 +122,59 @@ object Windows {
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
   }
 
+  /** Ordered funnel analysis: how many users completed each prefix of
+    * the stage sequence IN ORDER (a later stage only counts after an
+    * earlier one has already happened for that user). Stage membership
+    * is computed as chained cumulative flags over ONE (user_id)-hash
+    * window partitioning — flag i is the running max of "this event is
+    * stage i AND flag i-1 is already set at this row" — so all |stages|
+    * window passes, the per-user reduction, AND the final 1-row count
+    * share a single shuffle; nothing user-spanning ever re-exchanges.
+    * Ties at identical timestamps break on event_id, so the order (and
+    * the result) is deterministic. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val hit =
+        if (i == 0) when(col("event_type") === st, 1).otherwise(0)
+        else when(col("event_type") === st && col(s"s${i - 1}") === 1, 1)
+          .otherwise(0)
+      df = df.withColumn(s"s$i", max(hit).over(w))
+    }
+    val perUser = df.groupBy(col("user_id"))
+      .agg(max(col("s0")).as("s0"),
+        stages.indices.drop(1).map(i => max(col(s"s$i")).as(s"s$i")): _*)
+    val counts = count(lit(1)).cast("long").as("n_users") +:
+      stages.indices.map(i =>
+        sum(col(s"s$i")).cast("long").as(s"n_stage${i + 1}"))
+    perUser.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Cohort retention: users bucketed by their first-active period
+    * (`fmt` picks the grain — day/week/month), then distinct (cohort,
+    * activity-period) user counts — the standard retention triangle.
+    * Shuffles carry (user_id, period) pairs and counts, never event
+    * rows: the distinct collapses each user's period activity first,
+    * the cohort reduction and the join both key on user_id, and the
+    * final aggregate keys on the (tiny) period pair. */
+  def cohortRetention(events: DataFrame,
+      fmt: String = "yyyy-MM"): DataFrame = {
+    val activity = events
+      .select(col("user_id"), date_format(col("ts"), fmt).as("ym"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("ym")).as("cohort"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort"), col("ym"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("cohort"), col("ym"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -210,6 +263,18 @@ object Windows {
       sessionize(Tables.events(s, d), gapSec = 1800)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Ordered funnel over the event stream: view → click → purchase,
+    // later stages only count after earlier ones (per user, in event
+    // order). One shuffle for the whole query.
+    "q_funnel" -> ((s, d) =>
+      funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+
+    // Retention triangle at DAILY grain (the harness event stream
+    // spans one month — days give it a real triangle; the grain is a
+    // format parameter, month/week work identically).
+    "q_cohort_retention" -> ((s, d) =>
+      cohortRetention(Tables.events(s, d), "yyyy-MM-dd")),
+
     // Frame-boundary value functions: first/last/nth over the FULL
     // partition frame (last_value needs unbounded following — the
     // default frame stops at the current row). Order key is the
@@ -228,6 +293,38 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical chained cumulative flags: stage i's running max sees
+    // stage i-1's flag AT THE SAME ROW (same (us, event_id) order)
+    "q_funnel" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |f0 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |                 OVER w AS s0
+        |       FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING)),
+        |f1 AS (SELECT *, max(CASE WHEN event_type = 'click' AND s0 = 1
+        |                          THEN 1 ELSE 0 END) OVER w AS s1
+        |       FROM f0 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                            ROWS UNBOUNDED PRECEDING)),
+        |f2 AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND s1 = 1
+        |                          THEN 1 ELSE 0 END) OVER w AS s2
+        |       FROM f1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                            ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id, max(s0) AS s0, max(s1) AS s1, max(s2) AS s2
+        |      FROM f2 GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(s0) AS BIGINT) AS n_stage1,
+        |       CAST(sum(s1) AS BIGINT) AS n_stage2,
+        |       CAST(sum(s2) AS BIGINT) AS n_stage3
+        |FROM u""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ym
+        |           FROM events),
+        |c AS (SELECT user_id, min(ym) AS cohort FROM a GROUP BY user_id)
+        |SELECT c.cohort, a.ym, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY c.cohort, a.ym
+        |ORDER BY c.cohort, a.ym""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |b AS (SELECT user_id, event_id, us,

@@ -73,6 +73,39 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(semi + anti == c.count())
   }
 
+  test("funnel: stages only count in order, ties break on event_id, counts are per-user") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("user_id", "event_id", "us", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+    val e = ev(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      (2L, 1L, 10L, "click"), (2L, 2L, 20L, "view"),        // click BEFORE view: no stage2
+      (3L, 1L, 10L, "view"),                                 // stage1 only
+      (4L, 1L, 10L, "purchase"), (4L, 2L, 20L, "view"),      // early purchase doesn't count
+      (4L, 3L, 30L, "click"),
+      (5L, 1L, 10L, "signup"),                               // never enters the funnel
+      (6L, 1L, 10L, "view"), (6L, 2L, 10L, "click"),         // same ts: id order ⇒ counts
+      (7L, 2L, 10L, "view"), (7L, 1L, 10L, "click"))         // same ts: click sorts first ⇒ not
+    val r = operators.Windows.funnel(e, Seq("view", "click", "purchase")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (7L, 6L, 3L, 1L))
+  }
+
+  test("cohortRetention: first-month cohorts, distinct user-months, triangle replay") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-05"), (1L, "2024-01-20"), (1L, "2024-02-11"), // cohort 01, active 01+02
+      (2L, "2024-01-09"),                                          // cohort 01, active 01
+      (3L, "2024-02-01"), (3L, "2024-02-28"))                      // cohort 02, active 02
+      .toDF("user_id", "day")
+      .withColumn("ts", to_timestamp(col("day")))
+    val r = operators.Windows.cohortRetention(e)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("2024-01", "2024-01", 2L), ("2024-01", "2024-02", 1L),
+      ("2024-02", "2024-02", 1L)))
+  }
+
   test("bloomSemiJoin: row-identical to the plain semi join, probe one-sided, nulls drop") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)

@@ -48,6 +48,16 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_funnel: the chained stage windows and per-user reduction share ONE hash exchange") {
+    val plan = executed("q_funnel")
+    val hashExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected exactly one hash exchange (user_id), got:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.head.contains("user_id"),
+      s"the single exchange must key on user_id: ${hashExchanges.head}")
+  }
+
   test("q_join_bloom: sketch probe filters the fact scan BEFORE the broadcast join") {
     val plan = executed("q_join_bloom")
     // the probe is a Filter expression, not a join operator
