@@ -66,6 +66,35 @@ object Snapshot {
       .unionByName(incoming)
   }
 
+  /** Slowly-changing-dimension (type 2) build from an observation log:
+    * collapse consecutive runs of the same attribute value per key (CDC
+    * compaction — re-observing an unchanged value is not a new
+    * version), then cut version intervals [valid_from, valid_to) with
+    * `lead`, an ordinal version number, and an is_current flag on the
+    * open interval. Ties at identical timestamps break on `ord`, so
+    * versioning is deterministic.
+    *
+    * Scale posture: ONE hash exchange on the dimension key — the
+    * compaction lag, the interval lead, and the version row_number all
+    * ride the same (key)-partitioned sort, and the post-compaction
+    * windows reuse the partitioning (Filter preserves distribution and
+    * order, so no second exchange or sort appears). Exact integer
+    * microseconds end to end. */
+  def scd2Build(log: DataFrame, key: String, attr: String, ts: String,
+      ord: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("us"), col(ord))
+    log
+      .select(col(key), col(attr), unix_micros(col(ts)).as("us"), col(ord))
+      .withColumn("prev", lag(col(attr), 1).over(w))
+      .filter(col("prev").isNull || not(col(attr) <=> col("prev")))
+      .select(col(key), col(attr),
+        col("us").as("valid_from"),
+        lead(col("us"), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // two deterministic "crawl snapshots" derived from documents: the new
   // crawl drops every 11th doc, rewrites every remaining 7th, and
   // discovers a shifted-id batch — all four diff outcomes occur
@@ -103,9 +132,29 @@ object Snapshot {
       snapshotApply(oldSnap, changes, "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // SCD2 dimension from the event stream: per-user event_type
+    // observation log → compacted version history with intervals
+    "q_scd2_build" -> ((s, d) =>
+      scd2Build(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("version"))),
   )
 
   val oracle: Map[String, String] = Map(
+    // identical two-window chain: compaction lag, then interval lead +
+    // version ordinal over the compacted rows, same (us, event_id) order
+    "q_scd2_build" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |r AS (SELECT *, lag(event_type) OVER w AS prev
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |k AS (SELECT user_id, event_type, us, event_id FROM r
+        |      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, us AS valid_from,
+        |       lead(us) OVER w AS valid_to,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       (lead(us) OVER w IS NULL) AS is_current
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // the oracle classifies by comparing the text itself — digest-free,
     // so it cross-checks the digest-based engine path end-to-end
     "q_snapshot_diff" ->

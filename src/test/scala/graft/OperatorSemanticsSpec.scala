@@ -73,6 +73,34 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(semi + anti == c.count())
   }
 
+  test("scd2Build: runs compact, intervals chain, one open current version per key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L),  // re-observation: no new version
+      (1L, "b", 30L, 3L), (1L, "a", 40L, 4L),  // value returns: NEW version
+      (2L, "x", 10L, 1L),
+      (3L, "p", 10L, 2L), (3L, "q", 10L, 1L))  // same ts: ord breaks the tie (q first)
+      .toDF("user_id", "event_type", "us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = operators.Snapshot
+      .scd2Build(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"), col("version"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3), x.getLong(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      (1L, "a", 10L, 30L, 1L, false),
+      (1L, "b", 30L, 40L, 2L, false),
+      (1L, "a", 40L, -1L, 3L, true),
+      (2L, "x", 10L, -1L, 1L, true),
+      (3L, "q", 10L, 10L, 1L, false),
+      (3L, "p", 10L, -1L, 2L, true)))
+    // registered shape: one shuffle — single hash exchange on user_id
+    val plan = SparkEntry.queries("q_scd2_build")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "compaction + intervals + version must share one user_id exchange")
+  }
+
   test("funnel: stages only count in order, ties break on event_id, counts are per-user") {
     import spark.implicits._
     def ev(rows: (Long, Long, Long, String)*) =
