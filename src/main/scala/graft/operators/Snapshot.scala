@@ -95,6 +95,41 @@ object Snapshot {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Distribution-drift monitor between two snapshot versions:
+    * Population Stability Index over fixed-width document-length
+    * buckets (last bucket open-ended). Each side collapses to a tiny
+    * (bucket → count) table; proportions are Laplace-smoothed with
+    * half a count over the observed-bucket set B, so a bucket present
+    * on only one side contributes a finite term instead of ±∞.
+    * Emits per-bucket terms (their sum is the PSI; > 0.25 is the
+    * conventional "significant drift" alarm).
+    *
+    * Scale posture: one counts-only exchange — rows reduce to
+    * (bucket, side) pre-shuffle with map-side partial aggregation, and
+    * the totals/B scalars come back via the broadcast 1-row
+    * crossJoin pattern. Document bytes never shuffle. */
+  def driftPsi(oldSnap: DataFrame, newSnap: DataFrame,
+      width: Int = 256, maxBucket: Int = 15): DataFrame = {
+    def bucketed(df: DataFrame, side: String) = df.select(
+      least(floor(length(col("text")) / width), lit(maxBucket.toLong))
+        .cast("long").as("bucket"),
+      lit(side).as("side"))
+    val counts = bucketed(oldSnap, "old").unionByName(bucketed(newSnap, "new"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(
+      sum(col("n_old")).cast("double").as("t_old"),
+      sum(col("n_new")).cast("double").as("t_new"),
+      count(lit(1)).cast("double").as("b"))
+    val po = (col("n_old") + lit(0.5)) / (col("t_old") + lit(0.5) * col("b"))
+    val pn = (col("n_new") + lit(0.5)) / (col("t_new") + lit(0.5) * col("b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        round((pn - po) * log(pn / po), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   // two deterministic "crawl snapshots" derived from documents: the new
   // crawl drops every 11th doc, rewrites every remaining 7th, and
   // discovers a shifted-id batch — all four diff outcomes occur
@@ -137,9 +172,37 @@ object Snapshot {
     "q_scd2_build" -> ((s, d) =>
       scd2Build(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
         .orderBy(col("user_id"), col("version"))),
+    // drift between the two crawls: the rewrite (+5 chars) and the
+    // drop/discover batches shift the length distribution measurably
+    "q_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      driftPsi(oldCrawl(docs), newCrawl(docs))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // same crawl twins, same open-ended length bucketing, same
+    // Laplace-smoothed PSI operand order
+    "q_drift_psi" ->
+      """WITH oldc AS (SELECT text FROM documents),
+        |newc AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |         FROM documents WHERE doc_id % 11 <> 0
+        |         UNION ALL
+        |         SELECT text FROM documents WHERE doc_id % 13 = 0),
+        |s AS (SELECT least(CAST(floor(length(text) / 256) AS BIGINT), 15) AS bucket, 'old' AS side FROM oldc
+        |      UNION ALL
+        |      SELECT least(CAST(floor(length(text) / 256) AS BIGINT), 15), 'new' FROM newc),
+        |c AS (SELECT bucket,
+        |             sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS n_old,
+        |             sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS n_new
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+        |             CAST(sum(n_new) AS DOUBLE) AS t_new,
+        |             CAST(count(*) AS DOUBLE) AS b FROM c)
+        |SELECT bucket, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |       round(((n_new + 0.5) / (t_new + 0.5 * b) - (n_old + 0.5) / (t_old + 0.5 * b))
+        |             * ln(((n_new + 0.5) / (t_new + 0.5 * b)) / ((n_old + 0.5) / (t_old + 0.5 * b))), 6) AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     // identical two-window chain: compaction lag, then interval lead +
     // version ordinal over the compacted rows, same (us, event_id) order
     "q_scd2_build" ->

@@ -467,6 +467,49 @@ object TextOps {
         array_min(Dedup.shingleHashes(col("toks"), 3)).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** CCNet-style n-gram language-model quality score: train an
+    * add-α-smoothed bigram LM on the corpus, score every document by
+    * its mean negative log-likelihood under that model (low nll =
+    * fluent/typical text, high nll = noise — the standard
+    * perplexity-filter gate of a training-data pipeline, self-trained
+    * here instead of on an external reference corpus).
+    *
+    * nll(doc) = -avg over bigrams of ln((c(w1,w2)+α)/(c(w1·)+α·V)),
+    * where c(w1·) is the context count and V the bigram-successor
+    * vocabulary. Bigrams are formed row-locally with a `transform`
+    * HOF over the token array (O(L) per doc, inside codegen — no
+    * positional self-join).
+    *
+    * Scale posture: the model tables (c12, and c1/V derived from c12
+    * by re-aggregation, NOT by re-exploding the corpus) are
+    * vocabulary-sized, orders of magnitude smaller than the corpus;
+    * AQE broadcasts them when they fit (the CCNet deployment shape —
+    * a fixed-size model shipped to every executor) and falls back to
+    * a hash join keyed on the bigram, never on document bytes. The
+    * wide exchanges carry (doc_id, w1, w2) and counts only. */
+  def ngramLmScore(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context counts and successor vocabulary re-aggregate the MODEL
+    // table — the corpus is exploded exactly twice (score side + c12)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).cast("double").as("vv"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(-avg(log((col("c12") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("vv")))), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
@@ -500,6 +543,7 @@ object TextOps {
         .orderBy(col("doc_id"))),
     "q_text_bm25" -> ((s, d) =>
       bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"))),
+    "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -547,6 +591,23 @@ object TextOps {
         |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
         |FROM tf, st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // identical model + scoring chain: bigrams via list_zip against the
+    // tail slice (NULL-padded tail filtered out = Spark's slice bound),
+    // context counts and successor vocab re-aggregated from c12, same
+    // add-α operand order inside ln
+    "q_text_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |b AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+        |      FROM (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |      WHERE struct_extract(z, 2) IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM c12)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.vv))), 6) AS nll
+        |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -101,6 +101,37 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "compaction + intervals + version must share one user_id exchange")
   }
 
+  test("ngramLmScore: hand-computed bigram nll, short docs excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // model: c12 = {(a,b)->3, (b,a)->1, (b,c)->1}; c1 = {a->3, b->2};
+    // V = |{b, a, c}| = 3; alpha = 0.4
+    def p(c12: Double, c1: Double) = (c12 + 0.4) / (c1 + 0.4 * 3)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll1 = r6(-(math.log(p(3, 3)) * 2 + math.log(p(1, 2))) / 3)
+    val nll2 = r6(-(math.log(p(3, 3)) + math.log(p(1, 2))) / 2)
+    val r = operators.TextOps.ngramLmScore(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((1L, 3L, nll1), (2L, 2L, nll2)))  // doc 3: no bigrams
+  }
+
+  test("driftPsi: identical snapshots score zero, a length shift shows in both buckets") {
+    import spark.implicits._
+    val a = Seq.tabulate(3)(i => (i.toLong, "x" * 10)).toDF("doc_id", "text")
+    val same = operators.Snapshot.driftPsi(a, a).collect()
+    assert(same.length == 1 &&
+      same.forall(r => r.getLong(1) == r.getLong(2) && r.getDouble(3) == 0.0))
+    // old all in bucket 0, new all in bucket 1 → mirror-image terms
+    val b = Seq.tabulate(3)(i => (i.toLong, "y" * 300)).toDF("doc_id", "text")
+    val shifted = operators.Snapshot.driftPsi(a, b)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = r6((0.5 / 4 - 3.5 / 4) * math.log((0.5 / 4) / (3.5 / 4)))
+    assert(shifted.toSeq == Seq((0L, 3L, 0L, term), (1L, 0L, 3L, term)))
+    assert(term > 0.25, "a full-mass bucket shift must trip the drift alarm")
+  }
+
   test("funnel: stages only count in order, ties break on event_id, counts are per-user") {
     import spark.implicits._
     def ev(rows: (Long, Long, Long, String)*) =
