@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables ([GEN] — reference has no
+  * graph tier; connected components lives in [[Dedup]], this adds the
+  * importance-ranking half).
+  *
+  * PageRank here is the canonical Spark formulation (as in GraphX /
+  * the Spark examples): dangling nodes contribute nothing — ranks need
+  * not sum to 1 — which keeps every iteration a pure
+  * edges-join-ranks → groupBy(dst) plan that an unrolled SQL oracle
+  * can replicate exactly.
+  *
+  * Scale posture: the rank and degree tables are NODE-sized, the join
+  * per iteration shuffles on the edge key (AQE broadcasts the rank
+  * side when it fits); nothing is ever collected to the driver and no
+  * step is quadratic in the graph. For many iterations on a real
+  * cluster you would localCheckpoint the rank table each round to cut
+  * lineage; at the registered 3 iterations the lazy plan is fine.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list (any two
+    * columns: src, dst). Parallel edges collapse first — this ranks
+    * the simple graph. rank_{k+1}(v) = (1-d)/N + d·Σ_{u→v} rank_k(u)/
+    * outdeg(u). */
+  def pagerank(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pagerank needs at least one iteration")
+    val e = edges.toDF("src", "dst").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("outdeg")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  /** Co-purchase edges: directed pairs of distinct parts that appear in
+    * the same order. The self-join shuffles once per side on the order
+    * key; the within-order pair expansion is bounded by order size
+    * (≤7 lineitems in TPC-H-shaped data) — the same bounded-block
+    * pattern as [[Similarity]]'s label-blocked near-dup. */
+  private def coPurchaseEdges(li: DataFrame): DataFrame = {
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, Seq("ok")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // part importance in the co-purchase graph, 3 rounds
+    "q_graph_pagerank" -> ((s, d) =>
+      pagerank(coPurchaseEdges(Tables.lineitem(s, d)))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same graph, same formulation, 3 unrolled rounds, same operand
+    // order ((1-d)/n first, then the damped in-mass)
+    "q_graph_pagerank" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT node, (1.0 - 0.85) / n + 0.85 * coalesce(m, 0.0) AS pr
+        |       FROM nodes LEFT JOIN (SELECT dst, sum(pr / outdeg) AS m FROM e
+        |                             JOIN r0 ON e.src = r0.node JOIN dg USING (src)
+        |                             GROUP BY 1) c ON node = c.dst CROSS JOIN nn),
+        |r2 AS (SELECT node, (1.0 - 0.85) / n + 0.85 * coalesce(m, 0.0) AS pr
+        |       FROM nodes LEFT JOIN (SELECT dst, sum(pr / outdeg) AS m FROM e
+        |                             JOIN r1 ON e.src = r1.node JOIN dg USING (src)
+        |                             GROUP BY 1) c ON node = c.dst CROSS JOIN nn),
+        |r3 AS (SELECT node, (1.0 - 0.85) / n + 0.85 * coalesce(m, 0.0) AS pr
+        |       FROM nodes LEFT JOIN (SELECT dst, sum(pr / outdeg) AS m FROM e
+        |                             JOIN r2 ON e.src = r2.node JOIN dg USING (src)
+        |                             GROUP BY 1) c ON node = c.dst CROSS JOIN nn)
+        |SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""".stripMargin,
+  )
+}

@@ -101,6 +101,29 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "compaction + intervals + version must share one user_id exchange")
   }
 
+  test("pagerank: star graph matches hand iteration, cycle is the uniform fixed point, parallel edges collapse") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // star: 1->{2,3}, {2,3}->1 — duplicate edge must not double-contribute
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    // mirror the engine's operand order: (1-d)/n + d*mass
+    var (p1, p2) = (1.0 / 3, 1.0 / 3)  // p3 == p2 by symmetry
+    for (_ <- 1 to 3) {
+      val (m1, m2) = (p2 + p2, p1 / 2)
+      p1 = (1.0 - 0.85) / 3 + 0.85 * m1
+      p2 = (1.0 - 0.85) / 3 + 0.85 * m2
+    }
+    val got = operators.Graph.pagerank(star)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(got.toSeq == Seq((1L, r6(p1)), (2L, r6(p2)), (3L, r6(p2))))
+    // 3-cycle: uniform 1/3 is the fixed point
+    val cyc = operators.Graph.pagerank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+      .collect().map(_.getDouble(1))
+    assert(cyc.toSeq == Seq(0.333333, 0.333333, 0.333333))
+  }
+
   test("ngramLmScore: hand-computed bigram nll, short docs excluded") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
