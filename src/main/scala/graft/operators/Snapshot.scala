@@ -95,6 +95,25 @@ object Snapshot {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time lookup against a type-2 dimension (the output shape
+    * of [[scd2Build]]): attach to each fact row the dimension version
+    * whose [valid_from, valid_to) interval contains the fact
+    * timestamp — the temporal-correctness join a training-data
+    * pipeline needs so features never leak from the future. Zero-length
+    * intervals (same-timestamp ties) match nothing, so every fact hits
+    * at most one version.
+    *
+    * Scale posture: an EQUI join on the dimension key with the
+    * interval containment as a residual filter — one hash exchange per
+    * side (or a broadcast when the dimension fits), never an
+    * inequality-only join: per-key version counts are small, so the
+    * residual scans a handful of rows per probe. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, key: String,
+      factUs: String): DataFrame =
+    facts.join(dim, Seq(key))
+      .where(col(factUs) >= col("valid_from") &&
+        (col("valid_to").isNull || col(factUs) < col("valid_to")))
+
   /** Distribution-drift monitor between two snapshot versions:
     * Population Stability Index over fixed-width document-length
     * buckets (last bucket open-ended). Each side collapses to a tiny
@@ -172,6 +191,19 @@ object Snapshot {
     "q_scd2_build" -> ((s, d) =>
       scd2Build(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
         .orderBy(col("user_id"), col("version"))),
+    // point-in-time enrichment: every event tagged with the dimension
+    // version that was valid at its timestamp (dim built from the same
+    // log, so each event lands in exactly one interval)
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val dim = scd2Build(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")
+      scd2Lookup(ev, dim, "user_id", "us")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("version"), col("event_type").as("dim_state"))
+        .orderBy(col("event_id"))
+    }),
     // drift between the two crawls: the rewrite (+5 chars) and the
     // drop/discover batches shift the length distribution measurably
     "q_drift_psi" -> ((s, d) => {
@@ -181,6 +213,25 @@ object Snapshot {
   )
 
   val oracle: Map[String, String] = Map(
+    // same SCD2 chain as q_scd2_build, then the interval-containment
+    // join back to the raw events
+    "q_scd2_lookup" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |r AS (SELECT *, lag(event_type) OVER w AS prev
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |k AS (SELECT user_id, event_type, us, event_id FROM r
+        |      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |dim AS (SELECT user_id, event_type, us AS valid_from,
+        |               lead(us) OVER w AS valid_to,
+        |               CAST(row_number() OVER w AS BIGINT) AS version
+        |        FROM k WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, dim.version,
+        |       dim.event_type AS dim_state
+        |FROM events e JOIN dim ON e.user_id = dim.user_id
+        |  AND epoch_us(e.ts) >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR epoch_us(e.ts) < dim.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
     // same crawl twins, same open-ended length bucketing, same
     // Laplace-smoothed PSI operand order
     "q_drift_psi" ->

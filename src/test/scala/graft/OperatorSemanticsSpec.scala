@@ -101,6 +101,32 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "compaction + intervals + version must share one user_id exchange")
   }
 
+  test("scd2Lookup: every fact hits exactly one version, zero-length tie intervals match nothing, join stays equi-keyed") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L),
+      (1L, "b", 30L, 3L), (1L, "a", 40L, 4L),
+      (3L, "p", 10L, 2L), (3L, "q", 10L, 1L))
+      .toDF("user_id", "event_type", "us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val dim = operators.Snapshot
+      .scd2Build(log, "user_id", "event_type", "ts", "event_id")
+    val facts = Seq((101L, 1L, 25L), (102L, 1L, 30L), (103L, 1L, 99L),
+      (104L, 3L, 10L)).toDF("fact_id", "user_id", "us")
+    val r = operators.Snapshot.scd2Lookup(facts, dim, "user_id", "us")
+      .select(col("fact_id"), col("version"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (101L, 1L, "a"),   // mid-interval
+      (102L, 2L, "b"),   // boundary: valid_from inclusive
+      (103L, 3L, "a"),   // open current interval
+      (104L, 2L, "p")))  // user 3's [10,10) "q" is zero-length — p wins
+    val plan = operators.Snapshot.scd2Lookup(facts, dim, "user_id", "us")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "interval containment must ride the user_id equi-join as a residual")
+  }
+
   test("pagerank: star graph matches hand iteration, cycle is the uniform fixed point, parallel edges collapse") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
