@@ -25,7 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object Aggregations {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Robust per-group outlier detection by modified z-score:
+    * rz = 0.6745·(x − median)/MAD, flag |rz| > threshold (Iglewicz &
+    * Hoaglin's 3.5 default) — the data-validation gate that, unlike
+    * mean/stddev, is not dragged by the outliers it hunts. Groups
+    * whose MAD is 0 (constant values) are excluded rather than
+    * emitting ±∞.
+    *
+    * Scale posture: two grouped aggregates over the facts (median,
+    * then MAD of deviations) each collapse to a per-group scalar
+    * table broadcast back onto the stream — the facts shuffle on the
+    * group key twice and never more. Exact `percentile` keeps oracle
+    * parity; at 100 TB swap in `approx_percentile` (t-digest-style
+    * sketch, constant memory per group) with an accuracy budget. */
+  def anomalyMad(df: DataFrame, groupCol: String, valCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("mad") > 0)
+      .withColumn("rz", lit(0.6745) * (col(valCol) - col("med")) / col("mad"))
+      .where(abs(col("rz")) > threshold)
+  }
+
   val queries: Map[String, Q] = Map(
+    // per-event-type robust outliers in the value stream
+    "q_anomaly_mad" -> ((s, d) =>
+      anomalyMad(Tables.events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("rz"), 4).as("rz"))
+        .orderBy(col("event_id"))),
     // Ungrouped global aggregate (validation counts analog).
     "q_agg_global" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -157,6 +192,18 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same two-pass robust stats (DuckDB's median/mad are the same
+    // exact interpolated quantiles), same operand order in rz
+    "q_anomaly_mad" ->
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value,
+        |             e.value - m.med AS dev, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, value, round(0.6745 * dev / mad, 4) AS rz
+        |FROM d JOIN md USING (event_type)
+        |WHERE mad > 0 AND abs(0.6745 * dev / mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
     // same deterministic tie-break expressed as a rank over the
     // (count desc, value desc) order — the pair arg-max in window form
     "q_agg_mode" ->

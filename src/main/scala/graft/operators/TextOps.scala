@@ -467,6 +467,36 @@ object TextOps {
         array_min(Dedup.shingleHashes(col("toks"), 3)).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Character-level Shannon entropy per document: −Σ_c p_c·ln(p_c)
+    * over the document's character distribution — the classic
+    * gibberish gate (low entropy = repeated filler/boilerplate, high
+    * entropy = random bytes; natural text sits in a stable band).
+    *
+    * Scale posture: a PURE row-local projection — the char array, its
+    * distinct set, and the per-char counts are all HOFs inside one
+    * codegen'd projection, O(L·distinct_chars) per row with a small
+    * constant; NO shuffle anywhere (contrast [[textRepetition]], which
+    * needs corpus-level counts and therefore an aggregate). The char
+    * array is materialized once per row in a prior projection so the
+    * per-distinct-char filter does not re-split the string. */
+  def textEntropy(docs: DataFrame): DataFrame = {
+    val cs = col("cs")
+    val L = size(cs).cast("double")
+    val pLnP = transform(array_distinct(cs), c => {
+      val p = size(filter(cs, x => x === c)).cast("double") / L
+      p * log(p)
+    })
+    docs.filter(length(col("text")) > 0)
+      // split keeps a trailing "" (limit -1 semantics) — drop it
+      .select(col("doc_id"), array_remove(split(col("text"), ""), "").as("cs"))
+      // 0 − sum (not −sum): an all-same-char doc sums to exactly 0.0
+      // and unary minus would emit -0.0, which hash-mismatches
+      .select(col("doc_id"),
+        round(lit(0.0) - aggregate(pLnP, lit(0.0), (acc, x) => acc + x), 6)
+          .as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style n-gram language-model quality score: train an
     * add-α-smoothed bigram LM on the corpus, score every document by
     * its mean negative log-likelihood under that model (low nll =
@@ -544,6 +574,7 @@ object TextOps {
     "q_text_bm25" -> ((s, d) =>
       bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"))),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
+    "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -591,6 +622,16 @@ object TextOps {
         |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
         |FROM tf, st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // same nested-lambda chain: distinct chars → p·ln(p) per char →
+    // 0 − sum; DuckDB string_split has no trailing "" so no remove
+    "q_text_entropy" ->
+      """SELECT doc_id,
+        |       round(0.0 - list_aggregate(
+        |         list_transform(list_distinct(string_split(text, '')),
+        |           c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))
+        |                * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))),
+        |         'sum'), 6) AS char_entropy
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin,
     // identical model + scoring chain: bigrams via list_zip against the
     // tail slice (NULL-padded tail filtered out = Spark's slice bound),
     // context counts and successor vocab re-aggregated from c12, same

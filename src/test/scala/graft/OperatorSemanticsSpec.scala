@@ -101,6 +101,37 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "compaction + intervals + version must share one user_id exchange")
   }
 
+  test("textEntropy: hand-computed values, constant doc scores +0.0, empty doc excluded, no shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = operators.TextOps.textEntropy(docs)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq(
+      (1L, r6(math.log(2))), (2L, r6(math.log(4))), (3L, 0.0)))
+    assert(r(2)._2.toString == "0.0", "must be +0.0, not -0.0")
+    val plan = operators.TextOps.textEntropy(docs)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "entropy is a pure row-local projection")
+  }
+
+  test("anomalyMad: flags exactly the planted outlier, constant groups drop instead of emitting infinity") {
+    import spark.implicits._
+    // group g: symmetric values around 10 (med=10, mad=1) + one spike;
+    // group c: constant → mad 0 → excluded entirely
+    val ev = (Seq((1L, "g", 9.0), (2L, "g", 10.0), (3L, "g", 11.0),
+      (4L, "g", 9.0), (5L, "g", 11.0), (6L, "g", 100.0), (10L, "g", 10.0),
+      (7L, "c", 5.0), (8L, "c", 5.0), (9L, "c", 5.0)))
+      .toDF("event_id", "event_type", "value")
+    val r = operators.Aggregations.anomalyMad(ev, "event_type", "value")
+      .select(col("event_id"), col("rz")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    // med(g)=10, adevs = [1,0,1,1,1,90] → mad=1; rz(100) = 0.6745*90
+    assert(r.toSeq == Seq((6L, 0.6745 * 90)))
+  }
+
   test("scd2Lookup: every fact hits exactly one version, zero-length tie intervals match nothing, join stays equi-keyed") {
     import spark.implicits._
     val log = Seq(
