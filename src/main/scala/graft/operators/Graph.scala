@@ -30,7 +30,11 @@ object Graph {
   def pagerank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
-    val e = edges.toDF("src", "dst").distinct()
+    // materialize the simple-graph edge list once (the GraphX "cache
+    // the graph" step): every iteration, the degree table, and the
+    // node set re-read it — without this each use would re-run the
+    // upstream edge derivation (e.g. the co-purchase self-join)
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     val outdeg = e.groupBy(col("src"))

@@ -524,9 +524,12 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // context counts and successor vocabulary re-aggregate the MODEL
-    // table — the corpus is exploded exactly twice (score side + c12)
+    // the model table is MATERIALIZED once (localCheckpoint): c1, V,
+    // and the scoring join all read it back — without this, exchange
+    // reuse does not dedupe the three model subtrees and the corpus
+    // would be exploded four times instead of twice (score side + c12)
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.agg(countDistinct(col("w2")).cast("double").as("vv"))
     bigrams
