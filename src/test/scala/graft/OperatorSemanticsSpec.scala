@@ -101,6 +101,29 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "compaction + intervals + version must share one user_id exchange")
   }
 
+  test("mixTemperature: tau=0 equalizes strata, small stratum caps at 1, kept set matches exact digest math") {
+    import spark.implicits._
+    // A: 8 docs, B: 2 docs; f=0.5, tau=0 → q = 1/2 each →
+    // rate_A = 10·0.5·0.5/8 = 0.3125, rate_B = 2.5/2 capped at 1.0
+    val docs = (Seq.tabulate(8)(i => (i.toLong, "A")) ++
+      Seq((100L, "B"), (101L, "B"))).toDF("doc_id", "lang")
+    val kept = operators.TextOps.mixTemperature(docs, "lang", 0.0, 0.5, "s1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(Set(100L, 101L).subsetOf(kept), "capped stratum keeps everything")
+    // mirror digestHex8 exactly: rate_A = 0.3125 → 0x50000000
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex8(id: Long) = md.digest(s"$id:s1".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val expectA = (0L to 7L).filter(hex8(_) < "50000000").toSet
+    assert(kept -- Set(100L, 101L) == expectA)
+    // tau=1 is the natural distribution: every stratum keeps at rate f
+    val nat = operators.TextOps.mixTemperature(docs, "lang", 1.0, 0.5, "s1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expectNat = (docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => hex8(id) < "80000000" }).map(_._1).toSet
+    assert(nat == expectNat)
+  }
+
   test("textEntropy: hand-computed values, constant doc scores +0.0, empty doc excluded, no shuffle") {
     import spark.implicits._
     val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
@@ -115,6 +138,27 @@ class OperatorSemanticsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange hashpartitioning"),
       "entropy is a pure row-local projection")
+  }
+
+  test("corpusHealth: planted dup counted, token/short/entropy stats match hand math, one report row per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb", "s"), (2L, "aabb", "s"), (3L, "ab ab", "s"),
+      (4L, "x" * 200, "t"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.TextOps.corpusHealth(docs).collect()
+    assert(r.length == 2)
+    val s = r(0)
+    assert(s.getString(0) == "s" && s.getLong(1) == 3)
+    assert(s.getDouble(2) == 0.333333)       // 1 - 2/3 distinct
+    assert(s.getDouble(3) == 1.3333)         // (1+1+2)/3 tokens
+    val e1 = math.log(2)                     // "aabb"
+    val e2 = -(0.4 * math.log(0.4) * 2 + 0.2 * math.log(0.2)) // "ab ab"
+    assert(math.abs(s.getDouble(4) - (e1 + e1 + e2) / 3) < 1e-6)
+    assert(s.getDouble(5) == 1.0)            // all short
+    val t = r(1)
+    assert(t.getString(0) == "t" && t.getLong(1) == 1 &&
+      t.getDouble(2) == 0.0 && t.getDouble(4) == 0.0 && t.getDouble(5) == 0.0)
   }
 
   test("anomalyMad: flags exactly the planted outlier, constant groups drop instead of emitting infinity") {
