@@ -77,17 +77,11 @@ object Graph {
   // Graph construction is an INGEST-time cost (build once, rank many):
   // the registered query memoizes the distinct, checkpointed edge list
   // per (applicationId, dataset) — the same posture as the trained ANN
-  // models and the bucketed-join ingest. Dead-context entries evict on
-  // the next lookup.
-  private val builtGraphs =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // models and the bucketed-join ingest.
   private def copurchaseGraph(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val prefix = s.sparkContext.applicationId + ":"
-    builtGraphs.keySet.removeIf(k => !k.startsWith(prefix))
-    builtGraphs.computeIfAbsent(prefix + "copurchase:" + d,
-      _ => coPurchaseEdges(Tables.lineitem(s, d)).distinct().localCheckpoint())
-  }
+      d: String): DataFrame =
+    graft.ProcessCache.get(s, "copurchase:" + d)(
+      coPurchaseEdges(Tables.lineitem(s, d)).distinct().localCheckpoint())
 
   val queries: Map[String, Q] = Map(
     // part importance in the co-purchase graph, 3 rounds

@@ -574,17 +574,9 @@ object Similarity {
     * same memoization posture as the staged malformed split's
     * one-parse contract. The cached frames are tiny localCheckpointed
     * tables bound to this process's SparkContext. */
-  private val trained = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  // keys carry the applicationId: a checkpointed table is bound to its
-  // SparkContext, so a fresh context must never see a stale entry —
-  // and entries from DEAD contexts are evicted on the next lookup, so
-  // a JVM cycling sessions cannot accumulate dead plan graphs
   private def trainedGet(s: SparkSession, suffix: String,
-      mk: => DataFrame): DataFrame = {
-    val prefix = s.sparkContext.applicationId + ":"
-    trained.keySet.removeIf(k => !k.startsWith(prefix))
-    trained.computeIfAbsent(prefix + suffix, _ => mk)
-  }
+      mk: => DataFrame): DataFrame =
+    graft.ProcessCache.get(s, suffix)(mk)
   private def trainedCents(s: SparkSession, d: String, n: Int): DataFrame =
     trainedGet(s, s"cents:$d:$n", centroids(embTable(s, d), n))
   private def trainedBooks(s: SparkSession, d: String): DataFrame =

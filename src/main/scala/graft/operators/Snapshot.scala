@@ -71,8 +71,10 @@ object Snapshot {
     * compaction — re-observing an unchanged value is not a new
     * version), then cut version intervals [valid_from, valid_to) with
     * `lead`, an ordinal version number, and an is_current flag on the
-    * open interval. Ties at identical timestamps break on `ord`, so
-    * versioning is deterministic.
+    * open interval. Ties at identical timestamps break on `ord` (the
+    * unique, non-null observation id — its lag also marks each key's
+    * first row, so NULL attribute values compact like any other
+    * repeated value), so versioning is deterministic.
     *
     * Scale posture: ONE hash exchange on the dimension key — the
     * compaction lag, the interval lead, and the version row_number all
@@ -87,7 +89,11 @@ object Snapshot {
     log
       .select(col(key), col(attr), unix_micros(col(ts)).as("us"), col(ord))
       .withColumn("prev", lag(col(attr), 1).over(w))
-      .filter(col("prev").isNull || not(col(attr) <=> col("prev")))
+      // first-row detection via lag of the (non-null) tie-break column,
+      // NOT prev.isNull — a NULL attribute observation must compact
+      // against a following NULL like any other repeated value
+      .withColumn("first", lag(col(ord), 1).over(w).isNull)
+      .filter(col("first") || not(col(attr) <=> col("prev")))
       .select(col(key), col(attr),
         col("us").as("valid_from"),
         lead(col("us"), 1).over(w).as("valid_to"),
@@ -218,10 +224,10 @@ object Snapshot {
     "q_scd2_lookup" ->
       """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |           FROM events),
-        |r AS (SELECT *, lag(event_type) OVER w AS prev
+        |r AS (SELECT *, lag(event_type) OVER w AS prev, lag(event_id) OVER w AS pe
         |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |k AS (SELECT user_id, event_type, us, event_id FROM r
-        |      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |      WHERE pe IS NULL OR event_type IS DISTINCT FROM prev),
         |dim AS (SELECT user_id, event_type, us AS valid_from,
         |               lead(us) OVER w AS valid_to,
         |               CAST(row_number() OVER w AS BIGINT) AS version
@@ -259,10 +265,10 @@ object Snapshot {
     "q_scd2_build" ->
       """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |           FROM events),
-        |r AS (SELECT *, lag(event_type) OVER w AS prev
+        |r AS (SELECT *, lag(event_type) OVER w AS prev, lag(event_id) OVER w AS pe
         |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |k AS (SELECT user_id, event_type, us, event_id FROM r
-        |      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+        |      WHERE pe IS NULL OR event_type IS DISTINCT FROM prev)
         |SELECT user_id, event_type, us AS valid_from,
         |       lead(us) OVER w AS valid_to,
         |       CAST(row_number() OVER w AS BIGINT) AS version,

@@ -106,6 +106,21 @@ object TextOps {
   private def digestHex8(id: Column, salt: String): Column =
     substring(sha2(concat(id.cast("string"), lit(":" + salt)), 256), 1, 8)
 
+  /** The shared, cross-engine-sensitive half of every data-derived
+    * sampler: attach per-stratum keep rates (a tiny broadcast table
+    * carrying (stratumCol, __rate)) and keep a doc iff its rate is ≥ 1
+    * or its [[digestHex8]] key falls under %08x of floor(rate·2^32)
+    * (capped at 2^32−1). `floor`, not round — SQL round() tie behavior
+    * differs between engines, floor does not. */
+  private def keepByRates(docs: DataFrame, rates: DataFrame,
+      stratumCol: String, salt: String): DataFrame = {
+    val thr = format_string("%08x",
+      least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
+    docs.join(broadcast(rates), stratumCol)
+      .filter(col("__rate") >= 1.0 || digestHex8(col("doc_id"), salt) < thr)
+      .drop("__rate")
+  }
+
   /** Rebalance the corpus to TARGET mixture proportions — the domain/
     * language rebalancing step of a training-data pipeline ("make the
     * mix 20% per language"). The largest total size T satisfying every
@@ -139,11 +154,7 @@ object TextOps {
     val rates = counts.crossJoin(broadcast(tMin))
       .select(col(stratumCol),
         (col("__target") * col("__t") / col("__cnt")).as("__rate"))
-    val thr = format_string("%08x",
-      least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
-    docs.join(broadcast(rates), stratumCol)
-      .filter(col("__rate") >= 1.0 || digestHex8(col("doc_id"), salt) < thr)
-      .drop("__rate")
+    keepByRates(docs, rates, stratumCol, salt)
   }
 
   /** TEMPERATURE-BASED mixture rebalancing — the multilingual sampling
@@ -177,11 +188,7 @@ object TextOps {
         round(least(lit(1.0),
           col("__n") * lit(keepFraction) * (col("__pw") / col("__z")) /
             col("__cnt")), 6).as("__rate"))
-    val thr = format_string("%08x",
-      least(floor(col("__rate") * lit(4294967296.0)), lit(4294967295L)))
-    docs.join(broadcast(rates), stratumCol)
-      .filter(col("__rate") >= 1.0 || digestHex8(col("doc_id"), salt) < thr)
-      .drop("__rate")
+    keepByRates(docs, rates, stratumCol, salt)
   }
 
   /** EPOCH UPSAMPLING — the repeat-factor half of data mixing: emit
@@ -505,18 +512,6 @@ object TextOps {
         array_min(Dedup.shingleHashes(col("toks"), 3)).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Character-level Shannon entropy per document: −Σ_c p_c·ln(p_c)
-    * over the document's character distribution — the classic
-    * gibberish gate (low entropy = repeated filler/boilerplate, high
-    * entropy = random bytes; natural text sits in a stable band).
-    *
-    * Scale posture: a PURE row-local projection — the char array, its
-    * distinct set, and the per-char counts are all HOFs inside one
-    * codegen'd projection, O(L·distinct_chars) per row with a small
-    * constant; NO shuffle anywhere (contrast [[textRepetition]], which
-    * needs corpus-level counts and therefore an aggregate). The char
-    * array is materialized once per row in a prior projection so the
-    * per-distinct-char filter does not re-split the string. */
   /** −Σ p·ln(p) over a materialized char-array column, computed as
     * ln(L) − (Σ n_c·ln n_c)/L from RUN LENGTHS of the sorted array:
     * one O(L log L) sort + one O(L) aggregate pass with a constant-size
@@ -544,6 +539,14 @@ object TextOps {
     greatest(lit(0.0), log(L) - nLnN / L)
   }
 
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish gate (low entropy = repeated filler/boilerplate, high
+    * entropy = random bytes; natural text sits in a stable band).
+    *
+    * Scale posture: a PURE row-local projection — sort + one
+    * aggregate pass per row (see [[entropyOf]]), NO shuffle anywhere
+    * (contrast [[textRepetition]], which needs corpus-level counts
+    * and therefore an aggregate). */
   def textEntropy(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) > 0)
       // split keeps a trailing "" (limit -1 semantics) — drop it
@@ -554,28 +557,37 @@ object TextOps {
   /** Per-source corpus HEALTH REPORT — the one-glance data-quality
     * dashboard a pipeline publishes per ingest batch: volume, exact
     * duplicate rate (via the 32 B content digest), token mass, mean
-    * character entropy (gibberish drift), and the short-doc share.
+    * character entropy (gibberish drift), the short-doc share, and the
+    * EMPTY-doc share. Empty documents are counted, never dropped — an
+    * extraction bug that blanks a whole source must show up as
+    * pct_empty → 1 (with null token/entropy means), not as the source
+    * silently vanishing from the report; token and entropy means are
+    * over the non-empty docs only (null for an all-empty source).
     *
     * Scale posture: ONE pass — every per-document metric (digest,
-    * token count, entropy, short flag) is a codegen'd projection
-    * feeding a single groupBy(source) with map-side partial
+    * token count, entropy, short/empty flags) is a codegen'd
+    * projection feeding a single groupBy(source) with map-side partial
     * aggregation; the distinct-digest count is Spark's two-phase
     * count(DISTINCT) over 32-byte keys. Nothing document-sized
     * shuffles except the digests themselves. */
   def corpusHealth(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) > 0)
+    docs
       .select(col("source"),
         sha2(col("text"), 256).as("sha"),
-        size(tokens(col("text"))).cast("double").as("n_tok"),
-        array_remove(split(col("text"), ""), "").as("cs"),
-        (length(col("text")) < 100).cast("double").as("short"))
+        when(length(col("text")) > 0,
+          size(tokens(col("text"))).cast("double")).as("n_tok"),
+        when(length(col("text")) > 0,
+          entropyOf(array_remove(split(col("text"), ""), ""))).as("ent"),
+        (length(col("text")) < 100).cast("double").as("short"),
+        (length(col("text")) === 0).cast("double").as("empty"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(lit(1.0) - countDistinct(col("sha")).cast("double") /
           count(lit(1)).cast("double"), 6).as("dup_rate"),
         round(avg(col("n_tok")), 4).as("avg_tokens"),
-        round(avg(entropyOf(col("cs"))), 6).as("avg_entropy"),
-        round(avg(col("short")), 6).as("pct_short"))
+        round(avg(col("ent")), 6).as("avg_entropy"),
+        round(avg(col("short")), 6).as("pct_short"),
+        round(avg(col("empty")), 6).as("pct_empty"))
       .orderBy(col("source"))
 
   /** CCNet-style n-gram language-model quality score: train an
@@ -713,20 +725,25 @@ object TextOps {
         |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
         |FROM tf, st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    // every per-doc metric recomputed with the same expression twins;
-    // avg-of-entropy rounds AFTER the avg on both sides
+    // every per-doc metric recomputed with the same expression twins
+    // (entropy in the engine's run-length chain, see q_text_entropy);
+    // token/entropy means CASE-null empties out, avg skips NULLs in
+    // both engines; avg-of-entropy rounds AFTER the avg on both sides
     "q_corpus_health" ->
       """SELECT source, count(*) AS n_docs,
         |       round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE)
         |                   / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-        |       round(avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4) AS avg_tokens,
-        |       round(avg(0.0 - list_aggregate(
-        |         list_transform(list_distinct(string_split(text, '')),
-        |           c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))
-        |                * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))),
-        |         'sum')), 6) AS avg_entropy,
-        |       round(avg(CAST(length(text) < 100 AS DOUBLE)), 6) AS pct_short
-        |FROM documents WHERE length(text) > 0
+        |       round(avg(CASE WHEN length(text) > 0 THEN
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END), 4) AS avg_tokens,
+        |       round(avg(CASE WHEN length(text) > 0 THEN
+        |         greatest(0.0, ln(length(text)) - list_aggregate(
+        |           list_transform(list_sort(list_distinct(string_split(text, ''))),
+        |             c -> CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+        |                  * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE))),
+        |           'sum') / length(text)) END), 6) AS avg_entropy,
+        |       round(avg(CAST(length(text) < 100 AS DOUBLE)), 6) AS pct_short,
+        |       round(avg(CAST(length(text) = 0 AS DOUBLE)), 6) AS pct_empty
+        |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
     // same rate chain (counts → pow-weights → normalized → round 6)
     // and the same digest keep key; pow ulp differences die at round 6
@@ -744,15 +761,17 @@ object TextOps {
         |      < printf('%08x', CAST(least(floor(r.rate * 4294967296.0),
         |                                  4294967295) AS BIGINT))
         |ORDER BY doc_id""".stripMargin,
-    // same nested-lambda chain: distinct chars → p·ln(p) per char →
-    // 0 − sum; DuckDB string_split has no trailing "" so no remove
+    // IDENTICAL chain to the engine's run-length form: ln(L) − Σ
+    // n_c·ln(n_c)/L with the terms summed in SORTED char order (both
+    // engines binary-collate), greatest(0,·) on both sides; DuckDB
+    // string_split has no trailing "" so no remove
     "q_text_entropy" ->
       """SELECT doc_id,
-        |       round(0.0 - list_aggregate(
-        |         list_transform(list_distinct(string_split(text, '')),
-        |           c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))
-        |                * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))),
-        |         'sum'), 6) AS char_entropy
+        |       round(greatest(0.0, ln(length(text)) - list_aggregate(
+        |         list_transform(list_sort(list_distinct(string_split(text, ''))),
+        |           c -> CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+        |                * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE))),
+        |         'sum') / length(text)), 6) AS char_entropy
         |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin,
     // identical model + scoring chain: bigrams via list_zip against the
     // tail slice (NULL-padded tail filtered out = Spark's slice bound),

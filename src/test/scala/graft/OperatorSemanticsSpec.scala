@@ -79,7 +79,10 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (1L, "a", 10L, 1L), (1L, "a", 20L, 2L),  // re-observation: no new version
       (1L, "b", 30L, 3L), (1L, "a", 40L, 4L),  // value returns: NEW version
       (2L, "x", 10L, 1L),
-      (3L, "p", 10L, 2L), (3L, "q", 10L, 1L))  // same ts: ord breaks the tie (q first)
+      (3L, "p", 10L, 2L), (3L, "q", 10L, 1L),  // same ts: ord breaks the tie (q first)
+      // NULL observations compact like any other repeated value
+      (4L, "x", 10L, 1L), (4L, null: String, 20L, 2L),
+      (4L, null: String, 30L, 3L), (4L, "x", 40L, 4L))
       .toDF("user_id", "event_type", "us", "event_id")
       .withColumn("ts", expr("timestamp_micros(us)"))
     val r = operators.Snapshot
@@ -93,7 +96,10 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (1L, "a", 40L, -1L, 3L, true),
       (2L, "x", 10L, -1L, 1L, true),
       (3L, "q", 10L, 10L, 1L, false),
-      (3L, "p", 10L, -1L, 2L, true)))
+      (3L, "p", 10L, -1L, 2L, true),
+      (4L, "x", 10L, 20L, 1L, false),
+      (4L, null, 20L, 40L, 2L, false),  // one NULL version, not two
+      (4L, "x", 40L, -1L, 3L, true)))
     // registered shape: one shuffle — single hash exchange on user_id
     val plan = SparkEntry.queries("q_scd2_build")(spark, sf)
       .queryExecution.executedPlan.toString()
