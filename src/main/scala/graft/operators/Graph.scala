@@ -62,6 +62,65 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Triangle census of an (arbitrary-direction) edge list: canonical
+    * undirected simple edges, open-wedge count, triangle count via
+    * DEGREE-ORDERED orientation, and the global clustering
+    * coefficient 3T/W — the standard corpus-graph health summary.
+    *
+    * Orientation is the scale story: each undirected edge points from
+    * its lower (degree, id) endpoint to the higher, so every node's
+    * out-degree is O(√m) even on power-law graphs — the wedge
+    * self-join on the source is bounded by Σ outdeg², i.e. O(m^1.5)
+    * total work instead of the hub-quadratic blowup of the naive
+    * neighbor join (a celebrity node with 10^6 neighbors contributes
+    * ~10^12 wedges unoriented, ~m oriented). Each triangle has exactly
+    * one source-of-two-edges vertex under a total order, so the count
+    * is exact with no /3 correction or double counting.
+    *
+    * Shuffles carry (node, node) pairs and counts only; the closing-
+    * edge probe is a semi join back onto the oriented edge list. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    // canonical undirected edge set, materialized once: the degree
+    // table, both wedge sides, the closing-edge probe, and the edge
+    // count all re-read it
+    val und = e0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total order key (degree, id) — field names unified so the two
+    // struct sides compare as one type
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val lt = ka < kb
+    val ori = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(lt, col("a")).otherwise(col("b")).as("src"),
+        when(lt, col("b")).otherwise(col("a")).as("dst"),
+        when(lt, kb).otherwise(ka).as("kd"))
+      .localCheckpoint()
+    // wedges (v, w) out of a common source, ordered kv < kw so the
+    // closing edge — if present — is oriented exactly (v, w)
+    val wedges = ori.select(col("src").as("u"), col("dst").as("v"), col("kd").as("kv"))
+      .join(ori.select(col("src").as("u"), col("dst").as("w"), col("kd").as("kw")),
+        Seq("u"))
+      .filter(col("kv") < col("kw"))
+      .select(col("v").as("src"), col("w").as("dst"))
+    val nTri = wedges
+      .join(ori.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val nEdges = und.agg(count(lit(1)).cast("long").as("n_edges"))
+    val nWedges = deg.agg(sum(expr("deg * (deg - 1) div 2"))
+      .cast("long").as("n_wedges"))
+    nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
+
   /** Co-purchase edges: directed pairs of distinct parts that appear in
     * the same order. The self-join shuffles once per side on the order
     * key; the within-order pair expansion is bounded by order size
@@ -87,6 +146,9 @@ object Graph {
     // part importance in the co-purchase graph, 3 rounds
     "q_graph_pagerank" -> ((s, d) =>
       pagerank(copurchaseGraph(s, d), assumeSimple = true)),
+    // triangle census + clustering coefficient of the same graph
+    "q_graph_triangles" -> ((s, d) =>
+      triangleStats(copurchaseGraph(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,5 +175,24 @@ object Graph {
         |                             JOIN r2 ON e.src = r2.node JOIN dg USING (src)
         |                             GROUP BY 1) c ON node = c.dst CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""".stripMargin,
+    // id-ordered orientation (a < b < c) — a different total order
+    // than the engine's degree ordering, but any total order counts
+    // each triangle exactly once, so the census is identical
+    "q_graph_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |wd AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |       round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+        |FROM st, wd, tri""".stripMargin,
   )
 }

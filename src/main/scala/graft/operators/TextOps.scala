@@ -89,10 +89,15 @@ object TextOps {
     * across engines or retried tasks), fully deterministic under
     * retries, partition moves, AND re-runs — the property a 100 TB
     * sampling job must have for its output to be auditable. */
+  /** `floor`-free compile-time digest threshold: the first 8 hex chars
+    * a [[digestHex8]] key must stay under to keep `rate` of a uniform
+    * population (see [[stratifiedSample]]). Public so the oracle SQL
+    * for the compile-time samplers can embed the identical literal. */
+  def hexThreshold(rate: Double): String =
+    f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
+
   def stratifiedSample(docs: DataFrame, stratumCol: String,
       rates: Seq[(String, Double)], defaultRate: Double, salt: String): DataFrame = {
-    def hexThreshold(rate: Double): String =
-      f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
     val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (v, r)) => when(col(stratumCol) === v, lit(hexThreshold(r))).otherwise(acc)
     }
@@ -500,6 +505,186 @@ object TextOps {
       .limit(k)
   }
 
+  /** Top-k TF-IDF terms per document — the per-document keyword
+    * extraction step (topic tagging, index pruning, relevance slicing).
+    * tfidf = tf · ln(N/df); ties break on the term so every rank is
+    * deterministic.
+    *
+    * Scale posture: the corpus explodes ONCE into (doc_id, term)
+    * counts; the document-frequency table derives from that tf table
+    * by RE-AGGREGATION (materialized via localCheckpoint — same trick
+    * as the n-gram LM, so the corpus is not exploded twice) and is
+    * vocabulary-sized, so AQE broadcasts it back onto tf. N is a
+    * broadcast 1-row scalar. The rank window partitions by doc_id —
+    * a document's distinct-term set is bounded by the document, never
+    * the corpus — and Catalyst folds the rk ≤ k filter into a
+    * WindowGroupLimit, so each map task ships at most k rows per
+    * document into the final order. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_raw", col("tf").cast("double") * log(col("n") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf_raw"), 4).as("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Inverted index build: term → document frequency + the sorted
+    * postings list (comma-joined, so the row is a flat string both
+    * engines render identically) — the retrieval-side artifact of a
+    * corpus pipeline (BM25 serving, decontamination probes).
+    *
+    * Scale posture: per-document term DEDUP happens row-locally
+    * (`array_distinct` inside the projection, before the explode), so
+    * the one shuffle carries unique (term, doc_id) pairs — no separate
+    * corpus-wide distinct. `maxDf` caps the posting list a term may
+    * accumulate (ubiquitous terms are dropped, the standard stop-list
+    * cut); at web scale the postings for mid-df terms are still
+    * thousands of ids, which is exactly what a grouped index row holds
+    * — terms above the cap would instead shard their postings, which
+    * this operator scopes out. */
+  def invertedIndex(docs: DataFrame, maxDf: Long = 100000L): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .filter(col("df") <= maxDf)
+      .orderBy(col("term"))
+
+  /** Gopher-style rule gate (Rae et al. 2021's repetition/length
+    * heuristics, the standard pre-filter of a web-crawl pipeline):
+    * per-document structural metrics and one flag per rule —
+    * word-count bounds, mean-word-length band, stopword evidence,
+    * symbol-to-word ratio, digit-token share — plus the conjunction
+    * `keep`. Flags are reported, not applied: the pipeline audits WHY
+    * documents drop (per-rule kill counts) before committing a filter.
+    *
+    * Scale posture: a pure row-local codegen'd projection — token
+    * array built once per row, every metric an array expression over
+    * it, no shuffle at all (the ordering is for the oracle only). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("text"),
+      toks.as("toks"), size(toks).cast("long").as("n_words"))
+    val chars = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+    val mwl = chars.cast("double") / col("n_words").cast("double")
+    val digitFrac = size(filter(col("toks"), t => t.rlike("[0-9]")))
+      .cast("double") / col("n_words").cast("double")
+    val symRatio = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\.")))
+      .cast("double") / col("n_words").cast("double")
+    val nStop = size(filter(col("toks"),
+      t => t.isin(EnStops.map(w => w: Any): _*)))
+    def flag(c: Column): Column = when(c, 1).otherwise(0).cast("int")
+    base.select(col("doc_id"), col("n_words"),
+        round(mwl, 4).as("mwl"),
+        flag(col("n_words").between(50L, 100000L)).as("r_nwords"),
+        flag(mwl.between(3.0, 10.0)).as("r_mwl"),
+        flag(nStop >= 2).as("r_stop"),
+        flag(symRatio <= 0.1).as("r_symbol"),
+        flag(digitFrac <= 0.3).as("r_digit"))
+      .withColumn("keep", (col("r_nwords") * col("r_mwl") * col("r_stop") *
+        col("r_symbol") * col("r_digit")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test HOLDOUT split — the evaluation-set
+    * carve every training pipeline runs before anything else touches
+    * the corpus. Assignment is a pure function of the [[digestHex8]]
+    * keep key against compile-time `%08x` thresholds (train < t1 ≤
+    * val < t2 ≤ test): RNG-free, stable under retries, partition
+    * moves, AND incremental re-runs — a document's split never changes
+    * when the corpus grows, which is what keeps eval sets
+    * uncontaminated across ingest batches. Pure codegen'd projection,
+    * no shuffle. */
+  def splitHoldout(docs: DataFrame, trainFrac: Double, valFrac: Double,
+      salt: String): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"bad split fractions: train=$trainFrac val=$valFrac")
+    val h = digestHex8(col("doc_id"), salt)
+    docs.select(col("doc_id"),
+        when(h < lit(hexThreshold(trainFrac)), "train")
+          .when(h < lit(hexThreshold(trainFrac + valFrac)), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    * the top-`nMerges` byte-pair merges of the corpus. One corpus pass
+    * builds the (word, freq) vocabulary table; every merge iteration
+    * then runs on the VOCABULARY — pair-count aggregate (shuffles
+    * (sym1, sym2, count) triples only), deterministic argmax (count
+    * desc, then pair lexicographic), and a row-local fold that merges
+    * non-overlapping occurrences left-to-right inside each word's
+    * symbol array. Returns the learned merge table (the tokenizer
+    * artifact): rank, pair, merged token, pair count at merge time.
+    *
+    * Scale posture: this is why BPE training is feasible at 100 TB —
+    * after the one corpus-sized word-count shuffle, the working set is
+    * the word vocabulary (millions of rows, not billions), re-
+    * materialized per iteration via localCheckpoint to keep the plan
+    * flat. The per-iteration argmax is a 1-row TakeOrdered to the
+    * driver — the merge decision IS global, and it is one row per
+    * iteration (the learned artifact itself is driver-sized by
+    * definition). No oracle (iterated argmax is not expressible in
+    * one SQL query) — pinned by a hand-computed corpus + determinism
+    * spec. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "bpeTrain needs at least one merge")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), array_remove(split(col("w"), ""), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var done = false
+    for (i <- 1 to nMerges if !done) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms)-1), (s, j) -> struct(s AS p1, syms[j+1] AS p2))")).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .head(1)
+      if (best.isEmpty) done = true
+      else {
+        val (p1, p2, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, p1, p2, p1 + p2, cnt))
+        // left-to-right greedy merge of (p1, p2) inside each word:
+        // a fold that replaces a trailing p1 when p2 arrives — the
+        // merged token is never itself re-merged within the pass
+        vocab = vocab.select(col("freq"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(p1) && x === lit(p2),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "p1", "p2", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** Winnowing-style document fingerprint: hash every k-token shingle
     * (rolling window), keep the minimum — one 64-bit fingerprint per
     * document that is stable under token-preserving reformatting.
@@ -636,6 +821,87 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style data selection scoring (Xie et al. 2023): importance
+    * weight of every document for a TARGET domain, as the bigram-LM
+    * log-likelihood ratio ln p_target(doc) − ln p_corpus(doc)
+    * (per-bigram mean). Positive dsir_w = more target-like than the
+    * corpus average — the "select pre-training data that looks like
+    * the target" step, with both models self-trained here (target =
+    * the rows matching `targetPred`).
+    *
+    * Both LMs are add-α bigram models over the same machinery as
+    * [[ngramLmScore]]; bigrams UNSEEN by the target model back off to
+    * c12 = c1 = 0 (probability α/(α·V_t) = 1/V_t) via left joins.
+    * dsir_w is computed as avg(lt − lc) — the per-bigram difference
+    * averaged once, NOT a difference of the two rounded means — so
+    * both engines run the identical IEEE chain.
+    *
+    * Scale posture: the corpus explodes ONCE into a materialized
+    * (doc_id, tgt, w1, w2) bigram table (the target flag rides along,
+    * so the target model is a filter over the same table, not a second
+    * explode); all four model tables are vocabulary-sized
+    * re-aggregations, AQE-broadcast back; V_c/V_t are broadcast 1-row
+    * scalars. Wide exchanges carry words + counts only. */
+  def dsirScore(docs: DataFrame, targetPred: Column,
+      alpha: Double = 0.4): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), targetPred.as("tgt"),
+        tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("tgt"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val c12c = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12c")).localCheckpoint()
+    val c1c = c12c.groupBy(col("w1")).agg(sum(col("c12c")).as("c1c"))
+    val vc = c12c.agg(countDistinct(col("w2")).cast("double").as("vc"))
+    val c12t = bigrams.filter(col("tgt")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12t")).localCheckpoint()
+    val c1t = c12t.groupBy(col("w1")).agg(sum(col("c12t")).as("c1t"))
+    val vt = c12t.agg(countDistinct(col("w2")).cast("double").as("vt"))
+    val lt = log((coalesce(col("c12t"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("c1t"), lit(0L)) + lit(alpha) * col("vt")))
+    val lc = log((col("c12c") + lit(alpha)) /
+      (col("c1c") + lit(alpha) * col("vc")))
+    bigrams
+      .join(c12c, Seq("w1", "w2"))
+      .join(c1c, Seq("w1"))
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vc)).crossJoin(broadcast(vt))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(-avg(lt), 6).as("nll_target"),
+        round(-avg(lc), 6).as("nll_corpus"),
+        round(avg(lt - lc), 6).as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact deterministic k-PER-STRATUM sample ("100 eval docs per
+    * language"): rank each stratum's docs by the RNG-free
+    * [[digestHex8]] key (doc_id tiebreak) and keep rank ≤ k — stable
+    * under retries and re-runs, and a kept doc stays kept when OTHER
+    * strata grow.
+    *
+    * Scale posture: the rank ≤ k filter folds into a Partial
+    * WindowGroupLimit below the stratum exchange (the
+    * q_similarity_knn_join pattern), so each map task ships at most k
+    * rows per stratum — a dominant stratum never lands on one task. */
+  def samplePerGroup(docs: DataFrame, stratumCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key"), col("doc_id"))
+    docs.withColumn("__key", digestHex8(col("doc_id"), salt))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col(stratumCol), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
@@ -675,7 +941,23 @@ object TextOps {
         .orderBy(col("doc_id"))),
     "q_text_bm25" -> ((s, d) =>
       bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"))),
+    "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d), 3)),
+    "q_index_inverted" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
+    "q_filter_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
+    // 98/1/1 carve, salt "cv0" — a doc's split never changes across
+    // ingest batches (pure digest function of the id)
+    "q_split_holdout" -> ((s, d) =>
+      splitHoldout(Tables.documents(s, d), 0.98, 0.01, "cv0")),
+    // 12 learned merges over the corpus vocabulary (no-oracle:
+    // iterated global argmax — pinned by OperatorSemanticsSpec)
+    "q_text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d), 12)),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
+    // target domain = English docs; positive dsir_w = en-like
+    "q_select_dsir" -> ((s, d) =>
+      dsirScore(Tables.documents(s, d), col("lang") === "en")),
+    // 40 eval docs per language, salt "ev0"
+    "q_sample_per_group" -> ((s, d) =>
+      samplePerGroup(Tables.documents(s, d), "lang", 40, "ev0")),
     "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
     "q_corpus_health" -> ((s, d) => corpusHealth(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
@@ -790,6 +1072,41 @@ object TextOps {
         |       round(-avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.vv))), 6) AS nll
         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SAME bigram table feeds both models (tgt flag), unseen
+    // target bigrams coalesce to 0, dsir_w averages the per-bigram
+    // DIFFERENCE (one avg, not a difference of rounded means)
+    "q_select_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |                  string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents
+        |           WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |b AS (SELECT doc_id, tgt, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+        |      FROM (SELECT doc_id, tgt, unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |      WHERE struct_extract(z, 2) IS NOT NULL),
+        |c12c AS (SELECT w1, w2, count(*) AS c12c FROM b GROUP BY 1, 2),
+        |c1c AS (SELECT w1, sum(c12c) AS c1c FROM c12c GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vc FROM c12c),
+        |c12t AS (SELECT w1, w2, count(*) AS c12t FROM b WHERE tgt GROUP BY 1, 2),
+        |c1t AS (SELECT w1, sum(c12t) AS c1t FROM c12t GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vt FROM c12t)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(ln((coalesce(c12t.c12t, 0) + 0.4) / (coalesce(c1t.c1t, 0) + 0.4 * vt.vt))), 6) AS nll_target,
+        |       round(-avg(ln((c12c.c12c + 0.4) / (c1c.c1c + 0.4 * vc.vc))), 6) AS nll_corpus,
+        |       round(avg(ln((coalesce(c12t.c12t, 0) + 0.4) / (coalesce(c1t.c1t, 0) + 0.4 * vt.vt))
+        |                 - ln((c12c.c12c + 0.4) / (c1c.c1c + 0.4 * vc.vc))), 6) AS dsir_w
+        |FROM b JOIN c12c USING (w1, w2) JOIN c1c USING (w1)
+        |       LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
+        |       CROSS JOIN vc CROSS JOIN vt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same digest rank within stratum, same (key, doc_id) tie order
+    "q_sample_per_group" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || ':ev0'), 1, 8),
+        |                    doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
@@ -864,6 +1181,63 @@ object TextOps {
         |SELECT p.doc_id, p.skey, CAST(p.pos AS BIGINT) AS pos,
         |       CAST(floor((p.pos - 1) / ceil((SELECT count(*) FROM k) / 16.0)) AS INT) AS shard
         |FROM p ORDER BY pos""".stripMargin,
+    // identical tf·ln(N/df) chain: tf and df both DOUBLE before the
+    // division, rank on the UNROUNDED score with the term tiebreak
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term,
+        |        CAST(tf AS DOUBLE) * ln(n / df) AS raw,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(tf AS DOUBLE) * ln(n / df) DESC, term) AS rk
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, round(raw, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM s WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_index_inverted" ->
+      """WITH p AS (SELECT DISTINCT doc_id, term
+        |           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |                 FROM documents))
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM p GROUP BY term HAVING count(*) <= 100000
+        |ORDER BY term""".stripMargin,
+    // twin expressions per rule; every ratio divides by the token
+    // count as DOUBLE, rule bounds compare the UNROUNDED values
+    "q_filter_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_words,
+        |        CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS mwl,
+        |        len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS n_stop,
+        |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS digit_frac,
+        |        CAST(len(regexp_extract_all(text, '#'))
+        |             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS sym_ratio
+        |      FROM t),
+        |f AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, round(mwl, 4) AS mwl,
+        |        CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_nwords,
+        |        CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mwl,
+        |        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+        |        CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+        |        CASE WHEN digit_frac <= 0.3 THEN 1 ELSE 0 END AS r_digit
+        |      FROM m)
+        |SELECT doc_id, n_words, mwl, r_nwords, r_mwl, r_stop, r_symbol, r_digit,
+        |       r_nwords * r_mwl * r_stop * r_symbol * r_digit AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_split_holdout" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR) || ':cv0'), 1, 8)
+         |                 < '${hexThreshold(0.98)}' THEN 'train'
+         |            WHEN substr(sha256(CAST(doc_id AS VARCHAR) || ':cv0'), 1, 8)
+         |                 < '${hexThreshold(0.99)}' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)

@@ -175,6 +175,69 @@ object Windows {
       .orderBy(col("cohort"), col("ym"))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active calendar
+    * days per user (the classic streak query — "N-day streaks" in
+    * engagement analytics). Island key = day − row_number(day within
+    * user): consecutive days share the key, any gap shifts it.
+    *
+    * Scale posture: the distinct collapses the event stream to
+    * (user_id, day) pairs first — the window and the island aggregate
+    * then run over ≤ users × days rows, orders of magnitude below the
+    * event count, and the per-user window is always partitioned (a
+    * user's history is bounded by the calendar, not the corpus). */
+  def gapIslands(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(date_format(min(col("day")), "yyyy-MM-dd").as("streak_start"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("streak_end"),
+        count(lit(1)).cast("long").as("n_days"))
+      .select(col("user_id"), col("streak_start"), col("streak_end"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("streak_start"))
+  }
+
+  /** First-/last-touch attribution: each conversion event is credited
+    * to the FIRST and the MOST RECENT preceding touch event (strictly
+    * earlier in the user's history; ties at identical timestamps break
+    * on event_id). Touch id and type ride the same
+    * unbounded-preceding-to-−1 frame with ignore-nulls first/last —
+    * one user-partitioned window pass, then the conversion filter.
+    *
+    * Scale posture: a single user_id-hash shuffle; both attribution
+    * columns and the filter are evaluated inside the same window
+    * stage, and conversions with no prior touch surface as nulls
+    * rather than dropping (the unattributed share is itself a metric
+    * marketers need). */
+  def attribution(events: DataFrame, touches: Seq[String],
+      conversion: String): DataFrame = {
+    require(touches.nonEmpty, "attribution needs at least one touch type")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touches.map(t => t: Any): _*)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("first_touch_id",
+        first(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("first_touch_type",
+        first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversion)
+      .select(col("event_id"), col("user_id"), col("first_touch_id"),
+        col("first_touch_type"), col("last_touch_id"),
+        col("last_touch_type"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -269,6 +332,15 @@ object Windows {
     "q_funnel" -> ((s, d) =>
       funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
 
+    // Maximal consecutive-day activity streaks per user.
+    "q_window_gap_islands" -> ((s, d) =>
+      gapIslands(Tables.events(s, d))),
+
+    // Purchases credited to the first and most recent preceding
+    // view/click touch in the user's event history.
+    "q_attribution" -> ((s, d) =>
+      attribution(Tables.events(s, d), Seq("view", "click"), "purchase")),
+
     // Retention triangle at DAILY grain (the harness event stream
     // spans one month — days give it a real triangle; the grain is a
     // format parameter, month/week work identically).
@@ -317,6 +389,46 @@ object Windows {
         |       CAST(sum(s1) AS BIGINT) AS n_stage2,
         |       CAST(sum(s2) AS BIGINT) AS n_stage3
         |FROM u""".stripMargin,
+    // same island key: day minus the per-user row number (an INTEGER
+    // subtracted from a DATE is day arithmetic in both engines)
+    "q_window_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (
+        |          PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |      FROM days)
+        |SELECT user_id,
+        |       strftime(min(day), '%Y-%m-%d') AS streak_start,
+        |       strftime(max(day), '%Y-%m-%d') AS streak_end,
+        |       count(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin,
+    // identical frame (unbounded preceding to 1 preceding) + IGNORE
+    // NULLS first/last, identical (us, event_id) tie order
+    "q_attribution" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |t AS (SELECT *,
+        |        first_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN event_id END IGNORE NULLS)
+        |          OVER w AS first_touch_id,
+        |        first_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN event_type END IGNORE NULLS)
+        |          OVER w AS first_touch_type,
+        |        last_value(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN event_id END IGNORE NULLS)
+        |          OVER w AS last_touch_id,
+        |        last_value(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN event_type END IGNORE NULLS)
+        |          OVER w AS last_touch_type
+        |      FROM o
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, first_touch_id, first_touch_type,
+        |       last_touch_id, last_touch_type
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ym
         |           FROM events),

@@ -463,6 +463,182 @@ class OperatorSemanticsSpec extends SparkTestBase {
       .toDF("grp", "id", "v"), "grp", col("v"), "cum", col("id")).count() == 0)
   }
 
+  test("tfidf: hand-computed scores, rank ties break on term, per-doc dedup via tf") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "w")).toDF("doc_id", "text")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (ln3, ln32) = (math.log(3.0), math.log(3.0 / 2))
+    val r = operators.TextOps.tfidf(docs, 3)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getLong(3))).toSeq
+    assert(r == Seq(
+      (1L, "y", r4(ln3), 1L), (1L, "x", r4(2 * ln32), 2L),
+      (2L, "z", r4(ln3), 1L), (2L, "x", r4(ln32), 2L),
+      (3L, "w", r4(ln3), 1L)))
+  }
+
+  test("invertedIndex: sorted postings, per-doc repeats collapse, maxDf cap drops terms") {
+    import spark.implicits._
+    val docs = Seq((2L, "x z"), (1L, "x x y"), (3L, "w")).toDF("doc_id", "text")
+    val r = operators.TextOps.invertedIndex(docs)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r == Seq(("w", 1L, "3"), ("x", 2L, "1,2"), ("y", 1L, "1"), ("z", 1L, "2")))
+    val capped = operators.TextOps.invertedIndex(docs, maxDf = 1L)
+      .select("term").as[String].collect().toSeq
+    assert(capped == Seq("w", "y", "z"), "df-2 term must fall to the cap")
+  }
+
+  test("gopherRules: a clean doc keeps, each rule trips on its own pathology") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog and runs " * 6).trim
+    val docs = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "the and fox"),                           // too few words
+      (3L, ("4242 777 " * 40) + "the and fox"),      // digit-token flood
+      (4L, ("ab " * 60) + "the and")                 // mwl below 3
+    ).toDF("doc_id", "text")
+    val r = operators.TextOps.gopherRules(docs)
+      .collect().map(x => (x.getLong(0), x.getInt(3), x.getInt(4), x.getInt(5),
+        x.getInt(6), x.getInt(7), x.getInt(8))).toSeq
+    assert(r == Seq(
+      (1L, 1, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 1, 0),
+      (3L, 1, 1, 1, 1, 0, 0),
+      (4L, 1, 0, 1, 1, 1, 0)))
+  }
+
+  test("splitHoldout: deterministic, id-stable under corpus growth, fractions in band") {
+    import spark.implicits._
+    val big = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r1 = operators.TextOps.splitHoldout(big, 0.5, 0.25, "cv0")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val r2 = operators.TextOps.splitHoldout(big, 0.5, 0.25, "cv0")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r1.sameElements(r2))
+    val byId = r1.toMap
+    assert(byId.values.toSet.subsetOf(Set("train", "val", "test")))
+    val nTrain = r1.count(_._2 == "train")
+    assert(nTrain > 400 * 0.4 && nTrain < 400 * 0.6, s"train share off: $nTrain/400")
+    // growth stability: the first 100 ids keep their split in the
+    // 400-doc corpus (assignment is a pure function of the id)
+    val small = operators.TextOps.splitHoldout(
+      big.filter(col("doc_id") <= 100), 0.5, 0.25, "cv0")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(small.forall { case (id, s) => byId(id) == s })
+  }
+
+  test("bpeTrain: hand-computed merge sequence, greedy left-to-right, early stop") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = operators.TextOps.bpeTrain(docs, 10)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    // iter1: (a,a) appears 2× in each "aaab" (freq 2) → 4; beats (a,b)=3
+    //   merge → [aa, a, b] (greedy: third 'a' does NOT re-merge into aa)
+    // iter2: (a,b)=2·1+1·1=3 beats (aa,a)=2 → [aa, ab] / [ab]
+    // iter3: (aa,ab)=2 → [aaab]; iter4: no pairs left → early stop
+    assert(r == Seq(
+      (1L, "a", "a", "aa", 4L), (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+    // determinism across re-runs (argmax tie order is total)
+    val again = operators.TextOps.bpeTrain(docs, 10)
+      .collect().map(x => (x.getLong(0), x.getString(3))).toSeq
+    assert(again == Seq((1L, "aa"), (2L, "ab"), (3L, "aaab")))
+  }
+
+  test("dsirScore: hand-computed two-model log-ratio, unseen target bigrams back off") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a b c"), (3L, "en", "z"))
+      .toDF("doc_id", "lang", "text")
+    // corpus: c12c={(a,b)->3,(b,a)->1,(b,c)->1}, c1c={a->3,b->2}, Vc=3
+    // target (en = doc 1): c12t={(a,b)->2,(b,a)->1}, c1t={a->2,b->1}, Vt=2
+    def lt(c12: Double, c1: Double) = math.log((c12 + 0.4) / (c1 + 0.4 * 2))
+    def lc(c12: Double, c1: Double) = math.log((c12 + 0.4) / (c1 + 0.4 * 3))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1t = Seq(lt(2, 2), lt(2, 2), lt(1, 1)); val d1c = Seq(lc(3, 3), lc(3, 3), lc(1, 2))
+    val d2t = Seq(lt(2, 2), lt(0, 1));           val d2c = Seq(lc(3, 3), lc(1, 2))
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val r = operators.TextOps.dsirScore(docs, col("lang") === "en")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(r == Seq(
+      (1L, 3L, r6(-avg(d1t)), r6(-avg(d1c)), r6(avg(d1t.zip(d1c).map { case (a, b) => a - b }))),
+      (2L, 2L, r6(-avg(d2t)), r6(-avg(d2c)), r6(avg(d2t.zip(d2c).map { case (a, b) => a - b })))))
+    // the en doc must score more target-like than the de doc
+    assert(r(0)._5 > r(1)._5)
+  }
+
+  test("samplePerGroup: exactly k per stratum, deterministic, stable as other strata grow") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, "big", s"d$i")) ++
+      (101L to 105L).map(i => (i, "small", s"d$i"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val r = operators.TextOps.samplePerGroup(df, "lang", 3, "ev0")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.count(_._2 == "big") == 3 && r.count(_._2 == "small") == 3)
+    assert(r.forall(_._3 <= 3))
+    // stability: the big stratum's picks don't change when small vanishes
+    val alone = operators.TextOps.samplePerGroup(
+      df.filter(col("lang") === "big"), "lang", 3, "ev0")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(alone.toSeq == r.filter(_._2 == "big").toSeq)
+  }
+
+  test("gapIslands: streaks split on gaps, duplicate-day events collapse, users independent") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "2024-01-01 03:00:00"), (1L, 2L, "2024-01-01 21:00:00"), // same day twice
+      (1L, 3L, "2024-01-02 12:00:00"), (1L, 4L, "2024-01-03 00:00:01"), // 3-day streak
+      (1L, 5L, "2024-01-05 10:00:00"),                                  // gap → new island
+      (2L, 6L, "2024-01-02 09:00:00"), (2L, 7L, "2024-01-04 09:00:00")) // two 1-day islands
+      .toDF("user_id", "event_id", "day")
+      .withColumn("ts", to_timestamp(col("day")))
+    val r = operators.Windows.gapIslands(e)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    assert(r == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L), (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-02", "2024-01-02", 1L), (2L, "2024-01-04", "2024-01-04", 1L)))
+  }
+
+  test("attribution: strictly-preceding touches, first vs last, tie on event_id, unattributed stays") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("user_id", "event_id", "us", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+    val e = ev(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      (1L, 4L, 40L, "view"), (1L, 5L, 50L, "purchase"),   // second conversion sees view 4 last
+      (2L, 6L, 10L, "purchase"), (2L, 7L, 20L, "view"),   // later touch must NOT attribute
+      (3L, 8L, 10L, "view"), (3L, 9L, 10L, "purchase"))   // same us: id order ⇒ view precedes
+    val r = operators.Windows.attribution(e, Seq("view", "click"), "purchase")
+      .collect().map(x => (x.getLong(0), Option(x.get(2)), Option(x.get(4)),
+        Option(x.getString(5)))).toSeq
+    assert(r == Seq(
+      (3L, Some(1L), Some(2L), Some("click")),
+      (5L, Some(1L), Some(4L), Some("view")),
+      (6L, None, None, None),
+      (9L, Some(8L), Some(8L), Some("view"))))
+  }
+
+  test("triangleStats: known census, direction/duplicates/hubs don't change it") {
+    import spark.implicits._
+    // K4 minus edge 34 on {1..4} (edges fed directed+duplicated) plus
+    // node 9 on {1,2,5}: closes triangle {129}; spoke 59 wedges only
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 2L),
+      (9L, 1L), (9L, 2L), (9L, 5L), (5L, 9L))
+      .toDF("src", "dst")
+    val r = operators.Graph.triangleStats(edges).head()
+    // und edges: 12,13,23,14,24,19,29,59 → 8; triangles {123},{124},{129};
+    // degrees: 1→4 2→4 3→2 4→2 9→3 5→1 ⇒ wedges 6+6+1+1+3+0 = 17
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (8L, 17L, 3L))
+    assert(r.getDouble(3) == BigDecimal(3.0 * 3 / 17)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // triangle-free star: zero triangles, cc 0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = operators.Graph.triangleStats(star).head()
+    assert((s.getLong(2), s.getDouble(3)) == (0L, 0.0))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -58,6 +58,46 @@ class PlanSpec extends SparkTestBase {
       s"the single exchange must key on user_id: ${hashExchanges.head}")
   }
 
+  test("q_text_tfidf: rank filter pre-reduces map-side, df model broadcast") {
+    val plan = executed("q_text_tfidf")
+    // rk <= 3 rewrites into a WindowGroupLimit (≤k rows per doc ship
+    // into the final order)
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // the vocab-sized df table re-attaches by broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q_attribution: both touch columns and the conversion filter share ONE user_id exchange") {
+    val plan = executed("q_attribution")
+    val hashExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected exactly one hash exchange (user_id), got:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.head.contains("user_id"),
+      s"the single exchange must key on user_id: ${hashExchanges.head}")
+  }
+
+  test("q_split_holdout / q_filter_gopher: pure projections — no Exchange except the output order") {
+    // the split carve and the rule gate are row-local; the only
+    // exchange either may show is the final presentation sort's range
+    // partitioning (asserted on the raw plan, where partitioning
+    // arguments are inline — formatted-explain tree lines are bare)
+    for (q <- Seq("q_split_holdout", "q_filter_gopher")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange SinglePartition"),
+        s"$q must not shuffle beyond the output sort:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q_sample_per_group: stratum rank filter pre-reduces map-side (WindowGroupLimit)") {
+    // rk <= k folds into a Partial WindowGroupLimit below the stratum
+    // exchange — a dominant stratum ships ≤ k rows per map task, never
+    // its whole population to one window task
+    assert(executed("q_sample_per_group").contains("WindowGroupLimit"))
+  }
+
   test("q_join_bloom: sketch probe filters the fact scan BEFORE the broadcast join") {
     val plan = executed("q_join_bloom")
     // the probe is a Filter expression, not a join operator

@@ -445,6 +445,85 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("BPE training soak: 1M word instances, planted first merge, monotone counts") {
+    // 50k documents × 20 words = 1M word instances, ~1M distinct
+    // words: every word is "zq" + 6 hex chars (md5 tail), so 'z'/'q'
+    // appear ONLY as the planted prefix — merge #1 must be (z,q) with
+    // pair count exactly 1M. Later merges are data-dependent; the
+    // pinned invariants are determinism across re-runs and the BPE
+    // monotonicity law (the winning pair count never increases with
+    // rank: any pair at iteration i+1 either existed at i with count
+    // ≤ best_i, or involves the just-merged symbol and is bounded by
+    // its count).
+    import graft.operators.TextOps
+    val word = concat(lit("zq"),
+      substring(md5(concat(col("id").cast("string"), lit("_"), col("w").cast("string"))), 1, 6))
+    val docs = spark.range(0L, 50000L)
+      .select(col("id"), explode(sequence(lit(1), lit(20))).as("w"))
+      .groupBy(col("id")).agg(concat_ws(" ", collect_list(word)).as("text"))
+      .select(col("id").as("doc_id"), col("text"))
+      .repartition(8)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val merges = TextOps.bpeTrain(docs, 8)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val tWall = (System.nanoTime() - t0) / 1e9
+      assert(merges.length == 8, s"expected 8 merges, got ${merges.length}")
+      assert(merges.head == ((1L, "z", "q", "zq", 1000000L)),
+        s"planted first merge wrong: ${merges.head}")
+      val counts = merges.map(_._5)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"pair counts must be non-increasing over ranks: $counts")
+      val (_, tAgain) = {
+        val t1 = System.nanoTime()
+        val again = TextOps.bpeTrain(docs, 8)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+        assert(again == merges, "merge table must be deterministic across re-runs")
+        ((), (System.nanoTime() - t1) / 1e9)
+      }
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## BPE training soak (regenerated by SoakSpec)
+           |
+           |1M word instances (50k docs × 20 words, ~1M distinct
+           |words of "zq" + 6 hex chars) through 8 distributed BPE
+           |merge iterations: one corpus pass builds the (word, freq)
+           |vocabulary, every iteration then pair-counts and merges on
+           |the VOCAB only. Merge #1 was the planted (z, q) at pair
+           |count exactly 1,000,000; winning counts were non-increasing
+           |over ranks (the BPE monotonicity law) and the full merge
+           |table replayed identically on a second run
+           |(${f"$tWall%.1f"} s first, ${f"$tAgain%.1f"} s warm,
+           |cal ratio ${f"$ratio%.2f"}) on local[4]. The per-iteration
+           |argmax is a 1-row TakeOrdered; no single-task stage read a
+           |relation-sized shuffle.
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "BPE training soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ANN soak: 500k vectors through IVF-PQ, planted neighbors surface") {
     // 1000× the harness embeddings table: 500k deterministic
     // pseudo-random 64-dim vectors plus 10 tiny-jitter near-copies of
