@@ -577,6 +577,40 @@ object Similarity {
   private def trainedGet(s: SparkSession, suffix: String,
       mk: => DataFrame): DataFrame =
     graft.ProcessCache.get(s, suffix)(mk)
+  /** HYBRID retrieval fusion — reciprocal-rank fusion (Cormack &
+    * Clarke 2009) of a lexical ranking and a vector ranking:
+    * rrf(d) = Σ_systems 1/(kRrf + rank_d), over the union of the two
+    * top-N candidate sets (a doc missing from one list contributes 0
+    * for that system). The modern BM25 + dense-retrieval serving
+    * pattern, fused rank-side so the two scorers' scales never mix.
+    *
+    * Ranks are computed WITHOUT a global window: each candidate set is
+    * already top-N (constant, driver-bounded — TakeOrderedAndProject
+    * upstream), and rank = 1 + |better| via a tiny self-join count, so
+    * nothing relation-sized ever lands on one task and the engine's
+    * no-partition-less-window contract holds. Ranks derive from the
+    * ROUNDED scores (the public contract of both scorers), id
+    * tiebreak. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kRrf: Int = 60,
+      k: Int = 20): DataFrame = {
+    require(kRrf >= 1 && k >= 1, s"need kRrf >= 1 and k >= 1: $kRrf, $k")
+    def ranked(df: DataFrame, out: String): DataFrame = {
+      val Array(id, score) = df.columns
+      val a = df.select(col(id).as("doc_id"), col(score).as("__s"))
+      val b = df.select(col(id).as("__d2"), col(score).as("__s2"))
+      a.join(b, col("__s2") > col("__s") ||
+          (col("__s2") === col("__s") && col("__d2") < col("doc_id")), "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("__d2")) + 1L).as(out))
+    }
+    ranked(lex, "rank_lex").join(ranked(vec, "rank_vec"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(coalesce(lit(1.0) / (col("rank_lex") + lit(kRrf)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rank_vec") + lit(kRrf)), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def trainedCents(s: SparkSession, d: String, n: Int): DataFrame =
     trainedGet(s, s"cents:$d:$n", centroids(embTable(s, d), n))
   private def trainedBooks(s: SparkSession, d: String): DataFrame =
@@ -584,6 +618,10 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
+    // BM25 (3-term query) + cosine-vs-vec-0, top-50 each, RRF-fused
+    "q_search_hybrid" -> ((s, d) => rrfFuse(
+      TextOps.bm25(Tables.documents(s, d), Seq("spark", "vector", "hash"), 50),
+      bruteForceTopK(embTable(s, d), 0L, 50))),
     "q_similarity_ann" -> ((s, d) => annTopK(embTable(s, d), 0L, 20)),
     "q_similarity_ivf" -> ((s, d) =>
       ivfTopK(embTable(s, d), 0L, 20, cents = Some(trainedCents(s, d, 16)))),
@@ -644,6 +682,48 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // lexical = the q_text_bm25 chain at top-50, vector = the
+    // q_similarity_topk chain at top-50; ranks = row_number over the
+    // ROUNDED scores (the scorers' public contract), id tiebreak —
+    // rank-side fusion, so float-scale differences cannot leak in
+    "q_search_hybrid" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'hash')) AS DOUBLE) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf),
+        |lex AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf, st
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |                WHERE vec_id = 0)), 4) AS sim
+        |  FROM embeddings
+        |  ORDER BY sim DESC, doc_id LIMIT 50),
+        |lr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex FROM lex),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_vec FROM vec)
+        |SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id, rank_lex, rank_vec,
+        |       round(coalesce(CAST(1.0 AS DOUBLE) / CAST(rank_lex + 60 AS DOUBLE), 0.0)
+        |             + coalesce(CAST(1.0 AS DOUBLE) / CAST(rank_vec + 60 AS DOUBLE), 0.0), 6) AS rrf
+        |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // rank on the RAW cosine with vec_id tiebreak (same as the Spark
     // side), report the rounded value; row_number cast to Spark's INT
     "q_similarity_knn_join" ->

@@ -155,6 +155,47 @@ object Snapshot {
       .orderBy(col("bucket"))
   }
 
+  /** Data-contract VALIDATION (the Deequ/dbt-test shape): per-rule
+    * violation counts over a fact table — not-null, domain, range, and
+    * referential-integrity checks, reported as (rule, n_violations)
+    * rows so a pipeline can gate an ingest batch on its contract. The
+    * registered query PLANTS violations deterministically from row
+    * columns (the harness data is clean by construction — the same
+    * planting pattern as piiMask); the validation logic is what the
+    * oracle checks.
+    *
+    * Scale posture: all row-local rules ride ONE aggregate pass over
+    * the fact scan (map-side partials, a few counters per partition);
+    * the FK check is a left-anti join against the (broadcastable) dim
+    * key set — the fact table never shuffles. */
+  def validateContract(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dirty = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .when(col("o_orderkey") % 79 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 83 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    val rowRules = dirty.agg(
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long").as("null_ck"),
+      sum(when(col("o_totalprice") < 0, 1).otherwise(0)).cast("long").as("neg_tp"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("long").as("bad_st"))
+    val fk = dirty.filter(col("o_custkey").isNotNull)
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("fk_orphans"))
+    rowRules.crossJoin(broadcast(fk))
+      .select(expr(
+        """stack(4,
+          |  'fk_orphan_custkey', fk_orphans,
+          |  'nonnegative_totalprice', neg_tp,
+          |  'not_null_custkey', null_ck,
+          |  'status_in_domain', bad_st) AS (rule, n_violations)""".stripMargin))
+      .orderBy(col("rule"))
+  }
+
   // two deterministic "crawl snapshots" derived from documents: the new
   // crawl drops every 11th doc, rewrites every remaining 7th, and
   // discovers a shifted-id batch — all four diff outcomes occur
@@ -210,6 +251,10 @@ object Snapshot {
           col("version"), col("event_type").as("dim_state"))
         .orderBy(col("event_id"))
     }),
+    // contract gate over the order log (violations planted — see
+    // validateContract scaladoc)
+    "q_validate_contract" -> ((s, d) =>
+      validateContract(Tables.orders(s, d), Tables.customer(s, d))),
     // drift between the two crawls: the rewrite (+5 chars) and the
     // drop/discover batches shift the length distribution measurably
     "q_drift_psi" -> ((s, d) => {
@@ -219,6 +264,32 @@ object Snapshot {
   )
 
   val oracle: Map[String, String] = Map(
+    // same planting chain (same WHEN precedence — a key divisible by
+    // both 97 and 79 nulls, it does not orphan), same four rules
+    "q_validate_contract" ->
+      """WITH dirty AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         WHEN o_orderkey % 79 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders),
+        |rr AS (SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ck,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_tp,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_st
+        |  FROM dirty),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS fk_orphans FROM dirty d
+        |       WHERE o_custkey IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = d.o_custkey))
+        |SELECT 'fk_orphan_custkey' AS rule, fk_orphans AS n_violations FROM fk
+        |UNION ALL SELECT 'nonnegative_totalprice', neg_tp FROM rr
+        |UNION ALL SELECT 'not_null_custkey', null_ck FROM rr
+        |UNION ALL SELECT 'status_in_domain', bad_st FROM rr
+        |ORDER BY rule""".stripMargin,
     // same SCD2 chain as q_scd2_build, then the interval-containment
     // join back to the raw events
     "q_scd2_lookup" ->

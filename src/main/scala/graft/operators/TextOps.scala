@@ -821,6 +821,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide top-k n-gram census (collocation mining — phrase
+    * statistics for tokenizer sizing, boilerplate discovery, quality
+    * probes). Grams are built ROW-LOCALLY with a `transform` HOF over
+    * the token array (O(L) per doc, inside codegen); the one shuffle
+    * carries (gram, count) with map-side partials, and the top-k is a
+    * TakeOrderedAndProject (count desc, gram tiebreak) — never a
+    * global sort. */
+  def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1: n=$n k=$k")
+    docs
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"transform(slice(toks, 1, size(toks) - ${n - 1}), (w, i) -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** DSIR-style data selection scoring (Xie et al. 2023): importance
     * weight of every document for a TARGET domain, as the bigram-LM
     * log-likelihood ratio ln p_target(doc) − ln p_corpus(doc)
@@ -952,6 +972,8 @@ object TextOps {
     // iterated global argmax — pinned by OperatorSemanticsSpec)
     "q_text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d), 12)),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
+    // top-30 corpus bigrams
+    "q_text_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), 2, 30)),
     // target domain = English docs; positive dsir_w = en-like
     "q_select_dsir" -> ((s, d) =>
       dsirScore(Tables.documents(s, d), col("lang") === "en")),
@@ -1072,6 +1094,15 @@ object TextOps {
         |       round(-avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.vv))), 6) AS nll
         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_ngram_topk" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents
+        |           WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |g AS (SELECT struct_extract(z, 1) || ' ' || struct_extract(z, 2) AS gram
+        |      FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |      WHERE struct_extract(z, 2) IS NOT NULL)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 30""".stripMargin,
     // the SAME bigram table feeds both models (tgt flag), unseen
     // target bigrams coalesce to 0, dsir_w averages the per-bigram
     // DIFFERENCE (one avg, not a difference of rounded means)

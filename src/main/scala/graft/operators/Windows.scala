@@ -51,8 +51,16 @@ object Windows {
   def withGlobalPrefixSum(df: DataFrame, valueCol: Column, out: String,
       sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // MATERIALIZE the ranged layout before branching: the running-sum
+    // window and the offsets aggregate both consume `local`, and each
+    // branch re-executing the range exchange independently (exchange
+    // reuse is not guaranteed — AQE canonicalization can decline it)
+    // may SAMPLE DIFFERENT RANGE BOUNDARIES, making _pid disagree
+    // between the branches and silently corrupting the global rank.
+    // The checkpoint pins one physical layout for both.
     val local = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
       .withColumn("_lcs",
         sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -63,7 +71,7 @@ object Windows {
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offsets), "_pid")
       .withColumn(out, col("_lcs") + col("_off"))
-      .drop("_pid", "_lcs")
+      .drop("_pid", "_lcs", "_off")
   }
 
   /** Distributed PER-GROUP running sum over a total order — the
@@ -81,8 +89,10 @@ object Windows {
   def withGroupedPrefixSum(df: DataFrame, grpCol: String, valueCol: Column,
       out: String, sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // same layout-pinning checkpoint as withGlobalPrefixSum (see there)
     val local = df.repartitionByRange(parts, col(grpCol) +: sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
       .withColumn("_lcs",
         sum(valueCol).over(Window.partitionBy(col("_pid"), col(grpCol))
           .orderBy(sortCols: _*)
@@ -97,6 +107,65 @@ object Windows {
     local.join(broadcast(offsets), Seq("_pid", grpCol))
       .withColumn(out, col("_lcs") + col("_off"))
       .drop("_pid", "_lcs", "_off")
+  }
+
+  /** Distributed GLOBAL ntile over the `sortCols` total order — the
+    * SQL-standard bucket formula (first N mod b buckets get ⌈N/b⌉
+    * rows) applied to [[withGlobalRowNumber]]'s distributed rank plus
+    * a broadcast 1-row count: no single-task whole-relation window
+    * (same decomposition as q_window_ntile, reusable). Sort keys must
+    * be a total order. */
+  def withGlobalNtile(df: DataFrame, out: String, buckets: Int,
+      sortCols: Column*): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1: $buckets")
+    withGlobalRowNumber(df, "__rn", sortCols: _*)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn("__q", expr(s"__n div $buckets"))
+      .withColumn("__r", expr(s"__n % $buckets"))
+      .withColumn(out,
+        when(col("__q") === 0, col("__rn"))
+          .otherwise(expr(
+            """IF(__rn <= __r * (__q + 1),
+              |   (__rn + __q) div (__q + 1),
+              |   __r + (__rn - __r * (__q + 1) + __q - 1) div __q)""".stripMargin))
+          .cast("long"))
+      .drop("__rn", "__n", "__q", "__r")
+  }
+
+  /** RFM segmentation — the classic customer-value triage: per-entity
+    * Recency (days since last order, vs the corpus max date), Frequency
+    * (order count), Monetary (total spend, rounded to cents BEFORE the
+    * rank so cross-engine float sums cannot reorder ties), each cut
+    * into `buckets` quantile scores, concatenated into the segment
+    * label ("555" = most recent / most frequent / biggest spender under
+    * ascending-rank convention... quintile 1 = lowest value of the
+    * metric).
+    *
+    * Scale posture: the corpus reduces to one row per entity first;
+    * the three quantile cuts are [[withGlobalNtile]] passes — range
+    * repartition + broadcast offsets each, never a single-task global
+    * window — over the entity table, which is orders-of-magnitude
+    * smaller than the order log. */
+  def rfm(orders: DataFrame, buckets: Int = 5): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("__last"),
+        count(lit(1)).cast("long").as("f_orders"),
+        round(sum(col("o_totalprice")), 2).as("m_total"))
+    val ref = orders.agg(max(to_date(col("o_orderdate"))).as("__ref"))
+    val base = per.crossJoin(broadcast(ref))
+      .withColumn("r_days", datediff(col("__ref"), col("__last")).cast("long"))
+      .drop("__ref", "__last")
+    val scored = Seq(
+      ("r_q", col("r_days")), ("f_q", col("f_orders")), ("m_q", col("m_total")))
+      .foldLeft(base) { case (df, (out, metric)) =>
+        withGlobalNtile(df, out, buckets, metric, col("o_custkey"))
+      }
+    scored
+      .withColumn("segment", concat(col("r_q").cast("string"),
+        col("f_q").cast("string"), col("m_q").cast("string")))
+      .select(col("o_custkey"), col("r_days"), col("f_orders"),
+        col("m_total"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
+      .orderBy(col("o_custkey"))
   }
 
   /** Gap-based sessionization over (user_id, ts, event_id) events: a
@@ -332,6 +401,9 @@ object Windows {
     "q_funnel" -> ((s, d) =>
       funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
 
+    // RFM customer segmentation over the order log, quintile scores.
+    "q_rfm" -> ((s, d) => rfm(Tables.orders(s, d))),
+
     // Maximal consecutive-day activity streaks per user.
     "q_window_gap_islands" -> ((s, d) =>
       gapIslands(Tables.events(s, d))),
@@ -389,6 +461,28 @@ object Windows {
         |       CAST(sum(s1) AS BIGINT) AS n_stage2,
         |       CAST(sum(s2) AS BIGINT) AS n_stage3
         |FROM u""".stripMargin,
+    // DuckDB's native ntile over the same (metric, custkey) orders —
+    // the engine's distributed bucket formula is SQL-standard ntile
+    // (parity precedent: q_window_ntile); m_total rounded to cents
+    // BEFORE the rank on both sides
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |                    CAST(count(*) AS BIGINT) AS f_orders,
+        |                    round(sum(o_totalprice), 2) AS m_total
+        |             FROM orders GROUP BY 1),
+        |ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+        |b AS (SELECT o_custkey,
+        |        CAST(date_diff('day', last_d, ref_d) AS BIGINT) AS r_days,
+        |        f_orders, m_total
+        |      FROM per CROSS JOIN ref),
+        |s AS (SELECT *,
+        |        CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS r_q,
+        |        CAST(ntile(5) OVER (ORDER BY f_orders, o_custkey) AS BIGINT) AS f_q,
+        |        CAST(ntile(5) OVER (ORDER BY m_total, o_custkey) AS BIGINT) AS m_q
+        |      FROM b)
+        |SELECT o_custkey, r_days, f_orders, m_total, r_q, f_q, m_q,
+        |       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
     // same island key: day minus the per-user row number (an INTEGER
     // subtracted from a DATE is day arithmetic in both engines)
     "q_window_gap_islands" ->

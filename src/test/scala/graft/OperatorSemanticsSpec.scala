@@ -545,6 +545,98 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(again == Seq((1L, "aa"), (2L, "ab"), (3L, "aaab")))
   }
 
+  test("withGlobalNtile: exact vs local rank under chained calls AND checkpointed inputs") {
+    // regression pin for the layout-pinning checkpoint in
+    // withGlobalPrefixSum: before it, the offsets and running-sum
+    // branches could re-execute the range exchange with different
+    // sampled boundaries (exchange reuse is not guaranteed), making
+    // _pid disagree between branches — 79/1500 wrong quintiles in the
+    // original rfm chain, triggered specifically by checkpointed
+    // inputs. Both the plain and the checkpointed chain must be exact.
+    import operators.Windows.withGlobalNtile
+    val per = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("f"))
+    val n = per.count().toInt
+    val exact = per.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._2, x._1)).zipWithIndex.map { case ((ck, _), i) =>
+        val rn = i + 1L; val q = n / 5; val r = n % 5
+        ck -> (if (q == 0) rn
+               else if (rn <= r * (q + 1)) (rn + q) / (q + 1)
+               else r + (rn - r * (q + 1) + q - 1) / q)
+      }.toMap
+    for (input <- Seq(per, per.localCheckpoint())) {
+      val got = withGlobalNtile(
+        withGlobalNtile(input, "x_q", 5, col("o_custkey")),
+        "f_q", 5, col("f"), col("o_custkey"))
+        .select(col("o_custkey"), col("f_q")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact.forall { case (ck, b) => got(ck) == b },
+        s"ntile diverged from the exact rank on ${exact.count { case (ck, b) => got(ck) != b }}/$n rows")
+    }
+  }
+
+  test("rfm: hand-built order log, metrics and quintiles exact, segments concatenate") {
+    import spark.implicits._
+    // 5 customers, strictly ordered on every metric → with buckets=5
+    // each lands alone in its quintile; customer c gets r_q=6-c (most
+    // recent last-order = smallest r_days = quintile 1)
+    val rows = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c * 100L + i, c.toLong, 100.0 * c,
+        java.sql.Timestamp.valueOf(s"2024-01-${10 + c} 00:00:00")))
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val r = operators.Windows.rfm(orders)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getString(7)))
+    assert(r.length == 5)
+    r.foreach { case (c, rd, f, m, rq, fq, mq, seg) =>
+      assert(rd == 15 - (10 + c.toInt) && f == c && m == 100.0 * c * c)
+      assert(rq == 6 - c && fq == c && mq == c, s"cust $c: ($rq, $fq, $mq)")
+      assert(seg == s"$rq$fq$mq")
+    }
+  }
+
+  test("validateContract: per-rule counts match a direct recomputation of the planting") {
+    val r = SparkEntry.queries("q_validate_contract")(spark, sf)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    val o = Tables.orders(spark, sf)
+    val nNull = o.filter(col("o_orderkey") % 97 === 0).count()
+    val nOrphan = o.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 79 === 0).count()
+    val nNeg = o.filter(col("o_orderkey") % 89 === 0).count()
+    val nBad = o.filter(col("o_orderkey") % 83 === 0).count()
+    assert(r == Map("fk_orphan_custkey" -> nOrphan, "not_null_custkey" -> nNull,
+      "nonnegative_totalprice" -> nNeg, "status_in_domain" -> nBad))
+    assert(r.values.sum > 0, "planting must produce violations")
+  }
+
+  test("rrfFuse: hand-computed fusion, one-sided docs contribute one term, ties on id") {
+    import spark.implicits._
+    val lex = Seq((1L, 0.9), (2L, 0.5), (4L, 0.5)).toDF("doc_id", "score")
+    val vec = Seq((2L, 0.99), (3L, 0.4)).toDF("vec_id", "sim")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = operators.Similarity.rrfFuse(lex, vec, 60, 20)
+      .collect().map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)),
+        x.getDouble(3))).toSeq
+    // lex ranks: 1->1, 2->2 (tie 0.5: id 2 before 4), 4->3; vec: 2->1, 3->2
+    assert(r == Seq(
+      (2L, Some(2L), Some(1L), r6(1.0 / 62 + 1.0 / 61)),
+      (1L, Some(1L), None, r6(1.0 / 61)),
+      (3L, None, Some(2L), r6(1.0 / 62)),
+      (4L, Some(3L), None, r6(1.0 / 63))))
+  }
+
+  test("ngramTopK: counts across docs, tie order on gram, k truncates") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = operators.TextOps.ngramTopK(docs, 2, 30)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("a b", 2L), ("b a", 2L)))
+    val top1 = operators.TextOps.ngramTopK(docs, 2, 1)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(top1 == Seq(("a b", 2L)))
+  }
+
   test("dsirScore: hand-computed two-model log-ratio, unseen target bigrams back off") {
     import spark.implicits._
     val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a b c"), (3L, "en", "z"))
