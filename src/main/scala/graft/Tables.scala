@@ -24,21 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to microsecond
-    * timestamps with integer division (the harness data is µs-grained,
-    * so this is lossless). Double division would corrupt epoch-nanos
-    * (~1.7e18 > 2^53) — `div` keeps it integral.
+  /** events.ts has shipped in THREE physical representations across
+    * harness regenerations: parquet TIMESTAMP(NANOS) (readable only as
+    * long nanos via `spark.sql.legacy.parquet.nanosAsLong`),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    * TIMESTAMP_NTZ), and plain session-TZ TIMESTAMP. Normalize all
+    * three to session-TZ TIMESTAMP by the STORED type, not by
+    * convention — the session TZ is pinned UTC at every entry point, so
+    * the NTZ cast re-labels the same instant.
     *
-    * `spark.sql.legacy.parquet.nanosAsLong` is set once at session
-    * construction by every entry point (Verify, Bench, SparkTestBase);
-    * the guard here only covers externally-built sessions and writes a
-    * constant, so it is idempotent (no order sensitivity, no race).
+    * Nanos → micros uses integer `div` (the harness data is µs-grained,
+    * so it is lossless); double division would corrupt epoch-nanos
+    * (~1.7e18 > 2^53). The nanosAsLong guard only covers
+    * externally-built sessions and writes a constant, so it is
+    * idempotent (no order sensitivity, no race).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.getOption(NanosConf).contains("true")) s.conf.set(NanosConf, "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -650,6 +650,85 @@ object Climate {
     * full count). Used by drivers to skip sinks for empty slices. */
   def isEmptyRelation(df: DataFrame): Boolean = df.head(1).isEmpty
 
+  /** Monthly-climatology anomaly: value minus the per-cell per-
+    * calendar-month mean over all years — the standard first derived
+    * product of any gridded climate archive (the reference stops at
+    * raw monthly values; xarray's `groupby('time.month') - mean` is
+    * the single most common idiom over exactly this data model).
+    *
+    * One window aggregate partitioned by (lat, lon, month): the
+    * climatology and the anomaly come out of a SINGLE shuffle on the
+    * cell-month key with no join back and no second scan — at 100 TB
+    * the cube shuffles once, partitioned by cell, and every year of a
+    * cell-month lands in one task regardless of how many years the
+    * archive spans. */
+  def climatologyAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = syntheticGrid(events).filter(col("value").isNotNull)
+    val cell = Window.partitionBy(col("lat"), col("lon"), month(col("ts")))
+    val clim = avg(col("value")).over(cell)
+    g.select(col("event_id"), col("lat"), col("lon"),
+        month(col("ts")).cast("int").as("month"),
+        round(col("value"), 4).as("value"),
+        round(clim, 4).as("climatology"),
+        round(col("value") - clim, 4).as("anomaly"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Spatial coarsening (regrid to a lower resolution by cell-block
+    * aggregation): xarray `coarsen(lat=2, lon=2).mean()` over the
+    * flattened table — here 0.5°×0.625° cells into 1°×1.25° blocks.
+    * A plain hash aggregate on the block index: map-side partials,
+    * one narrow shuffle of (block, count, sum, min, max) — the
+    * classic downsample that turns a 100 TB cube into a 25 TB one
+    * without ever materializing rows wider than the aggregate state. */
+  def gridCoarsen(events: DataFrame): DataFrame =
+    syntheticGrid(events).filter(col("value").isNotNull)
+      .groupBy(
+        floor((col("lat") + 90.0) / 1.0).cast("int").as("bin_lat"),
+        floor((col("lon") + 180.0) / 1.25).cast("int").as("bin_lon"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("bin_lat"), col("bin_lon"))
+
+  /** Linear gap interpolation along each series' time axis (xarray
+    * `interpolate_na(dim='time')` — the reference drops NULL readings
+    * outright, precipitation_pipeline.py:120; an archive-quality
+    * pipeline fills interior gaps instead). Interior nulls get the
+    * time-weighted linear blend of the nearest non-null neighbors;
+    * leading/trailing gaps fall back to back-/forward-fill.
+    *
+    * Two frames over ONE window sort (ignore-null `last` over the
+    * preceding frame, ignore-null `first` over the following frame)
+    * — one shuffle on the series key, no self-join, state bounded by
+    * the frame cursors regardless of gap length. */
+  def interpolateGaps(events: DataFrame, series: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = events.select(col("event_id"), series.cast("int").as("series"),
+      col("ts"), col("value"), unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("event_id"))
+    val pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    val post = w.rowsBetween(1, Window.unboundedFollowing)
+    val obsV = when(col("value").isNotNull, col("value"))
+    val obsT = when(col("value").isNotNull, col("t"))
+    val pv = last(obsV, ignoreNulls = true).over(pre)
+    val pt = last(obsT, ignoreNulls = true).over(pre)
+    val nv = first(obsV, ignoreNulls = true).over(post)
+    val nt = first(obsT, ignoreNulls = true).over(post)
+    val blend = pv + (nv - pv) *
+      ((col("t") - pt).cast("double") / (nt - pt).cast("double"))
+    g.select(col("event_id"), col("series"),
+        round(coalesce(col("value"), blend, pv, nv), 4).as("filled"),
+        when(col("value").isNotNull, "obs")
+          .when(pv.isNotNull && nv.isNotNull, "interp")
+          .when(pv.isNotNull, "ffill")
+          .when(nv.isNotNull, "bfill")
+          .otherwise("none").as("src"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_group_monthly" -> (monthlyAgg _),
     // The full composite as ONE lazy plan (sink-less form of
@@ -716,6 +795,15 @@ object Climate {
         .orderBy(col("event_id"))),
     "q_agg_histogram" -> ((s, d) =>
       valueHistogram(Tables.events(s, d), "value", 25.0)),
+    // per-cell monthly climatology + anomaly in one window pass
+    "q_climate_anomaly" -> ((s, d) =>
+      climatologyAnomaly(Tables.events(s, d))),
+    // 2×2 cell-block downsample (xarray coarsen().mean())
+    "q_grid_coarsen" -> ((s, d) =>
+      gridCoarsen(Tables.events(s, d))),
+    // linear gap-fill along each series' time axis
+    "q_time_interpolate" -> ((s, d) =>
+      interpolateGaps(Tables.events(s, d), col("event_id") % 64)),
     "q_agg_histogram_eq" -> ((s, d) =>
       equiHeightHistogram(Tables.events(s, d), "value", "event_id", 16)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
@@ -1047,5 +1135,61 @@ object Climate {
         |  '{"type":"FeatureCollection","features":[' ||
         |  string_agg(feature, ',' ORDER BY event_id) || ']}' AS collection
         |FROM f GROUP BY year, month ORDER BY year, month""".stripMargin,
+    "q_climate_anomaly" ->
+      """WITH g AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, lat, lon, CAST(month(tts) AS INT) AS month,
+        |       round(value, 4) AS value,
+        |       round(avg(value) OVER cell, 4) AS climatology,
+        |       round(value - avg(value) OVER cell, 4) AS anomaly
+        |FROM g WINDOW cell AS (PARTITION BY lat, lon, month(tts))
+        |ORDER BY event_id""".stripMargin,
+    "q_grid_coarsen" ->
+      """WITH g AS (
+        |  SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(floor((lat + 90.0) / 1.0) AS INT) AS bin_lat,
+        |       CAST(floor((lon + 180.0) / 1.25) AS INT) AS bin_lon,
+        |       count(*) AS n,
+        |       round(avg(value), 4) AS mean_value,
+        |       round(min(value), 4) AS min_value,
+        |       round(max(value), 4) AS max_value
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_time_interpolate" ->
+      """WITH g AS (
+        |  SELECT event_id, CAST(event_id % 64 AS INT) AS series,
+        |         CAST(ts AS TIMESTAMP) AS tts, value
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, series, value, epoch_us(tts) AS t,
+        |    last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+        |      OVER pre AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN epoch_us(tts) END IGNORE NULLS)
+        |      OVER pre AS pt,
+        |    first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+        |      OVER post AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN epoch_us(tts) END IGNORE NULLS)
+        |      OVER post AS nt
+        |  FROM g WINDOW
+        |    pre AS (PARTITION BY series ORDER BY tts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    post AS (PARTITION BY series ORDER BY tts, event_id
+        |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, series,
+        |  round(coalesce(value,
+        |    pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)),
+        |    pv, nv), 4) AS filled,
+        |  CASE WHEN value IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |       WHEN pv IS NOT NULL THEN 'ffill'
+        |       WHEN nv IS NOT NULL THEN 'bfill'
+        |       ELSE 'none' END AS src
+        |FROM w ORDER BY event_id""".stripMargin,
   )
 }

@@ -121,6 +121,92 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
   }
 
+  /** Per-edge neighbor-set Jaccard similarity — the standard
+    * link-strength score (Jarvis-Patrick clustering, graph
+    * sparsification): for every edge (a,b), |N(a)∩N(b)| / |N(a)∪N(b)|
+    * where the intersection count is exactly the number of triangles
+    * through the edge.
+    *
+    * Restricting the score to EDGES (not all pairs) is what makes the
+    * op scale: all-pairs Jaccard is hub-quadratic, but per-edge counts
+    * are a triangle enumeration, which the same degree-ordered
+    * orientation as [[triangleStats]] bounds at O(m^1.5) total wedge
+    * work. Each triangle is enumerated once (its source-of-two-edges
+    * vertex under the total order) and exploded to its three edges;
+    * the shuffles carry (node, node) pairs and counts only. */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val und = e0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val lt = ka < kb
+    val ori = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(lt, col("a")).otherwise(col("b")).as("src"),
+        when(lt, col("b")).otherwise(col("a")).as("dst"),
+        when(lt, kb).otherwise(ka).as("kd"))
+      .localCheckpoint()
+    // closed wedges = triangles, each enumerated exactly once
+    val tri = ori.select(col("src").as("u"), col("dst").as("v"), col("kd").as("kv"))
+      .join(ori.select(col("src").as("u"), col("dst").as("w"), col("kd").as("kw")),
+        Seq("u"))
+      .filter(col("kv") < col("kw"))
+      .join(ori.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val triEdges = tri.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(tri.select(col("v"), col("w")))
+      .unionAll(tri.select(col("u"), col("w")))
+    val common = triEdges
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("da") + col("db") - coalesce(col("common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Pairwise association rules over order baskets (the support /
+    * confidence / lift core of market-basket mining — Agrawal-Srikant
+    * Apriori at the k=2 level, which is the level that matters for
+    * co-occurrence features at corpus scale). Support counts come
+    * from one within-basket self-join (bounded by basket size, the
+    * same bounded-block pattern as the co-purchase edges); the scalar
+    * basket total rides in on a broadcast 1-row aggregate. */
+  def associationRules(li: DataFrame, minSupport: Long = 2): DataFrame = {
+    val items = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = items.select(col("ok"), col("item").as("a"))
+      .join(items.select(col("ok"), col("item").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(supp.select(col("item").as("a"), col("supp").as("supp_a")), "a")
+      .join(supp.select(col("item").as("b"), col("supp").as("supp_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("supp_ab"),
+        round(col("supp_ab").cast("double") / col("supp_a"), 6).as("conf_a_b"),
+        round(col("supp_ab").cast("double") / col("supp_b"), 6).as("conf_b_a"),
+        round(col("supp_ab").cast("double") * col("n_orders") /
+          (col("supp_a") * col("supp_b")), 6).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Co-purchase edges: directed pairs of distinct parts that appear in
     * the same order. The self-join shuffles once per side on the order
     * key; the within-order pair expansion is bounded by order size
@@ -149,6 +235,12 @@ object Graph {
     // triangle census + clustering coefficient of the same graph
     "q_graph_triangles" -> ((s, d) =>
       triangleStats(copurchaseGraph(s, d))),
+    // per-edge neighbor-Jaccard link strength on the same graph
+    "q_graph_jaccard" -> ((s, d) =>
+      edgeJaccard(copurchaseGraph(s, d))),
+    // pairwise support/confidence/lift over order baskets
+    "q_assoc_rules" -> ((s, d) =>
+      associationRules(Tables.lineitem(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,5 +286,46 @@ object Graph {
         |SELECT n_edges, n_wedges, n_triangles,
         |       round(3.0 * n_triangles / n_wedges, 6) AS global_cc
         |FROM st, wd, tri""".stripMargin,
+    // id-ordered triangle enumeration (a < b < c), exploded to the
+    // three member edges — per-edge counts are order-independent
+    "q_graph_jaccard" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ted AS (SELECT x AS a, y AS b FROM tri
+        |        UNION ALL SELECT y, z FROM tri
+        |        UNION ALL SELECT x, z FROM tri),
+        |cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common
+        |        FROM ted GROUP BY 1, 2)
+        |SELECT e.a, e.b, coalesce(common, 0) AS common,
+        |       round(CAST(coalesce(common, 0) AS DOUBLE) /
+        |             (da.deg + db.deg - coalesce(common, 0)), 6) AS jaccard
+        |FROM e LEFT JOIN cnt ON e.a = cnt.a AND e.b = cnt.b
+        |       JOIN deg da ON da.node = e.a
+        |       JOIN deg db ON db.node = e.b
+        |ORDER BY e.a, e.b""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |               FROM lineitem),
+        |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |supp AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+        |         FROM items GROUP BY 1),
+        |pairs AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS supp_ab
+        |          FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, supp_ab,
+        |       round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS conf_a_b,
+        |       round(CAST(supp_ab AS DOUBLE) / sb.supp, 6) AS conf_b_a,
+        |       round(CAST(supp_ab AS DOUBLE) * n_orders / (sa.supp * sb.supp), 6) AS lift
+        |FROM pairs JOIN supp sa ON sa.item = a
+        |           JOIN supp sb ON sb.item = b
+        |           CROSS JOIN nn
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -307,7 +307,30 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Per-group standardization + winsorization: z-score of each value
+    * against its group's mean/stddev, outlier flag at |z| > 2, and the
+    * value clamped to mean ± 2σ — the per-stratum outlier treatment a
+    * feature pipeline applies before training. One unordered window
+    * partition (whole-group frame): mean, stddev, z, and the clamp all
+    * come out of a SINGLE shuffle on the group key — no aggregate-
+    * then-join-back, no second scan. */
+  def groupZscore(df: DataFrame, id: Column, group: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(group)
+    val mu = avg(value).over(w)
+    val sd = stddev_samp(value).over(w)
+    val z = (value - mu) / sd
+    df.select(id.as("id"), group.as("grp"),
+        round(z, 4).as("z"),
+        coalesce(abs(z) > 2.0, lit(false)).as("is_outlier"),
+        round(least(greatest(value, mu - lit(2.0) * sd), mu + lit(2.0) * sd), 2)
+          .as("winsorized"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_zscore" -> ((s, d) =>
+      groupZscore(Tables.customer(s, d), col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal"))),
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -437,6 +460,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_zscore" ->
+      """WITH w AS (
+        |  SELECT c_custkey AS id, c_nationkey AS grp, c_acctbal,
+        |         avg(c_acctbal) OVER g AS mu,
+        |         stddev_samp(c_acctbal) OVER g AS sd
+        |  FROM customer WINDOW g AS (PARTITION BY c_nationkey))
+        |SELECT id, grp,
+        |       round((c_acctbal - mu) / sd, 4) AS z,
+        |       coalesce(abs((c_acctbal - mu) / sd) > 2.0, false) AS is_outlier,
+        |       round(least(greatest(c_acctbal, mu - 2.0 * sd), mu + 2.0 * sd), 2)
+        |         AS winsorized
+        |FROM w ORDER BY id""".stripMargin,
     // identical chained cumulative flags: stage i's running max sees
     // stage i-1's flag AT THE SAME ROW (same (us, event_id) order)
     "q_funnel" ->

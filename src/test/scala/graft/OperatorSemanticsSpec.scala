@@ -731,6 +731,106 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert((s.getLong(2), s.getDouble(3)) == (0L, 0.0))
   }
 
+  test("climatologyAnomaly: per-cell-month mean over years, anomaly symmetric") {
+    import spark.implicits._
+    // ids 0 and 2880 land on the SAME cell (2880 ≡ 0 mod 360 and
+    // 2880·7 ≡ 0 mod 576); both January but different years → one
+    // climatology group: mean 15, anomalies ±5. id 1 is a different
+    // cell, single observation → anomaly 0. Nulls are dropped.
+    val ev = Seq(
+      (0L, "2023-01-15", Some(10.0)),
+      (2880L, "2024-01-20", Some(20.0)),
+      (1L, "2023-01-10", Some(7.5)),
+      (2L, "2023-02-01", None))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Climate.climatologyAnomaly(ev)
+      .collect().map(x => (x.getLong(0), x.getInt(3), x.getDouble(5), x.getDouble(6)))
+    assert(r.toSeq == Seq(
+      (0L, 1, 15.0, -5.0), (1L, 1, 7.5, 0.0), (2880L, 1, 15.0, 5.0)))
+  }
+
+  test("gridCoarsen: 2×2 cell blocks aggregate, block index exact") {
+    import spark.implicits._
+    // id 0 → cell (-90, -180) → block (0,0); id 2880 → same block;
+    // id 1 → (-89.5, -175.625) → block (0, 3)
+    val ev = Seq(
+      (0L, "2023-01-15", Some(1.0)), (2880L, "2023-06-01", Some(3.0)),
+      (1L, "2023-01-10", Some(5.0)), (2L, "2023-02-01", None))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Climate.gridCoarsen(ev)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq((0, 0, 2L, 2.0, 1.0, 3.0), (0, 3, 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("interpolateGaps: interior gaps blend by time, edges back/forward-fill") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, "2023-01-01", None), (1L, "2023-01-02", Some(10.0)),
+      (2L, "2023-01-03", None), (3L, "2023-01-04", None),
+      (4L, "2023-01-05", Some(40.0)), (5L, "2023-01-06", None))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Climate.interpolateGaps(ev, lit(0))
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0L, 10.0, "bfill"), (1L, 10.0, "obs"), (2L, 20.0, "interp"),
+      (3L, 30.0, "interp"), (4L, 40.0, "obs"), (5L, 40.0, "ffill")))
+    // an all-null series stays null and is labeled none
+    val dead = Seq((9L, "2023-01-01", Option.empty[Double]))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val n = operators.Climate.interpolateGaps(dead, lit(0)).head()
+    assert(n.isNullAt(2) && n.getString(3) == "none")
+  }
+
+  test("edgeJaccard: triangle + pendant, direction/duplicates ignored") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = operators.Graph.edgeJaccard(edges)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // degrees: 1→2 2→2 3→3 4→1; common neighbors: (1,2)→{3}, (1,3)→{2},
+    // (2,3)→{1}, (3,4)→∅; jaccard = common / (da + db - common)
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 0.333333), (1L, 3L, 1L, 0.25),
+      (2L, 3L, 1L, 0.25), (3L, 4L, 0L, 0.0)))
+  }
+
+  test("associationRules: support/confidence/lift on known baskets") {
+    import spark.implicits._
+    // baskets: {10,20,30}, {10,20}, {10}; only (10,20) meets support 2;
+    // line-level duplicates of the same (order, part) must not inflate
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = operators.Graph.associationRules(li)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    // conf(10→20) = 2/3, conf(20→10) = 1, lift = 2·3/(3·2) = 1
+    assert(r.toSeq == Seq((10L, 20L, 2L, 0.666667, 1.0, 1.0)))
+  }
+
+  test("groupZscore: z, outlier flag, and winsorized clamp per group") {
+    import spark.implicits._
+    val df = (1 to 9).map(i => (i.toLong, "b", 0.0)) :+ ((10L, "b", 10.0))
+    val r = operators.Windows.groupZscore(df.toDF("id", "grp", "v"),
+      col("id"), col("grp"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getBoolean(3),
+        x.getDouble(4)))
+    // mean 1, sd sqrt(10): z(0) = −0.3162 (clamped to 0.0 floor is
+    // −5.32 < 0 so winsorized stays 0); z(10) = 2.846 > 2 → outlier,
+    // clamped to 1 + 2√10 = 7.32
+    assert(r.take(9).forall { case (_, z, o, w) => z == -0.3162 && !o && w == 0.0 })
+    assert(r.last == ((10L, 2.846, true, 7.32)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -398,15 +398,18 @@ class PlanSpec extends SparkTestBase {
 
   test("composite filters sit on the scan side of the spread repartition") {
     // the humidity/temperature composites spread the scan (explicit
-    // repartition) before CPU-heavy narrow stages. The events table
-    // stores TIMESTAMP(NANOS) as long, so the time range is a function
-    // of the raw column and cannot push into parquet — what MUST hold:
-    // the null predicates push, the scan reads only the 3 needed
-    // columns, and the range filter evaluates directly on scan output
-    // (before any exchange), discarding rows before they shuffle.
+    // repartition) before CPU-heavy narrow stages. events.ts ships as
+    // parquet TIMESTAMP(MICROS) (TIMESTAMP_NTZ in-plan), so the range
+    // predicate is on the RAW stored column and MUST push into the
+    // scan (row-group skipping) along with the null predicates; the
+    // scan reads only the 3 needed columns, and the residual filter
+    // evaluates directly on scan output (before any exchange),
+    // discarding rows before they shuffle.
     val plan = executed("q_temperature_composite")
-    assert(plan.contains("PushedFilters: [IsNotNull(ts), IsNotNull(value)]"),
+    assert(plan.contains("IsNotNull(ts)") && plan.contains("IsNotNull(value)"),
       s"null predicates not pushed:\n${plan.take(2000)}")
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      s"time range not pushed into the parquet scan:\n${plan.take(2000)}")
     val eventsSchema = plan.linesIterator
       .filter(_.contains("ReadSchema:")).find(_.contains("event_id"))
       .getOrElse("")
