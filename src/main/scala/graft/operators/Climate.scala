@@ -693,6 +693,66 @@ object Climate {
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("bin_lat"), col("bin_lon"))
 
+  /** Area-weighted global monthly mean: each cell weighted by
+    * cos(latitude) — THE standard statistic over a regular lat/lon
+    * grid (poleward cells cover less area; a naive mean over-weights
+    * the poles; cf. xarray's weighted(cos(lat)).mean() docs example).
+    * Emitted next to the naive mean so the bias is visible.
+    *
+    * One hash aggregate: the weight is a codegen'd scalar expression,
+    * the shuffle carries (month, n, Σwv, Σw) partials only — the 100 TB
+    * cube reduces map-side to a handful of doubles per month. */
+  def areaWeightedDaily(events: DataFrame): DataFrame = {
+    val g = syntheticGrid(events).filter(col("value").isNotNull)
+    val wgt = cos(radians(col("lat")))
+    g.groupBy(year(col("ts")).cast("int").as("year"),
+        month(col("ts")).cast("int").as("month"),
+        dayofmonth(col("ts")).cast("int").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * wgt) / sum(wgt), 4).as("weighted_mean"),
+        round(avg(col("value")), 4).as("naive_mean"))
+      .orderBy(col("year"), col("month"), col("day"))
+  }
+
+  /** Calendar densification (xarray `resample(time='1D')` /
+    * `asfreq`): every series gets a COMPLETE day spine from its first
+    * to its last observation — days with no rows materialize
+    * (n_obs = 0), observed days carry their mean, and `filled`
+    * forward-fills across the manufactured gaps. The reference's
+    * month-keyed file naming silently skips absent periods; an
+    * archive-quality pipeline emits them.
+    *
+    * The day index is a plain integer (days since epoch), so spine
+    * generation is `sequence()` over two ints exploded per series —
+    * no timestamp arithmetic, no calendar edge cases. Spine size is
+    * bounded by the series' time span, never by row count; everything
+    * else is one (series, day) join plus one series-key window. */
+  def resampleDaily(events: DataFrame, series: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = to_date(lit("1970-01-01"))
+    val g = events.select(series.cast("int").as("series"),
+      datediff(to_date(col("ts")), epoch).cast("long").as("di"),
+      col("value"))
+    val daily = g.groupBy(col("series"), col("di"))
+      .agg(count(col("value")).as("n_obs"),
+        round(avg(col("value")), 4).as("mean_value"))
+    val spine = g.groupBy(col("series"))
+      .agg(min(col("di")).as("di0"), max(col("di")).as("di1"))
+      .select(col("series"), explode(sequence(col("di0"), col("di1"))).as("di"))
+    val w = Window.partitionBy(col("series")).orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = date_add(epoch, col("di").cast("int"))
+    spine.join(daily, Seq("series", "di"), "left")
+      .select(col("series"),
+        year(d).cast("int").as("year"),
+        month(d).cast("int").as("month"),
+        dayofmonth(d).cast("int").as("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("mean_value"),
+        last(col("mean_value"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("series"), col("year"), col("month"), col("day"))
+  }
+
   /** Linear gap interpolation along each series' time axis (xarray
     * `interpolate_na(dim='time')` — the reference drops NULL readings
     * outright, precipitation_pipeline.py:120; an archive-quality
@@ -804,6 +864,12 @@ object Climate {
     // linear gap-fill along each series' time axis
     "q_time_interpolate" -> ((s, d) =>
       interpolateGaps(Tables.events(s, d), col("event_id") % 64)),
+    // cos(lat) area-weighted vs naive global daily mean
+    "q_climate_weighted" -> ((s, d) =>
+      areaWeightedDaily(Tables.events(s, d))),
+    // complete day spine per series + forward fill
+    "q_time_resample" -> ((s, d) =>
+      resampleDaily(Tables.events(s, d), col("event_id") % 16)),
     "q_agg_histogram_eq" -> ((s, d) =>
       equiHeightHistogram(Tables.events(s, d), "value", "event_id", 16)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
@@ -1161,6 +1227,45 @@ object Climate {
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_climate_weighted" ->
+      """WITH g AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS tts,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(year(tts) AS INT) AS year, CAST(month(tts) AS INT) AS month,
+        |       CAST(day(tts) AS INT) AS day,
+        |       count(*) AS n,
+        |       round(sum(value * cos(radians(lat))) / sum(cos(radians(lat))), 4)
+        |         AS weighted_mean,
+        |       round(avg(value), 4) AS naive_mean
+        |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_time_resample" ->
+      """WITH e AS (
+        |  SELECT CAST(event_id % 16 AS INT) AS series,
+        |         CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |              - DATE '1970-01-01' AS BIGINT) AS di,
+        |         value
+        |  FROM events),
+        |daily AS (SELECT series, di, CAST(count(value) AS BIGINT) AS n_obs,
+        |                 round(avg(value), 4) AS mean_value
+        |          FROM e GROUP BY 1, 2),
+        |span AS (SELECT series, min(di) AS di0, max(di) AS di1 FROM e GROUP BY 1),
+        |spine AS (SELECT s.series, s.di0 + g.generate_series AS di
+        |          FROM span s, generate_series(0, 40000) g
+        |          WHERE s.di0 + g.generate_series <= s.di1),
+        |j AS (SELECT sp.series, sp.di, coalesce(m.n_obs, 0) AS n_obs, m.mean_value
+        |      FROM spine sp LEFT JOIN daily m
+        |        ON sp.series = m.series AND sp.di = m.di),
+        |f AS (SELECT series, DATE '1970-01-01' + CAST(di AS INT) AS d, di,
+        |             n_obs, mean_value,
+        |             last_value(mean_value IGNORE NULLS)
+        |               OVER (PARTITION BY series ORDER BY di
+        |                     ROWS UNBOUNDED PRECEDING) AS filled
+        |      FROM j)
+        |SELECT series, CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+        |       CAST(day(d) AS INT) AS day, n_obs, mean_value, filled
+        |FROM f ORDER BY series, di""".stripMargin,
     "q_time_interpolate" ->
       """WITH g AS (
         |  SELECT event_id, CAST(event_id % 64 AS INT) AS series,

@@ -327,10 +327,39 @@ object Windows {
       .orderBy(col("id"))
   }
 
+  /** Exponentially-weighted moving average, TRUNCATED to a fixed tap
+    * count: y_t = Σ_{k<taps} (1−α)^k·x_{t−k} / Σ_{k<taps} (1−α)^k over
+    * the taps that exist (series heads renormalize over available
+    * history — pandas `ewm(adjust=True)` semantics, truncated). The
+    * truncation is the scale contract: the exact recursive EWMA needs
+    * either a sequential scan per series or an overflow-prone
+    * (1−α)^(−rn) rescaling trick, while a fixed tap window is a pure
+    * lag chain — codegen'd, one shuffle on the series key, identical
+    * math on any engine. At α = 0.25 the dropped tail mass is
+    * 0.75^8 ≈ 10%, documented, and the per-row renormalization keeps
+    * the output an unbiased weighted mean of what IS included. */
+  def ewma(df: DataFrame, id: Column, series: Column, ts: Column, value: Column,
+      alpha: Double = 0.25, taps: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1 && taps >= 1, "need 0<alpha<1, taps>=1")
+    val w = Window.partitionBy(series).orderBy(ts, id)
+    val terms = (0 until taps).map { k =>
+      (math.pow(1.0 - alpha, k), if (k == 0) value else lag(value, k).over(w))
+    }
+    val num = terms.map { case (c, v) =>
+      when(v.isNotNull, lit(c) * v).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (c, v) =>
+      when(v.isNotNull, lit(c)).otherwise(lit(0.0)) }.reduce(_ + _)
+    df.select(id.as("id"), series.as("series"), round(num / den, 4).as("ewma"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_zscore" -> ((s, d) =>
       groupZscore(Tables.customer(s, d), col("c_custkey"), col("c_nationkey"),
         col("c_acctbal"))),
+    "q_window_ewma" -> ((s, d) =>
+      ewma(Tables.events(s, d).filter(col("value").isNotNull),
+        col("event_id"), col("user_id"), col("ts"), col("value"))),
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -459,7 +488,26 @@ object Windows {
     }),
   )
 
+  /** The EWMA oracle's lag chain, generated for the registered
+    * (α = 0.25, taps = 8) so the SQL twin keeps the engine's exact
+    * term order (left-associative sum, lag k ascending). */
+  private def ewmaOracleSql: String = {
+    val num = (0 until 8).map(k =>
+      s"(CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN power(0.75, $k) * lag(value, $k) OVER w ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"(CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN power(0.75, $k) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tts, value
+       |           FROM events WHERE value IS NOT NULL)
+       |SELECT event_id AS id, user_id AS series,
+       |       round(($num) / ($den), 4) AS ewma
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)
+       |ORDER BY id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_window_ewma" -> ewmaOracleSql,
     "q_window_zscore" ->
       """WITH w AS (
         |  SELECT c_custkey AS id, c_nationkey AS grp, c_acctbal,

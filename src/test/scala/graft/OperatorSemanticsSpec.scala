@@ -831,6 +831,52 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.last == ((10L, 2.846, true, 7.32)))
   }
 
+  test("areaWeightedDaily: cos(lat) weighting discounts poleward cells") {
+    import spark.implicits._
+    // id 180 → lat 0 (weight 1), id 300 → lat 60 (weight 0.5):
+    // weighted = (10·1 + 40·0.5)/1.5 = 20, naive = 25
+    val ev = Seq((180L, "2023-01-15", 10.0), (300L, "2023-01-15", 40.0))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Climate.areaWeightedDaily(ev).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)) == (2023, 1, 15, 2L))
+    assert(r.getDouble(4) == 20.0 && r.getDouble(5) == 25.0)
+  }
+
+  test("resampleDaily: missing days materialize with n_obs 0 and forward-fill") {
+    import spark.implicits._
+    val ev = Seq((1L, "2023-01-01", Some(10.0)), (2L, "2023-01-03", Some(30.0)),
+      (3L, "2023-01-03", Some(50.0)))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Climate.resampleDaily(ev, lit(0))
+      .collect().map(x => (x.getInt(3), x.getLong(4),
+        Option(x.get(5)).map(_.asInstanceOf[Double]),
+        Option(x.get(6)).map(_.asInstanceOf[Double])))
+    // day 2 is manufactured: no obs, null mean, forward-filled 10
+    assert(r.toSeq == Seq(
+      (1, 1L, Some(10.0), Some(10.0)),
+      (2, 0L, None, Some(10.0)),
+      (3, 2L, Some(40.0), Some(40.0))))
+  }
+
+  test("ewma: renormalized lag-chain matches hand-computed values") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, "2023-01-01", 10.0), (2L, 0L, "2023-01-02", 20.0),
+      (3L, 0L, "2023-01-03", 30.0))
+      .toDF("event_id", "user_id", "d", "value")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val r = operators.Windows.ewma(ev, col("event_id"), col("user_id"),
+      col("ts"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(2)))
+    // y1 = 10; y2 = (20 + 0.75·10)/1.75 = 15.7143;
+    // y3 = (30 + 0.75·20 + 0.5625·10)/2.3125 = 21.8919
+    assert(r.toSeq == Seq((1L, 10.0), (2L, 15.7143), (3L, 21.8919)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
