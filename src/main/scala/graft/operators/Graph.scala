@@ -228,6 +228,28 @@ object Graph {
     graft.ProcessCache.get(s, "copurchase:" + d)(
       coPurchaseEdges(Tables.lineitem(s, d)).distinct().localCheckpoint())
 
+  // The THRESHOLDED co-purchase graph: only pairs co-purchased in
+  // >= 2 distinct orders. Weight-1 edges are co-occurrence noise (at
+  // sf0.1, 1.196M of 1.2M edges are weight 1 — a 300x sparsification),
+  // and dropping them before link-strength scoring is the standard
+  // practice (the same reason Jarvis-Patrick clusters on a thresholded
+  // similarity graph). Built once per (process, dataset), like every
+  // ingest-time artifact.
+  private def copurchaseStrong(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.ProcessCache.get(s, "copurchase_strong:" + d) {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      items.select(col("ok"), col("item").as("src"))
+        .join(items.select(col("ok"), col("item").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
     // part importance in the co-purchase graph, 3 rounds
     "q_graph_pagerank" -> ((s, d) =>
@@ -235,9 +257,10 @@ object Graph {
     // triangle census + clustering coefficient of the same graph
     "q_graph_triangles" -> ((s, d) =>
       triangleStats(copurchaseGraph(s, d))),
-    // per-edge neighbor-Jaccard link strength on the same graph
+    // per-edge neighbor-Jaccard link strength on the thresholded
+    // (weight >= 2) co-purchase graph — sparsify noise, then score
     "q_graph_jaccard" -> ((s, d) =>
-      edgeJaccard(copurchaseGraph(s, d))),
+      edgeJaccard(copurchaseStrong(s, d))),
     // pairwise support/confidence/lift over order baskets
     "q_assoc_rules" -> ((s, d) =>
       associationRules(Tables.lineitem(s, d))),
@@ -287,11 +310,15 @@ object Graph {
         |       round(3.0 * n_triangles / n_wedges, 6) AS global_cc
         |FROM st, wd, tri""".stripMargin,
     // id-ordered triangle enumeration (a < b < c), exploded to the
-    // three member edges — per-edge counts are order-independent
+    // three member edges — per-edge counts are order-independent.
+    // Edge set = pairs in >= 2 distinct orders (the engine's
+    // thresholded graph), from distinct (order, part) baskets.
     "q_graph_jaccard" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |           WHERE a.l_partkey < b.l_partkey),
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |               FROM lineitem),
+        |e AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT node, count(*) AS deg
         |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
         |        GROUP BY node),
