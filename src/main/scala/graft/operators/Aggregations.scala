@@ -54,7 +54,34 @@ object Aggregations {
       .where(abs(col("rz")) > threshold)
   }
 
+  /** Per-group higher moments: skewness avg(z³) and EXCESS kurtosis
+    * avg(z⁴)−3 over the group-standardized value — the distribution-
+    * shape QA row (is this stratum symmetric? heavy-tailed?) next to
+    * [[q_agg_stats]]'s location/scale. Computed from explicit
+    * z-moments rather than the built-in skewness()/kurtosis(): engines
+    * disagree on bias correction (sample G1 vs population g1), while
+    * avg((x−µ)/σ)³ is the same formula everywhere.
+    *
+    * One window partition (µ, σ in a single group-key shuffle) feeding
+    * one hash aggregate on the same key — Filter/Project preserve the
+    * partitioning, so the aggregate adds no second exchange. */
+  def groupMoments(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+    val z = (value - avg(value).over(w)) / stddev_samp(value).over(w)
+    df.select(group.as("grp"), z.as("z"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("z") * col("z") * col("z")), 4).as("skewness"),
+        round(avg(col("z") * col("z") * col("z") * col("z")) - 3.0, 4)
+          .as("kurtosis_excess"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_moments" -> ((s, d) =>
+      groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
     "q_anomaly_mad" -> ((s, d) =>
       anomalyMad(Tables.events(s, d), "event_type", "value")
@@ -192,6 +219,16 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_moments" ->
+      """WITH w AS (
+        |  SELECT c_nationkey AS grp,
+        |         (c_acctbal - avg(c_acctbal) OVER g)
+        |           / stddev_samp(c_acctbal) OVER g AS z
+        |  FROM customer WINDOW g AS (PARTITION BY c_nationkey))
+        |SELECT grp, count(*) AS n,
+        |       round(avg(z * z * z), 4) AS skewness,
+        |       round(avg(z * z * z * z) - 3.0, 4) AS kurtosis_excess
+        |FROM w GROUP BY grp ORDER BY grp""".stripMargin,
     // same two-pass robust stats (DuckDB's median/mad are the same
     // exact interpolated quantiles), same operand order in rz
     "q_anomaly_mad" ->

@@ -753,6 +753,36 @@ object Climate {
       .orderBy(col("series"), col("year"), col("month"), col("day"))
   }
 
+  /** Nearest-station assignment: every grid cell mapped to its
+    * closest station by great-circle distance — the station-matching
+    * join behind bias correction and in-situ/satellite comparison
+    * (the geodesic analog of the reference's land-mask cell lookup).
+    *
+    * The station table is small BY NATURE (thousands at most), so the
+    * assignment is a broadcast cross join + min_by per cell: the 100 TB
+    * cell side never shuffles — one codegen'd distance per (cell,
+    * station) and a map-side-combining hash aggregate on the cell key.
+    * Ties break on station_id via the composite (dist, id) ordering. */
+  def nearestStation(cells: DataFrame, stations: DataFrame): DataFrame = {
+    val dist = haversineKm(col("lat"), col("lon"), col("slat"), col("slon"))
+    cells.crossJoin(broadcast(stations))
+      .select(col("lat"), col("lon"), col("station_id"), dist.as("dist"))
+      .groupBy(col("lat"), col("lon"))
+      .agg(min_by(struct(col("station_id"), col("dist")),
+        struct(col("dist"), col("station_id"))).as("best"))
+      .select(col("lat"), col("lon"),
+        col("best.station_id").as("station_id"),
+        round(col("best.dist"), 4).as("dist_km"))
+      .orderBy(col("lat"), col("lon"))
+  }
+
+  /** Deterministic synthetic station set over `nation` (25 rows): the
+    * registered stand-in for a real station table. */
+  def syntheticStations(nation: DataFrame): DataFrame =
+    nation.select(col("n_nationkey").as("station_id"),
+      ((col("n_nationkey") * 7) % 36 * 5.0 - 87.5).as("slat"),
+      ((col("n_nationkey") * 11) % 72 * 5.0 - 177.5).as("slon"))
+
   /** Linear gap interpolation along each series' time axis (xarray
     * `interpolate_na(dim='time')` — the reference drops NULL readings
     * outright, precipitation_pipeline.py:120; an archive-quality
@@ -878,6 +908,11 @@ object Climate {
     // complete day spine per series + forward fill
     "q_time_resample" -> ((s, d) =>
       resampleDaily(Tables.events(s, d), col("event_id") % 16)),
+    // nearest station per distinct grid cell (broadcast NN assignment)
+    "q_geo_nearest" -> ((s, d) =>
+      nearestStation(
+        syntheticGrid(Tables.events(s, d)).select(col("lat"), col("lon")).distinct(),
+        syntheticStations(Tables.nation(s, d)))),
     "q_agg_histogram_eq" -> ((s, d) =>
       equiHeightHistogram(Tables.events(s, d), "value", "event_id", 16)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
@@ -1274,6 +1309,32 @@ object Climate {
         |SELECT series, CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
         |       CAST(day(d) AS INT) AS day, n_obs, mean_value, filled
         |FROM f ORDER BY series, di""".stripMargin,
+    // same haversine operand order as the engine's haversineKm (parity
+    // already proven by q_fn_geo); composite (dist, id) tie-break via
+    // window rank (installed DuckDB's arg_min takes no composite key)
+    "q_geo_nearest" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon
+        |  FROM events),
+        |st AS (
+        |  SELECT n_nationkey AS station_id,
+        |         (n_nationkey * 7) % 36 * 5.0 - 87.5 AS slat,
+        |         (n_nationkey * 11) % 72 * 5.0 - 177.5 AS slon
+        |  FROM nation),
+        |d AS (
+        |  SELECT lat, lon, station_id,
+        |         2 * 6371.0 * asin(sqrt(
+        |           power(sin(radians(slat - lat) / 2), 2) +
+        |           cos(radians(lat)) * cos(radians(slat))
+        |             * power(sin(radians(slon - lon) / 2), 2))) AS dist
+        |  FROM cells CROSS JOIN st),
+        |r AS (SELECT lat, lon, station_id, dist,
+        |             row_number() OVER (PARTITION BY lat, lon
+        |                                ORDER BY dist, station_id) AS rn
+        |      FROM d)
+        |SELECT lat, lon, station_id, round(dist, 4) AS dist_km
+        |FROM r WHERE rn = 1 ORDER BY lat, lon""".stripMargin,
     "q_time_interpolate" ->
       """WITH g AS (
         |  SELECT event_id, CAST(event_id % 64 AS INT) AS series,

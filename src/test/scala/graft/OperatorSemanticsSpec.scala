@@ -877,6 +877,29 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.toSeq == Seq((1L, 10.0), (2L, 15.7143), (3L, 21.8919)))
   }
 
+  test("nearestStation: great-circle assignment, equidistant tie breaks on id") {
+    import spark.implicits._
+    val cells = Seq((0.0, 0.0), (50.0, 0.0)).toDF("lat", "lon")
+    val st = Seq((1L, 0.0, 10.0), (2L, 0.0, -10.0), (3L, 60.0, 0.0))
+      .toDF("station_id", "slat", "slon")
+    val r = operators.Climate.nearestStation(cells, st)
+      .collect().map(x => (x.getDouble(0), x.getLong(2), x.getDouble(3)))
+    // (0,0) is EXACTLY 10° from stations 1 and 2 → id tie-break → 1;
+    // 10° of arc = 2·6371·radians(10)/2 = 1111.9493 km on both axes
+    assert(r.toSeq == Seq((0.0, 1L, 1111.9493), (50.0, 3L, 1111.9493)))
+  }
+
+  test("groupMoments: symmetric group has zero skew; spike shows positive skew") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 4.0)).toDF("g", "v")
+    val r = operators.Aggregations.groupMoments(df, col("g"), col("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    // a: z = (−1,0,1) → skew 0, kurt 2/3 − 3 = −2.3333
+    // b: sd = 2 (sample), z = (−.5,−.5,−.5,1.5) → skew .75, kurt −1.6875
+    assert(r.toSeq == Seq(("a", 3L, 0.0, -2.3333), ("b", 4L, 0.75, -1.6875)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
