@@ -381,6 +381,18 @@ object TextOps {
   /** Stopword-profile language ID: per-language evidence score =
     * stopword hits; argmax with a fixed en>de>es>fr priority tie-break,
     * 'und' (undetermined) when no evidence. One expression, no UDF. */
+  /** The n-gram-heuristic language vote as a single column — shared
+    * by [[langId]]'s report shape and the curation composite. */
+  private def langPredicted(t: Column): Column = {
+    val (en, de, es, fr) = (countIn(t, EnStops), countIn(t, DeStops),
+      countIn(t, EsStops), countIn(t, FrStops))
+    when(greatest(en, de, es, fr) === 0, lit("und"))
+      .when(en >= greatest(de, es, fr), lit("en"))
+      .when(de >= greatest(es, fr), lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val t = col("text")
     val (en, de, es, fr) = (countIn(t, EnStops), countIn(t, DeStops),
@@ -577,31 +589,42 @@ object TextOps {
     * Scale posture: a pure row-local codegen'd projection — token
     * array built once per row, every metric an array expression over
     * it, no shuffle at all (the ordering is for the oracle only). */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The Gopher gate columns over any frame carrying `text`: input
+    * columns + n_words, mwl (round 4), per-rule flags, combined
+    * `keep`. Row-local codegen'd projections only — shared by the
+    * registered rule report ([[gopherRules]]) and the curation
+    * composite. */
+  def gopherSignals(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), col("text"),
-      toks.as("toks"), size(toks).cast("long").as("n_words"))
-    val chars = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+    val base = docs.withColumn("__toks", toks)
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+    val chars = aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
     val mwl = chars.cast("double") / col("n_words").cast("double")
-    val digitFrac = size(filter(col("toks"), t => t.rlike("[0-9]")))
+    val digitFrac = size(filter(col("__toks"), t => t.rlike("[0-9]")))
       .cast("double") / col("n_words").cast("double")
     val symRatio = (regexp_count(col("text"), lit("#")) +
       regexp_count(col("text"), lit("\\.\\.\\.")))
       .cast("double") / col("n_words").cast("double")
-    val nStop = size(filter(col("toks"),
+    val nStop = size(filter(col("__toks"),
       t => t.isin(EnStops.map(w => w: Any): _*)))
     def flag(c: Column): Column = when(c, 1).otherwise(0).cast("int")
-    base.select(col("doc_id"), col("n_words"),
-        round(mwl, 4).as("mwl"),
-        flag(col("n_words").between(50L, 100000L)).as("r_nwords"),
-        flag(mwl.between(3.0, 10.0)).as("r_mwl"),
-        flag(nStop >= 2).as("r_stop"),
-        flag(symRatio <= 0.1).as("r_symbol"),
-        flag(digitFrac <= 0.3).as("r_digit"))
+    base
+      .withColumn("mwl", round(mwl, 4))
+      .withColumn("r_nwords", flag(col("n_words").between(50L, 100000L)))
+      .withColumn("r_mwl", flag(mwl.between(3.0, 10.0)))
+      .withColumn("r_stop", flag(nStop >= 2))
+      .withColumn("r_symbol", flag(symRatio <= 0.1))
+      .withColumn("r_digit", flag(digitFrac <= 0.3))
       .withColumn("keep", (col("r_nwords") * col("r_mwl") * col("r_stop") *
         col("r_symbol") * col("r_digit")).cast("int"))
-      .orderBy(col("doc_id"))
+      .drop("__toks")
   }
+
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherSignals(docs)
+      .select(col("doc_id"), col("n_words"), col("mwl"), col("r_nwords"),
+        col("r_mwl"), col("r_stop"), col("r_symbol"), col("r_digit"), col("keep"))
+      .orderBy(col("doc_id"))
 
   /** Deterministic train/val/test HOLDOUT split — the evaluation-set
     * carve every training pipeline runs before anything else touches
@@ -755,6 +778,41 @@ object TextOps {
     * aggregation; the distinct-digest count is Spark's two-phase
     * count(DISTINCT) over 32-byte keys. Nothing document-sized
     * shuffles except the digests themselves. */
+  /** End-to-end CURATION composite — the LLM-data analog of the
+    * climate tier's q_climate_composite: exact dedup → Gopher quality
+    * gates → character-entropy gibberish gate → language vote, as ONE
+    * lazy plan emitting the surviving corpus with its quality columns.
+    *
+    * Stage order is the scale story: every per-document signal
+    * (tokens, rule flags, entropy, language vote, content digest) is a
+    * row-local codegen'd projection computed BEFORE the only
+    * data-sized exchange, and `text` is projected away with them — the
+    * dedup window shuffles (digest, doc_id, scalars), never document
+    * bytes. Canonical-of-duplicates is min(doc_id) over the digest
+    * partition (duplicates have identical text, hence identical
+    * signals, so gate-then-dedup and dedup-then-gate agree; the
+    * window form keeps survivors' columns without a join back). The
+    * entropy gate compares the ROUNDED value so the band edge cannot
+    * flip on summation-order ulps. */
+  def curationComposite(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = gopherSignals(docs.filter(length(col("text")) > 0))
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withColumn("char_entropy",
+        round(entropyOf(array_remove(split(col("text"), ""), "")), 6))
+      .withColumn("predicted", langPredicted(col("text")))
+      .select(col("doc_id"), col("source"), col("text_sha"), col("n_words"),
+        col("mwl"), col("keep"), col("char_entropy"), col("predicted"))
+    val w = Window.partitionBy(col("text_sha"))
+    sig
+      .withColumn("__canon", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__canon"))
+      .filter(col("keep") === 1 && col("char_entropy").between(2.0, 6.0))
+      .select(col("doc_id"), col("source"), col("predicted"), col("n_words"),
+        col("mwl"), col("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusHealth(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
@@ -982,6 +1040,8 @@ object TextOps {
       samplePerGroup(Tables.documents(s, d), "lang", 40, "ev0")),
     "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
     "q_corpus_health" -> ((s, d) => corpusHealth(Tables.documents(s, d))),
+    "q_curation_composite" -> ((s, d) =>
+      curationComposite(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => textQuality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => textRepetition(Tables.documents(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -997,6 +1057,55 @@ object TextOps {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // the q_filter_gopher, q_text_entropy, and q_text_lang_id oracle
+    // stages composed into the one-plan curation lifecycle; raw-mwl
+    // gate + rounded-mwl output keeps the q_filter_gopher convention
+    // (DuckDB resolves the CASE's `mwl` to the input column, matching
+    // the engine's raw-valued rule)
+    "q_curation_composite" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents
+         |              WHERE length(text) > 0),
+         |t AS (SELECT doc_id, source, text,
+         |        regexp_split_to_array(trim(text), '\\s+') AS toks
+         |      FROM base),
+         |m AS (SELECT doc_id, source, text, len(toks) AS n_words,
+         |        CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS mwl,
+         |        len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS n_stop,
+         |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS digit_frac,
+         |        CAST(len(regexp_extract_all(text, '#'))
+         |             + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS sym_ratio
+         |      FROM t),
+         |f AS (SELECT doc_id, source, text,
+         |        CAST(n_words AS BIGINT) AS n_words, round(mwl, 4) AS mwl,
+         |        CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         |        * CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+         |        * CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+         |        * CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END
+         |        * CASE WHEN digit_frac <= 0.3 THEN 1 ELSE 0 END AS keep
+         |      FROM m),
+         |s AS (SELECT doc_id, source, n_words, mwl, keep,
+         |        round(greatest(0.0, ln(length(text)) - list_aggregate(
+         |          list_transform(list_sort(list_distinct(string_split(text, ''))),
+         |            c -> CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+         |                 * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE))),
+         |          'sum') / length(text)), 6) AS char_entropy,
+         |        CASE WHEN greatest(${sqlCountIn(EnStops)}, ${sqlCountIn(DeStops)},
+         |                           ${sqlCountIn(EsStops)}, ${sqlCountIn(FrStops)}) = 0 THEN 'und'
+         |             WHEN ${sqlCountIn(EnStops)} >= greatest(${sqlCountIn(DeStops)},
+         |                    ${sqlCountIn(EsStops)}, ${sqlCountIn(FrStops)}) THEN 'en'
+         |             WHEN ${sqlCountIn(DeStops)} >= greatest(${sqlCountIn(EsStops)},
+         |                    ${sqlCountIn(FrStops)}) THEN 'de'
+         |             WHEN ${sqlCountIn(EsStops)} >= ${sqlCountIn(FrStops)} THEN 'es'
+         |             ELSE 'fr' END AS predicted,
+         |        min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+         |      FROM f)
+         |SELECT doc_id, source, predicted, n_words, mwl, char_entropy
+         |FROM s
+         |WHERE doc_id = canon AND keep = 1 AND char_entropy BETWEEN 2.0 AND 6.0
+         |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(length(text)), 4) AS avg_chars,

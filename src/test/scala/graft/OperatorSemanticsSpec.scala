@@ -900,6 +900,25 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.toSeq == Seq(("a", 3L, 0.0, -2.3333), ("b", 4L, 0.75, -1.6875)))
   }
 
+  test("curationComposite: dedup, gopher, entropy, and language gates compose") {
+    import spark.implicits._
+    val good = (1 to 10).map(_ =>
+      "the quick brown fox and dog run to the park in a day it is fine").mkString(" ")
+    val lowEntropy = Seq.fill(60)("the").mkString(" ") // gopher-clean, entropy ~1.4
+    val docs = Seq(
+      (1L, "s1", "en", good),
+      (2L, "s1", "en", good),          // exact duplicate → canonical is 1
+      (3L, "s1", "en", "too few words here"), // r_nwords = 0
+      (4L, "s1", "en", lowEntropy))    // passes gopher, fails entropy gate
+      .toDF("doc_id", "source", "lang", "text")
+    val r = operators.TextOps.curationComposite(docs).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(r.head.getString(2) == "en" && r.head.getLong(3) == 160L)
+    // the low-entropy doc really did pass the gopher gates
+    val g = operators.TextOps.gopherRules(docs.filter(col("doc_id") === 4))
+    assert(g.head().getAs[Int]("keep") == 1)
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -48,6 +48,26 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_curation_composite: one digest-keyed exchange, text never shuffles") {
+    val plan = executed("q_curation_composite")
+    val hashExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected exactly one hash exchange (text_sha), got:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.head.contains("text_sha"),
+      s"the single exchange must key on the content digest: ${hashExchanges.head}")
+    // every signal is computed before the exchange: no exchange (hash
+    // or range) carries the raw text column — in formatted explain,
+    // each "(n) Exchange" block's Input line lists what shuffles
+    val lines = plan.linesIterator.toIndexedSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.slice(i + 1, i + 4).find(_.trim.startsWith("Input")).getOrElse("") }
+    assert(exchangeInputs.nonEmpty && exchangeInputs.forall(!_.contains("text#")),
+      s"document bytes shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
   test("q_funnel: the chained stage windows and per-user reduction share ONE hash exchange") {
     val plan = executed("q_funnel")
     val hashExchanges = plan.linesIterator
