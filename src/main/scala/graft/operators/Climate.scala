@@ -899,15 +899,28 @@ object Climate {
     // 2×2 cell-block downsample (xarray coarsen().mean())
     "q_grid_coarsen" -> ((s, d) =>
       gridCoarsen(Tables.events(s, d))),
-    // linear gap-fill along each series' time axis
+    // linear gap-fill along each series' time axis. The harness
+    // stream has no NULL readings, so gaps are PLANTED from a row
+    // column inside the query (every 7th event) and the oracle
+    // replays the identical construction — the q_text_pii_mask
+    // pattern; the interpolation logic is what the oracle checks.
     "q_time_interpolate" -> ((s, d) =>
-      interpolateGaps(Tables.events(s, d), col("event_id") % 64)),
+      interpolateGaps(
+        Tables.events(s, d).withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))),
+        col("event_id") % 64)),
     // cos(lat) area-weighted vs naive global daily mean
     "q_climate_weighted" -> ((s, d) =>
       areaWeightedDaily(Tables.events(s, d))),
-    // complete day spine per series + forward fill
+    // complete day spine per series + forward fill. The harness
+    // stream covers every day, so per-series missing DAYS are planted
+    // (series s drops days ≡ s mod 8) and the oracle replays the
+    // construction — real n_obs = 0 spine rows materialize.
     "q_time_resample" -> ((s, d) =>
-      resampleDaily(Tables.events(s, d), col("event_id") % 16)),
+      resampleDaily(
+        Tables.events(s, d).filter(
+          !(dayofmonth(col("ts")) % 8 === (col("event_id") % 16) % 8)),
+        col("event_id") % 16)),
     // nearest station per distinct grid cell (broadcast NN assignment)
     "q_geo_nearest" -> ((s, d) =>
       nearestStation(
@@ -1289,7 +1302,8 @@ object Climate {
         |         CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
         |              - DATE '1970-01-01' AS BIGINT) AS di,
         |         value
-        |  FROM events),
+        |  FROM events
+        |  WHERE NOT (day(CAST(ts AS TIMESTAMP)) % 8 = (event_id % 16) % 8)),
         |daily AS (SELECT series, di, CAST(count(value) AS BIGINT) AS n_obs,
         |                 round(avg(value), 4) AS mean_value
         |          FROM e GROUP BY 1, 2),
@@ -1338,7 +1352,8 @@ object Climate {
     "q_time_interpolate" ->
       """WITH g AS (
         |  SELECT event_id, CAST(event_id % 64 AS INT) AS series,
-        |         CAST(ts AS TIMESTAMP) AS tts, value
+        |         CAST(ts AS TIMESTAMP) AS tts,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
         |  FROM events),
         |w AS (
         |  SELECT event_id, series, value, epoch_us(tts) AS t,

@@ -160,6 +160,28 @@ class SoakSpec extends SparkTestBase {
       assert(res.length == Copies)
       assert(res.forall(r => r.getDouble(2) == 0.5 && r.getDouble(3) == 0.625))
 
+      // 5. linear gap interpolation: 64 series × ~47k rows, gaps
+      //    PLANTED on every 7th event (the harness stream itself has
+      //    no NULL readings). Both neighbor lookups ride incremental
+      //    unbounded-PRECEDING frames (ascending + descending sorts)
+      //    — the naive unbounded-FOLLOWING frame re-scans the tail
+      //    per row, O(n²)/partition ≈ 2.2G frame evals per series
+      //    here, and does not finish in soak time
+      val gapped = fixture.withColumn("value",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+      val (interp, tInterp) = timed {
+        Climate.interpolateGaps(gapped, col("event_id") % 64)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("filled").isNull, 1).otherwise(0)).as("n_null"),
+            sum(when(col("src") === "interp", 1).otherwise(0)).as("n_interp"))
+          .head()
+      }
+      assert(interp.getLong(0) == n)
+      // every series has observations → no row is left unfilled
+      assert(interp.getLong(1) == 0L, s"unfilled rows: ${interp.getLong(1)}")
+      assert(interp.getLong(2) > n / 8, "planted gaps not interpolated")
+
       // drain the listener bus before reading the stage log
       Thread.sleep(2000)
       val violations = stages.toArray(Array.empty[(Int, Int, Long)])
@@ -192,6 +214,7 @@ class SoakSpec extends SparkTestBase {
            || equiHeightHistogram (16 buckets) | ${n / 1000000.0}M | ${f"$tHist%.1f"} | ${f"$ratio%.2f"} |
            || featureCollectionSharded (20k/doc → ${Copies * 5} parts) | ${n / 1000000.0}M | ${f"$tShard%.1f"} | ${f"$ratio%.2f"} |
            || monthlyResolutions (2 axes × $Copies months) | ${n / 1000000.0}M | ${f"$tRes%.1f"} | ${f"$ratio%.2f"} |
+           || interpolateGaps (64 series, incremental frames) | ${n / 1000000.0}M | ${f"$tInterp%.1f"} | ${f"$ratio%.2f"} |
            |""".stripMargin
       SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
         "Distributed-primitive soak", doc)
