@@ -176,7 +176,29 @@ object Joins {
     pre.join(broadcast(keys), pre(factKey) === keys(dimKey), "left_semi")
   }
 
+  /** Star-schema rollup: the fact stream joined through its full
+    * dimension chain (customer → nation → region) with every dim
+    * BROADCAST, then aggregated on low-cardinality names — revenue by
+    * region/nation. The canonical warehouse plan shape: at 100 TB the
+    * fact side flows scan → 3 pipelined broadcast probes → partial
+    * agg without EVER shuffling fact rows; the only exchange carries
+    * (region, nation, partials). Pinned in PlanSpec (3 broadcast
+    * joins, 0 sort-merge). */
+  def starRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
   val queries: Map[String, Q] = Map(
+    "q_join_star" -> (starRollup _),
     // Broadcast hash join, inner, small dim side.
     "q_join_broadcast" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -338,6 +360,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_star" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_join_broadcast" ->
       """SELECT c_custkey, c_name, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -616,7 +616,40 @@ object Similarity {
   private def trainedBooks(s: SparkSession, d: String): DataFrame =
     trainedGet(s, s"books:$d", pqCodebooks(embTable(s, d)))
 
+  /** Scalar (int8) quantization AUDIT of the embedding column: per
+    * dimension, the min/max range, and the mean/max absolute
+    * reconstruction error of 8-bit min-max quantization — the
+    * storage-sizing decision every billion-vector store makes (4×
+    * smaller vectors vs measured recall-relevant error) rendered as a
+    * 1-row-per-dimension report.
+    *
+    * q = floor((v − lo)/((hi − lo)/255) + 0.5), dequant = lo + q·step
+    * — identical operand order on every engine, so errors are exact.
+    * One shuffle on the dimension key: range via window min/max, the
+    * error aggregate groups on the same key (no second exchange);
+    * elements shuffle as (dim, double) pairs, never whole vectors. */
+  def embedQuantizeAudit(emb: DataFrame): DataFrame = {
+    val x = emb.select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        col("vf").cast("double").as("v"))
+    val w = Window.partitionBy(col("dim"))
+    val lo = min(col("v")).over(w)
+    val hi = max(col("v")).over(w)
+    val step = (hi - lo) / 255.0
+    val deq = when(hi === lo, lo)
+      .otherwise(lo + floor((col("v") - lo) / step + 0.5) * step)
+    x.select(col("dim"), col("v"), lo.as("lo"), hi.as("hi"), deq.as("deq"))
+      .groupBy(col("dim"), col("lo"), col("hi"))
+      .agg(round(avg(abs(col("v") - col("deq"))), 8).as("mean_abs_err"),
+        round(max(abs(col("v") - col("deq"))), 8).as("max_abs_err"))
+      .select(col("dim"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"), col("mean_abs_err"), col("max_abs_err"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> ((s, d) =>
+      embedQuantizeAudit(Tables.embeddings(s, d))),
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
     // BM25 (3-term query) + cosine-vs-vec-0, top-50 each, RRF-fused
     "q_search_hybrid" -> ((s, d) => rrfFuse(
@@ -682,6 +715,28 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // 1-based list index via constant-bound generate_series (the
+    // installed DuckDB has no WITH ORDINALITY); identical quantize/
+    // dequantize operand order, grouped on (dim, lo, hi) like the
+    // engine so the range rides through the aggregate
+    "q_embed_quantize" ->
+      """WITH x AS (
+        |  SELECT CAST(g.generate_series AS INT) AS dim,
+        |         CAST(embedding[g.generate_series] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) g),
+        |w AS (SELECT dim, v,
+        |        min(v) OVER (PARTITION BY dim) AS lo,
+        |        max(v) OVER (PARTITION BY dim) AS hi
+        |      FROM x),
+        |q AS (SELECT dim, lo, hi, v,
+        |        CASE WHEN hi = lo THEN lo
+        |             ELSE lo + floor((v - lo) / ((hi - lo) / 255.0) + 0.5)
+        |                       * ((hi - lo) / 255.0) END AS deq
+        |      FROM w)
+        |SELECT dim, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |       round(avg(abs(v - deq)), 8) AS mean_abs_err,
+        |       round(max(abs(v - deq)), 8) AS max_abs_err
+        |FROM q GROUP BY dim, lo, hi ORDER BY dim""".stripMargin,
     // lexical = the q_text_bm25 chain at top-50, vector = the
     // q_similarity_topk chain at top-50; ranks = row_number over the
     // ROUNDED scores (the scorers' public contract), id tiebreak —

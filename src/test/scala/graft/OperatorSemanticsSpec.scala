@@ -919,6 +919,21 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(g.head().getAs[Int]("keep") == 1)
   }
 
+  test("embedQuantizeAudit: endpoint errors zero, midpoint error 1/255, constant dim exact") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(0.0f, 10.0f)), (2L, Array(1.0f, 10.0f)),
+      (3L, Array(2.0f, 10.0f))).toDF("vec_id", "embedding")
+    val r = operators.Similarity.embedQuantizeAudit(emb)
+      .collect().map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    // dim 1: range [0,2], endpoints reconstruct exactly, the midpoint
+    // lands on code 128 → error 1/255 = 0.00392157, mean 1/765
+    // dim 2: constant → hi = lo → dequant is exact
+    assert(r.toSeq == Seq(
+      (1, 0.0, 2.0, 0.00130719, 0.00392157),
+      (2, 10.0, 10.0, 0.0, 0.0)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)

@@ -48,6 +48,15 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_star: full dimension chain broadcasts, fact never sort-merges") {
+    val plan = executed("q_join_star")
+    val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 3,
+      s"expected 3 broadcast joins (customer, nation, region), got $nBroadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"star rollup must never shuffle the fact side into a sort-merge join")
+  }
+
   test("q_curation_composite: one digest-keyed exchange, text never shuffles") {
     val plan = executed("q_curation_composite")
     val hashExchanges = plan.linesIterator
