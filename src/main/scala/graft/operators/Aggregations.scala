@@ -70,11 +70,15 @@ object Aggregations {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(group)
     val z = (value - avg(value).over(w)) / stddev_samp(value).over(w)
-    df.select(group.as("grp"), z.as("z"))
-      .groupBy(col("grp"))
+    // group by the ORIGINAL expression (aliased only for the output
+    // name): renaming first would give the aggregate a fresh
+    // attribute, defeating alias-aware partitioning propagation and
+    // inserting a second exchange (observed; pinned in PlanSpec)
+    df.withColumn("__z", z)
+      .groupBy(group.as("grp"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("z") * col("z") * col("z")), 4).as("skewness"),
-        round(avg(col("z") * col("z") * col("z") * col("z")) - 3.0, 4)
+        round(avg(col("__z") * col("__z") * col("__z")), 4).as("skewness"),
+        round(avg(col("__z") * col("__z") * col("__z") * col("__z")) - 3.0, 4)
           .as("kurtosis_excess"))
       .orderBy(col("grp"))
   }

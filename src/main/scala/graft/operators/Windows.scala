@@ -353,7 +353,32 @@ object Windows {
       .orderBy(col("id"))
   }
 
+  /** Top event PATHS: the most frequent k-step consecutive event-type
+    * sequences across users (k = 3 here) — the "how do users actually
+    * move" product-analytics staple, and the event-stream analog of
+    * the text tier's n-gram mining. Consecutive means adjacent in the
+    * per-user (ts, event_id) order.
+    *
+    * One shuffle on the user key builds every path via lead(); the
+    * count aggregate's shuffle carries (path, count) partials. Top-k
+    * by (count desc, path) is a TakeOrderedAndProject — no global
+    * sort. */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e2 = lead(col("event_type"), 1).over(w)
+    val e3 = lead(col("event_type"), 2).over(w)
+    events
+      .select(col("user_id"), col("event_type").as("e1"),
+        e2.as("e2"), e3.as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_paths" -> ((s, d) => eventPaths(Tables.events(s, d))),
     "q_window_zscore" -> ((s, d) =>
       groupZscore(Tables.customer(s, d), col("c_custkey"), col("c_nationkey"),
         col("c_acctbal"))),
@@ -507,6 +532,18 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "q_window_ewma" -> ewmaOracleSql,
     "q_window_zscore" ->
       """WITH w AS (

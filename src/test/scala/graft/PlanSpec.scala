@@ -48,6 +48,27 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_climate_anomaly: climatology and anomaly share ONE cell-month exchange") {
+    val plan = executed("q_climate_anomaly")
+    // the REPARTITION_BY_NUM exchange is spread()'s single-file-scan
+    // correction (graft.spread scaladoc), not part of the plan shape
+    // under test — count only the requirement-driven exchanges
+    val hashExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected one hash exchange (lat, lon, month), got:\n${hashExchanges.mkString("\n")}")
+    assert(!plan.contains("Join"), "anomaly must not join back to its aggregate")
+  }
+
+  test("q_agg_moments: the window and the same-key aggregate share ONE exchange") {
+    val plan = executed("q_agg_moments")
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected one hash exchange (grp), got:\n${hashExchanges.mkString("\n")}")
+  }
+
   test("q_join_star: full dimension chain broadcasts, fact never sort-merges") {
     val plan = executed("q_join_star")
     val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
