@@ -730,7 +730,7 @@ object TextOps {
     * −1 ulp that n·ln(n)/n-style cancellation can leave on
     * constant-char docs, which would otherwise round to -0.0 and
     * hash-mismatch. */
-  private def entropyOf(cs: Column): Column = {
+  private[graft] def entropyOf(cs: Column): Column = {
     val L = size(cs).cast("double")
     def closeRun(st: Column): Column =
       st.getField("acc") + when(st.getField("run") > 0,
@@ -747,19 +747,29 @@ object TextOps {
     greatest(lit(0.0), log(L) - nLnN / L)
   }
 
+  /** Character entropy straight from the string — the native
+    * codegen'd [[graft.plans.CharEntropy]] expression (one O(L)
+    * counting pass, no per-row array materialization or sort).
+    * Bit-identical to [[entropyOf]] over the split char array
+    * (ascending-order accumulation, same log — pinned in
+    * OperatorSemanticsSpec); [[entropyOf]] is retained as the
+    * reference formulation for that parity spec. */
+  private def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CharEntropy(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Character-level Shannon entropy per document — the classic
     * gibberish gate (low entropy = repeated filler/boilerplate, high
     * entropy = random bytes; natural text sits in a stable band).
     *
-    * Scale posture: a PURE row-local projection — sort + one
-    * aggregate pass per row (see [[entropyOf]]), NO shuffle anywhere
+    * Scale posture: a PURE row-local projection — one codegen'd
+    * counting pass per row (see [[charEntropy]]), NO shuffle anywhere
     * (contrast [[textRepetition]], which needs corpus-level counts
     * and therefore an aggregate). */
   def textEntropy(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) > 0)
-      // split keeps a trailing "" (limit -1 semantics) — drop it
-      .select(col("doc_id"), array_remove(split(col("text"), ""), "").as("cs"))
-      .select(col("doc_id"), round(entropyOf(col("cs")), 6).as("char_entropy"))
+      .select(col("doc_id"), round(charEntropy(col("text")), 6).as("char_entropy"))
       .orderBy(col("doc_id"))
 
   /** Per-source corpus HEALTH REPORT — the one-glance data-quality
@@ -798,8 +808,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val sig = gopherSignals(docs.filter(length(col("text")) > 0))
       .withColumn("text_sha", sha2(col("text"), 256))
-      .withColumn("char_entropy",
-        round(entropyOf(array_remove(split(col("text"), ""), "")), 6))
+      .withColumn("char_entropy", round(charEntropy(col("text")), 6))
       .withColumn("predicted", langPredicted(col("text")))
       .select(col("doc_id"), col("source"), col("text_sha"), col("n_words"),
         col("mwl"), col("keep"), col("char_entropy"), col("predicted"))
@@ -819,8 +828,7 @@ object TextOps {
         sha2(col("text"), 256).as("sha"),
         when(length(col("text")) > 0,
           size(tokens(col("text"))).cast("double")).as("n_tok"),
-        when(length(col("text")) > 0,
-          entropyOf(array_remove(split(col("text"), ""), ""))).as("ent"),
+        when(length(col("text")) > 0, charEntropy(col("text"))).as("ent"),
         (length(col("text")) < 100).cast("double").as("short"),
         (length(col("text")) === 0).cast("double").as("empty"))
       .groupBy(col("source"))

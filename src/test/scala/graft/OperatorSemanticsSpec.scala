@@ -934,6 +934,34 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (2, 10.0, 10.0, 0.0, 0.0)))
   }
 
+  test("CharEntropy native expression is bit-identical to the HOF reference") {
+    import spark.implicits._
+    // adversarial shapes: constant char, ASCII text, digits+symbols,
+    // BMP unicode (umlauts/CJK), single char, long mixed runs
+    val texts = Seq(
+      "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog",
+      "a1b2c3!!##  \t tabs and  spaces", "müller straße 北京 東京 ümlaut",
+      "z", "abc" * 100 + "xyz" * 7 + " " * 13)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+      operators.TextOps.entropyOf(
+        array_remove(split(col("text"), ""), "")).as("hof"),
+      expr("text").as("t"))
+    val native = operators.TextOps.textEntropy(df)
+    val hof = both.select(col("doc_id"), round(col("hof"), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    native.collect().foreach { r =>
+      assert(r.getDouble(1) == hof(r.getLong(0)),
+        s"doc ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${hof(r.getLong(0))}")
+    }
+    // and the exact-value anchor: uniform 4-char text → ln(4)
+    val u = operators.TextOps.textEntropy(Seq((9L, "abcd")).toDF("doc_id", "text"))
+      .head().getDouble(1)
+    assert(u == BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
