@@ -83,7 +83,60 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** Weighted median: the value at which the cumulative WEIGHT
+    * reaches half the group's total — the right central tendency when
+    * rows carry mass (quantity-weighted price, population-weighted
+    * measure; plain median treats a 1-unit and a 50-unit line
+    * identically). Lower weighted median convention: first value (in
+    * (value, tiebreak) order) whose running weight ≥ total/2.
+    *
+    * One window partition for the running weight + total, then a
+    * same-key min aggregate over the qualifying suffix — the
+    * suffix's min value IS the boundary value because the order is by
+    * value. Single group-key exchange. */
+  def weightedMedian(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, weight: org.apache.spark.sql.Column,
+      tiebreak: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(group).orderBy(value +: tiebreak: _*)
+    val cum = sum(weight).over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    val tot = sum(weight).over(Window.partitionBy(group))
+    df.select(group.as("grp"), value.as("v"), cum.as("cum"), tot.as("tot"))
+      .filter(col("cum") >= col("tot") / 2.0)
+      .groupBy(col("grp"))
+      .agg(round(min(col("v")), 2).as("weighted_median"))
+      .orderBy(col("grp"))
+  }
+
+  /** Gini concentration coefficient per group over a non-negative
+    * measure — "how concentrated is this stratum's mass" (corpus-mix
+    * and revenue-concentration QA): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over ascending-ranked values. One window partition for the rank,
+    * one same-key aggregate — single exchange, identical operand
+    * order on every engine. */
+  def groupGini(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      tiebreak: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(group).orderBy(value +: tiebreak: _*)
+    df.select(group.as("grp"), value.as("v"),
+        row_number().over(ord).cast("long").as("rn"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(lit(2.0) * sum(col("rn") * col("v")) /
+            (count(lit(1)) * sum(col("v"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_weighted_median" -> ((s, d) =>
+      weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"),
+        Seq(col("l_orderkey"), col("l_linenumber")))),
+    "q_agg_gini" -> ((s, d) =>
+      groupGini(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_totalprice"), Seq(col("o_orderkey")))),
     "q_agg_moments" -> ((s, d) =>
       groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
@@ -223,6 +276,27 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT grp, round(min(v), 2) AS weighted_median
+        |FROM w WHERE cum >= tot / 2.0
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |       round(2.0 * sum(rn * v) / (count(*) * sum(v))
+        |             - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
     "q_agg_moments" ->
       """WITH w AS (
         |  SELECT c_nationkey AS grp,

@@ -377,7 +377,21 @@ object Windows {
       .limit(k)
   }
 
+  /** Ratio-to-report: each row's share of its group total (the
+    * classic RATIO_TO_REPORT window) — one unordered window partition,
+    * single shuffle on the group key. */
+  def ratioToReport(df: DataFrame, id: Column, group: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(group)
+    df.select(id.as("id"), group.as("grp"),
+        round(value / sum(value).over(w), 6).as("share"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_ratio" -> ((s, d) =>
+      ratioToReport(Tables.orders(s, d), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))),
     "q_event_paths" -> ((s, d) => eventPaths(Tables.events(s, d))),
     "q_window_zscore" -> ((s, d) =>
       groupZscore(Tables.customer(s, d), col("c_custkey"), col("c_nationkey"),
@@ -532,6 +546,11 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_window_ratio" ->
+      """SELECT o_orderkey AS id, o_custkey AS grp,
+        |       round(o_totalprice / sum(o_totalprice)
+        |         OVER (PARTITION BY o_custkey), 6) AS share
+        |FROM orders ORDER BY id""".stripMargin,
     "q_event_paths" ->
       """WITH p AS (
         |  SELECT event_type AS e1,

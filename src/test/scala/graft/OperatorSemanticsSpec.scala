@@ -962,6 +962,41 @@ class OperatorSemanticsSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("weightedMedian: weight mass moves the median where row count would not") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,10: plain median is 2, but 10 of
+    // the 12 units of mass sit at 3 → weighted median 3
+    val df = Seq(("g", 1.0, 1.0, 1L), ("g", 2.0, 1.0, 2L), ("g", 3.0, 10.0, 3L))
+      .toDF("grp", "v", "wt", "id")
+    val r = operators.Aggregations.weightedMedian(df, col("grp"), col("v"),
+      col("wt"), Seq(col("id"))).head()
+    assert(r.getString(0) == "g" && r.getDouble(1) == 3.0)
+    // symmetric mass → the boundary value at half weight
+    val e = Seq(("h", 1.0, 2.0, 1L), ("h", 5.0, 2.0, 2L))
+      .toDF("grp", "v", "wt", "id")
+    assert(operators.Aggregations.weightedMedian(e, col("grp"), col("v"),
+      col("wt"), Seq(col("id"))).head().getDouble(1) == 1.0)
+  }
+
+  test("groupGini: zero for equal mass, (n-1)/n for fully concentrated") {
+    import spark.implicits._
+    val df = Seq(("eq", 10.0, 1L), ("eq", 10.0, 2L), ("eq", 10.0, 3L), ("eq", 10.0, 4L),
+      ("cc", 0.0, 1L), ("cc", 0.0, 2L), ("cc", 0.0, 3L), ("cc", 12.0, 4L))
+      .toDF("grp", "v", "id")
+    val r = operators.Aggregations.groupGini(df, col("grp"), col("v"), Seq(col("id")))
+      .collect().map(x => (x.getString(0), x.getDouble(2))).toMap
+    assert(r("eq") == 0.0 && r("cc") == 0.75)
+  }
+
+  test("ratioToReport: shares sum to one within each group") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 5.0))
+      .toDF("id", "g", "v")
+    val r = operators.Windows.ratioToReport(df, col("id"), col("g"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getDouble(2)))
+    assert(r.toSeq == Seq((1L, 0.25), (2L, 0.75), (3L, 1.0)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
