@@ -183,7 +183,34 @@ object Multimodal {
         size(col("embedding")).as("dim")), "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Content-addressable payload dedup STATS per media type: how many
+    * payloads, how many distinct contents, the duplicate rate, and
+    * raw-vs-content-addressed storage bytes — the sizing report that
+    * decides whether a 100 TB media corpus is worth storing by digest
+    * (dedup_exact's binary-tier analog, aggregated to the storage
+    * decision rather than the keep-list).
+    *
+    * Payload bytes never shuffle: the digest/size come from the
+    * metadata projection, so both aggregates carry (mime, 32 B digest,
+    * counts) only. */
+  def payloadDedupStats(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("meta.mime").as("mime"), col("meta.digest").as("digest"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy(col("mime"), col("digest"))
+      .agg(count(lit(1)).as("copies"), min(col("n_bytes")).as("bytes1"))
+      .groupBy(col("mime"))
+      .agg(sum(col("copies")).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("copies")), 6)
+          .as("dup_rate"),
+        sum(col("copies") * col("bytes1")).as("bytes_total"),
+        sum(col("bytes1")).as("bytes_stored"))
+      .orderBy(col("mime"))
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_dedup" -> ((s, d) =>
+      payloadDedupStats(Tables.documents(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       mediaFeatures(Tables.documents(s, d)).toDF()
@@ -203,6 +230,23 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // sha256 over the text's UTF-8 bytes = the payload digest; DuckDB
+    // octet_length = Spark length(binary)
+    "q_multimodal_dedup" ->
+      """WITH p AS (
+        |  SELECT sha256(text) AS digest,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |g AS (SELECT digest, CAST(count(*) AS BIGINT) AS copies,
+        |             min(n_bytes) AS bytes1
+        |      FROM p GROUP BY 1)
+        |SELECT 'text/plain' AS mime,
+        |       CAST(sum(copies) AS BIGINT) AS n_payloads,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(copies), 6) AS dup_rate,
+        |       CAST(sum(copies * bytes1) AS BIGINT) AS bytes_total,
+        |       CAST(sum(bytes1) AS BIGINT) AS bytes_stored
+        |FROM g""".stripMargin,
     // digest/byte-length parity: DuckDB sees the same UTF-8 bytes.
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

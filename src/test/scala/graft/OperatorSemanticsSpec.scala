@@ -997,6 +997,16 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.toSeq == Seq((1L, 0.25), (2L, 0.75), (3L, 1.0)))
   }
 
+  test("payloadDedupStats: storage math on planted duplicate payloads") {
+    import spark.implicits._
+    // "xx" twice + "yyyy" once: 3 payloads, 2 distinct, dup rate 1/3,
+    // raw bytes 2+2+4 = 8, content-addressed 2+4 = 6
+    val docs = Seq((1L, "xx"), (2L, "xx"), (3L, "yyyy")).toDF("doc_id", "text")
+    val r = operators.Multimodal.payloadDedupStats(docs).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == ("text/plain", 3L, 2L))
+    assert(r.getDouble(3) == 0.333333 && r.getLong(4) == 8L && r.getLong(5) == 6L)
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
