@@ -42,6 +42,19 @@ object Streaming {
       .select(col("user_id"),
         col("session_window.start").as("session_start"), col("n_events"))
 
+  /** First occurrence per (user, event_type) — the BATCH form of
+    * streaming `dropDuplicates` over keyed events: the survivor is the
+    * earliest row in (ts, event_id) order, exactly the row the
+    * streaming dedup state would have admitted first. In streaming
+    * mode the same keys run under `dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark horizon — StreamingSpec); the
+    * batch aggregate shuffles only (key, min struct) partials. */
+  def firstOccurrence(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+
   /** Stream-stream inner join: each purchase matched to every view by
     * the same user in the preceding 30 minutes. The time-range
     * condition is what BOUNDS THE STATE in streaming mode — with
@@ -195,9 +208,20 @@ object Streaming {
         e.filter(col("event_type") === "purchase"))
         .orderBy(col("purchase_id"), col("view_ts"))
     }),
+    "q_stream_dedup" -> ((s, d) =>
+      firstOccurrence(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_type"))),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, tts AS first_ts, event_id AS first_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
