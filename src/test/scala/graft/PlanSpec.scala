@@ -329,6 +329,21 @@ class PlanSpec extends SparkTestBase {
       s"partition-less Window over non-prefix-sum input in: ${offenders.distinct}")
   }
 
+  test("cartesian sweep: no non-broadcast cartesian product in any registered query") {
+    // CartesianProductExec is the physical shape Spark falls back to
+    // when NEITHER side of a cross/cross-like join is broadcastable —
+    // the all-pairs scale-killer. Every deliberate cross in the engine
+    // (scalar 1-row statistic attaches, the tiny-dims cross demo, the
+    // broadcast NN assignment) must plan as BroadcastNestedLoopJoin
+    // instead. Sweep the PHYSICAL plan of every registered query.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString().contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"non-broadcast cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below
