@@ -93,7 +93,12 @@ object Aggregations {
     * One window partition for the running weight + total, then a
     * same-key min aggregate over the qualifying suffix — the
     * suffix's min value IS the boundary value because the order is by
-    * value. Single group-key exchange. */
+    * value. Single group-key exchange.
+    *
+    * Degenerate inputs: weights are assumed non-negative (negative
+    * mass makes the running weight non-monotone and the "half the
+    * total" boundary meaningless); an all-zero-weight group satisfies
+    * cum ≥ 0 everywhere and returns its minimum value. */
   def weightedMedian(df: DataFrame, group: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column, weight: org.apache.spark.sql.Column,
       tiebreak: Seq[org.apache.spark.sql.Column]): DataFrame = {

@@ -197,8 +197,34 @@ object Joins {
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of silently dropping — the semantics an
+    * entity-resolution join needs when "key unknown" is itself a
+    * matchable state. The harness tables have no NULL keys, so NULLs
+    * are PLANTED from a row column inside the registered query
+    * (every 10th customer and the matching dim rows) and the oracle
+    * replays the construction — the q_text_pii_mask pattern.
+    *
+    * Scale note: `<=>` keys hash like any equi key (all NULLs land in
+    * one partition — acceptable when NULL is a bounded sentinel, a
+    * skew hazard if most keys are unknown; salt then). */
+  def nullSafeJoin(left: DataFrame, lKey: Column, right: DataFrame,
+      rKey: Column): DataFrame =
+    left.join(right, lKey <=> rKey, "inner")
+
   val queries: Map[String, Q] = Map(
     "q_join_star" -> (starRollup _),
+    "q_join_null_safe" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(null))
+          .otherwise(col("c_nationkey")).as("nk"))
+      val n = Tables.nation(s, d).select(
+        when(col("n_nationkey") === 0, lit(null))
+          .otherwise(col("n_nationkey")).as("nnk"), col("n_name"))
+      nullSafeJoin(c, col("nk"), broadcast(n), col("nnk"))
+        .select(col("c_custkey"), col("n_name"))
+        .orderBy(col("c_custkey"), col("n_name"))
+    }),
     // Broadcast hash join, inner, small dim side.
     "q_join_broadcast" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -360,6 +386,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH c AS (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |                  ELSE c_nationkey END AS nk
+        |           FROM customer),
+        |n AS (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+        |             ELSE n_nationkey END AS nnk, n_name
+        |      FROM nation)
+        |SELECT c_custkey, n_name
+        |FROM c JOIN n ON nk IS NOT DISTINCT FROM nnk
+        |ORDER BY c_custkey, n_name""".stripMargin,
     "q_join_star" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue

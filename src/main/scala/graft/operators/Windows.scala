@@ -379,7 +379,12 @@ object Windows {
 
   /** Ratio-to-report: each row's share of its group total (the
     * classic RATIO_TO_REPORT window) — one unordered window partition,
-    * single shuffle on the group key. */
+    * single shuffle on the group key.
+    *
+    * A group whose total is exactly 0.0 divides by zero: doubles give
+    * ±Infinity/NaN (and engines disagree on the rendering), so feed
+    * this a measure that cannot sum to zero (the registered query's
+    * order totals are strictly positive) or pre-filter such groups. */
   def ratioToReport(df: DataFrame, id: Column, group: Column,
       value: Column): DataFrame = {
     val w = Window.partitionBy(group)
