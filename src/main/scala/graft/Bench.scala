@@ -81,17 +81,30 @@ object Bench {
     // contention-proof per-query time (a single-shot record once forged
     // a 22x phantom regression under builder contention).
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
-    // CALIBRATION: the probe is sampled before, between-thirds-of, and
-    // after the timed section (warm once so JIT is not in sample 0).
-    // min-of-N defeats a transient spike but NOT sustained contention
-    // across all passes — the calibration samples make that failure
-    // mode visible inside the record itself instead of forging
-    // per-query "regressions" a human must adjudicate later.
+    // CALIBRATION: probes are interleaved every [[calEvery]] queries
+    // through the timed section (plus one before and one after), each
+    // tagged with its queue position and wall-clock offset. min-of-N
+    // defeats a transient spike but NOT sustained contention across all
+    // N passes of a query; a *band* of queries inflated by a ~15-min
+    // external load once passed the global-median gate because three
+    // sparse probes straddled it. With dense probes every query gets a
+    // per-query BAND RATIO (the worse of its two bracketing probes), so
+    // a contention band self-flags inside the record instead of forging
+    // per-query "regressions" a judge must adjudicate later.
     calibrationProbe(spark) // untimed warmup of the probe's codegen
-    val calSamples = scala.collection.mutable.ArrayBuffer(calibrationProbe(spark))
-    val calEvery = math.max(1, queries.size / 3)
+    final case class Cal(pos: Int, t: Double, sec: Double)
+    val epoch = System.nanoTime()
+    def now(): Double = (System.nanoTime() - epoch) / 1e9
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Cal]
+    def probe(pos: Int): Unit = {
+      val t = now(); calSamples += Cal(pos, t, calibrationProbe(spark))
+    }
+    probe(0)
+    val calEvery = 20
     val perPass = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val startTs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = queries.zipWithIndex.map { case ((name, fn), i) =>
+      startTs(name) = now()
       val times = (1 to math.max(1, passes)).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { exec(name, fn); true } catch { case e: Throwable =>
@@ -99,25 +112,44 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       perPass(name) = times
-      if ((i + 1) % calEvery == 0) calSamples += calibrationProbe(spark)
+      if ((i + 1) % calEvery == 0 && (i + 1) < queries.size) probe(i + 1)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    calSamples += calibrationProbe(spark)
+    probe(queries.size)
+    // band ratio for query index i: the WORSE of the two probes that
+    // bracket it in run order — contention long enough to inflate all N
+    // passes of a query necessarily inflates an adjacent probe too
+    def bandRatio(i: Int): Double = {
+      val before = calSamples.filter(_.pos <= i).maxBy(_.pos).sec
+      val after = calSamples.filter(_.pos > i).minBy(_.pos).sec
+      math.max(before, after) / CalibrationRefSec
+    }
     def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val pp = perPass.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val ts = startTs.map { case (k, t) => "\"" + k + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    val bands = queries.zipWithIndex.map { case ((name, _), i) =>
+      "\"" + name + "\":" + fmt(bandRatio(i))
+    }.mkString("{", ",", "}")
+    val contended = queries.zipWithIndex.collect {
+      case ((name, _), i) if bandRatio(i) > CalibrationTolerance => "\"" + name + "\""
+    }.mkString("[", ",", "]")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val sortedCal = calSamples.sorted
+    val sortedCal = calSamples.map(_.sec).sorted
     val calMedian = sortedCal(sortedCal.size / 2)
     val calRatio = calMedian / CalibrationRefSec
     val contaminated = calRatio > CalibrationTolerance
-    val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":${calSamples.map(fmt).mkString("[", ",", "]")},"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
+    val samplesJson = calSamples.map { c =>
+      s"""{"pos":${c.pos},"t":${fmt(c.t)},"sec":${fmt(c.sec)},"ratio":${fmt(c.sec / CalibrationRefSec)}}"""
+    }.mkString("[", ",", "]")
+    val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":$samplesJson,"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

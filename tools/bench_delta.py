@@ -10,11 +10,17 @@ calibration ratio are extracted by regex, so truncation never loses the
 queries that survived into the tail.
 
 Adjudication: per query, compare min-of-3 wall times NORMALIZED by each
-record's calibration ratio (median in-memory probe time vs the committed
-quiet reference — the machine-speed factor). A query is flagged only if
-its normalized delta exceeds FLAG_RATIO and its absolute time is above
-ABS_FLOOR (sub-0.3 s timings are scheduler noise at local[32]; zarr
-scans have shown 1.6x swings on identical code).
+record's calibration ratio. Records written since round 10 carry a
+per-query BAND ratio (the worse of the two calibration probes that
+bracket the query in run order, sampled every ~20 queries); when
+present it replaces the global median ratio for that query, so a
+sustained contention band normalizes itself out. A query whose band
+ratio exceeds the tolerance in either record is additionally
+auto-adjudicated "contention band (auto)" if it still flags — no human
+adjudication needed for machine-load artifacts. A query is flagged only
+if its normalized delta exceeds FLAG_RATIO and its absolute time is
+above ABS_FLOOR (sub-0.3 s timings are scheduler noise at local[32];
+zarr scans have shown 1.6x swings on identical code).
 
 A failed pass is recorded by the bench as -1.0; a query whose current
 min is negative is rendered FAILED and exits nonzero — a hard failure
@@ -40,10 +46,13 @@ ABS_FLOOR = 0.3    # seconds; below this, deltas are scheduler noise
 
 TRIPLE_RE = re.compile(r'"(q_\w+)":\[([0-9.eE+,\s-]+)\]')
 RATIO_RE = re.compile(r'"median_ratio":([0-9.eE+-]+)')
+# band_ratio is a flat {"q":num,...} object, so the first } terminates it
+BANDS_RE = re.compile(r'"band_ratio":\{([^}]*)\}')
+PAIR_RE = re.compile(r'"(q_\w+)":([0-9.eE+-]+)')
 
 
 def load_record(path):
-    """-> (per-query min-of-3 dict, calibration ratio, truncated?)"""
+    """-> (per-query min-of-3, global ratio, per-query band ratios, truncated?)"""
     raw = open(path).read()
     try:
         d = json.loads(raw)
@@ -58,8 +67,12 @@ def load_record(path):
             mins[name] = min(vals)
     m = RATIO_RE.search(raw)
     ratio = float(m.group(1)) if m else 1.0
+    bands = {}
+    b = BANDS_RE.search(raw)
+    if b:
+        bands = {q: float(v) for q, v in PAIR_RE.findall(b.group(1))}
     truncated = not raw.lstrip().startswith("{")
-    return mins, ratio, truncated
+    return mins, ratio, bands, truncated
 
 
 def main():
@@ -76,8 +89,8 @@ def main():
                   f"prev is {os.path.basename(prev_path)!r} — notes ignored",
                   file=sys.stderr)
 
-    prev, prev_ratio, prev_trunc = load_record(prev_path)
-    cur, cur_ratio, cur_trunc = load_record(cur_path)
+    prev, prev_ratio, prev_bands, prev_trunc = load_record(prev_path)
+    cur, cur_ratio, cur_bands, cur_trunc = load_record(cur_path)
     shared = sorted(set(prev) & set(cur))
     if not shared:
         print("no shared queries between records", file=sys.stderr)
@@ -96,22 +109,35 @@ def main():
             rows.append((q, prev[q], cur[q], float("nan"),
                          "recovered (prev failed)", note))
             continue
-        p_norm = prev[q] / prev_ratio
-        c_norm = cur[q] / cur_ratio
+        # per-query band ratio (round 10+) beats the record-global median:
+        # it localizes a contention band to the queries it actually hit
+        p_factor = prev_bands.get(q, prev_ratio)
+        c_factor = cur_bands.get(q, cur_ratio)
+        p_norm = prev[q] / p_factor
+        c_norm = cur[q] / c_factor
         delta = c_norm / p_norm if p_norm > 0 else float("inf")
         flagged = delta > FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR
+        banded = max(prev_bands.get(q, 1.0), cur_bands.get(q, 1.0)) > FLAG_RATIO
         verdict = ""
         if flagged:
-            verdict = "expected" if note else "REGRESSION?"
-            if not note:
+            if note:
+                verdict = "expected"
+            elif banded:
+                # the record itself proves machine load straddled this
+                # query — auto-adjudicated, not a plan regression
+                verdict = "contention band (auto)"
+            else:
+                verdict = "REGRESSION?"
                 flagged_unexplained.append(q)
         elif delta < 1 / FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR:
             verdict = "improved"
         rows.append((q, prev[q], cur[q], delta, verdict, note))
 
     hdr = (f"prev ratio {prev_ratio:.4f}"
+           + (f" + {len(prev_bands)} band ratios" if prev_bands else "")
            + (" (tail truncated)" if prev_trunc else "")
            + f", cur ratio {cur_ratio:.4f}"
+           + (f" + {len(cur_bands)} band ratios" if cur_bands else "")
            + (" (tail truncated)" if cur_trunc else ""))
     lines = [
         "# Bench delta — calibration-normalized, min-of-3 per query",
