@@ -32,6 +32,26 @@ object Bench {
     * probe the reference value was measured on). */
   val CalibrationRowsPerSlice = 12500000L
 
+  /** Queries whose timed passes consume a memoized INGEST-time
+    * artifact (ProcessCache): their round-over-round deltas measure
+    * the probe/consume work only — the build cost is paid once in the
+    * untimed warmup pass and reported separately in the record's
+    * `artifacts` field (per-key build seconds). Listed here so every
+    * record self-documents which timings are artifact-backed instead
+    * of relying on per-round bench notes. Key names are the
+    * ProcessCache key prefixes (dataset-dir suffix stripped). */
+  val ArtifactConsumers: Map[String, Seq[String]] = Map(
+    "q_dedup_cluster" -> Seq("neardup_pairs"),
+    "q_dedup_resolve" -> Seq("neardup_pairs"),
+    "q_graph_pagerank" -> Seq("copurchase"),
+    "q_graph_triangles" -> Seq("copurchase", "copurchase_und", "copurchase_ori"),
+    "q_graph_jaccard" -> Seq("basket_pairs"),
+    "q_assoc_rules" -> Seq("basket_pairs"),
+    "q_similarity_ivf" -> Seq("cents"),
+    "q_similarity_ivfpq" -> Seq("cents", "books"),
+    "q_similarity_knn_ivf" -> Seq("cents"),
+  )
+
   /** CPU-bound, fixed-per-core-size, in-memory probe. Same cost every
     * run by construction; any variance is machine contention, not plan
     * change. */
@@ -149,7 +169,15 @@ object Bench {
       s"""{"pos":${c.pos},"t":${fmt(c.t)},"sec":${fmt(c.sec)},"ratio":${fmt(c.sec / CalibrationRefSec)}}"""
     }.mkString("[", ",", "]")
     val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":$samplesJson,"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
+    // ingest-time artifact builds (all landed in the untimed warmup):
+    // per-key wall seconds + the static query -> keys consumption map
+    val arts = ProcessCache.builds.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != ':') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val consumers = ArtifactConsumers.toSeq.sortBy(_._1).map { case (q, ks) =>
+      "\"" + q + "\":" + ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"artifacts":$arts,"artifact_consumers":$consumers,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

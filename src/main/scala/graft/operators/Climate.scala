@@ -815,8 +815,13 @@ object Climate {
     val pt = last(obsT, ignoreNulls = true).over(pre)
     val nv = last(obsV, ignoreNulls = true).over(post)
     val nt = last(obsT, ignoreNulls = true).over(post)
-    val blend = pv + (nv - pv) *
-      ((col("t") - pt).cast("double") / (nt - pt).cast("double"))
+    // nt == pt only when the bracketing non-null neighbors share one
+    // timestamp (duplicate-ts series): the slope is undefined and
+    // non-ANSI double division would yield NULL here but NaN in
+    // IEEE engines (DuckDB) — pin the degenerate blend to pv so the
+    // operator is engine-independent for duplicate-timestamp inputs
+    val blend = when(nt === pt, pv).otherwise(pv + (nv - pv) *
+      ((col("t") - pt).cast("double") / (nt - pt).cast("double")))
     g.select(col("event_id"), col("series"),
         round(coalesce(col("value"), blend, pv, nv), 4).as("filled"),
         when(col("value").isNotNull, "obs")
@@ -1372,7 +1377,9 @@ object Climate {
         |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_id, series,
         |  round(coalesce(value,
-        |    pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)),
+        |    CASE WHEN nt = pt THEN pv ELSE
+        |      pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |    END,
         |    pv, nv), 4) AS filled,
         |  CASE WHEN value IS NOT NULL THEN 'obs'
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'

@@ -715,15 +715,19 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
-    // 1-based list index via constant-bound generate_series (the
-    // installed DuckDB has no WITH ORDINALITY); identical quantize/
-    // dequantize operand order, grouped on (dim, lo, hi) like the
-    // engine so the range rides through the aggregate
+    // 1-based index via PAIRED unnests (the installed DuckDB has no
+    // WITH ORDINALITY; parallel unnests of same-length lists stay
+    // row-aligned, verified against the subscript form) — the dim
+    // bound derives from len(embedding) instead of a hardcoded 64,
+    // so a harness regeneration with another dim cannot silently
+    // compare truncated columns; identical quantize/dequantize
+    // operand order, grouped on (dim, lo, hi) like the engine so the
+    // range rides through the aggregate
     "q_embed_quantize" ->
       """WITH x AS (
-        |  SELECT CAST(g.generate_series AS INT) AS dim,
-        |         CAST(embedding[g.generate_series] AS DOUBLE) AS v
-        |  FROM embeddings, generate_series(1, 64) g),
+        |  SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
         |w AS (SELECT dim, v,
         |        min(v) OVER (PARTITION BY dim) AS lo,
         |        max(v) OVER (PARTITION BY dim) AS hi
@@ -794,14 +798,16 @@ object Similarity {
         |  FROM embeddings e, embeddings q
         |  WHERE q.vec_id < 5)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
-    // 1-based subscripts shifted to match posexplode's 0-based pos;
-    // the testdata embedding dim is fixed at 64 (FIXTURES.md)
+    // paired unnests (see q_embed_quantize) shifted to posexplode's
+    // 0-based pos; dim derived from len(embedding), not hardcoded
     "q_embed_centroids" ->
-      """SELECT label, pos - 1 AS pos,
-        |       round(avg(CAST(embedding[pos] AS DOUBLE)), 4) AS m,
-        |       count(*) AS n_vecs
-        |FROM embeddings, generate_series(1, 64) AS t(pos)
-        |GROUP BY label, pos ORDER BY 1, 2""".stripMargin,
+      """WITH x AS (
+        |  SELECT label,
+        |         CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |SELECT label, pos, round(avg(v), 4) AS m, count(*) AS n_vecs
+        |FROM x GROUP BY label, pos ORDER BY 1, 2""".stripMargin,
     "q_similarity_topk" ->
       """SELECT vec_id,
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

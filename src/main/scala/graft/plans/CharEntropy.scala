@@ -48,24 +48,30 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
 object CharEntropy {
   /** One counting pass + ascending-order n·ln(n) accumulation.
-    * Characters are UTF-16 code units — the same unit the HOF form's
-    * `split(text, '')` produced for every BMP string. */
+    * Characters are Unicode CODE POINTS, matching both the HOF form
+    * (Java-8+ regex `split(text, '')` splits between code points,
+    * keeping surrogate pairs together) and the DuckDB oracle
+    * (`string_split`/`length` count code points) — a charAt loop
+    * would split astral characters (emoji etc.) into two surrogate
+    * halves and silently diverge from both. */
   def compute(s: UTF8String): Double = {
     val str = s.toString
-    val len = str.length
-    if (len == 0) return 0.0
+    val len16 = str.length
+    if (len16 == 0) return 0.0
     val ascii = new Array[Int](128)
-    var high: java.util.TreeMap[Character, Integer] = null
+    var high: java.util.TreeMap[Integer, Integer] = null
     var i = 0
-    while (i < len) {
-      val c = str.charAt(i)
-      if (c < 128) ascii(c) += 1
+    var len = 0 // code-point count
+    while (i < len16) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
       else {
-        if (high == null) high = new java.util.TreeMap[Character, Integer]()
-        val prev = high.get(c)
-        high.put(c, if (prev == null) 1 else prev + 1)
+        if (high == null) high = new java.util.TreeMap[Integer, Integer]()
+        val prev = high.get(cp)
+        high.put(cp, if (prev == null) 1 else prev + 1)
       }
-      i += 1
+      len += 1
+      i += Character.charCount(cp)
     }
     var acc = 0.0
     var c = 0

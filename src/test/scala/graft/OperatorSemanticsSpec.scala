@@ -788,6 +788,19 @@ class OperatorSemanticsSpec extends SparkTestBase {
         col("value").cast("double"))
     val n = operators.Climate.interpolateGaps(dead, lit(0)).head()
     assert(n.isNullAt(2) && n.getString(3) == "none")
+    // duplicate-timestamp bracket: prev and next non-null neighbors
+    // share one ts, the slope is undefined — the blend must pin to pv
+    // (not NULL via non-ANSI division, not NaN as IEEE engines yield)
+    val dup = Seq(
+      (0L, "2023-01-01", Some(2.0)), (1L, "2023-01-01", None),
+      (2L, "2023-01-01", Some(8.0)))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val dr = operators.Climate.interpolateGaps(dup, lit(0))
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getString(3)))
+    assert(dr.toSeq == Seq((0L, 2.0, "obs"), (1L, 2.0, "interp"),
+      (2L, 8.0, "obs")))
   }
 
   test("edgeJaccard: triangle + pendant, direction/duplicates ignored") {
@@ -937,11 +950,15 @@ class OperatorSemanticsSpec extends SparkTestBase {
   test("CharEntropy native expression is bit-identical to the HOF reference") {
     import spark.implicits._
     // adversarial shapes: constant char, ASCII text, digits+symbols,
-    // BMP unicode (umlauts/CJK), single char, long mixed runs
+    // BMP unicode (umlauts/CJK), single char, long mixed runs, and
+    // non-BMP astral characters (emoji, mathematical alphanumerics) —
+    // surrogate pairs must count as ONE code point, matching both the
+    // regex split (code-point aware) and the DuckDB oracle
     val texts = Seq(
       "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog",
       "a1b2c3!!##  \t tabs and  spaces", "müller straße 北京 東京 ümlaut",
-      "z", "abc" * 100 + "xyz" * 7 + " " * 13)
+      "z", "abc" * 100 + "xyz" * 7 + " " * 13,
+      "🎉🎉🎉 party 🚀 emoji", "𝒜𝒷𝒸 𝄞 mixed 𝕏𝕐ℤ astral", "🚀")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val both = df.select(col("doc_id"),
