@@ -727,7 +727,8 @@ object Climate {
     * no timestamp arithmetic, no calendar edge cases. Spine size is
     * bounded by the series' time span, never by row count; everything
     * else is one (series, day) join plus one series-key window. */
-  def resampleDaily(events: DataFrame, series: Column): DataFrame = {
+  def resampleDaily(events: DataFrame, series: Column,
+      maxSpineDays: Int = 36600): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val epoch = to_date(lit("1970-01-01"))
     val g = events.select(series.cast("int").as("series"),
@@ -736,9 +737,24 @@ object Climate {
     val daily = g.groupBy(col("series"), col("di"))
       .agg(count(col("value")).as("n_obs"),
         round(avg(col("value")), 4).as("mean_value"))
+    // SPAN PRE-FLIGHT (same posture as the zarr group sink's
+    // cardinality pre-flight): one adversarial series spanning
+    // centuries would quietly fan its spine out by orders of
+    // magnitude, so a series wider than `maxSpineDays` (default
+    // ~100 years — generous for any daily archive) fails loudly with
+    // the series named, in-plan on the already-aggregated per-series
+    // row: zero extra jobs, zero extra shuffles
+    val span = col("di1") - col("di0")
+    val di0Guarded = when(span > maxSpineDays.toLong, raise_error(concat(
+        lit("resampleDaily: series "), col("series").cast("string"),
+        lit(s" spans "), span.cast("string"),
+        lit(s" days > maxSpineDays=$maxSpineDays — a day spine this " +
+          "wide is almost certainly bad timestamps; fix the input or " +
+          "raise maxSpineDays explicitly"))))
+      .otherwise(col("di0"))
     val spine = g.groupBy(col("series"))
       .agg(min(col("di")).as("di0"), max(col("di")).as("di1"))
-      .select(col("series"), explode(sequence(col("di0"), col("di1"))).as("di"))
+      .select(col("series"), explode(sequence(di0Guarded, col("di1"))).as("di"))
     val w = Window.partitionBy(col("series")).orderBy(col("di"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val d = date_add(epoch, col("di").cast("int"))

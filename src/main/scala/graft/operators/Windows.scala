@@ -381,15 +381,25 @@ object Windows {
     * classic RATIO_TO_REPORT window) — one unordered window partition,
     * single shuffle on the group key.
     *
-    * A group whose total is exactly 0.0 divides by zero: doubles give
-    * ±Infinity/NaN (and engines disagree on the rendering), so feed
-    * this a measure that cannot sum to zero (the registered query's
-    * order totals are strictly positive) or pre-filter such groups. */
+    * A group whose total is exactly 0.0 has no defined share: doubles
+    * would give ±Infinity/NaN with engine-dependent rendering, so the
+    * contract FAILS LOUDLY in-plan (raise_error names the offending
+    * group) instead of emitting them — pre-filter zero-sum groups or
+    * choose a strictly-signed measure (the registered query's order
+    * totals are strictly positive, so the guard never fires there).
+    * The guard is a per-row codegen'd branch on the already-computed
+    * window total: zero extra jobs, zero extra shuffles. */
   def ratioToReport(df: DataFrame, id: Column, group: Column,
       value: Column): DataFrame = {
     val w = Window.partitionBy(group)
+    val total = sum(value).over(w)
+    val guarded = when(total === 0.0, raise_error(concat(
+        lit("ratioToReport: group "), group.cast("string"),
+        lit(" sums to exactly 0.0 — share is undefined; pre-filter " +
+          "zero-sum groups or use a strictly-signed measure"))))
+      .otherwise(total)
     df.select(id.as("id"), group.as("grp"),
-        round(value / sum(value).over(w), 6).as("share"))
+        round(value / guarded, 6).as("share"))
       .orderBy(col("id"))
   }
 

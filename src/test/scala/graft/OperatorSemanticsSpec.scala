@@ -875,6 +875,28 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (3, 2L, Some(40.0), Some(40.0))))
   }
 
+  test("resampleDaily: a series spanning beyond maxSpineDays fails loudly") {
+    import spark.implicits._
+    // one adversarial series straddling five centuries would quietly
+    // fan ~180k spine rows; the span pre-flight names the series and
+    // the limit instead (healthy series on the default bound pass)
+    val ev = Seq((1L, "1500-01-01", Some(1.0)), (2L, "2023-01-01", Some(2.0)))
+      .toDF("event_id", "d", "value")
+      .select(col("event_id"), to_timestamp(col("d")).as("ts"),
+        col("value").cast("double"))
+    val e = intercept[Exception] {
+      operators.Climate.resampleDaily(ev, lit(7), maxSpineDays = 1000).collect()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.contains("maxSpineDays=1000")
+        && m.contains("series 7")) || msg(t.getCause))
+    assert(msg(e), s"expected the span pre-flight error naming series 7, got: $e")
+    // the same input passes when the caller raises the bound explicitly
+    val wide = operators.Climate.resampleDaily(ev, lit(7),
+      maxSpineDays = 200000)
+    assert(wide.filter(col("n_obs") > 0).count() == 2)
+  }
+
   test("ewma: renormalized lag-chain matches hand-computed values") {
     import spark.implicits._
     val ev = Seq((1L, 0L, "2023-01-01", 10.0), (2L, 0L, "2023-01-02", 20.0),
@@ -1012,6 +1034,23 @@ class OperatorSemanticsSpec extends SparkTestBase {
     val r = operators.Windows.ratioToReport(df, col("id"), col("g"), col("v"))
       .collect().map(x => (x.getLong(0), x.getDouble(2)))
     assert(r.toSeq == Seq((1L, 0.25), (2L, 0.75), (3L, 1.0)))
+  }
+
+  test("ratioToReport: a zero-sum group fails loudly, naming the group") {
+    import spark.implicits._
+    // +5 and -5 sum to exactly 0.0: the share is undefined and the
+    // contract raises in-plan (engine-dependent ±Inf/NaN would
+    // otherwise leak); healthy sibling groups don't mask the failure
+    val df = Seq((1L, "z", 5.0), (2L, "z", -5.0), (3L, "ok", 7.0))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      operators.Windows.ratioToReport(df, col("id"), col("g"), col("v"))
+        .collect()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.contains("sums to exactly 0.0")
+        && m.contains("group z")) || msg(t.getCause))
+    assert(msg(e), s"expected the zero-sum-group error naming 'z', got: $e")
   }
 
   test("payloadDedupStats: storage math on planted duplicate payloads") {
