@@ -34,4 +34,41 @@ class ExternalSpec extends SparkTestBase {
       """{"styles":{},"data":{"precip_01_2024":{"pbf":"/tiles/precip_01_2024"},""" +
         """"precip_02_2024":{"pbf":"/tiles/precip_02_2024"}}}""")
   }
+
+  test("writeHtmlViewer: self-contained page wiring server, template, years") {
+    val out = Files.createTempDirectory("graft_viewer_").resolve("viewer.html")
+    External.writeHtmlViewer(out.toString, "Precipitation Viewer",
+      "http://localhost:8080", "precipitation_{month}_{year}_land",
+      years = Seq(2022, 2023, 2024), legendLabel = "mm/day",
+      legendStops = Seq("0", "5", "15", "25", "40+"))
+    val html = Files.readString(out)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<title>Precipitation Viewer</title>"))
+    // the JS wiring: server URL and layer template as string literals,
+    // the tile path shape, and the period selectors
+    assert(html.contains("""var SERVER="http://localhost:8080";"""))
+    assert(html.contains("""var TEMPLATE="precipitation_{month}_{year}_land";"""))
+    assert(html.contains("""/data/"""))
+    assert(html.contains("""{z}/{x}/{y}""") || html.contains("/0/0/0.png"))
+    assert(html.contains("""<option value="2024" selected>"""))
+    assert(html.contains("""<option value="06">"""))
+    assert(html.contains("mm/day") && html.contains("<span>40+</span>"))
+  }
+
+  test("writeHtmlViewer: hostile inputs are escaped, not interpolated") {
+    val out = Files.createTempDirectory("graft_viewer_").resolve("evil.html")
+    External.writeHtmlViewer(out.toString,
+      """<script>alert("t")</script>""",
+      """http://x/"; fetch("http://evil")//""",
+      "layer_{year}\"</script><script>", years = Seq(2024))
+    val html = Files.readString(out)
+    // no raw <script> payload from the title, no quote breakout from
+    // the URL or template literals, and </script> inside a JS literal
+    // is defused to </script so it cannot close the real tag
+    assert(!html.contains("""<script>alert"""))
+    assert(!html.contains("""fetch("http://evil")"""))
+    assert(html.contains("&lt;script&gt;"))
+    assert(html.contains("\\u003c/script"))
+    assert(html.contains("""\"; fetch(\""""))
+  }
 }
