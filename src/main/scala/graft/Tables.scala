@@ -49,7 +49,15 @@ object Tables {
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      // a FOURTH physical encoding fails here with a diagnostic, not
+      // in whichever downstream query happens to trip over it first
+      case other => throw new IllegalStateException(
+        s"events.ts stored as ${other.simpleString} — not one of the three " +
+          "recorded harness encodings (INT64 nanos [read as long under " +
+          s"$NanosConf], TIMESTAMP_NTZ micros, session-TZ TIMESTAMP). " +
+          "A harness regeneration introduced a new representation: teach " +
+          "Tables.events to normalize it before any query runs.")
     }
   }
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
