@@ -631,6 +631,196 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak: weighted median / gini / event paths / null-safe join / batch dedup / payload stats at 3M rows") {
+    // The round-9 additions had oracle coverage but no scale soak.
+    // Every plant here is EXACTLY computable:
+    //  - 3M (grp, v, wt) rows, 80% in one dominant group, v uniform
+    //    over 800 residues → closed-form weighted medians; a planted
+    //    1000× weight mass at v=123 must drag the dominant group's
+    //    weighted median from 497 to 123 while the small groups
+    //    (which lack v=123) stay put;
+    //  - gini vs a locally-computed closed form over the (value,
+    //    count) blocks (rank sums are block-permutation-invariant);
+    //  - 100k users × 30 events of a cyclic A,B,C stream → top path
+    //    (A,B,C) exactly 1M, (B,C,A)/(C,A,B) exactly 900k;
+    //  - first-occurrence dedup: 300k (user,type) groups, survivor
+    //    event_id = user*30 + {0,1,2} by construction;
+    //  - NULL-heavy null-safe join (50% unknown keys — the scaladoc's
+    //    skew-hazard shape) against an 11-row dim: exactly 3M matches,
+    //    timed BROADCAST vs forced-SHUFFLE so the "salt/broadcast if
+    //    unknowns dominate" note carries a measured row;
+    //  - payload dedup stats: 100k distinct contents × 30 copies →
+    //    dup_rate exactly 1 − 1/30, bytes_total = 30 × bytes_stored.
+    import graft.operators.{Aggregations, Joins, Multimodal, Windows}
+    import graft.streaming.Streaming
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = 3000000L
+
+      // ---- weighted median + gini under dominant-group skew ----
+      val wm = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(10)) < 8, lit("big"))
+          .otherwise(concat(lit("s"), pmod(col("id"), lit(10)))).as("grp"),
+        pmod(col("id"), lit(1000)).cast("double").as("v"))
+      val base = wm.withColumn("wt", lit(1.0))
+      val (medBase, tMedBase) = timed {
+        Aggregations.weightedMedian(base, col("grp"), col("v"), col("wt"),
+          Seq(col("id"))).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      // closed form: residues r with r%10<8 (big) / ==8 / ==9, 3000
+      // rows each; half-mass lands at eligible-value index 399 / 49
+      assert(medBase == Map("big" -> 497.0, "s8" -> 498.0, "s9" -> 499.0),
+        s"uniform-weight medians: $medBase")
+      val planted = wm.withColumn("wt",
+        when(col("v") === 123.0, lit(1000.0)).otherwise(lit(1.0)))
+      val (medPlant, tMedPlant) = timed {
+        Aggregations.weightedMedian(planted, col("grp"), col("v"), col("wt"),
+          Seq(col("id"))).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      assert(medPlant == Map("big" -> 123.0, "s8" -> 498.0, "s9" -> 499.0),
+        s"mass-planted medians: $medPlant")
+
+      def giniClosed(residues: Seq[Long], cnt: Long): Double = {
+        var rank = 0L; var s = 0.0; var nn = 0L; var sx = 0.0
+        residues.sorted.foreach { r =>
+          s += r.toDouble * (cnt.toDouble * rank + cnt.toDouble * (cnt + 1) / 2.0)
+          rank += cnt; nn += cnt; sx += r.toDouble * cnt
+        }
+        BigDecimal(2.0 * s / (nn * sx) - (nn + 1.0) / nn)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val (gini, tGini) = timed {
+        Aggregations.groupGini(base, col("grp"), col("v"), Seq(col("id")))
+          .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      }
+      val want = Map(
+        "big" -> giniClosed((0L until 1000L).filter(_ % 10 < 8), 3000L),
+        "s8" -> giniClosed((0L until 1000L).filter(_ % 10 == 8), 3000L),
+        "s9" -> giniClosed((0L until 1000L).filter(_ % 10 == 9), 3000L))
+      assert(gini == want, s"gini: $gini vs closed-form $want")
+
+      // ---- event paths + batch stream-dedup over a 3M event stream ----
+      val nUsers = 100000L
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        expr("id div 30").as("user_id"),
+        pmod(col("id"), lit(30)).cast("int").as("i"))
+        .select(col("event_id"), col("user_id"),
+          expr("timestampadd(SECOND, i, timestamp'2023-01-01 00:00:00')").as("ts"),
+          element_at(array(lit("A"), lit("B"), lit("C")),
+            (col("i") % 3 + 1).cast("int")).as("event_type"))
+        .repartition(8)
+      val (paths, tPaths) = timed {
+        Windows.eventPaths(ev, 5).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      }
+      assert(paths.take(3).toSeq == Seq(
+        ("A", "B", "C", 10L * nUsers),
+        ("B", "C", "A", 9L * nUsers),
+        ("C", "A", "B", 9L * nUsers)), s"top paths: ${paths.take(3).toSeq}")
+      val (fo, tFo) = timed {
+        val f = Streaming.firstOccurrence(ev)
+        val expectedId = col("user_id") * 30 +
+          when(col("event_type") === "A", 0)
+            .when(col("event_type") === "B", 1).otherwise(2)
+        (f.count(), f.filter(col("first_event_id") =!= expectedId).count())
+      }
+      assert(fo == ((3 * nUsers, 0L)), s"first-occurrence (groups, wrong): $fo")
+
+      // ---- NULL-heavy null-safe join: broadcast vs forced shuffle ----
+      val left = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(20)) < 10, pmod(col("id"), lit(20)))
+          .otherwise(lit(null)).cast("long").as("k")).repartition(8)
+      val dim = spark.range(11L).select(
+        when(col("id") === 10, lit(null)).otherwise(col("id"))
+          .cast("long").as("dk"),
+        concat(lit("name"), col("id")).as("name"))
+      val (nBcast, tBcast) = timed {
+        Joins.nullSafeJoin(left, col("k"), broadcast(dim), col("dk")).count()
+      }
+      assert(nBcast == n, s"broadcast null-safe matches: $nBcast")
+      val (nShuf, tShuf) = timed {
+        Joins.nullSafeJoin(left, col("k"), dim.hint("shuffle_hash"), col("dk")).count()
+      }
+      assert(nShuf == n, s"shuffle null-safe matches: $nShuf")
+
+      // ---- payload dedup stats: 30-copy content-addressed corpus ----
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("payload content "), pmod(col("id"), lit(100000L))).as("text"))
+        .repartition(8)
+      val (stats, tStats) = timed {
+        Multimodal.payloadDedupStats(docs).collect()
+      }
+      assert(stats.length == 1)
+      val st = stats.head
+      assert(st.getString(0) == "text/plain" && st.getLong(1) == n
+        && st.getLong(2) == 100000L && st.getDouble(3) == 0.966667,
+        s"payload stats row: ${st.toSeq}")
+      assert(st.getLong(4) == 30L * st.getLong(5),
+        s"bytes_total ${st.getLong(4)} != 30 × bytes_stored ${st.getLong(5)}")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-9 newcomer soak (regenerated by SoakSpec)
+           |
+           |3M-row fixtures, local[4], every outcome closed-form exact.
+           |Weighted median under an 80%-dominant group: uniform-weight
+           |medians (497/498/499) exact, and a planted 1000× weight mass
+           |at v=123 dragged the dominant group's median to 123 while the
+           |small groups stayed put. Gini matched the locally-computed
+           |closed form in all three groups to 6 dp. Event paths over a
+           |100k-user cyclic stream: top-3 counts exactly (1,000,000 /
+           |900,000 / 900,000). Batch stream-dedup: 300k (user,type)
+           |groups, zero wrong survivors. NULL-heavy null-safe join (50%
+           |unknown keys, 11-row dim): 3,000,000 matches on BOTH plans —
+           |broadcast ${f"$tBcast%.1f"} s vs forced shuffle-hash
+           |${f"$tShuf%.1f"} s; the broadcast plan never shuffles the
+           |NULL-heavy side at all, the measured form of the scaladoc's
+           |"broadcast small dims / salt large ones when unknowns
+           |dominate" note. Payload dedup stats (100k contents × 30
+           |copies): dup_rate exactly 0.966667, bytes_total = 30 ×
+           |bytes_stored. Same listener invariant as above: no
+           |single-task stage read a relation-sized shuffle.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || weightedMedian (uniform wt) | 3.0M | ${f"$tMedBase%.1f"} | ${f"$ratio%.2f"} |
+           || weightedMedian (planted mass) | 3.0M | ${f"$tMedPlant%.1f"} | ${f"$ratio%.2f"} |
+           || groupGini (3 groups) | 3.0M | ${f"$tGini%.1f"} | ${f"$ratio%.2f"} |
+           || eventPaths (top-5) | 3.0M | ${f"$tPaths%.1f"} | ${f"$ratio%.2f"} |
+           || firstOccurrence (300k keys) | 3.0M | ${f"$tFo%.1f"} | ${f"$ratio%.2f"} |
+           || nullSafeJoin broadcast | 3.0M | ${f"$tBcast%.1f"} | ${f"$ratio%.2f"} |
+           || nullSafeJoin shuffle-hash (NULL skew) | 3.0M | ${f"$tShuf%.1f"} | ${f"$ratio%.2f"} |
+           || payloadDedupStats | 3.0M | ${f"$tStats%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-9 newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
