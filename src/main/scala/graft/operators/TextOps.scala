@@ -1061,7 +1061,50 @@ object TextOps {
   private def sqlCountIn(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN (", ", ", ")))")
 
+  /** DuckDB twin of [[bpeTrain]]: the N merge iterations unrolled as
+    * chained MATERIALIZED CTEs (b_i = the argmax pair over vocab state
+    * v_{i-1}; v_i = the greedy left-to-right merge applied via
+    * list_reduce — same non-overlap semantics as the engine's
+    * aggregate fold, verified on the "aaa"+(a,a) → [aa, a] shape).
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    * v-chain would re-evaluate exponentially (measured 101 s inlined
+    * vs 0.09 s materialized at sf0.001). This moves BPE training from
+    * the spec-only tier into the hash-checked oracle tier. */
+  private def bpeOracleSql(n: Int): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT count(*)::BIGINT AS freq, string_split(w, '') AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val stages = (1 to n).flatMap { i =>
+      val best =
+        s"""b$i AS MATERIALIZED (
+           |  SELECT pr[1] AS p1, pr[2] AS p2, sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(list_slice(syms, 1, len(syms)-1),
+           |                (s, j) -> [s, syms[j+1]])) AS pr
+           |        FROM v${i - 1} WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1)""".stripMargin
+      val apply =
+        if (i == n) Nil
+        else Seq(
+          s"""v$i AS MATERIALIZED (
+             |  SELECT freq, CASE WHEN len(syms) < 2 THEN syms ELSE
+             |    list_reduce(list_transform(syms, s -> [s]),
+             |      (acc, x) -> CASE WHEN acc[-1] = b.p1 AND x[1] = b.p2
+             |                  THEN list_slice(acc, 1, len(acc)-1) || [b.p1 || b.p2]
+             |                  ELSE acc || x END) END AS syms
+             |  FROM v${i - 1}, b$i b)""".stripMargin)
+      best +: apply
+    }
+    val tail = (1 to n).map { i =>
+      s"SELECT $i::BIGINT AS rank, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    (head +: stages).mkString(",\n") + s"\nSELECT * FROM (\n$tail) ORDER BY rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeOracleSql(12),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
