@@ -327,10 +327,16 @@ object Climate {
         lon.cast("double").as("lon")))
 
   /** Default per-document feature bound for [[featureCollection]]: at
-    * ~300 B/feature a full shard is ~300 MB — an order of magnitude
-    * under Spark's 2 GB single-value ceiling, with headroom for fat
-    * properties. */
-  val MaxFeaturesPerDoc: Int = 1 << 20
+    * ~300 B/feature a full shard is ~40 MB — sized so ONE task's
+    * collect_list buffer (and the document string it emits) stays a
+    * healthy shuffle-partition size, not merely under Spark's 2 GB
+    * single-value ceiling. The sf1 sweep demonstrated why the old
+    * 1<<20 bound was wrong: a single-month archive slid a ~70 MB
+    * month under it and the whole relation collapsed into one
+    * collect_list task; at 10× more it would be 700 MB. Oversized
+    * months now route through the distributed sharded builder and
+    * reassemble by contiguous shard index. */
+  val MaxFeaturesPerDoc: Int = 1 << 17
 
   /** Largest-month statistic, memoized per (canonicalized input plan,
     * source fingerprint) — repeated invocations over the same frame
@@ -405,29 +411,34 @@ object Climate {
     * or under the bound emit one shard (index 0) whose document is
     * byte-identical to the unsharded form.
     *
-    * Scale posture: the rank is a (year,month)-partitioned window —
-    * an EXTERNAL sort that spills to disk, replacing the unbounded
-    * in-memory collect_list array as the whole-month stage; each
-    * per-shard collect_list then holds at most `maxPerDoc` features.
-    * The groupBy reuses the window's (year,month) hash partitioning
-    * (group keys are a superset), so sharding adds no extra shuffle.
-    * `orderCol` must be unique within a month (it already must be for
-    * the document order itself to be deterministic). */
+    * Scale posture: the per-month rank comes from the DISTRIBUTED
+    * grouped prefix sum (range repartition + broadcast offsets,
+    * [[Windows.withGroupedPrefixSum]]), NOT a (year,month)-partitioned
+    * window — the sf1 sweep caught the window form absorbing a whole
+    * single-month relation into ONE task (the harness stream spans one
+    * month, so "per-month" parallelism is no parallelism at all; a
+    * real archive has the same shape whenever one period dominates).
+    * Each per-shard collect_list then holds at most `maxPerDoc`
+    * features and the (year,month,shard) aggregate fans out across
+    * tasks; the per-shard array_sort rebuilds document order over a
+    * bounded array, the same operation the in-bound route runs on the
+    * whole month. `orderCol` must be unique within a month (it already
+    * must be for the document order itself to be deterministic). */
   def featureCollectionSharded(df: DataFrame, featureCol: String,
       orderCol: String, maxPerDoc: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("year"), col("month")).orderBy(col(orderCol))
-    // the window's sort IS the document order: rows leave it ordered by
-    // orderCol within each (year,month) partition, and the aggregate
-    // below is partition-LOCAL (group keys ⊇ partition keys — no
-    // cross-partition buffer merge to scramble encounter order), so
-    // collect_list collects in document order with no per-shard re-sort
-    // — the property the shard spec and the byte-level document oracles
-    // pin at two scale factors.
-    df.withColumn("shard",
-        ((row_number().over(w) - 1) / maxPerDoc).cast("int"))
+    // lazy-pin form: the composite REHEARSALS plan this stage, and the
+    // dry-run contract is zero query jobs at build time
+    val ranked = Windows.withGroupedPrefixSumLazy(
+      df.withColumn("_ym", concat_ws("-", col("year"), col("month"))),
+      "_ym", lit(1L), "_rnk", col(orderCol))
+    ranked
+      .withColumn("shard", ((col("_rnk") - 1) / maxPerDoc).cast("int"))
       .groupBy(col("year"), col("month"), col("shard"))
-      .agg(array_join(collect_list(col(featureCol)), ",").as("features_joined"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(orderCol), col(featureCol)))),
+          p => p.getField(featureCol)),
+        ",").as("features_joined"))
       .select(col("year"), col("month"), col("shard"),
         concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
           col("features_joined"), lit("]}")).as("collection"))

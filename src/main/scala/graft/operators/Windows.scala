@@ -87,12 +87,35 @@ object Windows {
     * relation-sized). Offset table is (partitions × groups) rows —
     * broadcast-sized for any sane stratum count. */
   def withGroupedPrefixSum(df: DataFrame, grpCol: String, valueCol: Column,
-      out: String, sortCols: Column*): DataFrame = {
+      out: String, sortCols: Column*): DataFrame =
+    groupedPrefixSum(df, grpCol, valueCol, out, sortCols, eagerPin = true)
+
+  /** LAZY-PIN variant of [[withGroupedPrefixSum]]: the ranged layout is
+    * pinned with `persist()` instead of an eager localCheckpoint. The
+    * single-physical-layout guarantee is the same — both branches
+    * consume ONE cached plan instance, so the range exchange executes
+    * (and samples its boundaries) exactly once, at first
+    * materialization inside the cached relation's lazily-built buffer —
+    * but BUILDING the frame runs ZERO jobs. That property is what the
+    * composite rehearsals (dry-run) require of every stage they plan:
+    * [[graft.operators.Climate.featureCollectionSharded]] sits inside
+    * the rehearsed pipelines, and an eager checkpoint there turned
+    * "walk every plan without launching query work" into a stealth
+    * materialization. Cost of the trade: the pinned layout stays in
+    * the block-manager cache (MEMORY_AND_DISK) for the plan's lifetime
+    * instead of being truncated from lineage. */
+  def withGroupedPrefixSumLazy(df: DataFrame, grpCol: String, valueCol: Column,
+      out: String, sortCols: Column*): DataFrame =
+    groupedPrefixSum(df, grpCol, valueCol, out, sortCols, eagerPin = false)
+
+  private def groupedPrefixSum(df: DataFrame, grpCol: String, valueCol: Column,
+      out: String, sortCols: Seq[Column], eagerPin: Boolean): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // same layout-pinning checkpoint as withGlobalPrefixSum (see there)
-    val local = df.repartitionByRange(parts, col(grpCol) +: sortCols: _*)
+    // same layout-pinning rationale as withGlobalPrefixSum (see there);
+    // eager checkpoint for query paths, lazy persist for plan-only paths
+    val ranged = df.repartitionByRange(parts, col(grpCol) +: sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+    val local = (if (eagerPin) ranged.localCheckpoint() else ranged.persist())
       .withColumn("_lcs",
         sum(valueCol).over(Window.partitionBy(col("_pid"), col(grpCol))
           .orderBy(sortCols: _*)

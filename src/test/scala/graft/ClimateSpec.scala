@@ -145,14 +145,23 @@ class ClimateSpec extends SparkTestBase {
     assert(large == Seq(0, 1, 2))
   }
 
-  test("featureCollectionSharded: sharding adds NO shuffle beyond (year,month)") {
+  test("featureCollectionSharded: distributed rank, no whole-month window") {
     val feats = (1L to 100L).map(i => (2024, 1, i, s"f$i"))
       .toDF("year", "month", "event_id", "feature")
     val plan = Climate.featureCollectionSharded(feats, "feature", "event_id", 10)
       .queryExecution.executedPlan.toString
-    // one exchange: the window's hashpartitioning(year, month). The
-    // (year,month,shard) aggregation reuses it (group keys ⊇ keys).
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    // The rank must come from the grouped prefix sum: every Window in
+    // the plan is partitioned by (_pid, group) or runs on the tiny
+    // per-partition count table — NEVER by (year,month) alone, which
+    // the sf1 sweep proved collapses a single-month relation into one
+    // task. The shard aggregate then fans out on (year,month,shard).
+    assert(!plan.contains("windowspecdefinition(year"),
+      s"whole-month window found:\n$plan")
+    assert(plan.contains("hashpartitioning(year#") ||
+      "hashpartitioning\\(year".r.findFirstIn(plan).isDefined,
+      s"missing the (year,month,shard) aggregate exchange:\n$plan")
+    assert("windowspecdefinition\\(_pid".r.findFirstIn(plan).isDefined,
+      s"missing the partition-local prefix-sum window:\n$plan")
   }
 
   test("monthlyResolutions: each month infers its OWN grid resolution") {
