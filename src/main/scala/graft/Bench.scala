@@ -50,6 +50,7 @@ object Bench {
     "q_similarity_ivf" -> Seq("cents"),
     "q_similarity_ivfpq" -> Seq("cents", "books"),
     "q_similarity_knn_ivf" -> Seq("cents"),
+    "q_text_bpe_encode" -> Seq("bpe_merges"),
   )
 
   /** CPU-bound, fixed-per-core-size, in-memory probe. Same cost every

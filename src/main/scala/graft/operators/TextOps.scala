@@ -708,6 +708,43 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** BPE ENCODE: apply a trained merge table to the corpus — the
+    * serving half of the tokenizer lifecycle ([[bpeTrain]] is the
+    * learning half). Per document: words (same `[a-z0-9]+` lowering
+    * as training) split to symbols, every merge applied in rank order
+    * with the same greedy left-to-right fold the trainer uses, then
+    * token counts aggregated per document — the per-doc token-budget
+    * statistic every mixing/packing stage consumes.
+    *
+    * Scale posture: the merge table is a ≤N-row frame aggregated to
+    * ONE array row and broadcast; the encode itself is a per-row
+    * nested higher-order fold (fold over merges, inner greedy fold
+    * over symbols) — pure codegen, no shuffle of text, no UDF, no
+    * driver-side model materialization. At 100 TB the only exchange
+    * is the broadcast of the tiny model. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val model = merges
+      .agg(array_sort(collect_list(struct(col("rank"), col("p1"), col("p2"))))
+        .as("ms"))
+    val words = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    def applyMerges(w: Column): Column =
+      aggregate(col("ms"), array_remove(split(w, ""), ""),
+        (syms, m) => aggregate(syms, array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === m.getField("p1") &&
+              x === m.getField("p2"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(m.getField("p1"), m.getField("p2")))))
+            .otherwise(concat(acc, array(x)))))
+    docs.crossJoin(broadcast(model))
+      .select(col("doc_id"), words.as("ws"), col("ms"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => size(applyMerges(w))),
+          lit(0L), (a, b) => a + b.cast("long")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing-style document fingerprint: hash every k-token shingle
     * (rolling window), keep the minimum — one 64-bit fingerprint per
     * document that is stable under token-preserving reformatting.
@@ -1037,6 +1074,12 @@ object TextOps {
     // 12 learned merges over the corpus vocabulary (no-oracle:
     // iterated global argmax — pinned by OperatorSemanticsSpec)
     "q_text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d), 12)),
+    // encode with the trained merges — the merge table is the
+    // ingest-time tokenizer artifact (train once, encode many),
+    // memoized per (process, dataset) like the ANN quantizers
+    "q_text_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d),
+      graft.ProcessCache.get(s, "bpe_merges:" + d)(
+        bpeTrain(Tables.documents(s, d), 12).localCheckpoint()))),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
     // top-30 corpus bigrams
     "q_text_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), 2, 30)),
@@ -1070,14 +1113,26 @@ object TextOps {
     * v-chain would re-evaluate exponentially (measured 101 s inlined
     * vs 0.09 s materialized at sf0.001). This moves BPE training from
     * the spec-only tier into the hash-checked oracle tier. */
-  private def bpeOracleSql(n: Int): String = {
+  /** The greedy left-to-right merge application as a DuckDB
+    * list_reduce (same non-overlap semantics as the engine fold). */
+  private def duckApplyMerge(src: String, b: String): String =
+    s"""  SELECT ${if (src.startsWith("w")) "doc_id, " else "freq, "}CASE WHEN len(syms) < 2 THEN syms ELSE
+       |    list_reduce(list_transform(syms, s -> [s]),
+       |      (acc, x) -> CASE WHEN acc[-1] = b.p1 AND x[1] = b.p2
+       |                  THEN list_slice(acc, 1, len(acc)-1) || [b.p1 || b.p2]
+       |                  ELSE acc || x END) END AS syms
+       |  FROM $src, $b b""".stripMargin
+
+  /** The trainer's vocab/argmax CTE chain (v0, b1, v1 … b_n) shared by
+    * both BPE oracles. */
+  private def bpeMergeChain(n: Int): Seq[String] = {
     val head =
-      """WITH v0 AS MATERIALIZED (
+      """v0 AS MATERIALIZED (
         |  SELECT count(*)::BIGINT AS freq, string_split(w, '') AS syms
         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         |        FROM documents)
         |  GROUP BY w)""".stripMargin
-    val stages = (1 to n).flatMap { i =>
+    head +: (1 to n).flatMap { i =>
       val best =
         s"""b$i AS MATERIALIZED (
            |  SELECT pr[1] AS p1, pr[2] AS p2, sum(freq)::BIGINT AS cnt
@@ -1087,24 +1142,48 @@ object TextOps {
            |  GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1)""".stripMargin
       val apply =
         if (i == n) Nil
-        else Seq(
-          s"""v$i AS MATERIALIZED (
-             |  SELECT freq, CASE WHEN len(syms) < 2 THEN syms ELSE
-             |    list_reduce(list_transform(syms, s -> [s]),
-             |      (acc, x) -> CASE WHEN acc[-1] = b.p1 AND x[1] = b.p2
-             |                  THEN list_slice(acc, 1, len(acc)-1) || [b.p1 || b.p2]
-             |                  ELSE acc || x END) END AS syms
-             |  FROM v${i - 1}, b$i b)""".stripMargin)
+        else Seq(s"v$i AS MATERIALIZED (\n${duckApplyMerge(s"v${i - 1}", s"b$i")})")
       best +: apply
     }
+  }
+
+  private def bpeOracleSql(n: Int): String = {
     val tail = (1 to n).map { i =>
       s"SELECT $i::BIGINT AS rank, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM b$i"
     }.mkString("\nUNION ALL ")
-    (head +: stages).mkString(",\n") + s"\nSELECT * FROM (\n$tail) ORDER BY rank"
+    "WITH " + bpeMergeChain(n).mkString(",\n") +
+      s"\nSELECT * FROM (\n$tail) ORDER BY rank"
+  }
+
+  /** DuckDB twin of [[bpeEncode]] over the [[bpeTrain]]-learned table:
+    * the trainer chain re-derives b1..b_n, then the SAME n merges
+    * unroll over the per-document word instances (w0 … w_n; DuckDB's
+    * list_reduce has no initial-value form, so the fold over merges
+    * unrolls instead). Wordless documents keep (0, 0) via the left
+    * join, matching the engine's fold-over-empty behavior. */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT doc_id, string_split(w, '') AS syms
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents))""".stripMargin
+    val applies = (1 to n).map { i =>
+      s"w$i AS MATERIALIZED (\n${duckApplyMerge(s"w${i - 1}", s"b$i")})"
+    }
+    "WITH " + (bpeMergeChain(n) ++ (w0 +: applies)).mkString(",\n") +
+      s"""
+         |SELECT d.doc_id, coalesce(t.n_words, 0) AS n_words,
+         |       coalesce(t.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, count(*)::BIGINT AS n_words,
+         |         sum(len(syms))::BIGINT AS n_tokens
+         |  FROM w$n GROUP BY doc_id) t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeOracleSql(12),
+    "q_text_bpe_encode" -> bpeEncodeOracleSql(12),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

@@ -545,6 +545,22 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(again == Seq((1L, "aa"), (2L, "ab"), (3L, "aaab")))
   }
 
+  test("bpeEncode: trained merges applied greedily; wordless docs keep zeros") {
+    import spark.implicits._
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = operators.TextOps.bpeTrain(train, 10) // (aa), (ab), (aaab)
+    val docs = Seq(
+      (1L, "aaab aaab ab"),  // each word fully merges → 1 token apiece
+      (2L, "aaa ba"),        // greedy: [aa, a]; "ba" has no merge → [b, a]
+      (3L, "xyz"),           // untouched by any merge → 3 symbols
+      (4L, "!!! ...")        // no [a-z0-9]+ words at all → (0, 0)
+    ).toDF("doc_id", "text")
+    val r = operators.TextOps.bpeEncode(docs, merges)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 3L), (2L, 2L, 4L), (3L, 1L, 3L), (4L, 0L, 0L)))
+  }
+
   test("withGlobalNtile: exact vs local rank under chained calls AND checkpointed inputs") {
     // regression pin for the layout-pinning checkpoint in
     // withGlobalPrefixSum: before it, the offsets and running-sum
