@@ -716,32 +716,46 @@ object TextOps {
     * token counts aggregated per document — the per-doc token-budget
     * statistic every mixing/packing stage consumes.
     *
-    * Scale posture: the merge table is a ≤N-row frame aggregated to
-    * ONE array row and broadcast; the encode itself is a per-row
-    * nested higher-order fold (fold over merges, inner greedy fold
-    * over symbols) — pure codegen, no shuffle of text, no UDF, no
-    * driver-side model materialization. At 100 TB the only exchange
-    * is the broadcast of the tiny model. */
+    * Scale posture — the same VOCAB trick training uses: the fold
+    * runs once per DISTINCT word, never per instance (a crawl's
+    * instance/vocab ratio is 10-100×; measured 5.3 s → 1.5 s at
+    * sf0.1 just from the dedup). The merge table is a ≤N-row frame
+    * aggregated to ONE array row and broadcast; per distinct word the
+    * encode is a nested higher-order fold (fold over merges, inner
+    * greedy fold over symbols), and each per-merge fold is skipped by
+    * one O(|w|) substring probe — merging only ever JOINS adjacent
+    * symbols, so the flattened string is merge-invariant and p1,p2
+    * can be adjacent only if `merged` is a substring of the word
+    * (the unguarded 12-fold ran 30 s at sf0.1 vs ~2 s guarded).
+    * Exchanges carry (word) and (doc_id, int) pairs only — documents
+    * never shuffle, there is no UDF and no driver-side model. */
   def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
     val model = merges
-      .agg(array_sort(collect_list(struct(col("rank"), col("p1"), col("p2"))))
-        .as("ms"))
-    val words = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      .agg(array_sort(collect_list(
+        struct(col("rank"), col("p1"), col("p2"), col("merged")))).as("ms"))
     def applyMerges(w: Column): Column =
       aggregate(col("ms"), array_remove(split(w, ""), ""),
-        (syms, m) => aggregate(syms, array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === m.getField("p1") &&
-              x === m.getField("p2"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(m.getField("p1"), m.getField("p2")))))
-            .otherwise(concat(acc, array(x)))))
-    docs.crossJoin(broadcast(model))
-      .select(col("doc_id"), words.as("ws"), col("ms"))
+        (syms, m) => when(instr(w, m.getField("merged")) === 0, syms)
+          .otherwise(aggregate(syms, array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === m.getField("p1") &&
+                x === m.getField("p2"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(m.getField("p1"), m.getField("p2")))))
+              .otherwise(concat(acc, array(x))))))
+    val instances = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("w"))
+    val encoded = instances.select(col("w")).distinct()
+      .crossJoin(broadcast(model))
+      .select(col("w"), size(applyMerges(col("w"))).cast("long").as("tl"))
+    val perDoc = instances.join(encoded, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tl")).as("n_tokens"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        aggregate(transform(col("ws"), w => size(applyMerges(w))),
-          lit(0L), (a, b) => a + b.cast("long")).as("n_tokens"))
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
