@@ -29,14 +29,31 @@ private[graft] object ProcessCache {
     buildSecs.asScala.toMap
   }
 
+  /** Lookup-or-build. The build runs OUTSIDE the map's bin lock
+    * (lookup → build → putIfAbsent, NOT computeIfAbsent) so an
+    * artifact whose build consumes ANOTHER cached artifact — the
+    * oriented edge set over the canonical one, a PQ codebook over
+    * trained centroids — can nest `get` calls legally;
+    * `computeIfAbsent` throws "Recursive update" when the nested call
+    * lands in the same bin. The race this admits (two threads both
+    * building, first put wins) is benign — both builds produce the
+    * same deterministic artifact and the mains run queries
+    * sequentially anyway. */
   def get(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
     val prefix = s.sparkContext.applicationId + ":"
     cache.keySet.removeIf(k => !k.startsWith(prefix))
-    cache.computeIfAbsent(prefix + key, _ => {
+    val k = prefix + key
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
       val t0 = System.nanoTime()
       val df = mk
-      buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
-      df
-    })
+      val prev = cache.putIfAbsent(k, df)
+      if (prev != null) prev
+      else {
+        buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+        df
+      }
+    }
   }
 }

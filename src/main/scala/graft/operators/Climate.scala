@@ -780,6 +780,65 @@ object Climate {
       .orderBy(col("series"), col("year"), col("month"), col("day"))
   }
 
+  /** Per-cell linear TREND of the observed value over time — the
+    * per-gridpoint OLS slope map every climate assessment publishes
+    * (xarray `polyfit(dim='time', deg=1)` over a cube; cf. the
+    * reference's per-variable monthly means, which this generalizes
+    * from level to rate-of-change). The regressor is the integer day
+    * index since the window start, so slope units are value/day and
+    * the arithmetic is exactly representable on both engines.
+    *
+    * Slope/intercept are written as the explicit population-moment
+    * quotient (covar_pop/var_pop) with a zero-variance guard rather
+    * than `regr_slope`, so the single-distinct-timestamp cell has
+    * DEFINED semantics (NULL slope, NULL intercept) on any engine —
+    * the same degenerate-input posture as ratioToReport's zero-total
+    * guard.
+    *
+    * Scale: ONE hash aggregate on the cell key — map-side partials
+    * carry six doubles per cell (n, Σx, Σy, Σxx, Σxy via the moment
+    * aggregates), never rows; the 100 TB cube reduces to a
+    * cells-sized result with a single narrow exchange. */
+  def cellTrend(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    val g = syntheticGrid(events).filter(col("value").isNotNull)
+      .select(col("lat"), col("lon"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("double").as("x"),
+        col("value").as("y"))
+    val slope = when(col("vx") === 0.0, lit(null).cast("double"))
+      .otherwise(col("cxy") / col("vx"))
+    g.groupBy(col("lat"), col("lon"))
+      .agg(count(lit(1)).as("n_obs"),
+        covar_pop(col("y"), col("x")).as("cxy"),
+        var_pop(col("x")).as("vx"),
+        avg(col("x")).as("mx"),
+        avg(col("y")).as("my"))
+      .select(col("lat"), col("lon"), col("n_obs"),
+        round(slope, 6).as("slope_per_day"),
+        round(col("my") - slope * col("mx"), 4).as("intercept"),
+        round(col("my"), 4).as("mean_value"))
+      .orderBy(col("lat"), col("lon"))
+  }
+
+  /** Heating / cooling DEGREE DAYS per cell-month — the standard
+    * threshold-integrated climate index (energy-demand proxy): for a
+    * base level b, HDD accumulates max(0, b − v) and CDD accumulates
+    * max(0, v − b) over the month's observations. The reference stops
+    * at monthly means; degree days are the canonical next index over
+    * the identical grouping.
+    *
+    * Same scale shape as [[gridCoarsen]]: a codegen'd scalar clamp
+    * feeding ONE hash aggregate on (cell, month) — partials are four
+    * doubles, the exchange is cells×months wide, rows never move. */
+  def degreeDays(events: DataFrame, base: Double): DataFrame =
+    syntheticGrid(events).filter(col("value").isNotNull)
+      .groupBy(col("lat"), col("lon"),
+        year(col("ts")).cast("int").as("year"),
+        month(col("ts")).cast("int").as("month"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(greatest(lit(0.0), lit(base) - col("value"))), 4).as("hdd"),
+        round(sum(greatest(lit(0.0), col("value") - lit(base))), 4).as("cdd"))
+      .orderBy(col("lat"), col("lon"), col("year"), col("month"))
+
   /** Nearest-station assignment: every grid cell mapped to its
     * closest station by great-circle distance — the station-matching
     * join behind bias correction and in-situ/satellite comparison
@@ -960,6 +1019,13 @@ object Climate {
         syntheticStations(Tables.nation(s, d)))),
     "q_agg_histogram_eq" -> ((s, d) =>
       equiHeightHistogram(Tables.events(s, d), "value", "event_id", 16)),
+    // per-cell OLS trend map (value/day over the observation window)
+    "q_climate_trend" -> ((s, d) =>
+      cellTrend(Tables.events(s, d))),
+    // heating/cooling degree days per cell-month, base 250 (mid-range
+    // of the harness value distribution so both sides accumulate)
+    "q_climate_degree_days" -> ((s, d) =>
+      degreeDays(Tables.events(s, d), 250.0)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
     // the assembled FeatureCollection back and check it is non-empty —
     // expressed over the documents the engine just built, so the
@@ -980,6 +1046,35 @@ object Climate {
   )
 
   val oracle: Map[String, String] = Map(
+    // same explicit covar_pop/var_pop quotient with the same
+    // zero-variance guard — NULL-slope semantics match by construction
+    "q_climate_trend" ->
+      """WITH g AS (
+        |  SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+        |         value AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT lat, lon, count(*) AS n_obs,
+        |         covar_pop(y, x) AS cxy, var_pop(x) AS vx,
+        |         avg(x) AS mx, avg(y) AS my
+        |  FROM g GROUP BY lat, lon)
+        |SELECT lat, lon, n_obs,
+        |       round(CASE WHEN vx = 0.0 THEN NULL ELSE cxy / vx END, 6) AS slope_per_day,
+        |       round(my - (CASE WHEN vx = 0.0 THEN NULL ELSE cxy / vx END) * mx, 4) AS intercept,
+        |       round(my, 4) AS mean_value
+        |FROM a ORDER BY lat, lon""".stripMargin,
+    "q_climate_degree_days" ->
+      """SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
+        |       ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+        |       CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
+        |       CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+        |       count(*) AS n_obs,
+        |       round(sum(greatest(0.0, 250.0 - value)), 4) AS hdd,
+        |       round(sum(greatest(0.0, value - 250.0)), 4) AS cdd
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "q_filter_land_mask" ->
       """WITH pts AS (
         |  SELECT c_custkey,

@@ -278,7 +278,23 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** Degree DISTRIBUTION of a canonical undirected edge set (deg →
+    * node count) — the first-look graph-health summary (power-law
+    * tail check, hub detection) next to the triangle census. Two
+    * counts-only hash aggregates; the exchange never carries more
+    * than (node, deg) then (deg, n) rows. */
+  def degreeDistribution(und: DataFrame): DataFrame =
+    degreesOf(und)
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+
   val queries: Map[String, Q] = Map(
+    // degree histogram of the co-purchase graph (same memoized
+    // canonical edge artifact as the triangle census)
+    "q_graph_degrees" -> ((s, d) =>
+      degreeDistribution(graft.ProcessCache.get(s, "copurchase_und:" + d)(
+        canonicalUndirected(copurchaseGraph(s, d)).localCheckpoint()))),
     // part importance in the co-purchase graph, 3 rounds
     "q_graph_pagerank" -> ((s, d) =>
       pagerank(copurchaseGraph(s, d), assumeSimple = true)),
@@ -303,6 +319,15 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degrees" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node)
+        |SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     // same graph, same formulation, 3 unrolled rounds, same operand
     // order ((1-d)/n first, then the damped in-mass)
     "q_graph_pagerank" ->

@@ -197,6 +197,50 @@ object Joins {
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** NEAREST-neighbor as-of: each purchase matched to the CLOSEST
+    * view by the same user in EITHER direction (|Δt|, ties to the
+    * earlier side) — the bidirectional sibling of `q_join_asof`'s
+    * backward-only match (pandas `merge_asof(direction='nearest')`).
+    *
+    * Same union+window formulation run twice over ONE shuffle on the
+    * user key: the backward pass is the ascending running last-view,
+    * the forward pass the same frame on the DESCENDING sort ("first
+    * view after me" ≡ "last view before me, time-reversed" — the
+    * interpolateGaps trick, so both frames stay incremental O(n),
+    * never an unbounded-following rescan). Views sort before
+    * purchases at equal ts in BOTH directions (is_probe ASC
+    * tie-break), so an equal-ts view matches with Δt = 0. The side
+    * pick compares exact integer microseconds. Purchases by users
+    * with no views keep a NULL match (left semantics). */
+  def asofNearest(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = views.withColumn("is_probe", lit(0))
+      .unionByName(purch.withColumn("is_probe", lit(1)))
+    val run = last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true)
+    val back = run.over(Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = run.over(Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val nearest = when(col("bts").isNull, col("fts"))
+      .when(col("fts").isNull, col("bts"))
+      .when(unix_micros(col("ts")) - unix_micros(col("bts")) <=
+        unix_micros(col("fts")) - unix_micros(col("ts")), col("bts"))
+      .otherwise(col("fts"))
+    tagged
+      .withColumn("bts", back)
+      .withColumn("fts", fwd)
+      .filter(col("is_probe") === 1)
+      .withColumn("nearest_ts", nearest)
+      .select(col("event_id"), col("user_id"), col("nearest_ts"),
+        (unix_micros(col("nearest_ts")) - unix_micros(col("ts"))).as("dt_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other instead of silently dropping — the semantics an
     * entity-resolution join needs when "key unknown" is itself a
@@ -349,6 +393,19 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST-neighbor as-of: each purchase matched to the CLOSEST
+    // view by the same user in EITHER direction (|Δt|, ties to the
+    // earlier side) — the bidirectional sibling of q_join_asof's
+    // backward-only match (pandas merge_asof direction='nearest').
+    // Same union+window formulation run twice over ONE shuffle on the
+    // user key: the backward pass is the ascending running last-view,
+    // the forward pass the same frame on the DESCENDING sort ("first
+    // view after me" ≡ "last view before me, time-reversed" — the
+    // interpolateGaps trick, so both frames stay incremental O(n),
+    // never an unbounded-following rescan). Exact integer-micros
+    // comparison picks the side.
+    "q_join_asof_nearest" -> ((s, d) => asofNearest(Tables.events(s, d))),
+
     // Pure range join (NO equi key): every (purchase, view) pair across
     // ALL users within ±120 s — the cross-entity temporal correlation
     // a bare range predicate would plan as a nested loop; here an equi
@@ -386,6 +443,34 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // independent formulation: brute-force per-direction extremes
+    // (max view ≤ t, min view ≥ t) then the same |Δt| tie-to-earlier
+    // pick — quadratic-per-user is fine at oracle scale and cross-
+    // checks the engine's window formulation from a different shape
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id, max(v.ts) AS bts
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+        |      GROUP BY 1),
+        |f AS (SELECT p.event_id, min(v.ts) AS fts
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+        |      GROUP BY 1),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, b.bts, f.fts
+        |      FROM p LEFT JOIN b ON p.event_id = b.event_id
+        |             LEFT JOIN f ON p.event_id = f.event_id),
+        |n AS (SELECT event_id, user_id, ts,
+        |        CASE WHEN bts IS NULL THEN fts
+        |             WHEN fts IS NULL THEN bts
+        |             WHEN epoch_us(ts) - epoch_us(bts) <=
+        |                  epoch_us(fts) - epoch_us(ts) THEN bts
+        |             ELSE fts END AS nearest_ts
+        |      FROM j)
+        |SELECT event_id, user_id, nearest_ts,
+        |       epoch_us(nearest_ts) - epoch_us(ts) AS dt_us
+        |FROM n ORDER BY event_id""".stripMargin,
     "q_join_null_safe" ->
       """WITH c AS (SELECT c_custkey,
         |             CASE WHEN c_custkey % 10 = 0 THEN NULL

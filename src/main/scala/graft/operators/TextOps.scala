@@ -79,6 +79,38 @@ object TextOps {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Sliding-window DOCUMENT CHUNKING with overlap — the retrieval /
+    * context-window prep step every RAG and long-context training
+    * pipeline runs: fixed-size character chunks of `size`, advancing
+    * by `stride` (< size ⇒ overlap), the final chunk allowed short.
+    * A doc of length L emits 1 + ⌈max(L − size, 0) / stride⌉ chunks,
+    * so every character lands in ≥1 chunk and no chunk starts past
+    * the text. Emits the chunk's length and md5 digest (content
+    * address), not the chunk text — downstream chunk stores are
+    * content-addressed, and the compare stays narrow.
+    *
+    * Scale: a pure row-local generate (sequence → explode → substr) —
+    * zero shuffles, codegen end-to-end; output size is a documented
+    * ×(L/stride) fan-out of the input, the same contract as
+    * [[packSequences]]' inverse. */
+  def chunkDocuments(docs: DataFrame, size: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"chunkDocuments: need 0 < stride <= size, got size=$size stride=$stride")
+    val lastIdx = ceil(greatest(length(col("text")) - size, lit(0))
+      .cast("double") / stride).cast("int")
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("text").substr(lit(1) + col("chunk_idx") * stride, lit(size))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Reproducible STRATIFIED SAMPLING (data mixing): keep a document
     * iff the first 8 hex digits of sha-256(doc_id:salt) fall under the
     * stratum's threshold — `floor(rate · 2^32)` rendered as 8-digit
@@ -1044,6 +1076,8 @@ object TextOps {
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), 1024)),
+    // 200-char chunks advancing by 150 (50-char overlap) — RAG prep
+    "q_text_chunk" -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
     // down-weight the dominant language, keep the rest at 3/4 — the
     // mixing ratios are arbitrary; the CONTRACT is determinism
     "q_sample_stratified" -> ((s, d) =>
@@ -1196,6 +1230,19 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // generate_series is INCLUSIVE (upper bound = last chunk index);
+    // unnest-in-SELECT because the table-function form can't take
+    // column parameters (same convention as the q_embed oracles)
+    "q_text_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         CAST(unnest(generate_series(0,
+        |           CAST(ceil(greatest(length(text) - 200, 0) / 150.0) AS BIGINT))) AS INT) AS i
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |       CAST(length(substr(text, 1 + i * 150, 200)) AS BIGINT) AS chunk_chars,
+        |       md5(substr(text, 1 + i * 150, 200)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bpe_train" -> bpeOracleSql(12),
     "q_text_bpe_encode" -> bpeEncodeOracleSql(12),
     "q_dedup_exact" ->

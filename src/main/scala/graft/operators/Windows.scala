@@ -511,6 +511,25 @@ object Windows {
         .orderBy(col("c_custkey"))
     }),
 
+    // Relative-standing window pair: percent_rank (rank-based, 0 at
+    // the group min) and cume_dist (≤-fraction) per order within its
+    // priority class — the SQL-standard normalized-rank duo next to
+    // the ntile/zscore variants already registered. ONE shuffle on
+    // the partition key; values are tie-stable (both functions depend
+    // only on the ORDER KEY values, not row order), so no unique
+    // tiebreaker column is needed for determinism. Note the partition
+    // key is low-cardinality (5 priorities): per-group sort is the
+    // scale bound — for a global variant use withGlobalRowNumber.
+    "q_window_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume_dist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Gap-based SESSIONIZATION — the batch analog of the streaming
     // session window (Streaming.scala): a session breaks after >30 min
     // of user inactivity. Break flag = lag diff, session ordinal =
@@ -584,6 +603,13 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_window_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_ratio" ->
       """SELECT o_orderkey AS id, o_custkey AS grp,
         |       round(o_totalprice / sum(o_totalprice)

@@ -1079,6 +1079,95 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.getDouble(3) == 0.333333 && r.getLong(4) == 8L && r.getLong(5) == 6L)
   }
 
+  test("cellTrend: closed-form slope on a planted linear series") {
+    import spark.implicits._
+    // one cell (event_id % 2880 constant) with value = 3x + 7 over
+    // 4 days → slope exactly 3, intercept exactly 7; a second cell
+    // with all obs on ONE day → zero x-variance → NULL slope
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(days: Int) = new java.sql.Timestamp(ts0.getTime + days * 86400000L)
+    val rows = (0 to 3).map(i => (0L, t(i), 7.0 + 3.0 * i)) ++
+      Seq((1L, t(2), 5.0), (1L, t(2), 9.0))
+    val ev = rows.toDF("event_id", "ts", "value")
+    val r = operators.Climate.cellTrend(ev).collect()
+    val byCell = r.map(x => (x.getDouble(0), x)).toMap
+    val linear = byCell((0L % 360) * 0.5 - 90.0)
+    assert(linear.getDouble(3) == 3.0 && linear.getDouble(4) == 7.0)
+    val flat = byCell((1L % 360) * 0.5 - 90.0)
+    assert(flat.isNullAt(3) && flat.isNullAt(4) &&
+      flat.getDouble(5) == 7.0) // mean still defined
+  }
+
+  test("degreeDays: clamp accumulates the right side of the base") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    // values 240 / 260 around base 250: HDD = 10 + 0, CDD = 0 + 10
+    val ev = Seq((0L, ts, 240.0), (0L, ts, 260.0)).toDF("event_id", "ts", "value")
+    val r = operators.Climate.degreeDays(ev, 250.0).head()
+    assert(r.getLong(4) == 2L && r.getDouble(5) == 10.0 && r.getDouble(6) == 10.0)
+  }
+
+  test("chunkDocuments: full coverage, overlap, and final short chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 48),   // < size → exactly one (short) chunk
+      (2L, "b" * 200),  // == size → one full chunk
+      (3L, "c" * 201),  // size+1 → 2 chunks, second of length 51
+      (4L, "d" * 500)   // 1 + ceil(300/150) = 3 chunks
+    ).toDF("doc_id", "text")
+    val r = operators.TextOps.chunkDocuments(docs, size = 200, stride = 150)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    val byDoc = r.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._3).toSeq == Seq(48L))
+    assert(byDoc(2L).map(_._3).toSeq == Seq(200L))
+    assert(byDoc(3L).map(_._3).toSeq == Seq(200L, 51L))
+    assert(byDoc(4L).map(_._3).toSeq == Seq(200L, 200L, 200L))
+    // coverage: last chunk's start + its length reaches the text end
+    byDoc.foreach { case (id, cs) =>
+      val L = Map(1L -> 48, 2L -> 200, 3L -> 201, 4L -> 500)(id)
+      val (_, lastIdx, lastLen) = cs.last
+      assert(lastIdx * 150 + lastLen == L, s"doc $id uncovered tail")
+    }
+    // stride < size ⇒ consecutive chunks overlap by size − stride
+    assert(operators.TextOps.chunkDocuments(docs, 200, 150)
+      .count() == r.length)
+    intercept[IllegalArgumentException] {
+      operators.TextOps.chunkDocuments(docs, 100, 200) // stride > size
+    }
+  }
+
+  test("asof nearest: picks the closer side, ties to the earlier view") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    // user 1: views at 0 s and 10 s, purchase at 6 s → forward (10 s,
+    // Δ=+4 s) beats backward (0 s, Δ=−6 s). user 2: views at 0 and
+    // 8 s, purchase at 4 s → exact tie → earlier (0 s). user 3:
+    // purchase with no views → NULL match.
+    val ev = Seq(
+      (10L, 1L, "view", t(0)), (11L, 1L, "view", t(10)),
+      (12L, 1L, "purchase", t(6)),
+      (20L, 2L, "view", t(0)), (21L, 2L, "view", t(8)),
+      (22L, 2L, "purchase", t(4)),
+      (30L, 3L, "purchase", t(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = operators.Joins.asofNearest(ev).collect()
+      .map(x => (x.getLong(0), Option(x.get(2)), if (x.isNullAt(3)) None else Some(x.getLong(3))))
+    assert(r.toSeq == Seq(
+      (12L, Some(t(10)), Some(4000000L)),
+      (22L, Some(t(0)), Some(-4000000L)),
+      (30L, None, None)))
+  }
+
+  test("degreeDistribution: counts nodes per degree on a planted graph") {
+    import spark.implicits._
+    // path a-b-c plus isolated edge d-e: degrees b=2, a=c=d=e=1
+    val und = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val r = operators.Graph.degreeDistribution(und).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 4L), (2L, 1L)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
