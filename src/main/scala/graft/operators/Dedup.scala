@@ -369,18 +369,33 @@ object Dedup {
     * (collision odds ~1e-8 corpus-wide), a fraction of the cost.
     */
   def dedupNgram(docsIn: DataFrame): DataFrame = {
+    // gram table MATERIALIZED once (localCheckpoint): the signature
+    // pass, and BOTH sides of the verify join, read it — unchecked,
+    // Catalyst recomputes the normalize + per-char substr + xxhash64
+    // projection three times over the full corpus (the production
+    // analog is the signature/gram table an ingest job persists, the
+    // same artifact [[bandedSignatures]] stores for the incremental
+    // path; measured 106 s → 56 s at sf1/local[24] together with the
+    // SHJ hints below).
     val docs = spread(docsIn)
       .select(col("doc_id"), normalized(col("text")).as("norm"))
       .select(col("doc_id"),
         array_distinct(transform(charGrams(col("norm"), 5), g => xxhash64(g))).as("gr"))
+      .localCheckpoint()
     val sigs = docs.withColumn("sig", minhashSig(col("gr"), 32))
     // est threshold 0.6: true j ≥0.9 ⇒ est ≥0.6 w.p. 1-1e-9. The
     // prefilter runs bucket-locally (see lshCandidatesEst) so only
-    // est-survivors are shuffled to the gram joins for the exact verify.
+    // est-survivors are shuffled to the gram joins for the exact
+    // verify. Those joins are HINTED shuffle-hash: sort-merge would
+    // sort the pair×gram-array intermediate (hundreds of MB at sf1 —
+    // the arrays ride the id_b exchange) for no benefit, since the
+    // build side is the compact gram table.
     lshCandidatesEst(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4,
         minEst = 0.6)
-      .join(docs.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("gr").as("gr_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("gr").as("gr_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard_raw", jaccard(col("gr_a"), col("gr_b"))) // one set-op pass
       .filter(col("jaccard_raw") >= 0.9)
       .select(col("id_a"), col("id_b"),

@@ -66,52 +66,8 @@ class ScaleSweepSpec extends AnyFunSuite {
 
     val src = "/root/testdata/sf0.1"
     val dir = graft.sources.IO.tmp("graft_sf1_")
-    val copies = spark.range(10).select(col("id").as("c"))
-    def scale(name: String, df: DataFrame)(cols: DataFrame => Seq[org.apache.spark.sql.Column]): Unit =
-      df.crossJoin(copies).select(cols(df): _*)
-        .repartition(16).write.mode("overwrite").parquet(s"$dir/$name.parquet")
-
     val tFix0 = System.nanoTime()
-    // fixed-size dims: copied once, like real dimension tables
-    spark.read.parquet(s"$src/region.parquet")
-      .write.mode("overwrite").parquet(s"$dir/region.parquet")
-    spark.read.parquet(s"$src/nation.parquet")
-      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
-    scale("customer", spark.read.parquet(s"$src/customer.parquet")) { _ => Seq(
-      (col("c_custkey") + col("c") * 1000000L).as("c_custkey"), col("c_name"),
-      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")) }
-    scale("supplier", spark.read.parquet(s"$src/supplier.parquet")) { _ => Seq(
-      (col("s_suppkey") + col("c") * 1000000L).as("s_suppkey"), col("s_name"),
-      col("s_nationkey"), col("s_acctbal")) }
-    scale("part", spark.read.parquet(s"$src/part.parquet")) { _ => Seq(
-      (col("p_partkey") + col("c") * 1000000L).as("p_partkey"), col("p_name"),
-      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")) }
-    scale("orders", spark.read.parquet(s"$src/orders.parquet")) { _ => Seq(
-      (col("o_orderkey") + col("c") * 10000000L).as("o_orderkey"),
-      (col("o_custkey") + col("c") * 1000000L).as("o_custkey"),
-      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-      col("o_orderpriority")) }
-    scale("lineitem", spark.read.parquet(s"$src/lineitem.parquet")) { _ => Seq(
-      (col("l_orderkey") + col("c") * 10000000L).as("l_orderkey"),
-      (col("l_partkey") + col("c") * 1000000L).as("l_partkey"),
-      (col("l_suppkey") + col("c") * 1000000L).as("l_suppkey"),
-      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-      col("l_discount"), col("l_tax"), col("l_returnflag"),
-      col("l_linestatus"), col("l_shipdate")) }
-    // events through the adaptive read → stored as plain TIMESTAMP
-    // (one of the three recorded encodings, TablesSpec)
-    scale("events", Tables.events(spark, src)) { _ => Seq(
-      (col("event_id") + col("c") * 10000000L).as("event_id"), col("ts"),
-      (col("user_id") + col("c") * 10000000L).as("user_id"),
-      col("event_type"), col("value"), col("props")) }
-    scale("documents", spark.read.parquet(s"$src/documents.parquet")) { _ =>
-      val text = when(col("c") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" c"), col("c")))
-      Seq((col("doc_id") + col("c") * 1000000L).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), length(text).cast("long").as("n_chars")) }
-    scale("embeddings", spark.read.parquet(s"$src/embeddings.parquet")) { _ => Seq(
-      (col("vec_id") + col("c") * 1000000L).as("vec_id"), col("embedding"),
-      (col("label") + col("c") * 100).cast("int").as("label")) }
+    Sf1Fixture.build(spark, src, dir)
     val tFixture = (System.nanoTime() - tFix0) / 1e9
     assert(spark.read.parquet(s"$dir/lineitem.parquet").count() == 6000000L)
 
