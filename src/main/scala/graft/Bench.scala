@@ -43,7 +43,7 @@ object Bench {
   val ArtifactConsumers: Map[String, Seq[String]] = Map(
     "q_dedup_cluster" -> Seq("neardup_pairs"),
     "q_dedup_resolve" -> Seq("neardup_pairs"),
-    "q_graph_pagerank" -> Seq("copurchase"),
+    "q_graph_pagerank" -> Seq("copurchase", "copurchase_nodes", "copurchase_ew"),
     "q_graph_triangles" -> Seq("copurchase", "copurchase_und", "copurchase_ori"),
     "q_graph_degrees" -> Seq("copurchase", "copurchase_und"),
     "q_graph_jaccard" -> Seq("basket_pairs"),

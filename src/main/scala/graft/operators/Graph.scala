@@ -38,17 +38,41 @@ object Graph {
     // (e.g. the memoized ingest-time graph below) — skip both.
     val e0 = edges.toDF("src", "dst")
     val e = if (assumeSimple) e0 else e0.distinct().localCheckpoint()
+    // loop-INVARIANT tables pinned once (lazy persist): unchecked,
+    // every iteration's action re-derived the node set (two edge
+    // scans + a distinct shuffle), re-aggregated the out-degrees, and
+    // re-joined them onto the edge list — 3 iterations paid the
+    // edge-sized work 3× (13.0 → 4.1 s at sf1/local[24]). `ew` (edges
+    // with their source's out-degree folded in) is the weighted-graph
+    // artifact GraphX caches; iterations then shuffle only the
+    // NODE-sized rank table plus counts-only contribution partials.
+    // persist() (not an eager localCheckpoint) so the pin costs no
+    // separate write job — the first iteration materializes it
+    // in-line. Like GraphX's cached graph (and the lazy-pin prefix
+    // sum, Windows.scala), the pin lives in the block cache for the
+    // plan's lifetime; the REGISTERED query avoids re-pinning per
+    // invocation by consuming ProcessCache-memoized artifacts
+    // instead (see queries below).
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().persist()
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
+    val ew = e.join(outdeg, Seq("src")).persist()
+    pagerankOver(ew, nodes, iterations, damping)
+  }
+
+  /** The iteration loop over prebuilt (edges-with-outdeg, nodes) —
+    * the registered query feeds it memoized ingest-time artifacts
+    * (build once, rank many). Keeps the exact `pr / outdeg` operand
+    * order the unrolled SQL oracle replays. */
+  private def pagerankOver(ew: DataFrame, nodes: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("outdeg")).as("in_mass"))
       ranks = nodes
@@ -312,9 +336,22 @@ object Graph {
     "q_graph_degrees" -> ((s, d) =>
       degreeDistribution(graft.ProcessCache.get(s, "copurchase_und:" + d)(
         canonicalUndirected(copurchaseGraph(s, d)).localCheckpoint()))),
-    // part importance in the co-purchase graph, 3 rounds
-    "q_graph_pagerank" -> ((s, d) =>
-      pagerank(copurchaseGraph(s, d), assumeSimple = true)),
+    // part importance in the co-purchase graph, 3 rounds — the
+    // weighted edge list and node set are memoized ingest-time
+    // artifacts (checkpointed once per dataset) so repeated ranking
+    // runs pay only the iterations, and nothing re-pins block-cache
+    // entries per invocation
+    "q_graph_pagerank" -> ((s, d) => {
+      val e = copurchaseGraph(s, d)
+      val nodes = graft.ProcessCache.get(s, "copurchase_nodes:" + d)(
+        e.select(col("src").as("node")).union(e.select(col("dst")))
+          .distinct().localCheckpoint())
+      val ew = graft.ProcessCache.get(s, "copurchase_ew:" + d)(
+        e.join(e.groupBy(col("src"))
+            .agg(count(lit(1)).cast("double").as("outdeg")), Seq("src"))
+          .localCheckpoint())
+      pagerankOver(ew, nodes, iterations = 3, damping = 0.85)
+    }),
     // triangle census + clustering coefficient of the same graph —
     // the canonical and oriented edge sets are memoized ingest-time
     // artifacts (build once, census many)
