@@ -185,10 +185,17 @@ object Dedup {
       .withColumn("sig", minhashSig(col("sh"), 32))
 
   def nearDupPairs(docsIn: DataFrame): DataFrame = {
-    val hashed = docSignatures(docsIn)
+    // signature table MATERIALIZED once (localCheckpoint, ~700 B/doc):
+    // the LSH pass and both verify-join sides read it — unchecked, the
+    // tokenize → shingle → minhash pipeline re-runs over the full
+    // corpus three times (same recompute shape as [[dedupNgram]]);
+    // verify joins hinted shuffle-hash for the same no-sort reason.
+    val hashed = docSignatures(docsIn).localCheckpoint()
     lshCandidates(hashed, "doc_id", "sig", bands = 8, rowsPerBand = 4)
-      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b"))) // one set-op pass
       .filter(col("jaccard_raw") >= 0.7)
       .select(col("id_a"), col("id_b"),
