@@ -170,11 +170,17 @@ object Windows {
     * window — over the entity table, which is orders-of-magnitude
     * smaller than the order log. */
   def rfm(orders: DataFrame, buckets: Int = 5): DataFrame = {
+    // entity table checkpointed once: the reference date is the max
+    // of the PER-ENTITY last-order dates (same value as a second
+    // orders scan, by max-of-max), so the order log is read exactly
+    // once and the three quantile cuts plus the reference aggregate
+    // all work from the entity-sized checkpoint
     val per = orders.groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("__last"),
         count(lit(1)).cast("long").as("f_orders"),
         round(sum(col("o_totalprice")), 2).as("m_total"))
-    val ref = orders.agg(max(to_date(col("o_orderdate"))).as("__ref"))
+      .localCheckpoint()
+    val ref = per.agg(max(col("__last")).as("__ref"))
     val base = per.crossJoin(broadcast(ref))
       .withColumn("r_days", datediff(col("__ref"), col("__last")).cast("long"))
       .drop("__ref", "__last")
