@@ -134,29 +134,20 @@ object Dedup {
       bands: Int, rowsPerBand: Int, minEst: Double): DataFrame = {
     val numH = bands * rowsPerBand
     val banded = bandedSignatures(sigs, idCol, sigCol, bands, rowsPerBand)
-    // upper-triangle (i < j) pair expansion over the sorted bucket
-    // members; `other` is the j-side struct, `self` the i-side
-    def pairsFrom(i: org.apache.spark.sql.Column) = {
-      val self = element_at(col("ms"), i + 1)
-      val expanded = transform(
-        slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-        m => struct(
-          self.getField("id").as("id_a"),
-          m.getField("id").as("id_b"),
-          (size(filter(
-            zip_with(self.getField("sig"), m.getField("sig"),
-              (x, y) => x === y),
-            v => v)) / lit(numH.toDouble)).as("est")))
-      if (minEst > 0) filter(expanded, p => p.getField("est") >= minEst)
-      else transform(
-        slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-        m => struct(self.getField("id").as("id_a"), m.getField("id").as("id_b")))
-    }
+    // upper-triangle (i < j) pair expansion + est threshold as ONE
+    // native in-place walk over the sorted bucket members
+    // (plans/BucketEstPairs.scala) — the expression-tree form sliced
+    // (and therefore COPIED) the member structs with their 32-long
+    // signatures once per anchor and ran two interpreted lambdas per
+    // pair: a hot bucket put minutes of that inside one task
+    val pairs = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.BucketEstPairs(
+        org.apache.spark.sql.GraftBridge.expression(col("ms")),
+        numH, if (minEst > 0) minEst else 0.0))
     banded.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ms")) - 2), i => pairsFrom(i)))).as("p"))
+      .select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
@@ -382,8 +373,9 @@ object Dedup {
     // projection three times over the full corpus (the production
     // analog is the signature/gram table an ingest job persists, the
     // same artifact [[bandedSignatures]] stores for the incremental
-    // path; measured 106 s → 56 s at sf1/local[24] together with the
-    // SHJ hints below).
+    // path). Together with the SHJ hints below and the native bucket
+    // expansion (plans/BucketEstPairs.scala): 106 → 8.8 s at
+    // sf1/local[24].
     val docs = spread(docsIn)
       .select(col("doc_id"), normalized(col("text")).as("norm"))
       .select(col("doc_id"),
