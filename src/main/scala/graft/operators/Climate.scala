@@ -839,6 +839,40 @@ object Climate {
         round(sum(greatest(lit(0.0), col("value") - lit(base))), 4).as("cdd"))
       .orderBy(col("lat"), col("lon"), col("year"), col("month"))
 
+  /** HEATWAVE / threshold-run detection per latitude band: maximal
+    * runs of CONSECUTIVE DAYS whose daily max exceeds the threshold —
+    * the standard climate-extremes index (warm-spell duration, WSDI
+    * family), the temporal complement of [[degreeDays]]' integrated
+    * magnitude. Output per band: run count, longest run, total hot
+    * days.
+    *
+    * Gaps-and-islands over the DAILY REDUCTION: the 100 TB stream
+    * first collapses to (band, day, daily max) — a plain hash
+    * aggregate, counts-only shuffle — and the island window (run key
+    * = day − per-band row number) runs over that bounded table
+    * (bands × days rows), so the ordered window is never
+    * relation-sized. Daily MAX (not mean) keeps the hot-day predicate
+    * order-insensitive — no float-sum boundary for the oracle to
+    * disagree on. */
+  def heatwaveRuns(events: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = syntheticGrid(events).filter(col("value").isNotNull)
+      .groupBy(col("lat"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("di"))
+      .agg(max(col("value")).as("day_max"))
+    val hot = daily.filter(col("day_max") > threshold)
+    val w = Window.partitionBy(col("lat")).orderBy(col("di"))
+    val runs = hot
+      .withColumn("grp", col("di") - row_number().over(w))
+      .groupBy(col("lat"), col("grp"))
+      .agg(count(lit(1)).as("run_days"))
+    runs.groupBy(col("lat"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_days")).as("max_run_days"),
+        sum(col("run_days")).as("hot_days"))
+      .orderBy(col("lat"))
+  }
+
   /** Nearest-station assignment: every grid cell mapped to its
     * closest station by great-circle distance — the station-matching
     * join behind bias correction and in-situ/satellite comparison
@@ -1026,6 +1060,10 @@ object Climate {
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
       degreeDays(Tables.events(s, d), 250.0)),
+    // consecutive hot-day runs per latitude band, threshold 150
+    // (p90-ish of the harness distribution → many bands, real gaps)
+    "q_climate_heatwave" -> ((s, d) =>
+      heatwaveRuns(Tables.events(s, d), 150.0)),
     // GeoJSON document validation (humidity_pipeline.py:95-110): parse
     // the assembled FeatureCollection back and check it is non-empty —
     // expressed over the documents the engine just built, so the
@@ -1065,6 +1103,21 @@ object Climate {
         |       round(my - (CASE WHEN vx = 0.0 THEN NULL ELSE cxy / vx END) * mx, 4) AS intercept,
         |       round(my, 4) AS mean_value
         |FROM a ORDER BY lat, lon""".stripMargin,
+    "q_climate_heatwave" ->
+      """WITH daily AS (
+        |  SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         max(value) AS day_max
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hot AS (SELECT lat, di FROM daily WHERE day_max > 150.0),
+        |runs AS (
+        |  SELECT lat, di - row_number() OVER (PARTITION BY lat ORDER BY di) AS grp
+        |  FROM hot),
+        |r AS (SELECT lat, grp, count(*) AS run_days FROM runs GROUP BY 1, 2)
+        |SELECT lat, count(*) AS n_runs, max(run_days) AS max_run_days,
+        |       CAST(sum(run_days) AS BIGINT) AS hot_days
+        |FROM r GROUP BY lat ORDER BY lat""".stripMargin,
     "q_climate_degree_days" ->
       """SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
         |       ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,

@@ -1107,6 +1107,22 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.getLong(4) == 2L && r.getDouble(5) == 10.0 && r.getDouble(6) == 10.0)
   }
 
+  test("heatwaveRuns: planted runs split on the cold day") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(days: Int) = new java.sql.Timestamp(ts0.getTime + days * 86400000L)
+    // days 1,2,3 hot; day 4 cold (max 390 <= 400); day 5 hot again —
+    // two runs (3-day, 1-day); day 4 carries TWO obs so the daily MAX
+    // (not any single reading) decides hotness
+    val ev = Seq(
+      (0L, t(1), 450.0), (0L, t(2), 460.0), (0L, t(3), 455.0),
+      (0L, t(4), 390.0), (0L, t(4), 100.0),
+      (0L, t(5), 480.0)
+    ).toDF("event_id", "ts", "value")
+    val r = operators.Climate.heatwaveRuns(ev, 400.0).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L && r.getLong(3) == 4L)
+  }
+
   test("chunkDocuments: full coverage, overlap, and final short chunk") {
     import spark.implicits._
     val docs = Seq(
