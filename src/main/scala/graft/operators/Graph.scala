@@ -108,6 +108,26 @@ object Graph {
     triangleStatsOver(und, orient(und).localCheckpoint())
   }
 
+  /** Bloom sketch of a single long column with BOUNDED merge fan-in:
+    * treeAggregate at depth log₂(partitions), so every intermediate
+    * merge task combines exactly ~2 partial sketches — the shuffle
+    * read per task is bounded by 2× the sketch size regardless of how
+    * many partitions feed the build (`DataFrameStatFunctions
+    * .bloomFilter`'s fixed depth 2 funnels ALL partials into one
+    * task). Insert/probe contract matches [[graft.plans
+    * .BloomMightContainLong]] (putLong / mightContainLong). */
+  private def fanIn2Bloom(keys: DataFrame, n: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val rdd = keys.rdd.map(_.getLong(0))
+    val p = math.max(rdd.getNumPartitions, 2)
+    val depth = math.max(2, math.ceil(math.log(p) / math.log(2)).toInt)
+    rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
+      (bf, k) => { bf.putLong(k); bf },
+      (a, b) => a.mergeInPlace(b),
+      depth)
+  }
+
   /** Canonical undirected simple edge set (a < b, loops dropped,
     * parallel/reversed duplicates collapsed) — materialized once by
     * callers: the degree table, both wedge sides, the closing-edge
@@ -164,9 +184,18 @@ object Graph {
     // stage's codegen loop; the exact semi join then runs on
     // T + fpp·W rows instead of W. Same sketch-then-exact shape as
     // [[Joins.bloomSemiJoin]]; result exact by construction.
+    //
+    // Built with FAN-IN-2 tree merging (not stat.bloomFilter, whose
+    // depth-2 treeAggregate funnels every partial sketch into one
+    // merge task — a 12M-key sketch × 24 partials put a >64 MB
+    // single-task shuffle read in the plan, which is exactly the
+    // relation-sized-single-task smell the scale sweep's listener
+    // invariant exists to catch, even though the payload here is
+    // sketch bits): with fan-in 2 no merge task ever reads more than
+    // two sketch-sized partials, whatever the partition count.
     val keyed = ori.select(xxhash64(col("src"), col("dst")).as("k"))
     val nEdgeRows = math.max(keyed.count(), 1L)
-    val bloom = keyed.stat.bloomFilter("k", nEdgeRows, 0.01)
+    val bloom = fanIn2Bloom(keyed, nEdgeRows, 0.01)
     val pre = wedges.filter(org.apache.spark.sql.GraftBridge.column(
       graft.plans.BloomMightContainLong(
         org.apache.spark.sql.GraftBridge.expression(

@@ -591,4 +591,54 @@ class PlanSpec extends SparkTestBase {
     assert(read > 0 && read <= 40,
       s"expected ~20 of 80 partitions read under dynamic pruning, got $read")
   }
+
+  private def ensureHashExchanges(plan: String): Seq[String] =
+    plan.linesIterator.filter(l => l.contains("Exchange hashpartitioning") &&
+      l.contains("ENSURE_REQUIREMENTS")).toSeq
+
+  test("q_climate_trend: one cell-key exchange, no join") {
+    val plan = executed("q_climate_trend")
+    val ex = ensureHashExchanges(plan)
+    assert(ex.size == 1, s"expected one hash exchange (lat, lon):\n${ex.mkString("\n")}")
+    assert(!plan.contains("Join"), "trend must be a pure aggregate")
+  }
+
+  test("q_climate_degree_days: one cell-month exchange, no join") {
+    val plan = executed("q_climate_degree_days")
+    val ex = ensureHashExchanges(plan)
+    assert(ex.size == 1, s"expected one hash exchange:\n${ex.mkString("\n")}")
+    assert(!plan.contains("Join"), "degree days must be a pure aggregate")
+  }
+
+  test("q_window_percent_rank: both rank functions share one partition-key exchange") {
+    val ex = ensureHashExchanges(executed("q_window_percent_rank"))
+    assert(ex.size == 1,
+      s"expected one hash exchange (o_orderpriority):\n${ex.mkString("\n")}")
+  }
+
+  test("q_text_chunk: row-local generate — zero hash exchanges") {
+    val plan = executed("q_text_chunk")
+    val ex = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.isEmpty, s"chunking must not shuffle:\n${ex.mkString("\n")}")
+    assert(plan.contains("Generate"), "expected the sequence explode generator")
+  }
+
+  test("q_join_asof_nearest: forward and backward passes share ONE user-key exchange") {
+    // the descending-sort trick means both running-last frames live on
+    // the same hashpartitioning(user_id) layout — a second exchange
+    // would mean the time-reversed pass re-shuffled the union
+    val ex = ensureHashExchanges(executed("q_join_asof_nearest"))
+    assert(ex.size == 1,
+      s"expected one user_id exchange for both asof directions:\n${ex.mkString("\n")}")
+  }
+
+  test("q_climate_heatwave: daily reduction + island window = two exchanges, no join") {
+    val plan = executed("q_climate_heatwave")
+    val ex = ensureHashExchanges(plan)
+    // (lat, day) for the daily max, then (lat) for the island window —
+    // the run and band aggregates ride the lat partitioning (subset
+    // clustering), so nothing else exchanges
+    assert(ex.size == 2, s"expected two hash exchanges:\n${ex.mkString("\n")}")
+    assert(!plan.contains("Join"), "heatwave must not join")
+  }
 }
