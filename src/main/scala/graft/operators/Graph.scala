@@ -377,7 +377,8 @@ object Graph {
           .distinct().localCheckpoint())
       val ew = graft.ProcessCache.get(s, "copurchase_ew:" + d)(
         e.join(e.groupBy(col("src"))
-            .agg(count(lit(1)).cast("double").as("outdeg")), Seq("src"))
+            .agg(count(lit(1)).cast("double").as("outdeg"))
+            .hint("shuffle_hash"), Seq("src"))
           .localCheckpoint())
       pagerankOver(ew, nodes, iterations = 3, damping = 0.85)
     }),
