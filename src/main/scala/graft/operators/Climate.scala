@@ -853,23 +853,33 @@ object Climate {
     * (bands × days rows), so the ordered window is never
     * relation-sized. Daily MAX (not mean) keeps the hot-day predicate
     * order-insensitive — no float-sum boundary for the oracle to
-    * disagree on. */
+    * disagree on.
+    *
+    * All grouping/partitioning is on the INTEGER band index, never
+    * the double latitude: a float partition key gets wrapped in
+    * `knownfloatingpointnormalized(normalizenanandzero(…))` by the
+    * window but not by the aggregates, the partitionings stop
+    * matching, and the two-exchange plan silently doubles (observed:
+    * 4 exchanges; pinned at 2 in PlanSpec). The latitude is derived
+    * from the band for output only. */
   def heatwaveRuns(events: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = syntheticGrid(events).filter(col("value").isNotNull)
-      .groupBy(col("lat"),
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy((col("event_id") % 360).cast("int").as("band"),
         datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("di"))
       .agg(max(col("value")).as("day_max"))
     val hot = daily.filter(col("day_max") > threshold)
-    val w = Window.partitionBy(col("lat")).orderBy(col("di"))
+    val w = Window.partitionBy(col("band")).orderBy(col("di"))
     val runs = hot
       .withColumn("grp", col("di") - row_number().over(w))
-      .groupBy(col("lat"), col("grp"))
+      .groupBy(col("band"), col("grp"))
       .agg(count(lit(1)).as("run_days"))
-    runs.groupBy(col("lat"))
+    runs.groupBy(col("band"))
       .agg(count(lit(1)).as("n_runs"),
         max(col("run_days")).as("max_run_days"),
         sum(col("run_days")).as("hot_days"))
+      .select((col("band") * 0.5 - 90.0).as("lat"),
+        col("n_runs"), col("max_run_days"), col("hot_days"))
       .orderBy(col("lat"))
   }
 
