@@ -222,4 +222,70 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkDocuments: exact cover with the stride's overlap, for all (text, size, stride)") {
+    val cfg = for {
+      n <- Gen.choose(0, 4)
+      lens <- Gen.listOfN(n, Gen.choose(1, 700))
+      size <- Gen.choose(2, 120)
+      stride <- Gen.choose(1, size)
+    } yield (lens, size, stride)
+    forAllSeeded(cfg, trials = 12) { case (lens, size, stride) =>
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, ('a' + i % 26).toChar.toString * l) }
+        .toDF("doc_id", "text")
+      val rows = TextOps.chunkDocuments(docs, size, stride).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      lens.zipWithIndex.foreach { case (l, i) =>
+        val cs = byDoc(i.toLong)
+        // chunk indexes are the contiguous 0..k prefix
+        assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+        // each non-final chunk is full; starts advance by exactly stride
+        cs.init.foreach { case (_, _, len) => assert(len == size) }
+        // the final chunk reaches the text end exactly — no gap, no overrun
+        val (_, lastIdx, lastLen) = cs.last
+        assert(lastIdx.toLong * stride + lastLen == l.toLong,
+          s"doc $i len $l size $size stride $stride: tail mismatch")
+        // no chunk starts at-or-past the end (the ceil bound is tight)
+        assert(lastIdx.toLong * stride < l || (l <= size && lastIdx == 0))
+      }
+    }
+  }
+
+  test("asofNearest: the match is never farther than ANY other same-user view") {
+    import graft.operators.Joins
+    val evGen = for {
+      nv <- Gen.choose(0, 6)
+      np <- Gen.choose(1, 4)
+      users <- Gen.listOfN(nv + np, Gen.choose(1L, 3L))
+      secs <- Gen.listOfN(nv + np, Gen.choose(0, 5000))
+    } yield (users, secs, nv)
+    forAllSeeded(evGen, trials = 10) { case (users, secs, nv) =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = users.zip(secs).zipWithIndex.map { case ((u, s), i) =>
+        val kind = if (i < nv) "view" else "purchase"
+        (i.toLong + 100, u, kind, new java.sql.Timestamp(base + s * 1000L))
+      }
+      val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = Joins.asofNearest(ev).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val views = rows.filter(_._3 == "view")
+      rows.filter(_._3 == "purchase").foreach { case (id, u, _, ts) =>
+        val dts = views.filter(_._2 == u)
+          .map(v => (v._4.getTime - ts.getTime) * 1000L)
+        got(id) match {
+          case None => assert(dts.isEmpty, s"purchase $id had views but no match")
+          case Some(dt) =>
+            assert(dts.contains(dt), s"matched Δt $dt is not a real view")
+            val m = dts.map(math.abs).min
+            assert(math.abs(dt) == m,
+              s"purchase $id matched Δt $dt but a closer view exists: $dts")
+            // a cross-direction tie resolves to the earlier side
+            if (m != 0 && dts.contains(-m) && dts.contains(m))
+              assert(dt == -m, s"tie at ±$m must pick the earlier view")
+        }
+      }
+    }
+  }
 }
