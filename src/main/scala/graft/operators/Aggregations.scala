@@ -147,7 +147,46 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** Recency-DECAYED aggregate per entity: each contribution is
+    * weighted by a decay kernel of its age against the corpus
+    * reference date (max event date, derived from the table itself so
+    * the query is deterministic — the [[Windows.rfm]] convention), and
+    * the weighted sum + effective sample size come out of ONE hash
+    * aggregate (partials are three doubles; rows never move twice).
+    *
+    * The kernel is HYPERBOLIC, w = h/(h + age_days) (half weight at
+    * `halfLifeDays`), not exponential — deliberately: exp() is a
+    * transcendental whose last-ulp rounding differs across engines
+    * (Java Math.exp vs C libm), which poisons hash-checked oracles,
+    * while the hyperbolic kernel is two correctly-rounded IEEE basic
+    * ops — bit-identical everywhere, same monotone "recent counts
+    * more" shape. Kernel choice is a parameter of the method, not of
+    * the architecture.
+    *
+    * Scale: reference date is a 1-row aggregate broadcast into the
+    * scan projection; the decayed reduction is a single
+    * map-side-partial hash agg on the entity key. */
+  def decayedSum(df: DataFrame, entity: org.apache.spark.sql.Column,
+      date: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      halfLifeDays: Double = 30.0): DataFrame = {
+    val ref = df.agg(max(to_date(date)).as("__ref"))
+    val age = datediff(col("__ref"), to_date(date)).cast("double")
+    val w = lit(halfLifeDays) / (lit(halfLifeDays) + age)
+    df.crossJoin(broadcast(ref))
+      .groupBy(entity.as("entity"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(w * value), 4).as("decayed_value"),
+        round(sum(w), 4).as("effective_n"))
+      .orderBy(col("entity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // customer lifetime value with recency decay — "what has this
+    // customer spent, counted through a 30-day-half-weight lens"
+    "q_agg_decay" -> ((s, d) =>
+      decayedSum(Tables.orders(s, d), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))),
     "q_agg_weighted_median" -> ((s, d) =>
       weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
         col("l_extendedprice"), col("l_quantity"),
@@ -294,6 +333,18 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // hyperbolic kernel = basic IEEE ops only (see decayedSum scaladoc
+    // — exp() would differ in the last ulp across engines)
+    "q_agg_decay" ->
+      """WITH r AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders)
+        |SELECT o_custkey AS entity, count(*) AS n,
+        |       round(sum((30.0 / (30.0 + date_diff('day',
+        |             CAST(o_orderdate AS DATE), r.ref))) * o_totalprice), 4)
+        |         AS decayed_value,
+        |       round(sum(30.0 / (30.0 + date_diff('day',
+        |             CAST(o_orderdate AS DATE), r.ref))), 4) AS effective_n
+        |FROM orders CROSS JOIN r
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_weighted_median" ->
       """WITH w AS (
         |  SELECT l_returnflag AS grp, l_extendedprice AS v,

@@ -780,6 +780,44 @@ object Climate {
       .orderBy(col("series"), col("year"), col("month"), col("day"))
   }
 
+  /** TIME-WEIGHTED average per series over IRREGULAR timestamps — the
+    * sensor-fusion staple a plain avg() gets wrong: a reading that
+    * held for six hours must count 360× a reading replaced a minute
+    * later. Step-function (zero-order-hold) weighting: each value is
+    * weighted by the exact microseconds until the series' next
+    * observation; the last observation has no successor and drops out
+    * (NULL weight → sum skips it), standard ZOH convention.
+    *
+    * Degenerate series have DEFINED semantics (the ratioToReport /
+    * cellTrend posture): one observation, or all observations at one
+    * timestamp, give total weight 0 → twa NULL by explicit guard, not
+    * engine-dependent 0/0 (Spark non-ANSI NULL vs DuckDB NaN
+    * disagree — the interpolateGaps lesson).
+    *
+    * Scale: ONE shuffle on the series key serves both the lead()
+    * window and (by partial-distribution reuse) the per-series hash
+    * aggregate; weights are exact integer microseconds, products
+    * doubles — no transcendentals, hash-stable. */
+  def timeWeightedAvg(events: DataFrame, series: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("us"), col("event_id"))
+    val g = events.select(series.as("series"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+    g.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dt_us")).as("den_us"),
+        sum(col("dt_us").cast("double") * col("value")).as("num"),
+        round(avg(col("value")), 4).as("mean_value"))
+      .select(col("series"), col("n_obs"),
+        round(when(col("den_us") === 0L || col("den_us").isNull,
+            lit(null).cast("double"))
+          .otherwise(col("num") / col("den_us").cast("double")), 4).as("twa"),
+        col("mean_value"))
+      .orderBy(col("series"))
+  }
+
   /** Per-cell linear TREND of the observed value over time — the
     * per-gridpoint OLS slope map every climate assessment publishes
     * (xarray `polyfit(dim='time', deg=1)` over a cube; cf. the
@@ -1056,6 +1094,10 @@ object Climate {
         Tables.events(s, d).filter(
           !(dayofmonth(col("ts")) % 8 === (col("event_id") % 16) % 8)),
         col("event_id") % 16)),
+    // zero-order-hold time-weighted mean per sensor series — user_id
+    // mod 16 gives irregular multi-observation series
+    "q_time_weighted_avg" -> ((s, d) =>
+      timeWeightedAvg(Tables.events(s, d), col("user_id") % 16)),
     // nearest station per distinct grid cell (broadcast NN assignment)
     "q_geo_nearest" -> ((s, d) =>
       nearestStation(
@@ -1486,6 +1528,24 @@ object Climate {
         |         AS weighted_mean,
         |       round(avg(value), 4) AS naive_mean
         |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // ZOH weights are exact integer µs; the zero-denominator guard is
+    // mirrored so both engines agree on degenerate series (NULL, not
+    // 0/0's engine-dependent NULL-vs-NaN)
+    "q_time_weighted_avg" ->
+      """WITH o AS (
+        |  SELECT user_id % 16 AS series, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+        |         lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |           PARTITION BY user_id % 16
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |           - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+        |  FROM events)
+        |SELECT series, count(*) AS n_obs,
+        |       round(CASE WHEN coalesce(sum(dt_us), 0) = 0 THEN NULL
+        |             ELSE sum(CAST(dt_us AS DOUBLE) * value)
+        |                  / CAST(sum(dt_us) AS DOUBLE) END, 4) AS twa,
+        |       round(avg(value), 4) AS mean_value
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_resample" ->
       """WITH e AS (
         |  SELECT CAST(event_id % 16 AS INT) AS series,

@@ -256,7 +256,47 @@ object Joins {
       rKey: Column): DataFrame =
     left.join(right, lKey <=> rKey, "inner")
 
+  /** BLOCKED fuzzy self-join (record linkage): pairs of rows whose
+    * string key is within `maxDist` Levenshtein edits, found WITHOUT
+    * an all-pairs comparison — candidates are generated only inside
+    * blocks that share the exact blocking key, plus the free
+    * `|len(a)−len(b)| ≤ maxDist` necessary condition evaluated BEFORE
+    * the O(len²) edit distance (Catalyst orders the conjunction
+    * left-to-right, so the cheap length band short-circuits most
+    * candidates).
+    *
+    * Scale contract: correctness of the blocking step is the USER'S
+    * schema knowledge (a true match must share the block key — the
+    * standard record-linkage deal); cost is Σ_b |block_b|² which stays
+    * linear-ish when blocks are bounded. The shuffle carries
+    * (block key, name) — narrow rows, and the self-join is an equi
+    * join on the block key (hash-partitioned both sides, no
+    * broadcast-of-everything, no cartesian). `a.key < b.key`
+    * de-mirrors pairs inside the join condition, so reflexive and
+    * mirrored candidates die before the edit distance runs. */
+  def fuzzySelfJoin(df: DataFrame, key: Column, block: Seq[Column],
+      name: Column, maxDist: Int): DataFrame = {
+    val a = df.select(key.as("a_key") +: name.as("a_name") +:
+      block.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+    val b = df.select(key.as("b_key") +: name.as("b_name") +:
+      block.zipWithIndex.map { case (c, i) => c.as(s"bb$i") }: _*)
+    val blockEq = block.indices.map(i => col(s"b$i") === col(s"bb$i"))
+      .reduce(_ && _)
+    val cond = blockEq && col("a_key") < col("b_key") &&
+      abs(length(col("a_name")) - length(col("b_name"))) <= maxDist &&
+      levenshtein(col("a_name"), col("b_name")) <= maxDist
+    a.join(b, cond, "inner")
+      .select(col("a_key"), col("b_key"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Near-identical part names within a (brand, size) block — the
+    // catalog-dedup shape of record linkage.
+    "q_join_fuzzy" -> ((s, d) =>
+      fuzzySelfJoin(Tables.part(s, d), col("p_partkey"),
+        Seq(col("p_brand"), col("p_size")), col("p_name"), maxDist = 3)),
     "q_join_star" -> (starRollup _),
     "q_join_null_safe" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey"),
@@ -443,6 +483,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // same blocking, but the oracle may brute-force inside blocks —
+    // DuckDB's levenshtein is the same unit-cost edit distance
+    "q_join_fuzzy" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        | AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_key, b_key""".stripMargin,
     // independent formulation: brute-force per-direction extremes
     // (max view ≤ t, min view ≥ t) then the same |Δt| tie-to-earlier
     // pick — quadratic-per-user is fine at oracle scale and cross-

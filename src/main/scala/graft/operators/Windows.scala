@@ -432,7 +432,54 @@ object Windows {
       .orderBy(col("id"))
   }
 
+  /** EXACT rolling median over a trailing row frame — the robust
+    * sibling of `q_window_moving_avg` (a median smoother shrugs off
+    * the spike a mean drags along). Implemented as the `percentile`
+    * aggregate over a bounded ROWS frame: one shuffle on the series
+    * key, and the frame buffer holds at most `window` values per row —
+    * constant state, unlike a whole-partition sort-based rank.
+    *
+    * Determinism across engines: with a ≤`window`-element frame the
+    * interpolated median is `(a+b)/2` on two stored doubles — basic
+    * IEEE ops, bit-identical in any engine (no transcendentals), so
+    * the oracle hash-matches without tolerance. */
+  def rollingMedian(df: DataFrame, id: Column, series: Column, ts: Column,
+      value: Column, window: Int = 5): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(ts, id)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.select(id.as("id"), series.as("series"),
+        round(percentile(value, lit(0.5)).over(w), 4).as("rolling_med"))
+      .orderBy(col("id"))
+  }
+
+  /** First-order MARKOV transition matrix over the event stream:
+    * P(next = b | current = a) from consecutive same-user event pairs
+    * — the one-step generalization of [[eventPaths]] (which mines
+    * specific k-paths; this summarizes the whole chain). Row counts
+    * after the lead() are (types × types)-bounded, so the probability
+    * normalization runs over a tiny table: one shuffle on the user key
+    * builds pairs, one counts-only hash aggregate, one unordered
+    * window over ≤|types|² rows for the per-source total. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val counts = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("src"))
+    counts
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(tot), 6).as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_rolling_median" -> ((s, d) =>
+      rollingMedian(Tables.events(s, d), col("event_id"), col("user_id"),
+        col("ts"), col("value"))),
+    "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "q_window_ratio" -> ((s, d) =>
       ratioToReport(Tables.orders(s, d), col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"))),
@@ -609,6 +656,27 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont == Spark's interpolated `percentile`; over a
+    // ≤5-row frame the interpolation is (a+b)/2 — exact IEEE
+    "q_window_rolling_median" ->
+      """SELECT event_id AS id, user_id AS series,
+        |       round(quantile_cont(value, 0.5) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        |         AS rolling_med
+        |FROM events ORDER BY id""".stripMargin,
+    "q_event_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS src, lead(event_type, 1) OVER w AS dst
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |c AS (SELECT src, dst, count(*) AS n FROM p
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |       round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
     "q_window_percent_rank" ->
       """SELECT o_orderkey, o_orderpriority,
         |       round(percent_rank() OVER w, 6) AS pct_rank,

@@ -1184,6 +1184,77 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r == Seq((1L, 4L), (2L, 1L)))
   }
 
+  test("fuzzySelfJoin: finds planted near-duplicates, never cross-block or far pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "B1", 4, "goldenrod lavender spring"),
+      (2L, "B1", 4, "goldenrod lavandar spring"),  // dist 2 from #1
+      (3L, "B1", 4, "metallic midnight chiffon"),  // far from both
+      (4L, "B2", 4, "goldenrod lavender spring"),  // identical text, other block
+      (5L, "B1", 7, "goldenrod lavender spring")   // identical text, other size
+    ).toDF("k", "brand", "size", "name")
+    val r = operators.Joins.fuzzySelfJoin(df, col("k"),
+        Seq(col("brand"), col("size")), col("name"), maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2L, 2L)))
+  }
+
+  test("rollingMedian: exact medians over the trailing frame, per series") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0), 10.0), (2L, 1L, t(1), 30.0), (3L, 1L, t(2), 20.0),
+      (4L, 1L, t(3), 100.0), (5L, 2L, t(0), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = operators.Windows.rollingMedian(ev, col("event_id"),
+        col("user_id"), col("ts"), col("value"), window = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+    // series 1: [10], [10,30]→20, [10,30,20]→20, [30,20,100]→30
+    assert(r == Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 7.0)))
+  }
+
+  test("markovTransitions: per-source probabilities sum to 1, counts match pairs") {
+    val r = SparkEntry.queries("q_event_markov")(spark, sf)
+    val sums = r.groupBy(col("src")).agg(sum(col("p")).as("sp")).collect()
+    sums.foreach(x => assert(math.abs(x.getDouble(1) - 1.0) < 1e-4,
+      s"src ${x.get(0)}: probabilities sum to ${x.getDouble(1)}"))
+    val totalPairs = r.agg(sum(col("n"))).head.getLong(0)
+    val ev = Tables.events(spark, sf)
+    val users = ev.groupBy("user_id").count()
+    val expected = ev.count() - users.count() // n-1 consecutive pairs per user
+    assert(totalPairs == expected)
+  }
+
+  test("decayedSum: closed-form weights at 0 and one half-life of age") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"), 100.0),  // ref date, w = 1
+      (1L, java.sql.Date.valueOf("2024-01-31"), 100.0),  // 30 d old, w = 1/2
+      (2L, java.sql.Date.valueOf("2024-03-01"), 40.0)
+    ).toDF("e", "dt", "v")
+    val r = operators.Aggregations.decayedSum(df, col("e"), col("dt"),
+        col("v"), halfLifeDays = 30.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getDouble(3))).toSeq
+    assert(r == Seq((1L, 150.0, 1.5), (2L, 40.0, 1.0)))
+  }
+
+  test("timeWeightedAvg: ZOH weighting, NULL twa on degenerate series") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // series 1: 0.0 held 10 s, then 10.0 held 90 s, then a final
+      // observation (no successor → excluded) — twa = 900/100 = 9.0
+      (1L, t(0), 0.0, 1L), (2L, t(10), 10.0, 1L), (3L, t(100), 555.0, 1L),
+      // series 2: single observation → zero total weight → NULL
+      (4L, t(0), 42.0, 2L)
+    ).toDF("event_id", "ts", "value", "sid")
+    val r = operators.Climate.timeWeightedAvg(ev, col("sid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)), x.getDouble(3)))
+      .toSeq
+    assert(r == Seq((1L, 3L, Some(9.0), 188.3333), (2L, 1L, None, 42.0)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
