@@ -181,7 +181,42 @@ object Aggregations {
       .orderBy(col("entity"))
   }
 
+  /** Rolling DISTINCT active users (DAU + trailing-window WAU): for
+    * every active day, how many distinct users were active that day,
+    * and how many across the trailing `window` days — the
+    * engagement-dashboard staple whose naive form is a per-day
+    * count-distinct over a sliding range (no engine's window frames
+    * support DISTINCT).
+    *
+    * The scalable shape: reduce the stream to the distinct
+    * (user, day) table first (the only pass over raw rows), then FAN
+    * each activity day out to the `window` future days it keeps the
+    * user "active" for — a bounded ×window explode of the already
+    * tiny activity table — dedup (user, window-day), and count. Every
+    * shuffle after the first carries (user, day) pairs or counts,
+    * never events; count-distinct never runs over a range frame.
+    * Trailing days past a user's last activity that have no OWN
+    * activity in the corpus are not reported (the day spine is the
+    * observed active-day set — inner join against DAU). */
+  def rollingActiveUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val ud = events.select(col("user_id"),
+      datediff(to_date(col("ts")), epoch).cast("long").as("di")).distinct()
+    val dau = ud.groupBy(col("di")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("di"), col("di") + lit(window - 1L))).as("di"))
+      .distinct()
+      .groupBy(col("di")).agg(count(lit(1)).as(s"rolling_$window"))
+    dau.join(wau, Seq("di"), "inner")
+      .select(date_add(epoch, col("di").cast("int")).as("day"),
+        col("dau"), col(s"rolling_$window"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_active_users" -> ((s, d) =>
+      rollingActiveUsers(Tables.events(s, d))),
     // customer lifetime value with recency decay — "what has this
     // customer spent, counted through a 30-day-half-weight lens"
     "q_agg_decay" -> ((s, d) =>
@@ -333,6 +368,21 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // independent formulation: range join per day instead of the
+    // engine's fan-out — cross-checks the explode trick's semantics
+    "q_agg_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT s.d, count(DISTINCT ud.user_id) AS rolling_7
+        |  FROM (SELECT DISTINCT d FROM ud) s
+        |  JOIN ud ON ud.d BETWEEN s.d - 6 AND s.d
+        |  GROUP BY 1)
+        |SELECT dau.d AS day, dau.dau, wau.rolling_7
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |ORDER BY day""".stripMargin,
     // hyperbolic kernel = basic IEEE ops only (see decayedSum scaladoc
     // — exp() would differ in the last ulp across engines)
     "q_agg_decay" ->

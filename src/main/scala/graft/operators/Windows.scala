@@ -299,6 +299,39 @@ object Windows {
       .orderBy(col("user_id"), col("streak_start"))
   }
 
+  /** INTERVAL COALESCING: merge overlapping-or-touching [start, end)
+    * intervals per key into maximal covered spans — the "total time
+    * actually covered" primitive (machine uptime, sensor coverage,
+    * on-screen time) that naive SUM(end − start) double-counts. The
+    * sibling of [[gapIslands]] on a continuous axis: a new span starts
+    * exactly where an interval's start exceeds the running max of all
+    * PRIOR ends (strictly-preceding frame, so the flag never sees its
+    * own end), and the running sum of start flags is the span ordinal.
+    *
+    * One shuffle on the key: the prior-end max, the span ordinal, and
+    * the final per-span aggregate all sit on the same user_id hash
+    * partitioning (grouping on (key, span) is satisfied by the
+    * window's key distribution). Spans never cross keys, so the
+    * layout holds at any scale. */
+  def coalesceIntervals(intervals: DataFrame, key: Column,
+      startUs: Column, endUs: Column): DataFrame = {
+    val base = intervals.select(key.as("k"), startUs.as("s_us"),
+      endUs.as("e_us"))
+    val ord = Window.partitionBy(col("k")).orderBy(col("s_us"), col("e_us"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val brk = when(coalesce(col("s_us") > max(col("e_us")).over(prior),
+      lit(true)), 1L).otherwise(0L)
+    base
+      .withColumn("span", sum(brk).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("span"))
+      .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("k"), col("span"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("covered_us"), col("n_merged"))
+      .orderBy(col("k"), col("span"))
+  }
+
   /** First-/last-touch attribution: each conversion event is credited
     * to the FIRST and the MOST RECENT preceding touch event (strictly
     * earlier in the user's history; ties at identical timestamps break
@@ -479,6 +512,14 @@ object Windows {
     "q_window_rolling_median" -> ((s, d) =>
       rollingMedian(Tables.events(s, d), col("event_id"), col("user_id"),
         col("ts"), col("value"))),
+    // each event opens a 10-minute activity interval; merged spans per
+    // user = actual engaged time (the double-count-free coverage)
+    "q_interval_coalesce" -> ((s, d) =>
+      coalesceIntervals(
+        Tables.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("e")),
+        col("user_id"), col("s"), col("e"))),
     "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "q_window_ratio" -> ((s, d) =>
       ratioToReport(Tables.orders(s, d), col("o_orderkey"), col("o_custkey"),
@@ -666,6 +707,25 @@ object Windows {
         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
         |         AS rolling_med
         |FROM events ORDER BY id""".stripMargin,
+    "q_interval_coalesce" ->
+      """WITH i AS (
+        |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e_us
+        |  FROM events),
+        |f AS (
+        |  SELECT k, s_us, e_us,
+        |         CASE WHEN max(e_us) OVER prior IS NULL
+        |                OR s_us > max(e_us) OVER prior THEN 1 ELSE 0 END AS brk
+        |  FROM i
+        |  WINDOW prior AS (PARTITION BY k ORDER BY s_us, e_us
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY k ORDER BY s_us, e_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+        |  FROM f)
+        |SELECT k, span, min(s_us) AS start_us, max(e_us) AS end_us,
+        |       max(e_us) - min(s_us) AS covered_us, count(*) AS n_merged
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_event_markov" ->
       """WITH p AS (
         |  SELECT event_type AS src, lead(event_type, 1) OVER w AS dst

@@ -1255,6 +1255,37 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r == Seq((1L, 3L, Some(9.0), 188.3333), (2L, 1L, None, 42.0)))
   }
 
+  test("coalesceIntervals: overlap merges, touch merges, gap splits, coverage exact") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,10) + [5,20) overlap → [0,20); [20,30) touches →
+      // still [0,30); [40,50) gaps → new span
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // user 2: containment — [0,100) swallows [10,20)
+      (2L, 0L, 100L), (2L, 10L, 20L)
+    ).toDF("u", "s", "e")
+    val r = operators.Windows.coalesceIntervals(iv, col("u"), col("s"), col("e"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      (1L, 1L, 0L, 30L, 30L, 3L), (1L, 2L, 40L, 50L, 10L, 1L),
+      (2L, 1L, 0L, 100L, 100L, 2L)))
+  }
+
+  test("rollingActiveUsers: DAU and trailing-window distinct counts on planted days") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day}%02d").getTime + 3600000L)
+    // day 1: users {1,2}; day 2: {2}; day 9: {3} (outside day 2's
+    // 7-day trail) → rolling_7 at d1=2, d2=2 (u1 from d1 + u2), d9=1
+    val ev = Seq((1L, t(1)), (2L, t(1)), (2L, t(2)), (3L, t(9)))
+      .toDF("user_id", "ts")
+    val r = operators.Aggregations.rollingActiveUsers(ev).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L),
+      ("2024-01-09", 1L, 1L)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
