@@ -127,6 +127,61 @@ class PlanSpec extends SparkTestBase {
       s"the single exchange must key on user_id: ${hashExchanges.head}")
   }
 
+  test("q_time_weighted_avg: lead window and per-series aggregate share ONE hash exchange") {
+    val plan = executed("q_time_weighted_avg")
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected one hash exchange (series), got:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.head.contains("series"),
+      s"the single exchange must key on series: ${hashExchanges.head}")
+  }
+
+  test("q_interval_coalesce: break flag, ordinal, and span aggregate share ONE key exchange") {
+    val plan = executed("q_interval_coalesce")
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected one hash exchange (k), got:\n${hashExchanges.mkString("\n")}")
+  }
+
+  test("q_join_fuzzy: equi join on the block key — never a nested-loop or cartesian") {
+    val plan = executed("q_join_fuzzy")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"fuzzy join must hash on the block key:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "fuzzy join degenerated to an all-pairs strategy")
+    // the cheap length-band predicate must precede the edit distance
+    // in the evaluated conjunction (Catalyst keeps the authored order)
+    val cond = plan.linesIterator.find(_.contains("levenshtein")).getOrElse("")
+    assert(cond.indexOf("length") < cond.indexOf("levenshtein"),
+      s"length band does not precede levenshtein: $cond")
+  }
+
+  test("q_agg_active_users: raw events are scanned ONCE; fan-out joins the deduped day table") {
+    val plan = executed("q_agg_active_users")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet"))
+    // self-join of two aggregates over one cached-scan subtree: Spark
+    // reuses the exchange, so the events file may appear at most twice
+    // in the formatted tree (dau + wau branches) but the fan-out
+    // explode must operate on the DISTINCT (user, day) table, i.e.
+    // below an aggregate, never directly over raw events
+    assert(scans <= 2, s"events scanned $scans times")
+    // in the top-down tree, the explode's CHILD subtree (the lines
+    // between the Generate node and its leaf scan) must contain the
+    // dedup HashAggregate — the fan-out never touches raw events
+    val lines = plan.linesIterator.toIndexedSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, "fan-out explode missing")
+    val below = lines.drop(genIdx + 1)
+      .takeWhile(l => !l.contains("Scan parquet"))
+    assert(below.exists(_.contains("HashAggregate")),
+      "explode must consume the deduped (user, day) aggregate, not raw events")
+  }
+
   test("q_split_holdout / q_filter_gopher: pure projections — no Exchange except the output order") {
     // the split carve and the rule gate are row-local; the only
     // exchange either may show is the final presentation sort's range
