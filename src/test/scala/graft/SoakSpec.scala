@@ -821,6 +821,201 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak r10: fuzzy join / TWA / rolling median / markov / decay / intervals / active users at 3M rows") {
+    // Round-10 additions, each with an EXACTLY computable plant:
+    //  - fuzzy join: 1M names in 100k (block)-groups of 10 built so
+    //    every within-block pair is a near-dup by construction →
+    //    exactly 4.5M pairs, 2.5M at distance 1 and 2M at distance 2;
+    //  - time-weighted avg: 100 series × 30k one-second-held
+    //    alternating 0/10 values → twa 149990/29999 per series, mean 5;
+    //  - rolling median: cyclic 0..4 per 30-row series → per-series
+    //    median sum exactly 55, global 5.5M;
+    //  - markov: cyclic A,B,C per 30-event user → exactly three
+    //    transition rows, each with probability 1.0;
+    //  - decayed sum: ages 0..29 days at weight 30/(30+age) → the same
+    //    closed-form Σ for every one of 100k entities;
+    //  - interval coalesce: alternating long/short overlapping
+    //    intervals → exactly 15 merged spans per user, covered 15,
+    //    n_merged 2;
+    //  - rolling active users: 1M users on a residue-day lattice →
+    //    DAU exactly 100k every day, trailing-7 exactly
+    //    min(d+1,7)×100k.
+    import graft.operators.{Aggregations, Joins}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = 3000000L
+
+      // ---- blocked fuzzy join: 1M rows, all-pairs-in-block plant ----
+      val parts = spark.range(1000000L).select(col("id"),
+          expr("id div 2").as("k"))
+        .select(col("id"),
+          pmod(col("k"), lit(100000L)).as("blk"),
+          concat(
+            when(col("id") % 2 === 0, lit("part name ")).otherwise(lit("part nam ")),
+            lpad(col("k").cast("string"), 6, "0")).as("name"))
+        .repartition(8)
+      val (fz, tFz) = timed {
+        Joins.fuzzySelfJoin(parts, col("id"), Seq(col("blk")), col("name"),
+            maxDist = 3)
+          .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(fz == Map(1L -> 2500000L, 2L -> 2000000L),
+        s"fuzzy pair histogram: $fz")
+
+      // ---- time-weighted average: alternating held values ----
+      val twaIn = spark.range(n).select(
+        expr("id div 30000").as("sid"),
+        col("id").as("event_id"),
+        expr("timestamp_micros((id % 30000) * 1000000)").as("ts"),
+        (pmod(col("id"), lit(2)) * 10.0).as("value")).repartition(8)
+      val (twa, tTwa) = timed {
+        Climate.timeWeightedAvg(twaIn, col("sid")).collect()
+          .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      }
+      val twaExpect = BigDecimal(149990.0 / 29999.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(twa.length == 100 &&
+        twa.forall(_ == ((30000L, twaExpect, 5.0))),
+        s"twa rows (expect ($twaExpect, 5.0) × 100): ${twa.take(3).toSeq}")
+
+      // ---- rolling median: cyclic series, exact global sum ----
+      val rmIn = spark.range(n).select(
+        expr("id div 30").as("sid"), col("id").as("event_id"),
+        expr("timestamp_micros((id % 30) * 1000000)").as("ts"),
+        pmod(col("id"), lit(5)).cast("double").as("value")).repartition(8)
+      val (rmSum, tRm) = timed {
+        Windows.rollingMedian(rmIn, col("event_id"), col("sid"), col("ts"),
+            col("value"))
+          .agg(sum(col("rolling_med"))).head.getDouble(0)
+      }
+      assert(rmSum == 5500000.0, s"rolling-median global sum: $rmSum")
+
+      // ---- markov transitions: cyclic A,B,C, probabilities all 1 ----
+      val mkIn = spark.range(n).select(
+        col("id").as("event_id"), expr("id div 30").as("user_id"),
+        expr("timestamp_micros((id % 30) * 1000000)").as("ts"),
+        element_at(array(lit("A"), lit("B"), lit("C")),
+          (pmod(col("id"), lit(30)) % 3 + 1).cast("int")).as("event_type"))
+        .repartition(8)
+      val (mk, tMk) = timed {
+        Windows.markovTransitions(mkIn).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      }
+      assert(mk.toSeq == Seq(("A", "B", 1000000L, 1.0),
+        ("B", "C", 1000000L, 1.0), ("C", "A", 900000L, 1.0)),
+        s"transition rows: ${mk.toSeq}")
+
+      // ---- decayed sum: 30 known ages per entity ----
+      val dcIn = spark.range(n).select(
+        expr("id div 30").as("e"),
+        expr("date_sub(date'2024-03-01', CAST(id % 30 AS INT))").as("dt"),
+        lit(1.0).as("v")).repartition(8)
+      val (dc, tDc) = timed {
+        val r = Aggregations.decayedSum(dcIn, col("e"), col("dt"), col("v"))
+        (r.count(),
+          r.select(countDistinct(col("decayed_value"))).head.getLong(0),
+          r.select(min(col("decayed_value"))).head.getDouble(0))
+      }
+      val dcExpect = BigDecimal((0 until 30).map(i => 30.0 / (30 + i)).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dc == ((100000L, 1L, dcExpect)),
+        s"decayed (entities, distinct values, value): $dc vs $dcExpect")
+
+      // ---- interval coalesce: alternating long/short overlaps ----
+      val ivIn = spark.range(n).select(
+        expr("id div 30").as("u"),
+        (pmod(col("id"), lit(30)) * 10L).as("s"),
+        (pmod(col("id"), lit(30)) * 10L +
+          when(col("id") % 2 === 0, 15L).otherwise(5L)).as("e"))
+        .repartition(8)
+      val (iv, tIv) = timed {
+        val r = Windows.coalesceIntervals(ivIn, col("u"), col("s"), col("e"))
+        r.agg(count(lit(1)), min(col("covered_us")), max(col("covered_us")),
+            min(col("n_merged")), max(col("n_merged"))).head
+      }
+      assert((iv.getLong(0), iv.getLong(1), iv.getLong(2), iv.getLong(3),
+        iv.getLong(4)) == ((1500000L, 15L, 15L, 2L, 2L)),
+        s"interval spans (count, covered range, merged range): $iv")
+
+      // ---- rolling active users: residue-day lattice ----
+      val auIn = spark.range(n).select(
+        pmod(col("id"), lit(1000000L)).as("user_id"),
+        expr("""timestampadd(DAY,
+          CAST(pmod(id, 1000000) % 10 + 10 * (id div 1000000) AS INT),
+          timestamp'2024-01-01 12:00:00')""").as("ts")).repartition(8)
+      val (au, tAu) = timed {
+        Aggregations.rollingActiveUsers(auIn).collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      }
+      val auExpect = (0 until 30).map { d =>
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString,
+          100000L, math.min(d + 1, 7).toLong * 100000L)
+      }
+      assert(au.toSeq == auExpect, s"active users head: ${au.take(8).toSeq}")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-10 newcomer soak (regenerated by SoakSpec)
+           |
+           |3M-row fixtures (1M for the fuzzy join), local[4], every
+           |outcome closed-form exact. Blocked fuzzy join over 100k
+           |10-row blocks built so every within-block pair is a near-dup:
+           |exactly 4,500,000 pairs split 2.5M/2.0M across distances 1/2
+           |— the block-local quadratic at its worst-case density, no
+           |all-pairs stage. Time-weighted avg over 100 series × 30k
+           |one-second-held alternating values: every series exactly
+           |149990/29999 (≈4.9998), naive mean exactly 5.0 — the
+           |statistic a plain avg() gets wrong, held to 4 dp at scale.
+           |Rolling median over 100k cyclic series: global sum exactly
+           |5.5M. Markov transitions over 100k cyclic users: exactly
+           |three rows, each probability 1.0. Decayed sum over 100k
+           |entities × ages 0..29 d: ONE distinct rounded value across
+           |all entities, equal to the closed-form Σ 30/(30+i). Interval
+           |coalesce over alternating long/short overlaps: exactly 15
+           |spans per user (1.5M total), covered 15 and n_merged 2 in
+           |every span. Rolling active users on a 1M-user residue-day
+           |lattice: DAU exactly 100k every day, trailing-7 exactly
+           |min(d+1,7)×100k. Same listener invariant as above: no
+           |single-task stage read a relation-sized shuffle.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || fuzzySelfJoin (worst-case blocks) | 1.0M | ${f"$tFz%.1f"} | ${f"$ratio%.2f"} |
+           || timeWeightedAvg (100 series) | 3.0M | ${f"$tTwa%.1f"} | ${f"$ratio%.2f"} |
+           || rollingMedian (100k series) | 3.0M | ${f"$tRm%.1f"} | ${f"$ratio%.2f"} |
+           || markovTransitions (100k users) | 3.0M | ${f"$tMk%.1f"} | ${f"$ratio%.2f"} |
+           || decayedSum (100k entities) | 3.0M | ${f"$tDc%.1f"} | ${f"$ratio%.2f"} |
+           || coalesceIntervals (100k users) | 3.0M | ${f"$tIv%.1f"} | ${f"$ratio%.2f"} |
+           || rollingActiveUsers (1M users) | 3.0M | ${f"$tAu%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-10 newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
