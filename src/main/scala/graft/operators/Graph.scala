@@ -400,9 +400,42 @@ object Graph {
     // supports reuse the memoized ingest-time table)
     "q_assoc_rules" -> ((s, d) =>
       rulesFrom(basketItems(Tables.lineitem(s, d)), basketPairs(s, d))),
+    // connected components of the thresholded co-purchase graph —
+    // the general-graph registration of the alternating large-star/
+    // small-star contraction (Dedup.connectedComponents: O(log n)
+    // rounds, scalar-only shuffles, soak-proven on a 2^18 path);
+    // membership + component size per node. Consumes the memoized
+    // basket-pair artifact like q_graph_jaccard.
+    "q_graph_components" -> ((s, d) => {
+      val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id"))
+      cc.select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+        .withColumn("n_nodes", count(lit(1)).over(w))
+        .orderBy(col("node"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // min-reachable-label via recursive closure — independent of the
+    // engine's star-contraction formulation; the UNION dedup bounds
+    // reach at nodes², fine at oracle scale
+    "q_graph_components" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |  WHERE e2.v <> r.u),
+        |c AS (SELECT u, least(u, min(v)) AS cid FROM reach GROUP BY u)
+        |SELECT u AS node, cid AS component_id,
+        |       CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_nodes
+        |FROM c ORDER BY node""".stripMargin,
     "q_graph_degrees" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey

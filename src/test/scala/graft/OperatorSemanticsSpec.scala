@@ -1286,6 +1286,19 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ("2024-01-09", 1L, 1L)))
   }
 
+  test("graph components: membership and sizes on a planted two-component graph") {
+    import spark.implicits._
+    // path 1-2-3 plus pair 10-11; component ids = min member
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc = operators.Dedup.connectedComponents(pairs, "src", "dst")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    val r = cc.withColumn("n", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("packSequences: bins are contiguous and within budget except straddlers") {
     import graft.operators.TextOps
     val res = TextOps.packSequences(Tables.documents(spark, sf), 1024)
