@@ -212,6 +212,35 @@ object Joins {
     * tie-break), so an equal-ts view matches with Δt = 0. The side
     * pick compares exact integer microseconds. Purchases by users
     * with no views keep a NULL match (left semantics). */
+  /** TOLERANCE as-of: the backward match (latest view ≤ t by the same
+    * user), NULLed when it is staler than `tolUs` microseconds —
+    * pandas `merge_asof(tolerance=...)`. Identical one-shuffle
+    * union+window shape as the plain backward as-of; the tolerance is
+    * a per-row codegen'd branch on the already-computed match, so left
+    * semantics are preserved (too-stale probes keep their row with a
+    * NULL match + NULL dt — "unattributed" is itself a metric). */
+  def asofTolerance(events: DataFrame, tolUs: Long): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = views.withColumn("is_probe", lit(0))
+      .unionByName(purch.withColumn("is_probe", lit(1)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("bts", last(when(col("is_probe") === 0, col("ts")),
+        ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .withColumn("matched_ts",
+        when(unix_micros(col("ts")) - unix_micros(col("bts")) <= tolUs,
+          col("bts")))
+      .select(col("event_id"), col("user_id"), col("matched_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("matched_ts"))).as("dt_us"))
+      .orderBy(col("event_id"))
+  }
+
   def asofNearest(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"))
@@ -433,6 +462,13 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // TOLERANCE as-of: the backward match, NULLed when it is staler
+    // than the tolerance window (pandas merge_asof(tolerance=...)) —
+    // "credit the last view, but only if it happened within the last
+    // 10 minutes".
+    "q_join_asof_tolerance" -> ((s, d) =>
+      asofTolerance(Tables.events(s, d), 600000000L)),
+
     // NEAREST-neighbor as-of: each purchase matched to the CLOSEST
     // view by the same user in EITHER direction (|Δt|, ties to the
     // earlier side) — the bidirectional sibling of q_join_asof's
@@ -591,6 +627,24 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    // DuckDB's native ASOF JOIN + a tolerance CASE on the match —
+    // independent of the engine's union+window formulation
+    "q_join_asof_tolerance" ->
+      """WITH b AS (
+        |  SELECT p.event_id, p.user_id, p.ts AS pts, v.ts AS bts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT event_id, user_id,
+        |       CASE WHEN epoch_us(CAST(pts AS TIMESTAMP))
+        |                 - epoch_us(CAST(bts AS TIMESTAMP))
+        |                 <= 600000000 THEN bts END AS matched_ts,
+        |       CASE WHEN epoch_us(CAST(pts AS TIMESTAMP))
+        |                 - epoch_us(CAST(bts AS TIMESTAMP))
+        |                 <= 600000000
+        |            THEN epoch_us(CAST(pts AS TIMESTAMP))
+        |                 - epoch_us(CAST(bts AS TIMESTAMP)) END AS dt_us
+        |FROM b ORDER BY event_id""".stripMargin,
     "q_join_range_bucketed" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
         |       epoch_us(v.ts) - epoch_us(p.ts) AS dt_us

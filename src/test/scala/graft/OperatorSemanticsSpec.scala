@@ -1286,6 +1286,23 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ("2024-01-09", 1L, 1L)))
   }
 
+  test("asof tolerance: in-window view matches, stale view NULLs, no view NULLs") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val ev = Seq(
+      (10L, 1L, "view", t(0)), (11L, 1L, "purchase", t(300)),   // 5 min → match
+      (20L, 2L, "view", t(0)), (21L, 2L, "purchase", t(1200)),  // 20 min → stale
+      (30L, 3L, "purchase", t(5))                               // no view
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Joins.asofTolerance(ev, 600000000L)
+      .collect().map(x => (x.getLong(0), Option(x.get(2)),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq
+    assert(got == Seq(
+      (11L, Some(t(0)), Some(300000000L)),
+      (21L, None, None), (30L, None, None)))
+  }
+
   test("graph components: membership and sizes on a planted two-component graph") {
     import spark.implicits._
     // path 1-2-3 plus pair 10-11; component ids = min member
