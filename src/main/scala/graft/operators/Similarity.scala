@@ -647,7 +647,32 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Embedding NORM health per label — the vector-QA gate run before
+    * any indexing: L2-norm distribution (mean/sd/min/max) + zero-vector
+    * count. Zero or wildly-scaled vectors poison cosine retrieval and
+    * k-means alike; this is the profile that catches them corpus-wide.
+    *
+    * Per-row norm = sqrt(VectorDot(v, v)) — the native codegen'd dot
+    * (sequential fold, bit-identical to the oracle's list_sum over
+    * CAST(... AS DOUBLE[]); sqrt is correctly-rounded IEEE) — feeding
+    * ONE label-key hash aggregate: partials are six doubles, vectors
+    * never shuffle. */
+  def embedNormStats(emb: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    emb.select(col("label"), sqrt(dot(v, v)).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("norm")), 4).as("mean_norm"),
+        round(stddev_samp(col("norm")), 4).as("sd_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_norms" -> ((s, d) =>
+      embedNormStats(Tables.embeddings(s, d))),
     "q_embed_quantize" -> ((s, d) =>
       embedQuantizeAudit(Tables.embeddings(s, d))),
     "q_similarity_topk" -> ((s, d) => bruteForceTopK(embTable(s, d), 0L, 20)),
@@ -815,6 +840,21 @@ object Similarity {
         |              WHERE vec_id = 0)), 4) AS sim
         |FROM embeddings
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    // same sequential double fold as VectorDot (parity in
+    // VectorDotSpec); sqrt is correctly-rounded IEEE on both engines
+    "q_embed_norms" ->
+      """WITH nr AS (
+        |  SELECT label,
+        |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |              x -> x * x))) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       round(avg(norm), 4) AS mean_norm,
+        |       round(stddev_samp(norm), 4) AS sd_norm,
+        |       round(min(norm), 4) AS min_norm,
+        |       round(max(norm), 4) AS max_norm,
+        |       CAST(count(*) FILTER (norm = 0.0) AS BIGINT) AS n_zero
+        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -1303,6 +1303,19 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (21L, None, None), (30L, None, None)))
   }
 
+  test("embedNormStats: closed-form norms, zero vector counted") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0),   // norm 5
+      (2L, Array(0.0f, 0.0f), 0),   // zero vector
+      (3L, Array(6.0f, 8.0f), 1)    // norm 10
+    ).toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.embedNormStats(emb).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(4),
+        x.getDouble(5), x.getLong(6))).toSeq
+    assert(r == Seq((0, 2L, 2.5, 0.0, 5.0, 1L), (1, 1L, 10.0, 10.0, 10.0, 0L)))
+  }
+
   test("graph components: membership and sizes on a planted two-component graph") {
     import spark.implicits._
     // path 1-2-3 plus pair 10-11; component ids = min member
