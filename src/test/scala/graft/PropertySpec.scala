@@ -288,4 +288,88 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("coalesceIntervals ≡ brute-force interval union, for all interval sets") {
+    import graft.operators.Windows
+    val ivGen = for {
+      k <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(1L, 40L)
+    } yield (k, s, s + len)
+    forAllSeeded(Gen.listOfN(30, ivGen), trials = 8) { ivs =>
+      if (ivs.nonEmpty) {
+        val got = Windows.coalesceIntervals(ivs.toDF("k", "s", "e"),
+            col("k"), col("s"), col("e"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+        // brute force: sort per key, sweep, merge touching-or-overlapping
+        val want = ivs.groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+          val sorted = xs.map(x => (x._2, x._3)).sorted
+          val spans = sorted.tail.foldLeft(List((sorted.head._1, sorted.head._2, 1L))) {
+            case ((cs, ce, n) :: rest, (s, e)) =>
+              if (s <= ce) (cs, math.max(ce, e), n + 1) :: rest
+              else (s, e, 1L) :: (cs, ce, n) :: rest
+            case (Nil, _) => Nil
+          }.reverse
+          spans.map { case (s, e, n) => (k, s, e, n) }
+        }.sortBy(x => (x._1, x._2))
+        assert(got.toSeq == want,
+          s"spans diverge:\n got: ${got.toSeq}\nwant: $want")
+      }
+    }
+  }
+
+  test("asofTolerance ≡ brute-force stale-filtered backward match, for all event sets") {
+    import graft.operators.Joins
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evGen = for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0, 100)
+      kind <- Gen.oneOf("view", "purchase")
+    } yield (u, t, kind)
+    forAllSeeded(Gen.listOfN(25, evGen), trials = 8) { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t, k), i) =>
+        (i.toLong, u, k, new Timestamp(base + t * 1000L)) }
+      if (rows.exists(_._3 == "purchase")) {
+        val tolUs = 30000000L // 30 s
+        val got = Joins.asofTolerance(
+            rows.toDF("event_id", "user_id", "event_type", "ts"), tolUs)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        val views = rows.filter(_._3 == "view")
+        rows.filter(_._3 == "purchase").foreach { case (id, u, _, ts) =>
+          val past = views.filter(v => v._2 == u && !v._4.after(ts))
+            .map(v => (ts.getTime - v._4.getTime) * 1000L)
+          val want = if (past.isEmpty || past.min > tolUs) None else Some(past.min)
+          assert(got(id) == want,
+            s"purchase $id: got ${got(id)}, brute-force $want (past Δs $past)")
+        }
+      }
+    }
+  }
+
+  test("rollingActiveUsers ≡ brute-force per-day distinct scans, for all activity sets") {
+    import graft.operators.Aggregations
+    val actGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 20))
+    forAllSeeded(Gen.listOfN(40, actGen), trials = 8) { acts =>
+      if (acts.nonEmpty) {
+        val base = java.time.LocalDate.of(2024, 3, 1)
+        val rows = acts.map { case (u, d) =>
+          (u, Timestamp.valueOf(base.plusDays(d).atTime(8, 0))) }
+        val got = Aggregations.rollingActiveUsers(
+            rows.toDF("user_id", "ts"), window = 7)
+          .collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+        val byDay = acts.groupBy(_._2)
+        val want = byDay.keys.toSeq.sorted.map { d =>
+          val dau = byDay(d).map(_._1).distinct.size.toLong
+          val wau = acts.filter(a => a._2 >= d - 6 && a._2 <= d)
+            .map(_._1).distinct.size.toLong
+          (base.plusDays(d).toString, dau, wau)
+        }
+        assert(got == want, s"got $got\nwant $want")
+      }
+    }
+  }
 }
