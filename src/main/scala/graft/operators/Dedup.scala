@@ -259,9 +259,17 @@ object Dedup {
         .select(col("x").as("hi"), col("m").as("lo"))
         .distinct()
         .localCheckpoint()
-      // both sides are distinct sets: equal counts + empty one-way
-      // difference ⇒ set equality (exact, no checksum shortcut)
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      // both sides are distinct sets, so set equality ⇔ the full-outer
+      // join has no one-sided row — ONE action instead of the previous
+      // count+count+except triple (the fixpoint is latency-bound on
+      // small graphs: every convergence probe is a scheduled job, and
+      // this check runs once per contraction round). Exact, no
+      // checksum shortcut.
+      converged = ss.select(col("hi"), col("lo"), lit(1).as("__l"))
+        .join(edges.select(col("hi"), col("lo"), lit(1).as("__r")),
+          Seq("hi", "lo"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       edges = ss
       round += 1
     }
