@@ -30,6 +30,21 @@ object Relational {
     "q_scan_parquet" -> ((s, d) =>
       Tables.orders(s, d).orderBy(col("o_orderkey"))),
 
+    // UNPIVOT / melt — the inverse of q_pivot: wide numeric attribute
+    // columns to long (id, attr, val) rows, the tidy-data reshape
+    // every feature pipeline needs before per-attribute aggregation.
+    // Spark's native Dataset.unpivot plans as a single Expand
+    // projection (one pass, rows × attrs output, no shuffle, no join
+    // — the same operator grouping sets lower to); the only exchange
+    // is the deterministic output order.
+    "q_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
     // SQL front end: the same engine surface through spark.sql — a
     // TPC-H-Q1-shaped pricing summary compiled by the SQL parser into
     // the identical Catalyst plan the DataFrame API would build
@@ -128,6 +143,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // independent formulation: stacked UNION ALL instead of UNPIVOT
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q_scan_parquet" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "q_sql_entry" ->
       """SELECT l_returnflag, l_linestatus,
