@@ -236,6 +236,22 @@ object IO {
       s.read.schema(RegionSchema).json(out).orderBy(col("r_regionkey"))
     }),
 
+    // ORC sink + scan round trip — the OTHER columnar format Spark
+    // ships natively (vectorized reader, predicate pushdown, zlib by
+    // default): write the projection, re-scan it, return row-level
+    // values so the oracle hash-checks the full round trip. Columns
+    // avoid timestamps deliberately: ORC's timestamp epoch semantics
+    // differ from parquet's and belong to a format-conversion layer,
+    // not a sink correctness check (the CSV sink covers timestamp
+    // round-trip rot).
+    "q_sink_orc" -> ((s, d) => {
+      val out = tmp("graft_sinkorc_")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("o_orderkey"))
+    }),
+
     // CSV sink with explicit timestamp format, verified by aggregating
     // the re-scan (timestamps are where CSV round trips silently rot).
     "q_sink_csv" -> ((s, d) => {
@@ -364,6 +380,9 @@ object IO {
   val oracle: Map[String, String] = Map(
     "q_scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "q_sink_orc" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sink_csv" ->
       """SELECT count(*) AS n, min(o_orderdate) AS min_date,
         |       max(o_orderdate) AS max_date,
