@@ -236,6 +236,31 @@ object IO {
       s.read.schema(RegionSchema).json(out).orderBy(col("r_regionkey"))
     }),
 
+    // Parquet SCHEMA EVOLUTION scan: two writer generations with
+    // different column sets land in one dataset dir; `mergeSchema`
+    // reads them under the unified schema, absent columns NULL — the
+    // data-lake reality where producers add fields over time and the
+    // reader must not care which file a row came from. (Default reads
+    // take ONE footer's schema — mergeSchema is the correctness knob,
+    // paid as a per-file footer read at planning time; at 100 TB one
+    // pins the merged schema in a catalog instead of re-deriving it
+    // per query, which is exactly what this demonstrates.)
+    "q_scan_evolved" -> ((s, d) => {
+      val out = tmp("graft_evolve_")
+      val o = Tables.orders(s, d)
+      // generation 1: key + price (even keys); generation 2 adds the
+      // priority column and drops price (odd keys)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", true).parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ORC sink + scan round trip — the OTHER columnar format Spark
     // ships natively (vectorized reader, predicate pushdown, zlib by
     // default): write the projection, re-scan it, return row-level
@@ -382,6 +407,15 @@ object IO {
     "q_scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "q_sink_orc" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // replays the generation split: price only for gen-1 (even) rows,
+    // priority only for gen-2 (odd) rows, NULL elsewhere
+    "q_scan_evolved" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END
+        |         AS o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |         AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sink_csv" ->
       """SELECT count(*) AS n, min(o_orderdate) AS min_date,
