@@ -149,6 +149,33 @@ object IO {
     * IOSpec proves it by deleting them and still reading both splits.
     * Returns (clean, quarantine): clean drops the corrupt column,
     * quarantine keeps the verbatim rejected text for repair. */
+  /** Morton (Z-order) interleave of two non-negative integer grid
+    * indices, `bits` bits each: bit b of `x` lands at position 2b, of
+    * `y` at 2b+1. The space-filling curve that gives a ONE-dimensional
+    * sort key two-dimensional locality — rows sorted by it cluster
+    * into tiles, so file/row-group min-max stats stay tight on both
+    * source dimensions. Pure shift/mask arithmetic: codegen'd, no UDF. */
+  def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustered parquet write of the synthetic-grid frame:
+    * range-partition + sort on the Morton code of the (lat, lon) grid
+    * indices, one locality tile per output file. The z column is kept
+    * in the files (it documents the layout and re-clusters appends). */
+  private[graft] def zorderWrite(grid: DataFrame, out: String,
+      files: Int = 16): Unit = {
+    val z = morton((col("event_id") % 360).cast("long"),
+      ((col("event_id") * 7) % 576).cast("long"), 10)
+    grid.withColumn("z", z)
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(out)
+  }
+
   def stagedMalformedSplit(s: SparkSession, parsed: DataFrame,
       stagingDir: String): (DataFrame, DataFrame) = {
     parsed.write.mode("overwrite").parquet(stagingDir)
@@ -234,6 +261,27 @@ object IO {
       val out = tmp("graft_json_")
       Tables.region(s, d).write.mode("overwrite").json(out)
       s.read.schema(RegionSchema).json(out).orderBy(col("r_regionkey"))
+    }),
+
+    // Z-ORDER clustered sink + pruned box scan: the data-LAYOUT
+    // optimization that makes multi-dimensional predicates cheap at
+    // 100 TB. Rows are range-partitioned and sorted on the Morton
+    // interleave of the (lat, lon) grid indices before the write, so
+    // each parquet file covers a LOCAL tile of the grid and its
+    // column min/max stats become tight on BOTH lat and lon — a box
+    // predicate then row-group-prunes most files at scan time, which
+    // a one-dimensional sort can only do for its leading column.
+    // (ZorderSpec measures it: the same box scan reads a fraction of
+    // the rows the round-robin layout reads.)
+    "q_sink_zorder" -> ((s, d) => {
+      val out = tmp("graft_zorder_")
+      zorderWrite(Climate.syntheticGrid(Tables.events(s, d)), out)
+      s.read.parquet(out)
+        .filter(col("lat").between(-10.0, 10.0) &&
+          col("lon").between(-20.0, 20.0))
+        .select(col("event_id"), col("lat"), col("lon"),
+          round(col("value"), 4).as("v"))
+        .orderBy(col("event_id"))
     }),
 
     // Parquet SCHEMA EVOLUTION scan: two writer generations with
@@ -408,6 +456,19 @@ object IO {
     "q_sink_orc" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // layout changes where bytes live, never what rows exist: the
+    // oracle replays the grid formula + box predicate (exact dyadic
+    // arithmetic on both engines)
+    "q_sink_zorder" ->
+      """WITH g AS (
+        |  SELECT event_id, value,
+        |         (event_id % 360) * 0.5 - 90.0 AS lat,
+        |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon
+        |  FROM events)
+        |SELECT event_id, lat, lon, round(value, 4) AS v
+        |FROM g
+        |WHERE lat BETWEEN -10.0 AND 10.0 AND lon BETWEEN -20.0 AND 20.0
+        |ORDER BY event_id""".stripMargin,
     // replays the generation split: price only for gen-1 (even) rows,
     // priority only for gen-2 (odd) rows, NULL elsewhere
     "q_scan_evolved" ->

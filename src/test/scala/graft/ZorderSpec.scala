@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout evidence: the clustered write must make the SAME box
+  * predicate read a fraction of what an unclustered layout reads —
+  * measured rows, not vibes. Also pins the Morton interleave's bit
+  * arithmetic against hand-computed codes.
+  */
+class ZorderSpec extends SparkTestBase {
+
+  test("morton: interleaves bits exactly (hand-computed codes)") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (1023L, 0L), (0L, 1023L))
+      .toDF("x", "y")
+      .select(graft.sources.IO.morton(col("x"), col("y"), 10).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    // (3,5): x bits at even positions 1+4, y bits at odd 2+32 → 39
+    // x=1023 → all even positions: 0x55555 (0b01010101010101010101)
+    // y=1023 → all odd positions: 0xAAAAA
+    assert(got == Seq(39L, 0L, 0x55555L, 0xAAAAAL))
+  }
+
+  test("box scan over the z-ordered layout reads a fraction of the round-robin layout") {
+    val grid = operators.Climate.syntheticGrid(
+      Tables.events(spark, "/root/testdata/sf0.01"))
+    val zDir = graft.sources.IO.tmp("graft_ztest_")
+    val rrDir = graft.sources.IO.tmp("graft_rrtest_")
+    graft.sources.IO.zorderWrite(grid, zDir)
+    // control: identical rows, identical file count, order destroyed
+    grid.withColumn("z", lit(0L)).repartition(16)
+      .write.mode("overwrite").parquet(rrDir)
+
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    def boxCount(dir: String): (Long, Long) = {
+      spark.sparkContext.addSparkListener(listener)
+      read.set(0L)
+      try {
+        val n = spark.read.parquet(dir)
+          .filter(col("lat").between(-10.0, 10.0) &&
+            col("lon").between(-20.0, 20.0))
+          .count()
+        Thread.sleep(2000) // drain the listener bus (SoakSpec pattern)
+        (n, read.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (nZ, readZ) = boxCount(zDir)
+    val (nRR, readRR) = boxCount(rrDir)
+    assert(nZ == nRR && nZ > 0, s"layouts must agree on rows: $nZ vs $nRR")
+    // the z-ordered layout's tight per-file lat/lon stats let the
+    // parquet reader skip most files/row groups outright; round-robin
+    // files all span the whole grid and nothing prunes
+    assert(readZ * 2 <= readRR,
+      s"z-order read $readZ rows vs round-robin $readRR — expected <= half")
+  }
+}
