@@ -176,6 +176,37 @@ object IO {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** SMALL-FILE COMPACTION: rewrite a fragmented parquet dataset into
+    * `targetFiles` files, optionally re-sorted on `sortCols` so a
+    * clustered layout (e.g. [[zorderWrite]]'s Morton order) keeps its
+    * tight per-file stats through the rewrite. The housekeeping
+    * primitive every streaming/append pipeline needs at scale: a
+    * million tiny files turn planning and open() overhead into the
+    * dominant cost long before data size does.
+    *
+    * Staged write + atomic-ish swap: the rewrite lands in a sibling
+    * temp dir and only replaces the original after it fully commits —
+    * a failed compaction leaves the source untouched (same posture as
+    * the zarr sink's tmp-file protocol). Readers of the OLD listing
+    * during the swap are the caller's coordination concern (at scale
+    * this is a metastore/table-format transaction; stated, not
+    * hidden). */
+  private[graft] def compact(s: SparkSession, dir: String, targetFiles: Int,
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    val staged = dir + ".compact_tmp"
+    val df = s.read.parquet(dir)
+    val laid =
+      if (sortCols.isEmpty) df.repartition(targetFiles)
+      else df.repartitionByRange(targetFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    laid.write.mode("overwrite").parquet(staged)
+    rmTree(dir)
+    if (!new java.io.File(staged).renameTo(new java.io.File(dir)))
+      throw new java.io.IOException(
+        s"compact: staged swap $staged -> $dir failed after source removal" +
+          " — staged data is intact, re-point readers or retry the rename")
+  }
+
   def stagedMalformedSplit(s: SparkSession, parsed: DataFrame,
       stagingDir: String): (DataFrame, DataFrame) = {
     parsed.write.mode("overwrite").parquet(stagingDir)

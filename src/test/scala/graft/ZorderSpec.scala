@@ -22,6 +22,31 @@ class ZorderSpec extends SparkTestBase {
     assert(got == Seq(39L, 0L, 0x55555L, 0xAAAAAL))
   }
 
+  test("compact: 64 fragments -> 4 files, rows hash-identical, clustering preserved") {
+    val grid = operators.Climate.syntheticGrid(
+      Tables.events(spark, "/root/testdata/sf0.01"))
+      .select(col("event_id"), col("value"), col("lat"), col("lon"))
+    val dir = graft.sources.IO.tmp("graft_compact_")
+    grid.repartition(64).write.mode("overwrite").parquet(dir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    def digest(d: String) = spark.read.parquet(d)
+      .select(xxhash64(col("event_id"), col("value"),
+        col("lat"), col("lon")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head
+    assert(files(dir) == 64)
+    val before = digest(dir)
+    graft.sources.IO.compact(spark, dir, 4, Seq(col("lat"), col("lon")))
+    assert(files(dir) == 4, s"expected 4 files, got ${files(dir)}")
+    assert(digest(dir) == before, "compaction changed the data")
+    // sorted rewrite keeps per-file lat ranges disjoint-ish: every
+    // file's lat span must be well under the full 180-degree span
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg((max("lat") - min("lat")).as("span"))
+      .collect().map(_.getDouble(1))
+    assert(spans.forall(_ < 90.0), s"file lat spans not clustered: ${spans.toSeq}")
+  }
+
   test("box scan over the z-ordered layout reads a fraction of the round-robin layout") {
     val grid = operators.Climate.syntheticGrid(
       Tables.events(spark, "/root/testdata/sf0.01"))
