@@ -155,6 +155,43 @@ object Snapshot {
       .orderBy(col("bucket"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic between two numeric
+    * samples: max over the union of observed values of
+    * |F_old(v) − F_new(v)| plus the value where the gap peaks (min
+    * such value on ties — deterministic) — the distribution-free drift
+    * test next to [[driftPsi]]'s bucketed divergence (KS catches shape
+    * shifts PSI's fixed buckets can smear).
+    *
+    * Scale shape: the samples reduce to (value, n_old, n_new) counts
+    * first (one hash aggregate — the only pass over raw rows); both
+    * CDFs then come from [[Windows.withGlobalPrefixSum]] over the
+    * counts table (range partition + broadcast offsets — never a
+    * single-task global window); totals and the argmax ride broadcast
+    * 1-row aggregates. All arithmetic is counts and exact-rounded
+    * divisions — no transcendentals, hash-stable. */
+  def driftKs(oldSample: DataFrame, oldValue: Column,
+      newSample: DataFrame, newValue: Column): DataFrame = {
+    val s = oldSample.select(oldValue.as("v"), lit(1L).as("o"), lit(0L).as("n"))
+      .unionByName(newSample.select(newValue.as("v"), lit(0L).as("o"), lit(1L).as("n")))
+    val c = s.groupBy(col("v"))
+      .agg(sum(col("o")).as("n_old"), sum(col("n")).as("n_new"))
+    val cum = Windows.withGlobalPrefixSum(
+      Windows.withGlobalPrefixSum(c, col("n_old"), "c_old", col("v")),
+      col("n_new"), "c_new", col("v"))
+    val tot = c.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("t_old"), col("t_new"),
+        abs(col("c_old").cast("double") / col("t_old").cast("double") -
+          col("c_new").cast("double") / col("t_new").cast("double")).as("diff"))
+    val md = d.agg(max(col("diff")).as("md"))
+    d.crossJoin(broadcast(md))
+      .filter(col("diff") === col("md"))
+      .groupBy(col("t_old"), col("t_new"), col("md"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("t_old").as("n_old"), col("t_new").as("n_new"),
+        round(col("md"), 6).as("ks"), col("ks_at"))
+  }
+
   /** Data-contract VALIDATION (the Deequ/dbt-test shape): per-rule
     * violation counts over a fact table — not-null, domain, range, and
     * referential-integrity checks, reported as (rule, n_violations)
@@ -261,6 +298,12 @@ object Snapshot {
       val docs = Tables.documents(s, d)
       driftPsi(oldCrawl(docs), newCrawl(docs))
     }),
+    // KS between the view and purchase value distributions
+    "q_drift_ks" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      driftKs(e.filter(col("event_type") === "view"), col("value"),
+        e.filter(col("event_type") === "purchase"), col("value"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +352,29 @@ object Snapshot {
         |  AND epoch_us(e.ts) >= dim.valid_from
         |  AND (dim.valid_to IS NULL OR epoch_us(e.ts) < dim.valid_to)
         |ORDER BY e.event_id""".stripMargin,
+    // same counts-then-CDF chain; exact double comparisons pick the
+    // same argmax value on both engines
+    "q_drift_ks" ->
+      """WITH s AS (
+        |  SELECT value AS v, 1 AS o, 0 AS n FROM events
+        |  WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT value, 0, 1 FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v, sum(o) AS n_old, sum(n) AS n_new FROM s GROUP BY 1),
+        |cum AS (SELECT v, sum(n_old) OVER w AS c_old,
+        |               sum(n_new) OVER w AS c_new
+        |        FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+        |             CAST(sum(n_new) AS BIGINT) AS t_new FROM c),
+        |d AS (SELECT v, t_old, t_new,
+        |        abs(CAST(c_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+        |          - CAST(c_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS diff
+        |      FROM cum CROSS JOIN t),
+        |m AS (SELECT max(diff) AS md FROM d)
+        |SELECT t_old AS n_old, t_new AS n_new, round(md, 6) AS ks,
+        |       min(v) AS ks_at
+        |FROM d CROSS JOIN m WHERE diff = md
+        |GROUP BY 1, 2, 3""".stripMargin,
     // same crawl twins, same open-ended length bucketing, same
     // Laplace-smoothed PSI operand order
     "q_drift_psi" ->

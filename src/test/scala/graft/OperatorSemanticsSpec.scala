@@ -1303,6 +1303,19 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (21L, None, None), (30L, None, None)))
   }
 
+  test("driftKs: closed-form two-sample statistic, tie resolves to min value") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // F_old jumps to 1 by v=4, F_new lags by 2 values → max gap 0.5,
+    // achieved at v ∈ {2,3,4}; min tie = 2
+    val r = operators.Snapshot.driftKs(a, col("v"), b, col("v")).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)) ==
+      ((4L, 4L, 0.5, 2.0)))
+  }
+
   test("embedNormStats: closed-form norms, zero vector counted") {
     import spark.implicits._
     val emb = Seq(
