@@ -214,7 +214,34 @@ object Aggregations {
       .orderBy(col("day"))
   }
 
+  /** Shannon ENTROPY of a categorical mix per group (nats), with the
+    * category count — "how varied is this stratum's behavior", the
+    * mix-health scalar for segment QA (a one-event-type user segment
+    * scores 0; uniform over k types scores ln k). Two counts-only hash
+    * aggregates: (group, category) counts, then the entropy reduction
+    * with the group total as a same-key window — one exchange since
+    * the second aggregate reuses the first's (group)-compatible
+    * distribution after the window. ln() parity with the oracle is
+    * established practice here (the PSI terms and text-entropy tier
+    * hash-match through round 6 rounding). */
+  def groupEntropy(df: DataFrame, group: org.apache.spark.sql.Column,
+      category: org.apache.spark.sql.Column): DataFrame = {
+    val c = df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val p = col("n").cast("double") / sum(col("n")).over(w).cast("double")
+    c.withColumn("term", -p * log(p))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_categories"),
+        round(sum(col("term")), 6).as("entropy_nats"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // behavioral-mix entropy per user-decile segment
+    "q_agg_entropy" -> ((s, d) =>
+      groupEntropy(Tables.events(s, d), col("user_id") % 10,
+        col("event_type"))),
     "q_agg_active_users" -> ((s, d) =>
       rollingActiveUsers(Tables.events(s, d))),
     // customer lifetime value with recency decay — "what has this
@@ -368,6 +395,19 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same (grp, cat) counts → p·ln p chain, same operand order
+    "q_agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS grp, event_type AS cat, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT grp,
+        |        -(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE))
+        |         AS term
+        |      FROM c)
+        |SELECT grp, count(*) AS n_categories,
+        |       round(sum(term), 6) AS entropy_nats
+        |FROM p GROUP BY grp ORDER BY grp""".stripMargin,
     // independent formulation: range join per day instead of the
     // engine's fan-out — cross-checks the explode trick's semantics
     "q_agg_active_users" ->

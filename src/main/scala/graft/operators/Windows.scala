@@ -521,6 +521,22 @@ object Windows {
           (unix_micros(col("ts")) + lit(600000000L)).as("e")),
         col("user_id"), col("s"), col("e"))),
     "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    // COUNT DISTINCT as a window: no engine allows DISTINCT inside a
+    // window aggregate, so the idiom is max(dense_rank) over the same
+    // partition ordered by the counted column — every row carries its
+    // group's distinct-priority count without a second aggregate-and-
+    // join-back pass. ONE customer-key shuffle serves both windows.
+    "q_window_count_distinct" -> ((s, d) => {
+      val byPrio = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      val whole = Window.partitionBy(col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("dr", dense_rank().over(byPrio))
+        .select(col("o_orderkey"), col("o_custkey"),
+          max(col("dr")).over(whole).cast("long").as("n_distinct_prio"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_window_ratio" -> ((s, d) =>
       ratioToReport(Tables.orders(s, d), col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"))),
@@ -707,6 +723,16 @@ object Windows {
         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
         |         AS rolling_med
         |FROM events ORDER BY id""".stripMargin,
+    // independent formulation: plain grouped count(DISTINCT) joined
+    // back — cross-checks the dense_rank window idiom
+    "q_window_count_distinct" ->
+      """WITH g AS (
+        |  SELECT o_custkey, CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |           AS n_distinct_prio
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey, g.n_distinct_prio
+        |FROM orders o JOIN g ON o.o_custkey = g.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q_interval_coalesce" ->
       """WITH i AS (
         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
