@@ -175,9 +175,8 @@ object Snapshot {
       .unionByName(newSample.select(newValue.as("v"), lit(0L).as("o"), lit(1L).as("n")))
     val c = s.groupBy(col("v"))
       .agg(sum(col("o")).as("n_old"), sum(col("n")).as("n_new"))
-    val cum = Windows.withGlobalPrefixSum(
-      Windows.withGlobalPrefixSum(c, col("n_old"), "c_old", col("v")),
-      col("n_new"), "c_new", col("v"))
+    val cum = Windows.withGlobalPrefixSums(c,
+      Seq(col("n_old") -> "c_old", col("n_new") -> "c_new"), col("v"))
     val tot = c.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
     val d = cum.crossJoin(broadcast(tot))
       .select(col("v"), col("t_old"), col("t_new"),

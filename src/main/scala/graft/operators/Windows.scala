@@ -49,7 +49,17 @@ object Windows {
     * aggregate (the only unpartitioned window, over one row per
     * partition). No single-task whole-relation window anywhere. */
   def withGlobalPrefixSum(df: DataFrame, valueCol: Column, out: String,
+      sortCols: Column*): DataFrame =
+    withGlobalPrefixSums(df, Seq(valueCol -> out), sortCols: _*)
+
+  /** Multi-measure form of [[withGlobalPrefixSum]]: every
+    * (value, out-name) pair gets its global running sum over ONE
+    * shared ranged layout — one range exchange, one checkpoint, one
+    * offsets broadcast, however many measures ride along (a KS CDF
+    * pair would otherwise pay the layout twice). */
+  def withGlobalPrefixSums(df: DataFrame, measures: Seq[(Column, String)],
       sortCols: Column*): DataFrame = {
+    require(measures.nonEmpty, "need at least one (value, out) measure")
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // MATERIALIZE the ranged layout before branching: the running-sum
     // window and the offsets aggregate both consume `local`, and each
@@ -58,20 +68,27 @@ object Windows {
     // may SAMPLE DIFFERENT RANGE BOUNDARIES, making _pid disagree
     // between the branches and silently corrupting the global rank.
     // The checkpoint pins one physical layout for both.
-    val local = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-      .withColumn("_lcs",
-        sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("_pid")).agg(sum(valueCol).as("_cnt"))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(
-        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(out, col("_lcs") + col("_off"))
-      .drop("_pid", "_lcs", "_off")
+    val runFrame = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = measures.zipWithIndex.foldLeft(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint()) { case (acc, ((v, _), i)) =>
+      acc.withColumn(s"_lcs$i", sum(v).over(runFrame))
+    }
+    val offFrame = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cnts = measures.zipWithIndex.map { case ((v, _), i) =>
+      sum(v).as(s"_cnt$i") }
+    val offsets = local.groupBy(col("_pid"))
+      .agg(cnts.head, cnts.tail: _*)
+      .select(col("_pid") +: measures.indices.map(i =>
+        coalesce(sum(col(s"_cnt$i")).over(offFrame), lit(0L)).as(s"_off$i")): _*)
+    val joined = local.join(broadcast(offsets), "_pid")
+    measures.zipWithIndex.foldLeft(joined) { case (acc, ((_, out), i)) =>
+      acc.withColumn(out, col(s"_lcs$i") + col(s"_off$i"))
+        .drop(s"_lcs$i", s"_off$i")
+    }.drop("_pid")
   }
 
   /** Distributed PER-GROUP running sum over a total order — the
