@@ -670,7 +670,45 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive / retrieval
+    * training: each anchor probes a fixed modular sequence of
+    * candidate ids (`(anchor·7919 + j·104729) mod N`, j = 1..probes)
+    * and keeps the first `k` whose label differs — the in-batch-
+    * negatives replacement that is RNG-free, stable under retries and
+    * partition moves (the [[TextOps.splitHoldout]] posture), and
+    * replayable in plain SQL on any engine. The probe constants are
+    * coprime steps, so candidates repeat only on corpora smaller than
+    * the probe span (documented, not deduped — duplicates keep their
+    * distinct probe index and parity stays exact).
+    *
+    * Scale: a ×probes explode of the (id, label) projection — never
+    * the vectors — one equi join back for candidate labels, and a
+    * per-anchor bounded (≤probes-row) window for the keep-k rank. */
+  def negativeSample(emb: DataFrame, k: Int = 4, probes: Int = 8): DataFrame = {
+    val n = emb.agg(max(col("vec_id")).as("mx"))
+    val cand = emb.select(col("vec_id"), col("label"))
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"), col("label"), col("mx"),
+        explode(sequence(lit(1L), lit(probes.toLong))).as("j"))
+      .withColumn("neg_id",
+        (col("vec_id") * 7919L + col("j") * 104729L) % (col("mx") + 1L))
+      .drop("mx")
+    val other = emb.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("j"))
+    cand.join(other, "neg_id")
+      .filter(col("neg_label") =!= col("label") &&
+        col("neg_id") =!= col("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("j"), col("neg_id"), col("neg_label"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_negatives" -> ((s, d) =>
+      negativeSample(Tables.embeddings(s, d))),
     "q_embed_norms" -> ((s, d) =>
       embedNormStats(Tables.embeddings(s, d))),
     "q_embed_quantize" -> ((s, d) =>
@@ -840,6 +878,21 @@ object Similarity {
         |              WHERE vec_id = 0)), 4) AS sim
         |FROM embeddings
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    // same modular probe chain, integer arithmetic end-to-end
+    "q_sample_negatives" ->
+      """WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
+        |js AS (SELECT unnest(generate_series(1, 8)) AS j),
+        |c AS (SELECT e.vec_id, e.label, js.j,
+        |             (e.vec_id * 7919 + js.j * 104729) % (mx.mx + 1)
+        |               AS neg_id
+        |      FROM embeddings e CROSS JOIN mx CROSS JOIN js),
+        |f AS (SELECT c.vec_id, c.j, c.neg_id, o.label AS neg_label,
+        |             row_number() OVER (PARTITION BY c.vec_id
+        |                                ORDER BY c.j) AS rk
+        |      FROM c JOIN embeddings o ON o.vec_id = c.neg_id
+        |      WHERE o.label <> c.label AND c.neg_id <> c.vec_id)
+        |SELECT vec_id, j, neg_id, neg_label FROM f WHERE rk <= 4
+        |ORDER BY vec_id, j""".stripMargin,
     // same sequential double fold as VectorDot (parity in
     // VectorDotSpec); sqrt is correctly-rounded IEEE on both engines
     "q_embed_norms" ->
