@@ -241,6 +241,39 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** INTERVAL-OVERLAP self-join across keys: every pair of intervals
+    * from DIFFERENT keys that strictly overlap ([s,e) semantics —
+    * zero-length and point-touching intervals never match), with the
+    * exact overlap duration — concurrency analysis ("which sessions
+    * were live together"), the two-sided generalization of the
+    * point-in-interval join.
+    *
+    * Scale shape: the [[rangeBucketedJoin]] trick extended to
+    * interval×interval — each interval explodes over the fixed-width
+    * time buckets it spans (fan-out bounded by span/bucketUs), the
+    * join is EQUI on the bucket, and each qualifying pair is emitted
+    * exactly once WITHOUT a distinct: only the bucket containing the
+    * overlap's start (`greatest(sa, sb) div W`) reports it. No
+    * nested-loop, no cartesian, no dedup shuffle. */
+  def intervalOverlapJoin(iv: DataFrame, key: Column, id: Column,
+      startUs: Column, endUs: Column, bucketUs: Long): DataFrame = {
+    def fan(k: String, i: String, s: String, e: String) =
+      iv.select(key.as(k), id.as(i), startUs.as(s), endUs.as(e))
+        .withColumn("bk", explode(sequence(
+          expr(s"$s div ${bucketUs}L"), expr(s"$e div ${bucketUs}L"))))
+    val a = fan("ka", "ia", "sa", "ea")
+    val b = fan("kb", "ib", "sb", "eb")
+    a.join(b, Seq("bk"))
+      .filter(col("ka") < col("kb") &&
+        col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("bk") === expr(s"greatest(sa, sb) div ${bucketUs}L"))
+      .select(col("ka").as("key_a"), col("ia").as("id_a"),
+        col("kb").as("key_b"), col("ib").as("id_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+      .orderBy(col("key_a"), col("id_a"), col("key_b"), col("id_b"))
+  }
+
   def asofNearest(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"))
@@ -462,6 +495,15 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Session-concurrency: which sessions of DIFFERENT users were live
+    // at the same time, and for how long — intervals from the same
+    // 30-min-gap sessionization the analytics tier uses, 1 h buckets.
+    "q_join_interval_overlap" -> ((s, d) =>
+      intervalOverlapJoin(
+        Windows.sessionize(Tables.events(s, d), 1800L),
+        col("user_id"), col("session_id"),
+        col("start_us"), col("end_us"), 3600000000L)),
+
     // TOLERANCE as-of: the backward match, NULLed when it is staler
     // than the tolerance window (pandas merge_asof(tolerance=...)) —
     // "credit the last view, but only if it happened within the last
@@ -627,6 +669,29 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    // brute-force overlap join over the replayed sessionization — the
+    // oracle needs no bucketing at its scale, which makes it an
+    // independent check of the first-overlap-bucket dedup trick
+    "q_join_interval_overlap" ->
+      """WITH o AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800 * 1000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS BIGINT) AS session_id
+        |      FROM b),
+        |iv AS (SELECT user_id, session_id, min(us) AS s, max(us) AS e
+        |       FROM s GROUP BY 1, 2)
+        |SELECT a.user_id AS key_a, a.session_id AS id_a,
+        |       b.user_id AS key_b, b.session_id AS id_b,
+        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+        |ORDER BY key_a, id_a, key_b, id_b""".stripMargin,
     // DuckDB's native ASOF JOIN + a tolerance CASE on the match —
     // independent of the engine's union+window formulation
     "q_join_asof_tolerance" ->

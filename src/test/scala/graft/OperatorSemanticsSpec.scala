@@ -1303,6 +1303,24 @@ class OperatorSemanticsSpec extends SparkTestBase {
       (21L, None, None), (30L, None, None)))
   }
 
+  test("intervalOverlapJoin: multi-bucket spans counted once, touch excluded, same key excluded") {
+    import spark.implicits._
+    val iv = Seq(
+      // A1 [0, 2500) spans buckets 0,1,2 (W=1000); B1 [1500, 1800)
+      // overlaps inside bucket 1 → exactly one pair, overlap 300
+      (1L, 1L, 0L, 2500L), (2L, 1L, 1500L, 1800L),
+      // C1 touches A1's end exactly → strict [s,e): no match
+      (3L, 1L, 2500L, 3000L),
+      // same key as A1, overlapping → excluded (key_a < key_b)
+      (1L, 2L, 100L, 200L)
+    ).toDF("u", "sid", "s", "e")
+    val r = operators.Joins.intervalOverlapJoin(iv, col("u"), col("sid"),
+        col("s"), col("e"), bucketUs = 1000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq((1L, 1L, 2L, 1L, 300L)))
+  }
+
   test("driftKs: closed-form two-sample statistic, tie resolves to min value") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
