@@ -349,6 +349,33 @@ object Windows {
       .orderBy(col("k"), col("span"))
   }
 
+  /** TIME-TO-CONVERT distribution: per user, the gap between the first
+    * `from` event and the first `to` event — counted only when the
+    * first `to` does not precede the first `from` (a purchase before
+    * ever viewing is not a conversion of this funnel) — reduced to the
+    * funnel-latency summary (converted-user count, mean, median, p90
+    * seconds): the "how long does conversion take" companion to
+    * [[funnel]]'s "how many convert".
+    *
+    * One counts-only hash aggregate per user (two conditional mins —
+    * the raw stream collapses immediately), then a single 1-row
+    * reduction. Exact `percentile` buffers one value per CONVERTED
+    * user — fine at dashboard cardinalities; swap approx_percentile at
+    * billions of users (the [[Aggregations]] percentile convention).
+    * Arithmetic is integer µs and interpolated midpoints — exact. */
+  def timeToConvert(events: DataFrame, from: String, to: String): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === from, unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === to, unix_micros(col("ts")))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(((col("p") - col("v")).cast("double") / 1e6).as("gap_s"))
+    per.agg(count(lit(1)).as("n_converted"),
+      round(avg(col("gap_s")), 2).as("avg_s"),
+      round(percentile(col("gap_s"), lit(0.5)), 2).as("median_s"),
+      round(percentile(col("gap_s"), lit(0.9)), 2).as("p90_s"))
+  }
+
   /** First-/last-touch attribution: each conversion event is credited
     * to the FIRST and the MOST RECENT preceding touch event (strictly
     * earlier in the user's history; ties at identical timestamps break
@@ -538,6 +565,8 @@ object Windows {
           (unix_micros(col("ts")) + lit(600000000L)).as("e")),
         col("user_id"), col("s"), col("e"))),
     "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    "q_time_to_convert" -> ((s, d) =>
+      timeToConvert(Tables.events(s, d), "view", "purchase")),
     // COUNT DISTINCT as a window: no engine allows DISTINCT inside a
     // window aggregate, so the idiom is max(dense_rank) over the same
     // partition ordered by the counted column — every row carries its
@@ -740,6 +769,23 @@ object Windows {
         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
         |         AS rolling_med
         |FROM events ORDER BY id""".stripMargin,
+    // same conditional-min reduction; quantile_cont == Spark's
+    // interpolated percentile on exact integer-µs-derived doubles
+    "q_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(p - v AS DOUBLE) / 1e6 AS gap_s FROM f
+        |      WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+        |SELECT count(*) AS n_converted,
+        |       round(avg(gap_s), 2) AS avg_s,
+        |       round(quantile_cont(gap_s, 0.5), 2) AS median_s,
+        |       round(quantile_cont(gap_s, 0.9), 2) AS p90_s
+        |FROM g""".stripMargin,
     // independent formulation: plain grouped count(DISTINCT) joined
     // back — cross-checks the dense_rank window idiom
     "q_window_count_distinct" ->
