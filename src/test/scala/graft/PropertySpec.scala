@@ -349,6 +349,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapJoin ≡ brute-force overlap scan, for all interval sets and bucket widths") {
+    import graft.operators.Joins
+    val ivGen = for {
+      k <- Gen.choose(1L, 4L)
+      i <- Gen.choose(1L, 5L)
+      s <- Gen.choose(0L, 300L)
+      len <- Gen.choose(0L, 80L) // zero-length intervals must never match
+    } yield (k, i, s, s + len)
+    val caseGen = Gen.zip(Gen.listOfN(20, ivGen), Gen.oneOf(7L, 50L, 1000L))
+    forAllSeeded(caseGen, trials = 8) { case (raw, width) =>
+      // unique (key, id) per interval — ids are the dedup identity
+      val ivs = raw.zipWithIndex.map { case ((k, _, s, e), i) => (k, i.toLong, s, e) }
+      val got = Joins.intervalOverlapJoin(ivs.toDF("k", "i", "s", "e"),
+          col("k"), col("i"), col("s"), col("e"), bucketUs = width)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      val want = (for {
+        a <- ivs; b <- ivs
+        if a._1 < b._1 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._1, b._2,
+        math.min(a._4, b._4) - math.max(a._3, b._3)))
+        .sortBy(x => (x._1, x._2, x._3, x._4))
+      assert(got == want, s"width=$width:\n got ${got.take(5)}…\nwant ${want.take(5)}…")
+    }
+  }
+
+  test("negativeSample: k-bounded, different-label, formula-exact, for all corpora") {
+    import graft.operators.Similarity
+    val rowGen = Gen.choose(0, 9) // label
+    forAllSeeded(Gen.listOfN(30, rowGen), trials = 8) { labels =>
+      val emb = labels.zipWithIndex.map { case (l, i) =>
+        (i.toLong, Array(1.0f), l) }.toDF("vec_id", "embedding", "label")
+      val n = labels.length.toLong
+      val rows = Similarity.negativeSample(emb, k = 4, probes = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      rows.groupBy(_._1).foreach { case (v, rs) =>
+        assert(rs.length <= 4, s"anchor $v got ${rs.length} > k negatives")
+        rs.foreach { case (vec, j, neg, negLabel) =>
+          assert(neg == (vec * 7919L + j * 104729L) % n, "probe formula broken")
+          assert(neg != vec, "self-negative")
+          assert(negLabel != labels(vec.toInt), "same-label negative")
+          assert(negLabel == labels(neg.toInt), "wrong joined label")
+        }
+      }
+    }
+  }
+
   test("rollingActiveUsers ≡ brute-force per-day distinct scans, for all activity sets") {
     import graft.operators.Aggregations
     val actGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 20))
