@@ -182,6 +182,30 @@ class PlanSpec extends SparkTestBase {
       "explode must consume the deduped (user, day) aggregate, not raw events")
   }
 
+  test("q_sample_negatives: embedding vectors never enter an exchange") {
+    val plan = executed("q_sample_negatives")
+    val lines = plan.linesIterator.toIndexedSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.slice(i + 1, i + 4).find(_.trim.startsWith("Input")).getOrElse("") }
+    assert(exchangeInputs.nonEmpty &&
+      exchangeInputs.forall(!_.contains("embedding#")),
+      s"vectors shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
+  test("q_join_interval_overlap: equi join on the time bucket, never a nested loop") {
+    val plan = executed("q_join_interval_overlap")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"overlap join must hash on the bucket:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "overlap join degenerated to an all-pairs strategy")
+    assert(plan.contains("bk#") || plan.contains("[bk"),
+      "join key is not the time bucket")
+  }
+
   test("q_split_holdout / q_filter_gopher: pure projections — no Exchange except the output order") {
     // the split carve and the rule gate are row-local; the only
     // exchange either may show is the final presentation sort's range
