@@ -237,7 +237,33 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** EXACT distinct count via BITMAP pre-aggregation (Spark's native
+    * bitmap_* functions): ids bucket into 32k-bit bitmaps, each
+    * (group, bucket) reduces to ONE bitmap with map-side partial
+    * merging, and the distinct count is the sum of per-bucket bit
+    * counts. Same answer as count(DISTINCT), different scale
+    * contract: the bitmap state is MERGEABLE (segments can
+    * pre-aggregate independently and OR together later — the
+    * materialized-view / OLAP-cube refresh technique), while
+    * count(DISTINCT) expands every raw id through the shuffle. The
+    * shuffle here carries one ≤4 KB bitmap per (group, bucket,
+    * mapper) instead of one row per (group, id). */
+  def bitmapDistinct(df: DataFrame, group: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): DataFrame =
+    df.select(group.as("grp"), id.as("id"))
+      .groupBy(col("grp"), expr("bitmap_bucket_number(id)").as("bkt"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(id)))")
+        .as("cnt"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_distinct"))
+      .orderBy(col("grp"))
+
   val queries: Map[String, Q] = Map(
+    // distinct customers per priority through the bitmap path; the
+    // oracle's plain count(DISTINCT) proves exactness
+    "q_agg_bitmap_distinct" -> ((s, d) =>
+      bitmapDistinct(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_custkey"))),
     // behavioral-mix entropy per user-decile segment
     "q_agg_entropy" -> ((s, d) =>
       groupEntropy(Tables.events(s, d), col("user_id") % 10,
@@ -395,6 +421,11 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // the bitmap path must equal plain COUNT(DISTINCT) exactly
+    "q_agg_bitmap_distinct" ->
+      """SELECT o_orderpriority AS grp,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // same (grp, cat) counts → p·ln p chain, same operand order
     "q_agg_entropy" ->
       """WITH c AS (
