@@ -285,10 +285,17 @@ object Aggregations {
     "q_agg_moments" -> ((s, d) =>
       groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
+    // rz rendered via floor-based half-up (floor(x·10⁴ + ½)/10⁴), NOT
+    // round(): the raw quotient is bit-identical on both engines, but
+    // round() implementations disagree exactly when the shortest
+    // decimal repr sits on a .5 boundary whose binary value is a hair
+    // below it (found by the sf0.1 sweep: 3.85225 → 3.8522 vs 3.8523).
+    // floor/·/+ are all exact-rounded IEEE ops on the identical
+    // double, so the rendering is engine-independent by construction.
     "q_anomaly_mad" -> ((s, d) =>
       anomalyMad(Tables.events(s, d), "event_type", "value")
         .select(col("event_id"), col("event_type"), col("value"),
-          round(col("rz"), 4).as("rz"))
+          (floor(col("rz") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("rz"))
         .orderBy(col("event_id"))),
     // Ungrouped global aggregate (validation counts analog).
     "q_agg_global" -> ((s, d) =>
@@ -505,7 +512,8 @@ object Aggregations {
         |             e.value - m.med AS dev, abs(e.value - m.med) AS adev
         |      FROM events e JOIN m USING (event_type)),
         |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
-        |SELECT event_id, d.event_type, value, round(0.6745 * dev / mad, 4) AS rz
+        |SELECT event_id, d.event_type, value,
+        |       floor(0.6745 * dev / mad * 10000.0 + 0.5) / 10000.0 AS rz
         |FROM d JOIN md USING (event_type)
         |WHERE mad > 0 AND abs(0.6745 * dev / mad) > 3.5
         |ORDER BY event_id""".stripMargin,
