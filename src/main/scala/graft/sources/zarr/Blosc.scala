@@ -1,0 +1,288 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Blosc v1 frame codec — the de-facto default compressor of zarr v2
+  * stores written by zarr-python/xarray (numcodecs `Blosc(cname='lz4',
+  * clevel=5, shuffle=SHUFFLE)`), and therefore the compressor of the
+  * reference's own NASA POWER store ([REF precipitation_pipeline.py:47,
+  * 79-86]). Implemented from the PUBLIC c-blosc 1.x container format
+  * (github.com/Blosc/c-blosc, `README_HEADER.rst` + `blosc/blosc.c`) —
+  * no native library, no new dependency: the inner codecs are zlib
+  * (`java.util.zip`) and the raw LZ4 block format via the lz4-java jar
+  * Spark already ships.
+  *
+  * Frame layout (all ints little-endian):
+  * {{{
+  *   byte 0     version   (format version, 1..2)
+  *   byte 1     versionlz (inner codec version)
+  *   byte 2     flags     bit0 byte-shuffle | bit1 memcpy | bit2
+  *                        bit-shuffle | bit3 delta | bit4 dont-split |
+  *                        bits5-7 codec id (0 blosclz, 1 lz4/lz4hc,
+  *                        2 snappy, 3 zlib, 4 zstd)
+  *   byte 3     typesize
+  *   bytes 4-7  nbytes    uncompressed size
+  *   bytes 8-11 blocksize
+  *   bytes12-15 cbytes    total frame size
+  * }}}
+  * A memcpy frame stores the raw source right after the header.
+  * Otherwise an int32 offset table (one absolute offset per block)
+  * follows, then the blocks. Each block holds `nsplits` streams, each
+  * `int32 csize` + payload; `csize == neblock` marks a stored
+  * (uncompressed) stream. Byte-shuffle is applied per block before
+  * splitting, so each split of a shuffled block is one byte-plane.
+  * `nsplits` is not stored: both sides derive it as `typesize` iff
+  * `typesize <= 16 && bsize/typesize >= 128 && !leftoverBlock &&
+  * !dontSplitFlag` (c-blosc `blosc_d`; the bit-4 flag exists since
+  * c-blosc 1.11 precisely so decoders stay format-compatible).
+  *
+  * Unsupported frames (blosclz/snappy/zstd codecs, bit-shuffle, delta)
+  * fail LOUDLY — a silent misread is the one unacceptable outcome.
+  */
+object Blosc {
+  private val DoShuffle = 0x1
+  private val MemCpyed = 0x2
+  private val DoBitShuffle = 0x4
+  private val DoDelta = 0x8
+  private val DontSplit = 0x10
+  private val CodecLz4 = 1
+  private val CodecZlib = 3
+  private val MaxSplits = 16
+  private val MinBufferSize = 128
+  private val HeaderLen = 16
+
+  private def lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode one blosc frame to its raw bytes. */
+  def decompress(frame: Array[Byte]): Array[Byte] = {
+    require(frame.length >= HeaderLen, s"blosc frame of ${frame.length} bytes (<16)")
+    val hdr = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
+    val version = frame(0) & 0xff
+    val flags = frame(2) & 0xff
+    val typesize = frame(3) & 0xff
+    val nbytes = hdr.getInt(4)
+    val blocksize = hdr.getInt(8)
+    val cbytes = hdr.getInt(12)
+    require(version >= 1 && version <= 2, s"blosc format version $version unsupported (1-2 only)")
+    require(nbytes >= 0 && cbytes >= HeaderLen && cbytes <= frame.length,
+      s"blosc frame header nbytes=$nbytes cbytes=$cbytes inconsistent with ${frame.length} bytes")
+    require((flags & DoBitShuffle) == 0, "blosc bit-shuffle filter unsupported (byte shuffle only)")
+    require((flags & DoDelta) == 0, "blosc delta filter unsupported")
+    if (nbytes == 0) return Array.emptyByteArray
+
+    if ((flags & MemCpyed) != 0) { // stored frame: raw source follows the header
+      require(cbytes == nbytes + HeaderLen,
+        s"blosc memcpy frame cbytes=$cbytes != nbytes+16=${nbytes + HeaderLen}")
+      return java.util.Arrays.copyOfRange(frame, HeaderLen, HeaderLen + nbytes)
+    }
+
+    val codec = (flags >> 5) & 0x7
+    require(codec == CodecLz4 || codec == CodecZlib, {
+      val name = codec match {
+        case 0 => "blosclz"; case 2 => "snappy"; case 4 => "zstd"; case c => s"id=$c"
+      }
+      s"blosc inner codec '$name' unsupported (lz4/zlib only)"
+    })
+    require(blocksize > 0 && typesize > 0,
+      s"blosc frame blocksize=$blocksize typesize=$typesize invalid")
+    val shuffled = (flags & DoShuffle) != 0
+    val dontSplit = (flags & DontSplit) != 0
+
+    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
+    val leftover = nbytes % blocksize
+    val out = new Array[Byte](nbytes)
+    val blockBuf = new Array[Byte](blocksize)
+    var j = 0
+    while (j < nblocks) {
+      val bstart = hdr.getInt(HeaderLen + 4 * j)
+      require(bstart >= HeaderLen + 4 * nblocks && bstart < cbytes,
+        s"blosc block $j offset $bstart outside frame")
+      val leftoverBlock = j == nblocks - 1 && leftover != 0
+      val bsize = if (leftoverBlock) leftover else blocksize
+      val nsplits =
+        if (typesize <= MaxSplits && bsize / typesize >= MinBufferSize &&
+          !leftoverBlock && !dontSplit) typesize
+        else 1
+      val neblock = bsize / nsplits
+      var soff = bstart
+      var s = 0
+      while (s < nsplits) {
+        val csize = hdr.getInt(soff); soff += 4
+        require(csize > 0 && soff + csize <= cbytes,
+          s"blosc block $j split $s csize=$csize overruns frame")
+        if (csize == neblock) { // stored stream
+          System.arraycopy(frame, soff, blockBuf, s * neblock, neblock)
+        } else {
+          val got = codec match {
+            case CodecLz4 =>
+              lz4.safeDecompressor().decompress(frame, soff, csize, blockBuf, s * neblock)
+            case CodecZlib =>
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(frame, soff, csize)
+              var w = 0
+              while (!inf.finished() && w < neblock) {
+                val k = inf.inflate(blockBuf, s * neblock + w, neblock - w)
+                if (k == 0 && !inf.finished())
+                  throw new java.io.IOException(s"truncated zlib stream in blosc block $j")
+                w += k
+              }
+              inf.end(); w
+          }
+          require(got == neblock,
+            s"blosc block $j split $s decoded $got bytes, expected $neblock")
+        }
+        soff += csize
+        s += 1
+      }
+      val dest = j * blocksize
+      if (shuffled) unshuffle(typesize, bsize, blockBuf, out, dest)
+      else System.arraycopy(blockBuf, 0, out, dest, bsize)
+      j += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Encode raw bytes as a blosc frame c-blosc would accept (and this
+    * decoder round-trips): byte-shuffle per block, forward-compat split
+    * mode (split for lz4, don't for zlib), stored-stream fallback per
+    * split, whole-frame memcpy fallback when compression does not pay. */
+  def compress(raw: Array[Byte], cname: String, typesize: Int,
+      shuffle: Boolean = true, clevel: Int = 5): Array[Byte] = {
+    val codec = cname match {
+      case "lz4" | "lz4hc" => CodecLz4
+      case "zlib" => CodecZlib
+      case other => throw new IllegalArgumentException(s"blosc cname '$other' unsupported")
+    }
+    require(typesize >= 1 && typesize <= 255, s"typesize $typesize out of byte range")
+    val nbytes = raw.length
+    if (nbytes == 0) return header(codec, typesize, 0, 0, HeaderLen, memcpy = false,
+      shuffle = false, dontSplit = true)
+
+    // block size: 64 KiB rounded to the typesize (c-blosc picks an
+    // L2-ish auto size; any multiple-of-typesize value is valid — the
+    // header carries it)
+    val blocksize = {
+      val b = math.min(nbytes.toLong, 64L * 1024).toInt
+      val aligned = math.max(typesize, b - b % typesize)
+      aligned
+    }
+    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
+    val leftover = nbytes % blocksize
+    val doSplit = codec == CodecLz4 && typesize <= MaxSplits &&
+      blocksize / typesize >= MinBufferSize
+
+    val body = new java.io.ByteArrayOutputStream(nbytes / 2 + 64)
+    val bstarts = new Array[Int](nblocks)
+    val shuf = new Array[Byte](blocksize)
+    var j = 0
+    while (j < nblocks) {
+      bstarts(j) = HeaderLen + 4 * nblocks + body.size()
+      val leftoverBlock = j == nblocks - 1 && leftover != 0
+      val bsize = if (leftoverBlock) leftover else blocksize
+      val src =
+        if (shuffle) { doShuffle(typesize, bsize, raw, j * blocksize, shuf); shuf }
+        else raw
+      val srcOff = if (shuffle) 0 else j * blocksize
+      val nsplits = if (doSplit && !leftoverBlock) typesize else 1
+      val neblock = bsize / nsplits
+      var s = 0
+      while (s < nsplits) {
+        val packed = codec match {
+          case CodecLz4 =>
+            val comp = lz4.fastCompressor()
+            val tmp = new Array[Byte](comp.maxCompressedLength(neblock))
+            val n = comp.compress(src, srcOff + s * neblock, neblock, tmp, 0, tmp.length)
+            if (n < neblock) Some(java.util.Arrays.copyOf(tmp, n)) else None
+          case CodecZlib =>
+            val defl = new java.util.zip.Deflater(clevel)
+            defl.setInput(src, srcOff + s * neblock, neblock); defl.finish()
+            val o = new java.io.ByteArrayOutputStream(neblock / 2 + 32)
+            val tmp = new Array[Byte](8192)
+            while (!defl.finished()) o.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+            if (o.size() < neblock) Some(o.toByteArray) else None
+        }
+        val le = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        packed match {
+          case Some(c) => le.putInt(c.length); body.write(le.array()); body.write(c)
+          case None => // stored stream, marked by csize == neblock
+            le.putInt(neblock); body.write(le.array())
+            body.write(src, srcOff + s * neblock, neblock)
+        }
+        s += 1
+      }
+      j += 1
+    }
+
+    val cbytes = HeaderLen + 4 * nblocks + body.size()
+    if (cbytes >= nbytes + HeaderLen) { // compression does not pay: memcpy frame
+      val out = header(codec, typesize, nbytes, blocksize, HeaderLen + nbytes,
+        memcpy = true, shuffle = false, dontSplit = true)
+      val full = java.util.Arrays.copyOf(out, HeaderLen + nbytes)
+      System.arraycopy(raw, 0, full, HeaderLen, nbytes)
+      return full
+    }
+    val out = new java.io.ByteArrayOutputStream(cbytes)
+    out.write(header(codec, typesize, nbytes, blocksize, cbytes, memcpy = false,
+      shuffle = shuffle, dontSplit = !doSplit))
+    val bs = ByteBuffer.allocate(4 * nblocks).order(ByteOrder.LITTLE_ENDIAN)
+    bstarts.foreach(bs.putInt)
+    out.write(bs.array())
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  private def header(codec: Int, typesize: Int, nbytes: Int, blocksize: Int,
+      cbytes: Int, memcpy: Boolean, shuffle: Boolean, dontSplit: Boolean): Array[Byte] = {
+    val h = ByteBuffer.allocate(HeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    var flags = codec << 5
+    if (shuffle) flags |= DoShuffle
+    if (memcpy) flags |= MemCpyed
+    if (dontSplit) flags |= DontSplit
+    h.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    h.putInt(nbytes).putInt(blocksize).putInt(cbytes)
+    h.array()
+  }
+
+  // ------------------------------------------------------------- shuffle
+
+  /** Byte shuffle one block: plane j gets every typesize-th byte;
+    * the sub-typesize tail is copied verbatim (c-blosc
+    * `shuffle_generic`). */
+  private def doShuffle(typesize: Int, bsize: Int, src: Array[Byte],
+      srcOff: Int, dest: Array[Byte]): Unit = {
+    val quot = bsize / typesize
+    var jj = 0
+    while (jj < typesize) {
+      var i = 0
+      while (i < quot) {
+        dest(jj * quot + i) = src(srcOff + i * typesize + jj)
+        i += 1
+      }
+      jj += 1
+    }
+    System.arraycopy(src, srcOff + quot * typesize, dest, quot * typesize,
+      bsize - quot * typesize)
+  }
+
+  /** Inverse of [[doShuffle]]. */
+  private def unshuffle(typesize: Int, bsize: Int, src: Array[Byte],
+      dest: Array[Byte], destOff: Int): Unit = {
+    val quot = bsize / typesize
+    var jj = 0
+    while (jj < typesize) {
+      var i = 0
+      while (i < quot) {
+        dest(destOff + i * typesize + jj) = src(jj * quot + i)
+        i += 1
+      }
+      jj += 1
+    }
+    System.arraycopy(src, quot * typesize, dest, destOff + quot * typesize,
+      bsize - quot * typesize)
+  }
+}

@@ -100,10 +100,7 @@ object Zarr {
       f: Array[Long] => Double): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val compJson = compressor match {
-      case None => "null"
-      case Some(id) => s"""{"id":"$id","level":5}"""
-    }
+    val compJson = ZarrCodec.json(compressor)
     Files.writeString(d.resolve(".zarray"),
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
          |"chunks":[${chunks.mkString(",")}],"dtype":"<f8",
@@ -197,10 +194,7 @@ object Zarr {
       }
       .foreach(p => Files.deleteIfExists(p))
     finally tmpListing.close()
-    val compJson = compressor match {
-      case None => "null"
-      case Some(id) => s"""{"id":"$id","level":5}"""
-    }
+    val compJson = ZarrCodec.json(compressor)
     Files.writeString(d.resolve(".zarray"),
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
          |"chunks":[${chunks.mkString(",")}],"dtype":"<f8",

@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope (the subset the reference actually exercises): zarr format 2,
   * C order, little-endian `<f8 <f4 <i8 <i4`, compressor `null`/zlib/
-  * gzip, `.`- or `/`-separated chunk keys, missing chunks = fill
+  * gzip/blosc (lz4, lz4hc, zlib inner codecs — see [[Blosc]]),
+  * `.`- or `/`-separated chunk keys, missing chunks = fill
   * value. Anything else fails LOUDLY at schema inference — silent
   * misreads of an unsupported codec are the one unacceptable outcome.
   *
@@ -116,11 +117,21 @@ object ZarrMeta {
     val comp = zarray.path("compressor")
     val compressor =
       if (comp.isNull) None
-      else {
-        val id = comp.path("id").asText
-        require(id == "zlib" || id == "gzip",
-          s"compressor '$id' unsupported (null/zlib/gzip only)")
-        Some(id)
+      else comp.path("id").asText match {
+        case id @ ("zlib" | "gzip") => Some(id)
+        case "blosc" =>
+          // numcodecs Blosc config; the frame header names the actual
+          // inner codec, but reject unreadable configs HERE so the
+          // failure lands at schema inference, not mid-scan
+          val cname = comp.path("cname").asText
+          require(Set("lz4", "lz4hc", "zlib")(cname),
+            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib only)")
+          require(comp.path("shuffle").asInt(0) != 2,
+            "blosc bit-shuffle unsupported (byte shuffle only)")
+          Some(if (cname == "zlib") "blosc:zlib" else "blosc:lz4")
+        case other =>
+          throw new IllegalArgumentException(
+            s"compressor '$other' unsupported (null/zlib/gzip/blosc only)")
       }
     val shape = zarray.path("shape").elements.asScala.map(_.asLong).toArray
     val chunks = zarray.path("chunks").elements.asScala.map(_.asInt).toArray
@@ -166,8 +177,10 @@ object ZarrMeta {
 /** Shared chunk codec: the writer's compress and the reader's
   * decompress must be exact inverses for every supported id. */
 private[zarr] object ZarrCodec {
-  def compress(raw: Array[Byte], codec: Option[String]): Array[Byte] = codec match {
+  def compress(raw: Array[Byte], codec: Option[String], typesize: Int = 8): Array[Byte] = codec match {
     case None => raw
+    case Some("blosc:lz4") => Blosc.compress(raw, "lz4", typesize)
+    case Some("blosc:zlib") => Blosc.compress(raw, "zlib", typesize)
     case Some("zlib") =>
       val defl = new java.util.zip.Deflater(5)
       defl.setInput(raw); defl.finish()
@@ -180,6 +193,17 @@ private[zarr] object ZarrCodec {
       val g = new java.util.zip.GZIPOutputStream(out)
       g.write(raw); g.close(); out.toByteArray
     case Some(other) => throw new IllegalArgumentException(s"unsupported codec $other")
+  }
+
+  /** The `.zarray` compressor document for a codec id — numcodecs-shaped
+    * for blosc so zarr-python/xarray can read stores this engine writes. */
+  def json(codec: Option[String]): String = codec match {
+    case None => "null"
+    case Some("blosc:lz4") =>
+      """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+    case Some("blosc:zlib") =>
+      """{"id":"blosc","cname":"zlib","clevel":5,"shuffle":1,"blocksize":0}"""
+    case Some(id) => s"""{"id":"$id","level":5}"""
   }
 }
 
@@ -197,6 +221,7 @@ private[zarr] object ZarrChunkIO {
       val raw = Files.readAllBytes(p)
       val bytes = meta.compressor match {
         case None => raw
+        case Some(b) if b.startsWith("blosc:") => Blosc.decompress(raw)
         case Some("zlib") =>
           val inf = new java.util.zip.Inflater()
           inf.setInput(raw)

@@ -39,16 +39,17 @@ class ZarrSpec extends SparkTestBase {
     assert(desc.contains("graft-zarr"), desc.take(800))
   }
 
-  test("raw, zlib and gzip chunks decode to identical rows") {
+  test("raw, zlib, gzip, blosc(lz4) and blosc(zlib) chunks decode to identical rows") {
     val base = graft.sources.IO.tmp("graft_zarr_codec_")
     val f = (i: Array[Long]) => (i(0) * 100 + i(1)).toDouble
-    Seq(None, Some("zlib"), Some("gzip")).zipWithIndex.foreach { case (c, k) =>
+    val codecs = Seq(None, Some("zlib"), Some("gzip"), Some("blosc:lz4"), Some("blosc:zlib"))
+    codecs.zipWithIndex.foreach { case (c, k) =>
       Zarr.writeArray(s"$base/a$k", Array(7L, 5L), Array(3, 2),
         Array("r", "c"), c, 0.0, f)
     }
-    val rows = (0 to 2).map(k => Zarr.readArray(spark, s"$base/a$k")
+    val rows = codecs.indices.map(k => Zarr.readArray(spark, s"$base/a$k")
       .orderBy(col("r"), col("c")).collect().map(_.toSeq).toSeq)
-    assert(rows(0) == rows(1) && rows(1) == rows(2))
+    assert(rows.forall(_ == rows(0)))
     assert(rows(0).size == 35)
   }
 
