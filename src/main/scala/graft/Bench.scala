@@ -180,7 +180,16 @@ object Bench {
     val consumers = ArtifactConsumers.toSeq.sortBy(_._1).map { case (q, ks) =>
       "\"" + q + "\":" + ks.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"artifacts":$arts,"artifact_consumers":$consumers,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}""")
+    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"artifacts":$arts,"artifact_consumers":$consumers,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}"""
+    println(record)
+    // the driver captures a BOUNDED stdout tail, which truncated the
+    // alphabetically-early half of every round-close record — persist
+    // the full record to a file the snapshot commits, so bench_delta
+    // adjudicates ALL queries instead of the surviving tail
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "bench_record.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), record + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $recordPath: ${e.getMessage}") }
     spark.stop()
   }
 }
