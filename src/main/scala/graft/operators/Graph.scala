@@ -194,7 +194,10 @@ object Graph {
     // sketch bits): with fan-in 2 no merge task ever reads more than
     // two sketch-sized partials, whatever the partition count.
     val keyed = ori.select(xxhash64(col("src"), col("dst")).as("k"))
-    val nEdgeRows = math.max(keyed.count(), 1L)
+    // ONE edge-count job, shared: it sizes the sketch AND becomes the
+    // census's n_edges literal (orient is row-preserving, so |ori| =
+    // |und|) — the census used to re-scan und for the same number
+    val nEdgeRows = math.max(und.count(), 1L)
     val bloom = fanIn2Bloom(keyed, nEdgeRows, 0.01)
     val pre = wedges.filter(org.apache.spark.sql.GraftBridge.column(
       graft.plans.BloomMightContainLong(
@@ -203,7 +206,7 @@ object Graph {
     val nTri = pre
       .join(ori.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).cast("long").as("n_triangles"))
-    val nEdges = und.agg(count(lit(1)).cast("long").as("n_edges"))
+    val nEdges = und.sparkSession.range(1).select(lit(nEdgeRows).as("n_edges"))
     val nWedges = deg.agg(sum(expr("deg * (deg - 1) div 2"))
       .cast("long").as("n_wedges"))
     nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))

@@ -254,13 +254,41 @@ object Joins {
     * join is EQUI on the bucket, and each qualifying pair is emitted
     * exactly once WITHOUT a distinct: only the bucket containing the
     * overlap's start (`greatest(sa, sb) div W`) reports it. No
-    * nested-loop, no cartesian, no dedup shuffle. */
+    * nested-loop, no cartesian, no dedup shuffle.
+    *
+    * Fan-out guard: each interval explodes over `span/bucketUs`
+    * buckets, so one adversarial interval (a year-long "session" at an
+    * hourly bucket) would quietly 8,760× its rows. An interval wider
+    * than `maxBucketsPerInterval` fails LOUDLY in-plan with the
+    * interval named (the [[graft.operators.Climate.resampleDaily]]
+    * posture: zero extra jobs) — widen `bucketUs` or raise the bound
+    * explicitly for legitimately long-lived intervals.
+    *
+    * Skew note: a flash-crowd bucket (thousands of intervals live in
+    * the same window) makes the bucket-equi join locally quadratic on
+    * that bucket's task — that cost is the OUTPUT's (the pairs exist),
+    * not a plan defect, and the soak pins it (SOAK.md round-11 row:
+    * 2k-deep hot bucket). If one bucket's pair count alone dwarfs a
+    * task, pre-split the hot keys by salting the bucket id (append
+    * `pmod(id, S)` to `bk` on one side, explode the other S ways) —
+    * the same escape hatch [[nullSafeJoin]] documents. */
   def intervalOverlapJoin(iv: DataFrame, key: Column, id: Column,
-      startUs: Column, endUs: Column, bucketUs: Long): DataFrame = {
-    def fan(k: String, i: String, s: String, e: String) =
-      iv.select(key.as(k), id.as(i), startUs.as(s), endUs.as(e))
-        .withColumn("bk", explode(sequence(
-          expr(s"$s div ${bucketUs}L"), expr(s"$e div ${bucketUs}L"))))
+      startUs: Column, endUs: Column, bucketUs: Long,
+      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    def fan(k: String, i: String, s: String, e: String) = {
+      val base = iv.select(key.as(k), id.as(i), startUs.as(s), endUs.as(e))
+      val bkLo = expr(s"$s div ${bucketUs}L")
+      val bkHi = expr(s"$e div ${bucketUs}L")
+      val nb = bkHi - bkLo + lit(1L)
+      val guardedLo = when(nb > maxBucketsPerInterval.toLong, raise_error(concat(
+          lit("intervalOverlapJoin: interval "), col(i).cast("string"),
+          lit(" spans "), nb.cast("string"),
+          lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval at " +
+            s"bucketUs=$bucketUs — almost certainly bad timestamps or a " +
+            "too-narrow bucket; widen bucketUs or raise the bound explicitly"))))
+        .otherwise(bkLo)
+      base.withColumn("bk", explode(sequence(guardedLo, bkHi)))
+    }
     val a = fan("ka", "ia", "sa", "ea")
     val b = fan("kb", "ib", "sb", "eb")
     a.join(b, Seq("bk"))

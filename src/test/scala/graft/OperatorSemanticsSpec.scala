@@ -1321,6 +1321,28 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r == Seq((1L, 1L, 2L, 1L, 300L)))
   }
 
+  test("intervalOverlapJoin: a span wider than the fan-out bound fails LOUDLY, named") {
+    import spark.implicits._
+    // one year-long "session" at an hourly bucket = an 8,761-way
+    // explode — the guard must name the interval, not silently fan out
+    val hourUs = 3600L * 1000000
+    val iv = Seq(
+      (1L, 7L, 0L, 365L * 24 * hourUs), // the adversarial interval, id 7
+      (2L, 8L, 0L, hourUs / 2)
+    ).toDF("u", "sid", "s", "e")
+    val e = intercept[Exception] {
+      operators.Joins.intervalOverlapJoin(iv, col("u"), col("sid"),
+        col("s"), col("e"), bucketUs = hourUs).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxBucketsPerInterval") && msg.contains("7"), msg)
+    // raising the bound explicitly admits the wide interval
+    val ok = operators.Joins.intervalOverlapJoin(iv, col("u"), col("sid"),
+      col("s"), col("e"), bucketUs = hourUs, maxBucketsPerInterval = 10000)
+    assert(ok.count() == 1) // the two intervals do overlap in bucket 0
+  }
+
   test("driftKs: closed-form two-sample statistic, tie resolves to min value") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
