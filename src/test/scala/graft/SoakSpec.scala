@@ -1016,6 +1016,173 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("adversarial soak r11: flash-crowd bucket / oversized fuzzy block / dominant asof user / bitmap cardinality / label-skewed negatives") {
+    // The r10 newcomers rerun under the DATA SHAPES that break naive
+    // plans, each with a closed-form exact outcome:
+    //  - interval-overlap: 2,000 sessions live in ONE bucket (flash
+    //    crowd) behind 1M quiet ones → exactly C(2000,2) = 1,999,000
+    //    pairs, every overlap 1000 µs — the bucket-equi join's locally
+    //    quadratic worst case is the OUTPUT's size, and the listener
+    //    invariant must hold around it;
+    //  - fuzzy join: one 3,000-member block (vs the normal 10s) →
+    //    C(3000,2) = 4,498,500 extra pairs, all distance 0;
+    //  - asof tolerance/nearest: one user owns 90% of 3M events →
+    //    a 2.7M-row window partition on one task; ±1 s view/purchase
+    //    lattice makes every dt exactly ±1,000,000 µs, and the
+    //    tolerance flips ALL matches between the two runs;
+    //  - bitmap distinct: 3 groups × 1M distinct ids each (every id
+    //    3×-duplicated across groups) → exactly 1,000,000 per group;
+    //  - negative sampling: 99%/1% label skew → the modular probe
+    //    chain yields EXACTLY 80,000 majority rows (8 of 100 id
+    //    residues find their one minority probe) and 40,000 minority
+    //    rows (all probes hit the majority, capped at k=4).
+    import graft.operators.{Aggregations, Joins, Similarity}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- interval-overlap flash crowd: one hot bucket ----
+      val hourUs = 3600L * 1000000
+      val hot = spark.range(2000).select(col("id").as("u"),
+        col("id").as("sid"), lit(0L).as("s"), lit(1000L).as("e"))
+      val quiet = spark.range(1000000L).select(
+        (col("id") + 10000L).as("u"), (col("id") + 10000L).as("sid"),
+        ((col("id") + 1L) * hourUs + 10L).as("s"),
+        ((col("id") + 1L) * hourUs + 1010L).as("e"))
+      val ivIn = hot.unionByName(quiet).repartition(8)
+      val (iv, tIv) = timed {
+        Joins.intervalOverlapJoin(ivIn, col("u"), col("sid"), col("s"),
+            col("e"), bucketUs = hourUs)
+          .agg(count(lit(1)), min(col("overlap_us")), max(col("overlap_us"))).head
+      }
+      assert((iv.getLong(0), iv.getLong(1), iv.getLong(2)) ==
+        ((1999000L, 1000L, 1000L)), s"flash-crowd census: $iv")
+
+      // ---- fuzzy join: one oversized block among 100k normal ones ----
+      val bg = spark.range(1000000L).select(col("id"),
+        expr("id div 10").as("blk"),
+        concat(lit("part "), lpad(expr("id div 10").cast("string"), 6, "0"))
+          .as("name"))
+      val hotBlk = spark.range(3000).select((col("id") + 1000000L).as("id"),
+        lit(200000L).as("blk"), lit("hot part name").as("name"))
+      val fzIn = bg.unionByName(hotBlk).repartition(8)
+      val (fz, tFz) = timed {
+        Joins.fuzzySelfJoin(fzIn, col("id"), Seq(col("blk")), col("name"),
+            maxDist = 2)
+          .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(fz == Map(0L -> 8998500L), s"fuzzy pair histogram: $fz")
+
+      // ---- asof under a dominant user: 90% of events on one key ----
+      val n = 3000000L
+      val asofIn = spark.range(n).select(
+        col("id").as("event_id"),
+        when(col("id") < 2700000L, 0L).otherwise(col("id")).as("user_id"),
+        expr("timestamp_micros(id * 1000000)").as("ts"),
+        when(col("id") < 2700000L && col("id") % 2 === 1, lit("purchase"))
+          .otherwise(lit("view")).as("event_type")).repartition(8)
+      val (tol, tTol) = timed {
+        val wide = Joins.asofTolerance(asofIn, tolUs = 1500000L)
+          .agg(count(lit(1)), countDistinct(col("dt_us")), min(col("dt_us"))).head
+        val narrow = Joins.asofTolerance(asofIn, tolUs = 500000L)
+          .agg(count(lit(1)), count(col("matched_ts"))).head
+        (wide.getLong(0), wide.getLong(1), wide.getLong(2),
+          narrow.getLong(0), narrow.getLong(1))
+      }
+      assert(tol == ((1350000L, 1L, 1000000L, 1350000L, 0L)),
+        s"asof tolerance (rows, distinct dt, dt, rows, matched@narrow): $tol")
+      val (near, tNear) = timed {
+        Joins.asofNearest(asofIn)
+          .agg(count(lit(1)), countDistinct(col("dt_us")), min(col("dt_us"))).head
+      }
+      assert((near.getLong(0), near.getLong(1), near.getLong(2)) ==
+        ((1350000L, 1L, -1000000L)), s"asof nearest: $near")
+
+      // ---- bitmap distinct: 3 groups × 1M distinct, ids 3x-duplicated ----
+      val bmIn = spark.range(n).select(pmod(col("id"), lit(3)).as("grp"),
+        expr("id div 3").as("v")).repartition(8)
+      val (bm, tBm) = timed {
+        Aggregations.bitmapDistinct(bmIn, col("grp"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      assert(bm == Seq((0L, 1000000L), (1L, 1000000L), (2L, 1000000L)),
+        s"bitmap per-group distinct: $bm")
+
+      // ---- negative sampling on a 99/1 label-skewed corpus ----
+      val negIn = spark.range(1000000L).select(col("id").as("vec_id"),
+        when(col("id") % 100 === 0, lit("minor")).otherwise(lit("major"))
+          .as("label")).repartition(8)
+      val (neg, tNeg) = timed {
+        Similarity.negativeSample(negIn, k = 4, probes = 8)
+          .groupBy(col("vec_id") % 100 === 0).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      }
+      assert(neg == Map(false -> 80000L, true -> 40000L),
+        s"negatives by anchor class (major, minor): $neg")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-11 adversarial soak (regenerated by SoakSpec)
+           |
+           |The r10 newcomers under the data shapes that break naive
+           |plans; every outcome closed-form exact, same single-task
+           |shuffle-budget listener invariant as the other soaks.
+           |Flash-crowd interval overlap: 2,000 sessions concurrent in
+           |ONE hourly bucket behind 1M quiet sessions — exactly
+           |C(2000,2) = 1,999,000 pairs, all 1000 µs; the hot bucket's
+           |locally quadratic join cost is the output's own size (the
+           |salting escape hatch stays documented on the operator for
+           |the case where one bucket's pairs alone dwarf a task).
+           |Oversized fuzzy block: one 3,000-member block among 100k
+           |10-member blocks — the extra C(3000,2) pairs all surface at
+           |distance 0, total exactly 8,998,500. Dominant asof user:
+           |one user owns 2.7M of 3M events (a single 2.7M-row window
+           |partition — inherent key skew, it must complete, not
+           |collapse); the ±1 s lattice makes every backward dt exactly
+           |+1 s, every nearest dt exactly −1 s, and the 0.5 s
+           |tolerance run NULLs ALL 1.35M matches while keeping their
+           |rows. Bitmap distinct with every id 3×-duplicated across 3
+           |groups: exactly 1M per group. Negative sampling on a 99/1
+           |label-skewed corpus: the modular probe chain admits exactly
+           |80,000 majority-anchor rows (8 of 100 residues) + 40,000
+           |minority rows (capped at k=4) — scarcity changes counts,
+           |never determinism.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || intervalOverlapJoin (flash crowd) | 1.0M | ${f"$tIv%.1f"} | ${f"$ratio%.2f"} |
+           || fuzzySelfJoin (3k-member block) | 1.0M | ${f"$tFz%.1f"} | ${f"$ratio%.2f"} |
+           || asofTolerance ×2 (dominant user) | 3.0M | ${f"$tTol%.1f"} | ${f"$ratio%.2f"} |
+           || asofNearest (dominant user) | 3.0M | ${f"$tNear%.1f"} | ${f"$ratio%.2f"} |
+           || bitmapDistinct (3×1M distinct) | 3.0M | ${f"$tBm%.1f"} | ${f"$ratio%.2f"} |
+           || negativeSample (99/1 skew) | 1.0M | ${f"$tNeg%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-11 adversarial soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
