@@ -1183,6 +1183,86 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("streaming RocksDB state soak: 3M events, 100k keys, bounded store, rows == keys") {
+    // transformWithState at soak scale on the PRODUCTION state store
+    // (the toy MemoryStream specs prove semantics; this proves the
+    // RocksDB provider holds 100k keys across 5 file-source
+    // micro-batches with state rows == keys and bounded memory).
+    // 3M events land as 10 parquet files; maxFilesPerTrigger=2 gives 5
+    // batches; every user's FINAL running total must be exactly its 30
+    // planted events, whatever the file->batch split was.
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = graft.sources.IO.tmp("graft_rocks_soak_")
+    val ckpt = graft.sources.IO.tmp("graft_rocks_ckpt_")
+    spark.range(3000000L).select(
+        expr("timestamp_micros((id div 100000) * 60000000)").as("ts"),
+        pmod(col("id"), lit(100000L)).as("user_id"),
+        col("id").as("event_id"), lit(1.0).as("value"))
+      .repartition(10).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = System.nanoTime()
+    try {
+      import spark.implicits._
+      val in = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir).as[Ev]
+      val counted = in.groupByKey(_.user_id)
+        .transformWithState(new RunningTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+        .toDF("user_id", "running")
+      val q = counted.writeStream.format("memory").queryName("rocks_soak")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val finals = spark.table("rocks_soak")
+          .groupBy(col("user_id")).agg(max(col("running")).as("fin"))
+          .agg(count(lit(1)), min(col("fin")), max(col("fin"))).head
+        assert((finals.getLong(0), finals.getLong(1), finals.getLong(2)) ==
+          ((100000L, 30L, 30L)), s"final running totals: $finals")
+        val op = q.lastProgress.stateOperators(0)
+        assert(op.numRowsTotal == 100000L,
+          s"state rows ${op.numRowsTotal} != 100k keys (state leak or loss)")
+        val memMb = op.memoryUsedBytes / 1e6
+        assert(op.memoryUsedBytes > 0 && memMb < 2048,
+          s"state memory $memMb MB out of the bounded band")
+        val ratio = calRatio()
+        val section =
+          s"""
+             |## Streaming RocksDB state soak (regenerated by SoakSpec)
+             |
+             |transformWithState on the RocksDB state store provider at
+             |soak scale: 3M events / 100k keys through 5 file-source
+             |micro-batches (maxFilesPerTrigger=2 over 10 parquet
+             |files). Every key's final running total exactly its 30
+             |planted events; the store reports numRowsTotal exactly
+             |100,000 (state rows == live keys — no leak, no loss) and
+             |${f"$memMb%.0f"} MB used (bounded; budget 2 GiB). The toy
+             |MemoryStream specs pin semantics and event-time timers;
+             |this row pins the production store under volume.
+             |
+             || stream | events | keys | batches | state MB | wall s | cal ratio |
+             ||---|---|---|---|---|---|---|
+             || transformWithState running totals | 3.0M | 100k | 5 | ${f"$memMb%.0f"} | ${f"$wall%.1f"} | ${f"$ratio%.2f"} |
+             |""".stripMargin
+        SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+          "Streaming RocksDB state soak", section)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("rocks_soak")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      graft.sources.IO.rmTree(dir); graft.sources.IO.rmTree(ckpt)
+    }
+  }
+
   test("zarr soak: 3M-element cube through the distributed sink and chunked scan") {
     import graft.sources.zarr.Zarr
     val (t, y, x) = (50L, 200L, 300L) // 3M elements, 24 MB of f8
