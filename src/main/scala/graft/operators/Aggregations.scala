@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{halfUp, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY §2.4).
@@ -176,8 +176,8 @@ object Aggregations {
     df.crossJoin(broadcast(ref))
       .groupBy(entity.as("entity"))
       .agg(count(lit(1)).as("n"),
-        round(sum(w * value), 4).as("decayed_value"),
-        round(sum(w), 4).as("effective_n"))
+        halfUp(sum(w * value), 4).as("decayed_value"),
+        halfUp(sum(w), 4).as("effective_n"))
       .orderBy(col("entity"))
   }
 
@@ -233,7 +233,7 @@ object Aggregations {
     c.withColumn("term", -p * log(p))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_categories"),
-        round(sum(col("term")), 6).as("entropy_nats"))
+        halfUp(sum(col("term")), 6).as("entropy_nats"))
       .orderBy(col("grp"))
   }
 
@@ -444,7 +444,7 @@ object Aggregations {
         |         AS term
         |      FROM c)
         |SELECT grp, count(*) AS n_categories,
-        |       round(sum(term), 6) AS entropy_nats
+        |       floor(sum(term) * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
         |FROM p GROUP BY grp ORDER BY grp""".stripMargin,
     // independent formulation: range join per day instead of the
     // engine's fan-out — cross-checks the explode trick's semantics
@@ -466,11 +466,12 @@ object Aggregations {
     "q_agg_decay" ->
       """WITH r AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders)
         |SELECT o_custkey AS entity, count(*) AS n,
-        |       round(sum((30.0 / (30.0 + date_diff('day',
-        |             CAST(o_orderdate AS DATE), r.ref))) * o_totalprice), 4)
-        |         AS decayed_value,
-        |       round(sum(30.0 / (30.0 + date_diff('day',
-        |             CAST(o_orderdate AS DATE), r.ref))), 4) AS effective_n
+        |       floor(sum((30.0 / (30.0 + date_diff('day',
+        |             CAST(o_orderdate AS DATE), r.ref))) * o_totalprice)
+        |         * 10000.0 + 0.5) / 10000.0 AS decayed_value,
+        |       floor(sum(30.0 / (30.0 + date_diff('day',
+        |             CAST(o_orderdate AS DATE), r.ref)))
+        |         * 10000.0 + 0.5) / 10000.0 AS effective_n
         |FROM orders CROSS JOIN r
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_weighted_median" ->

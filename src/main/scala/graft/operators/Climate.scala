@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{halfUp, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -809,9 +809,9 @@ object Climate {
       .agg(count(lit(1)).as("n_obs"),
         sum(col("dt_us")).as("den_us"),
         sum(col("dt_us").cast("double") * col("value")).as("num"),
-        round(avg(col("value")), 4).as("mean_value"))
+        halfUp(avg(col("value")), 4).as("mean_value"))
       .select(col("series"), col("n_obs"),
-        round(when(col("den_us") === 0L || col("den_us").isNull,
+        halfUp(when(col("den_us") === 0L || col("den_us").isNull,
             lit(null).cast("double"))
           .otherwise(col("num") / col("den_us").cast("double")), 4).as("twa"),
         col("mean_value"))
@@ -1541,10 +1541,11 @@ object Climate {
         |           - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
         |  FROM events)
         |SELECT series, count(*) AS n_obs,
-        |       round(CASE WHEN coalesce(sum(dt_us), 0) = 0 THEN NULL
+        |       floor((CASE WHEN coalesce(sum(dt_us), 0) = 0 THEN NULL
         |             ELSE sum(CAST(dt_us AS DOUBLE) * value)
-        |                  / CAST(sum(dt_us) AS DOUBLE) END, 4) AS twa,
-        |       round(avg(value), 4) AS mean_value
+        |                  / CAST(sum(dt_us) AS DOUBLE) END)
+        |         * 10000.0 + 0.5) / 10000.0 AS twa,
+        |       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS mean_value
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_resample" ->
       """WITH e AS (

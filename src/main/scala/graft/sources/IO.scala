@@ -184,10 +184,12 @@ object IO {
     * million tiny files turn planning and open() overhead into the
     * dominant cost long before data size does.
     *
-    * Staged write + atomic-ish swap: the rewrite lands in a sibling
-    * temp dir and only replaces the original after it fully commits —
-    * a failed compaction leaves the source untouched (same posture as
-    * the zarr sink's tmp-file protocol). Readers of the OLD listing
+    * Staged write + rename-aside swap: the rewrite lands in a sibling
+    * temp dir; the original is renamed aside, the staged dir renamed
+    * in, and only then is the old copy deleted — a failure at any
+    * point leaves a complete copy on disk and the no-data window is
+    * two renames wide (a crash between them rolls back by renaming
+    * `.compact_old` back; the next compact() also sweeps it). Readers of the OLD listing
     * during the swap are the caller's coordination concern (at scale
     * this is a metastore/table-format transaction; stated, not
     * hidden). */
@@ -200,11 +202,29 @@ object IO {
       else df.repartitionByRange(targetFiles, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     laid.write.mode("overwrite").parquet(staged)
-    rmTree(dir)
-    if (!new java.io.File(staged).renameTo(new java.io.File(dir)))
-      throw new java.io.IOException(
-        s"compact: staged swap $staged -> $dir failed after source removal" +
-          " — staged data is intact, re-point readers or retry the rename")
+    // swap via rename-ASIDE, not delete-then-rename: the dataset is
+    // absent from its canonical path only between two renames (and a
+    // crash there leaves both copies on disk — rollback is renaming
+    // dir.old back), instead of the unrecoverable window a crash after
+    // rmTree(dir) used to leave. Files.move surfaces the cross-
+    // filesystem case as an exception, not a silent false.
+    val p = java.nio.file.Paths.get(dir)
+    val old = java.nio.file.Paths.get(dir + ".compact_old")
+    rmTree(old.toString) // a leftover .compact_old from a prior crash
+    try {
+      java.nio.file.Files.move(p, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged), p)
+    } catch {
+      case e: java.io.IOException =>
+        // roll the original back if the first rename happened but the
+        // second failed; staged data stays intact either way
+        if (!java.nio.file.Files.exists(p) && java.nio.file.Files.exists(old))
+          java.nio.file.Files.move(old, p)
+        throw new java.io.IOException(
+          s"compact: staged swap $staged -> $dir failed; original restored, " +
+            "staged data intact — retry the compaction", e)
+    }
+    rmTree(old.toString)
   }
 
   def stagedMalformedSplit(s: SparkSession, parsed: DataFrame,
@@ -311,7 +331,7 @@ object IO {
         .filter(col("lat").between(-10.0, 10.0) &&
           col("lon").between(-20.0, 20.0))
         .select(col("event_id"), col("lat"), col("lon"),
-          round(col("value"), 4).as("v"))
+          graft.halfUp(col("value"), 4).as("v"))
         .orderBy(col("event_id"))
     }),
 
@@ -496,7 +516,7 @@ object IO {
         |         (event_id % 360) * 0.5 - 90.0 AS lat,
         |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon
         |  FROM events)
-        |SELECT event_id, lat, lon, round(value, 4) AS v
+        |SELECT event_id, lat, lon, floor(value * 10000.0 + 0.5) / 10000.0 AS v
         |FROM g
         |WHERE lat BETWEEN -10.0 AND 10.0 AND lon BETWEEN -20.0 AND 20.0
         |ORDER BY event_id""".stripMargin,

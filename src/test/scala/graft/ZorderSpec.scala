@@ -45,6 +45,16 @@ class ZorderSpec extends SparkTestBase {
       .groupBy(input_file_name()).agg((max("lat") - min("lat")).as("span"))
       .collect().map(_.getDouble(1))
     assert(spans.forall(_ < 90.0), s"file lat spans not clustered: ${spans.toSeq}")
+    // swap hygiene: no staged/aside siblings survive a clean compact,
+    // and a leftover .compact_old from a simulated prior crash is
+    // swept by the next run instead of failing the rename-aside
+    assert(!new java.io.File(dir + ".compact_tmp").exists())
+    assert(!new java.io.File(dir + ".compact_old").exists())
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".compact_old"))
+    graft.sources.IO.compact(spark, dir, 2)
+    assert(files(dir) == 2 && digest(dir) == before)
+    assert(!new java.io.File(dir + ".compact_old").exists())
   }
 
   test("box scan over the z-ordered layout reads a fraction of the round-robin layout") {
