@@ -1058,6 +1058,29 @@ object TextOps {
     * WindowGroupLimit below the stratum exchange (the
     * q_similarity_knn_join pattern), so each map task ships at most k
     * rows per stratum — a dominant stratum never lands on one task. */
+  /** Exact deterministic GLOBAL k-sample — the RNG-free replacement
+    * for corpus-level reservoir sampling ("pull 10k docs for human
+    * eval"): every doc is ranked by its [[digestHex8]] key (doc_id
+    * tiebreak) and the k smallest win. Unlike a true reservoir it is
+    * retry/replay-stable, engine-replayable, and ANY-k consistent (the
+    * k=1000 sample is a prefix of the k=2000 sample — grow the eval
+    * set without resampling), while matching a uniform draw in
+    * distribution since the digest is uniform on ids.
+    *
+    * Scale posture: orderBy(key).limit(k) plans as
+    * TakeOrderedAndProject — each map task keeps its local k smallest
+    * and only those merge, so the corpus never globally sorts and the
+    * driver never sees more than partitions×k rows (pinned in
+    * PlanSpec). */
+  def reservoirSample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    docs.select(col("doc_id"), col("lang"),
+        digestHex8(col("doc_id"), salt).as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
   def samplePerGroup(docs: DataFrame, stratumCol: String, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
@@ -1137,6 +1160,8 @@ object TextOps {
     // 40 eval docs per language, salt "ev0"
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.documents(s, d), "lang", 40, "ev0")),
+    "q_sample_reservoir" -> ((s, d) =>
+      reservoirSample(Tables.documents(s, d), 500, "res1")),
     "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
     "q_corpus_health" -> ((s, d) => corpusHealth(Tables.documents(s, d))),
     "q_curation_composite" -> ((s, d) =>
@@ -1429,6 +1454,15 @@ object TextOps {
         |       LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
         |       CROSS JOIN vc CROSS JOIN vt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same global digest order, same (key, doc_id) tie, same prefix-k
+    "q_sample_reservoir" ->
+      """SELECT doc_id, lang, sample_key FROM (
+        |  SELECT doc_id, lang,
+        |         substr(sha256(CAST(doc_id AS VARCHAR) || ':res1'), 1, 8)
+        |           AS sample_key
+        |  FROM documents
+        |  ORDER BY sample_key, doc_id LIMIT 500)
+        |ORDER BY doc_id""".stripMargin,
     // same digest rank within stratum, same (key, doc_id) tie order
     "q_sample_per_group" ->
       """SELECT doc_id, lang, rk FROM (

@@ -691,6 +691,33 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(alone.toSeq == r.filter(_._2 == "big").toSeq)
   }
 
+  test("reservoirSample: the k digest-smallest docs, any-k prefix property, k > n returns all") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "de", s"d$i"))
+      .toDF("doc_id", "lang", "text")
+    // independent replay of the digest order: java MessageDigest, not
+    // the engine's sha2
+    def key(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(s"$id:res1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    val expect5 = (1L to 40L).sortBy(i => (key(i), i)).take(5).sorted
+    val got5 = operators.TextOps.reservoirSample(df, 5, "res1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got5 == expect5, s"$got5 vs $expect5")
+    // any-k consistency: the k=3 sample is a PREFIX of the k=5 sample
+    val got3 = operators.TextOps.reservoirSample(df, 3, "res1")
+      .collect().map(_.getLong(0)).toSet
+    assert(got3.subsetOf(got5.toSet) && got3.size == 3)
+    // k beyond the corpus returns everything, still deterministic
+    assert(operators.TextOps.reservoirSample(df, 100, "res1").count() == 40)
+    // the emitted sample_key IS the digest (auditable)
+    val keys = operators.TextOps.reservoirSample(df, 5, "res1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keys.forall { case (id, k0) => k0 == key(id) })
+  }
+
   test("gapIslands: streaks split on gaps, duplicate-day events collapse, users independent") {
     import spark.implicits._
     val e = Seq(

@@ -224,6 +224,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_sample_reservoir: global k-sample is a TakeOrdered merge, never a full sort") {
+    val plan = executed("q_sample_reservoir")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${plan.take(1200)}")
+    // the corpus must not range-shuffle below the limit; the only sort
+    // allowed is the ≤k-row presentation orderBy above it
+    val rangeExchanges = plan.linesIterator
+      .count(_.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges == 0,
+      s"corpus-wide range exchange in a top-k plan:\n${plan.take(1200)}")
+  }
+
   test("q_sample_per_group: stratum rank filter pre-reduces map-side (WindowGroupLimit)") {
     // rk <= k folds into a Partial WindowGroupLimit below the stratum
     // exchange — a dominant stratum ships ≤ k rows per map task, never
