@@ -970,6 +970,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): score
+    * every doc with the self-trained bigram LM ([[ngramLmScore]]) and
+    * carve the corpus into head/middle/tail THIRDS of the nll order —
+    * the language-model quality gate of the CommonCrawl curation
+    * recipe (keep head+middle for pre-training, tail for audit).
+    *
+    * Buckets are assigned by RANK, not by percentile THRESHOLD:
+    * interpolated quantile values differ across engines in the last
+    * ulp (op-order), which would flip boundary docs, while the rank
+    * carve (rn ≤ N/3, integer arithmetic over the already
+    * hash-checked 6-dp nll with doc_id tiebreak) is exact and
+    * engine-replayable.
+    *
+    * Scale posture: the global nll order comes from
+    * [[Windows.withGlobalRowNumber]] (range repartition + broadcast
+    * offsets — never a single-task whole-corpus window); N is a 1-row
+    * aggregate broadcast into the projection. */
+  def perplexityBuckets(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val scored = ngramLmScore(docs, alpha)
+    val n = scored.agg(count(lit(1)).as("__n"))
+    Windows.withGlobalRowNumber(scored, "rn", col("nll"), col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"), col("rn"),
+        when(col("rn") * 3 <= col("__n"), lit("head"))
+          .when(col("rn") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide top-k n-gram census (collocation mining — phrase
     * statistics for tokenizer sizing, boilerplate discovery, quality
     * probes). Grams are built ROW-LOCALLY with a `transform` HOF over
@@ -1152,6 +1181,9 @@ object TextOps {
       graft.ProcessCache.get(s, "bpe_merges:" + d)(
         bpeTrain(Tables.documents(s, d), 12).localCheckpoint()))),
     "q_text_ngram_lm" -> ((s, d) => ngramLmScore(Tables.documents(s, d))),
+    // CCNet head/middle/tail carve over the self-trained LM's nll order
+    "q_text_perplexity_buckets" -> ((s, d) =>
+      perplexityBuckets(Tables.documents(s, d))),
     // top-30 corpus bigrams
     "q_text_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), 2, 30)),
     // target domain = English docs; positive dsir_w = en-like
@@ -1419,6 +1451,32 @@ object TextOps {
         |       round(-avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.vv))), 6) AS nll
         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same model + scoring chain as q_text_ngram_lm, then the rank
+    // carve replayed with row_number/count OVER () — integer
+    // arithmetic over the 6-dp nll, no interpolated thresholds
+    "q_text_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |b AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+        |      FROM (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |      WHERE struct_extract(z, 2) IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM c12),
+        |score AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         round(-avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.vv))), 6) AS nll
+        |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM score)
+        |SELECT doc_id, n_bigrams, nll, rn,
+        |       CASE WHEN rn * 3 <= n THEN 'head'
+        |            WHEN rn * 3 <= n * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_ngram_topk" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents

@@ -718,6 +718,37 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(keys.forall { case (id, k0) => k0 == key(id) })
   }
 
+  test("perplexityBuckets: rank carve thirds, bucket order matches nll order, N=5 boundary") {
+    import spark.implicits._
+    // 5 docs: d1/d2 are pure repetition of the corpus-dominant bigram
+    // (low nll), d5 is all corpus-rare bigrams (high nll)
+    val docs = Seq(
+      (1L, "en", "aa bb aa bb aa bb aa bb aa bb"),
+      (2L, "en", "aa bb aa bb aa bb"),
+      (3L, "en", "aa bb cc dd"),
+      (4L, "en", "cc dd ee ff aa bb"),
+      (5L, "en", "gg hh ii jj kk ll")).toDF("doc_id", "lang", "text")
+    val r = operators.TextOps.perplexityBuckets(docs)
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getLong(3), x.getString(4)))
+    assert(r.length == 5)
+    // rn is the (nll, doc_id) rank — a permutation of 1..5
+    assert(r.sortBy(x => (x._2, x._1)).map(_._3).toSeq == (1L to 5L))
+    // hand math (α=0.4, V=11): nll d2 .4261 < d1 .4373 < d4 1.0712 <
+    // d3 1.1345 < d5 1.3499 — d2 beats d1 because a LARGER fraction of
+    // its bigrams is the corpus-dominant (aa,bb). N=5 carve: head =
+    // rn*3<=5 -> {rank 1}, middle = {2,3}, tail = {4,5}
+    val byBucket = r.groupBy(_._4).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket == Map("head" -> Set(2L), "middle" -> Set(1L, 4L),
+      "tail" -> Set(3L, 5L)), byBucket.toString)
+    // bucket order respects the score order: max(head) <= min(middle) etc.
+    def nlls(b: String) = r.filter(_._4 == b).map(_._2)
+    assert(nlls("head").max <= nlls("middle").min &&
+      nlls("middle").max <= nlls("tail").min)
+    // the dominant-bigram doc sits at the cheap end, the rare-bigram
+    // doc at the expensive end
+    assert(r.find(_._1 == 2L).get._4 == "head" && r.find(_._1 == 5L).get._4 == "tail")
+  }
+
   test("gapIslands: streaks split on gaps, duplicate-day events collapse, users independent") {
     import spark.implicits._
     val e = Seq(
