@@ -706,7 +706,102 @@ object Similarity {
       .orderBy(col("vec_id"), col("j"))
   }
 
+  /** Top PRINCIPAL COMPONENT of the embedding cloud by power
+    * iteration — the variance-structure probe run before indexing or
+    * whitening (a dominant axis means anisotropic embeddings: cosine
+    * scores compress, IVF cells elongate; ABD/whitening papers start
+    * exactly here). Emits the principal axis loadings, its
+    * eigenvalue, and the explained-variance share.
+    *
+    * Engine-independent BY CONSTRUCTION, the strongest verification
+    * available to an iterative numeric op (the q_text_bpe_train
+    * posture, taken further):
+    *  - the distributed reduction quantizes each moment TERM to the
+    *    1e-9 grid as an INTEGER (`floor(x·1e9 + ½) AS LONG`) and sums
+    *    integers — integer addition is order-independent, so the
+    *    covariance matrix assembled from (ΣxᵢxⱼQ, ΣxᵢQ, n) is
+    *    BIT-IDENTICAL on any engine and any partitioning, with zero
+    *    .5-boundary risk (no float sum ever crosses an engine);
+    *  - the 12 power-iteration steps then run on that one-row matrix
+    *    with sequential-fold array HOFs (`aggregate`/`zip_with` =
+    *    DuckDB `list_sum`/`list_transform`, the established
+    *    bit-parity pair), every op exact-rounded IEEE — so the
+    *    iterate, eigenvalue, and share are bit-identical too, and the
+    *    6-dp rendering cannot flip.
+    *
+    * Scale posture: ONE corpus pass explodes each row to its d²
+    * (i,j)-term integers feeding a map-side-partial hash aggregate on
+    * 4,096 keys — counts-only shuffle, vectors never move; the d×d
+    * iteration is a 1-row DataFrame stepped with localCheckpoint (12
+    * tiny jobs, the bpeTrain shape), never a driver-side collect of
+    * data rows. Start vector 1/√d (dyadic at d=64), fixed iteration
+    * count: convergence quality is the spec's concern
+    * (planted-structure recovery), parity holds regardless. */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val meta = emb.agg(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head
+    val n = meta.getLong(0)
+    require(n >= 2, s"pca needs >= 2 vectors, got $n")
+    require(meta.getInt(1) == meta.getInt(2),
+      s"ragged embedding dims ${meta.getInt(1)}..${meta.getInt(2)}")
+    val dim = meta.getInt(1)
+    val v = toDouble(col("embedding"))
+    val q = lit(1e9)
+
+    val sRow = emb.select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(floor(col("x") * q + 0.5)).as("sq"))
+      .groupBy().agg(sort_array(collect_list(struct(col("i"), col("sq")))).as("ss"))
+      .select(transform(col("ss"), s => s.getField("sq")).as("sArr"))
+    val pRow = emb.select(explode(flatten(transform(v, (xi, i) =>
+        transform(v, (xj, j) => struct(i.as("i"), j.as("j"),
+          floor(xi * xj * q + 0.5).as("t")))))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
+      .groupBy(col("i"), col("j")).agg(sum(col("t")).as("pq"))
+      .groupBy().agg(sort_array(collect_list(struct(col("i"), col("j"), col("pq")))).as("ps"))
+      .select(transform(col("ps"), s => s.getField("pq")).as("pArr"))
+
+    val nD = lit(n.toDouble)
+    val cRow = pRow.crossJoin(broadcast(sRow))
+      .select(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(lit(0), lit(dim - 1)), j => {
+          val p = element_at(col("pArr"), (i * dim + j + 1).cast("int")).cast("double") / q
+          val si = element_at(col("sArr"), (i + 1).cast("int")).cast("double") / q
+          val sj = element_at(col("sArr"), (j + 1).cast("int")).cast("double") / q
+          (p - si * sj / nD) / lit((n - 1).toDouble)
+        })).as("C"))
+
+    val seqSum = (arr: Column) => aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val matvec = (m: Column, vec: Column) =>
+      transform(m, row => seqSum(zip_with(row, vec, (a, b) => a * b)))
+    var cur = cRow.withColumn("v",
+      array_repeat(lit(1.0) / sqrt(lit(dim.toDouble)), dim))
+    for (_ <- 1 to iters) {
+      // localCheckpoint per step: v_new references u twice, so an
+      // un-materialized chain doubles the expression tree per
+      // iteration (the bpeTrain lesson); each step is a 1-row job
+      cur = cur
+        .withColumn("u", matvec(col("C"), col("v")))
+        .withColumn("v", transform(col("u"),
+          x => x / sqrt(seqSum(transform(col("u"), y => y * y)))))
+        .select(col("C"), col("v"))
+        .localCheckpoint()
+    }
+    val u = matvec(col("C"), col("v"))
+    val lam = seqSum(zip_with(col("v"), u, (a, b) => a * b))
+    val trace = seqSum(transform(sequence(lit(0), lit(dim - 1)),
+      i => element_at(element_at(col("C"), (i + 1).cast("int")), (i + 1).cast("int"))))
+    cur.select(lam.as("lam"), trace.as("tr"),
+        posexplode(col("v")).as(Seq("dim", "loading")))
+      .select(col("dim").cast("long").as("dim"),
+        graft.halfUp(col("loading"), 6).as("loading"),
+        graft.halfUp(col("lam"), 6).as("eigenvalue"),
+        graft.halfUp(col("lam") / col("tr"), 6).as("var_share"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_pca" -> ((s, d) => pcaTopComponent(Tables.embeddings(s, d))),
     "q_sample_negatives" -> ((s, d) =>
       negativeSample(Tables.embeddings(s, d))),
     "q_embed_norms" -> ((s, d) =>
@@ -778,6 +873,47 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // the integer-quantized moments + sequential-fold iteration are
+    // bit-identical across engines (see pcaTopComponent scaladoc), so
+    // this replays the FULL pipeline: quantized sums, covariance,
+    // 12 power-iteration steps as a recursive CTE, Rayleigh quotient
+    "q_embed_pca" ->
+      """WITH RECURSIVE e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |s AS (SELECT i, sum(CAST(floor(v[i + 1] * 1000000000.0 + 0.5) AS BIGINT)) AS sq
+        |      FROM e, generate_series(0, 63) g(i) GROUP BY i),
+        |p AS (SELECT gi.i AS i, gj.j AS j,
+        |             sum(CAST(floor(v[gi.i + 1] * v[gj.j + 1] * 1000000000.0 + 0.5) AS BIGINT)) AS pq
+        |      FROM e, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+        |      GROUP BY 1, 2),
+        |c AS (SELECT p.i, p.j,
+        |             (CAST(p.pq AS DOUBLE) / 1000000000.0
+        |              - (CAST(si.sq AS DOUBLE) / 1000000000.0)
+        |                * (CAST(sj.sq AS DOUBLE) / 1000000000.0) / meta.n)
+        |             / (meta.n - 1) AS cc
+        |      FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j CROSS JOIN meta),
+        |cm AS (SELECT list(rw ORDER BY i) AS C FROM
+        |        (SELECT i, list(cc ORDER BY j) AS rw FROM c GROUP BY i)),
+        |it(k, vv) AS (
+        |  SELECT 0, list_transform(range(64), x -> CAST(0.125 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         list_transform(u, x -> x / sqrt(list_sum(list_transform(u, y -> y * y))))
+        |  FROM (SELECT k, list_transform(C, rw ->
+        |          list_sum(list_transform(range(1, 65), m -> rw[m] * vv[m]))) AS u
+        |        FROM it, cm WHERE k < 12)),
+        |fin AS (SELECT vv, list_transform(C, rw ->
+        |          list_sum(list_transform(range(1, 65), m -> rw[m] * vv[m]))) AS u
+        |        FROM it, cm WHERE k = 12),
+        |lamt AS (SELECT list_sum(list_transform(range(1, 65), m -> vv[m] * u[m])) AS lam, vv
+        |         FROM fin),
+        |trt AS (SELECT list_sum(list_transform(range(1, 65), m -> C[m][m])) AS tr FROM cm)
+        |SELECT g.i AS dim,
+        |       floor(vv[g.i + 1] * 1000000.0 + 0.5) / 1000000.0 AS loading,
+        |       floor(lam * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue,
+        |       floor(lam / tr * 1000000.0 + 0.5) / 1000000.0 AS var_share
+        |FROM lamt, trt, generate_series(0, 63) g(i)
+        |ORDER BY dim""".stripMargin,
     // 1-based index via PAIRED unnests (the installed DuckDB has no
     // WITH ORDINALITY; parallel unnests of same-length lists stay
     // row-aligned, verified against the subscript form) — the dim

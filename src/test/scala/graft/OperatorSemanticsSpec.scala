@@ -749,6 +749,39 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.find(_._1 == 2L).get._4 == "head" && r.find(_._1 == 5L).get._4 == "tail")
   }
 
+  test("pcaTopComponent: planted dominant axis recovered, var share exact-ish, deterministic") {
+    import spark.implicits._
+    // rank-2 cloud in R4: x = s·w + t·z with w=(.5,.5,.5,.5),
+    // z=(.5,-.5,.5,-.5) orthonormal; s has 25x the variance of t, so
+    // the principal axis is ±w with var share ~ 25/26
+    val w = Array(0.5, 0.5, 0.5, 0.5)
+    val z = Array(0.5, -0.5, 0.5, -0.5)
+    val rows = (0 until 200).map { k =>
+      val s = (k % 20 - 9.5) / 2.0      // var 33.25/4
+      val t = (k / 20 - 4.5) / 10.0     // var ~0.0825
+      (k.toLong, w.indices.map(i => (s * w(i) + t * z(i)).toFloat).toArray, "a")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.pcaTopComponent(df, iters = 30)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.length == 4)
+    // loadings align with ±w (all four equal up to quantization/sign)
+    val loads = r.map(_._2)
+    assert(loads.map(math.abs).forall(l => math.abs(l - 0.5) < 1e-3),
+      s"loadings not ±w: ${loads.toSeq}")
+    assert(loads.map(math.signum).distinct.length == 1, s"mixed signs: ${loads.toSeq}")
+    // eigenvalue ≈ var(s) (projection onto unit w), share ≈ vs/(vs+vt)
+    val vs = rows.map(x => (x._1 % 20 - 9.5) / 2.0).map(v => v * v).sum / 199.0
+    val vt = (0 until 200).map(k => (k / 20 - 4.5) / 10.0).map(v => v * v).sum / 199.0
+    assert(math.abs(r.head._3 - vs) < 1e-2, s"eigenvalue ${r.head._3} vs $vs")
+    assert(math.abs(r.head._4 - vs / (vs + vt)) < 1e-2,
+      s"share ${r.head._4} vs ${vs / (vs + vt)}")
+    // bit-determinism: a second run renders identical digits
+    val r2 = operators.Similarity.pcaTopComponent(df, iters = 30)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    assert(r2.toSeq == r.toSeq)
+  }
+
   test("gapIslands: streaks split on gaps, duplicate-day events collapse, users independent") {
     import spark.implicits._
     val e = Seq(
