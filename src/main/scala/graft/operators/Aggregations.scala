@@ -237,6 +237,62 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** Two-arm A/B TEST readout — the experimentation staple absent
+    * from most "analytics" checklists until someone ships one wrong:
+    * per-user rollup (the unit of randomization; event-level tests
+    * overcount multi-event users), then Welch's t on the per-user
+    * value metric and the two-proportion z on conversion, with
+    * Welch–Satterthwaite degrees of freedom. Statistics only, plus a
+    * |stat| > 1.96 significance flag — p-values need the t/normal CDF
+    * (erf), a transcendental whose libm rounding differs across
+    * engines; the caller brings their own CDF table, the engine stays
+    * hash-verifiable.
+    *
+    * Scale posture: one (arm, user) hash aggregate over the events
+    * (map-side partials), then a 2-row arm aggregate; the final
+    * scalar algebra is a broadcast self-join of two 1-row frames.
+    * Everything after the first aggregate is counts and moments. */
+  def abTest(events: DataFrame, arm: org.apache.spark.sql.Column,
+      convert: org.apache.spark.sql.Column): DataFrame = {
+    val users = events
+      .groupBy(arm.as("arm"), col("user_id"))
+      .agg(max(when(convert, 1L).otherwise(0L)).as("converted"),
+        sum(col("value")).as("user_value"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("converted")).cast("double").as("conv"),
+        avg(col("user_value")).as("mean_v"),
+        var_samp(col("user_value")).as("var_v"))
+    val c = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_c"), col("conv").as("conv_c"),
+        col("mean_v").as("mean_c"), col("var_v").as("var_c"))
+    val t = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_t"), col("conv").as("conv_t"),
+        col("mean_v").as("mean_t"), col("var_v").as("var_t"))
+    val pC = col("conv_c") / col("n_c")
+    val pT = col("conv_t") / col("n_t")
+    val pPool = (col("conv_c") + col("conv_t")) / (col("n_c") + col("n_t"))
+    // degenerate pool (nobody or everybody converted): the z statistic
+    // is undefined — NULL, not a division error or an engine-dependent
+    // inf/NaN; the significance flag then reads 0
+    val zConv = when(pPool === 0.0 || pPool === 1.0, lit(null).cast("double"))
+      .otherwise((pT - pC) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+    val a = col("var_c") / col("n_c")
+    val b = col("var_t") / col("n_t")
+    val tWelch = (col("mean_t") - col("mean_c")) / sqrt(a + b)
+    val dfWelch = (a + b) * (a + b) /
+      (a * a / (col("n_c") - 1.0) + b * b / (col("n_t") - 1.0))
+    c.crossJoin(broadcast(t)).select(
+      col("n_c").cast("long").as("n_c"), col("n_t").cast("long").as("n_t"),
+      halfUp(pC, 4).as("conv_rate_c"), halfUp(pT, 4).as("conv_rate_t"),
+      halfUp(zConv, 4).as("z_conv"),
+      when(abs(zConv) > 1.96, 1L).otherwise(0L).as("sig_conv"),
+      halfUp(col("mean_c"), 4).as("mean_c"), halfUp(col("mean_t"), 4).as("mean_t"),
+      halfUp(tWelch, 4).as("t_welch"), halfUp(dfWelch, 2).as("df_welch"),
+      when(abs(tWelch) > 1.96, 1L).otherwise(0L).as("sig_value"))
+  }
+
   /** EXACT distinct count via BITMAP pre-aggregation (Spark's native
     * bitmap_* functions): ids bucket into 32k-bit bitmaps, each
     * (group, bucket) reduces to ONE bitmap with map-side partial
@@ -259,6 +315,12 @@ object Aggregations {
       .orderBy(col("grp"))
 
   val queries: Map[String, Q] = Map(
+    // user-parity arms over the events stream — the assignment rule is
+    // arbitrary (any deterministic user hash works); the CONTRACT is
+    // per-user rollup + Welch/z statistics
+    "q_ab_test" -> ((s, d) =>
+      abTest(Tables.events(s, d), col("user_id") % 2,
+        col("event_type") === "purchase" && col("value") > 90)),
     // distinct customers per priority through the bitmap path; the
     // oracle's plain count(DISTINCT) proves exactness
     "q_agg_bitmap_distinct" -> ((s, d) =>
@@ -428,6 +490,47 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical per-user rollup + Welch/z algebra; var_samp parity at
+    // 4 dp (the q_agg_stats posture), significance flags as 0/1
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)
+        |           AS converted,
+        |         sum(value) AS user_value
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(converted) AS DOUBLE) AS conv,
+        |             avg(user_value) AS mean_v, var_samp(user_value) AS var_v
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |        c.n AS n_c, t.n AS n_t, c.conv AS conv_c, t.conv AS conv_t,
+        |        c.mean_v AS mean_c, t.mean_v AS mean_t,
+        |        c.var_v / c.n AS va, t.var_v / t.n AS vb,
+        |        (c.conv + t.conv) / (c.n + t.n) AS pp
+        |      FROM (SELECT * FROM a WHERE arm = 0) c,
+        |           (SELECT * FROM a WHERE arm = 1) t)
+        |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |       floor(conv_c / n_c * 10000.0 + 0.5) / 10000.0 AS conv_rate_c,
+        |       floor(conv_t / n_t * 10000.0 + 0.5) / 10000.0 AS conv_rate_t,
+        |       floor((CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+        |              ELSE (conv_t / n_t - conv_c / n_c)
+        |                   / sqrt(pp * (1.0 - pp) * (1.0 / n_c + 1.0 / n_t)) END)
+        |             * 10000.0 + 0.5) / 10000.0 AS z_conv,
+        |       CAST(CASE WHEN abs(CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+        |              ELSE (conv_t / n_t - conv_c / n_c)
+        |                   / sqrt(pp * (1.0 - pp) * (1.0 / n_c + 1.0 / n_t)) END) > 1.96
+        |           THEN 1 ELSE 0 END AS BIGINT) AS sig_conv,
+        |       floor(mean_c * 10000.0 + 0.5) / 10000.0 AS mean_c,
+        |       floor(mean_t * 10000.0 + 0.5) / 10000.0 AS mean_t,
+        |       floor((mean_t - mean_c) / sqrt(va + vb) * 10000.0 + 0.5) / 10000.0
+        |         AS t_welch,
+        |       floor((va + vb) * (va + vb)
+        |             / (va * va / (n_c - 1.0) + vb * vb / (n_t - 1.0))
+        |             * 100.0 + 0.5) / 100.0 AS df_welch,
+        |       CAST(CASE WHEN abs((mean_t - mean_c) / sqrt(va + vb)) > 1.96
+        |           THEN 1 ELSE 0 END AS BIGINT) AS sig_value
+        |FROM w""".stripMargin,
     // the bitmap path must equal plain COUNT(DISTINCT) exactly
     "q_agg_bitmap_distinct" ->
       """SELECT o_orderpriority AS grp,

@@ -782,6 +782,32 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r2.toSeq == r.toSeq)
   }
 
+  test("abTest: hand-computed Welch t, Satterthwaite df, two-proportion z, degenerate pool NULLs") {
+    import spark.implicits._
+    // one event per user: arm 0 (even ids) values {1,2,3,4} with one
+    // converter; arm 1 (odd ids) values {3,4,5,6} with three.
+    // Hand math: means 2.5/4.5, var 5/3 each -> t = 2/sqrt(5/6) =
+    // 2.1909, df = 6 exactly; p 0.25/0.75, pooled 0.5 -> z = 1.4142
+    val ev = Seq(
+      (0L, "purchase", 1.0), (2L, "view", 2.0), (4L, "view", 3.0), (6L, "view", 4.0),
+      (1L, "purchase", 3.0), (3L, "purchase", 4.0), (5L, "purchase", 5.0), (7L, "view", 6.0)
+    ).zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = operators.Aggregations.abTest(ev, col("user_id") % 2,
+      col("event_type") === "purchase").collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1)) == ((4L, 4L)))
+    assert((x.getDouble(2), x.getDouble(3)) == ((0.25, 0.75)))
+    assert(x.getDouble(4) == 1.4142 && x.getLong(5) == 0L) // z below 1.96
+    assert((x.getDouble(6), x.getDouble(7)) == ((2.5, 4.5)))
+    assert(x.getDouble(8) == 2.1909 && x.getDouble(9) == 6.0 && x.getLong(10) == 1L)
+    // degenerate pool: every user converts -> z NULL, flag 0, t intact
+    val all = operators.Aggregations.abTest(ev, col("user_id") % 2, lit(true))
+      .collect().head
+    assert(all.isNullAt(4) && all.getLong(5) == 0L && all.getDouble(8) == 2.1909)
+  }
+
   test("gapIslands: streaks split on gaps, duplicate-day events collapse, users independent") {
     import spark.implicits._
     val e = Seq(
