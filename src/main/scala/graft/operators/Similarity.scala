@@ -753,9 +753,13 @@ object Similarity {
       .groupBy(col("i")).agg(sum(floor(col("x") * q + 0.5)).as("sq"))
       .groupBy().agg(sort_array(collect_list(struct(col("i"), col("sq")))).as("ss"))
       .select(transform(col("ss"), s => s.getField("sq")).as("sArr"))
+    // UPPER TRIANGLE only: xᵢxⱼ = xⱼxᵢ term-for-term, so the mirrored
+    // entry reconstructs bit-identically at assembly — the moment
+    // shuffle carries d(d+1)/2 keys per row, not d²
     val pRow = emb.select(explode(flatten(transform(v, (xi, i) =>
-        transform(v, (xj, j) => struct(i.as("i"), j.as("j"),
-          floor(xi * xj * q + 0.5).as("t")))))).as("e"))
+        transform(slice(v, i + 1, lit(dim) - i), (xj, jj) =>
+          struct(i.as("i"), (i + jj).as("j"),
+            floor(xi * xj * q + 0.5).as("t")))))).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
       .groupBy(col("i"), col("j")).agg(sum(col("t")).as("pq"))
       .groupBy().agg(sort_array(collect_list(struct(col("i"), col("j"), col("pq")))).as("ps"))
@@ -765,7 +769,11 @@ object Similarity {
     val cRow = pRow.crossJoin(broadcast(sRow))
       .select(transform(sequence(lit(0), lit(dim - 1)), i =>
         transform(sequence(lit(0), lit(dim - 1)), j => {
-          val p = element_at(col("pArr"), (i * dim + j + 1).cast("int")).cast("double") / q
+          // triangular index of (min,max) in the (i,j)-sorted i<=j list
+          val lo = least(i, j)
+          val hi = greatest(i, j)
+          val idx = (lo * dim - lo * (lo - 1) / 2 + (hi - lo) + 1).cast("int")
+          val p = element_at(col("pArr"), idx).cast("double") / q
           val si = element_at(col("sArr"), (i + 1).cast("int")).cast("double") / q
           val sj = element_at(col("sArr"), (j + 1).cast("int")).cast("double") / q
           (p - si * sj / nD) / lit((n - 1).toDouble)
