@@ -314,6 +314,85 @@ object Aggregations {
       .agg(sum(col("cnt")).as("n_distinct"))
       .orderBy(col("grp"))
 
+  /** Ordered string aggregation (LISTAGG): per group, the member ids
+    * concatenated in an EXPLICIT order — the "top offenders" /
+    * "sample ids per stratum" report cell every BI surface renders.
+    * Spark's `collect_list` is famously non-deterministic across
+    * shuffles, so the contract here is order-by-construction: rank
+    * rows with a total order first, then sort the collected
+    * (rank, id) pairs before joining — the output string never
+    * depends on task scheduling.
+    *
+    * Scale posture: the rank filter (rk ≤ k) rewrites into a
+    * map-side WindowGroupLimit, so ≤k rows per group reach the
+    * shuffle; the final aggregate concatenates k short strings per
+    * group. Never listagg an unbounded group — the rank bound IS
+    * the memory contract. */
+  def orderedListAgg(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    graft.spread(docs, col("doc_id"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("lang"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",").as("top_docs"),
+        count(lit(1)).as("n_top"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-group WINSORIZED mean: clip values at the per-group k-th /
+    * (n−k+1)-th ORDER STATISTICS (k = ⌊n·tail⌋) and average the
+    * clipped stream — the robust location estimate that keeps every
+    * row's vote (unlike a trimmed mean) while bounding any single
+    * row's pull. Cut points are actual data values picked by rank,
+    * NOT interpolated percentiles: interpolation arithmetic differs
+    * across engines in the last ulp, while "the value at rank k" is
+    * engine-independent by construction. The clipped mean sums
+    * integer-quantized terms (⌊x·10⁶+½⌋ as BIGINT) so the sum is
+    * order-free and bit-identical regardless of partitioning.
+    *
+    * Scale posture: one ranked window partitioned by the group key
+    * (3-way here; at unbounded per-group width escalate to the
+    * distributed prefix-sum rank of [[weightedMedian]]), cut points
+    * collapse to one row per group and broadcast back onto the
+    * stream, then a plain hash aggregate of long partials. */
+  def winsorizedMean(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, tail: Double): DataFrame = {
+    require(tail > 0 && tail < 0.5, s"need 0 < tail < 0.5: $tail")
+    val base = df.select(group.as("grp"), value.as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cuts = graft.spread(base, col("v"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("k", floor(col("n").cast("double") * lit(tail)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(
+        max(when(col("rn") === col("k") + 1L, col("v"))).as("lo"),
+        max(when(col("rn") === col("n") - col("k"), col("v"))).as("hi"))
+    val clipped = base.join(broadcast(cuts), Seq("grp"))
+      .withColumn("cl", least(greatest(col("v"), col("lo")), col("hi")))
+    clipped.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        halfUp(max(col("lo")), 4).as("lo_cut"),
+        halfUp(max(col("hi")), 4).as("hi_cut"),
+        halfUp(sum(floor(col("cl") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1)).cast("double"), 4)
+          .as("winsor_mean"),
+        halfUp(sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1)).cast("double"), 4)
+          .as("raw_mean"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // user-parity arms over the events stream — the assignment rule is
     // arbitrary (any deterministic user hash works); the CONTRACT is
@@ -321,6 +400,13 @@ object Aggregations {
     "q_ab_test" -> ((s, d) =>
       abTest(Tables.events(s, d), col("user_id") % 2,
         col("event_type") === "purchase" && col("value") > 90)),
+    // per-language "longest docs" report cell — 5 ids in length order
+    "q_agg_listagg" -> ((s, d) =>
+      orderedListAgg(Tables.documents(s, d), 5)),
+    // 5%-tail winsorized price per return flag
+    "q_agg_winsorized" -> ((s, d) =>
+      winsorizedMean(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), 0.05)),
     // distinct customers per priority through the bitmap path; the
     // oracle's plain count(DISTINCT) proves exactness
     "q_agg_bitmap_distinct" -> ((s, d) =>
@@ -490,6 +576,41 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same total order (n_chars DESC, doc_id), same rank bound, same
+    // comma join — string_agg's ORDER BY mirrors the engine's
+    // sorted-collect construction
+    "q_agg_listagg" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk) AS top_docs,
+        |       CAST(count(*) AS BIGINT) AS n_top
+        |FROM r WHERE rk <= 5 GROUP BY lang ORDER BY lang""".stripMargin,
+    // same rank-picked cut points (k-th / (n-k)-th order statistics,
+    // zero interpolation), same integer-quantized order-free mean
+    "q_agg_winsorized" ->
+      """WITH v AS (SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem),
+        |r AS (
+        |  SELECT grp, v,
+        |         CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS rn,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |c AS (
+        |  SELECT grp,
+        |         max(CASE WHEN rn = CAST(floor(CAST(n AS DOUBLE) * 0.05e0) AS BIGINT) + 1 THEN v END) AS lo,
+        |         max(CASE WHEN rn = n - CAST(floor(CAST(n AS DOUBLE) * 0.05e0) AS BIGINT) THEN v END) AS hi
+        |  FROM r GROUP BY grp)
+        |SELECT v.grp, CAST(count(*) AS BIGINT) AS n,
+        |       floor(max(c.lo) * 10000.0 + 0.5) / 10000.0 AS lo_cut,
+        |       floor(max(c.hi) * 10000.0 + 0.5) / 10000.0 AS hi_cut,
+        |       floor(CAST(sum(CAST(floor(least(greatest(v.v, c.lo), c.hi) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS winsor_mean,
+        |       floor(CAST(sum(CAST(floor(v.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS raw_mean
+        |FROM v JOIN c USING (grp) GROUP BY v.grp ORDER BY v.grp""".stripMargin,
     // identical per-user rollup + Welch/z algebra; var_samp parity at
     // 4 dp (the q_agg_stats posture), significance flags as 0/1
     "q_ab_test" ->

@@ -1512,4 +1512,34 @@ class OperatorSemanticsSpec extends SparkTestBase {
       assert(mass < 1024 + ds.map(_._2).max, s"over-packed bin: $mass")
     }
   }
+
+  test("orderedListAgg: ids concatenate in (n_chars DESC, doc_id) order, rank bound holds") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val docs = Seq(
+      (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 90L), (4L, "en", 10L),
+      (5L, "de", 70L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val res = Aggregations.orderedListAgg(docs, 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 90-char tie breaks by doc_id (2 before 3); the 10-char doc is cut by k=3
+    assert(res("en") == ("2,3,1", 3L))
+    assert(res("de") == ("5", 1L))
+  }
+
+  test("winsorizedMean: outlier clipped to the rank cut, closed-form mean") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // n=10, tail=0.2 → k=2: cuts at the 3rd and 8th order statistics
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val r = Aggregations.winsorizedMean(df, col("grp"), col("v"), 0.2)
+      .collect().head
+    assert(r.getAs[Double]("lo_cut") == 3.0 && r.getAs[Double]("hi_cut") == 8.0)
+    // clipped stream: 3,3,3,4,5,6,7,8,8,8 → mean 5.5
+    assert(r.getAs[Double]("winsor_mean") == 5.5)
+    assert(r.getAs[Long]("n") == 10L)
+    // the raw mean still carries the outlier's pull
+    assert(r.getAs[Double]("raw_mean") == 104.5)
+  }
 }
