@@ -1123,6 +1123,121 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted k-sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each item draws a deterministic uniform u from its id
+    * digest and ranks by u^(1/w) — here by the monotone-equivalent
+    * ln(u)/w — and the global top-k IS a weighted sample without
+    * replacement. The length-weighted eval draw: a 500-char doc is
+    * ~10× likelier in than a 50-char one, yet no doc appears twice
+    * and reruns are bit-identical (pure digest function of the id,
+    * the [[reservoirSample]] contract with weights).
+    *
+    * Zero-weight items are excluded by definition (they'd rank -∞);
+    * the guard keeps the quotient defined rather than leaning on
+    * engine-specific inf semantics.
+    *
+    * Scale posture: narrow projection + TakeOrderedAndProject — each
+    * partition keeps its local top-k and the driver merges k-sized
+    * heaps; nothing relation-sized moves. The selection key stays
+    * un-emitted: ln() is libm-dependent in the last ulp, fine to RANK
+    * by (rank-k gaps are ~1e-4, 12 orders above ulp) but not to hash. */
+  def weightedSample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val h = conv(digestHex8(col("doc_id"), salt), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4294967296.0)
+    docs.filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("es_key", log(u) / col("n_chars").cast("double"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-group TOP-P (nucleus) selection: order the group by mass
+    * descending and keep the smallest prefix whose cumulative mass
+    * reaches p of the group total — "the docs that make up the top
+    * half of this language's characters", the curation cut that
+    * adapts to each group's skew where top-k cannot (a flat group
+    * keeps many, a head-heavy one keeps few). The straddler that
+    * crosses the threshold is kept (mass-before < ⌊p·total⌋), so
+    * coverage is always ≥ p.
+    *
+    * All comparisons are integer cumsums against one floor'd
+    * threshold — no float accumulation, hash-stable on any engine.
+    *
+    * Scale posture: one window shuffle on the group key (bounded
+    * group width here; unbounded groups escalate to the distributed
+    * prefix-sum of withGlobalPrefixSum); ties broken by id so the
+    * running sum is over a total order. */
+  def selectTopP(docs: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"need 0 < p < 1: $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wg = Window.partitionBy(col("lang"))
+    graft.spread(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .withColumn("total", sum(col("n_chars")).over(wg))
+      .filter((col("cum_chars") - col("n_chars")).cast("double") <
+        floor(col("total").cast("double") * lit(p)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cum_chars"),
+        graft.halfUp(col("cum_chars").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PMI collocations: the top-k bigrams by pointwise mutual
+    * information ln(P(w₁w₂)/(P(w₁)P(w₂))) with a minimum pair count —
+    * the phrase-mining / tokenizer-merge-candidate list ("new york"
+    * scores high because its parts rarely appear apart; "of the"
+    * scores low despite its raw frequency — exactly what
+    * [[ngramTopK]]'s count ranking cannot see).
+    *
+    * RANKING is by the PMI ratio computed as one fixed-order chain of
+    * exact-rounded IEEE ops ((c₁₂·N₁·N₁)/(N₂·c₁·c₂), doubles — no
+    * BIGINT overflow at any corpus size, identical on any engine
+    * mirroring the operand order); only the final ln() is rendered,
+    * half-up at 6 dp.
+    *
+    * Scale posture: two counts-only hash aggregates (unigrams,
+    * bigrams) with map-side partials; the min-count filter prunes the
+    * pair table before the two vocab joins; corpus totals are 1-row
+    * broadcasts; top-k is TakeOrderedAndProject. Nothing
+    * relation-sized shuffles twice. */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount, k >= 1: $minCount, $k")
+    val toks = graft.spread(docs, col("doc_id"))
+      .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = toks.agg(
+      sum(size(col("t")).cast("long")).as("n1"),
+      sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n2"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val ratio =
+      (col("c12").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+        (col("n2").cast("double") * col("c1").cast("double") * col("c2").cast("double"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_ratio", ratio)
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        graft.halfUp(log(col("pmi_ratio")), 6).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
@@ -1194,6 +1309,16 @@ object TextOps {
       samplePerGroup(Tables.documents(s, d), "lang", 40, "ev0")),
     "q_sample_reservoir" -> ((s, d) =>
       reservoirSample(Tables.documents(s, d), 500, "res1")),
+    // length-weighted 300-doc eval draw, salt "ws1" — A-ES without
+    // replacement, bit-identical across reruns
+    "q_sample_weighted" -> ((s, d) =>
+      weightedSample(Tables.documents(s, d), 300, "ws1")),
+    // the docs carrying the top half of each language's characters
+    "q_select_topp" -> ((s, d) =>
+      selectTopP(Tables.documents(s, d), 0.5)),
+    // top-30 PMI collocations with pair count >= 5
+    "q_text_collocations" -> ((s, d) =>
+      collocations(Tables.documents(s, d), 5L, 30)),
     "q_text_entropy" -> ((s, d) => textEntropy(Tables.documents(s, d))),
     "q_corpus_health" -> ((s, d) => corpusHealth(Tables.documents(s, d))),
     "q_curation_composite" -> ((s, d) =>
@@ -1521,6 +1646,62 @@ object TextOps {
         |  FROM documents
         |  ORDER BY sample_key, doc_id LIMIT 500)
         |ORDER BY doc_id""".stripMargin,
+    // same digest-derived uniform, same ln(u)/w rank, same (key, id)
+    // tie order; the rank key itself is never emitted (libm ulp)
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         ln((('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':ws1'), 1, 8))::BIGINT
+        |             + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY es_key DESC, doc_id LIMIT 300)
+        |ORDER BY doc_id""".stripMargin,
+    // same (n_chars DESC, doc_id) total order, same integer cumsum
+    // against the same floor'd threshold, straddler kept
+    "q_select_topp" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(sum(n_chars) OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_chars,
+        |         CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, cum_chars,
+        |       floor(CAST(cum_chars AS DOUBLE) / CAST(total AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+        |FROM r
+        |WHERE CAST(cum_chars - n_chars AS DOUBLE)
+        |      < floor(CAST(total AS DOUBLE) * 0.5e0)
+        |ORDER BY doc_id""".stripMargin,
+    // same tokenizer, same fixed-order double chain for the PMI ratio
+    // ((c12*N1*N1)/(N2*c1*c2)), same (ratio DESC, w1, w2) top-k
+    "q_text_collocations" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS n1,
+        |         CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n2 FROM t),
+        |pairs AS (
+        |  SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT unnest(list_transform(list_slice(t, 1, len(t) - 1),
+        |                 (s, j) -> [s, t[j + 1]])) AS pr
+        |        FROM t WHERE len(t) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+        |         (CAST(p.c12 AS DOUBLE) * CAST(tot.n1 AS DOUBLE) * CAST(tot.n1 AS DOUBLE))
+        |         / (CAST(tot.n2 AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+        |           AS pmi_ratio
+        |  FROM pairs p
+        |  JOIN uni u1 ON p.w1 = u1.w
+        |  JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot)
+        |SELECT w1, w2, c12, c1, c2,
+        |       floor(ln(pmi_ratio) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM (SELECT * FROM scored ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30)
+        |ORDER BY w1, w2""".stripMargin,
     // same digest rank within stratum, same (key, doc_id) tie order
     "q_sample_per_group" ->
       """SELECT doc_id, lang, rk FROM (

@@ -687,4 +687,63 @@ class LlmOpsSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 == 1,
       s"expected exactly 1 exchange:\n$plan")
   }
+
+  test("weightedSample: without replacement, weight-dominant item always in, replayable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 1000000000L), (2L, "en", 1L), (3L, "de", 1L), (4L, "de", 1L),
+      (5L, "en", 0L) // zero weight: never sampled
+    ).toDF("doc_id", "lang", "n_chars")
+    val r1 = graft.operators.TextOps.weightedSample(docs, 2, "tst")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1.length == 2 && r1.distinct.length == 2)
+    // ln(u)/w for w=1e9 is ~0 — beats every unit-weight draw (ln(u) < -1e-5
+    // for any u below 1 - 1e-5; the digest never lands that close to 1)
+    assert(r1.contains(1L), s"weight-dominant doc missing: $r1")
+    assert(!r1.contains(5L))
+    // pure digest function of the id: reruns are identical
+    val r2 = graft.operators.TextOps.weightedSample(docs, 2, "tst")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 == r2)
+    // a different salt is a different draw of the non-dominant slot —
+    // at minimum the contract holds again
+    val r3 = graft.operators.TextOps.weightedSample(docs, 4, "tst")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r3.sorted == Seq(1L, 2L, 3L, 4L), s"k=4 must take all positive-weight docs: $r3")
+  }
+
+  test("selectTopP: adaptive prefix, straddler kept, drop after threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      // head-heavy group: 50 covers p=0.5 exactly → only the 50 survives
+      (1L, "en", 50L), (2L, "en", 30L), (3L, "en", 20L),
+      // flat group with a straddler: 40 (before=0) + 40 (before=40 < 50) kept
+      (4L, "de", 40L), (5L, "de", 40L), (6L, "de", 20L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val res = graft.operators.TextOps.selectTopP(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(res.keySet == Set(1L, 4L, 5L), s"got ${res.keySet}")
+    // cumulative masses are exact integers in rank order
+    assert(res(1L) == 50L && res(4L) == 40L && res(5L) == 80L)
+  }
+
+  test("collocations: hand-computed PMI on a planted corpus, min-count prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b")
+    ).toDF("doc_id", "text")
+    // N1=8 tokens, N2=4 bigrams; c(a)=3 c(b)=3 c(c)=1 c(d)=1
+    val res = graft.operators.TextOps.collocations(docs, 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    def pmi6(ratio: Double): Double = math.floor(math.log(ratio) * 1e6 + 0.5) / 1e6
+    assert(res.keySet == Set(("a", "b"), ("a", "c"), ("d", "b")))
+    assert(res(("a", "b")) == ((2L, 3L, 3L, pmi6(2.0 * 8 * 8 / (4.0 * 3 * 3)))))
+    assert(res(("a", "c")) == ((1L, 3L, 1L, pmi6(1.0 * 8 * 8 / (4.0 * 3 * 1)))))
+    assert(res(("d", "b")) == ((1L, 1L, 3L, pmi6(1.0 * 8 * 8 / (4.0 * 1 * 3)))))
+    // min-count 2 prunes the singletons
+    val pruned = graft.operators.TextOps.collocations(docs, 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("a", "b")))
+  }
 }
