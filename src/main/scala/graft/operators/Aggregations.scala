@@ -293,6 +293,55 @@ object Aggregations {
       when(abs(tWelch) > 1.96, 1L).otherwise(0L).as("sig_value"))
   }
 
+  /** χ² test of independence between two categoricals plus Cramér's
+    * V — "does the language mix differ by source?", the contingency
+    * QA scalar next to [[abTest]]'s two-arm readout. Statistics only
+    * (the flag convention of abTest): χ², degrees of freedom, and the
+    * [0,1] effect size; p-values need the χ² CDF (an incomplete
+    * gamma whose libm rounding differs across engines).
+    *
+    * Each cell's (o−e)²/e term quantizes to a 1e-9 grid as BIGINT
+    * before the sum, so the statistic is order-free and bit-identical
+    * under any partitioning; expected counts are a fixed-order double
+    * chain over exact integer marginals.
+    *
+    * Scale posture: ONE (a,b) hash aggregate over the facts (map-side
+    * partials) collapses 100 TB to a cells-sized table; marginals and
+    * level counts are re-aggregations of those cells (never a second
+    * scan), broadcast back onto them. */
+  def chiSquareIndependence(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val la = rowT.agg(count(lit(1)).as("n_a"))
+    val lb = colT.agg(count(lit(1)).as("n_b"))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    // the FULL level grid, not just observed cells: a zero-observed
+    // cell still contributes (0−e)²/e — dropping it understates χ²
+    // exactly when the association is strongest
+    rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("termq", floor(term * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(max(col("n")).as("n"),
+        sum(col("termq")).as("chi2q"))
+      .crossJoin(broadcast(la)).crossJoin(broadcast(lb))
+      .select(
+        col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+        halfUp(col("chi2q").cast("double") / lit(1e9), 6).as("chi2"),
+        halfUp(sqrt(col("chi2q").cast("double") / lit(1e9) /
+          (col("n").cast("double") *
+            (least(col("n_a"), col("n_b")) - 1L).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** EXACT distinct count via BITMAP pre-aggregation (Spark's native
     * bitmap_* functions): ids bucket into 32k-bit bitmaps, each
     * (group, bucket) reduces to ONE bitmap with map-side partial
@@ -400,6 +449,10 @@ object Aggregations {
     "q_ab_test" -> ((s, d) =>
       abTest(Tables.events(s, d), col("user_id") % 2,
         col("event_type") === "purchase" && col("value") > 90)),
+    // is the language mix independent of the source? (documents)
+    "q_stats_chi2" -> ((s, d) =>
+      chiSquareIndependence(Tables.documents(s, d), col("lang"),
+        col("source"))),
     // per-language "longest docs" report cell — 5 ids in length order
     "q_agg_listagg" -> ((s, d) =>
       orderedListAgg(Tables.documents(s, d), 5)),
@@ -576,6 +629,37 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same exact integer marginals, same fixed-order expected-count
+    // chain, same 1e-9 BIGINT term grid — order-free χ² sum
+    "q_stats_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_a,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_b),
+        |grid AS (
+        |  SELECT rt.a, rt.ra, ct.b, ct.cb, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |s AS (
+        |  SELECT max(tot.n) AS n,
+        |         CAST(sum(CAST(floor(
+        |           (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |           * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |           * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi2q
+        |  FROM grid CROSS JOIN tot)
+        |SELECT s.n, lv.n_a, lv.n_b,
+        |       (lv.n_a - 1) * (lv.n_b - 1) AS dof,
+        |       floor(CAST(chi2q AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+        |         / 1000000.0 AS chi2,
+        |       floor(sqrt(CAST(chi2q AS DOUBLE) / 1000000000.0
+        |             / (CAST(s.n AS DOUBLE) * CAST(least(lv.n_a, lv.n_b) - 1 AS DOUBLE)))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+        |FROM s CROSS JOIN lv""".stripMargin,
     // same total order (n_chars DESC, doc_id), same rank bound, same
     // comma join — string_agg's ORDER BY mirrors the engine's
     // sorted-collect construction

@@ -857,6 +857,49 @@ object Climate {
       .orderBy(col("lat"), col("lon"))
   }
 
+  /** THEIL–SEN robust trend per series: the LOWER median of all
+    * pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over the daily-reduced series —
+    * the slope estimator with a 29% breakdown point, immune to the
+    * outlier days that drag [[cellTrend]]'s OLS (one bad sensor day
+    * shifts OLS by its leverage; Theil–Sen shrugs off up to a third
+    * of the days). The daily reduction uses the integer-quantized
+    * order-free mean, and the median is the RANK-PICKED lower
+    * median — an actual slope value, no interpolation arithmetic, so
+    * the result is engine-independent by construction.
+    *
+    * Scale posture: the pair expansion is over the DAILY reduction,
+    * bounded by the calendar span squared per series — independent of
+    * row count (100 TB of events over 2 years is still ≤ ~270k pairs
+    * per series). The daily table broadcasts to the self-join; the
+    * rank window shuffles only (series, slope) pairs. */
+  def theilSenTrend(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val days = daily.groupBy(col("series")).agg(count(lit(1)).as("n_days"))
+    val slopes = daily.select(col("series"), col("day").as("d1"), col("y").as("y1"))
+      .join(broadcast(daily.select(col("series"), col("day").as("d2"),
+        col("y").as("y2"))), Seq("series"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("slope",
+        (col("y2") - col("y1")) / (col("d2") - col("d1")).cast("double"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wg = Window.partitionBy(col("series"))
+    slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(wg))
+      .filter(col("rn") ===
+        floor((col("np") + lit(1L)).cast("double") / lit(2.0)).cast("long"))
+      .join(broadcast(days), Seq("series"))
+      .select(col("series"), col("n_days"), col("np").as("n_pairs"),
+        halfUp(col("slope"), 6).as("ts_slope"))
+      .orderBy(col("series"))
+  }
+
   /** Heating / cooling DEGREE DAYS per cell-month — the standard
     * threshold-integrated climate index (energy-demand proxy): for a
     * base level b, HDD accumulates max(0, b − v) and CDD accumulates
@@ -1108,6 +1151,9 @@ object Climate {
     // per-cell OLS trend map (value/day over the observation window)
     "q_climate_trend" -> ((s, d) =>
       cellTrend(Tables.events(s, d))),
+    // robust per-type trend: lower median of pairwise daily slopes
+    "q_stats_theilsen" -> ((s, d) =>
+      theilSenTrend(Tables.events(s, d))),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -1136,6 +1182,32 @@ object Climate {
   )
 
   val oracle: Map[String, String] = Map(
+    // same quantized daily mean, same pair expansion, same rank-picked
+    // lower median (an actual slope value — no interpolation)
+    "q_stats_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+        |         FROM daily GROUP BY series),
+        |sl AS (
+        |  SELECT a.series, a.day AS d1, b.day AS d2,
+        |         (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.series = b.series AND a.day < b.day),
+        |r AS (
+        |  SELECT series, slope,
+        |         CAST(row_number() OVER (PARTITION BY series
+        |           ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS np
+        |  FROM sl)
+        |SELECT r.series, days.n_days, r.np AS n_pairs,
+        |       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS ts_slope
+        |FROM r JOIN days ON r.series = days.series
+        |WHERE rn = CAST(floor(CAST(np + 1 AS DOUBLE) / 2.0) AS BIGINT)
+        |ORDER BY r.series""".stripMargin,
     // same explicit covar_pop/var_pop quotient with the same
     // zero-variance guard — NULL-slope semantics match by construction
     "q_climate_trend" ->

@@ -552,7 +552,58 @@ object Windows {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** CUSUM excursion profile per series — the classic
+    * change-detection statistic (Page 1954): running sum of
+    * deviations from the series mean, whose maximum excursion marks
+    * a sustained level shift that per-point outlier tests
+    * ([[Aggregations.anomalyMad]]) cannot see. Emitted per series:
+    * the max/min excursion and its range, the drift triage row.
+    *
+    * Float parity is by INTEGER construction end to end: the series
+    * mean divides an integer-quantized sum (order-free), each
+    * deviation is quantized to a 1e-6 grid as BIGINT, and the running
+    * sum accumulates LONGS — exact regardless of accumulation order,
+    * which matters because engines disagree on windowed float
+    * summation order (Spark accumulates sequentially, DuckDB by
+    * segment tree — ulp drift over a 100k-row series would poison a
+    * float cusum's hash).
+    *
+    * Scale posture: one mean aggregate (map-side partials) broadcast
+    * back, one window shuffle on the series key; the running frame
+    * carries a single long. Relation-sized single series escalate to
+    * the distributed prefix-sum of [[withGlobalRowNumber]]'s offset
+    * pattern. */
+  def cusumProfile(events: DataFrame, series: Column, ts: Column,
+      value: Column): DataFrame = {
+    val base = events.filter(value.isNotNull)
+      .select(series.as("series"), ts.as("ts"), col("event_id"),
+        value.as("v"))
+    val means = base.groupBy(col("series"))
+      .agg((sum(floor(col("v") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("mu"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(means), Seq("series"))
+      .withColumn("devq",
+        floor((col("v") - col("mu")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("cusumq", sum(col("devq")).over(w))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        graft.halfUp(max(col("cusumq")).cast("double") / lit(1e6), 4)
+          .as("cusum_max"),
+        graft.halfUp(min(col("cusumq")).cast("double") / lit(1e6), 4)
+          .as("cusum_min"),
+        graft.halfUp((max(col("cusumq")) - min(col("cusumq"))).cast("double")
+          / lit(1e6), 4).as("cusum_range"))
+      .orderBy(col("series"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // per-event-type drift triage over the value stream
+    "q_window_cusum" -> ((s, d) =>
+      cusumProfile(Tables.events(s, d), col("event_type"), col("ts"),
+        col("value"))),
     "q_window_rolling_median" -> ((s, d) =>
       rollingMedian(Tables.events(s, d), col("event_id"), col("user_id"),
         col("ts"), col("value"))),
@@ -759,6 +810,34 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    // same quantized mean, same 1e-6 BIGINT deviation grid, same
+    // integer running sum — order-free, so DuckDB's segment-tree
+    // window summation cannot drift from Spark's sequential one
+    "q_window_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type AS series, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT series,
+        |         CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS mu
+        |  FROM b GROUP BY series),
+        |c AS (
+        |  SELECT b.series,
+        |         CAST(sum(CAST(floor((b.v - m.mu) * 1000000.0 + 0.5) AS BIGINT))
+        |           OVER (PARTITION BY b.series ORDER BY b.ts, b.event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cusumq
+        |  FROM b JOIN m USING (series))
+        |SELECT series, CAST(count(*) AS BIGINT) AS n,
+        |       floor(CAST(max(cusumq) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |         / 10000.0 AS cusum_max,
+        |       floor(CAST(min(cusumq) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |         / 10000.0 AS cusum_min,
+        |       floor(CAST(max(cusumq) - min(cusumq) AS DOUBLE) / 1000000.0
+        |             * 10000.0 + 0.5) / 10000.0 AS cusum_range
+        |FROM c GROUP BY series ORDER BY series""".stripMargin,
     // quantile_cont == Spark's interpolated `percentile`; over a
     // ≤5-row frame the interpolation is (a+b)/2 — exact IEEE
     "q_window_rolling_median" ->

@@ -1542,4 +1542,60 @@ class OperatorSemanticsSpec extends SparkTestBase {
     // the raw mean still carries the outlier's pull
     assert(r.getAs[Double]("raw_mean") == 104.5)
   }
+
+  test("cusumProfile: closed-form excursion around a planted level shift") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // mean 3; devs -2,-2,-2,+2,+2,+2 → cusum -2,-4,-6,-4,-2,0
+    val ev = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex.map {
+      case (v, i) => ("g", i.toLong * 1000000L, i.toLong, v)
+    }.toDF("series0", "us", "event_id", "v")
+      .select(col("series0"), expr("timestamp_micros(us)").as("ts"),
+        col("event_id"), col("v"))
+    val r = Windows.cusumProfile(ev, col("series0"), col("ts"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("cusum_max") == 0.0)
+    assert(r.getAs[Double]("cusum_min") == -6.0)
+    assert(r.getAs[Double]("cusum_range") == 6.0)
+  }
+
+  test("theilSenTrend: lower median of pairwise slopes, daily mean reduction") {
+    import spark.implicits._
+    import graft.operators.Climate
+    val day = 86400000000L
+    // series A: daily means 0, 1, 10 → slopes {1, 5, 9} → lower median 5
+    // (day 0 has TWO events averaging to 0); series B: 2, 4 → slope 2
+    val rows = Seq(
+      ("A", 0L, -1.0, 1L), ("A", 0L, 1.0, 2L), ("A", 1L, 1.0, 3L),
+      ("A", 2L, 10.0, 4L),
+      ("B", 0L, 2.0, 5L), ("B", 1L, 4.0, 6L))
+    val ev = rows.toDF("event_type", "d", "value", "event_id")
+      .select(col("event_type"),
+        expr(s"timestamp_micros(d * ${day}L + ${1704067200000000L}L)").as("ts"),
+        col("value"), col("event_id"))
+    val r = Climate.theilSenTrend(ev)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("A") == ((3L, 3L, 5.0)), s"got ${r("A")}")
+    assert(r("B") == ((2L, 1L, 2.0)))
+  }
+
+  test("chiSquareIndependence: zero on independence, N·min(r,c)-scaled on the diagonal") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val indep = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))).toDF("x", "y")
+    val ri = Aggregations.chiSquareIndependence(indep, col("x"), col("y"))
+      .collect().head
+    assert(ri.getAs[Long]("n") == 40L && ri.getAs[Long]("dof") == 1L)
+    assert(ri.getAs[Double]("chi2") == 0.0 && ri.getAs[Double]("cramers_v") == 0.0)
+    // perfect association: the two ZERO-observed cells contribute
+    // (0-5)²/5 each — χ² = N = 20, V = 1 (dropping them would read 10)
+    val dep = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2"))).toDF("x", "y")
+    val rd = Aggregations.chiSquareIndependence(dep, col("x"), col("y"))
+      .collect().head
+    assert(rd.getAs[Double]("chi2") == 20.0, s"got ${rd.getAs[Double]("chi2")}")
+    assert(rd.getAs[Double]("cramers_v") == 1.0)
+  }
 }
