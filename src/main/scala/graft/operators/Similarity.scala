@@ -808,7 +808,75 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** EXACT-parity k-means (Lloyd) over the embedding corpus — the
+    * hash-verifiable sibling of [[kmeansRefine]] (whose float mean
+    * update is deterministic only for a fixed partition layout, fine
+    * for quantizer training but not for a cross-engine contract).
+    * Seeds = the k lowest vec_ids' vectors, `iters` fixed rounds,
+    * then every vector's final cell assignment and squared distance.
+    *
+    * Parity is by construction at every step: distances fold
+    * left-to-right over the dims from a 0.0 init (x₁ first — both
+    * engines' list folds agree bit-for-bit, the q_embed_pca
+    * precedent); the argmin keeps the FIRST strict improvement over
+    * the cid-sorted centroid list, so ties resolve to the lowest
+    * cid; centroid updates divide an integer-quantized (1e-9 grid)
+    * order-free component sum; empty cells keep their previous
+    * centroid. The DuckDB twin replays all of it in one recursive
+    * CTE.
+    *
+    * Scale posture: the corpus never shuffles for assignment — the
+    * k-row model packs into ONE broadcast row and every point picks
+    * its cell row-locally inside codegen; the update shuffles
+    * (cid, pos, quantized-long) scalars with map-side partials, never
+    * vectors; each iteration localCheckpoints k rows so plan depth
+    * stays O(1) in iters. */
+  def kmeansExact(emb: DataFrame, k: Int = 4, iters: Int = 6): DataFrame = {
+    require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1: $k, $iters")
+    val pts = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    def d2(v: Column, cv: Column): Column =
+      aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)
+    // first-strict-improvement fold over the cid-sorted list: ties
+    // keep the earlier (lower-cid) centroid, same as the twin's
+    // list_reduce
+    def best(v: Column, cs: Column): Column =
+      aggregate(slice(cs, lit(2), size(cs) - 1), element_at(cs, 1),
+        (acc, c) => when(d2(v, c.getField("cv")) < d2(v, acc.getField("cv")), c)
+          .otherwise(acc))
+    var cents = pts.orderBy(col("vec_id")).limit(k)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
+      .select(posexplode(transform(col("ss"), s => s.getField("v")))
+        .as(Seq("cid0", "cv")))
+      .select(col("cid0").cast("long").as("cid"), col("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val packed = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      val means = pts.crossJoin(broadcast(packed))
+        .select(best(col("v"), col("cs")).getField("cid").as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("x") * lit(1e9) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cvn"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvn"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+    pts.crossJoin(broadcast(packed))
+      .withColumn("b", best(col("v"), col("cs")))
+      .select(col("vec_id"), col("b").getField("cid").as("cid"),
+        graft.halfUp(d2(col("v"), col("b").getField("cv")), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_kmeans" -> ((s, d) => kmeansExact(Tables.embeddings(s, d))),
     "q_embed_pca" -> ((s, d) => pcaTopComponent(Tables.embeddings(s, d))),
     "q_sample_negatives" -> ((s, d) =>
       negativeSample(Tables.embeddings(s, d))),
@@ -885,6 +953,62 @@ object Similarity {
     // bit-identical across engines (see pcaTopComponent scaladoc), so
     // this replays the FULL pipeline: quantized sums, covariance,
     // 12 power-iteration steps as a recursive CTE, Rayleigh quotient
+    // the whole Lloyd loop replayed in ONE recursive CTE: same seeds
+    // (k lowest vec_ids, cid-sorted), same left-fold distances, same
+    // first-strict-improvement argmin (ties → lowest cid), same
+    // integer-quantized mean update, same empty-cell carry
+    "q_embed_kmeans" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT list(struct_pack(cid := cid, cv := v) ORDER BY cid) AS cents
+        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, v
+        |        FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 4))),
+        |it(i, cents) AS (
+        |  SELECT 0, cents FROM seeds
+        |  UNION ALL
+        |  SELECT z.i + 1,
+        |         list_transform(z.cents0, c -> struct_pack(cid := c.cid,
+        |           cv := coalesce(list_filter(z.nl, s -> s.cid = c.cid)[1].cv, c.cv)))
+        |  FROM (
+        |    SELECT i, any_value(cents0) AS cents0,
+        |           list(struct_pack(cid := cid, cv := cvn)) AS nl
+        |    FROM (
+        |      SELECT i, cid, any_value(cents0) AS cents0, list(m ORDER BY pos) AS cvn
+        |      FROM (
+        |        SELECT i, cid, pos, any_value(cents0) AS cents0,
+        |               CAST(sum(xq) AS DOUBLE) / 1000000000.0 / count(*) AS m
+        |        FROM (
+        |          SELECT a.i AS i, a.cid AS cid, a.cents0 AS cents0,
+        |                 unnest(generate_series(1, len(a.v))) AS pos,
+        |                 unnest(list_transform(a.v, x -> CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))) AS xq
+        |          FROM (
+        |            SELECT it.i AS i, it.cents AS cents0, p.v AS v,
+        |                   (list_reduce(it.cents, (acc, c) -> CASE WHEN
+        |                      list_sum(list_transform(range(1, len(p.v) + 1),
+        |                        m -> (p.v[m] - c.cv[m]) * (p.v[m] - c.cv[m]))) <
+        |                      list_sum(list_transform(range(1, len(p.v) + 1),
+        |                        m -> (p.v[m] - acc.cv[m]) * (p.v[m] - acc.cv[m])))
+        |                    THEN c ELSE acc END)).cid AS cid
+        |            FROM it, pts p WHERE it.i < 6) a)
+        |        GROUP BY i, cid, pos)
+        |      GROUP BY i, cid)
+        |    GROUP BY i) z
+        |)
+        |SELECT p.vec_id,
+        |       b.cid AS cid,
+        |       floor(list_sum(list_transform(range(1, len(p.v) + 1),
+        |         m -> (p.v[m] - b.cv[m]) * (p.v[m] - b.cv[m]))) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS dist2
+        |FROM pts p,
+        |     (SELECT cents FROM it WHERE i = 6) f,
+        |     LATERAL (SELECT list_reduce(f.cents, (acc, c) -> CASE WHEN
+        |                list_sum(list_transform(range(1, len(p.v) + 1),
+        |                  m -> (p.v[m] - c.cv[m]) * (p.v[m] - c.cv[m]))) <
+        |                list_sum(list_transform(range(1, len(p.v) + 1),
+        |                  m -> (p.v[m] - acc.cv[m]) * (p.v[m] - acc.cv[m])))
+        |              THEN c ELSE acc END) AS b) lb(b)
+        |ORDER BY p.vec_id""".stripMargin,
     "q_embed_pca" ->
       """WITH RECURSIVE e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),

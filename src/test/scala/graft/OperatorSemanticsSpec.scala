@@ -1598,4 +1598,25 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(rd.getAs[Double]("chi2") == 20.0, s"got ${rd.getAs[Double]("chi2")}")
     assert(rd.getAs[Double]("cramers_v") == 1.0)
   }
+
+  test("kmeansExact: planted 2-cluster plane converges, exact final distances") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // seeds = vecs 0,1 at [0,0],[1,0]; after 2 Lloyd rounds the
+    // centroids are exactly [0.5,0] and [10.5,10] → every dist2 = 0.25
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(10f, 10f)), (3L, Array(11f, 10f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansExact(emb, k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._2).toSeq == Seq(0L, 0L, 1L, 1L), s"got ${r.toSeq}")
+    assert(r.forall(_._3 == 0.25), s"got ${r.toSeq}")
+    // empty-cell carry: k=4 over these 4 points seeds every point as
+    // its own centroid — assignments stay the identity with dist 0
+    val r4 = Similarity.kmeansExact(emb, k = 4, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r4.toSeq == Seq((0L, 0L, 0.0), (1L, 1L, 0.0),
+      (2L, 2L, 0.0), (3L, 3L, 0.0)), s"got ${r4.toSeq}")
+  }
 }
