@@ -736,4 +736,38 @@ class PlanSpec extends SparkTestBase {
     assert(ex.size == 2, s"expected two hash exchanges:\n${ex.mkString("\n")}")
     assert(!plan.contains("Join"), "heatwave must not join")
   }
+
+  test("q_agg_listagg: rank bound pre-reduces map-side (WindowGroupLimit)") {
+    // rk <= 5 must fold into a WindowGroupLimit below the shuffle so
+    // at most k rows per language reach the listagg aggregate
+    assert(executed("q_agg_listagg").contains("WindowGroupLimit"))
+  }
+
+  test("q_sample_weighted: global weighted top-k is TakeOrderedAndProject, never a sort") {
+    val plan = executed("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q_text_collocations: vocab re-attaches by broadcast, top-k never global-sorts the pair table") {
+    val plan = executed("q_text_collocations")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab joins must broadcast, not shuffle:\n${plan.take(3000)}")
+  }
+
+  test("q_embed_kmeans: assignment never shuffles the corpus (broadcast model, no shuffle join)") {
+    val plan = executed("q_embed_kmeans")
+    // the k-row packed model attaches by broadcast nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"kmeans assignment must not shuffle-join:\n${plan.take(3000)}")
+  }
+
+  test("q_agg_winsorized: cut points re-attach by broadcast; one window shuffle on the group key") {
+    val plan = executed("q_agg_winsorized")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"winsorize cut join must broadcast:\n${plan.take(3000)}")
+  }
 }
