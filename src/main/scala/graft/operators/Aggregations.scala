@@ -342,6 +342,39 @@ object Aggregations {
           .as("cramers_v"))
   }
 
+  /** BENFORD first-digit screening — the leading-digit distribution
+    * of a positive measure against Benford's law log₁₀(1+1/d), with
+    * per-digit deviation: the data-quality / fabrication screen for
+    * naturally-scaled quantities (prices, populations, file sizes).
+    * A synthetic or truncated column announces itself as a flat or
+    * spiked digit histogram.
+    *
+    * The leading digit comes from the INTEGER part rendered as a
+    * string — integer-to-string is engine-independent, where
+    * double-to-string and log₁₀-based digit extraction both have
+    * cross-engine last-ulp traps. Values below 1 are excluded (their
+    * leading digit lives in the fraction).
+    *
+    * Scale posture: one 9-group hash aggregate with map-side
+    * partials; the total re-aggregates the digit counts (never a
+    * second scan) and broadcasts back. */
+  def benfordScreen(df: DataFrame, value: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df.filter(value >= 1.0)
+      .select(substring(floor(value).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val share = col("n").cast("double") / col("total").cast("double")
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        halfUp(share, 6).as("share"),
+        halfUp(expected, 6).as("benford"),
+        halfUp(share - expected, 6).as("deviation"))
+      .orderBy(col("digit"))
+  }
+
   /** EXACT distinct count via BITMAP pre-aggregation (Spark's native
     * bitmap_* functions): ids bucket into 32k-bit bitmaps, each
     * (group, bucket) reduces to ONE bitmap with map-side partial
@@ -449,6 +482,9 @@ object Aggregations {
     "q_ab_test" -> ((s, d) =>
       abTest(Tables.events(s, d), col("user_id") % 2,
         col("event_type") === "purchase" && col("value") > 90)),
+    // do order totals follow Benford? (they should — multiplicative)
+    "q_stats_benford" -> ((s, d) =>
+      benfordScreen(Tables.orders(s, d), col("o_totalprice"))),
     // is the language mix independent of the source? (documents)
     "q_stats_chi2" -> ((s, d) =>
       chiSquareIndependence(Tables.documents(s, d), col("lang"),
@@ -629,6 +665,23 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same integer-part string digit (engine-independent, unlike
+    // double rendering or log10 extraction), same ln/ln expectation
+    "q_stats_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        |       floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS share,
+        |       floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS benford,
+        |       floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |              - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS deviation
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     // same exact integer marginals, same fixed-order expected-count
     // chain, same 1e-9 BIGINT term grid — order-free χ² sum
     "q_stats_chi2" ->

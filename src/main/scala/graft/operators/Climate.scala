@@ -900,6 +900,80 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
+    * vertices, closed implicitly. Deliberately irregular and
+    * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
+    * center), so no cell sits on a boundary tie. ONE definition
+    * feeds both the Spark plan and the generated DuckDB oracle. */
+  val roiPolygon: Seq[(Double, Double)] = Seq(
+    (-60.17, -30.23), (0.37, -45.11), (60.29, -30.41),
+    (40.13, 30.27), (-40.31, 35.17))
+
+  /** POINT-IN-POLYGON classification of the grid — the
+    * region-of-interest mask every spatial pipeline needs beyond the
+    * rectangular [[q_filter_land_mask]]: which cells fall inside an
+    * arbitrary (possibly concave) polygon, by even–odd ray casting
+    * (a horizontal ray crosses the boundary an odd number of times
+    * iff the point is inside).
+    *
+    * The crossing test is a SUM of integer indicators mod 2 — parity
+    * in the integer domain — over per-edge conditions whose
+    * arithmetic is a fixed-order double chain with Scala-side
+    * pre-folded edge constants, emitted identically into both
+    * engines. Horizontal-edge degeneracy is excluded by the (y₁>y)≠
+    * (y₂>y) guard before the slope quotient matters (IEEE ±inf
+    * compares safely — no error path either way).
+    *
+    * Scale posture: one (lat, lon) hash aggregate reduces the cube
+    * to its grid; the polygon test is a codegen'd scalar over that
+    * cells-sized table — no join, no second shuffle. A vertex-heavy
+    * polygon stays a linear chain of scalar ops; a polygon TABLE
+    * (many ROIs) would broadcast and explode instead. */
+  def pointInPolygon(events: DataFrame,
+      poly: Seq[(Double, Double)] = roiPolygon): DataFrame = {
+    require(poly.size >= 3, s"need >= 3 vertices: ${poly.size}")
+    val cells = syntheticGrid(events)
+      .groupBy(col("lat"), col("lon")).agg(count(lit(1)).as("n_obs"))
+    val x = col("lon")
+    val y = col("lat")
+    val crossings = poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.size)
+      val dx = x2 - x1
+      val dy = y2 - y1
+      when(((lit(y1) > y) =!= (lit(y2) > y)) &&
+        (x < lit(dx) * (y - lit(y1)) / lit(dy) + lit(x1)), 1).otherwise(0)
+    }.reduce(_ + _)
+    cells.filter(crossings % 2 === 1)
+      .select(col("lat"), col("lon"), col("n_obs"))
+      .orderBy(col("lat"), col("lon"))
+  }
+
+  /** The generated DuckDB twin of [[pointInPolygon]]: the SAME vertex
+    * list renders the same pre-folded edge constants (Double.toString
+    * round-trips exactly; CAST AS DOUBLE pins DuckDB off its DECIMAL
+    * literal default), the same indicator sum, the same parity test. */
+  private[operators] def pipOracleSql(poly: Seq[(Double, Double)]): String = {
+    val conds = poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.size)
+      val dx = x2 - x1
+      val dy = y2 - y1
+      s"""(CASE WHEN ((CAST($y1 AS DOUBLE) > lat) != (CAST($y2 AS DOUBLE) > lat))
+         |  AND lon < CAST($dx AS DOUBLE) * (lat - CAST($y1 AS DOUBLE))
+         |            / CAST($dy AS DOUBLE) + CAST($x1 AS DOUBLE)
+         |  THEN 1 ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH cells AS (
+       |  SELECT (event_id % 360) * 0.5 - 90.0 AS lat,
+       |         ((event_id * 7) % 576) * 0.625 - 180.0 AS lon,
+       |         CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM events GROUP BY 1, 2)
+       |SELECT lat, lon, n_obs FROM cells
+       |WHERE ($conds) % 2 = 1
+       |ORDER BY lat, lon""".stripMargin
+  }
+
   /** Heating / cooling DEGREE DAYS per cell-month — the standard
     * threshold-integrated climate index (energy-demand proxy): for a
     * base level b, HDD accumulates max(0, b − v) and CDD accumulates
@@ -1154,6 +1228,9 @@ object Climate {
     // robust per-type trend: lower median of pairwise daily slopes
     "q_stats_theilsen" -> ((s, d) =>
       theilSenTrend(Tables.events(s, d))),
+    // grid cells inside the irregular ROI pentagon (even-odd rule)
+    "q_geo_polygon" -> ((s, d) =>
+      pointInPolygon(Tables.events(s, d))),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -1182,6 +1259,9 @@ object Climate {
   )
 
   val oracle: Map[String, String] = Map(
+    // generated from the SAME vertex list as the plan — same folded
+    // edge constants, same indicator sum, same integer parity
+    "q_geo_polygon" -> pipOracleSql(roiPolygon),
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
     "q_stats_theilsen" ->

@@ -1238,7 +1238,44 @@ object TextOps {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** READABILITY scores per document — Flesch reading ease and
+    * Flesch–Kincaid grade from three regex censuses (sentences =
+    * terminal-punctuation runs, words = alnum runs, syllables =
+    * vowel-group runs, the standard dictionary-free heuristic). The
+    * curation-filter complement to [[textQuality]]'s ratio gates:
+    * quality says "is this prose", readability says "for whom".
+    *
+    * Counts are integers and the two scores are fixed-order double
+    * chains over their ratios — engine-independent, rendered half-up.
+    * Degenerate docs (no sentence/word match) clamp to 1 rather than
+    * dividing by zero.
+    *
+    * Scale posture: pure narrow projection inside codegen — three
+    * regex passes per row, no shuffle at all (the output order sort
+    * is the only exchange). */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = greatest(size(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")), lit(1)).cast("long")
+    val sents = greatest(size(expr(
+      "regexp_extract_all(text, '[.!?]+', 0)")), lit(1)).cast("long")
+    val sylls = greatest(size(expr(
+      "regexp_extract_all(lower(text), '[aeiouy]+', 0)")), lit(1)).cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    graft.spread(docs, col("doc_id"))
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        graft.halfUp(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch"),
+        graft.halfUp(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
@@ -1646,6 +1683,23 @@ object TextOps {
         |  FROM documents
         |  ORDER BY sample_key, doc_id LIMIT 500)
         |ORDER BY doc_id""".stripMargin,
+    // same three regex censuses, same clamp, same fixed-order score
+    // chains rendered half-up at 4 dp
+    "q_text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS BIGINT) AS n_words,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |             * 10000.0 + 0.5) / 10000.0 AS flesch,
+        |       floor((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |              + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59)
+        |             * 10000.0 + 0.5) / 10000.0 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     // same digest-derived uniform, same ln(u)/w rank, same (key, id)
     // tie order; the rank key itself is never emitted (libm ulp)
     "q_sample_weighted" ->

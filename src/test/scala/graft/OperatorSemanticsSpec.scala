@@ -1599,6 +1599,55 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(rd.getAs[Double]("cramers_v") == 1.0)
   }
 
+  test("readability: hand-counted censuses and scores, degenerate clamp") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def hu4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, "")).toDF("doc_id", "text")
+    val r = TextOps.readability(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups → wps 3, spw 1
+    val a = r(1L)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((6L, 2L, 6L)))
+    assert(a.getDouble(4) == hu4(206.835 - 1.015 * 3.0 - 84.6 * 1.0))
+    assert(a.getDouble(5) == hu4(0.39 * 3.0 + 11.8 * 1.0 - 15.59))
+    // empty doc clamps every census to 1 instead of dividing by zero
+    val b = r(2L)
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((1L, 1L, 1L)))
+    assert(b.getDouble(4) == hu4(206.835 - 1.015 - 84.6))
+  }
+
+  test("benfordScreen: planted digit histogram, sub-1 values excluded") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    def hu6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val df = Seq(1.5, 10.0, 199.99, 25.0, 0.5).toDF("v")
+    val r = Aggregations.benfordScreen(df, col("v"))
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(1, 2))
+    val ben1 = math.log(2.0) / math.log(10.0)
+    assert(r(1) == ((3L, 0.75, hu6(ben1), hu6(0.75 - ben1))))
+    val ben2 = math.log(1.5) / math.log(10.0)
+    assert(r(2) == ((1L, 0.25, hu6(ben2), hu6(0.25 - ben2))))
+  }
+
+  test("pointInPolygon: even-odd rule on a planted square, duplicate cells reduce") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // event_id 180 → cell (lat 0.0, lon -112.5); id 0 → (lat -90, lon -180)
+    val ev = Seq((180L, 1L, 1.0), (180L, 2L, 2.0), (0L, 3L, 3.0))
+      .toDF("event_id", "us", "value")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"), col("value"))
+    val sq = Seq((-113.1, -0.9), (-112.1, -0.9), (-112.1, 0.9), (-113.1, 0.9))
+    val r = Climate.pointInPolygon(ev, sq).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0.0, -112.5, 2L)), s"got ${r.toSeq}")
+    // shrink the square past the cell: nothing inside
+    val tiny = Seq((-112.6, -0.9), (-112.55, -0.9), (-112.55, 0.9), (-112.6, 0.9))
+    assert(Climate.pointInPolygon(ev, tiny).count() == 0L)
+  }
+
   test("kmeansExact: planted 2-cluster plane converges, exact final distances") {
     import spark.implicits._
     import graft.operators.Similarity
