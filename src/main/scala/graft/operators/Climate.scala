@@ -900,6 +900,60 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** Lead–lag CROSS-CORRELATION function (CCF) between two daily
+    * series: Pearson r of series A against series B shifted by each
+    * lag in [−maxLag, +maxLag] — the teleconnection / does-X-lead-Y
+    * probe ("do views precede purchases, and by how many days?").
+    * A positive peak at lag k means A at day t tracks B at day t+k.
+    *
+    * Parity: daily means divide integer-quantized sums; every moment
+    * (Σx, Σy, Σx², Σy², Σxy) sums a per-row integer-quantized term
+    * (products quantized AFTER multiplication — never products of
+    * quantized values, whose magnitudes would overflow BIGINT), so
+    * each lag's correlation is an order-free fixed chain. Degenerate
+    * lags (constant series in the overlap) yield NULL by guard.
+    *
+    * Scale posture: the facts reduce to (type, day) once; the lag
+    * expansion is ±maxLag copies of the DAILY table (calendar-bounded,
+    * never row-count-bounded) joined on the shifted day; one hash
+    * aggregate per lag carries five longs. */
+  def crossCorrelation(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 7, x0: String = "2024-01-01"): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1: $maxLag")
+    val daily = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val a = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("y").as("ya"))
+    val b = daily.filter(col("event_type") === typeB)
+      .select(col("day").as("day_b"), col("y").as("yb"))
+    val lagged = a.crossJoin(broadcast(
+        events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+          .select(col("id").as("lag"))))
+      .join(b, col("day") + col("lag") === col("day_b"))
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("long")).cast("double") / lit(1e9)
+    val agg = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        q9(col("ya")).as("sx"), q9(col("yb")).as("sy"),
+        q6(col("ya") * col("ya")).as("sxx"),
+        q6(col("yb") * col("yb")).as("syy"),
+        q6(col("ya") * col("yb")).as("sxy"))
+    val nD = col("n_days").cast("double")
+    val varA = nD * col("sxx") - col("sx") * col("sx")
+    val varB = nD * col("syy") - col("sy") * col("sy")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    agg.select(col("lag"), col("n_days"),
+        halfUp(when(varA <= 0.0 || varB <= 0.0, lit(null).cast("double"))
+          .otherwise(num / sqrt(varA * varB)), 6).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
     * vertices, closed implicitly. Deliberately irregular and
     * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
@@ -1231,6 +1285,9 @@ object Climate {
     // grid cells inside the irregular ROI pentagon (even-odd rule)
     "q_geo_polygon" -> ((s, d) =>
       pointInPolygon(Tables.events(s, d))),
+    // do views lead purchases? daily CCF at lags -7..7
+    "q_stats_ccf" -> ((s, d) =>
+      crossCorrelation(Tables.events(s, d), "view", "purchase")),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -1262,6 +1319,36 @@ object Climate {
     // generated from the SAME vertex list as the plan — same folded
     // edge constants, same indicator sum, same integer parity
     "q_geo_polygon" -> pipOracleSql(roiPolygon),
+    // same quantized daily means, same quantized-term moment sums
+    // (products quantized AFTER multiplication), same corr chain
+    "q_stats_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT day, y AS ya FROM daily WHERE event_type = 'view'),
+        |b AS (SELECT day AS day_b, y AS yb FROM daily WHERE event_type = 'purchase'),
+        |l AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+        |g AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(CAST(floor(ya * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+        |         CAST(sum(CAST(floor(yb * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+        |         CAST(sum(CAST(floor(ya * ya * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+        |         CAST(sum(CAST(floor(yb * yb * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy,
+        |         CAST(sum(CAST(floor(ya * yb * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+        |  FROM a CROSS JOIN l JOIN b ON a.day + l.lag = b.day_b
+        |  GROUP BY l.lag)
+        |SELECT lag, n_days,
+        |       floor((CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx <= 0.0
+        |                     OR CAST(n_days AS DOUBLE) * syy - sy * sy <= 0.0 THEN NULL
+        |              ELSE (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |                   / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        |                          * (CAST(n_days AS DOUBLE) * syy - sy * sy)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS ccf
+        |FROM g ORDER BY lag""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
     "q_stats_theilsen" ->

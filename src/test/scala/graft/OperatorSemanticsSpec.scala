@@ -1648,6 +1648,35 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(Climate.pointInPolygon(ev, tiny).count() == 0L)
   }
 
+  test("crossCorrelation: planted 2-day shift peaks at exactly 1.0, constant series NULLs") {
+    import spark.implicits._
+    import graft.operators.Climate
+    val day = 86400000000L
+    val base = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.0)
+    val rows =
+      base.zipWithIndex.map { case (v, d) => ("A", d.toLong, v) } ++
+      base.zipWithIndex.map { case (v, d) => ("B", d.toLong + 2L, v) } ++ // B = A shifted +2
+      // dyadic constant (17/4): lands EXACTLY on the quantization
+      // grids, so the overlap variance is exactly 0 → guard fires; an
+      // off-grid constant (e.g. 4.2) may leave ±1-ulp variance and
+      // read as ccf 0.0 instead — same verdict, different rendering
+      (0L to 11L).map(d => ("C", d, 4.25))
+    val ev = rows.toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        expr(s"timestamp_micros(d * ${day}L + ${1704067200000000L}L)").as("ts"),
+        col("value"))
+    val ab = Climate.crossCorrelation(ev, "A", "B", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(ab(2L)._2 == 1.0, s"got ${ab(2L)}") // the true shift: exact 1.0
+    assert(ab(2L)._1 == 10L)
+    assert(ab.filterKeys(_ != 2L).values.forall(v => v._2 < 1.0),
+      s"only the true lag may reach 1.0: $ab")
+    // constant counterpart: variance 0 in every overlap → defined NULL
+    val ac = Climate.crossCorrelation(ev, "A", "C", maxLag = 3).collect()
+    assert(ac.nonEmpty && ac.forall(_.isNullAt(2)))
+  }
+
   test("kmeansExact: planted 2-cluster plane converges, exact final distances") {
     import spark.implicits._
     import graft.operators.Similarity
