@@ -375,6 +375,119 @@ object Aggregations {
       .orderBy(col("digit"))
   }
 
+  /** Cumulative Poisson(1) CDF cut points for the bootstrap weight
+    * draw, computed ONCE in Scala and emitted as literals into BOTH
+    * the plan and the generated oracle (Double.toString round-trips
+    * exactly) — the single source of truth that makes the
+    * transcendental e⁻¹ thresholds engine-independent. */
+  private val poissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    Seq(e1, e1 * 2.0, e1 * 2.5, e1 * 2.5 + e1 / 6.0,
+      e1 * 2.5 + e1 / 6.0 + e1 / 24.0)
+  }
+
+  /** DETERMINISTIC Poisson bootstrap of a mean — standard error and
+    * percentile confidence interval with zero distributional
+    * assumptions (Efron), replayable bit-for-bit: replicate b draws
+    * each row with weight w ~ Poisson(1) inverted from a
+    * sha-256(id:salt:b) uniform (the production-scale bootstrap — a
+    * "sample n of n with replacement" needs a global shuffle per
+    * replicate; Poisson weights need one narrow pass), truncated at
+    * w=5 (P(X>5|λ=1) ≈ 0.06%).
+    *
+    * Parity: the e⁻¹ CDF cut points are Scala-computed literals
+    * emitted into both engines ([[poissonCdf]]); replicate means
+    * divide integer-quantized weighted sums; the CI bounds are
+    * RANK-PICKED replicate means (order statistics, no
+    * interpolation); the SE chain uses quantized replicate-mean
+    * moments with a ≥0 clamp (quantization can leave −ulp variance).
+    *
+    * Scale posture: one flat-map (rows × B replicates — B bounded,
+    * rows never shuffle raw) into a B-group hash aggregate of two
+    * longs each with map-side partials; the replicate table is B
+    * rows, everything after is a 1-row fold. */
+  def bootstrapMean(df: DataFrame, id: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, b: Int = 100,
+      salt: String = "bs"): DataFrame = {
+    require(b >= 10, s"need b >= 10: $b")
+    val reps = df.sparkSession.range(0, b.toLong).select(col("id").as("rep"))
+    val base = df.select(id.as("rid"), value.as("v"))
+    val u = conv(substring(sha2(concat(col("rid").cast("string"),
+      lit(":" + salt + ":"), col("rep").cast("string")), 256), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val w = when(u < poissonCdf(0), 0L).when(u < poissonCdf(1), 1L)
+      .when(u < poissonCdf(2), 2L).when(u < poissonCdf(3), 3L)
+      .when(u < poissonCdf(4), 4L).otherwise(5L)
+    val repMeans = base.crossJoin(broadcast(reps))
+      .select(col("rep"), (w * floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("wxq"), w.as("w"))
+      .groupBy(col("rep"))
+      .agg((sum(col("wxq")).cast("double") / lit(1e6) /
+        sum(col("w")).cast("double")).as("mb"))
+    val kLo = math.floor(0.025 * b).toInt + 1
+    val kHi = b - math.floor(0.025 * b).toInt
+    val stats = repMeans.agg(
+      count(lit(1)).as("n_reps"),
+      sort_array(collect_list(col("mb"))).as("ms"),
+      sum(floor(col("mb") * lit(1e9) + lit(0.5)).cast("long")).as("smq"),
+      sum(floor(col("mb") * col("mb") * lit(1e4) + lit(0.5)).cast("long")).as("smmq"))
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      (sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long")).cast("double")
+        / lit(1e6) / count(lit(1)).cast("double")).as("mean0"))
+    val bD = col("n_reps").cast("double")
+    val sm = col("smq").cast("double") / lit(1e9)
+    val smm = col("smmq").cast("double") / lit(1e4)
+    val varM = greatest((bD * smm - sm * sm) / (bD * (bD - lit(1.0))), lit(0.0))
+    point.crossJoin(broadcast(stats)).select(
+      col("n_rows"), col("n_reps"),
+      halfUp(col("mean0"), 4).as("mean"),
+      halfUp(sqrt(varM), 6).as("boot_se"),
+      halfUp(element_at(col("ms"), kLo), 4).as("ci_lo"),
+      halfUp(element_at(col("ms"), kHi), 4).as("ci_hi"))
+  }
+
+  /** The generated DuckDB twin of [[bootstrapMean]] — the SAME CDF
+    * literals, digest recipe, quantized chains, and rank picks. */
+  private[operators] def bootstrapOracleSql(b: Int, salt: String): String = {
+    val c = poissonCdf
+    val kLo = math.floor(0.025 * b).toInt + 1
+    val kHi = b - math.floor(0.025 * b).toInt
+    s"""WITH base AS (SELECT o_orderkey AS rid, o_totalprice AS v FROM orders),
+       |reps AS (SELECT CAST(unnest(range(0, $b)) AS BIGINT) AS rep),
+       |d AS (
+       |  SELECT rep,
+       |         (CASE WHEN u < ${c(0)} THEN 0 WHEN u < ${c(1)} THEN 1
+       |               WHEN u < ${c(2)} THEN 2 WHEN u < ${c(3)} THEN 3
+       |               WHEN u < ${c(4)} THEN 4 ELSE 5 END)::BIGINT AS w,
+       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS xq
+       |  FROM (SELECT rep, v,
+       |          ('0x' || substr(sha256(CAST(rid AS VARCHAR) || ':$salt:' || CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+       |          / 4294967296.0 AS u
+       |        FROM base CROSS JOIN reps)),
+       |rm AS (
+       |  SELECT rep, CAST(sum(w * xq) AS DOUBLE) / 1000000.0 / CAST(sum(w) AS DOUBLE) AS mb
+       |  FROM d GROUP BY rep),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       |         list(mb ORDER BY mb) AS ms,
+       |         CAST(sum(CAST(floor(mb * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sm,
+       |         CAST(sum(CAST(floor(mb * mb * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS smm
+       |  FROM rm),
+       |pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / 1000000.0 / count(*) AS mean0
+       |  FROM base)
+       |SELECT n_rows, n_reps,
+       |       floor(mean0 * 10000.0 + 0.5) / 10000.0 AS mean,
+       |       floor(sqrt(greatest((CAST(n_reps AS DOUBLE) * smm - sm * sm)
+       |                           / (CAST(n_reps AS DOUBLE) * (CAST(n_reps AS DOUBLE) - 1.0)), 0.0))
+       |             * 1000000.0 + 0.5) / 1000000.0 AS boot_se,
+       |       floor(ms[$kLo] * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+       |       floor(ms[$kHi] * 10000.0 + 0.5) / 10000.0 AS ci_hi
+       |FROM pt CROSS JOIN st""".stripMargin
+  }
+
   /** EXACT distinct count via BITMAP pre-aggregation (Spark's native
     * bitmap_* functions): ids bucket into 32k-bit bitmaps, each
     * (group, bucket) reduces to ONE bitmap with map-side partial
@@ -482,6 +595,10 @@ object Aggregations {
     "q_ab_test" -> ((s, d) =>
       abTest(Tables.events(s, d), col("user_id") % 2,
         col("event_type") === "purchase" && col("value") > 90)),
+    // bootstrap SE + 95% percentile CI of the mean order total
+    "q_stats_bootstrap" -> ((s, d) =>
+      bootstrapMean(Tables.orders(s, d), col("o_orderkey"),
+        col("o_totalprice"))),
     // do order totals follow Benford? (they should — multiplicative)
     "q_stats_benford" -> ((s, d) =>
       benfordScreen(Tables.orders(s, d), col("o_totalprice"))),
@@ -665,6 +782,9 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // generated from the SAME Scala constants and digest recipe as
+    // the plan — see bootstrapOracleSql
+    "q_stats_bootstrap" -> bootstrapOracleSql(100, "bs"),
     // same integer-part string digit (engine-independent, unlike
     // double rendering or log10 extraction), same ln/ln expectation
     "q_stats_benford" ->

@@ -1648,6 +1648,30 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(Climate.pointInPolygon(ev, tiny).count() == 0L)
   }
 
+  test("bootstrapMean: replayable, degenerate-constant collapse, SE in the s/sqrt(n) band") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // constant column: every replicate mean IS the constant → SE 0,
+    // CI collapses to the point (dyadic 4.25 lands on every grid)
+    val const = (1L to 50L).map((_, 4.25)).toDF("id", "v")
+    val rc = Aggregations.bootstrapMean(const, col("id"), col("v")).collect().head
+    assert(rc.getAs[Double]("mean") == 4.25)
+    assert(rc.getAs[Double]("boot_se") == 0.0)
+    assert(rc.getAs[Double]("ci_lo") == 4.25 && rc.getAs[Double]("ci_hi") == 4.25)
+    assert(rc.getAs[Long]("n_reps") == 100L)
+    // 1..100: s/sqrt(n) ≈ 2.9 — the bootstrap SE must land in a wide
+    // band around it, and the percentile CI must bracket the mean
+    val ramp = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val r = Aggregations.bootstrapMean(ramp, col("id"), col("v")).collect().head
+    assert(r.getAs[Double]("mean") == 50.5)
+    val se = r.getAs[Double]("boot_se")
+    assert(se > 1.0 && se < 6.0, s"se out of band: $se")
+    assert(r.getAs[Double]("ci_lo") < 50.5 && r.getAs[Double]("ci_hi") > 50.5)
+    // pure digest function: a rerun is bit-identical
+    val r2 = Aggregations.bootstrapMean(ramp, col("id"), col("v")).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("crossCorrelation: planted 2-day shift peaks at exactly 1.0, constant series NULLs") {
     import spark.implicits._
     import graft.operators.Climate
