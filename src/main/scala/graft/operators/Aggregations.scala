@@ -342,6 +342,66 @@ object Aggregations {
           .as("cramers_v"))
   }
 
+  /** MANN–WHITNEY U rank-sum test between two arms — the
+    * nonparametric sibling of [[abTest]]'s Welch t: compares the
+    * per-user metric DISTRIBUTIONS by rank, so a heavy-tailed or
+    * skewed metric (exactly what per-user revenue is) cannot drag the
+    * readout through its variance the way a t statistic can. Average
+    * ranks over ties, tie-corrected normal approximation; statistics
+    * + |z| > 1.96 flag only — p-values need the normal CDF (erf, a
+    * libm transcendental that breaks cross-engine hashing).
+    *
+    * Engine-independence is BY CONSTRUCTION: the per-user metric is
+    * summed in integer cents (double summation is order-dependent —
+    * fatal here, where tie GROUPING depends on exact equality), rank
+    * arithmetic is doubled (2·avgRank is always an integer: tie
+    * group at exclusive prefix c with t members has avgRank
+    * (2c+t+1)/2), and every aggregate is a BIGINT sum — order-free
+    * under any partitioning. Only the final 1-row z chain touches
+    * doubles, in a fixed operand order the oracle mirrors.
+    *
+    * Scale posture: one (arm, user) hash aggregate, one (value) grid
+    * aggregate (ties collapse — the shuffle carries distinct metric
+    * values, not users), then the distributed global prefix sum
+    * ([[Windows.withGlobalPrefixSum]]: range repartition + broadcast
+    * offsets — no single-task whole-relation window) assigns ranks,
+    * and a final 1-row fold does the algebra. */
+  def mannWhitney(events: DataFrame, arm: org.apache.spark.sql.Column,
+      metricCents: org.apache.spark.sql.Column): DataFrame = {
+    val users = events
+      .groupBy(arm.as("arm"), col("user_id"))
+      .agg(sum(metricCents).as("v"))
+    val grid = users.groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("tb"))
+      .withColumn("t", col("ta") + col("tb"))
+    val ranked = Windows.withGlobalPrefixSum(grid, col("t"), "cum", col("v"))
+    // doubled average rank of a tie group: 2·(exclusive prefix) + t + 1
+    val dr = (col("cum") - col("t")) * 2L + col("t") + 1L
+    val a = ranked.agg(
+      sum(col("ta")).as("na"), sum(col("tb")).as("nb"),
+      sum(col("ta") * dr).as("ra2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val nD = (col("na") + col("nb")).cast("double")
+    val tieD = col("tie").cast("double")
+    val u2a = col("ra2") - col("na") * (col("na") + 1L) // = 2·U_a, exact
+    val uaD = u2a.cast("double") / lit(2.0)
+    val varU = naD * nbD * ((nD + lit(1.0)) - tieD / (nD * (nD - lit(1.0)))) /
+      lit(12.0)
+    // degenerate spread (single tie group, or an empty arm): z is
+    // undefined — NULL, never a division error or engine-dependent inf
+    val z = when(col("na") === 0L || col("nb") === 0L || varU <= lit(0.0),
+        lit(null).cast("double"))
+      .otherwise((uaD - naD * nbD / lit(2.0)) / sqrt(varU))
+    a.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      uaD.as("u_a"), (naD * nbD - uaD).as("u_b"),
+      halfUp(z, 4).as("z_u"),
+      when(abs(z) > lit(1.96), 1L).otherwise(0L).as("sig"))
+  }
+
   /** BENFORD first-digit screening — the leading-digit distribution
     * of a positive measure against Benford's law log₁₀(1+1/d), with
     * per-digit deviation: the data-quality / fabrication screen for
@@ -595,6 +655,13 @@ object Aggregations {
     "q_ab_test" -> ((s, d) =>
       abTest(Tables.events(s, d), col("user_id") % 2,
         col("event_type") === "purchase" && col("value") > 90)),
+    // rank-sum readout over the same arms as q_ab_test — per-user
+    // revenue is heavy-tailed, exactly the shape where the rank test
+    // earns its keep; metric summed in integer cents (the data is
+    // 2-decimal) so tie grouping is exact on every engine
+    "q_stats_mannwhitney" -> ((s, d) =>
+      mannWhitney(Tables.events(s, d), col("user_id") % 2,
+        round(col("value") * 100).cast("long"))),
     // bootstrap SE + 95% percentile CI of the mean order total
     "q_stats_bootstrap" -> ((s, d) =>
       bootstrapMean(Tables.orders(s, d), col("o_orderkey"),
@@ -782,6 +849,49 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same cents rollup, same doubled-rank integers, same fixed z
+    // chain (operand order mirrored term for term)
+    "q_stats_mannwhitney" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT v,
+        |         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ta,
+        |         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS tb
+        |  FROM u GROUP BY v),
+        |r AS (
+        |  SELECT ta, tb, ta + tb AS t,
+        |         SUM(ta + tb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(SUM(ta) AS BIGINT) AS na, CAST(SUM(tb) AS BIGINT) AS nb,
+        |         CAST(SUM(ta * ((cum - t) * 2 + t + 1)) AS BIGINT) AS ra2,
+        |         CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+        |  FROM r),
+        |f AS (
+        |  SELECT na, nb, ra2 - na * (na + 1) AS u2a,
+        |         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |         CAST(na + nb AS DOUBLE) AS nd, CAST(tie AS DOUBLE) AS tied
+        |  FROM a),
+        |s AS (
+        |  SELECT na, nb, nad, nbd,
+        |         CAST(u2a AS DOUBLE) / 2.0 AS uad,
+        |         nad * nbd * ((nd + 1.0) - tied / (nd * (nd - 1.0))) / 12.0
+        |           AS varu
+        |  FROM f),
+        |z AS (
+        |  SELECT na, nb, uad, nad, nbd,
+        |         CASE WHEN na = 0 OR nb = 0 OR varu <= 0.0 THEN NULL
+        |              ELSE (uad - nad * nbd / 2.0) / sqrt(varu) END AS zz
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b, uad AS u_a, nad * nbd - uad AS u_b,
+        |       floor(zz * 10000.0 + 0.5) / 10000.0 AS z_u,
+        |       CASE WHEN abs(zz) > 1.96 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS sig
+        |FROM z""".stripMargin,
     // generated from the SAME Scala constants and digest recipe as
     // the plan — see bootstrapOracleSql
     "q_stats_bootstrap" -> bootstrapOracleSql(100, "bs"),

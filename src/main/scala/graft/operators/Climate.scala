@@ -900,6 +900,104 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** HOLT double-exponential smoothing per series (Holt 1957): level
+    * + trend recurrence over the daily-reduced series, with the
+    * one-step-ahead forecast l+b — the first forecasting primitive
+    * next to the trend probes ([[cellTrend]] fits one global line;
+    * Holt tracks a DRIFTING level, which is what operational series
+    * do). Recurrence (t = 2…n, init l₁ = y₁, b₁ = y₂ − y₁):
+    * lₜ = α·yₜ + (1−α)·(lₜ₋₁ + bₜ₋₁); bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁.
+    * α, β default to EXACT-BINARY 0.5/0.25 so (1−α), (1−β) are exact
+    * on every engine — the smoothing chain is a fixed-order double
+    * fold the oracle replays verbatim as a recursive CTE.
+    *
+    * Scale posture: the recurrence is inherently sequential IN TIME
+    * but the series are independent — facts reduce to (series, day)
+    * in one hash aggregate (integer-quantized order-free means), and
+    * the fold runs over a per-series collected day array, bounded by
+    * the CALENDAR SPAN, never the row count (100 TB over 2 years is
+    * still ≤ ~730 elements per series) — the humidity-composite
+    * bounded-collect posture, with a span pre-flight that fails
+    * loudly (in-plan raise_error, zero extra jobs) on a series wide
+    * enough to make the array a memory hazard. Series with fewer
+    * than 2 days carry no trend information and are dropped. */
+  /** Registered Holt smoothing constants — EXACT-BINARY doubles, one
+    * definition feeding both the plan and the generated oracle. */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  def holtTrend(events: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
+      x0: String = "2024-01-01", maxDays: Int = 36600): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need 0<alpha<1, 0<beta<1: $alpha, $beta")
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val packed = daily.groupBy(col("series"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+      .withColumn("pts",
+        when(size(col("pts")) > maxDays, raise_error(concat(
+          lit("holtTrend: series "), col("series").cast("string"),
+          lit(" has "), size(col("pts")).cast("string"),
+          lit(s" days > maxDays=$maxDays — an array this wide is " +
+            "almost certainly bad timestamps; fix the input or raise " +
+            "maxDays explicitly"))))
+          .otherwise(col("pts")))
+    val vs = transform(col("pts"), p => p("y"))
+    val zero = struct(element_at(vs, 1).as("l"),
+      (element_at(vs, 2) - element_at(vs, 1)).as("b"))
+    val st = aggregate(slice(vs, lit(2), size(vs) - 1), zero, (acc, x) => {
+      val lNew = lit(alpha) * x + lit(1 - alpha) * (acc("l") + acc("b"))
+      struct(lNew.as("l"),
+        (lit(beta) * (lNew - acc("l")) + lit(1 - beta) * acc("b")).as("b"))
+    })
+    packed
+      .withColumn("st", st)
+      .select(col("series"), size(col("pts")).cast("long").as("n_days"),
+        halfUp(col("st.l"), 4).as("level"),
+        halfUp(col("st.b"), 6).as("trend"),
+        halfUp(col("st.l") + col("st.b"), 4).as("forecast_next"))
+      .orderBy(col("series"))
+  }
+
+  /** Generated DuckDB twin of [[holtTrend]]: the fold is replayed as
+    * a recursive CTE stepping one day-rank at a time — same init,
+    * same fixed operand order, constants emitted from the SAME Scala
+    * values (the bootstrap single-source-of-truth posture). */
+  private[graft] def holtOracleSql(alpha: Double, beta: Double): String = {
+    // exact shortest-repr literals of the Scala doubles — DuckDB
+    // parses them back to the identical bits
+    val (a, a1, b, b1) = (alpha.toString, (1 - alpha).toString,
+      beta.toString, (1 - beta).toString)
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type AS series,
+       |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+       |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / 1000000000.0 / count(*) AS y
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |o AS (
+       |  SELECT series, y,
+       |         CAST(row_number() OVER (PARTITION BY series ORDER BY day) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n
+       |  FROM daily),
+       |rec(series, n, t, l, b) AS (
+       |  SELECT a.series, a.n, CAST(1 AS BIGINT), a.y, b2.y - a.y
+       |  FROM o a JOIN o b2 ON a.series = b2.series AND a.rn = 1 AND b2.rn = 2
+       |  UNION ALL
+       |  SELECT r.series, r.n, r.t + 1,
+       |         $a * o.y + $a1 * (r.l + r.b),
+       |         $b * (($a * o.y + $a1 * (r.l + r.b)) - r.l) + $b1 * r.b
+       |  FROM rec r JOIN o ON o.series = r.series AND o.rn = r.t + 1)
+       |SELECT series, n AS n_days,
+       |       floor(l * 10000.0 + 0.5) / 10000.0 AS level,
+       |       floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       |       floor((l + b) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+       |FROM rec WHERE t = n ORDER BY series""".stripMargin
+  }
+
   /** Lead–lag CROSS-CORRELATION function (CCF) between two daily
     * series: Pearson r of series A against series B shifted by each
     * lag in [−maxLag, +maxLag] — the teleconnection / does-X-lead-Y
@@ -1282,6 +1380,11 @@ object Climate {
     // robust per-type trend: lower median of pairwise daily slopes
     "q_stats_theilsen" -> ((s, d) =>
       theilSenTrend(Tables.events(s, d))),
+    // Holt level+trend smoothing per event-type daily series — the
+    // constants are passed EXPLICITLY from the shared vals so the
+    // engine and the generated oracle can never drift
+    "q_stats_holt" -> ((s, d) =>
+      holtTrend(Tables.events(s, d), alpha = HoltAlpha, beta = HoltBeta)),
     // grid cells inside the irregular ROI pentagon (even-odd rule)
     "q_geo_polygon" -> ((s, d) =>
       pointInPolygon(Tables.events(s, d))),
@@ -1351,6 +1454,8 @@ object Climate {
         |FROM g ORDER BY lag""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
+    // generated recursive-CTE twin — see holtOracleSql
+    "q_stats_holt" -> holtOracleSql(HoltAlpha, HoltBeta),
     "q_stats_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type AS series,

@@ -351,6 +351,84 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** Synchronous LABEL-PROPAGATION community detection (Raghavan,
+    * Albert & Kumara 2007) over an undirected edge list, with fully
+    * DETERMINISTIC tie-breaks: label₀(v) = v; each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label. Communities are denser-than-their-
+    * boundary regions — the mesoscale structure connected components
+    * (which only see reachability) cannot express. Classic LPA
+    * breaks ties randomly and updates asynchronously; both choices
+    * are scheduling-dependent, so this engine fixes synchronous
+    * rounds + min-label ties — every run, every partitioning, every
+    * engine produces the same labeling (the SQL oracle replays the
+    * rounds verbatim).
+    *
+    * Scale posture: per round one (edge → neighbor-label) hash join
+    * shuffling (node, label) pairs, one (node, label) counts-only
+    * aggregate, and one per-node argmax — all map-side-partial hash
+    * aggregates; nothing node-quadratic, nothing driver-side. The
+    * label table is node-sized; localCheckpoint per round keeps the
+    * plan depth O(1) in rounds (the kmeans/bpeTrain posture). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "label propagation needs at least one round")
+    val e0 = edges.toDF("src", "dst")
+    // both directions: propagation is symmetric over undirected edges
+    val e = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+      .persist()
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.select(col("node").as("v"), col("lbl").as("nl")), "v")
+        .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("c"))
+        // most frequent neighbor label, smallest label on ties: max
+        // over (count, −label) — labels are nonnegative node ids, so
+        // the negation is a total-order flip
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("nl")).as("m"))).as("best"))
+        .select(col("u").as("node"), (-col("best.m")).as("lbl"))
+        .localCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("community_id"))
+    labels.select(col("node"), col("lbl").as("community_id"))
+      .withColumn("n_nodes", count(lit(1)).over(w))
+      .orderBy(col("node"))
+  }
+
+  /** Generated DuckDB twin of [[labelPropagation]]: one chained CTE
+    * per round (the bpeTrain/kmeans oracle posture — the loop is
+    * unrolled into SQL, so the oracle replays the engine's exact
+    * semantics: synchronous rounds, count-then-min-label argmax). */
+  private[graft] def lpaOracleSql(rounds: Int): String = {
+    val head =
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS (
+         |  SELECT e.u AS u, l.lbl AS lbl, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.v = l.node GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT u AS node, lbl FROM (
+         |    SELECT u, lbl,
+         |           row_number() OVER (PARTITION BY u
+         |             ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, lbl AS community_id,
+         |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_nodes
+         |FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** Degree DISTRIBUTION of a canonical undirected edge set (deg →
     * node count) — the first-look graph-health summary (power-law
     * tail check, hub detection) next to the triangle census. Two
@@ -409,6 +487,11 @@ object Graph {
     // rounds, scalar-only shuffles, soak-proven on a 2^18 path);
     // membership + component size per node. Consumes the memoized
     // basket-pair artifact like q_graph_jaccard.
+    // label-propagation communities of the same thresholded graph —
+    // 4 synchronous rounds, min-label ties; consumes the memoized
+    // basket-pair artifact like components/jaccard
+    "q_graph_label_prop" -> ((s, d) =>
+      labelPropagation(copurchaseStrong(s, d), rounds = 4)),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -420,6 +503,8 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    // generated unrolled-round twin — see lpaOracleSql
+    "q_graph_label_prop" -> lpaOracleSql(4),
     // min-reachable-label via recursive closure — independent of the
     // engine's star-contraction formulation; the UNION dedup bounds
     // reach at nodes², fine at oracle scale

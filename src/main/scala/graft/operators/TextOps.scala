@@ -79,6 +79,52 @@ object TextOps {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** VOCABULARY GROWTH curve (the empirical Heaps-law probe): at each
+    * decile of the corpus in doc_id order, the cumulative token count,
+    * the cumulative distinct-token (type) count, and the type/token
+    * ratio — the tokenizer-sizing / corpus-saturation signal ("is new
+    * data still bringing new vocabulary, or only more of the same?").
+    * Checkpoints are kᵢ = ⌈N·i/10⌉ computed in INTEGER arithmetic
+    * ((N·i+9) div 10) — no float percentile boundary to flip between
+    * engines; doc rank in doc_id order is the corpus order.
+    *
+    * Scale posture: doc ranks and cumulative token counts ride the
+    * distributed global prefix sum (range repartition + broadcast
+    * offsets — no single-task window); the type curve needs each
+    * token's FIRST-SEEN rank only, so the corpus explodes once into a
+    * (token, min rank) hash aggregate — the shuffle carries the vocab,
+    * not the corpus — and the 10-row checkpoint spine re-counts it
+    * with counts-only aggregates. Nothing is quadratic, nothing
+    * collects. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val ranked = Windows.withGlobalRowNumber(
+      docs.select(col("doc_id")), "r", col("doc_id"))
+    val n1 = ranked.agg(max(col("r")).as("n"))
+    val spine = n1
+      .select(explode(sequence(lit(1L), lit(10L))).as("i"), col("n"))
+      .select(col("i"), expr("(n * i + 9) div 10").as("k"))
+    val perDoc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val cum = Windows.withGlobalPrefixSum(
+      perDoc.join(ranked, "doc_id"), col("nt"), "cumtok", col("r"))
+    val tokensAt = broadcast(spine)
+      .join(cum, col("k") === col("r"))
+      .select(col("i"), col("k"), col("cumtok").as("n_tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(ranked, "doc_id")
+      .groupBy(col("tok")).agg(min(col("r")).as("fr"))
+    val typesAt = firstSeen
+      .crossJoin(broadcast(spine))
+      .filter(col("fr") <= col("k"))
+      .groupBy(col("i"), col("k")).agg(count(lit(1)).as("n_types"))
+    tokensAt.join(typesAt, Seq("i", "k"))
+      .select(col("i"), col("k"), col("n_tokens"), col("n_types"),
+        graft.halfUp(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"))
+      .orderBy(col("i"))
+  }
+
   /** Sliding-window DOCUMENT CHUNKING with overlap — the retrieval /
     * context-window prep step every RAG and long-context training
     * pipeline runs: fixed-size character chunks of `size`, advancing
@@ -1279,6 +1325,7 @@ object TextOps {
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => textTokens(Tables.documents(s, d))),
+    "q_text_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), 1024)),
     // 200-char chunks advancing by 150 (50-char overlap) — RAG prep
     "q_text_chunk" -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
@@ -1765,6 +1812,40 @@ object TextOps {
         |                    doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    // same integer-div checkpoints, same first-seen-rank type curve
+    "q_text_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r
+        |      FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |spine AS (
+        |  SELECT CAST(i AS BIGINT) AS i, (n.n * i + 9) // 10 AS k
+        |  FROM generate_series(1, 10) t(i), n),
+        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM d),
+        |cum AS (
+        |  SELECT r.r,
+        |         CAST(SUM(pd.nt) OVER (ORDER BY r.r
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cumtok
+        |  FROM pd JOIN r USING (doc_id)),
+        |fs AS (
+        |  SELECT u.tok, MIN(u.r) AS fr
+        |  FROM (SELECT r.r, unnest(d.t) AS tok
+        |        FROM d JOIN r USING (doc_id)) u
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT s.i, s.k, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM fs, spine s WHERE fs.fr <= s.k GROUP BY 1, 2)
+        |SELECT s.i, s.k, c.cumtok AS n_tokens, ty.n_types,
+        |       floor((CAST(ty.n_types AS DOUBLE) / CAST(c.cumtok AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS ttr
+        |FROM spine s
+        |JOIN cum c ON c.r = s.k
+        |JOIN ty ON ty.i = s.i AND ty.k = s.k
+        |ORDER BY s.i""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -376,6 +376,34 @@ object IO {
       s.read.orc(out).orderBy(col("o_orderkey"))
     }),
 
+    // XML sink + scan round trip — Spark 4 ships the (formerly
+    // spark-xml) XML data source natively: one element per row under
+    // rowTag, values as child elements, XML entity escaping handled by
+    // the writer (priorities carry '-', statuses are free text — the
+    // escape path is exercised, not assumed). The re-scan supplies an
+    // EXPLICIT schema: XML schema inference reads every file twice
+    // (infer + parse) and types by vote — at 100 TB the schema is a
+    // catalog fact, not a per-query rediscovery. Doubles round-trip
+    // exactly (shortest-repr print + exact parse). graft.spread
+    // first: the single-split harness file would otherwise render
+    // every XML row from one task.
+    "q_sink_xml" -> ((s, d) => {
+      val out = tmp("graft_sinkxml_")
+      graft.spread(Tables.orders(s, d), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .option("rowTag", "order").option("rootTag", "orders")
+        .format("xml").save(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_orderpriority", StringType),
+        StructField("o_totalprice", DoubleType)))
+      s.read.option("rowTag", "order").schema(schema).format("xml").load(out)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // CSV sink with explicit timestamp format, verified by aggregating
     // the re-scan (timestamps are where CSV round trips silently rot).
     "q_sink_csv" -> ((s, d) => {
@@ -506,6 +534,10 @@ object IO {
     "q_scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "q_sink_orc" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the round trip must reproduce the source rows bit-for-bit
+    "q_sink_xml" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // layout changes where bytes live, never what rows exist: the
     // oracle replays the grid formula + box predicate (exact dyadic

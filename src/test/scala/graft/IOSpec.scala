@@ -323,4 +323,32 @@ class IOSpec extends SparkTestBase {
     }
     assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage.take(500))
   }
+
+  test("xml round trip: markup-hostile strings, nulls, and doubles survive exactly") {
+    import spark.implicits._
+    // every XML-breaking shape in one table: angle brackets, ampersand,
+    // CDATA-ish content, quotes, non-ASCII, newline, NULL, and doubles
+    // whose shortest decimal repr must re-parse to the same bits
+    val rows = Seq(
+      (1L, "<b>bold</b> & \"quoted\"", 0.1),
+      (2L, "]]> <![CDATA[x]]> '", -1.5e-300),
+      (3L, "naïve — ünïcode ✓", 9007199254740993.0),
+      (4L, null.asInstanceOf[String], 185.22),
+      (5L, "line\nbreak\ttab", 0.0))
+      .toDF("id", "s", "v")
+    val out = Files.createTempDirectory("graft_xmlspec_").toString
+    rows.write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val back = spark.read.option("rowTag", "row").schema(schema)
+      .format("xml").load(out)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+    val want = rows.orderBy(col("id")).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == want.toSeq, s"got ${back.toSeq}")
+  }
 }

@@ -1721,4 +1721,84 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r4.toSeq == Seq((0L, 0L, 0.0), (1L, 1L, 0.0),
       (2L, 2L, 0.0), (3L, 3L, 0.0)), s"got ${r4.toSeq}")
   }
+
+  test("holtTrend: linear series tracked exactly, level shift hand-replayed, 1-day series dropped") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(rows: (String, String, Double)*) =
+      rows.zipWithIndex.map { case ((t, d, v), i) => (i.toLong, t, d, v) }
+        .toDF("event_id", "event_type", "day", "value")
+        .withColumn("ts", to_timestamp(col("day")))
+    // perfectly linear series: Holt locks on exactly — l=16, b=2,
+    // forecast 18 (α=0.5, β=0.25; hand fold in the scaladoc's order);
+    // day 1 arrives as TWO events averaging 10 (the daily rollup)
+    val lin = ev(
+      ("X", "2024-01-01", 9.0), ("X", "2024-01-01", 11.0),
+      ("X", "2024-01-02", 12.0), ("X", "2024-01-03", 14.0),
+      ("X", "2024-01-04", 16.0),
+      // level shift 10,10,20,20 → l=18.125, b=1.71875, fc=19.8438
+      ("Y", "2024-01-01", 10.0), ("Y", "2024-01-02", 10.0),
+      ("Y", "2024-01-03", 20.0), ("Y", "2024-01-04", 20.0),
+      // single-day series: no trend information → dropped
+      ("Z", "2024-01-01", 5.0))
+    val r = Climate.holtTrend(lin).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("X", 4L, 16.0, 2.0, 18.0),
+      ("Y", 4L, 18.125, 1.71875, 19.8438)), s"got ${r.toSeq}")
+  }
+
+  test("mannWhitney: hand-computed U with a tie group, multi-event rollup, degenerate NULL") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // arm 0 (even users) per-user cents {100, 200, 300}; arm 1 (odd)
+    // {200, 400, 500}; user 0 reaches 100 via TWO 0.50 events (the
+    // per-user rollup). Combined sorted: 100a 200a 200b 300a 400b 500b
+    // → ranks 1, 2.5, 2.5, 4, 5, 6 → R_a = 7.5, U_a = 7.5 − 6 = 1.5,
+    // U_b = 7.5; tie term 2³−2 = 6; var = 9·(7 − 6/30)/12 = 5.1;
+    // z = (1.5 − 4.5)/√5.1 = −1.3284…
+    val ev = Seq(
+      (0L, 0.5), (0L, 0.5), (2L, 2.0), (4L, 3.0),
+      (1L, 2.0), (3L, 4.0), (5L, 5.0)
+    ).zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+    val r = Aggregations.mannWhitney(ev, col("user_id") % 2,
+      round(col("value") * 100).cast("long")).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1)) == ((3L, 3L)))
+    assert((x.getDouble(2), x.getDouble(3)) == ((1.5, 7.5)))
+    assert(x.getDouble(4) == -1.3284 && x.getLong(5) == 0L, s"got $x")
+    // every user ties at one value: a single tie group has zero rank
+    // variance → z NULL by guard, flag 0, counts intact
+    val ev2 = Seq((0L, 0L, 1.0), (1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 1.0))
+      .toDF("event_id", "user_id", "value")
+    val flat = Aggregations.mannWhitney(ev2, col("user_id") % 2,
+      round(col("value") * 100).cast("long")).collect().head
+    assert((flat.getLong(0), flat.getLong(1)) == ((2L, 2L)))
+    assert(flat.isNullAt(4) && flat.getLong(5) == 0L, s"got $flat")
+  }
+
+  test("labelPropagation: bridged triangles split into two communities, round-1 tie-breaks exact") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    // hand-replayed synchronous round 1 (min label on count ties):
+    // 1←{2,3}→2, 2←{1,3}→1, 3←{1,2,4}→1, 4←{3,5,6}→3, 5←{4,6}→4,
+    // 6←{4,5}→4 — this pins BOTH the synchronous update (no label
+    // from the same round leaks in) and the smallest-label tie rule
+    val r1 = Graph.labelPropagation(e, rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L), s"got $r1")
+    // by round 4 the labeling is stable: {1,2,3}→1, {4,5,6}→3, the
+    // bridge endpoints held by their own triangle's majority
+    val r4 = Graph.labelPropagation(e, rounds = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r4.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)), s"got ${r4.toSeq}")
+  }
 }
