@@ -1183,6 +1183,160 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak r11b: rank-sum / label propagation / Holt / vocab growth at scale") {
+    // The round-11 additions under scale shapes with closed-form
+    // exact outcomes:
+    //  - mannWhitney: 1M users with 1M DISTINCT per-user values (the
+    //    rank grid is user-sized — the distributed prefix sum is the
+    //    load-bearing piece, not tie collapse): ranks are u+1, so
+    //    R_a = Σ_{even u}(u+1) = 500000² exactly and U_a/U_b/z have
+    //    closed forms replayed below with the same double chain;
+    //  - labelPropagation: 100k disjoint 5-cliques (500k nodes, 1M
+    //    edges) — hand induction: round 1 sends the min node to its
+    //    second-smallest, round 2 lands every node on the clique min,
+    //    rounds 3-4 are stable ⇒ community = 5·(node div 5), size 5;
+    //  - holtTrend: 1,000 series × 3,000 days of EXACTLY linear
+    //    integer-valued series (slope s%7+1, intercept s) — the fold
+    //    is exact on a line with exact-binary α,β, so level/trend/
+    //    forecast equal the closed forms with zero tolerance;
+    //  - vocabGrowth: 300k docs, each "the t<id> m<id mod 1000>" —
+    //    at checkpoint k = 30000·i: tokens 3k, types k + 1001.
+    import graft.operators.{Aggregations, Climate, Graph, TextOps}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- Mann-Whitney: 1M-row distinct-value rank grid ----
+      val mwIn = spark.range(3000000L).select(
+        col("id").as("event_id"),
+        expr("id div 3").as("user_id"),
+        (expr("id div 3").cast("double") / 100.0).as("value")).repartition(8)
+      val (mw, tMw) = timed {
+        Aggregations.mannWhitney(mwIn, col("user_id") % 2,
+          round(col("value") * 100).cast("long")).collect().head
+      }
+      // closed forms, same double chain as the operator
+      val (naD, nbD, nD) = (500000.0, 500000.0, 1000000.0)
+      val uaD = 124999750000L.toDouble
+      val varU = naD * nbD * ((nD + 1.0) - 0.0 / (nD * (nD - 1.0))) / 12.0
+      val zExp = math.floor(
+        (uaD - naD * nbD / 2.0) / math.sqrt(varU) * 10000.0 + 0.5) / 10000.0
+      assert((mw.getLong(0), mw.getLong(1)) == ((500000L, 500000L)), s"$mw")
+      assert(mw.getDouble(2) == 124999750000.0 &&
+        mw.getDouble(3) == 125000250000.0, s"$mw")
+      assert(mw.getDouble(4) == zExp && mw.getLong(5) == 0L, s"$mw")
+
+      // ---- label propagation: 100k disjoint 5-cliques ----
+      val pi = Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3)
+      val pj = Seq(1, 2, 3, 4, 2, 3, 4, 3, 4, 4)
+      val cliqueEdges = spark.range(1000000L).select(
+          expr("id div 10").as("c"), pmod(col("id"), lit(10L)).cast("int").as("p"))
+        .select(
+          (col("c") * 5 + element_at(
+            array(pi.map(x => lit(x.toLong)): _*), col("p") + 1)).as("src"),
+          (col("c") * 5 + element_at(
+            array(pj.map(x => lit(x.toLong)): _*), col("p") + 1)).as("dst"))
+        .repartition(8)
+      val (lp, tLp) = timed {
+        val r = Graph.labelPropagation(cliqueEdges, rounds = 4)
+        val bad = r.filter(
+          col("community_id") =!= col("node") - pmod(col("node"), lit(5L)) ||
+          col("n_nodes") =!= 5L).count()
+        val total = r.count()
+        (bad, total)
+      }
+      assert(lp == ((0L, 500000L)), s"(bad, total) = $lp")
+
+      // ---- Holt: 1,000 exactly-linear series × 3,000 days ----
+      val holtIn = spark.range(3000000L).select(
+        concat(lit("s"), expr("id div 3000")).as("event_type"),
+        expr("timestampadd(DAY, CAST(id % 3000 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        ((pmod(expr("id div 3000"), lit(7L)) + 1L).cast("double") *
+          pmod(col("id"), lit(3000L)).cast("double") +
+          expr("id div 3000").cast("double")).as("value")).repartition(8)
+      val (ht, tHt) = timed {
+        val r = Climate.holtTrend(holtIn)
+        val sv = expr("CAST(substr(series, 2) AS LONG)")
+        val slope = (pmod(sv, lit(7L)) + 1L).cast("double")
+        val level = slope * 2999.0 + sv.cast("double")
+        val bad = r.filter(col("n_days") =!= 3000L ||
+          col("level") =!= level || col("trend") =!= slope ||
+          col("forecast_next") =!= level + slope).count()
+        (bad, r.count())
+      }
+      assert(ht == ((0L, 1000L)), s"(bad, total) = $ht")
+
+      // ---- vocab growth: 300k docs, closed-form curve ----
+      val docs = spark.range(300000L).select(col("id").as("doc_id"),
+        concat(lit("the t"), col("id"), lit(" m"),
+          pmod(col("id"), lit(1000L))).as("text")).repartition(8)
+      val (vg, tVg) = timed {
+        TextOps.vocabGrowth(docs).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4)))
+      }
+      val vgExpect = (1L to 10L).map { i =>
+        val k = 30000L * i
+        val ttr = math.floor(
+          (k + 1001L).toDouble / (3L * k).toDouble * 1000000.0 + 0.5) / 1000000.0
+        (i, k, 3 * k, k + 1001L, ttr)
+      }
+      assert(vg.toSeq == vgExpect, s"got ${vg.toSeq}")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-11 newcomer soak (regenerated by SoakSpec)
+           |
+           |The round-11 additions at scale, every outcome closed-form
+           |exact, same single-task shuffle-budget listener invariant
+           |as the other soaks. Mann-Whitney over 1M users with 1M
+           |DISTINCT per-user values: the rank grid is user-sized, so
+           |the distributed prefix sum carries it (no single-task
+           |window); U_a exactly 124,999,750,000 and z matches the
+           |operator's fixed double chain to the last rendered digit.
+           |Label propagation over 100k disjoint 5-cliques (500k nodes,
+           |1M edges, 4 synchronous rounds): every node lands on its
+           |clique minimum with component size 5 — zero deviations.
+           |Holt smoothing over 1,000 exactly-linear series × 3,000
+           |days: the fold locks onto the line (level/trend/forecast
+           |equal the closed forms with zero tolerance) — 3M rows
+           |reduce to calendar-bounded arrays, never row-count arrays.
+           |Vocabulary growth over 300k three-token docs: all ten
+           |decile checkpoints exact (tokens 3k, types k+1001, ttr to
+           |the rendered digit).
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || mannWhitney (1M distinct grid) | 3.0M | ${f"$tMw%.1f"} | ${f"$ratio%.2f"} |
+           || labelPropagation (100k cliques, 4 rounds) | 1.0M edges | ${f"$tLp%.1f"} | ${f"$ratio%.2f"} |
+           || holtTrend (1k series × 3k days) | 3.0M | ${f"$tHt%.1f"} | ${f"$ratio%.2f"} |
+           || vocabGrowth (300k docs) | 0.3M | ${f"$tVg%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-11 newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming RocksDB state soak: 3M events, 100k keys, bounded store, rows == keys") {
     // transformWithState at soak scale on the PRODUCTION state store
     // (the toy MemoryStream specs prove semantics; this proves the
