@@ -76,6 +76,28 @@ object Streaming {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join — [[viewPurchaseJoin]] with the
+    * unmatched purchases KEPT (view columns NULL): the attribution
+    * query as it must actually ship, because "no preceding view" is a
+    * signal, not a row to drop. In streaming append mode this is the
+    * semantically hard case: a NULL-padded row can only emit once the
+    * watermark proves no matching view can still arrive (left rows
+    * are held in state until `purchase_ts + 30 min` passes the
+    * watermark, then released exactly once) — StreamingSpec pins
+    * exactly that gating. Same code runs in batch, oracle-checked. */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Streaming sink with the reference's MONTHLY-FILE layout: each
     * micro-batch lands as hive (year, month) partitions under `outDir`
     * via foreachBatch — the streaming form of the batch
@@ -211,6 +233,15 @@ object Streaming {
     "q_stream_dedup" -> ((s, d) =>
       firstOccurrence(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
+    // NULLS FIRST explicitly: Spark and DuckDB default opposite null
+    // orders, and the unmatched purchases are exactly the NULL rows
+    "q_stream_join_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      viewPurchaseJoinOuter(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("view_ts").asc_nulls_first)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +290,13 @@ object Streaming {
         |  ON p.user_id = v.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, view_ts""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_ts NULLS FIRST""".stripMargin,
   )
 }

@@ -232,6 +232,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join releases NULL rows only after the watermark proves no match") {
+    val views = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = Streaming.viewPurchaseJoinOuter(
+      views.toDF().withWatermark("ts", "1 hour"),
+      purchases.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 10, 1.0),
+        Ev(t("2024-01-01 09:00:00"), 2, 11, 1.0))
+      purchases.addData(
+        Ev(t("2024-01-01 10:10:00"), 1, 100, 1.0), // 10m after view → match
+        Ev(t("2024-01-01 10:30:00"), 2, 101, 1.0)) // view 90m earlier → NULL pad
+      q.processAllAvailable()
+      def rows() = spark.table(name)
+        .select(col("purchase_id"),
+          coalesce(col("view_ts").cast("string"), lit("NONE")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // the watermark has not passed 11:00 yet: purchase 101's NULL
+      // row MUST be withheld (a view could still arrive); the matched
+      // row may already stream through
+      assert(!rows().exists(_._1 == 101L),
+        s"NULL row released before the watermark proved it: ${rows()}")
+      // advance both watermarks past every horizon → exactly one
+      // matched row and exactly one NULL-padded row
+      views.addData(Ev(t("2024-01-01 14:00:00"), 9, 12, 1.0))
+      purchases.addData(Ev(t("2024-01-01 14:00:00"), 9, 102, 1.0))
+      q.processAllAvailable()
+      views.addData(Ev(t("2024-01-01 18:00:00"), 8, 13, 1.0))
+      purchases.addData(Ev(t("2024-01-01 18:00:00"), 8, 103, 1.0))
+      q.processAllAvailable()
+      val r = rows()
+      assert(r.contains((100L, "2024-01-01 10:00:00")), s"$r")
+      assert(r.contains((101L, "NONE")), s"$r")
+      assert(r.count(_._1 == 101L) == 1, s"NULL row must emit exactly once: $r")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val in = MemoryStream[Ev](spark)
     val name = nextName()
