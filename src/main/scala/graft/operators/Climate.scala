@@ -921,6 +921,70 @@ object Climate {
     * loudly (in-plan raise_error, zero extra jobs) on a series wide
     * enough to make the array a memory hazard. Series with fewer
     * than 2 days carry no trend information and are dropped. */
+  /** WEEKLY SEASONALITY strength per series: η² = SS_between/SS_total
+    * over day-of-week groups of the daily-reduced series — "how much
+    * of this series' daily variance is the weekly cycle?" (η² ≈ 1:
+    * rigid weekly rhythm; ≈ 0: none), plus the peak day and its mean.
+    * The diagnostic run before fitting anything seasonal, and the
+    * companion to [[holtTrend]] (which assumes the seasonality has
+    * been inspected). Day-of-week is pmod(day, 7) of the day index —
+    * 0 = the epoch's weekday — in pure integer arithmetic; calendar
+    * dayofweek() is engine-dependent (Spark is 1-based Sunday, DuckDB
+    * 0-based Sunday).
+    *
+    * Parity: daily means divide integer-quantized sums (exact); the
+    * series mean and each dow mean divide quantized-sum longs; every
+    * squared-deviation term is quantized to the 1e-9 grid AS A LONG
+    * after the double multiplication (the chi2 posture) so both sums
+    * of squares are order-free and bit-identical under any
+    * partitioning. A constant series (SS_total = 0) yields NULL η².
+    *
+    * Scale posture: facts collapse to the (series, day) daily table
+    * ONCE (localCheckpoint — four consumers re-read the reduction,
+    * never the facts); totals, dow groups, and both SS aggregates are
+    * re-aggregations of that calendar-bounded table, with the
+    * series-sized totals broadcast back. */
+  def weeklySeasonality(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+      .withColumn("qy", floor(col("y") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint()
+    val tot = daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("qy")).as("sq"))
+      .select(col("series"), col("n"),
+        (col("sq").cast("double") / lit(1e9) / col("n").cast("double")).as("mean"))
+    val ssTot = daily.join(broadcast(tot), "series")
+      .withColumn("term", (col("y") - col("mean")) * (col("y") - col("mean")))
+      .groupBy(col("series"))
+      .agg(sum(floor(col("term") * lit(1e9) + lit(0.5)).cast("long")).as("sstq"))
+    val dowg = daily.groupBy(col("series"), col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("qy")).as("sg"))
+      .withColumn("mg",
+        col("sg").cast("double") / lit(1e9) / col("ng").cast("double"))
+    val ssB = dowg.join(broadcast(tot), "series")
+      .withColumn("term", col("ng").cast("double") *
+        (col("mg") - col("mean")) * (col("mg") - col("mean")))
+      .groupBy(col("series"))
+      .agg(sum(floor(col("term") * lit(1e9) + lit(0.5)).cast("long")).as("ssbq"))
+    // peak day: highest dow mean, EARLIEST dow on ties
+    val peak = dowg.groupBy(col("series"))
+      .agg(max(struct(col("mg").as("m"), (-col("dow")).as("nd"))).as("p"))
+      .select(col("series"), (-col("p.nd")).as("peak_dow"),
+        col("p.m").as("peak_mean"))
+    tot.join(ssTot, "series").join(ssB, "series").join(peak, "series")
+      .select(col("series"), col("n").as("n_days"),
+        col("peak_dow"), halfUp(col("peak_mean"), 4).as("peak_mean"),
+        when(col("sstq") === 0L, lit(null).cast("double"))
+          .otherwise(halfUp(
+            col("ssbq").cast("double") / col("sstq").cast("double"), 6))
+          .as("eta2"))
+      .orderBy(col("series"))
+  }
+
   /** Registered Holt smoothing constants — EXACT-BINARY doubles, one
     * definition feeding both the plan and the generated oracle. */
   val HoltAlpha = 0.5
@@ -1380,6 +1444,9 @@ object Climate {
     // robust per-type trend: lower median of pairwise daily slopes
     "q_stats_theilsen" -> ((s, d) =>
       theilSenTrend(Tables.events(s, d))),
+    // weekly-cycle strength per event-type daily series
+    "q_stats_seasonality" -> ((s, d) =>
+      weeklySeasonality(Tables.events(s, d))),
     // Holt level+trend smoothing per event-type daily series — the
     // constants are passed EXPLICITLY from the shared vals so the
     // engine and the generated oracle can never drift
@@ -1454,6 +1521,54 @@ object Climate {
         |FROM g ORDER BY lag""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
+    // same quantized-term two-pass over the daily reduction; peak via
+    // (mean DESC, dow ASC) rank pick ≡ the engine's struct argmax
+    "q_stats_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT series, y,
+        |         CAST(floor(y * 1000000000.0 + 0.5) AS BIGINT) AS qy,
+        |         ((day % 7) + 7) % 7 AS dow
+        |  FROM daily),
+        |tot AS (
+        |  SELECT series, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(qy) AS DOUBLE) / 1000000000.0 / count(*) AS mean
+        |  FROM d2 GROUP BY series),
+        |sst AS (
+        |  SELECT d2.series,
+        |         CAST(sum(CAST(floor((y - mean) * (y - mean)
+        |           * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sstq
+        |  FROM d2 JOIN tot ON d2.series = tot.series GROUP BY 1),
+        |dowg AS (
+        |  SELECT series, dow, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(qy) AS DOUBLE) / 1000000000.0 / count(*) AS mg
+        |  FROM d2 GROUP BY series, dow),
+        |ssb AS (
+        |  SELECT g.series,
+        |         CAST(sum(CAST(floor(CAST(ng AS DOUBLE) * (mg - mean)
+        |           * (mg - mean) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS ssbq
+        |  FROM dowg g JOIN tot ON g.series = tot.series GROUP BY 1),
+        |peak AS (
+        |  SELECT series, dow AS peak_dow, mg AS peak_mean FROM (
+        |    SELECT series, dow, mg,
+        |           row_number() OVER (PARTITION BY series
+        |             ORDER BY mg DESC, dow ASC) AS rn
+        |    FROM dowg) WHERE rn = 1)
+        |SELECT tot.series, tot.n AS n_days, peak.peak_dow,
+        |       floor(peak.peak_mean * 10000.0 + 0.5) / 10000.0 AS peak_mean,
+        |       CASE WHEN sstq = 0 THEN NULL
+        |            ELSE floor(CAST(ssbq AS DOUBLE) / CAST(sstq AS DOUBLE)
+        |                   * 1000000.0 + 0.5) / 1000000.0 END AS eta2
+        |FROM tot JOIN sst ON tot.series = sst.series
+        |JOIN ssb ON tot.series = ssb.series
+        |JOIN peak ON tot.series = peak.series
+        |ORDER BY tot.series""".stripMargin,
     // generated recursive-CTE twin — see holtOracleSql
     "q_stats_holt" -> holtOracleSql(HoltAlpha, HoltBeta),
     "q_stats_theilsen" ->

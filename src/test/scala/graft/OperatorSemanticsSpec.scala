@@ -1749,6 +1749,27 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ("Y", 4L, 18.125, 1.71875, 19.8438)), s"got ${r.toSeq}")
   }
 
+  test("weeklySeasonality: pure weekly cycle scores 1.0, constant series NULLs, peak tie to earliest dow") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // A: 28 days of value = day%7 (a rigid weekly cycle) → every
+    // within-dow variance is 0, so SS_between = SS_total and η² = 1;
+    // peak dow 6 with mean 6. B: constant → SS_total = 0 → NULL η²,
+    // every dow mean ties at 5 → earliest dow wins the peak.
+    val ev = (0 until 28).map(d => ("A", d, (d % 7).toDouble)) ++
+      (0 until 10).map(d => ("B", d, 5.0))
+    val df = ev.zipWithIndex.map { case ((t, d, v), i) => (i.toLong, t, d, v) }
+      .toDF("event_id", "event_type", "d", "value")
+      .withColumn("ts", expr(
+        "timestampadd(DAY, d, TIMESTAMP '2024-01-01 00:00:00')"))
+    val r = Climate.weeklySeasonality(df).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) null else x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("A", 28L, 6L, 6.0, 1.0),
+      ("B", 10L, 0L, 5.0, null)), s"got ${r.toSeq}")
+  }
+
   test("mannWhitney: hand-computed U with a tie group, multi-event rollup, degenerate NULL") {
     import spark.implicits._
     import graft.operators.Aggregations
