@@ -106,6 +106,31 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id"))),
 
+    // XML scalar surface (Spark 4's to_xml/from_xml, the row-level
+    // siblings of the q_sink_xml file round trip): render each nation
+    // row as an XML fragment, parse it back with an explicit schema,
+    // and surface the extracted fields PLUS a fragment length — the
+    // parse must reproduce the source values exactly (entity escaping
+    // round-trips free text), and the length pins the rendered shape
+    // itself, not just the parse. Row-local codegen projection, no
+    // shuffle before the output sort; the oracle recomputes the
+    // length arithmetic from the raw fields, so the two engines agree
+    // on the fragment without DuckDB ever rendering XML.
+    "q_fn_xml" -> ((s, d) => {
+      val xml = to_xml(struct(col("n_nationkey").as("k"),
+        col("n_name").as("nm")))
+      val parsed = from_xml(xml, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nm",
+          org.apache.spark.sql.types.StringType))))
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), parsed.as("p"), length(xml).as("xml_len"))
+        .select(col("n_nationkey"), col("p.k").as("k"), col("p.nm").as("nm"),
+          col("xml_len"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Generator (UDTF-surface, SURVEY §2.11): posexplode flattens the
     // embedding vectors to (vec_id, pos, val) rows — the monthly
     // file fan-out / row-generator shape. Narrow: each input row
@@ -184,6 +209,16 @@ object Scalars {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    // the parse must reproduce the source fields; the fragment length
+    // is recomputed from the raw fields (to_xml's fixed frame is 38
+    // chars for a 2-field row: <ROW>\n 4sp <k>…</k>\n 4sp <nm>…</nm>\n
+    // </ROW>) — valid because harness names are markup-free (escaping
+    // itself is pinned by IOSpec's hostile-string round trip)
+    "q_fn_xml" ->
+      """SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+        |       CAST(38 + length(CAST(n_nationkey AS VARCHAR))
+        |            + length(n_name) AS INT) AS xml_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_explode" ->
       """SELECT vec_id,
         |       CAST(unnest(range(len(embedding))) AS INT) AS pos,

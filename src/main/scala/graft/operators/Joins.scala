@@ -431,6 +431,30 @@ object Joins {
         .orderBy(col("c_custkey"))
     }),
 
+    // FULL OUTER: both sides carry rows the other lacks — BUILDING
+    // customers (some without 1995 orders) ⟗ 1995 order rollups (some
+    // from non-BUILDING customers). Unmatched sides surface as NULL
+    // name / NULL totals, which is the reconciliation report shape
+    // ("who's missing from whom") the inner/left forms cannot express.
+    // Plans as a SortMergeJoin FullOuter on the key — both sides
+    // shuffle once; no broadcast variant exists for full outer (both
+    // sides must see every key), which is exactly why the key-hash
+    // shuffle IS the scale posture.
+    "q_join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"), col("total"))
+        .orderBy(col("custkey"))
+    }),
+
     // Existence filter (the land-mask shape).
     // Bloom-prefiltered semi join: high-balance customers as the
     // selective dim, orders as the fact — the sketch drops almost the
@@ -659,6 +683,16 @@ object Joins {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |             round(sum(o_totalprice), 2) AS total
+        |      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |       n_orders, total
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_join_bloom" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
