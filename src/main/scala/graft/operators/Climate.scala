@@ -857,6 +857,72 @@ object Climate {
       .orderBy(col("lat"), col("lon"))
   }
 
+  /** TWO-PREDICTOR OLS per series (multiple regression): value ~
+    * intercept + b₁·day + b₂·lat, solved in closed form from the
+    * normal equations by Cramer's rule — the "does the trend survive
+    * controlling for latitude?" step up from [[cellTrend]]'s simple
+    * regression, which cannot hold a confounder fixed. Outputs the
+    * coefficients in natural units (value per day, value per degree)
+    * and R².
+    *
+    * Parity is BY CONSTRUCTION, stronger than quantization: every
+    * design moment is an INTEGER sum of integer products — x₁ = day
+    * index, x₂ = 2·lat (the half-degree grid index is integral), y =
+    * cents — so the nine sums are exact BIGINTs, order-free under any
+    * partitioning, and the Cramer determinants are a fixed double
+    * chain over them that the oracle mirrors operand for operand.
+    * Unit conversions (cents→value, half-degree→degree) happen once
+    * at the end of the chain. A singular design (det = 0, e.g. a
+    * series observed on one day) or zero variance yields NULL
+    * coefficients/R², never a division error.
+    *
+    * Scale posture: ONE hash aggregate with map-side partials
+    * collapses the facts to ten longs per series; everything after is
+    * per-row scalar algebra on a series-sized table. */
+  def ols2(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    val g = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("x1"),
+        // 2·lat: the synthetic grid's lat is (event_id%360)·0.5 − 90,
+        // so twice it is the exact integer (event_id%360) − 180
+        (pmod(col("event_id"), lit(360L)) - 180L).as("x2"),
+        round(col("value") * 100).cast("long").as("yc"))
+    val m = g.groupBy(col("series")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("yc")).as("sy"),
+      sum(col("x1") * col("yc")).as("s1y"),
+      sum(col("x2") * col("yc")).as("s2y"),
+      sum(col("yc") * col("yc")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val (n, s1, s2) = (d("n"), d("s1"), d("s2"))
+    val (s11, s22, s12) = (d("s11"), d("s22"), d("s12"))
+    val (sy, s1y, s2y, syy) = (d("sy"), d("s1y"), d("s2y"), d("syy"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val (b0c, b1c, b2c) = (det0 / det, det1 / det, det2 / det)
+    val sse = syy - b0c * sy - b1c * s1y - b2c * s2y
+    val sst = syy - sy * sy / n
+    val bad = det === lit(0.0)
+    val nn = lit(null).cast("double")
+    m.select(col("series"), col("n"),
+        halfUp(when(bad, nn).otherwise(b0c / lit(100.0)), 4).as("b0"),
+        halfUp(when(bad, nn).otherwise(b1c / lit(100.0)), 6).as("b1_per_day"),
+        halfUp(when(bad, nn).otherwise(b2c / lit(50.0)), 6).as("b2_per_degree"),
+        halfUp(when(bad || sst <= lit(0.0), nn)
+          .otherwise(lit(1.0) - sse / sst), 6).as("r2"))
+      .orderBy(col("series"))
+  }
+
   /** THEIL–SEN robust trend per series: the LOWER median of all
     * pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over the daily-reduced series —
     * the slope estimator with a 29% breakdown point, immune to the
@@ -1441,6 +1507,9 @@ object Climate {
     // per-cell OLS trend map (value/day over the observation window)
     "q_climate_trend" -> ((s, d) =>
       cellTrend(Tables.events(s, d))),
+    // does the trend survive controlling for latitude? (per type)
+    "q_stats_ols2" -> ((s, d) =>
+      ols2(Tables.events(s, d))),
     // robust per-type trend: lower median of pairwise daily slopes
     "q_stats_theilsen" -> ((s, d) =>
       theilSenTrend(Tables.events(s, d))),
@@ -1571,6 +1640,67 @@ object Climate {
         |ORDER BY tot.series""".stripMargin,
     // generated recursive-CTE twin — see holtOracleSql
     "q_stats_holt" -> holtOracleSql(HoltAlpha, HoltBeta),
+    // same exact-integer design moments, same Cramer chain operand
+    // for operand, same unit conversions at the chain's end
+    "q_stats_ols2" ->
+      """WITH g AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x1,
+        |         (event_id % 360) - 180 AS x2,
+        |         CAST(round(value * 100) AS BIGINT) AS yc
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT series, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |         CAST(sum(yc) AS BIGINT) AS sy,
+        |         CAST(sum(x1 * yc) AS BIGINT) AS s1y,
+        |         CAST(sum(x2 * yc) AS BIGINT) AS s2y,
+        |         CAST(sum(yc * yc) AS BIGINT) AS syy
+        |  FROM g GROUP BY series),
+        |d AS (
+        |  SELECT series, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |         CAST(s2 AS DOUBLE) AS s2d, CAST(s11 AS DOUBLE) AS s11d,
+        |         CAST(s22 AS DOUBLE) AS s22d, CAST(s12 AS DOUBLE) AS s12d,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd,
+        |         CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM m),
+        |k AS (
+        |  SELECT series, n, syd, s1yd, s2yd, syyd, nd,
+        |         nd * (s11d * s22d - s12d * s12d)
+        |           - s1d * (s1d * s22d - s12d * s2d)
+        |           + s2d * (s1d * s12d - s11d * s2d) AS det,
+        |         syd * (s11d * s22d - s12d * s12d)
+        |           - s1d * (s1yd * s22d - s12d * s2yd)
+        |           + s2d * (s1yd * s12d - s11d * s2yd) AS det0,
+        |         nd * (s1yd * s22d - s12d * s2yd)
+        |           - syd * (s1d * s22d - s12d * s2d)
+        |           + s2d * (s1d * s2yd - s1yd * s2d) AS det1,
+        |         nd * (s11d * s2yd - s1yd * s12d)
+        |           - s1d * (s1d * s2yd - s1yd * s2d)
+        |           + syd * (s1d * s12d - s11d * s2d) AS det2
+        |  FROM d),
+        |b AS (
+        |  SELECT series, n, det,
+        |         det0 / det AS b0c, det1 / det AS b1c, det2 / det AS b2c,
+        |         syyd - (det0 / det) * syd - (det1 / det) * s1yd
+        |           - (det2 / det) * s2yd AS sse,
+        |         syyd - syd * syd / nd AS sst
+        |  FROM k)
+        |SELECT series, n,
+        |       floor(CASE WHEN det = 0.0 THEN NULL ELSE b0c / 100.0 END
+        |             * 10000.0 + 0.5) / 10000.0 AS b0,
+        |       floor(CASE WHEN det = 0.0 THEN NULL ELSE b1c / 100.0 END
+        |             * 1000000.0 + 0.5) / 1000000.0 AS b1_per_day,
+        |       floor(CASE WHEN det = 0.0 THEN NULL ELSE b2c / 50.0 END
+        |             * 1000000.0 + 0.5) / 1000000.0 AS b2_per_degree,
+        |       floor(CASE WHEN det = 0.0 OR sst <= 0.0 THEN NULL
+        |                  ELSE 1.0 - sse / sst END
+        |             * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM b ORDER BY series""".stripMargin,
     "q_stats_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type AS series,

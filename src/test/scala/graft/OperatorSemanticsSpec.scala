@@ -1749,6 +1749,33 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ("Y", 4L, 18.125, 1.71875, 19.8438)), s"got ${r.toSeq}")
   }
 
+  test("ols2: planted plane recovered exactly with R2=1, single-day design is singular → NULLs") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // y = 2 + 3·day + 4·lat on a non-degenerate (day, lat) design:
+    // lat = (event_id%360)/2 − 90, even ids → integer lat. The plane
+    // must come back exactly (integer moments, exact Cramer) with
+    // R² = 1. Series "S" sits on ONE day → the design is singular
+    // (day column is constant ⇒ det = 0) → NULL coefficients, n kept.
+    def lat(eid: Long) = (eid % 360) / 2.0 - 90.0
+    val pts = Seq( // (event_id, day) pairs spanning days and lats
+      (180L, 0), (200L, 1), (240L, 2), (300L, 3), (178L, 4), (36L, 5))
+    val rows = pts.map { case (eid, d) =>
+      (eid, "P", d, 2.0 + 3.0 * d + 4.0 * lat(eid)) } ++
+      Seq((180L, "S", 0, 1.0), (200L, "S", 0, 2.0))
+    val df = rows.toDF("event_id", "event_type", "d", "value")
+      .withColumn("ts", expr(
+        "timestampadd(DAY, d, TIMESTAMP '2024-01-01 00:00:00')"))
+    val r = Climate.ols2(df).collect().map(x => (x.getString(0), x.getLong(1),
+      if (x.isNullAt(2)) null else x.getDouble(2),
+      if (x.isNullAt(3)) null else x.getDouble(3),
+      if (x.isNullAt(4)) null else x.getDouble(4),
+      if (x.isNullAt(5)) null else x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      ("P", 6L, 2.0, 3.0, 4.0, 1.0),
+      ("S", 2L, null, null, null, null)), s"got ${r.toSeq}")
+  }
+
   test("weeklySeasonality: pure weekly cycle scores 1.0, constant series NULLs, peak tie to earliest dow") {
     import spark.implicits._
     import graft.operators.Climate
