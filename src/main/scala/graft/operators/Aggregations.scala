@@ -342,6 +342,48 @@ object Aggregations {
           .as("cramers_v"))
   }
 
+  /** Decile CONCENTRATION curve over a per-entity money measure — the
+    * "top 10% of customers carry X% of revenue" readout
+    * ([[groupGini]] compresses concentration to one scalar; this is
+    * the curve behind it, the Pareto/Lorenz table an analyst actually
+    * reads). Entities rank DESCENDING by their exact integer-cents
+    * total (ties by entity id — a total order), decile k = ranks in
+    * ((k−1)·n/10, k·n/10]; per-decile share and cumulative share
+    * divide BIGINT cent sums, so every aggregate is order-free and
+    * the rendering engine-independent.
+    *
+    * Scale posture: one hash aggregate collapses the facts to
+    * entity-sized cents; the global descending rank is the
+    * distributed prefix sum ([[Windows.withGlobalRowNumber]] — range
+    * repartition + broadcast offsets, no single-task window); the
+    * decile rollup is a 10-row table whose triangular cumulation is
+    * a broadcast nested-loop over ≤ tiles rows. */
+  def topShare(orders: DataFrame, tiles: Int = 10): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val nt = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val dec = Windows.withGlobalRowNumber(rev, "rn",
+        col("cents").desc, col("cust"))
+      .crossJoin(broadcast(nt))
+      .withColumn("decile", expr(s"((rn - 1L) * $tiles) div n") + lit(1L))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("tcents"),
+        max(col("tot")).as("tot"))
+    dec.join(broadcast(dec.select(col("decile").as("t2"),
+        col("tcents").as("c2"))), col("t2") <= col("decile"))
+      .groupBy(col("decile"))
+      .agg(max(col("n_customers")).as("n_customers"),
+        max(col("tcents")).as("tcents"), max(col("tot")).as("tot"),
+        sum(col("c2")).as("ccents"))
+      .select(col("decile"), col("n_customers"),
+        halfUp(col("tcents").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        halfUp(col("ccents").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** MANN–WHITNEY U rank-sum test between two arms — the
     * nonparametric sibling of [[abTest]]'s Welch t: compares the
     * per-user metric DISTRIBUTIONS by rank, so a heavy-tailed or
@@ -703,6 +745,9 @@ object Aggregations {
     "q_agg_gini" -> ((s, d) =>
       groupGini(Tables.orders(s, d), col("o_orderpriority"),
         col("o_totalprice"), Seq(col("o_orderkey")))),
+    // revenue-concentration deciles over customers (Lorenz table)
+    "q_agg_topshare" -> ((s, d) =>
+      topShare(Tables.orders(s, d))),
     "q_agg_moments" -> ((s, d) =>
       groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
@@ -1086,6 +1131,32 @@ object Aggregations {
         |       round(2.0 * sum(rn * v) / (count(*) * sum(v))
         |             - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    // integer-cents sums, integer decile carve, triangular cumulation
+    // — mirrors topShare exactly (halfUp rendering)
+    "q_agg_topshare" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+        |rk AS (SELECT cust, cents,
+        |              CAST(row_number() OVER (ORDER BY cents DESC, cust)
+        |                   AS BIGINT) AS rn
+        |       FROM rev),
+        |dec AS (SELECT ((rn - 1) * 10) // n + 1 AS decile,
+        |               CAST(count(*) AS BIGINT) AS n_customers,
+        |               CAST(sum(cents) AS BIGINT) AS tcents,
+        |               max(tot) AS tot
+        |        FROM rk CROSS JOIN nt GROUP BY 1)
+        |SELECT a.decile, max(a.n_customers) AS n_customers,
+        |       floor(CAST(max(a.tcents) AS DOUBLE) / max(a.tot) * 1e6 + 0.5)
+        |         / 1e6 AS share,
+        |       floor(CAST(sum(b.tcents) AS DOUBLE) / max(a.tot) * 1e6 + 0.5)
+        |         / 1e6 AS cum_share
+        |FROM dec a JOIN dec b ON b.decile <= a.decile
+        |GROUP BY a.decile ORDER BY a.decile""".stripMargin,
     "q_agg_moments" ->
       """WITH w AS (
         |  SELECT c_nationkey AS grp,

@@ -1182,6 +1182,114 @@ object Climate {
       .orderBy(col("lag"))
   }
 
+  /** AUTOCORRELATION function (ACF) of every series against itself at
+    * lags 1..maxLag — "does today predict tomorrow / next week?", the
+    * memory-structure probe run before fitting anything autoregressive
+    * (the self-series sibling of [[crossCorrelation]]; a spike at lag
+    * 7 here is [[weeklySeasonality]]'s η² seen from the time domain).
+    * Each lag's r is the Pearson correlation over the (yₜ, yₜ₊ₖ)
+    * overlap pairs, same moments, same quantization discipline as the
+    * CCF: means divide integer-quantized sums, every moment sums a
+    * per-row integer-quantized term, constant-overlap lags NULL.
+    *
+    * Scale posture: facts reduce to (series, day) once (checkpointed —
+    * both sides of the lag join re-read the reduction, never the
+    * facts); the lag expansion is maxLag copies of the calendar-
+    * bounded daily table joined on the shifted day; one hash aggregate
+    * per (series, lag) carries five longs. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 7,
+      x0: String = "2024-01-01"): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1: $maxLag")
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("series"), col("day"), col("y").as("ya"))
+    val b = daily.select(col("series").as("series_b"),
+      col("day").as("day_b"), col("y").as("yb"))
+    val lagged = a.crossJoin(broadcast(
+        events.sparkSession.range(1L, maxLag + 1L).select(col("id").as("lag"))))
+      .join(b, col("series") === col("series_b") &&
+        col("day") + col("lag") === col("day_b"))
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("long")).cast("double") / lit(1e9)
+    val agg = lagged.groupBy(col("series"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        q9(col("ya")).as("sx"), q9(col("yb")).as("sy"),
+        q6(col("ya") * col("ya")).as("sxx"),
+        q6(col("yb") * col("yb")).as("syy"),
+        q6(col("ya") * col("yb")).as("sxy"))
+    val nD = col("n_pairs").cast("double")
+    val varA = nD * col("sxx") - col("sx") * col("sx")
+    val varB = nD * col("syy") - col("sy") * col("sy")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    agg.select(col("series"), col("lag"), col("n_pairs"),
+        halfUp(when(varA <= 0.0 || varB <= 0.0, lit(null).cast("double"))
+          .otherwise(num / sqrt(varA * varB)), 6).as("acf"))
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** WALD–WOLFOWITZ runs test on each series' daily up/down moves —
+    * "is this series' day-to-day direction random, trending, or
+    * oscillating?" (too FEW runs: momentum/trending; too MANY:
+    * mean-reverting oscillation) — the direction-domain randomness
+    * screen next to [[autocorrelation]]'s magnitude-domain one.
+    * Direction of day t (from the 2nd observed day on) is
+    * up = yₜ > yₜ₋₁ over CONSECUTIVE observed days (gaps splice — the
+    * classical test is about the move SEQUENCE); a run is a maximal
+    * same-direction streak: R = 1 + Σ(sₜ ≠ sₜ₋₁). With n₁ ups and n₂
+    * downs, E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1));
+    * z = (R − E)/√Var, NULL when either side is empty (Var = 0).
+    *
+    * Parity: the daily y is the usual exact quantized mean, so the
+    * strict > compares bit-identical doubles on both engines; run and
+    * direction counts are exact integers; only the final per-series z
+    * chain touches doubles, in a fixed operand order the oracle
+    * mirrors.
+    *
+    * Scale posture: facts reduce to (series, day) once; directions
+    * and run breaks are per-series lag windows over the calendar-
+    * bounded daily table (partitioned by series — never a global
+    * window); the readout is one counts-only hash aggregate. */
+  def runsTest(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+    val moves = daily
+      .withColumn("prev", lag(col("y"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("up", when(col("y") > col("prev"), 1L).otherwise(0L))
+      .withColumn("brk",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+    val agg = moves.groupBy(col("series"))
+      .agg((count(lit(1)) + 1L).as("n_days"),
+        sum(col("up")).as("n_up"),
+        (count(lit(1)) - sum(col("up"))).as("n_down"),
+        sum(col("brk")).as("n_runs"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val nD = n1 + n2
+    val eR = lit(1.0) + lit(2.0) * n1 * n2 / nD
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    agg.select(col("series"), col("n_days"), col("n_up"), col("n_down"),
+        col("n_runs"),
+        halfUp(when(col("n_up") === 0L || col("n_down") === 0L,
+            lit(null).cast("double"))
+          .otherwise((col("n_runs").cast("double") - eR) / sqrt(varR)), 4)
+          .as("z_runs"))
+      .orderBy(col("series"))
+  }
+
   /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
     * vertices, closed implicitly. Deliberately irregular and
     * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
@@ -1527,6 +1635,12 @@ object Climate {
     // do views lead purchases? daily CCF at lags -7..7
     "q_stats_ccf" -> ((s, d) =>
       crossCorrelation(Tables.events(s, d), "view", "purchase")),
+    // series memory: per-type daily ACF at lags 1..7
+    "q_stats_acf" -> ((s, d) =>
+      autocorrelation(Tables.events(s, d))),
+    // day-over-day direction randomness screen per type
+    "q_stats_runs" -> ((s, d) =>
+      runsTest(Tables.events(s, d))),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -1588,6 +1702,75 @@ object Climate {
         |                          * (CAST(n_days AS DOUBLE) * syy - sy * sy)) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS ccf
         |FROM g ORDER BY lag""".stripMargin,
+    // same quantized daily mean, same lag join (self-series, lags
+    // 1..7), same five-moment chain as the CCF oracle
+    "q_stats_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |g AS (
+        |  SELECT a.series, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CAST(floor(a.y * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+        |         CAST(sum(CAST(floor(b.y * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+        |         CAST(sum(CAST(floor(a.y * a.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+        |         CAST(sum(CAST(floor(b.y * b.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy,
+        |         CAST(sum(CAST(floor(a.y * b.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+        |  FROM daily a CROSS JOIN l
+        |  JOIN daily b ON a.series = b.series AND a.day + l.lag = b.day
+        |  GROUP BY 1, 2)
+        |SELECT series, lag, n_pairs,
+        |       floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <= 0.0
+        |                     OR CAST(n_pairs AS DOUBLE) * syy - sy * sy <= 0.0 THEN NULL
+        |              ELSE (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |                   / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |                          * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS acf
+        |FROM g ORDER BY series, lag""".stripMargin,
+    // same quantized daily mean, same strict-> direction, same
+    // lag-break run count, same fixed-order z chain
+    "q_stats_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |mv AS (
+        |  SELECT series, day, y,
+        |         lag(y) OVER (PARTITION BY series ORDER BY day) AS prev
+        |  FROM daily),
+        |dir AS (
+        |  SELECT series, day,
+        |         CASE WHEN y > prev THEN 1 ELSE 0 END AS up
+        |  FROM mv WHERE prev IS NOT NULL),
+        |brk AS (
+        |  SELECT series, up,
+        |         CASE WHEN lag(up) OVER (PARTITION BY series ORDER BY day)
+        |                IS DISTINCT FROM up THEN 1 ELSE 0 END AS b
+        |  FROM dir),
+        |agg AS (
+        |  SELECT series, CAST(count(*) + 1 AS BIGINT) AS n_days,
+        |         CAST(sum(up) AS BIGINT) AS n_up,
+        |         CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+        |         CAST(sum(b) AS BIGINT) AS n_runs
+        |  FROM brk GROUP BY series)
+        |SELECT series, n_days, n_up, n_down, n_runs,
+        |       floor((CASE WHEN n_up = 0 OR n_down = 0 THEN NULL
+        |              ELSE (CAST(n_runs AS DOUBLE)
+        |                    - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+        |                             / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))))
+        |                   / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+        |                          * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+        |                             - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)))
+        |                          / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+        |                             * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+        |                             * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)))
+        |              END) * 10000.0 + 0.5) / 10000.0 AS z_runs
+        |FROM agg ORDER BY series""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
     // same quantized-term two-pass over the daily reduction; peak via

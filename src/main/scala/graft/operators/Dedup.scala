@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{halfUp, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -545,6 +545,55 @@ object Dedup {
         x => x("blk")), " ").as("text_clean"))
   }
 
+  /** Exact n-gram CONTAINMENT near-dup pairs — the one-sided overlap
+    * |A∩B| / min(|A|,|B|) over word-`k`-shingle SETS, which catches
+    * the doc-inside-doc shapes symmetric Jaccard dilutes away (a page
+    * quoting a whole smaller page scores ~1.0 here but can fall under
+    * any Jaccard threshold once the host is large enough). Candidate
+    * generation is RARE-SHINGLE BLOCKING: only pairs sharing at least
+    * one shingle with corpus document-frequency ≤ `maxDf` are scored —
+    * a true near-dup pair (high containment of a non-trivial doc)
+    * shares many shingles, and on any realistic corpus some of them
+    * are rare; boilerplate-only overlap (shared HIGH-df shingles) is
+    * exactly what this blocking refuses to pay for. The containment
+    * itself is then EXACT over the full shingle sets of the
+    * candidates, not an estimate.
+    *
+    * Shingles travel as xxhash64 digests (8 B/row on every shuffle,
+    * never text; the string-comparing oracle cross-checks the digest
+    * path end to end — the [[decontaminate]] posture). Scale: the df
+    * census and the per-doc sets are corpus-sized hash aggregates;
+    * the blocking self-join fans out ≤ maxDf² pairs per rare shingle;
+    * the exact-count join is candidates × per-doc set size — bounded
+    * by the blocking, never all-pairs. */
+  def dedupContainment(docsIn: DataFrame, k: Int = 3, maxDf: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = spread(docsIn)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("toks"), k))).as("g"))
+      .localCheckpoint()
+    val dfc = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df") <= maxDf), "g")
+    val cand = rare.select(col("g"), col("doc_id").as("a"))
+      .join(rare.select(col("g"), col("doc_id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val contain = col("n_shared").cast("double") /
+      least(col("sz_a"), col("sz_b"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("g")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .filter(contain >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        halfUp(contain, 6).as("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
   private def corpusPairs(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.ProcessCache.get(s, "neardup_pairs:" + d)(
@@ -556,6 +605,9 @@ object Dedup {
     "q_dedup_spans" -> ((s, d) =>
       dedupSpans(Tables.documents(s, d), 3, 2).orderBy(col("doc_id"))),
     "q_dedup_ngram" -> ((s, d) => dedupNgram(Tables.documents(s, d))),
+    // doc-inside-doc overlap: rare-shingle blocked, exact containment
+    "q_dedup_containment" -> ((s, d) =>
+      dedupContainment(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     // the near-dup PAIR list is the dedup job's edge artifact: the
@@ -607,6 +659,42 @@ object Dedup {
         |FROM blocks JOIN counts USING (blk)
         |WHERE nd < 2
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // containment oracle compares the SHINGLE STRINGS themselves — a
+    // digest-free cross-check of the engine's xxhash64 path: same
+    // rare-shingle blocking, same exact shared-count, same least-side
+    // containment quotient and threshold
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |              ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(s) AS g FROM sh0),
+        |dfq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |rare AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfq USING (g)
+        |         WHERE df <= 8),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM rare x JOIN rare y
+        |           ON x.g = y.g AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        |              JOIN sh sb ON sb.doc_id = c.b AND sb.g = sa.g
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+        |       floor(CAST(n_shared AS DOUBLE) / least(za.sz, zb.sz)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS containment
+        |FROM shared JOIN sizes za ON za.doc_id = a
+        |            JOIN sizes zb ON zb.doc_id = b
+        |WHERE CAST(n_shared AS DOUBLE) / least(za.sz, zb.sz) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     // decontamination oracle compares the SHINGLE STRINGS themselves —
     // a digest-free cross-check of the engine's hash-compare path
     "q_dedup_decontaminate" ->

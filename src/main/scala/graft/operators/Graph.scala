@@ -351,6 +351,70 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** Bounded-round MULTI-SOURCE BFS hop distance over an undirected
+    * edge list — "how far is every node from the seed set" (blast-
+    * radius / influence-reach probes over the co-purchase graph; the
+    * reachability DEPTH question [[Dedup.connectedComponents]]'s
+    * reachability-ONLY answer cannot express). Synchronous relaxation:
+    * dist₀ = 0 on the seeds; each round
+    * distₖ(v) = min(distₖ₋₁(v), min over neighbors distₖ₋₁(u) + 1) —
+    * after k rounds exactly the nodes within k hops carry their true
+    * hop distance (Bellman-Ford restricted to unit weights).
+    *
+    * Scale posture: the frontier table is NODE-sized (at most), each
+    * round is one (edge → neighbor-dist) hash join shuffling
+    * (node, dist) longs and one min hash aggregate — counts-only
+    * shuffles, nothing quadratic; localCheckpoint per round keeps the
+    * plan depth O(1) in rounds (the LPA/kmeans posture). Rounds are a
+    * FIXED parameter: on a 1000-executor cluster you raise rounds, not
+    * the per-round cost shape. */
+  def bfsHops(edges: DataFrame, isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "bfs needs at least one round")
+    val e0 = edges.toDF("src", "dst")
+    val e = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+      .persist()
+    var dist = e.select(col("u").as("node")).distinct()
+      .filter(isSeed(col("node")))
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .union(e.join(dist.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node"), (col("dist") + lit(1L)).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
+  /** Generated DuckDB twin of [[bfsHops]] over the thresholded
+    * co-purchase graph: one chained CTE per round (the LPA oracle
+    * posture — the loop unrolls into SQL, so the oracle replays the
+    * engine's exact semantics: synchronous min-relaxation from the
+    * node%100==0 seed set). */
+  private[graft] def bfsOracleSql(rounds: Int): String = {
+    val head =
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist
+        |       FROM (SELECT DISTINCT u AS node FROM e) WHERE node % 100 = 0)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${k - 1} d ON e.u = d.node) GROUP BY node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, dist FROM d$rounds ORDER BY node"
+  }
+
   /** Synchronous LABEL-PROPAGATION community detection (Raghavan,
     * Albert & Kumara 2007) over an undirected edge list, with fully
     * DETERMINISTIC tie-breaks: label₀(v) = v; each round every node
@@ -492,6 +556,10 @@ object Graph {
     // basket-pair artifact like components/jaccard
     "q_graph_label_prop" -> ((s, d) =>
       labelPropagation(copurchaseStrong(s, d), rounds = 4)),
+    // hop distance from the node%100==0 seed parts, 3 synchronous
+    // rounds over the same thresholded graph artifact
+    "q_graph_bfs" -> ((s, d) =>
+      bfsHops(copurchaseStrong(s, d), _ % 100 === 0, rounds = 3)),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -505,6 +573,8 @@ object Graph {
   val oracle: Map[String, String] = Map(
     // generated unrolled-round twin — see lpaOracleSql
     "q_graph_label_prop" -> lpaOracleSql(4),
+    // generated unrolled-round twin — see bfsOracleSql
+    "q_graph_bfs" -> bfsOracleSql(3),
     // min-reachable-label via recursive closure — independent of the
     // engine's star-contraction formulation; the UNION dedup bounds
     // reach at nodes², fine at oracle scale

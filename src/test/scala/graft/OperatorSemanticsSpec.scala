@@ -1849,4 +1849,99 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r4.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)), s"got ${r4.toSeq}")
   }
+
+  test("bfsHops: hop distances on a planted path, unreached nodes absent, min over multi-source") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 0–1–2–3–4–5 plus an isolated edge 10–11; seeds = %100==0
+    // nodes present in the graph: {0, 100? no} → {0} and {100,...}
+    // none — so seed set is {0} here
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val d = Graph.bfsHops(e, _ % 100 === 0, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 3 rounds reach exactly hops 0..3; 4, 5, 10, 11 absent
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $d")
+    // multi-source min: seeds 0 and 200 joined by a short arc — node
+    // 201 is 1 from 200 even though it is 4 from 0
+    val e2 = Seq((0L, 1L), (1L, 2L), (2L, 201L), (200L, 201L))
+      .toDF("src", "dst")
+    val d2 = Graph.bfsHops(e2, _ % 100 === 0, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d2 == Map(0L -> 0L, 200L -> 0L, 1L -> 1L, 201L -> 1L,
+      2L -> 2L), s"got $d2")
+  }
+
+  test("topShare: deciles carve by descending rank, shares and cum shares are exact") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // 20 customers, revenue = custkey dollars → descending rank is
+    // custkey 20..1; decile k = 2 customers; total = 210
+    val orders = (1L to 20L).map(c => (c, c.toDouble)).toDF("o_custkey", "o_totalprice")
+    val r = Aggregations.topShare(orders).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.length == 10)
+    assert(r.map(_._2).forall(_ == 2L), s"got ${r.toSeq}")
+    // decile 1 = {20, 19} → 39/210; cumulative of decile 10 = 1.0
+    assert(math.abs(r.head._3 - 39.0 / 210.0) < 1e-6, s"got ${r.head}")
+    assert(math.abs(r.last._4 - 1.0) < 1e-9, s"got ${r.last}")
+    // shares strictly decrease (revenue sorted descending)
+    assert(r.map(_._3).sliding(2).forall(p => p(0) > p(1)))
+    // cum_share telescopes: cum(k) - cum(k-1) ≈ share(k) (6 dp rendering)
+    r.sliding(2).foreach { p =>
+      assert(math.abs((p(1)._4 - p(0)._4) - p(1)._3) < 2e-6, s"got ${p.toSeq}") }
+  }
+
+  test("autocorrelation: a 2-day-period alternating series has acf(1) = -1, acf(2) = +1") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // one series, 30 consecutive days alternating 10, 20
+    val ev = (0 until 30).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 31 + 1}%02d 12:00:00"),
+        "a", if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("ts", "event_type", "value")
+    val r = Climate.autocorrelation(ev, maxLag = 2).collect()
+      .map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(math.abs(r(1L) - (-1.0)) < 1e-6, s"got $r")
+    assert(math.abs(r(2L) - 1.0) < 1e-6, s"got $r")
+  }
+
+  test("runsTest: alternating series maxes runs (positive z), monotone series yields NULL (one-sided)") {
+    import spark.implicits._
+    import graft.operators.Climate
+    val alt = (0 until 21).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        "alt", if (i % 2 == 0) 10.0 else 20.0)
+    }
+    val mono = (0 until 21).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        "mono", 10.0 + i)
+    }
+    val r = Climate.runsTest((alt ++ mono).toDF("ts", "event_type", "value"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          if (x.isNullAt(5)) None else Some(x.getDouble(5))))).toMap
+    // alternating: 20 moves = 10 up + 10 down, every move flips → 20 runs
+    assert(r("alt") == ((21L, 10L, 10L, 20L, r("alt")._5)), s"got $r")
+    assert(r("alt")._5.exists(_ > 3.0), s"got $r") // far more runs than E[R]=11
+    // monotone: all ups → variance undefined → NULL z, 1 run
+    assert(r("mono")._1 == 21L && r("mono")._2 == 20L &&
+      r("mono")._3 == 0L && r("mono")._4 == 1L && r("mono")._5.isEmpty,
+      s"got $r")
+  }
+
+  test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val small = "alpha beta gamma delta epsilon zeta"
+    val host = small + " eta theta iota kappa lambda mu nu xi"
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, small), (2L, host), (3L, other))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupContainment(docs).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(5))).toMap
+    // every 3-shingle of doc 1 appears in doc 2 → containment 1.0
+    assert(r.keySet == Set((1L, 2L)), s"got $r")
+    assert(math.abs(r((1L, 2L)) - 1.0) < 1e-9, s"got $r")
+  }
 }
