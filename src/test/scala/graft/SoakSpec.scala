@@ -1337,6 +1337,194 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak r11c: BFS / top-share / ACF + runs / seasonality / containment at scale") {
+    // The late-round-11 additions under scale shapes with closed-form
+    // exact outcomes:
+    //  - bfsHops: a 250,001-node PATH with seeds every 100 nodes —
+    //    the worst frontier shape (fan-out 2, distance structure fully
+    //    determined): after 3 rounds exactly the nodes with
+    //    min(m, 100−m) ≤ 3 (m = node mod 100) appear, each at that
+    //    distance; 17,501 rows, Σdist = 30,000;
+    //  - topShare: 1M customers with revenue = custkey dollars — every
+    //    decile holds exactly 100k customers and the share/cum-share
+    //    doubles are replayed with the operator's exact chain;
+    //  - autocorrelation + runsTest on ONE input: 1,000 series × 3,000
+    //    days alternating 10/20 — yₜ₊₁ = 30 − yₜ makes odd lags
+    //    exactly −1 and even lags exactly +1 (the Pearson algebra
+    //    collapses, no tolerance); runs: 2,999 moves all flipping →
+    //    n_runs = 2999, z replayed with the operator's chain;
+    //  - weeklySeasonality: 1,000 series × 2,800 days with
+    //    y = dow + 1 — within-dow variance 0 ⇒ η² = 1 exactly,
+    //    peak (dow 6, mean 7);
+    //  - dedupContainment: 150k docs in 75k (host ⊃ sub) pairs with
+    //    pair-unique tokens — every shingle is rare, candidates are
+    //    exactly the pairs, containment exactly 1.0.
+    import graft.operators.{Aggregations, Climate, Dedup, Graph}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- BFS: 250k-node path, seeds every 100 ----
+      val pathEdges = spark.range(250000L)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        .repartition(8)
+      val (bfs, tBfs) = timed {
+        val r = Graph.bfsHops(pathEdges, _ % 100 === 0, rounds = 3)
+        val m = pmod(col("node"), lit(100L))
+        val expect = least(m, lit(100L) - m)
+        val bad = r.filter(col("dist") =!= expect).count()
+        val agg = r.agg(count(lit(1)), sum(col("dist")), max(col("dist")))
+          .collect().head
+        (bad, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      }
+      assert(bfs == ((0L, 17501L, 30000L, 3L)), s"(bad, n, sumDist, maxDist) = $bfs")
+
+      // ---- top-share: 1M customers, revenue = custkey ----
+      val tsIn = spark.range(1L, 1000001L).select(
+        col("id").as("o_custkey"), col("id").cast("double").as("o_totalprice"))
+        .repartition(8)
+      val (ts, tTs) = timed {
+        Aggregations.topShare(tsIn).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      }
+      val totC = 100L * 500000500000L
+      val decC = (1 to 10).map { d =>
+        // decile d = custkeys (1000000 − d·100k, 1000000 − (d−1)·100k]
+        val hi = 1000000L - (d - 1).toLong * 100000L
+        val lo = 1000000L - d.toLong * 100000L + 1L
+        100L * (lo + hi) * 100000L / 2L
+      }
+      val cumC = decC.scanLeft(0L)(_ + _).tail
+      val tsExpect = (1 to 10).map { d =>
+        (d.toLong, 100000L,
+          math.floor(decC(d - 1).toDouble / totC.toDouble * 1e6 + 0.5) / 1e6,
+          math.floor(cumC(d - 1).toDouble / totC.toDouble * 1e6 + 0.5) / 1e6)
+      }
+      assert(ts.toSeq == tsExpect, s"got ${ts.toSeq}")
+
+      // ---- ACF + runs over one alternating-series input ----
+      val altIn = spark.range(3000000L).select(
+        concat(lit("s"), expr("id div 3000")).as("event_type"),
+        expr("timestampadd(DAY, CAST(id % 3000 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        when(pmod(col("id"), lit(2L)) === 0L, lit(10.0)).otherwise(lit(20.0))
+          .as("value")).repartition(8)
+      val (acf, tAcf) = timed {
+        val r = Climate.autocorrelation(altIn, maxLag = 4)
+        val bad = r.filter(col("acf").isNull || col("acf") =!=
+          when(pmod(col("lag"), lit(2L)) === 1L, -1.0).otherwise(1.0)).count()
+        (bad, r.count())
+      }
+      assert(acf == ((0L, 4000L)), s"(bad, total) = $acf")
+      val (runs, tRuns) = timed {
+        val r = Climate.runsTest(altIn).collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+            x.getLong(4), x.getDouble(5)))
+        r
+      }
+      // replay the operator's z chain: n1 = 1500 ups, n2 = 1499 downs
+      val (n1, n2) = (1500.0, 1499.0)
+      val nD = n1 + n2
+      val eR = 1.0 + 2.0 * n1 * n2 / nD
+      val varR = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nD) / (nD * nD * (nD - 1.0))
+      val zExp = math.floor((2999.0 - eR) / math.sqrt(varR) * 1e4 + 0.5) / 1e4
+      assert(runs.length == 1000 &&
+        runs.forall(x => x._2 == 3000L && x._3 == 1500L && x._4 == 1499L &&
+          x._5 == 2999L && x._6 == zExp),
+        s"sample ${runs.take(2).toSeq}, zExp $zExp")
+
+      // ---- seasonality: pure weekly function ⇒ η² = 1 ----
+      val seaIn = spark.range(2800000L).select(
+        concat(lit("s"), expr("id div 2800")).as("event_type"),
+        expr("timestampadd(DAY, CAST(id % 2800 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        (pmod(pmod(col("id"), lit(2800L)), lit(7L)) + 1L).cast("double")
+          .as("value")).repartition(8)
+      val (sea, tSea) = timed {
+        val r = Climate.weeklySeasonality(seaIn)
+        val bad = r.filter(col("eta2").isNull || col("n_days") =!= 2800L ||
+          col("eta2") =!= 1.0 ||
+          col("peak_dow") =!= 6L || col("peak_mean") =!= 7.0).count()
+        (bad, r.count())
+      }
+      assert(sea == ((0L, 1000L)), s"(bad, total) = $sea")
+
+      // ---- containment: 75k planted host ⊃ sub pairs ----
+      val contDocs = spark.range(150000L).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2L)) === 0L,
+          concat(lit("a"), col("id"), lit(" b"), col("id"), lit(" c"), col("id"),
+            lit(" d"), col("id"), lit(" e"), col("id"), lit(" f"), col("id"),
+            lit(" g"), col("id")))
+          .otherwise(
+            concat(lit("a"), col("id") - 1L, lit(" b"), col("id") - 1L,
+              lit(" c"), col("id") - 1L, lit(" d"), col("id") - 1L,
+              lit(" e"), col("id") - 1L)).as("text"))
+        .repartition(8)
+      val (cont, tCont) = timed {
+        val r = Dedup.dedupContainment(contDocs)
+        val bad = r.filter(col("b") =!= col("a") + 1L ||
+          col("n_shared") =!= 3L || col("sz_a") =!= 5L || col("sz_b") =!= 3L ||
+          col("containment") =!= 1.0).count()
+        (bad, r.count())
+      }
+      assert(cont == ((0L, 75000L)), s"(bad, total) = $cont")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-11 late-newcomer soak (regenerated by SoakSpec)
+           |
+           |The late-round-11 additions at scale, every outcome
+           |closed-form exact, same single-task shuffle-budget listener
+           |invariant as the other soaks. BFS over a 250,001-node path
+           |with seeds every 100 nodes (the worst frontier shape):
+           |exactly the min(m,100−m) ≤ 3 nodes appear at their true
+           |distances (17,501 rows, Σdist 30,000). Top-share over 1M
+           |customers with revenue = custkey: all ten deciles hold
+           |exactly 100k customers and every share/cum-share double
+           |matches the operator's chain to the rendered digit — the
+           |global rank rides the distributed prefix sum, never a
+           |single-task window. ACF + runs test over 1,000 alternating
+           |series × 3,000 days: odd lags exactly −1, even exactly +1
+           |(4,000 lag rows, zero deviations); 2,999 always-flipping
+           |moves give n_runs = 2999 and the replayed z to the last
+           |digit. Weekly seasonality over 1,000 pure-weekly series ×
+           |2,800 days: η² exactly 1, peak (dow 6, mean 7). Containment
+           |dedup over 150k docs planted as 75k host ⊃ sub pairs with
+           |pair-unique tokens: candidates are exactly the pairs,
+           |containment exactly 1.0 on all 75,000.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || bfsHops (250k path, 3 rounds) | 250k edges | ${f"$tBfs%.1f"} | ${f"$ratio%.2f"} |
+           || topShare (1M customers) | 1.0M | ${f"$tTs%.1f"} | ${f"$ratio%.2f"} |
+           || autocorrelation (1k series, lags 1..4) | 3.0M | ${f"$tAcf%.1f"} | ${f"$ratio%.2f"} |
+           || runsTest (1k series) | 3.0M | ${f"$tRuns%.1f"} | ${f"$ratio%.2f"} |
+           || weeklySeasonality (1k pure-weekly series) | 2.8M | ${f"$tSea%.1f"} | ${f"$ratio%.2f"} |
+           || dedupContainment (75k planted pairs) | 150k docs | ${f"$tCont%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-11 late-newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming RocksDB state soak: 3M events, 100k keys, bounded store, rows == keys") {
     // transformWithState at soak scale on the PRODUCTION state store
     // (the toy MemoryStream specs prove semantics; this proves the
