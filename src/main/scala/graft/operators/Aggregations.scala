@@ -384,6 +384,43 @@ object Aggregations {
       .orderBy(col("decile"))
   }
 
+  /** AUDIENCE OVERLAP matrix: for every pair of event types, the
+    * exact distinct-user intersection with Jaccard and
+    * overlap-coefficient scores — "are purchasers a subset of
+    * viewers?", the segment-containment readout behind funnel design
+    * (Jaccard penalizes size mismatch; the overlap coefficient
+    * |A∩B|/min answers containment directly). Zero-intersection pairs
+    * still appear (the full type-pair grid, not just observed
+    * co-occurrences — absence of overlap IS the finding).
+    *
+    * Scale posture: one corpus-wide (type, user) DISTINCT collapses
+    * the facts (checkpointed — three consumers); the intersection
+    * self-join fans out ≤ k² rows per user (k = #types, a handful by
+    * nature), counts-only; audience sizes re-aggregate the distinct
+    * table and broadcast onto the k²-row grid. Nothing user-quadratic
+    * anywhere. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val au = events.select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct().localCheckpoint()
+    val sizes = au.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val inter = au.select(col("t").as("ta"), col("u"))
+      .join(au.select(col("t").as("tb"), col("u")), "u")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    val grid = sizes.select(col("t").as("ta"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("t").as("tb"), col("n").as("n_b"))),
+        col("ta") < col("tb"))
+    grid.join(inter, Seq("ta", "tb"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+        halfUp(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        halfUp(col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap_coef"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** MANN–WHITNEY U rank-sum test between two arms — the
     * nonparametric sibling of [[abTest]]'s Welch t: compares the
     * per-user metric DISTRIBUTIONS by rank, so a heavy-tailed or
@@ -748,6 +785,9 @@ object Aggregations {
     // revenue-concentration deciles over customers (Lorenz table)
     "q_agg_topshare" -> ((s, d) =>
       topShare(Tables.orders(s, d))),
+    // distinct-user overlap between every event-type pair
+    "q_agg_audience_overlap" -> ((s, d) =>
+      audienceOverlap(Tables.events(s, d))),
     "q_agg_moments" -> ((s, d) =>
       groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
@@ -1157,6 +1197,27 @@ object Aggregations {
         |         / 1e6 AS cum_share
         |FROM dec a JOIN dec b ON b.decile <= a.decile
         |GROUP BY a.decile ORDER BY a.decile""".stripMargin,
+    // same distinct rollup, full pair grid with zero-intersection
+    // rows kept, same quotients (halfUp rendering)
+    "q_agg_audience_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM au GROUP BY t),
+        |inter AS (
+        |  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM au a JOIN au b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT sa.t AS ta, sb.t AS tb, sa.n AS n_a, sb.n AS n_b
+        |  FROM sizes sa JOIN sizes sb ON sa.t < sb.t)
+        |SELECT ta, tb, n_a, n_b, coalesce(n_both, 0) AS n_both,
+        |       floor(CAST(coalesce(n_both, 0) AS DOUBLE)
+        |             / CAST(n_a + n_b - coalesce(n_both, 0) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+        |       floor(CAST(coalesce(n_both, 0) AS DOUBLE)
+        |             / CAST(least(n_a, n_b) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS overlap_coef
+        |FROM grid LEFT JOIN inter USING (ta, tb)
+        |ORDER BY ta, tb""".stripMargin,
     "q_agg_moments" ->
       """WITH w AS (
         |  SELECT c_nationkey AS grp,

@@ -1233,6 +1233,98 @@ object Climate {
       .orderBy(col("series"), col("lag"))
   }
 
+  /** LJUNG–BOX portmanteau statistic per series — ONE whiteness
+    * scalar over the first `maxLag` autocorrelations,
+    * Q = n(n+2)·Σ r²ₖ/(n−k): "is there ANY serial structure left?",
+    * the aggregate readout over [[autocorrelation]]'s per-lag curve
+    * (large Q: the series is not white noise — exactly what a model's
+    * RESIDUALS should never show). rₖ here is the ACF operator's
+    * pairwise-complete Pearson estimate (documented deviation from
+    * the classical fixed-denominator estimator, which needs a
+    * gap-free series; on complete data they coincide asymptotically)
+    * at its rendered 1e-6 precision — the one set of r values both
+    * engines already agree on bit for bit. NULL (degenerate) lags are
+    * excluded and counted out via `n_lags`.
+    *
+    * Parity: each r²ₖ/(n−k) term quantizes to the 1e-12 grid as a
+    * LONG before the sum (order-free); the n(n+2)·Σ chain is fixed
+    * order. Scale: the ACF reduction does the heavy lifting; this
+    * adds one series-sized join + hash aggregate. */
+  def ljungBox(events: DataFrame, maxLag: Int = 7,
+      x0: String = "2024-01-01"): DataFrame = {
+    val acf = autocorrelation(events, maxLag, x0)
+    val days = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"))
+      .agg(countDistinct(
+        datediff(to_date(col("ts")), to_date(lit(x0)))).as("n_days"))
+    val nD = col("n_days").cast("double")
+    val term = (col("acf") * col("acf")) / (nD - col("lag").cast("double"))
+    acf.filter(col("acf").isNotNull)
+      .join(broadcast(days), "series")
+      .groupBy(col("series"))
+      .agg(max(col("n_days")).as("n_days"), count(lit(1)).as("n_lags"),
+        (sum(floor(term * lit(1e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e12)).as("sumt"))
+      .select(col("series"), col("n_days"), col("n_lags"),
+        halfUp(col("n_days").cast("double") *
+          (col("n_days") + lit(2L)).cast("double") * col("sumt"), 4)
+          .as("q_lb"))
+      .orderBy(col("series"))
+  }
+
+  /** KENDALL'S τ-b rank correlation between two daily series paired
+    * by day — the fully nonparametric association readout next to
+    * [[crossCorrelation]]'s Pearson r (which rides magnitudes; τ
+    * counts ORDER agreements, so one outlier day moves it by at most
+    * its pair share): over all day pairs i<j, concordant means the
+    * two series move the same way, discordant opposite; τ_b =
+    * (C−D)/√((n₀−t_x)(n₀−t_y)) with the tie corrections, NULL when
+    * either series is constant (denominator 0).
+    *
+    * Parity: daily means are the exact quantized reduction, so every
+    * comparison (>, <, =) is on bit-identical doubles; C, D, tie and
+    * pair counts are exact BIGINTs; the final τ is one fixed-order
+    * double chain. Scale posture: the pair expansion is over the
+    * PAIRED daily reduction — calendar-bounded (the Theil–Sen
+    * argument: 100 TB over 2 years is still ≤ ~270k pairs), broadcast
+    * to a nested-loop self-join; the facts reduce in one hash
+    * aggregate. */
+  def kendallTau(events: DataFrame, typeA: String, typeB: String,
+      x0: String = "2024-01-01"): DataFrame = {
+    val daily = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val paired = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("y").as("x"))
+      .join(daily.filter(col("event_type") === typeB)
+        .select(col("day").as("day_b"), col("y").as("yy")),
+        col("day") === col("day_b"))
+      .select(col("day"), col("x"), col("yy"))
+    val nDays = paired.agg(count(lit(1)).as("n_days"))
+    val prod = (col("x1") - col("x2")) * (col("y1") - col("y2"))
+    val cnts = paired.select(col("day").as("d1"), col("x").as("x1"),
+        col("yy").as("y1"))
+      .join(broadcast(paired.select(col("day").as("d2"), col("x").as("x2"),
+        col("yy").as("y2"))), col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(prod > 0.0, 1L).otherwise(0L)).as("nc"),
+        sum(when(prod < 0.0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ty"))
+    val denomX = (col("n0") - col("tx")).cast("double")
+    val denomY = (col("n0") - col("ty")).cast("double")
+    cnts.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("nc").as("n_concordant"),
+        col("nd").as("n_discordant"),
+        halfUp(when(col("n0") === col("tx") || col("n0") === col("ty"),
+            lit(null).cast("double"))
+          .otherwise((col("nc") - col("nd")).cast("double") /
+            sqrt(denomX * denomY)), 6).as("tau_b"))
+  }
+
   /** WALD–WOLFOWITZ runs test on each series' daily up/down moves —
     * "is this series' day-to-day direction random, trending, or
     * oscillating?" (too FEW runs: momentum/trending; too MANY:
@@ -1638,6 +1730,12 @@ object Climate {
     // series memory: per-type daily ACF at lags 1..7
     "q_stats_acf" -> ((s, d) =>
       autocorrelation(Tables.events(s, d))),
+    // rank (not magnitude) association between the CCF pair
+    "q_stats_kendall" -> ((s, d) =>
+      kendallTau(Tables.events(s, d), "view", "purchase")),
+    // one whiteness scalar over the ACF curve per series
+    "q_stats_ljungbox" -> ((s, d) =>
+      ljungBox(Tables.events(s, d))),
     // day-over-day direction randomness screen per type
     "q_stats_runs" -> ((s, d) =>
       runsTest(Tables.events(s, d))),
@@ -1730,6 +1828,81 @@ object Climate {
         |                          * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS acf
         |FROM g ORDER BY series, lag""".stripMargin,
+    // replays the FULL acf oracle (rendered 1e-6 r values), then the
+    // same 1e-12-quantized term sum and fixed n(n+2)·Σ chain
+    "q_stats_ljungbox" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |g AS (
+        |  SELECT a.series, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CAST(floor(a.y * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+        |         CAST(sum(CAST(floor(b.y * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+        |         CAST(sum(CAST(floor(a.y * a.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+        |         CAST(sum(CAST(floor(b.y * b.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy,
+        |         CAST(sum(CAST(floor(a.y * b.y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+        |  FROM daily a CROSS JOIN l
+        |  JOIN daily b ON a.series = b.series AND a.day + l.lag = b.day
+        |  GROUP BY 1, 2),
+        |acf AS (
+        |  SELECT series, lag,
+        |         floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <= 0.0
+        |                       OR CAST(n_pairs AS DOUBLE) * syy - sy * sy <= 0.0 THEN NULL
+        |                ELSE (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |                     / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |                            * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END)
+        |               * 1000000.0 + 0.5) / 1000000.0 AS acf
+        |  FROM g),
+        |days AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+        |         FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT a.series, d.n_days,
+        |         (a.acf * a.acf)
+        |           / (CAST(d.n_days AS DOUBLE) - CAST(a.lag AS DOUBLE)) AS term
+        |  FROM acf a JOIN days d ON a.series = d.series
+        |  WHERE a.acf IS NOT NULL)
+        |SELECT series, n_days, CAST(count(*) AS BIGINT) AS n_lags,
+        |       floor(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+        |             * (CAST(sum(CAST(floor(term * 1000000000000.0 + 0.5) AS BIGINT))
+        |                     AS DOUBLE) / 1000000000000.0)
+        |             * 10000.0 + 0.5) / 10000.0 AS q_lb
+        |FROM t GROUP BY 1, 2 ORDER BY series""".stripMargin,
+    // same quantized paired daily means, same pair expansion (d1 <
+    // d2), same integer C/D/tie counts and fixed-order tau chain
+    "q_stats_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |paired AS (
+        |  SELECT a.day, a.y AS x, b.y AS yy
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM paired),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN (p.x - q.x) * (p.yy - q.yy) > 0.0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN (p.x - q.x) * (p.yy - q.yy) < 0.0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nd_,
+        |         CAST(sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |         CAST(sum(CASE WHEN p.yy = q.yy THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM paired p JOIN paired q ON p.day < q.day)
+        |SELECT n_days, nc AS n_concordant, nd_ AS n_discordant,
+        |       floor((CASE WHEN n0 = tx OR n0 = ty THEN NULL
+        |              ELSE CAST(nc - nd_ AS DOUBLE)
+        |                   / sqrt(CAST(n0 - tx AS DOUBLE)
+        |                          * CAST(n0 - ty AS DOUBLE)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM c CROSS JOIN nd""".stripMargin,
     // same quantized daily mean, same strict-> direction, same
     // lag-break run count, same fixed-order z chain
     "q_stats_runs" ->

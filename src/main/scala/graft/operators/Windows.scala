@@ -349,6 +349,39 @@ object Windows {
       .orderBy(col("k"), col("span"))
   }
 
+  /** Peak CONCURRENCY per day by sweep line — "how many intervals are
+    * open at once, and when does load peak" (the capacity-planning
+    * readout over session/connection intervals; [[coalesceIntervals]]
+    * answers coverage, this answers HEIGHT). Each interval emits
+    * (+1 at start, −1 at end); the running sum over the global
+    * (time, delta, id) order IS the number of open intervals at each
+    * boundary instant. Ends sort BEFORE starts at the same microsecond
+    * (delta asc), so back-to-back intervals never double-count — the
+    * half-open [s, e) convention, documented here and replayed by the
+    * oracle. Output: per UTC day of the boundary, the day's peak open
+    * count and boundary-event count.
+    *
+    * Scale posture: the sweep is the distributed global prefix sum
+    * ([[withGlobalPrefixSum]]: range repartition + broadcast offsets —
+    * a global ORDER with no single-task window); the day rollup is a
+    * counts-only hash aggregate over the boundary stream (2 rows per
+    * interval). A 100 TB interval table sweeps as 2× its row count in
+    * (long, long, long) triples. */
+  def concurrencyPeaks(intervals: DataFrame, startUs: Column,
+      endUs: Column, id: Column): DataFrame = {
+    val bounds = intervals.select(startUs.as("t"), lit(1L).as("delta"),
+        id.as("_id"))
+      .union(intervals.select(endUs.as("t"), lit(-1L).as("delta"),
+        id.as("_id")))
+    val swept = withGlobalPrefixSum(bounds, col("delta"), "open",
+      col("t"), col("delta"), col("_id"))
+    swept
+      .groupBy(to_date(timestamp_micros(col("t"))).as("day"))
+      .agg(max(col("open")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy(col("day"))
+  }
+
   /** TIME-TO-CONVERT distribution: per user, the gap between the first
     * `from` event and the first `to` event — counted only when the
     * first `to` does not precede the first `from` (a purchase before
@@ -616,6 +649,15 @@ object Windows {
           (unix_micros(col("ts")) + lit(600000000L)).as("e")),
         col("user_id"), col("s"), col("e"))),
     "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    // each event opens a (event_id%120 + 1)-minute interval; daily
+    // peak of simultaneously-open intervals via the sweep line
+    "q_window_concurrency" -> ((s, d) =>
+      concurrencyPeaks(
+        Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(120L)) + 1L) * 60000000L).as("e")),
+        col("s"), col("e"), col("event_id"))),
     "q_time_to_convert" -> ((s, d) =>
       timeToConvert(Tables.events(s, d), "view", "purchase")),
     // COUNT DISTINCT as a window: no engine allows DISTINCT inside a
@@ -894,6 +936,29 @@ object Windows {
         |SELECT k, span, min(s_us) AS start_us, max(e_us) AS end_us,
         |       max(e_us) - min(s_us) AS covered_us, count(*) AS n_merged
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same boundary stream, same (t, delta, id) sweep order (ends
+    // before starts at the same instant — half-open [s, e)), the
+    // window running sum replaying the distributed prefix sum
+    "q_window_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |         epoch_us(CAST(ts AS TIMESTAMP))
+        |           + ((event_id % 120) + 1) * 60000000 AS e
+        |  FROM events),
+        |b AS (
+        |  SELECT s AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT e, -1, event_id FROM iv),
+        |sw AS (
+        |  SELECT t,
+        |         CAST(sum(delta) OVER (ORDER BY t, delta, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+        |  FROM b)
+        |SELECT CAST(make_timestamp(t) AS DATE) AS day,
+        |       max(open) AS peak_concurrency,
+        |       CAST(count(*) AS BIGINT) AS n_boundaries
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_markov" ->
       """WITH p AS (
         |  SELECT event_type AS src, lead(event_type, 1) OVER w AS dst

@@ -1930,6 +1930,89 @@ class OperatorSemanticsSpec extends SparkTestBase {
       s"got $r")
   }
 
+  test("concurrencyPeaks: nested intervals stack, back-to-back intervals never double-count") {
+    import spark.implicits._
+    import graft.operators.Windows
+    val day = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    val m = 60000000L
+    // three nested intervals peak at 3; a fourth starts exactly when
+    // the first ends (half-open [s, e) — ends sort before starts)
+    val iv = Seq(
+      (1L, day, day + 10 * m),
+      (2L, day + 1 * m, day + 9 * m),
+      (3L, day + 2 * m, day + 8 * m),
+      (4L, day + 10 * m, day + 20 * m),
+      // next day: two strictly disjoint intervals → peak 1
+      (5L, day + 1440 * m, day + 1441 * m),
+      (6L, day + 1442 * m, day + 1443 * m)
+    ).toDF("id", "s", "e")
+    val r = Windows.concurrencyPeaks(iv, col("s"), col("e"), col("id"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("2024-01-01", 3L, 8L), ("2024-01-02", 1L, 4L)),
+      s"got ${r.toSeq}")
+  }
+
+  test("kendallTau: monotone agreement is +1, reversal is -1, ties correct the denominator") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(t: String, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), t, v)
+    // purchase = view + 1 day-wise → perfect agreement
+    val up = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, 11.0 + i)))
+    val r1 = Climate.kendallTau(up.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getDouble(3)) ==
+      ((10L, 45L, 0L, 1.0)), s"got $r1")
+    // purchase reversed → perfect disagreement
+    val dn = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, 30.0 - i)))
+    val r2 = Climate.kendallTau(dn.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert(r2.getDouble(3) == -1.0, s"got $r2")
+    // constant purchase → every y pair tied → NULL tau
+    val ct = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, 5.0)))
+    val r3 = Climate.kendallTau(ct.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert(r3.isNullAt(3), s"got $r3")
+  }
+
+  test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // A = {1,2,3,4}, B = {3,4} (⊂ A), C = {9} (disjoint); duplicate
+    // events must not inflate audiences
+    val ev = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 4L),
+      ("b", 3L), ("b", 4L), ("b", 3L), ("c", 9L))
+      .toDF("event_type", "user_id")
+    val r = Aggregations.audienceOverlap(ev).collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5),
+          x.getDouble(6)))).toMap
+    assert(r(("a", "b")) == ((4L, 2L, 2L, 0.5, 1.0)), s"got $r")
+    assert(r(("a", "c")) == ((4L, 1L, 0L, 0.0, 0.0)), s"got $r")
+    assert(r(("b", "c")) == ((2L, 1L, 0L, 0.0, 0.0)), s"got $r")
+    assert(r.size == 3)
+  }
+
+  test("ljungBox: an alternating series has every r = ±1, Q matches the closed form") {
+    import spark.implicits._
+    import graft.operators.Climate
+    val ev = (0 until 10).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        "a", if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("ts", "event_type", "value")
+    val r = Climate.ljungBox(ev).collect().head
+    // every lag 1..7 is ±1 (rendered), so r² = 1 and
+    // Q = n(n+2)·Σ 1/(n−k) with the operator's 1e-12 term grid
+    val sumT = (1 to 7).map(k =>
+      math.floor(1.0 / (10.0 - k) * 1e12 + 0.5).toLong).sum.toDouble / 1e12
+    val qExp = math.floor(10.0 * 12.0 * sumT * 1e4 + 0.5) / 1e4
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((10L, 7L, qExp)),
+      s"got $r, expected Q $qExp")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup
