@@ -384,6 +384,44 @@ object Aggregations {
       .orderBy(col("decile"))
   }
 
+  /** EXACT multi-quantile per group by RANK PICK — p25/p50/p75/p90 as
+    * actual data values at rank ⌈q·n⌉ (type-1 quantiles: no
+    * interpolation arithmetic, engine-independent by construction) —
+    * the scale path next to `q_agg_percentile`'s `percentile()`
+    * buffers: the buffer form holds every group value in aggregation
+    * state (a dominant group = one giant buffer on one task); this
+    * form never buffers — a dominant group spans tasks under the
+    * distributed per-group rank.
+    *
+    * Scale posture: ranks via [[Windows.withGroupedPrefixSum]] of 1
+    * (range repartition + broadcast offsets — no group-partitioned
+    * window, no per-group state); the four cut ranks are integer
+    * arithmetic (⌈q·n⌉ = (n·p + 99) div 100 — no float boundary) on
+    * a broadcast group-count; one filter + pivot-shaped aggregate
+    * emits the quantile row. Ties by (value, key) total order. */
+  def groupQuantilesRank(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      tiebreak: Seq[org.apache.spark.sql.Column],
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100: $pcts")
+    val tb = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
+    val tbCols = tiebreak.indices.map(i => col(s"_tb$i"))
+    val base = df.select((group.as("grp") +: value.as("v") +: tb): _*)
+    val ranked = Windows.withGroupedPrefixSum(base, "grp", lit(1L), "rn",
+      (col("v") +: tbCols): _*)
+    val counts = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // ⌈p·n/100⌉ in pure integer arithmetic (div, not /): a float
+    // quotient at an exact-integer boundary is the classic off-by-one
+    val picks = pcts.map(p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("v")))
+        .as(s"p$p"))
+    ranked.join(broadcast(counts), "grp")
+      .groupBy(col("grp"))
+      .agg(picks.head, picks.tail: _*)
+      .orderBy(col("grp"))
+  }
+
   /** AUDIENCE OVERLAP matrix: for every pair of event types, the
     * exact distinct-user intersection with Jaccard and
     * overlap-coefficient scores — "are purchasers a subset of
@@ -788,6 +826,12 @@ object Aggregations {
     // distinct-user overlap between every event-type pair
     "q_agg_audience_overlap" -> ((s, d) =>
       audienceOverlap(Tables.events(s, d))),
+    // buffer-free exact quantile grid per return flag (the scale path
+    // next to q_agg_percentile's percentile() buffers)
+    "q_agg_quantiles_rank" -> ((s, d) =>
+      groupQuantilesRank(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")))),
     "q_agg_moments" -> ((s, d) =>
       groupMoments(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // per-event-type robust outliers in the value stream
@@ -1197,6 +1241,21 @@ object Aggregations {
         |         / 1e6 AS cum_share
         |FROM dec a JOIN dec b ON b.decile <= a.decile
         |GROUP BY a.decile ORDER BY a.decile""".stripMargin,
+    // same (value, key) total order, same integer ⌈p·n/100⌉ cut ranks
+    "q_agg_quantiles_rank" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+        |         CAST(row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |           AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM lineitem)
+        |SELECT grp,
+        |       max(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS p25,
+        |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |       max(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS p75,
+        |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
     // same distinct rollup, full pair grid with zero-intersection
     // rows kept, same quotients (halfUp rendering)
     "q_agg_audience_overlap" ->

@@ -2013,6 +2013,23 @@ class OperatorSemanticsSpec extends SparkTestBase {
       s"got $r, expected Q $qExp")
   }
 
+  test("groupQuantilesRank: type-1 rank picks, ceil cuts on a non-divisible group") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val df = ((1 to 100).map(i => ("a", i.toDouble, i.toLong)) ++
+      (1 to 7).map(i => ("b", i * 10.0, i.toLong)))
+      .toDF("g", "v", "k")
+    val r = Aggregations.groupQuantilesRank(df, col("g"), col("v"),
+      Seq(col("k"))).collect()
+      .map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    // n=100: cut ranks are exactly 25/50/75/90
+    assert(r("a") == ((25.0, 50.0, 75.0, 90.0)), s"got $r")
+    // n=7: ⌈1.75⌉=2, ⌈3.5⌉=4, ⌈5.25⌉=6, ⌈6.3⌉=7 → values 20/40/60/70
+    assert(r("b") == ((20.0, 40.0, 60.0, 70.0)), s"got $r")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup
