@@ -439,6 +439,37 @@ class PlanSpec extends SparkTestBase {
       s"non-broadcast cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("q_dedup_containment: blocking and exact-count joins hash on the gram digest, never nested-loop") {
+    // the candidate self-join and both exact-count joins must be equi
+    // joins keyed on the 8-byte gram digest — a nested-loop fallback
+    // here would be the all-pairs scan the blocking exists to avoid
+    val plan = executed("q_dedup_containment")
+    assert(plan.contains("hashpartitioning(g#") ||
+      plan.contains("hashpartitioning(g,"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_window_concurrency: the sweep is the _pid-staged prefix sum, day rollup is a hash aggregate") {
+    // the ranged layout itself is behind the prefix sum's eager
+    // localCheckpoint (so the range exchange is not in this plan
+    // string — the fleet window sweep proves the partition-less
+    // offset window is the bounded _pid aggregate); what must be
+    // visible here: the per-partition running sum windows on _pid
+    // (never a whole-relation window) and a map-side-partial day
+    // rollup
+    val plan = executed("q_window_concurrency")
+    assert(plan.contains("_pid"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_agg_quantiles_rank: no percentile buffer anywhere; ranks ride the grouped range exchange") {
+    val plan = executed("q_agg_quantiles_rank")
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(3000))
+    assert(plan.contains("rangepartitioning(grp#") ||
+      plan.contains("rangepartitioning(grp,"), plan.take(3000))
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below
