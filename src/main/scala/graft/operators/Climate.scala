@@ -1233,6 +1233,36 @@ object Climate {
       .orderBy(col("series"), col("lag"))
   }
 
+  /** M4 DOWNSAMPLE per (series, day): first/last/min/max of each
+    * bucket — the four points per pixel column that make a downsampled
+    * line chart visually indistinguishable from the full series
+    * (Jugel et al. 2014, VLDB: M4 is the error-free aggregation for
+    * line visualization), and the standard raw-to-dashboard reduction
+    * a 100 TB telemetry store serves from. First/last are picked by
+    * the (µs, event_id, value) TOTAL order via struct min/max — a
+    * same-microsecond tie cannot flip the answer on any engine; min/
+    * max/values pass through untouched (no arithmetic, no rendering
+    * boundary).
+    *
+    * Scale posture: ONE map-side-partial hash aggregate on (series,
+    * day) — partials are two structs + two doubles + a count; rows
+    * cross the wire once, already reduced. */
+  def m4Downsample(events: DataFrame): DataFrame = {
+    val base = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"), to_date(col("ts")).as("bucket"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    base.groupBy(col("series"), col("bucket"))
+      .agg(min(struct(col("us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("l"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        count(lit(1)).as("n_points"))
+      .select(col("series"), col("bucket"),
+        col("f.us").as("first_us"), col("f.value").as("v_first"),
+        col("l.us").as("last_us"), col("l.value").as("v_last"),
+        col("v_min"), col("v_max"), col("n_points"))
+      .orderBy(col("series"), col("bucket"))
+  }
+
   /** LJUNG–BOX portmanteau statistic per series — ONE whiteness
     * scalar over the first `maxLag` autocorrelations,
     * Q = n(n+2)·Σ r²ₖ/(n−k): "is there ANY serial structure left?",
@@ -1736,6 +1766,9 @@ object Climate {
     // one whiteness scalar over the ACF curve per series
     "q_stats_ljungbox" -> ((s, d) =>
       ljungBox(Tables.events(s, d))),
+    // error-free line-chart reduction: 4 points per (series, day)
+    "q_time_m4" -> ((s, d) =>
+      m4Downsample(Tables.events(s, d))),
     // day-over-day direction randomness screen per type
     "q_stats_runs" -> ((s, d) =>
       runsTest(Tables.events(s, d))),
@@ -1828,6 +1861,29 @@ object Climate {
         |                          * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS acf
         |FROM g ORDER BY series, lag""".stripMargin,
+    // same (µs, event_id, value) total order via two window ranks
+    // (struct min/max ≡ asc/desc rank-1 picks); values untouched
+    "q_time_m4" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS bucket,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY series, bucket
+        |           ORDER BY us, event_id, value) AS rf,
+        |         row_number() OVER (PARTITION BY series, bucket
+        |           ORDER BY us DESC, event_id DESC, value DESC) AS rl
+        |  FROM b)
+        |SELECT series, bucket,
+        |       max(CASE WHEN rf = 1 THEN us END) AS first_us,
+        |       max(CASE WHEN rf = 1 THEN value END) AS v_first,
+        |       max(CASE WHEN rl = 1 THEN us END) AS last_us,
+        |       max(CASE WHEN rl = 1 THEN value END) AS v_last,
+        |       min(value) AS v_min, max(value) AS v_max,
+        |       CAST(count(*) AS BIGINT) AS n_points
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replays the FULL acf oracle (rendered 1e-6 r values), then the
     // same 1e-12-quantized term sum and fixed n(n+2)·Σ chain
     "q_stats_ljungbox" ->

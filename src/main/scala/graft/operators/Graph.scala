@@ -351,6 +351,64 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** Bounded-round K-CORE PEEL over an undirected edge list: each
+    * round drops every node whose CURRENT degree is < k, then the
+    * edges touching it — after enough rounds what survives is the
+    * k-core, the maximal subgraph where everyone keeps ≥ k neighbors
+    * (the dense-backbone extraction behind spam-cluster and
+    * community-nucleus mining; degrees alone can't see it — a degree-k
+    * node hanging off a chain dies in the peel, a degree-k clique
+    * member survives). Rounds are FIXED (the LPA/BFS posture — the
+    * oracle replays them verbatim); a graph needing deeper peeling
+    * converges in more rounds, and the registered round count is a
+    * parameter, not a semantic limit. Output: surviving nodes with
+    * their in-core degree.
+    *
+    * Scale posture: per round one counts-only degree aggregate and
+    * two semi-join-shaped edge filters — shuffles carry (node) and
+    * (node, node) longs; node-sized keep table, localCheckpoint per
+    * round (O(1) plan depth). Nothing quadratic. */
+  def kCorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
+    val e0 = edges.toDF("src", "dst")
+    var e = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      e = e.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** Generated DuckDB twin of [[kCorePeel]] over the thresholded
+    * co-purchase graph — one chained CTE pair (keep, edges) per round. */
+  private[graft] def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$rounds GROUP BY u ORDER BY node""".stripMargin
+  }
+
   /** Bounded-round MULTI-SOURCE BFS hop distance over an undirected
     * edge list — "how far is every node from the seed set" (blast-
     * radius / influence-reach probes over the co-purchase graph; the
@@ -560,6 +618,9 @@ object Graph {
     // rounds over the same thresholded graph artifact
     "q_graph_bfs" -> ((s, d) =>
       bfsHops(copurchaseStrong(s, d), _ % 100 === 0, rounds = 3)),
+    // dense backbone: 5-round 3-core peel of the same graph
+    "q_graph_kcore" -> ((s, d) =>
+      kCorePeel(copurchaseStrong(s, d), k = 3, rounds = 5)),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -575,6 +636,8 @@ object Graph {
     "q_graph_label_prop" -> lpaOracleSql(4),
     // generated unrolled-round twin — see bfsOracleSql
     "q_graph_bfs" -> bfsOracleSql(3),
+    // generated unrolled-round twin — see kcoreOracleSql
+    "q_graph_kcore" -> kcoreOracleSql(3, 5),
     // min-reachable-label via recursive closure — independent of the
     // engine's star-contraction formulation; the UNION dedup bounds
     // reach at nodes², fine at oracle scale

@@ -349,6 +349,41 @@ object Windows {
       .orderBy(col("k"), col("span"))
   }
 
+  /** MONTH-over-month + YEAR-over-year growth per group over a money
+    * measure — the canonical finance/BI readout a period table exists
+    * to answer; the month key is the integer month INDEX
+    * (year·12 + month − 1) so both deltas are GAP-GUARDED: mom/yoy
+    * come out NULL unless the lagged row is exactly 1/12 months back
+    * (a naive lag over a gapped month series silently compares
+    * non-adjacent periods — the classic dashboard bug).
+    *
+    * Parity: monthly revenue sums integer CENTS (order-free BIGINTs);
+    * each pct is one fixed-order double chain over two exact longs,
+    * halfUp-rendered. Scale posture: facts collapse to (group, month)
+    * in one map-side-partial hash aggregate; the lag windows run over
+    * the calendar-bounded month table, partitioned by group — never a
+    * global window. */
+  def monthlyGrowth(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(col("o_orderpriority").as("prio"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("midx"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("midx"))
+    def pct(cur: Column, prev: Column) =
+      graft.halfUp((cur - prev).cast("double") / prev.cast("double") *
+        lit(100.0), 4)
+    m.withColumn("p1", lag(struct(col("midx"), col("cents")), 1).over(w))
+      .withColumn("p12", lag(struct(col("midx"), col("cents")), 12).over(w))
+      .select(col("prio"), expr("midx div 12").as("year"),
+        (pmod(col("midx"), lit(12L)) + 1L).as("month"), col("cents"),
+        when(col("p1.midx") === col("midx") - 1L,
+          pct(col("cents"), col("p1.cents"))).as("mom_pct"),
+        when(col("p12.midx") === col("midx") - 12L,
+          pct(col("cents"), col("p12.cents"))).as("yoy_pct"))
+      .orderBy(col("prio"), col("year"), col("month"))
+  }
+
   /** Peak CONCURRENCY per day by sweep line — "how many intervals are
     * open at once, and when does load peak" (the capacity-planning
     * readout over session/connection intervals; [[coalesceIntervals]]
@@ -649,6 +684,9 @@ object Windows {
           (unix_micros(col("ts")) + lit(600000000L)).as("e")),
         col("user_id"), col("s"), col("e"))),
     "q_event_markov" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    // gap-guarded MoM/YoY revenue growth per priority
+    "q_window_growth" -> ((s, d) =>
+      monthlyGrowth(Tables.orders(s, d))),
     // each event opens a (event_id%120 + 1)-minute interval; daily
     // peak of simultaneously-open intervals via the sweep line
     "q_window_concurrency" -> ((s, d) =>
@@ -936,6 +974,30 @@ object Windows {
         |SELECT k, span, min(s_us) AS start_us, max(e_us) AS end_us,
         |       max(e_us) - min(s_us) AS covered_us, count(*) AS n_merged
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same cents rollup on the integer month index, same gap-guarded
+    // lag pairs, same fixed pct chain (halfUp 4)
+    "q_window_growth" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |              AS BIGINT) AS midx,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT prio, midx, cents,
+        |         lag(midx) OVER win AS m1, lag(cents) OVER win AS c1,
+        |         lag(midx, 12) OVER win AS m12, lag(cents, 12) OVER win AS c12
+        |  FROM m WINDOW win AS (PARTITION BY prio ORDER BY midx))
+        |SELECT prio, CAST(midx // 12 AS BIGINT) AS year,
+        |       CAST(midx % 12 + 1 AS BIGINT) AS month, cents,
+        |       CASE WHEN m1 = midx - 1
+        |            THEN floor(CAST(cents - c1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |                       * 100.0 * 10000.0 + 0.5) / 10000.0 END AS mom_pct,
+        |       CASE WHEN m12 = midx - 12
+        |            THEN floor(CAST(cents - c12 AS DOUBLE) / CAST(c12 AS DOUBLE)
+        |                       * 100.0 * 10000.0 + 0.5) / 10000.0 END AS yoy_pct
+        |FROM w ORDER BY prio, year, month""".stripMargin,
     // same boundary stream, same (t, delta, id) sweep order (ends
     // before starts at the same instant — half-open [s, e)), the
     // window running sum replaying the distributed prefix sum

@@ -2030,6 +2030,76 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r("b") == ((20.0, 40.0, 60.0, 70.0)), s"got $r")
   }
 
+  test("m4Downsample: first/last by total order (same-µs tie on event_id), min/max exact") {
+    import spark.implicits._
+    import graft.operators.Climate
+    val t0 = "2024-01-01 00:00:00"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // same-µs pair at the bucket start: event_id 1 wins first
+      (2L, ts(t0), "a", 50.0),
+      (1L, ts(t0), "a", 40.0),
+      (3L, ts("2024-01-01 06:00:00"), "a", 5.0),
+      (4L, ts("2024-01-01 23:00:00"), "a", 99.0),
+      // second day, single point
+      (5L, ts("2024-01-02 12:00:00"), "a", 7.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val r = Climate.m4Downsample(ev).collect()
+      .map(x => x.getDate(1).toString ->
+        ((x.getDouble(3), x.getDouble(5), x.getDouble(6), x.getDouble(7),
+          x.getLong(8)))).toMap
+    // (v_first, v_last, v_min, v_max, n)
+    assert(r("2024-01-01") == ((40.0, 99.0, 5.0, 99.0, 4L)), s"got $r")
+    assert(r("2024-01-02") == ((7.0, 7.0, 7.0, 7.0, 1L)), s"got $r")
+  }
+
+  test("kCorePeel: a chain hanging off a triangle peels away, the core keeps its degrees") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle {1,2,3} + tail 3-4-5-6: at k=2 the whole tail peels
+    // (endpoint-first, one node per round) and the triangle survives
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val r = Graph.kCorePeel(e, k = 2, rounds = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $r")
+    // at k=3 even the triangle dies
+    val r3 = Graph.kCorePeel(e, k = 3, rounds = 5).count()
+    assert(r3 == 0L, s"got $r3")
+  }
+
+  test("monthlyGrowth: gap months yield NULL MoM, exact-12-month lag gates YoY") {
+    import spark.implicits._
+    import graft.operators.Windows
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // one priority: Jan 1995 (100), Feb 1995 (150), Apr 1995 (gap!),
+    // Jan 1996 (200 — YoY vs Jan 1995)
+    // plus priority Q: 13 consecutive months → a REAL YoY hit
+    val qRows = (0 to 12).map { i =>
+      val ym = f"${1995 + i / 12}-${i % 12 + 1}%02d-05"
+      ("Q", d(ym), if (i == 12) 110.0 else 100.0)
+    }
+    val orders = (Seq(
+      ("P", d("1995-01-10"), 100.0),
+      ("P", d("1995-02-10"), 150.0),
+      ("P", d("1995-04-10"), 120.0),
+      ("P", d("1996-01-10"), 200.0)
+    ) ++ qRows).toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val r = Windows.monthlyGrowth(orders).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)) ->
+        ((x.getLong(3), Option(x.get(4)), Option(x.get(5))))).toMap
+    assert(r(("P", 1995L, 1L)) == ((10000L, None, None)), s"got $r")
+    assert(r(("P", 1995L, 2L)) == ((15000L, Some(50.0), None)), s"got $r")
+    // April: March missing → NULL MoM
+    assert(r(("P", 1995L, 4L)) == ((12000L, None, None)), s"got $r")
+    // P's Jan 1996: lag-12 row is NOT 12 months back (only 4 rows) →
+    // the index guard refuses YoY; MoM refused too (Dec 1995 absent)
+    assert(r(("P", 1996L, 1L)) == ((20000L, None, None)), s"got $r")
+    // Q's Jan 1996: 12 consecutive months back → YoY = +10%, MoM too
+    assert(r(("Q", 1996L, 1L)) == ((11000L, Some(10.0), Some(10.0))),
+      s"got $r")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup
