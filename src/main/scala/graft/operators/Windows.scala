@@ -373,8 +373,9 @@ object Windows {
     def pct(cur: Column, prev: Column) =
       graft.halfUp((cur - prev).cast("double") / prev.cast("double") *
         lit(100.0), 4)
-    m.withColumn("p1", lag(struct(col("midx"), col("cents")), 1).over(w))
-      .withColumn("p12", lag(struct(col("midx"), col("cents")), 12).over(w))
+    m.select(col("prio"), col("midx"), col("cents"),
+        lag(struct(col("midx"), col("cents")), 1).over(w).as("p1"),
+        lag(struct(col("midx"), col("cents")), 12).over(w).as("p12"))
       .select(col("prio"), expr("midx div 12").as("year"),
         (pmod(col("midx"), lit(12L)) + 1L).as("month"), col("cents"),
         when(col("p1.midx") === col("midx") - 1L,

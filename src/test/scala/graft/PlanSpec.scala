@@ -470,6 +470,55 @@ class PlanSpec extends SparkTestBase {
       plan.contains("rangepartitioning(grp,"), plan.take(3000))
   }
 
+  test("q_time_m4: one hash-aggregate pair, no Window anywhere (first/last via struct extrema)") {
+    // M4's first/last picks must ride the same partial/final aggregate
+    // as min/max/count — a window-rank formulation would shuffle every
+    // raw row under a (series, day) sort instead of pre-reducing
+    // map-side to 4 points + a count per bucket
+    val plan = executed("q_time_m4")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_min") || plan.contains("Partial"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_graph_kcore: each peel round's filters are hash equi joins, never nested-loop") {
+    // the registered query's rounds run eagerly behind localCheckpoint,
+    // so pin the round shape directly: degree-keep filtering must plan
+    // as hash joins keyed on the node id — a nested-loop fallback
+    // would scan edges × keep-table
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val keep = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).select(col("u"))
+    val round = und.join(keep, "u")
+      .join(keep.select(col("u").as("v")), "v").select(col("u"), col("v"))
+    val plan = round.queryExecution.executedPlan.toString()
+    assert(plan.contains("HashJoin"), plan.take(3000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // and the registered final aggregate hash-partitions on the node
+    val reg = executed("q_graph_kcore")
+    assert(reg.contains("HashAggregate"), reg.take(3000))
+  }
+
+  test("q_window_growth: both lags share ONE prio-partitioned window over the month rollup") {
+    // the lag windows must run over the (prio, month) aggregate — a
+    // window over raw orders would sort the fact table; and both lag
+    // offsets (1 and 12) must share a single Window operator / one
+    // prio exchange
+    val plan = executed("q_window_growth")
+    val windowOps = plan.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windowOps == 1, s"expected one Window op, got $windowOps:\n${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(prio#") ||
+      plan.contains("hashpartitioning(prio,"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below
