@@ -1525,6 +1525,163 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak r11d: M4 downsample / k-core peel / monthly growth at scale") {
+    // The closing round-11 additions under scale shapes with
+    // closed-form exact outcomes:
+    //  - m4Downsample: 1,000 series × 3 days × 1,000 points/day with
+    //    value = (i·7) mod 1000 (a permutation of 0..999 per bucket):
+    //    every bucket's first is exactly 0 (i = 0), last exactly 993
+    //    (i = 999), min 0, max 999, n 1000 — 3,000 buckets, zero
+    //    tolerance;
+    //  - kCorePeel (k = 2, 5 rounds): 100k disjoint triangles (every
+    //    node degree-2, survives untouched) + a 100,001-node path
+    //    (peels one node per END per round — after 5 rounds nodes
+    //    5..N−5 remain, the two new endpoints at degree 1): exact
+    //    survivor set, degree sum, and endpoint count;
+    //  - monthlyGrowth: 5 priorities × 120 months with (5000+j) $2.50
+    //    orders in month j and month j = 60 planted MISSING: every
+    //    mom/yoy replayed through the operator's exact cents + double
+    //    chain, and the gap must NULL exactly the month-61 MoM and
+    //    the 12 YoY rows whose lag-12 crosses the hole.
+    import graft.operators.{Climate, Graph, Windows}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- M4: 1k series × 3 days × 1k points, value a per-bucket permutation ----
+      val m4In = spark.range(3000000L).select(
+        col("id").as("event_id"),
+        concat(lit("s"), expr("id div 3000")).as("event_type"),
+        expr("""timestampadd(SECOND, CAST(id % 3000000 AS INT) % 1000,
+                timestampadd(DAY, CAST((id % 3000) div 1000 AS INT),
+                TIMESTAMP '2024-01-01 00:00:00'))""").as("ts"),
+        pmod(pmod(col("id"), lit(1000L)) * 7L, lit(1000L)).cast("double")
+          .as("value")).repartition(8)
+      val (m4, tM4) = timed {
+        val r = Climate.m4Downsample(m4In)
+        val bad = r.filter(col("v_first") =!= 0.0 || col("v_last") =!= 993.0 ||
+          col("v_min") =!= 0.0 || col("v_max") =!= 999.0 ||
+          col("n_points") =!= 1000L ||
+          col("last_us") - col("first_us") =!= 999000000L).count()
+        (bad, r.count())
+      }
+      assert(m4 == ((0L, 3000L)), s"(bad, buckets) = $m4")
+
+      // ---- k-core: 100k triangles + a 100,001-node path, k=2, 5 rounds ----
+      val tri = spark.range(100000L).select(col("id"))
+      val triEdges = tri.select((col("id") * 3 + 1).as("src"), (col("id") * 3 + 2).as("dst"))
+        .union(tri.select((col("id") * 3 + 2).as("src"), (col("id") * 3 + 3).as("dst")))
+        .union(tri.select((col("id") * 3 + 1).as("src"), (col("id") * 3 + 3).as("dst")))
+      val pathEdges = spark.range(1000000L, 1100000L)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val (kc, tKc) = timed {
+        val r = Graph.kCorePeel(triEdges.union(pathEdges).repartition(8),
+          k = 2, rounds = 5)
+        val agg = r.agg(count(lit(1)), sum(col("core_deg")),
+          sum(when(col("core_deg") === 1L, 1L).otherwise(0L)),
+          min(when(col("node") >= 1000000L, col("node"))),
+          max(col("node"))).collect().head
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+          agg.getLong(4))
+      }
+      // survivors: 300k triangle nodes (deg 2) + path nodes
+      // 1000005..1099995 (99,991 nodes, deg 2 except the two new
+      // endpoints at deg 1)
+      assert(kc == ((399991L, 799980L, 2L, 1000005L, 1099995L)), s"got $kc")
+
+      // ---- monthly growth: 5 prios × 120 months, (5000+j) orders, j=60 missing ----
+      val slot = 6000L
+      val gIn = spark.range(5L * 120L * slot).select(
+        concat(lit("PR"), expr(s"id div ${120L * slot}")).as("o_orderpriority"),
+        expr(s"(id div $slot) % 120").as("j"),
+        expr(s"id % $slot").as("idx"))
+        .filter(col("idx") < col("j") + 5000L && col("j") =!= 60L)
+        .select(col("o_orderpriority"),
+          expr("date_add(add_months(DATE '1995-01-01', CAST(j AS INT)), 9)")
+            .as("o_orderdate"),
+          lit(2.50).as("o_totalprice"))
+        .repartition(8)
+      val (gr, tGr) = timed {
+        Windows.monthlyGrowth(gIn).collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2)) ->
+            ((x.getLong(3), Option(x.get(4)).map(_.asInstanceOf[Double]),
+              Option(x.get(5)).map(_.asInstanceOf[Double])))).toMap
+      }
+      // replay: present months in order, guard on exact index gaps
+      val present = (0 until 120).filter(_ != 60)
+      def cents(j: Int): Long = (5000L + j) * 250L
+      def pct(cur: Long, prev: Long): Double =
+        math.floor((cur - prev).toDouble / prev.toDouble * 100.0 * 1e4 + 0.5) / 1e4
+      val expect = present.zipWithIndex.map { case (j, pos) =>
+        val mom = if (pos >= 1 && present(pos - 1) == j - 1)
+          Some(pct(cents(j), cents(j - 1))) else None
+        val yoy = if (pos >= 12 && present(pos - 12) == j - 12)
+          Some(pct(cents(j), cents(j - 12))) else None
+        (j, (cents(j), mom, yoy))
+      }.toMap
+      assert(gr.size == 5 * 119, s"rows = ${gr.size}")
+      val grBad = gr.filter { case ((_, y, m), v) =>
+        val j = (y - 1995L).toInt * 12 + (m - 1L).toInt
+        expect(j) != v
+      }
+      assert(grBad.isEmpty, s"mismatches: ${grBad.take(3)}")
+      // the hole NULLs exactly month-61 MoM and the lag-12-crossing YoYs
+      assert(gr(("PR0", 2000L, 2L))._2.isEmpty && gr(("PR0", 2000L, 2L))._3.isEmpty)
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-11 close-out soak (regenerated by SoakSpec)
+           |
+           |The closing round-11 additions at scale, every outcome
+           |closed-form exact, same single-task shuffle-budget listener
+           |invariant as the other soaks. M4 downsample over 1,000
+           |series × 3 days × 1,000 points whose per-bucket values are a
+           |permutation of 0..999: all 3,000 buckets produce exactly
+           |(first 0, last 993, min 0, max 999, n 1000) with the
+           |first/last µs span exactly 999 s — the total-order struct
+           |extrema, not a window, at 3M rows. K-core peel (k = 2,
+           |5 rounds) over 100k disjoint triangles + a 100,001-node
+           |path: the triangles survive untouched (degree 2), the path
+           |peels exactly one node per end per round leaving nodes
+           |5..N−5 with the two fresh endpoints at degree 1 — survivor
+           |count, degree sum, and endpoint census all exact. Monthly
+           |growth over 5 priorities × 119 present months (~3M orders,
+           |month 60 planted missing): every MoM/YoY replays the
+           |operator's cents + fixed double chain to the rendered
+           |digit, and the hole NULLs exactly the month-61 MoM and the
+           |twelve YoY rows whose lag-12 crosses it.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || m4Downsample (1k series × 3 days) | 3.0M | ${f"$tM4%.1f"} | ${f"$ratio%.2f"} |
+           || kCorePeel (100k triangles + 100k path) | 400k edges | ${f"$tKc%.1f"} | ${f"$ratio%.2f"} |
+           || monthlyGrowth (5 prios × 119 months) | ~3.0M | ${f"$tGr%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-11 close-out soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming RocksDB state soak: 3M events, 100k keys, bounded store, rows == keys") {
     // transformWithState at soak scale on the PRODUCTION state store
     // (the toy MemoryStream specs prove semantics; this proves the
