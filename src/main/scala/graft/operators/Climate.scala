@@ -1412,6 +1412,58 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** CUSUM CHANGE-POINT locator per series: the day where the
+    * running sum of deviations from the series mean attains its
+    * maximum ABSOLUTE excursion — the classical single change-point
+    * estimate (the argmax companion of [[Windows.cusumProfile]]'s
+    * excursion heights: not "did the level shift" but WHERE). Over
+    * the daily reduction; emitted per series: the located day index,
+    * the signed CUSUM there, and how far through the series it sits
+    * (a change point at 50% with a large |CUSUM| is the textbook
+    * sustained shift; one at 2% is an initialization artifact).
+    *
+    * Float parity is by INTEGER construction: daily means come off
+    * the quantized order-free sum, the series mean divides a second
+    * 1e-6-quantized integer sum OF those rendered daily values, each
+    * deviation re-quantizes to the 1e-6 grid as a BIGINT, and the
+    * running sum accumulates longs. The argmax is the total
+    * (|cusum|, earlier-day-wins) struct order — no tolerance
+    * anywhere. Ties on |cusum| resolve to the EARLIEST day, and the
+    * convention is replayed by the oracle.
+    *
+    * Scale posture: facts collapse to (series, day) in one map-side-
+    * partial aggregate; the mean is a series-sized broadcast join
+    * back; one series-key window shuffle carries a long. */
+  def changePoint(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val means = daily.groupBy(col("series"))
+      .agg((sum(floor(col("y") * lit(1e6) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e6) / count(lit(1)).cast("double")).as("mu"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+    daily.join(broadcast(means), Seq("series"))
+      .withColumn("devq",
+        floor((col("y") - col("mu")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("cusumq", sum(col("devq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("series"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(struct(abs(col("cusumq")).as("a"), (-col("day")).as("nd"),
+          col("cusumq").as("c"), col("rn").as("r"))).as("m"))
+      .select(col("series"), col("n_days"),
+        (-col("m.nd")).as("cp_day"),
+        graft.halfUp(col("m.c").cast("double") / lit(1e6), 4).as("cusum_at"),
+        graft.halfUp(col("m.r").cast("double") /
+          col("n_days").cast("double"), 4).as("frac_through"))
+      .orderBy(col("series"))
+  }
+
   /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
     * vertices, closed implicitly. Deliberately irregular and
     * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
@@ -1772,6 +1824,9 @@ object Climate {
     // day-over-day direction randomness screen per type
     "q_stats_runs" -> ((s, d) =>
       runsTest(Tables.events(s, d))),
+    // where the level shifted: argmax |CUSUM| day per series
+    "q_stats_changepoint" -> ((s, d) =>
+      changePoint(Tables.events(s, d))),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -2000,6 +2055,40 @@ object Climate {
         |                             * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)))
         |              END) * 10000.0 + 0.5) / 10000.0 AS z_runs
         |FROM agg ORDER BY series""".stripMargin,
+    // same quantized daily means, same 1e-6 re-quantized mean +
+    // deviation grid, same integer running sum; argmax replayed as a
+    // (|cusum| DESC, day ASC) rank pick ≡ the engine's struct order
+    "q_stats_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |mu AS (
+        |  SELECT series,
+        |         CAST(sum(CAST(floor(y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1e6 / count(*) AS mu,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |cs AS (
+        |  SELECT d.series, d.day, mu.n_days,
+        |         CAST(sum(CAST(floor((d.y - mu.mu) * 1e6 + 0.5) AS BIGINT))
+        |           OVER (PARTITION BY d.series ORDER BY d.day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cusumq,
+        |         CAST(row_number() OVER (PARTITION BY d.series ORDER BY d.day)
+        |           AS BIGINT) AS rn
+        |  FROM daily d JOIN mu ON d.series = mu.series),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY series
+        |           ORDER BY abs(cusumq) DESC, day ASC) AS rk
+        |  FROM cs)
+        |SELECT series, n_days, day AS cp_day,
+        |       floor(CAST(cusumq AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS cusum_at,
+        |       floor(CAST(rn AS DOUBLE) / CAST(n_days AS DOUBLE) * 1e4 + 0.5)
+        |         / 1e4 AS frac_through
+        |FROM pick WHERE rk = 1 ORDER BY series""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
     // same quantized-term two-pass over the daily reduction; peak via

@@ -24,7 +24,47 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** 2-D SKYLINE (Pareto frontier) per brand: parts not DOMINATED on
+    * (retailprice, size) — q dominates p iff q is ≤ on both and
+    * strictly < on at least one (the classic "cheap AND small"
+    * multi-objective shortlist no single ORDER BY can produce;
+    * Börzsönyi et al. 2001). Duplicate (price, size) points dominate
+    * neither way and both survive.
+    *
+    * The window formulation replaces the quadratic NOT EXISTS: within
+    * a brand sorted by (price, size, key), every strictly-preceding
+    * row already has price ≤ current, so p is dominated iff some
+    * preceding row has size < p's, OR size = p's with price strictly
+    * smaller — exactly the min(struct(size, price)) over the
+    * preceding frame. Comparisons only (no arithmetic): engine-exact
+    * on any input.
+    *
+    * Scale posture: ONE brand-key window shuffle, linear per block
+    * (the oracle's NOT EXISTS is the O(n²) semantics check, not the
+    * plan); brand blocks are catalog-bounded. A single-group skyline
+    * at relation scale would escalate to the distributed prefix-sum
+    * staging. */
+  def skyline2d(part: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_size"), col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    part.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .withColumn("m", min(struct(col("p_size").as("sz"),
+        col("p_retailprice").as("pr"))).over(w))
+      .filter(col("m").isNull || col("m.sz") > col("p_size") ||
+        (col("m.sz") === col("p_size") && col("m.pr") === col("p_retailprice")))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Pareto frontier on (price, size) per brand — the multi-objective
+    // shortlist
+    "q_skyline" -> ((s, d) => skyline2d(Tables.part(s, d))),
     // Full-table columnar scan. Pushdown-friendly: no transformation,
     // only a deterministic total order for the compare.
     "q_scan_parquet" -> ((s, d) =>
@@ -143,6 +183,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT formulation: literal quadratic NOT EXISTS dominance
+    // — cross-checks the engine's linear window trick
+    "q_skyline" ->
+      """SELECT p_brand, p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     // independent formulation: stacked UNION ALL instead of UNPIVOT
     "q_unpivot" ->
       """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val

@@ -385,6 +385,95 @@ object Windows {
       .orderBy(col("prio"), col("year"), col("month"))
   }
 
+  /** MAX DRAWDOWN per series: the largest drop from a running peak
+    * over the (ts, event_id)-ordered value stream — the
+    * peak-to-trough degradation readout (portfolio risk, capacity
+    * headroom, throughput regression) that per-point z-scores and
+    * the mean-anchored CUSUM ([[cusumProfile]]) cannot express,
+    * because the reference level is the running MAXIMUM, not a
+    * constant. Emitted per series: the max drawdown in value units,
+    * the peak/trough pair that realized it, and the relative
+    * drawdown as a fraction of that peak (NULL when the peak is
+    * ≤ 0 — a ratio against a non-positive peak is meaningless).
+    *
+    * Float parity is by INTEGER construction: values quantize to a
+    * 1e-6 grid as BIGINTs, the running peak is an integer max (no
+    * arithmetic), the drawdown is an integer difference, and the
+    * per-series argmax picks by the total (ddq, peakq, vq) struct
+    * order — bit-identical on any engine/partitioning. The one
+    * double division (dd/peak) is a fixed two-operand chain over
+    * exact longs, halfUp-rendered.
+    *
+    * Scale posture: one series-key window shuffle (running max
+    * carries a single long), one map-side-partial hash aggregate.
+    * Relation-sized single series escalate to the distributed
+    * prefix-sum pattern. */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val base = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"), col("ts"), col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("peakq", max(col("vq")).over(w))
+      .withColumn("ddq", col("peakq") - col("vq"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_points"),
+        max(struct(col("ddq"), col("peakq"), col("vq"))).as("m"))
+      .select(col("series"), col("n_points"),
+        graft.halfUp(col("m.ddq").cast("double") / lit(1e6), 6).as("dd_max"),
+        graft.halfUp(col("m.peakq").cast("double") / lit(1e6), 6).as("dd_peak"),
+        graft.halfUp(col("m.vq").cast("double") / lit(1e6), 6).as("dd_trough"),
+        when(col("m.peakq") > 0L,
+          graft.halfUp(col("m.ddq").cast("double") /
+            col("m.peakq").cast("double"), 6)).as("dd_frac"))
+      .orderBy(col("series"))
+  }
+
+  /** Cohort LTV curves: cumulative revenue per customer by cohort
+    * age — the money companion of [[cohortRetention]] ("how much has
+    * the average January customer spent by month 6?", the payback /
+    * LTV:CAC readout). Cohort = the customer's FIRST order month
+    * (integer month index, so ages are gap-exact); per (cohort, age):
+    * active customers that month, cohort size, period and cumulative
+    * revenue, and cumulative LTV per cohort member.
+    *
+    * Revenue sums integer CENTS (order-free BIGINTs); the cumulative
+    * sum accumulates longs over the calendar-bounded (cohort, age)
+    * table; LTV is one fixed double division over two exact longs,
+    * halfUp-rendered.
+    *
+    * Scale posture: orders collapse to (customer, month) partials
+    * map-side; the cohort assignment is a min-aggregate + equi join
+    * on the customer key; the running sum windows over the
+    * cohort-months table (bounded by calendar², thousands of rows at
+    * any corpus size) partitioned by cohort. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("midx"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val cohorts = m.groupBy(col("o_custkey")).agg(min(col("midx")).as("cmidx"))
+    val byAge = m.join(cohorts, "o_custkey")
+      .groupBy(col("cmidx"), (col("midx") - col("cmidx")).as("age"))
+      .agg(count(lit(1)).as("n_active"), sum(col("cents")).as("cents_period"))
+    val sizes = cohorts.groupBy(col("cmidx"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy(col("cmidx")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.join(sizes, "cmidx")
+      .withColumn("cents_cum", sum(col("cents_period")).over(w))
+      .select(expr("cmidx div 12").as("cohort_year"),
+        (pmod(col("cmidx"), lit(12L)) + 1L).as("cohort_month"),
+        col("age"), col("cohort_size"), col("n_active"),
+        col("cents_period"), col("cents_cum"),
+        graft.halfUp(col("cents_cum").cast("double") / lit(100.0) /
+          col("cohort_size").cast("double"), 4).as("ltv_per_user"))
+      .orderBy(col("cohort_year"), col("cohort_month"), col("age"))
+  }
+
   /** Peak CONCURRENCY per day by sweep line — "how many intervals are
     * open at once, and when does load peak" (the capacity-planning
     * readout over session/connection intervals; [[coalesceIntervals]]
@@ -688,6 +777,12 @@ object Windows {
     // gap-guarded MoM/YoY revenue growth per priority
     "q_window_growth" -> ((s, d) =>
       monthlyGrowth(Tables.orders(s, d))),
+    // peak-to-trough degradation per event type over the value stream
+    "q_window_drawdown" -> ((s, d) =>
+      maxDrawdown(Tables.events(s, d))),
+    // cumulative revenue per first-order-month cohort by age
+    "q_cohort_ltv" -> ((s, d) =>
+      cohortLtv(Tables.orders(s, d))),
     // each event opens a (event_id%120 + 1)-minute interval; daily
     // peak of simultaneously-open intervals via the sweep line
     "q_window_concurrency" -> ((s, d) =>
@@ -975,6 +1070,66 @@ object Windows {
         |SELECT k, span, min(s_us) AS start_us, max(e_us) AS end_us,
         |       max(e_us) - min(s_us) AS covered_us, count(*) AS n_merged
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same 1e-6 integer grid, same running-max window, same
+    // (ddq, peakq, vq) struct argmax via a window rank over the
+    // identical total order
+    "q_window_drawdown" ->
+      """WITH b AS (
+        |  SELECT event_type AS series, ts, event_id,
+        |         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT series, vq,
+        |         max(vq) OVER (PARTITION BY series ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peakq
+        |  FROM b),
+        |d AS (
+        |  SELECT series, vq, peakq, peakq - vq AS ddq,
+        |         row_number() OVER (PARTITION BY series
+        |           ORDER BY peakq - vq DESC, peakq DESC, vq DESC) AS rk
+        |  FROM r),
+        |n AS (SELECT series, CAST(count(*) AS BIGINT) AS n_points
+        |      FROM b GROUP BY 1)
+        |SELECT n.series, n.n_points,
+        |       floor(CAST(d.ddq AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS dd_max,
+        |       floor(CAST(d.peakq AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS dd_peak,
+        |       floor(CAST(d.vq AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS dd_trough,
+        |       CASE WHEN d.peakq > 0
+        |            THEN floor(CAST(d.ddq AS DOUBLE) / CAST(d.peakq AS DOUBLE)
+        |                       * 1e6 + 0.5) / 1e6 END AS dd_frac
+        |FROM n JOIN d ON n.series = d.series AND d.rk = 1
+        |ORDER BY n.series""".stripMargin,
+    // same cents rollup + min-month cohort + integer cumulative sum,
+    // same fixed LTV division (halfUp 4)
+    "q_cohort_ltv" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |              AS BIGINT) AS midx,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT o_custkey, min(midx) AS cmidx FROM m GROUP BY 1),
+        |a AS (
+        |  SELECT c.cmidx, m.midx - c.cmidx AS age,
+        |         CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(sum(m.cents) AS BIGINT) AS cents_period
+        |  FROM m JOIN c ON m.o_custkey = c.o_custkey GROUP BY 1, 2),
+        |s AS (SELECT cmidx, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT a.*, CAST(sum(cents_period) OVER (PARTITION BY cmidx
+        |           ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS cents_cum
+        |  FROM a)
+        |SELECT CAST(w.cmidx // 12 AS BIGINT) AS cohort_year,
+        |       CAST(w.cmidx % 12 + 1 AS BIGINT) AS cohort_month,
+        |       w.age, s.cohort_size, w.n_active, w.cents_period, w.cents_cum,
+        |       floor(CAST(w.cents_cum AS DOUBLE) / 100.0 /
+        |             CAST(s.cohort_size AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |         AS ltv_per_user
+        |FROM w JOIN s ON w.cmidx = s.cmidx
+        |ORDER BY cohort_year, cohort_month, age""".stripMargin,
     // same cents rollup on the integer month index, same gap-guarded
     // lag pairs, same fixed pct chain (halfUp 4)
     "q_window_growth" ->

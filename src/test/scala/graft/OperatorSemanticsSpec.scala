@@ -2100,6 +2100,79 @@ class OperatorSemanticsSpec extends SparkTestBase {
       s"got $r")
   }
 
+  test("maxDrawdown: peak-to-trough argmax with deterministic tie, frac NULL on non-positive peak") {
+    import spark.implicits._
+    import graft.operators.Windows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // series a: 10, 20, 15, 5, 25, 12 → max dd = 15 (peak 20 → trough 5)
+      (1L, ts("2024-01-01 00:00:01"), "a", 10.0),
+      (2L, ts("2024-01-01 00:00:02"), "a", 20.0),
+      (3L, ts("2024-01-01 00:00:03"), "a", 15.0),
+      (4L, ts("2024-01-01 00:00:04"), "a", 5.0),
+      (5L, ts("2024-01-01 00:00:05"), "a", 25.0),
+      (6L, ts("2024-01-01 00:00:06"), "a", 12.0),
+      // series b: all negative → dd realized but frac NULL (peak ≤ 0)
+      (7L, ts("2024-01-01 00:00:01"), "b", -1.0),
+      (8L, ts("2024-01-01 00:00:02"), "b", -4.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val r = Windows.maxDrawdown(ev).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), Option(x.get(5))))).toMap
+    assert(r("a") == ((6L, 15.0, 20.0, 5.0, Some(0.75))), s"got $r")
+    assert(r("b") == ((2L, 3.0, -1.0, -4.0, None)), s"got $r")
+  }
+
+  test("changePoint: a clean level shift locates its boundary day exactly") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // 20 days: 0 for days 0..9, 10 for days 10..19 → mean 5, cusum
+    // bottoms at exactly day 9 (−50), |cusum| max there, frac 0.5
+    val ev = (0 until 20).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        "a", if (d < 10) 0.0 else 10.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val r = Climate.changePoint(ev).collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq(("a", 20L, 9L, -50.0, 0.5)), s"got ${r.toSeq}")
+  }
+
+  test("skyline2d: dominance filtered, duplicate points both survive") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val part = Seq(
+      (1L, "B", 1.0, 5), (2L, "B", 1.0, 5),  // duplicates: both survive
+      (3L, "B", 2.0, 4),                     // smaller size: survives
+      (4L, "B", 2.0, 6),                     // dominated by (1.0, 5)
+      (5L, "B", 0.5, 7),                     // cheapest: survives
+      (6L, "B", 3.0, 4),                     // dominated by (2.0, 4)
+      (7L, "C", 9.0, 9)                      // alone in its brand
+    ).toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+    val r = Relational.skyline2d(part).collect().map(_.getLong(1)).toSet
+    assert(r == Set(1L, 2L, 3L, 5L, 7L), s"got $r")
+  }
+
+  test("cohortLtv: cumulative cents and per-member LTV by cohort age") {
+    import spark.implicits._
+    import graft.operators.Windows
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (100L, d("1995-01-10"), 10.0), (100L, d("1995-02-03"), 20.0),
+      (200L, d("1995-01-20"), 5.0),
+      (300L, d("1995-02-15"), 7.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Windows.cohortLtv(orders).collect()
+      .map(x => ((x.getLong(0), x.getLong(1), x.getLong(2))) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+          x.getDouble(7)))).toMap
+    // Jan-1995 cohort: 2 members; age 0 = $15, age 1 = $20 cumulative $35
+    assert(r((1995L, 1L, 0L)) == ((2L, 2L, 1500L, 1500L, 7.5)), s"got $r")
+    assert(r((1995L, 1L, 1L)) == ((2L, 1L, 2000L, 3500L, 17.5)), s"got $r")
+    // Feb-1995 cohort: the Feb-first customer only
+    assert(r((1995L, 2L, 0L)) == ((1L, 1L, 700L, 700L, 7.0)), s"got $r")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup
