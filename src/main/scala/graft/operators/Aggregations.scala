@@ -384,6 +384,53 @@ object Aggregations {
       .orderBy(col("decile"))
   }
 
+  /** PARETO CUT per market segment: the smallest head of the
+    * revenue-sorted customer list covering ≥ `pct`% of segment
+    * revenue — the direct "how few customers make 80% of the money"
+    * answer (the 80/20 readout [[topShare]]'s fixed decile grid only
+    * brackets). Emits per segment: customer count, the head size k,
+    * the customer share k/n, and the revenue share the head actually
+    * covers (≥ pct/100 by construction).
+    *
+    * The head is found WITHOUT a rank column: a customer belongs iff
+    * its EXCLUSIVE running revenue (cum − own) is below the integer
+    * threshold ⌈tot·pct/100⌉ — exactly the minimal prefix in the
+    * (cents DESC, custkey) total order, counted by one conditional
+    * aggregate. Integer cents end to end; the two shares are fixed
+    * divisions over exact longs.
+    *
+    * Scale posture: revenue collapses map-side to (segment,
+    * customer); the running sum is the distributed grouped prefix
+    * sum (range repartition + broadcast offsets — a dominant segment
+    * spans tasks, never a 5-partition window); totals ride a
+    * broadcast join. */
+  def paretoCut(orders: DataFrame, customer: DataFrame,
+      pct: Int = 80): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"need 1 <= pct <= 100: $pct")
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment").as("grp")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("grp"), col("o_custkey").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val cum = Windows.withGroupedPrefixSum(rev, "grp", col("cents"), "cum",
+      col("cents").desc, col("cust"))
+    val tot = rev.groupBy(col("grp"))
+      .agg(sum(col("cents")).as("tot"), count(lit(1)).as("n"))
+    cum.join(broadcast(tot), Seq("grp"))
+      .filter(col("cum") - col("cents") <
+        expr(s"(tot * $pct + 99) div 100"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_customers"), count(lit(1)).as("k_head"),
+        sum(col("cents")).as("kcents"), max(col("tot")).as("tot"))
+      .select(col("grp").as("segment"), col("n_customers"), col("k_head"),
+        halfUp(col("k_head").cast("double") /
+          col("n_customers").cast("double"), 4).as("cust_share"),
+        halfUp(col("kcents").cast("double") / col("tot").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy(col("segment"))
+  }
+
   /** EXACT multi-quantile per group by RANK PICK — p25/p50/p75/p90 as
     * actual data values at rank ⌈q·n⌉ (type-1 quantiles: no
     * interpolation arithmetic, engine-independent by construction) —
@@ -823,6 +870,9 @@ object Aggregations {
     // revenue-concentration deciles over customers (Lorenz table)
     "q_agg_topshare" -> ((s, d) =>
       topShare(Tables.orders(s, d))),
+    // smallest customer head covering 80% of segment revenue
+    "q_agg_pareto_cut" -> ((s, d) =>
+      paretoCut(Tables.orders(s, d), Tables.customer(s, d))),
     // distinct-user overlap between every event-type pair
     "q_agg_audience_overlap" -> ((s, d) =>
       audienceOverlap(Tables.events(s, d))),
@@ -1241,6 +1291,34 @@ object Aggregations {
         |         / 1e6 AS cum_share
         |FROM dec a JOIN dec b ON b.decile <= a.decile
         |GROUP BY a.decile ORDER BY a.decile""".stripMargin,
+    // same integer cents, same (cents DESC, cust) exclusive-prefix
+    // threshold ⌈tot·80/100⌉, same fixed share divisions
+    "q_agg_pareto_cut" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment AS grp, o.o_custkey AS cust,
+        |         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, cust, cents,
+        |         CAST(sum(cents) OVER (PARTITION BY grp
+        |           ORDER BY cents DESC, cust
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM rev),
+        |t AS (SELECT grp, CAST(sum(cents) AS BIGINT) AS tot,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM rev GROUP BY 1)
+        |SELECT r.grp AS segment, max(t.n) AS n_customers,
+        |       CAST(count(*) AS BIGINT) AS k_head,
+        |       floor(CAST(count(*) AS DOUBLE) / CAST(max(t.n) AS DOUBLE)
+        |             * 1e4 + 0.5) / 1e4 AS cust_share,
+        |       floor(CAST(sum(r.cents) AS DOUBLE) / CAST(max(t.tot) AS DOUBLE)
+        |             * 1e6 + 0.5) / 1e6 AS rev_share
+        |FROM r JOIN t ON r.grp = t.grp
+        |WHERE r.cum - r.cents < (t.tot * 80 + 99) // 100
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     // same (value, key) total order, same integer ⌈p·n/100⌉ cut ranks
     "q_agg_quantiles_rank" ->
       """WITH r AS (

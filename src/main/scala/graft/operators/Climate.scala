@@ -1464,6 +1464,73 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** POISSON RATE SCREEN per series-day: each observed day's event
+    * COUNT against the series' mean daily rate λ (total events /
+    * calendar span), z = (n − λ)/√λ — the count-domain anomaly
+    * screen next to the value-domain [[Aggregations.anomalyMad]]
+    * ("was Tuesday's traffic a spike?" is a rate question, not a
+    * value question). Days with NO events do not appear (the screen
+    * flags spikes and sags among observed days; outage detection is
+    * [[resampleDaily]]'s gap territory).
+    *
+    * Parity: counts and the span are exact BIGINTs; λ and z are one
+    * fixed-order double chain per row over those longs (the √ is
+    * IEEE exactly-rounded), halfUp-rendered; the flag compares the
+    * UNRENDERED z against 3.0 — deterministic on both engines.
+    *
+    * Scale posture: one map-side-partial (series, day) count
+    * aggregate; λ rides a series-sized broadcast join back. No
+    * window, no second shuffle. */
+  def poissonDays(events: DataFrame, x0: String = "2024-01-01"): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lam = daily.groupBy(col("series"))
+      .agg(sum(col("n")).as("tot"),
+        (max(col("day")) - min(col("day")) + 1L).as("span"))
+      .select(col("series"), col("span"),
+        (col("tot").cast("double") / col("span").cast("double")).as("lam"))
+    val z = (col("n").cast("double") - col("lam")) / sqrt(col("lam"))
+    daily.join(broadcast(lam), Seq("series"))
+      .select(col("series"), col("day"), col("n"),
+        graft.halfUp(z, 4).as("z"),
+        when(abs(z) >= lit(3.0), 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy(col("series"), col("day"))
+  }
+
+  /** BUSINESS-DAY SLA per order month: order-to-ship latency in
+    * BUSINESS days (weekends excluded) — the delta every ops
+    * dashboard reports, which calendar datediff over-counts by the
+    * weekend share. Weekday math is PURE INTEGER arithmetic off a
+    * fixed Monday anchor (1970-01-05): bd(d) = business days in
+    * [anchor, d) = (Δ div 7)·5 + min(Δ mod 7, 5); the latency is
+    * bd(ship) − bd(order) — no calendar function whose week
+    * numbering/locale could differ between engines.
+    *
+    * Scale posture: one orderkey equi join (the standard lineitem ⋈
+    * orders shuffle), then one map-side-partial month aggregate; the
+    * mean is a fixed division over exact longs, halfUp 4. */
+  def businessDaySla(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def bd(d: Column): Column = {
+      val dl = datediff(d, to_date(lit("1970-01-05"))).cast("long")
+      val m = pmod(dl, lit(7L))
+      ((dl - m) / lit(7L)).cast("long") * 5L + least(m, lit(5L))
+    }
+    lineitem.select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        (bd(col("ship")) - bd(to_date(col("o_orderdate")))).as("bd"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.halfUp(sum(col("bd")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_bd"),
+        min(col("bd")).as("min_bd"), max(col("bd")).as("max_bd"))
+      .orderBy(col("ym"))
+  }
+
   /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
     * vertices, closed implicitly. Deliberately irregular and
     * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
@@ -1827,6 +1894,12 @@ object Climate {
     // where the level shifted: argmax |CUSUM| day per series
     "q_stats_changepoint" -> ((s, d) =>
       changePoint(Tables.events(s, d))),
+    // count-domain anomaly screen: daily event counts vs Poisson rate
+    "q_stats_poisson" -> ((s, d) =>
+      poissonDays(Tables.events(s, d))),
+    // order-to-ship latency in business days per order month
+    "q_time_business_days" -> ((s, d) =>
+      businessDaySla(Tables.orders(s, d), Tables.lineitem(s, d))),
     // heating/cooling degree days per cell-month, base 250 (mid-range
     // of the harness value distribution so both sides accumulate)
     "q_climate_degree_days" -> ((s, d) =>
@@ -2089,6 +2162,49 @@ object Climate {
         |       floor(CAST(rn AS DOUBLE) / CAST(n_days AS DOUBLE) * 1e4 + 0.5)
         |         / 1e4 AS frac_through
         |FROM pick WHERE rk = 1 ORDER BY series""".stripMargin,
+    // same integer counts and span, same fixed λ/z chain; flag
+    // compares the UNRENDERED z, mirroring the engine
+    "q_stats_poisson" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lam AS (
+        |  SELECT series,
+        |         CAST(sum(n) AS DOUBLE)
+        |           / CAST(max(day) - min(day) + 1 AS DOUBLE) AS lam
+        |  FROM daily GROUP BY 1)
+        |SELECT d.series, d.day, d.n,
+        |       floor((CAST(d.n AS DOUBLE) - l.lam) / sqrt(l.lam)
+        |             * 1e4 + 0.5) / 1e4 AS z,
+        |       CAST(CASE WHEN abs((CAST(d.n AS DOUBLE) - l.lam) / sqrt(l.lam))
+        |              >= 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily d JOIN lam l ON d.series = l.series
+        |ORDER BY d.series, d.day""".stripMargin,
+    // same Monday-anchor integer weekday chain on both date columns
+    "q_time_business_days" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+        |              AS BIGINT) AS ym,
+        |         CAST(date_diff('day', DATE '1970-01-05',
+        |              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS a2,
+        |         CAST(date_diff('day', DATE '1970-01-05', o.o_orderdate)
+        |              AS BIGINT) AS a1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |b AS (
+        |  SELECT ym,
+        |         (CAST((a2 - ((a2 % 7) + 7) % 7) / 7 AS BIGINT) * 5
+        |            + least(((a2 % 7) + 7) % 7, 5))
+        |         - (CAST((a1 - ((a1 % 7) + 7) % 7) / 7 AS BIGINT) * 5
+        |            + least(((a1 % 7) + 7) % 7, 5)) AS bd
+        |  FROM j)
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n_items,
+        |       floor(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1e4 + 0.5) / 1e4 AS mean_bd,
+        |       CAST(min(bd) AS BIGINT) AS min_bd,
+        |       CAST(max(bd) AS BIGINT) AS max_bd
+        |FROM b GROUP BY 1 ORDER BY ym""".stripMargin,
     // same quantized daily mean, same pair expansion, same rank-picked
     // lower median (an actual slope value — no interpolation)
     // same quantized-term two-pass over the daily reduction; peak via

@@ -474,6 +474,42 @@ object Windows {
       .orderBy(col("cohort_year"), col("cohort_month"), col("age"))
   }
 
+  /** ROLLING VOLATILITY per series: population standard deviation
+    * over a trailing `window`-row frame of the (ts, event_id)-ordered
+    * value stream — the local-dispersion readout next to
+    * [[q_window_moving_avg]]'s local level and [[q_window_zscore]]'s
+    * GLOBAL dispersion ("is the signal getting noisier" is a rolling
+    * question a whole-series σ cannot answer).
+    *
+    * Parity: values quantize to a 1e-4 grid as BIGINTs; the rolling
+    * Σv and Σv² accumulate LONGS (exact under Spark's sequential vs
+    * DuckDB's segment-tree frame evaluation — the whole point of the
+    * integer grid); the variance (Σv² − (Σv)²/n)/n is one fixed
+    * double chain over three exact longs per row, √ exactly-rounded,
+    * halfUp-rendered. Grid headroom: |value| < 10⁶ keeps Σv² of a
+    * 10⁵-row frame under 2⁶³.
+    *
+    * Scale posture: ONE series-key window shuffle serves both
+    * rolling sums (same frame); the frame carries two longs. */
+  def rollingVolatility(events: DataFrame, window: Int = 7): DataFrame = {
+    require(window >= 2, s"need window >= 2: $window")
+    val base = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"), col("ts"), col("event_id"),
+        floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("vq"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val s1 = sum(col("vq")).over(w).cast("double")
+    val s2 = sum(col("vq") * col("vq")).over(w).cast("double")
+    val nw = count(lit(1)).over(w).cast("double")
+    base
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("vol", graft.halfUp(
+        sqrt(greatest((s2 - s1 * s1 / nw) / nw, lit(0.0))) / lit(1e4), 4))
+      .select(col("series"), col("event_id"), col("n_window"), col("vol"))
+      .orderBy(col("series"), col("event_id"))
+  }
+
   /** Peak CONCURRENCY per day by sweep line — "how many intervals are
     * open at once, and when does load peak" (the capacity-planning
     * readout over session/connection intervals; [[coalesceIntervals]]
@@ -780,6 +816,9 @@ object Windows {
     // peak-to-trough degradation per event type over the value stream
     "q_window_drawdown" -> ((s, d) =>
       maxDrawdown(Tables.events(s, d))),
+    // trailing-7 population std per series: local dispersion
+    "q_window_volatility" -> ((s, d) =>
+      rollingVolatility(Tables.events(s, d))),
     // cumulative revenue per first-order-month cohort by age
     "q_cohort_ltv" -> ((s, d) =>
       cohortLtv(Tables.orders(s, d))),
@@ -1099,6 +1138,27 @@ object Windows {
         |                       * 1e6 + 0.5) / 1e6 END AS dd_frac
         |FROM n JOIN d ON n.series = d.series AND d.rk = 1
         |ORDER BY n.series""".stripMargin,
+    // same 1e-4 integer grid, same trailing frame, same fixed
+    // (Σv² − (Σv)²/n)/n chain (halfUp 4)
+    "q_window_volatility" ->
+      """WITH b AS (
+        |  SELECT event_type AS series, ts, event_id,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT series, event_id,
+        |         CAST(sum(vq) OVER w AS BIGINT) AS s1,
+        |         CAST(sum(vq * vq) OVER w AS BIGINT) AS s2,
+        |         CAST(count(*) OVER w AS BIGINT) AS n_window
+        |  FROM b WINDOW w AS (PARTITION BY series ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT series, event_id, n_window,
+        |       floor(sqrt(greatest((CAST(s2 AS DOUBLE)
+        |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                  / CAST(n_window AS DOUBLE))
+        |               / CAST(n_window AS DOUBLE), 0.0)) / 1e4
+        |             * 1e4 + 0.5) / 1e4 AS vol
+        |FROM r ORDER BY series, event_id""".stripMargin,
     // same cents rollup + min-month cohort + integer cumulative sum,
     // same fixed LTV division (halfUp 4)
     "q_cohort_ltv" ->

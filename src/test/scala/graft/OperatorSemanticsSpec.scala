@@ -2173,6 +2173,80 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r((1995L, 2L, 0L)) == ((1L, 1L, 700L, 700L, 7.0)), s"got $r")
   }
 
+  test("poissonDays: a planted spike day flags, ordinary days don't") {
+    import spark.implicits._
+    import graft.operators.Climate
+    // series a: 10 events on days 0..9 except day 5 carries 40
+    // → tot 130 over span 10, λ = 13
+    val ev = (0 until 10).flatMap { d =>
+      val n = if (d == 5) 40 else 10
+      (0 until n).map(i => ((d * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 0${i % 10}:00:00"),
+        "a", 1.0))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val r = Climate.poissonDays(ev).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getDouble(3),
+        x.getLong(4)))).toMap
+    def z(n: Long) =
+      math.floor((n - 13.0) / math.sqrt(13.0) * 1e4 + 0.5) / 1e4
+    assert(r(5L) == ((40L, z(40), 1L)), s"got $r")
+    assert(r(0L) == ((10L, z(10), 0L)), s"got $r")
+    assert(r.size == 10 && r.values.count(_._3 == 1L) == 1, s"got $r")
+  }
+
+  test("businessDaySla: weekends excluded by the Monday-anchor integer chain") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 2024-01-01 is a Monday
+    val orders = Seq(
+      (1L, d("2024-01-05")),  // Friday
+      (2L, d("2024-01-01")),  // Monday
+      (3L, d("2024-01-01"))
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, ts("2024-01-08")),  // Fri → next Mon: 1 business day
+      (2L, ts("2024-01-07")),  // Mon → Sun: the full work week, 5
+      (3L, ts("2024-01-01"))   // same day: 0
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = Climate.businessDaySla(orders, li).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq == Seq((202401L, 3L, 2.0, 0L, 5L)), s"got ${r.toSeq}")
+  }
+
+  test("rollingVolatility: trailing population std on the integer grid") {
+    import spark.implicits._
+    import graft.operators.Windows
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val ev = Seq((1L, ts(1), "a", 10.0), (2L, ts(2), "a", 20.0),
+      (3L, ts(3), "a", 30.0)).toDF("event_id", "ts", "event_type", "value")
+    val r = Windows.rollingVolatility(ev).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((1L, 0.0)), s"got $r")
+    assert(r(2L) == ((2L, 5.0)), s"got $r")  // var of {10,20} = 25
+    // var of {10,20,30} = 200/3 → std 8.16496…
+    assert(r(3L) == ((3L, 8.165)), s"got $r")
+  }
+
+  test("paretoCut: minimal revenue-sorted head covering the threshold, exact boundary") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (10L, d("1995-01-01"), 50.0), (20L, d("1995-01-02"), 30.0),
+      (30L, d("1995-01-03"), 10.0), (40L, d("1995-01-04"), 10.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((10L, "S"), (20L, "S"), (30L, "S"), (40L, "S"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Aggregations.paretoCut(orders, cust).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4)))
+    // top-2 (50+30) hit exactly the 80% threshold of 100
+    assert(r.toSeq == Seq(("S", 4L, 2L, 0.5, 0.8)), s"got ${r.toSeq}")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup
