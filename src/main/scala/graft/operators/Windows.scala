@@ -503,10 +503,11 @@ object Windows {
     val s2 = sum(col("vq") * col("vq")).over(w).cast("double")
     val nw = count(lit(1)).over(w).cast("double")
     base
-      .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("vol", graft.halfUp(
-        sqrt(greatest((s2 - s1 * s1 / nw) / nw, lit(0.0))) / lit(1e4), 4))
-      .select(col("series"), col("event_id"), col("n_window"), col("vol"))
+      .select(col("series"), col("event_id"),
+        count(lit(1)).over(w).as("n_window"),
+        graft.halfUp(
+          sqrt(greatest((s2 - s1 * s1 / nw) / nw, lit(0.0))) / lit(1e4), 4)
+          .as("vol"))
       .orderBy(col("series"), col("event_id"))
   }
 

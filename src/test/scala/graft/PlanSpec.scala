@@ -519,6 +519,62 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q_skyline: one brand-key window, never the quadratic nested-loop the oracle uses") {
+    val plan = executed("q_skyline")
+    val windowOps = plan.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windowOps == 1, s"expected one Window op, got $windowOps:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_window_drawdown / q_window_volatility: one series window each, rolling sums collapsed") {
+    for (q <- Seq("q_window_drawdown", "q_window_volatility")) {
+      val plan = executed(q)
+      val windowOps = plan.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+      assert(windowOps == 1,
+        s"$q: expected one Window op, got $windowOps:\n${plan.take(3000)}")
+      assert(plan.contains("hashpartitioning(series#") ||
+        plan.contains("hashpartitioning(series,"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
+  test("q_stats_poisson: no window anywhere; λ rides a broadcast join") {
+    val plan = executed("q_stats_poisson")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q_stats_changepoint: series means broadcast back, window partitioned on the series key") {
+    val plan = executed("q_stats_changepoint")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(series#") ||
+      plan.contains("hashpartitioning(series,"), plan.take(3000))
+  }
+
+  test("q_agg_pareto_cut: head membership rides the _pid-staged grouped prefix sum + broadcast joins") {
+    // the ranged layout itself sits behind the prefix sum's eager
+    // localCheckpoint (Scan ExistingRDD in this plan string — the
+    // fleet window sweep proves the offset windows stay bounded);
+    // what must be visible: the _pid local-sum staging, the broadcast
+    // totals join, and no nested-loop anywhere
+    val plan = executed("q_agg_pareto_cut")
+    assert(plan.contains("_pid"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_time_business_days / q_cohort_ltv: month math is aggregate-shaped, no global window") {
+    val bd = executed("q_time_business_days")
+    assert(!bd.contains("Window"), bd.take(3000))
+    assert(bd.contains("HashAggregate"), bd.take(3000))
+    val ltv = executed("q_cohort_ltv")
+    // the running sum windows over the (cohort, age) aggregate,
+    // partitioned by cohort
+    assert(ltv.contains("hashpartitioning(cmidx#") ||
+      ltv.contains("hashpartitioning(cmidx,"), ltv.take(3000))
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below
