@@ -1682,6 +1682,237 @@ class SoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("newcomer soak r11e: drawdown / volatility / change-point / Poisson / business days / Pareto cut / skyline / LTV at scale") {
+    // The final round-11 additions under scale shapes with closed-form
+    // exact outcomes (see each operator's scaladoc for the posture):
+    //  - maxDrawdown: 1,000 series × 3,000 points of v = i mod 1000 —
+    //    every cycle reset realizes dd = 999 from peak 999 to trough 0,
+    //    dd_frac exactly 1.0;
+    //  - rollingVolatility: 1,000 series × 3,000 points of v = i — every
+    //    full 7-row frame has variance exactly 4 (Σk², k=−3..3 = 28),
+    //    vol exactly 2.0; exactly 6 warm-up rows per series;
+    //  - changePoint: 1,000 series × 3,000 days split 0/10 at half —
+    //    cusum bottoms at day 1499 with exactly −7500, frac 0.5;
+    //  - poissonDays: 1,000 series × 365 days of 10 events except day
+    //    100 carries 40 — the one flagged day per series, z replayed;
+    //  - businessDaySla: 1M items shipped exactly one calendar week
+    //    after Mon–Fri order dates — 5 business days on every row;
+    //  - paretoCut: 1M equal-revenue customers in 5 segments — the 80%
+    //    head is exactly 80% of each segment, both shares exactly 0.8;
+    //  - skyline2d: 100 brands × (1,000 frontier anti-chain points +
+    //    1,000 strictly-dominated points) — survivors exactly the
+    //    frontier;
+    //  - cohortLtv: 100k customers spending $1/month for 4 months from
+    //    their cohort month — LTV curve exactly 1, 2, 3, 4 dollars.
+    import graft.operators.{Aggregations, Climate, Relational, Windows}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // shared event-shaped fixture maker: 1,000 series × 3,000 points
+      def series(valueExpr: String, secondsApart: Boolean): org.apache.spark.sql.DataFrame =
+        spark.range(3000000L).select(
+          col("id").as("event_id"),
+          concat(lit("s"), expr("id div 3000")).as("event_type"),
+          expr(if (secondsApart)
+            "timestampadd(SECOND, CAST(id % 3000 AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+          else
+            "timestampadd(DAY, CAST(id % 3000 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+          expr(valueExpr).as("value")).repartition(8)
+
+      // ---- drawdown: sawtooth, every reset is a full 999 drop ----
+      val (dd, tDd) = timed {
+        val r = Windows.maxDrawdown(
+          series("CAST(id % 1000 AS DOUBLE)", secondsApart = true))
+        val bad = r.filter(col("dd_max") =!= 999.0 || col("dd_peak") =!= 999.0 ||
+          col("dd_trough") =!= 0.0 || col("dd_frac") =!= 1.0 ||
+          col("n_points") =!= 3000L).count()
+        (bad, r.count())
+      }
+      assert(dd == ((0L, 1000L)), s"(bad, series) = $dd")
+
+      // ---- volatility: linear ramp, every full frame has var 4 ----
+      val (vol, tVol) = timed {
+        val r = Windows.rollingVolatility(
+          series("CAST(id % 3000 AS DOUBLE)", secondsApart = true))
+        val badFull = r.filter(col("n_window") === 7L && col("vol") =!= 2.0)
+          .count()
+        val warm = r.filter(col("n_window") < 7L).count()
+        (badFull, warm, r.count())
+      }
+      assert(vol == ((0L, 6000L, 3000000L)), s"(badFull, warm, n) = $vol")
+
+      // ---- change-point: 0/10 split at half ----
+      val (cp, tCp) = timed {
+        val r = Climate.changePoint(
+          series("CASE WHEN id % 3000 < 1500 THEN 0.0 ELSE 10.0 END",
+            secondsApart = false))
+        val bad = r.filter(col("cp_day") =!= 1499L ||
+          col("cusum_at") =!= -7500.0 || col("frac_through") =!= 0.5 ||
+          col("n_days") =!= 3000L).count()
+        (bad, r.count())
+      }
+      assert(cp == ((0L, 1000L)), s"(bad, series) = $cp")
+
+      // ---- Poisson: 10/day, one 40-event day ----
+      val pIn = spark.range(3680000L).select(
+        col("id").as("event_id"),
+        concat(lit("s"), expr("id div 3680")).as("event_type"),
+        expr("""timestampadd(DAY, CAST(CASE WHEN id % 3680 < 3640
+                THEN (id % 3680) div 10
+                ELSE 100 END AS INT), TIMESTAMP '2024-01-01 00:00:00')""")
+          .as("ts"),
+        lit(1.0).as("value")).repartition(8)
+      val (po, tPo) = timed {
+        val r = Climate.poissonDays(pIn)
+        // 364 base days of 10 + 40 extra on day 100 → that day has 50
+        val lam = 3680.0 / 364.0
+        def zq(n: Double) = math.floor((n - lam) / math.sqrt(lam) * 1e4 + 0.5) / 1e4
+        val flagged = r.filter(col("is_anomaly") === 1L)
+        val badFlag = flagged.filter(col("day") =!= 100L ||
+          col("n") =!= 50L || col("z") =!= zq(50.0)).count()
+        val badNorm = r.filter(col("is_anomaly") === 0L &&
+          (col("n") =!= 10L || col("z") =!= zq(10.0))).count()
+        (badFlag, badNorm, flagged.count(), r.count())
+      }
+      assert(po == ((0L, 0L, 1000L, 364000L)),
+        s"(badFlag, badNorm, flagged, rows) = $po")
+
+      // ---- business days: ship exactly one week after a weekday ----
+      val bdOrders = spark.range(1000000L).select(
+        col("id").as("o_orderkey"),
+        expr("date_add(DATE '2024-01-01', CAST(id % 5 AS INT))")
+          .as("o_orderdate"))
+      val bdItems = spark.range(1000000L).select(
+        col("id").as("l_orderkey"),
+        expr("""CAST(date_add(DATE '2024-01-08', CAST(id % 5 AS INT))
+                AS TIMESTAMP)""").as("l_shipdate"))
+      val (bd, tBd) = timed {
+        val r = Climate.businessDaySla(bdOrders.repartition(8),
+          bdItems.repartition(8))
+        r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          x.getLong(3), x.getLong(4))).toSeq
+      }
+      assert(bd == Seq((202401L, 1000000L, 5.0, 5L, 5L)), s"got $bd")
+
+      // ---- Pareto cut: equal revenues, head is exactly 80% ----
+      val pcOrders = spark.range(1000000L).select(
+        col("id").as("o_custkey"),
+        expr("date_add(DATE '2024-01-01', CAST(id % 300 AS INT))")
+          .as("o_orderdate"),
+        lit(1.0).as("o_totalprice"))
+      val pcCust = spark.range(1000000L).select(
+        col("id").as("c_custkey"),
+        concat(lit("SEG"), pmod(col("id"), lit(5L))).as("c_mktsegment"))
+      val (pc, tPc) = timed {
+        Aggregations.paretoCut(pcOrders.repartition(8),
+            pcCust.repartition(8)).collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+            x.getDouble(3), x.getDouble(4))).toSeq
+      }
+      assert(pc == (0 until 5).map(i =>
+        (s"SEG$i", 200000L, 160000L, 0.8, 0.8)), s"got $pc")
+
+      // ---- skyline: planted frontier + strictly-dominated cloud ----
+      val skyIn = spark.range(200000L).select(
+        col("id").as("p_partkey"),
+        concat(lit("B"), pmod(col("id"), lit(100L))).as("p_brand"),
+        // frontier: (j, 1000−j); dominated: (j+1, 1001−j) — shifted +1
+        // on BOTH axes from frontier point j, so it's strictly beaten
+        expr("""CAST(CASE WHEN id < 100000 THEN (id div 100)
+                ELSE ((id - 100000) div 100) + 1 END AS DOUBLE)""")
+          .as("p_retailprice"),
+        expr("""CAST(CASE WHEN id < 100000 THEN 1000 - (id div 100)
+                ELSE 1001 - ((id - 100000) div 100) END AS INT)""")
+          .as("p_size")).repartition(8)
+      val (sky, tSky) = timed {
+        val r = Relational.skyline2d(skyIn)
+        val bad = r.filter(col("p_partkey") >= 100000L).count()
+        (bad, r.count())
+      }
+      assert(sky == ((0L, 100000L)), s"(dominated leaked, survivors) = $sky")
+
+      // ---- cohort LTV: $1/month for 4 months from the cohort month ----
+      val ltvOrders = spark.range(400000L).select(
+        (col("id") % 100000L).as("o_custkey"),
+        expr("""date_add(add_months(DATE '2024-01-01',
+                CAST((id % 100000) % 12 + (id div 100000) AS INT)), 5)""")
+          .as("o_orderdate"),
+        lit(1.0).as("o_totalprice"))
+      val (ltv, tLtv) = timed {
+        val r = Windows.cohortLtv(ltvOrders.repartition(8))
+        val bad = r.filter(col("cents_period") =!=
+            col("n_active") * 100L ||
+          col("ltv_per_user") =!= (col("age") + 1L).cast("double")).count()
+        (bad, r.count())
+      }
+      // cohorts = months 0..11 of 2024, ages 0..3 each
+      assert(ltv == ((0L, 48L)), s"(bad, rows) = $ltv")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-11 final-newcomer soak (regenerated by SoakSpec)
+           |
+           |The final round-11 additions at scale, every outcome
+           |closed-form exact, same single-task shuffle-budget listener
+           |invariant as the other soaks. Max drawdown over 1,000
+           |sawtooth series × 3,000 points: every series realizes
+           |exactly dd 999 (peak 999 → trough 0, frac 1.0). Rolling
+           |volatility over 1,000 linear ramps: every full 7-row frame
+           |has variance exactly 4 (vol 2.0), exactly 6 warm-up rows
+           |per series, 3M output rows. Change-point over 1,000 series
+           |split 0/10 at half: located at day 1499 with CUSUM exactly
+           |−7500, frac 0.5, on all 1,000. Poisson screen over 1,000
+           |series × 363 ten-event days + one 50-event day: exactly
+           |one flagged day per series, every z replayed to the
+           |rendered digit. Business-day SLA over 1M items shipped one
+           |calendar week after Mon–Fri orders: exactly 5 business
+           |days on every row. Pareto cut over 1M equal-revenue
+           |customers in 5 segments: the 80% head is exactly 160k of
+           |200k per segment, both shares exactly 0.8 — the grouped
+           |prefix sum never collapses a segment to one task. Skyline
+           |over 100 brands × (1,000-point anti-chain frontier + 1,000
+           |strictly-dominated points): survivors are exactly the
+           |frontier. Cohort LTV over 100k customers spending
+           |$$1/month for 4 months: the curve is exactly 1, 2, 3, 4
+           |dollars per member at ages 0–3 across all 12 cohorts.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || maxDrawdown (1k sawtooth series) | 3.0M | ${f"$tDd%.1f"} | ${f"$ratio%.2f"} |
+           || rollingVolatility (1k ramps) | 3.0M | ${f"$tVol%.1f"} | ${f"$ratio%.2f"} |
+           || changePoint (1k split series) | 3.0M | ${f"$tCp%.1f"} | ${f"$ratio%.2f"} |
+           || poissonDays (1k series, planted spike) | 3.7M | ${f"$tPo%.1f"} | ${f"$ratio%.2f"} |
+           || businessDaySla (1M items) | 2.0M | ${f"$tBd%.1f"} | ${f"$ratio%.2f"} |
+           || paretoCut (1M customers, 5 segments) | 2.0M | ${f"$tPc%.1f"} | ${f"$ratio%.2f"} |
+           || skyline2d (100 brands, planted frontier) | 200k | ${f"$tSky%.1f"} | ${f"$ratio%.2f"} |
+           || cohortLtv (100k customers, 12 cohorts) | 400k | ${f"$tLtv%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-11 final-newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming RocksDB state soak: 3M events, 100k keys, bounded store, rows == keys") {
     // transformWithState at soak scale on the PRODUCTION state store
     // (the toy MemoryStream specs prove semantics; this proves the
