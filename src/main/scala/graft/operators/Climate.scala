@@ -1531,6 +1531,100 @@ object Climate {
       .orderBy(col("ym"))
   }
 
+  /** Euler–Mascheroni constant, √6/π, and the 10-period Gumbel
+    * reduced variate −ln(−ln(0.9)) — computed ONCE here and emitted
+    * as the same full-precision literals into both the Spark plan and
+    * the generated DuckDB oracle, so no engine's `ln` implementation
+    * is on the parity path. */
+  private[graft] val GumbelGamma = 0.5772156649015329
+  private[graft] val GumbelC = math.sqrt(6.0) / math.Pi
+  private[graft] val GumbelZ10 = -math.log(-math.log(0.9))
+
+  /** GUMBEL EXTREME-VALUE fit per series by the method of moments
+    * over MONTHLY BLOCK MAXIMA — the return-level analysis every
+    * climate/risk pipeline runs on extremes ("what monthly maximum
+    * does a 10-period event reach?"): location/scale from the block
+    * maxima's mean and std (scale = std·√6/π, loc = mean − γ·scale),
+    * plus the 10-period return level loc + scale·(−ln(−ln(0.9))).
+    * Degenerate series (< 2 blocks or zero variance) yield NULL fit
+    * columns, never an error.
+    *
+    * Parity: block maxima are raw values (max = comparison only);
+    * their mean/std come off 1e-4-grid integer sums (Σq, Σq² as
+    * order-free BIGINTs); the fit is one fixed-order double chain
+    * whose three transcendental constants are SCALA-SIDE literals
+    * emitted identically into both engines (see [[GumbelGamma]]) —
+    * no ln/π/γ evaluation happens in either engine.
+    *
+    * Scale posture: two map-side-partial hash aggregates (raw →
+    * blocks → series moments); nothing else moves. */
+  def gumbelExtremes(events: DataFrame): DataFrame = {
+    val blocks = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
+      .agg(max(col("value")).as("bmax"))
+    val q = floor(col("bmax") * lit(1e4) + lit(0.5)).cast("long")
+    val agg = blocks.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(q).as("s1"), sum(q * q).as("s2"))
+    val nd = col("n_blocks").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val mean = s1d / nd / lit(1e4)
+    val vq = (s2d - s1d * s1d / nd) / (nd - lit(1.0))
+    val std = sqrt(vq) / lit(1e4)
+    val scale = std * lit(GumbelC)
+    val loc = mean - lit(GumbelGamma) * scale
+    val rl10 = loc + scale * lit(GumbelZ10)
+    val ok = col("n_blocks") >= 2L && vq > lit(0.0)
+    agg.select(col("series"), col("n_blocks"),
+        graft.halfUp(when(ok, loc), 4).as("gum_loc"),
+        graft.halfUp(when(ok, scale), 4).as("gum_scale"),
+        graft.halfUp(when(ok, rl10), 4).as("rl10"))
+      .orderBy(col("series"))
+  }
+
+  /** Generated DuckDB twin of [[gumbelExtremes]] — the same quantized
+    * moments and the same fixed fit chain with the SAME three
+    * constant literals interpolated from the Scala values. */
+  private[graft] def gumbelOracleSql: String = {
+    val g = GumbelGamma.toString
+    val c = GumbelC.toString
+    val z = GumbelZ10.toString
+    s"""WITH b AS (
+       |  SELECT event_type AS series,
+       |         CAST(year(CAST(ts AS TIMESTAMP)) * 100
+       |              + month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ym,
+       |         max(value) AS bmax
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |a AS (
+       |  SELECT series, CAST(count(*) AS BIGINT) AS n_blocks,
+       |         CAST(sum(CAST(floor(bmax * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+       |         CAST(sum(CAST(floor(bmax * 1e4 + 0.5) AS BIGINT)
+       |                  * CAST(floor(bmax * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM b GROUP BY 1),
+       |f AS (
+       |  SELECT series, n_blocks,
+       |         CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e4 AS mean,
+       |         (CAST(s2 AS DOUBLE)
+       |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |              / CAST(n_blocks AS DOUBLE))
+       |           / (CAST(n_blocks AS DOUBLE) - 1.0) AS vq
+       |  FROM a)
+       |SELECT series, n_blocks,
+       |       floor(CASE WHEN n_blocks >= 2 AND vq > 0.0
+       |              THEN mean - $g * (sqrt(vq) / 1e4 * $c) END
+       |             * 1e4 + 0.5) / 1e4 AS gum_loc,
+       |       floor(CASE WHEN n_blocks >= 2 AND vq > 0.0
+       |              THEN sqrt(vq) / 1e4 * $c END * 1e4 + 0.5) / 1e4
+       |         AS gum_scale,
+       |       floor(CASE WHEN n_blocks >= 2 AND vq > 0.0
+       |              THEN (mean - $g * (sqrt(vq) / 1e4 * $c))
+       |                   + (sqrt(vq) / 1e4 * $c) * $z END
+       |             * 1e4 + 0.5) / 1e4 AS rl10
+       |FROM f ORDER BY series""".stripMargin
+  }
+
   /** Region-of-interest polygon for [[pointInPolygon]] — (lon, lat)
     * vertices, closed implicitly. Deliberately irregular and
     * off-grid (no vertex or edge passes through a 0.5°/0.625° cell
@@ -1897,6 +1991,9 @@ object Climate {
     // count-domain anomaly screen: daily event counts vs Poisson rate
     "q_stats_poisson" -> ((s, d) =>
       poissonDays(Tables.events(s, d))),
+    // Gumbel moment fit + 10-period return level over monthly maxima
+    "q_climate_extreme" -> ((s, d) =>
+      gumbelExtremes(Tables.events(s, d))),
     // order-to-ship latency in business days per order month
     "q_time_business_days" -> ((s, d) =>
       businessDaySla(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2182,6 +2279,9 @@ object Climate {
         |              >= 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM daily d JOIN lam l ON d.series = l.series
         |ORDER BY d.series, d.day""".stripMargin,
+    // generated twin with the same three constant literals — see
+    // gumbelOracleSql
+    "q_climate_extreme" -> gumbelOracleSql,
     // same Monday-anchor integer weekday chain on both date columns
     "q_time_business_days" ->
       """WITH j AS (

@@ -351,6 +351,46 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** TWO-HOP RECOMMENDATIONS over an undirected edge list: for each
+    * node, the top-k non-neighbors reachable through the most common
+    * neighbors — "customers who bought X also bought Y" distilled to
+    * its graph form (score = common-neighbor count = open-wedge
+    * count), the item-item collaborative-filtering readout the
+    * co-purchase graph exists to serve. Direct neighbors are
+    * excluded (recommending what's already bought is noise); ties
+    * break by candidate id.
+    *
+    * Scale posture: the wedge expansion is bounded by Σdeg² of the
+    * THRESHOLDED graph (the 300× sparsification is the scale story,
+    * as with triangles); all shuffles carry (long, long) pairs or
+    * counts; the exclusion is a left-anti equi join on the edge key;
+    * the top-k filter rewrites to a Partial WindowGroupLimit below
+    * the exchange (the knn-join posture) so each map task ships at
+    * most k rows per node. */
+  def twoHopRecs(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val e0 = edges.toDF("src", "dst")
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+    val paths = und.as("e1")
+      .join(und.select(col("u").as("m"), col("v").as("c")),
+        col("v") === col("m"))
+      .filter(col("u") =!= col("c"))
+      .select(col("u").as("a"), col("c"))
+    val scored = paths.groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("score"))
+    val cand = scored.join(
+      und.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+      "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("score").desc, col("c"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a").as("node"), col("c").as("rec"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("node"), col("rnk"))
+  }
+
   /** Bounded-round K-CORE PEEL over an undirected edge list: each
     * round drops every node whose CURRENT degree is < k, then the
     * edges touching it — after enough rounds what survives is the
@@ -621,6 +661,9 @@ object Graph {
     // dense backbone: 5-round 3-core peel of the same graph
     "q_graph_kcore" -> ((s, d) =>
       kCorePeel(copurchaseStrong(s, d), k = 3, rounds = 5)),
+    // "also bought": top-3 common-neighbor recs per node
+    "q_graph_two_hop" -> ((s, d) =>
+      twoHopRecs(copurchaseStrong(s, d), k = 3)),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -638,6 +681,29 @@ object Graph {
     "q_graph_bfs" -> bfsOracleSql(3),
     // generated unrolled-round twin — see kcoreOracleSql
     "q_graph_kcore" -> kcoreOracleSql(3, 5),
+    // same wedge expansion over the thresholded graph; exclusion as
+    // NOT EXISTS; same (score DESC, id) rank pick
+    "q_graph_two_hop" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+        |paths AS (
+        |  SELECT e1.u AS a, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u WHERE e1.u <> e2.v),
+        |sc AS (SELECT a, c, CAST(count(*) AS BIGINT) AS score
+        |       FROM paths GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT sc.a, sc.c, sc.score FROM sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.a AND e.v = sc.c)),
+        |r AS (SELECT a, c, score,
+        |        row_number() OVER (PARTITION BY a ORDER BY score DESC, c)
+        |          AS rnk
+        |      FROM cand)
+        |SELECT a AS node, c AS rec, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY node, rnk""".stripMargin,
     // min-reachable-label via recursive closure — independent of the
     // engine's star-contraction formulation; the UNION dedup bounds
     // reach at nodes², fine at oracle scale

@@ -2247,6 +2247,47 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.toSeq == Seq(("S", 4L, 2L, 0.5, 0.8)), s"got ${r.toSeq}")
   }
 
+  test("twoHopRecs: common-neighbor scores, direct edges excluded, top-k rank") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // square 1-2-3-4-1 plus chord 1-3: node 2's two-hop candidates
+    // through {1,3} are {4} (score 2; 1 and 3 are direct neighbors);
+    // 4's candidate is 2 (score 2 via 1 and 3)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.twoHopRecs(e, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSet == Set((2L, 4L, 2L, 1L), (4L, 2L, 2L, 1L)),
+      s"got ${r.toSeq}")
+  }
+
+  test("gumbelExtremes: constant blocks yield NULL fit; a known two-block series fits exactly") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // series a: monthly maxima 10 (Jan), 20 (Feb)
+      (1L, ts("2024-01-05 00:00:00"), "a", 10.0),
+      (2L, ts("2024-01-20 00:00:00"), "a", 7.0),
+      (3L, ts("2024-02-10 00:00:00"), "a", 20.0),
+      // series b: both blocks max 5 → zero variance → NULL fit
+      (4L, ts("2024-01-01 00:00:00"), "b", 5.0),
+      (5L, ts("2024-02-01 00:00:00"), "b", 5.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val r = Climate.gumbelExtremes(ev).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), Option(x.get(2)),
+        Option(x.get(3)), Option(x.get(4))))).toMap
+    // maxima {10, 20}: mean 15, sample std = sqrt(50) → replay chain
+    val vq = (5.0e10 - 3.0e5 * 3.0e5 / 2.0) / 1.0
+    val scale = math.sqrt(vq) / 1e4 * Climate.GumbelC
+    val loc = 15.0 - Climate.GumbelGamma * scale
+    val rl = loc + scale * Climate.GumbelZ10
+    def h(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r("a") == ((2L, Some(h(loc)), Some(h(scale)), Some(h(rl)))),
+      s"got $r")
+    assert(r("b") == ((2L, None, None, None)), s"got $r")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup

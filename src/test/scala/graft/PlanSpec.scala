@@ -575,6 +575,23 @@ class PlanSpec extends SparkTestBase {
       ltv.contains("hashpartitioning(cmidx,"), ltv.take(3000))
   }
 
+  test("q_graph_two_hop: top-k pre-reduces map-side; exclusion is a hash anti join") {
+    val plan = executed("q_graph_two_hop")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_climate_extreme: two aggregates, no window, no join") {
+    val plan = executed("q_climate_extreme")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    val aggs = plan.linesIterator.count(_.matches("""\(\d+\) HashAggregate\s*"""))
+    // raw → blocks (partial+final) → series moments (partial+final)
+    assert(aggs == 4, s"expected 4 HashAggregate nodes, got $aggs:\n${plan.take(3000)}")
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below
