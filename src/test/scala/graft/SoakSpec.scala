@@ -1861,6 +1861,46 @@ class SoakSpec extends SparkTestBase {
       // cohorts = months 0..11 of 2024, ages 0..3 each
       assert(ltv == ((0L, 48L)), s"(bad, rows) = $ltv")
 
+      // ---- two-hop recs: a 200,001-node path — every rec is i±2, score 1 ----
+      val thEdges = spark.range(200000L)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        .repartition(8)
+      val (th, tTh) = timed {
+        val r = graft.operators.Graph.twoHopRecs(thEdges, k = 3)
+        val bad = r.filter(col("score") =!= 1L ||
+          (col("rec") =!= col("node") - 2L && col("rec") =!= col("node") + 2L))
+          .count()
+        val nodes = r.select(col("node")).distinct().count()
+        (bad, nodes, r.count())
+      }
+      // interior nodes get both i±2; the two nodes at each end get one
+      assert(th == ((0L, 200001L, 399998L)), s"(bad, nodes, rows) = $th")
+
+      // ---- Gumbel: 1k series × 24 months, block max = month index ----
+      val guIn = spark.range(3000000L).select(
+        col("id").as("event_id"),
+        concat(lit("s"), expr("id div 3000")).as("event_type"),
+        expr("""timestampadd(DAY, CAST(((id % 3000) div 125) * 30 AS INT),
+                TIMESTAMP '2024-01-15 00:00:00')""").as("ts"),
+        // month block (id%3000) div 125 ∈ 0..23; j = id%125; max at j=0
+        expr("""CAST((id % 3000) div 125 AS DOUBLE)
+                - CAST((id % 125) % 100 AS DOUBLE) * 0.001""").as("value"))
+        .repartition(8)
+      val (gu, tGu) = timed {
+        val r = graft.operators.Climate.gumbelExtremes(guIn)
+        // replay: maxima 0..23 → s1 = 276e4, s2 = 4324e8, n = 24
+        val vq = (4324.0e8 - 276.0e4 * 276.0e4 / 24.0) / 23.0
+        val scale = math.sqrt(vq) / 1e4 * graft.operators.Climate.GumbelC
+        val loc = 276.0e4 / 24.0 / 1e4 - graft.operators.Climate.GumbelGamma * scale
+        val rl = loc + scale * graft.operators.Climate.GumbelZ10
+        def h(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+        val bad = r.filter(col("n_blocks") =!= 24L ||
+          col("gum_loc") =!= h(loc) || col("gum_scale") =!= h(scale) ||
+          col("rl10") =!= h(rl)).count()
+        (bad, r.count())
+      }
+      assert(gu == ((0L, 1000L)), s"(bad, series) = $gu")
+
       Thread.sleep(2000) // drain the listener bus
       val violations = stages.toArray(Array.empty[(Int, Int, Long)])
         .filter { case (_, tasks, bytes) =>
@@ -1896,6 +1936,13 @@ class SoakSpec extends SparkTestBase {
            |frontier. Cohort LTV over 100k customers spending
            |$$1/month for 4 months: the curve is exactly 1, 2, 3, 4
            |dollars per member at ages 0–3 across all 12 cohorts.
+           |Two-hop recommendations over a 200,001-node path: every
+           |rec is exactly i±2 with score 1 through the single shared
+           |neighbor — 399,998 rows, all 200,001 nodes served, the
+           |top-k never leaves WindowGroupLimit. Gumbel fit over 1,000
+           |series × 24 month blocks whose maxima are exactly 0..23:
+           |loc/scale/return-level replay the fixed constant-literal
+           |chain to the rendered digit on all 1,000 series.
            |
            || operator | rows in | wall s | cal ratio |
            ||---|---|---|---|
@@ -1907,6 +1954,8 @@ class SoakSpec extends SparkTestBase {
            || paretoCut (1M customers, 5 segments) | 2.0M | ${f"$tPc%.1f"} | ${f"$ratio%.2f"} |
            || skyline2d (100 brands, planted frontier) | 200k | ${f"$tSky%.1f"} | ${f"$ratio%.2f"} |
            || cohortLtv (100k customers, 12 cohorts) | 400k | ${f"$tLtv%.1f"} | ${f"$ratio%.2f"} |
+           || twoHopRecs (200k path) | 200k edges | ${f"$tTh%.1f"} | ${f"$ratio%.2f"} |
+           || gumbelExtremes (1k series × 24 blocks) | 3.0M | ${f"$tGu%.1f"} | ${f"$ratio%.2f"} |
            |""".stripMargin
       SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
         "Round-11 final-newcomer soak", section)
