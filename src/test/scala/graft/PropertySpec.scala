@@ -420,4 +420,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("businessDaySla's Monday-anchor integer chain ≡ a literal weekday-counting loop, for all date pairs") {
+    import graft.operators.Climate
+    val pairGen = Gen.listOfN(25, for {
+      d1 <- Gen.choose(0L, 4000L)   // order date offset from 2015-01-01
+      gap <- Gen.choose(0L, 90L)    // ship 0..90 calendar days later
+    } yield (d1, d1 + gap))
+    forAllSeeded(pairGen, trials = 8) { (pairs: List[(Long, Long)]) =>
+      if (pairs.nonEmpty) {
+        val base = java.time.LocalDate.of(2015, 1, 1)
+        def bruteBd(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+          Iterator.iterate(a)(_.plusDays(1)).takeWhile(_.isBefore(b))
+            .count(d => d.getDayOfWeek.getValue <= 5).toLong
+        val orders = pairs.zipWithIndex.map { case ((d1, _), i) =>
+          (i.toLong, java.sql.Date.valueOf(base.plusDays(d1))) }
+          .toDF("o_orderkey", "o_orderdate")
+        val items = pairs.zipWithIndex.map { case ((_, d2), i) =>
+          (i.toLong, Timestamp.valueOf(base.plusDays(d2).atStartOfDay())) }
+          .toDF("l_orderkey", "l_shipdate")
+        val got = Climate.businessDaySla(orders, items).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        val byYm = pairs.groupBy { case (d1, _) =>
+          val od = base.plusDays(d1)
+          od.getYear.toLong * 100 + od.getMonthValue }
+        val want = byYm.keys.toSeq.sorted.map { ym =>
+          val bds = byYm(ym).map { case (d1, d2) =>
+            bruteBd(base.plusDays(d1), base.plusDays(d2)) }
+          (ym, bds.size.toLong,
+            math.floor(bds.sum.toDouble / bds.size.toDouble * 1e4 + 0.5) / 1e4,
+            bds.min, bds.max)
+        }
+        assert(got == want, s"got $got\nwant $want")
+      }
+    }
+  }
+
+  test("skyline2d's preceding-frame window trick ≡ literal pairwise dominance, for all point sets") {
+    import graft.operators.Relational
+    val ptsGen = Gen.listOfN(30, for {
+      p <- Gen.choose(1, 8)   // small domains force ties and duplicates
+      s <- Gen.choose(1, 8)
+    } yield (p / 2.0, s))
+    forAllSeeded(ptsGen, trials = 10) { (pts: List[(Double, Int)]) =>
+      if (pts.nonEmpty) {
+        val rows = pts.zipWithIndex.map { case ((p, s), i) =>
+          (i.toLong, "B", p, s) }
+        val got = Relational.skyline2d(
+            rows.toDF("p_partkey", "p_brand", "p_retailprice", "p_size"))
+          .collect().map(_.getLong(1)).toSet
+        val want = rows.filter { case (_, _, p, s) =>
+          !rows.exists { case (_, _, q, t) =>
+            q <= p && t <= s && (q < p || t < s) }
+        }.map(_._1).toSet
+        assert(got == want, s"got $got\nwant $want\npts $pts")
+      }
+    }
+  }
 }
