@@ -431,6 +431,43 @@ object Aggregations {
       .orderBy(col("segment"))
   }
 
+  /** HERFINDAHL–HIRSCHMAN concentration INDEX per market segment:
+    * HHI = Σ (customer revenue share)² — the antitrust/market-power
+    * scalar next to [[groupGini]]'s inequality and [[paretoCut]]'s
+    * head size (HHI weighs the LARGE shares quadratically: one 50%
+    * customer moves HHI more than fifty 1% customers combined), plus
+    * the effective participant count 1/HHI ("this market behaves
+    * like N equal players").
+    *
+    * Parity: revenue is integer cents; each share² term quantizes to
+    * the 1e-12 grid as a BIGINT after the double multiplication (the
+    * chi2 posture — a float Σshare² over a million customers would
+    * drift by accumulation order), so the sum is order-free and the
+    * two emitted doubles are fixed chains over exact longs.
+    *
+    * Scale posture: one map-side-partial (segment, customer) cents
+    * aggregate, a broadcast totals join back, one counts-only final
+    * aggregate. No window, nothing quadratic. */
+  def herfindahl(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment").as("grp")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("grp"), col("o_custkey").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"))
+    val tot = rev.groupBy(col("grp")).agg(sum(col("cents")).as("tot"))
+    val share = col("cents").cast("double") / col("tot").cast("double")
+    rev.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"),
+        floor(share * share * lit(1e12) + lit(0.5)).cast("long").as("termq"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("termq")).as("sq"))
+      .select(col("grp").as("segment"), col("n_customers"),
+        halfUp(col("sq").cast("double") / lit(1e12), 6).as("hhi"),
+        halfUp(lit(1e12) / col("sq").cast("double"), 4).as("effective_n"))
+      .orderBy(col("segment"))
+  }
+
   /** EXACT multi-quantile per group by RANK PICK — p25/p50/p75/p90 as
     * actual data values at rank ⌈q·n⌉ (type-1 quantiles: no
     * interpolation arithmetic, engine-independent by construction) —
@@ -873,6 +910,9 @@ object Aggregations {
     // smallest customer head covering 80% of segment revenue
     "q_agg_pareto_cut" -> ((s, d) =>
       paretoCut(Tables.orders(s, d), Tables.customer(s, d))),
+    // Herfindahl concentration + effective participant count
+    "q_agg_hhi" -> ((s, d) =>
+      herfindahl(Tables.orders(s, d), Tables.customer(s, d))),
     // distinct-user overlap between every event-type pair
     "q_agg_audience_overlap" -> ((s, d) =>
       audienceOverlap(Tables.events(s, d))),
@@ -1291,6 +1331,27 @@ object Aggregations {
         |         / 1e6 AS cum_share
         |FROM dec a JOIN dec b ON b.decile <= a.decile
         |GROUP BY a.decile ORDER BY a.decile""".stripMargin,
+    // same integer cents, same 1e-12-quantized share² terms, same
+    // fixed final divisions
+    "q_agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment AS grp, o.o_custkey AS cust,
+        |         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(cents) AS BIGINT) AS tot FROM rev GROUP BY 1),
+        |q AS (
+        |  SELECT rev.grp,
+        |         CAST(floor((CAST(rev.cents AS DOUBLE) / CAST(t.tot AS DOUBLE))
+        |                    * (CAST(rev.cents AS DOUBLE) / CAST(t.tot AS DOUBLE))
+        |                    * 1e12 + 0.5) AS BIGINT) AS termq
+        |  FROM rev JOIN t ON rev.grp = t.grp)
+        |SELECT grp AS segment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       floor(CAST(sum(termq) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS hhi,
+        |       floor(1e12 / CAST(sum(termq) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |         AS effective_n
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
     // same integer cents, same (cents DESC, cust) exclusive-prefix
     // threshold ⌈tot·80/100⌉, same fixed share divisions
     "q_agg_pareto_cut" ->

@@ -2288,6 +2288,23 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r("b") == ((2L, None, None, None)), s"got $r")
   }
 
+  test("herfindahl: equal duopoly scores 0.5, monopoly 1.0, effective count inverts") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (10L, d("1995-01-01"), 40.0), (20L, d("1995-01-02"), 40.0),
+      (30L, d("1995-01-03"), 9.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((10L, "A"), (20L, "A"), (30L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Aggregations.herfindahl(orders, cust).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))).toMap
+    assert(r("A") == ((2L, 0.5, 2.0)), s"got $r")
+    assert(r("B") == ((1L, 1.0, 1.0)), s"got $r")
+  }
+
   test("dedupContainment: full doc-inside-doc scores 1.0; disjoint docs never pair") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -592,6 +592,12 @@ class PlanSpec extends SparkTestBase {
     assert(aggs == 4, s"expected 4 HashAggregate nodes, got $aggs:\n${plan.take(3000)}")
   }
 
+  test("q_agg_hhi: totals broadcast back; no window anywhere") {
+    val plan = executed("q_agg_hhi")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("q_similarity_knn_join: rank filter pre-reduces map-side (WindowGroupLimit)") {
     // the per-query top-k must NOT shuffle the full pair set: the
     // rnk <= k filter rewrites into a Partial WindowGroupLimit below

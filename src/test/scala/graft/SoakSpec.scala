@@ -1825,6 +1825,16 @@ class SoakSpec extends SparkTestBase {
       assert(pc == (0 until 5).map(i =>
         (s"SEG$i", 200000L, 160000L, 0.8, 0.8)), s"got $pc")
 
+      // ---- HHI on the same equal-revenue fixture: 1/n exactly ----
+      val (hh, tHh) = timed {
+        Aggregations.herfindahl(pcOrders.repartition(8),
+            pcCust.repartition(8)).collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+            x.getDouble(3))).toSeq
+      }
+      assert(hh == (0 until 5).map(i =>
+        (s"SEG$i", 200000L, 0.000005, 200000.0)), s"got $hh")
+
       // ---- skyline: planted frontier + strictly-dominated cloud ----
       val skyIn = spark.range(200000L).select(
         col("id").as("p_partkey"),
@@ -1930,7 +1940,10 @@ class SoakSpec extends SparkTestBase {
            |days on every row. Pareto cut over 1M equal-revenue
            |customers in 5 segments: the 80% head is exactly 160k of
            |200k per segment, both shares exactly 0.8 — the grouped
-           |prefix sum never collapses a segment to one task. Skyline
+           |prefix sum never collapses a segment to one task; the
+           |Herfindahl index on the same fixture is exactly 1/n
+           |(0.000005, effective count 200,000) per segment through
+           |the 1e-12 quantized-term sum. Skyline
            |over 100 brands × (1,000-point anti-chain frontier + 1,000
            |strictly-dominated points): survivors are exactly the
            |frontier. Cohort LTV over 100k customers spending
@@ -1952,6 +1965,7 @@ class SoakSpec extends SparkTestBase {
            || poissonDays (1k series, planted spike) | 3.7M | ${f"$tPo%.1f"} | ${f"$ratio%.2f"} |
            || businessDaySla (1M items) | 2.0M | ${f"$tBd%.1f"} | ${f"$ratio%.2f"} |
            || paretoCut (1M customers, 5 segments) | 2.0M | ${f"$tPc%.1f"} | ${f"$ratio%.2f"} |
+           || herfindahl (1M equal customers: HHI 1/n) | 2.0M | ${f"$tHh%.1f"} | ${f"$ratio%.2f"} |
            || skyline2d (100 brands, planted frontier) | 200k | ${f"$tSky%.1f"} | ${f"$ratio%.2f"} |
            || cohortLtv (100k customers, 12 cohorts) | 400k | ${f"$tLtv%.1f"} | ${f"$ratio%.2f"} |
            || twoHopRecs (200k path) | 200k edges | ${f"$tTh%.1f"} | ${f"$ratio%.2f"} |
