@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorDot(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[VectorSqDist].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sqdist(a, b)")
+        VectorSqDist(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash_votes"),
       new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash_votes"),
       (children: Seq[Expression]) => {
