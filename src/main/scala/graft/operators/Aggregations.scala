@@ -663,28 +663,49 @@ object Aggregations {
     * interpolation); the SE chain uses quantized replicate-mean
     * moments with a ≥0 clamp (quantization can leave −ulp variance).
     *
-    * Scale posture: one flat-map (rows × B replicates — B bounded,
-    * rows never shuffle raw) into a B-group hash aggregate of two
-    * longs each with map-side partials; the replicate table is B
-    * rows, everything after is a 1-row fold. */
+    * Scale posture: ONE corpus scan with 2·B conditional aggregate
+    * columns (B bounded; rows never shuffle raw, never replicate —
+    * the map side reduces to a single 2·B-long partial per task);
+    * the replicate table unpacks from that one row, everything after
+    * is a 1-row fold. */
   def bootstrapMean(df: DataFrame, id: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column, b: Int = 100,
       salt: String = "bs"): DataFrame = {
     require(b >= 10, s"need b >= 10: $b")
-    val reps = df.sparkSession.range(0, b.toLong).select(col("id").as("rep"))
     val base = df.select(id.as("rid"), value.as("v"))
-    val u = conv(substring(sha2(concat(col("rid").cast("string"),
-      lit(":" + salt + ":"), col("rep").cast("string")), 256), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
-    val w = when(u < poissonCdf(0), 0L).when(u < poissonCdf(1), 1L)
-      .when(u < poissonCdf(2), 2L).when(u < poissonCdf(3), 3L)
-      .when(u < poissonCdf(4), 4L).otherwise(5L)
-    val repMeans = base.crossJoin(broadcast(reps))
-      .select(col("rep"), (w * floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
-        .as("wxq"), w.as("w"))
-      .groupBy(col("rep"))
-      .agg((sum(col("wxq")).cast("double") / lit(1e6) /
-        sum(col("w")).cast("double")).as("mb"))
+    // SINGLE-PASS replicate sums: 2·B conditional aggregate columns
+    // over one scan replace the r11 rows×B flat-map + B-group hash
+    // aggregate (n·B rows materialized through the agg hash map; 13.9 s
+    // = the #2 bench line). Per-replicate Σwᵢxqᵢ and Σwᵢ are
+    // order-independent INTEGER sums, so the replicate means — and
+    // every hash-checked digit downstream — are bit-identical to the
+    // grouped form and to the unchanged DuckDB twin. The weight
+    // projection lands in its own select so each sha-256 draw is
+    // evaluated once per (row, replicate), not once per referencing
+    // aggregate.
+    def wFor(rep: Int): org.apache.spark.sql.Column = {
+      val u = conv(substring(sha2(concat(col("rid").cast("string"),
+        lit(":" + salt + ":" + rep)), 256), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      when(u < poissonCdf(0), 0L).when(u < poissonCdf(1), 1L)
+        .when(u < poissonCdf(2), 2L).when(u < poissonCdf(3), 3L)
+        .when(u < poissonCdf(4), 4L).otherwise(5L)
+    }
+    val xq = floor(col("v") * lit(1e6) + lit(0.5)).cast("long")
+    // graft.spread: B sha-256 draws per row is CPU-heavy narrow work
+    // and the harness tables arrive as one split — without the
+    // exchange the whole pass runs on one core (integer sums are
+    // partitioning-invariant, so parity is unaffected)
+    val wide = graft.spread(base, col("rid")).select(col("v") +:
+      (0 until b).map(r => wFor(r).as(s"w$r")): _*)
+    val sums = (0 until b).flatMap(r => Seq(
+      sum(col(s"w$r") * xq).as(s"s$r"), sum(col(s"w$r")).as(s"c$r")))
+    val oneRow = wide.agg(sums.head, sums.tail: _*)
+    val repMeans = oneRow.select(explode(array((0 until b).map(r =>
+        struct(lit(r.toLong).as("rep"),
+          (col(s"s$r").cast("double") / lit(1e6) /
+            col(s"c$r").cast("double")).as("mb"))): _*)).as("e"))
+      .select(col("e.rep").as("rep"), col("e.mb").as("mb"))
     val kLo = math.floor(0.025 * b).toInt + 1
     val kHi = b - math.floor(0.025 * b).toInt
     val stats = repMeans.agg(
