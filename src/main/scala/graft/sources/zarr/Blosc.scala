@@ -8,9 +8,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * reference's own NASA POWER store ([REF precipitation_pipeline.py:47,
   * 79-86]). Implemented from the PUBLIC c-blosc 1.x container format
   * (github.com/Blosc/c-blosc, `README_HEADER.rst` + `blosc/blosc.c`) —
-  * no native library, no new dependency: the inner codecs are zlib
-  * (`java.util.zip`) and the raw LZ4 block format via the lz4-java jar
-  * Spark already ships.
+  * no new dependency: the inner codecs are zlib (`java.util.zip`),
+  * the raw LZ4 block format via the lz4-java jar Spark already ships,
+  * and zstd via the zstd-jni jar Spark already ships.
   *
   * Frame layout (all ints little-endian):
   * {{{
@@ -36,8 +36,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * !dontSplitFlag` (c-blosc `blosc_d`; the bit-4 flag exists since
   * c-blosc 1.11 precisely so decoders stay format-compatible).
   *
-  * Unsupported frames (blosclz/snappy/zstd codecs, bit-shuffle, delta)
-  * fail LOUDLY — a silent misread is the one unacceptable outcome.
+  * Inner codecs: lz4/lz4hc (lz4-java), zlib (`java.util.zip`), zstd
+  * (the zstd-jni jar Spark ships) — together the numcodecs
+  * configurations actually seen in the wild (`Blosc(cname='zstd')` is
+  * the common non-default choice). Filters: byte shuffle and BIT
+  * shuffle (c-blosc 1.x `bitshuffle()` = the kiyo-masui/bitshuffle
+  * transform: per block, the [n-elements × 8·typesize-bits] matrix is
+  * transposed into bit planes — plane p = bit p%8 (LSB-first) of
+  * element byte p/8, n/8 bytes per plane, elements past the last
+  * multiple of 8 plus the sub-typesize tail copied verbatim, exactly
+  * c-blosc's `size -= size % 8` + leftover memcpy).
+  *
+  * Unsupported frames (blosclz/snappy codecs, delta filter) fail
+  * LOUDLY — a silent misread is the one unacceptable outcome.
   */
 object Blosc {
   private val DoShuffle = 0x1
@@ -47,9 +58,15 @@ object Blosc {
   private val DontSplit = 0x10
   private val CodecLz4 = 1
   private val CodecZlib = 3
+  private val CodecZstd = 4
   private val MaxSplits = 16
   private val MinBufferSize = 128
   private val HeaderLen = 16
+
+  /** numcodecs `shuffle` numbering, reused by [[compress]]. */
+  val ShuffleNone = 0
+  val ShuffleByte = 1
+  val ShuffleBit = 2
 
   private def lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
@@ -68,7 +85,8 @@ object Blosc {
     require(version >= 1 && version <= 2, s"blosc format version $version unsupported (1-2 only)")
     require(nbytes >= 0 && cbytes >= HeaderLen && cbytes <= frame.length,
       s"blosc frame header nbytes=$nbytes cbytes=$cbytes inconsistent with ${frame.length} bytes")
-    require((flags & DoBitShuffle) == 0, "blosc bit-shuffle filter unsupported (byte shuffle only)")
+    require((flags & (DoShuffle | DoBitShuffle)) != (DoShuffle | DoBitShuffle),
+      "blosc frame sets both byte-shuffle and bit-shuffle flags")
     require((flags & DoDelta) == 0, "blosc delta filter unsupported")
     if (nbytes == 0) return Array.emptyByteArray
 
@@ -79,15 +97,16 @@ object Blosc {
     }
 
     val codec = (flags >> 5) & 0x7
-    require(codec == CodecLz4 || codec == CodecZlib, {
+    require(codec == CodecLz4 || codec == CodecZlib || codec == CodecZstd, {
       val name = codec match {
-        case 0 => "blosclz"; case 2 => "snappy"; case 4 => "zstd"; case c => s"id=$c"
+        case 0 => "blosclz"; case 2 => "snappy"; case c => s"id=$c"
       }
-      s"blosc inner codec '$name' unsupported (lz4/zlib only)"
+      s"blosc inner codec '$name' unsupported (lz4/zlib/zstd only)"
     })
     require(blocksize > 0 && typesize > 0,
       s"blosc frame blocksize=$blocksize typesize=$typesize invalid")
     val shuffled = (flags & DoShuffle) != 0
+    val bitShuffled = (flags & DoBitShuffle) != 0
     val dontSplit = (flags & DontSplit) != 0
 
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
@@ -129,6 +148,13 @@ object Blosc {
                 w += k
               }
               inf.end(); w
+            case CodecZstd =>
+              val n = com.github.luben.zstd.Zstd.decompressByteArray(
+                blockBuf, s * neblock, neblock, frame, soff, csize)
+              require(!com.github.luben.zstd.Zstd.isError(n),
+                s"blosc block $j split $s zstd: " +
+                  com.github.luben.zstd.Zstd.getErrorName(n))
+              n.toInt
           }
           require(got == neblock,
             s"blosc block $j split $s decoded $got bytes, expected $neblock")
@@ -137,7 +163,8 @@ object Blosc {
         s += 1
       }
       val dest = j * blocksize
-      if (shuffled) unshuffle(typesize, bsize, blockBuf, out, dest)
+      if (bitShuffled) bitUnshuffle(typesize, bsize, blockBuf, out, dest)
+      else if (shuffled) unshuffle(typesize, bsize, blockBuf, out, dest)
       else System.arraycopy(blockBuf, 0, out, dest, bsize)
       j += 1
     }
@@ -147,20 +174,25 @@ object Blosc {
   // ---------------------------------------------------------------- encode
 
   /** Encode raw bytes as a blosc frame c-blosc would accept (and this
-    * decoder round-trips): byte-shuffle per block, forward-compat split
-    * mode (split for lz4, don't for zlib), stored-stream fallback per
-    * split, whole-frame memcpy fallback when compression does not pay. */
+    * decoder round-trips): byte- or bit-shuffle per block (numcodecs
+    * `shuffle` numbering: 0 none, 1 byte, 2 bit), forward-compat split
+    * mode (split for lz4, don't for zlib/zstd), stored-stream fallback
+    * per split, whole-frame memcpy fallback when compression does not
+    * pay. */
   def compress(raw: Array[Byte], cname: String, typesize: Int,
-      shuffle: Boolean = true, clevel: Int = 5): Array[Byte] = {
+      shuffle: Int = ShuffleByte, clevel: Int = 5): Array[Byte] = {
     val codec = cname match {
       case "lz4" | "lz4hc" => CodecLz4
       case "zlib" => CodecZlib
+      case "zstd" => CodecZstd
       case other => throw new IllegalArgumentException(s"blosc cname '$other' unsupported")
     }
+    require(shuffle >= ShuffleNone && shuffle <= ShuffleBit,
+      s"blosc shuffle mode $shuffle (0 none, 1 byte, 2 bit)")
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize out of byte range")
     val nbytes = raw.length
     if (nbytes == 0) return header(codec, typesize, 0, 0, HeaderLen, memcpy = false,
-      shuffle = false, dontSplit = true)
+      shuffle = ShuffleNone, dontSplit = true)
 
     // block size: 64 KiB rounded to the typesize (c-blosc picks an
     // L2-ish auto size; any multiple-of-typesize value is valid — the
@@ -183,10 +215,12 @@ object Blosc {
       bstarts(j) = HeaderLen + 4 * nblocks + body.size()
       val leftoverBlock = j == nblocks - 1 && leftover != 0
       val bsize = if (leftoverBlock) leftover else blocksize
-      val src =
-        if (shuffle) { doShuffle(typesize, bsize, raw, j * blocksize, shuf); shuf }
-        else raw
-      val srcOff = if (shuffle) 0 else j * blocksize
+      val src = shuffle match {
+        case ShuffleByte => doShuffle(typesize, bsize, raw, j * blocksize, shuf); shuf
+        case ShuffleBit => bitShuffle(typesize, bsize, raw, j * blocksize, shuf); shuf
+        case _ => raw
+      }
+      val srcOff = if (shuffle == ShuffleNone) j * blocksize else 0
       val nsplits = if (doSplit && !leftoverBlock) typesize else 1
       val neblock = bsize / nsplits
       var s = 0
@@ -205,6 +239,14 @@ object Blosc {
             while (!defl.finished()) o.write(tmp, 0, defl.deflate(tmp))
             defl.end()
             if (o.size() < neblock) Some(o.toByteArray) else None
+          case CodecZstd =>
+            val bound = com.github.luben.zstd.Zstd.compressBound(neblock.toLong).toInt
+            val tmp = new Array[Byte](bound)
+            val n = com.github.luben.zstd.Zstd.compressByteArray(
+              tmp, 0, bound, src, srcOff + s * neblock, neblock, clevel)
+            require(!com.github.luben.zstd.Zstd.isError(n),
+              "zstd compress: " + com.github.luben.zstd.Zstd.getErrorName(n))
+            if (n < neblock) Some(java.util.Arrays.copyOf(tmp, n.toInt)) else None
         }
         val le = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         packed match {
@@ -221,7 +263,7 @@ object Blosc {
     val cbytes = HeaderLen + 4 * nblocks + body.size()
     if (cbytes >= nbytes + HeaderLen) { // compression does not pay: memcpy frame
       val out = header(codec, typesize, nbytes, blocksize, HeaderLen + nbytes,
-        memcpy = true, shuffle = false, dontSplit = true)
+        memcpy = true, shuffle = ShuffleNone, dontSplit = true)
       val full = java.util.Arrays.copyOf(out, HeaderLen + nbytes)
       System.arraycopy(raw, 0, full, HeaderLen, nbytes)
       return full
@@ -237,10 +279,11 @@ object Blosc {
   }
 
   private def header(codec: Int, typesize: Int, nbytes: Int, blocksize: Int,
-      cbytes: Int, memcpy: Boolean, shuffle: Boolean, dontSplit: Boolean): Array[Byte] = {
+      cbytes: Int, memcpy: Boolean, shuffle: Int, dontSplit: Boolean): Array[Byte] = {
     val h = ByteBuffer.allocate(HeaderLen).order(ByteOrder.LITTLE_ENDIAN)
     var flags = codec << 5
-    if (shuffle) flags |= DoShuffle
+    if (shuffle == ShuffleByte) flags |= DoShuffle
+    if (shuffle == ShuffleBit) flags |= DoBitShuffle
     if (memcpy) flags |= MemCpyed
     if (dontSplit) flags |= DontSplit
     h.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
@@ -267,6 +310,63 @@ object Blosc {
     }
     System.arraycopy(src, srcOff + quot * typesize, dest, quot * typesize,
       bsize - quot * typesize)
+  }
+
+  /** Bit shuffle one block (c-blosc 1.x `bitshuffle()` semantics, the
+    * kiyo-masui/bitshuffle transform): with n = the largest multiple
+    * of 8 ≤ bsize/typesize elements, the [n × 8·typesize] bit matrix
+    * (bit index within an element = byte j · 8 + bit k, k LSB-first)
+    * transposes into 8·typesize bit planes of n/8 bytes each — plane
+    * p = j·8+k holds bit k of byte j of elements 0..n−1, element i at
+    * byte i/8 bit i%8. Elements past n and the sub-typesize tail are
+    * copied verbatim (c-blosc `size -= size % 8` + leftover memcpy).
+    * The scalar formulation is the composition of c-blosc's
+    * trans_byte_elem → trans_bit_byte → trans_bitrow_eight steps,
+    * collapsed to its net bit mapping. */
+  private def bitShuffle(typesize: Int, bsize: Int, src: Array[Byte],
+      srcOff: Int, dest: Array[Byte]): Unit = {
+    val n = (bsize / typesize) & ~7
+    val covered = n * typesize
+    val planeBytes = n >> 3
+    java.util.Arrays.fill(dest, 0, covered, 0.toByte)
+    var p = 0
+    while (p < 8 * typesize) {
+      val j = p >> 3
+      val k = p & 7
+      val base = p * planeBytes
+      var i = 0
+      while (i < n) {
+        val bit = (src(srcOff + i * typesize + j) >> k) & 1
+        dest(base + (i >> 3)) = (dest(base + (i >> 3)) | (bit << (i & 7))).toByte
+        i += 1
+      }
+      p += 1
+    }
+    System.arraycopy(src, srcOff + covered, dest, covered, bsize - covered)
+  }
+
+  /** Inverse of [[bitShuffle]]. */
+  private def bitUnshuffle(typesize: Int, bsize: Int, src: Array[Byte],
+      dest: Array[Byte], destOff: Int): Unit = {
+    val n = (bsize / typesize) & ~7
+    val covered = n * typesize
+    val planeBytes = n >> 3
+    java.util.Arrays.fill(dest, destOff, destOff + covered, 0.toByte)
+    var p = 0
+    while (p < 8 * typesize) {
+      val j = p >> 3
+      val k = p & 7
+      val base = p * planeBytes
+      var i = 0
+      while (i < n) {
+        val bit = (src(base + (i >> 3)) >> (i & 7)) & 1
+        val d = destOff + i * typesize + j
+        dest(d) = (dest(d) | (bit << k)).toByte
+        i += 1
+      }
+      p += 1
+    }
+    System.arraycopy(src, covered, dest, destOff + covered, bsize - covered)
   }
 
   /** Inverse of [[doShuffle]]. */

@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope (the subset the reference actually exercises): zarr format 2,
   * C order, little-endian `<f8 <f4 <i8 <i4`, compressor `null`/zlib/
-  * gzip/blosc (lz4, lz4hc, zlib inner codecs — see [[Blosc]]),
+  * gzip/blosc (lz4, lz4hc, zlib, zstd inner codecs, byte- and
+  * bit-shuffle filters — see [[Blosc]]),
   * `.`- or `/`-separated chunk keys, missing chunks = fill
   * value. Anything else fails LOUDLY at schema inference — silent
   * misreads of an unsupported codec are the one unacceptable outcome.
@@ -124,11 +125,13 @@ object ZarrMeta {
           // inner codec, but reject unreadable configs HERE so the
           // failure lands at schema inference, not mid-scan
           val cname = comp.path("cname").asText
-          require(Set("lz4", "lz4hc", "zlib")(cname),
-            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib only)")
-          require(comp.path("shuffle").asInt(0) != 2,
-            "blosc bit-shuffle unsupported (byte shuffle only)")
-          Some(if (cname == "zlib") "blosc:zlib" else "blosc:lz4")
+          require(Set("lz4", "lz4hc", "zlib", "zstd")(cname),
+            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd only)")
+          Some(cname match {
+            case "zlib" => "blosc:zlib"
+            case "zstd" => "blosc:zstd"
+            case _ => "blosc:lz4"
+          })
         case other =>
           throw new IllegalArgumentException(
             s"compressor '$other' unsupported (null/zlib/gzip/blosc only)")
@@ -181,6 +184,7 @@ private[zarr] object ZarrCodec {
     case None => raw
     case Some("blosc:lz4") => Blosc.compress(raw, "lz4", typesize)
     case Some("blosc:zlib") => Blosc.compress(raw, "zlib", typesize)
+    case Some("blosc:zstd") => Blosc.compress(raw, "zstd", typesize)
     case Some("zlib") =>
       val defl = new java.util.zip.Deflater(5)
       defl.setInput(raw); defl.finish()
@@ -203,6 +207,8 @@ private[zarr] object ZarrCodec {
       """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
     case Some("blosc:zlib") =>
       """{"id":"blosc","cname":"zlib","clevel":5,"shuffle":1,"blocksize":0}"""
+    case Some("blosc:zstd") =>
+      """{"id":"blosc","cname":"zstd","clevel":5,"shuffle":1,"blocksize":0}"""
     case Some(id) => s"""{"id":"$id","level":5}"""
   }
 }

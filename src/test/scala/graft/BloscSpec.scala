@@ -68,21 +68,72 @@ class BloscSpec extends SparkTestBase {
     assert(Blosc.decompress(frame).toSeq == payload.toSeq)
   }
 
-  test("unsupported frames fail LOUDLY: zstd, snappy, blosclz, bitshuffle, truncation") {
+  test("unsupported frames fail LOUDLY: snappy, blosclz, both-shuffle-flags, truncation") {
     val stored = le32(20) ++ le32(16) ++ Array.fill[Byte](16)(1)
     def frame(flags: Int) = header(flags, 8, 16, 16, 40) ++ stored
-    val zstd = intercept[IllegalArgumentException](Blosc.decompress(frame(4 << 5)))
-    assert(zstd.getMessage.contains("zstd"), zstd.getMessage)
     val snappy = intercept[IllegalArgumentException](Blosc.decompress(frame(2 << 5)))
     assert(snappy.getMessage.contains("snappy"), snappy.getMessage)
     val blosclz = intercept[IllegalArgumentException](Blosc.decompress(frame(0)))
     assert(blosclz.getMessage.contains("blosclz"), blosclz.getMessage)
-    val bitshuf = intercept[IllegalArgumentException](Blosc.decompress(frame(0x04 | (1 << 5))))
-    assert(bitshuf.getMessage.contains("bit-shuffle"), bitshuf.getMessage)
+    // a frame claiming BOTH byte- and bit-shuffle is malformed
+    val both = intercept[IllegalArgumentException](
+      Blosc.decompress(frame(0x01 | 0x04 | (1 << 5))))
+    assert(both.getMessage.contains("both"), both.getMessage)
     // cbytes past the end of the actual buffer
     val trunc = intercept[IllegalArgumentException](
       Blosc.decompress(frame(1 << 5).dropRight(10)))
     assert(trunc.getMessage.contains("inconsistent"), trunc.getMessage)
+  }
+
+  test("golden frame: hand-assembled ZSTD raw-block frame decodes (spec, not our encoder)") {
+    // zstd frame built byte-by-byte from RFC 8878: magic, single-segment
+    // frame header (FCS = 1 byte), one raw last-block, 16 literal bytes
+    val payload = Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte)
+    val zstdFrame = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, // magic
+      0x20, 16, // FHD: single-segment + 1-byte FCS; content size 16
+      0x81.toByte, 0x00, 0x00) ++ payload // block header (16<<3)|raw|last
+    val frame = header(4 << 5, 8, 16, 16,
+      16 + 4 + 4 + zstdFrame.length) ++
+      le32(20) ++ le32(zstdFrame.length) ++ zstdFrame
+    assert(Blosc.decompress(frame).toSeq == payload.toSeq)
+  }
+
+  test("golden frame: zstd RLE-block frame decodes") {
+    // RLE last-block: 32 copies of 0xAB from a single stored byte
+    val zstdFrame = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte,
+      0x20, 32, // FCS = 32
+      0x03, 0x01, 0x00, // block header (32<<3)|(RLE<<1)|last = 0x103
+      0xAB.toByte)
+    val frame = header(4 << 5, 8, 32, 32,
+      16 + 4 + 4 + zstdFrame.length) ++
+      le32(20) ++ le32(zstdFrame.length) ++ zstdFrame
+    assert(Blosc.decompress(frame).toSeq == Seq.fill(32)(0xAB.toByte))
+  }
+
+  test("golden frames: bit-shuffle orientation pinned by hand-derived vectors") {
+    // stored-stream frames (csize == neblock) so only the filter runs.
+    // typesize 1, 8 elements: the [8 x 8] bit matrix transposes; the
+    // identity matrix (element i = 1<<i) is its own transpose, so the
+    // shuffled payload EQUALS the plain one — any orientation or bit-
+    // endianness mistake breaks this fixture.
+    def bitFrame(shuffled: Array[Byte], typesize: Int, nbytes: Int) =
+      header(0x04 | (1 << 5), typesize, nbytes, nbytes,
+        16 + 4 + 4 + shuffled.length) ++
+        le32(20) ++ le32(shuffled.length) ++ shuffled
+    val ident = Array[Byte](1, 2, 4, 8, 16, 32, 64, 128.toByte)
+    assert(Blosc.decompress(bitFrame(ident, 1, 8)).toSeq == ident.toSeq)
+    // element 0 = 0xFF, rest 0: every bit plane holds exactly bit 0
+    // -> shuffled = [1,1,1,1,1,1,1,1], plain = [0xFF,0,...]
+    val ones = Array.fill[Byte](8)(1)
+    val want = Array[Byte](0xFF.toByte, 0, 0, 0, 0, 0, 0, 0)
+    assert(Blosc.decompress(bitFrame(ones, 1, 8)).toSeq == want.toSeq)
+    // typesize 2, 8 elements (16 bytes): element 3 byte 1 bit 2 lives
+    // in plane 8*1+2 = 10, byte 0, bit 3 -> shuffled[10] = 0x08
+    val shuf2 = new Array[Byte](16)
+    shuf2(10) = 0x08
+    val want2 = new Array[Byte](16)
+    want2(3 * 2 + 1) = 0x04
+    assert(Blosc.decompress(bitFrame(shuf2, 2, 16)).toSeq == want2.toSeq)
   }
 
   test("encoder round trip across geometries: blocks, splits, leftovers, tails") {
@@ -92,9 +143,9 @@ class BloscSpec extends SparkTestBase {
     val sizes = Seq(8, 256, 1024, 65536, 65536 + 128, 131072 + 8, 65537, 100)
     for {
       n <- sizes
-      cname <- Seq("lz4", "zlib")
+      cname <- Seq("lz4", "zlib", "zstd")
       typesize <- Seq(4, 8)
-      shuffle <- Seq(true, false)
+      shuffle <- Seq(Blosc.ShuffleNone, Blosc.ShuffleByte, Blosc.ShuffleBit)
     } {
       // compressible but non-constant
       val raw = Array.tabulate[Byte](n)(i => (i / 64).toByte)
@@ -109,8 +160,9 @@ class BloscSpec extends SparkTestBase {
     val raw = Array.tabulate[Byte](65536)(i => (i % 7).toByte)
     // lz4, typesize 8, blocksize/typesize = 8192 >= 128 -> split: bit 4 clear
     assert((Blosc.compress(raw, "lz4", 8)(2) & 0x10) == 0)
-    // zlib never splits in forward-compat mode: bit 4 set
+    // zlib and zstd never split in forward-compat mode: bit 4 set
     assert((Blosc.compress(raw, "zlib", 8)(2) & 0x10) != 0)
+    assert((Blosc.compress(raw, "zstd", 8)(2) & 0x10) != 0)
   }
 
   test("incompressible input falls back to a memcpy frame that round-trips") {
@@ -155,7 +207,25 @@ class BloscSpec extends SparkTestBase {
     assert(rows(0) == rows(2) && rows(1) == rows(2), rows.mkString(" vs "))
   }
 
-  test("blosc metadata gate: lz4hc accepted, bit-shuffle and unknown cnames refused") {
+  test("a hand-built blosc(zstd, bit-shuffle) STORE reads through the scan") {
+    // the common non-default numcodecs configuration in the wild:
+    // Blosc(cname='zstd', shuffle=Blosc.BITSHUFFLE)
+    val dir = graft.sources.IO.tmp("graft_blosc_zstd_store_") + "/v"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, ".zarray"),
+      """{"zarr_format":2,"shape":[48],"chunks":[48],"dtype":"<f8",
+        |"compressor":{"id":"blosc","cname":"zstd","clevel":5,"shuffle":2,"blocksize":0},
+        |"fill_value":0.0,"order":"C","filters":null}""".stripMargin)
+    Files.writeString(Paths.get(dir, ".zattrs"), """{"_ARRAY_DIMENSIONS":["t"]}""")
+    val buf = ByteBuffer.allocate(48 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 48).foreach(i => buf.putDouble(i * 0.25 - 3.0))
+    Files.write(Paths.get(dir, "0"),
+      Blosc.compress(buf.array(), "zstd", 8, Blosc.ShuffleBit))
+    val got = Zarr.readArray(spark, dir).orderBy(col("t")).collect().map(_.getDouble(1))
+    assert(got.toSeq == (0 until 48).map(_ * 0.25 - 3.0))
+  }
+
+  test("blosc metadata gate: lz4hc/zstd/bit-shuffle accepted, unknown cnames refused") {
     val base = graft.sources.IO.tmp("graft_blosc_meta_")
     def store(name: String, comp: String): String = {
       val d = Paths.get(base, name)
@@ -170,10 +240,11 @@ class BloscSpec extends SparkTestBase {
     val zl = store("zl", """{"id":"blosc","cname":"zlib","clevel":5,"shuffle":0}""")
     assert(ZarrMeta.read(zl).compressor.contains("blosc:zlib"))
     val bit = store("bit", """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":2}""")
-    val e1 = intercept[IllegalArgumentException](ZarrMeta.read(bit))
-    assert(e1.getMessage.contains("bit-shuffle"), e1.getMessage)
+    assert(ZarrMeta.read(bit).compressor.contains("blosc:lz4"))
     val zs = store("zs", """{"id":"blosc","cname":"zstd","clevel":5,"shuffle":1}""")
-    val e2 = intercept[IllegalArgumentException](ZarrMeta.read(zs))
+    assert(ZarrMeta.read(zs).compressor.contains("blosc:zstd"))
+    val sn = store("sn", """{"id":"blosc","cname":"snappy","clevel":5,"shuffle":1}""")
+    val e2 = intercept[IllegalArgumentException](ZarrMeta.read(sn))
     assert(e2.getMessage.contains("unsupported"), e2.getMessage)
   }
 }
