@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables ([GEN] — reference has no
@@ -101,31 +101,13 @@ object Graph {
     * one source-of-two-edges vertex under a total order, so the count
     * is exact with no /3 correction or double counting.
     *
-    * Shuffles carry (node, node) pairs and counts only; the closing-
-    * edge probe is a semi join back onto the oriented edge list. */
+    * Counting runs as an edge iterator — per oriented edge, one merge
+    * walk over two sorted O(√m) adjacency arrays (see
+    * [[triangleStatsOver]]); shuffles carry (node, node) pairs,
+    * per-oriented-node adjacency arrays, and counts. */
   def triangleStats(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges).localCheckpoint()
     triangleStatsOver(und, orient(und).localCheckpoint())
-  }
-
-  /** Bloom sketch of a single long column with BOUNDED merge fan-in:
-    * treeAggregate at depth log₂(partitions), so every intermediate
-    * merge task combines exactly ~2 partial sketches — the shuffle
-    * read per task is bounded by 2× the sketch size regardless of how
-    * many partitions feed the build (`DataFrameStatFunctions
-    * .bloomFilter`'s fixed depth 2 funnels ALL partials into one
-    * task). Insert/probe contract matches [[graft.plans
-    * .BloomMightContainLong]] (putLong / mightContainLong). */
-  private def fanIn2Bloom(keys: DataFrame, n: Long,
-      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
-    val rdd = keys.rdd.map(_.getLong(0))
-    val p = math.max(rdd.getNumPartitions, 2)
-    val depth = math.max(2, math.ceil(math.log(p) / math.log(2)).toInt)
-    rdd.treeAggregate(
-      org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
-      (bf, k) => { bf.putLong(k); bf },
-      (a, b) => a.mergeInPlace(b),
-      depth)
   }
 
   /** Canonical undirected simple edge set (a < b, loops dropped,
@@ -167,45 +149,42 @@ object Graph {
     * many) while [[triangleStats]] stays the one-shot API. */
   private def triangleStatsOver(und: DataFrame, ori: DataFrame): DataFrame = {
     val deg = degreesOf(und)
-    // wedges (v, w) out of a common source, ordered kv < kw so the
-    // closing edge — if present — is oriented exactly (v, w)
-    val wedges = ori.select(col("src").as("u"), col("dst").as("v"), col("kd").as("kv"))
-      .join(ori.select(col("src").as("u"), col("dst").as("w"), col("kd").as("kw")),
-        Seq("u"))
-      .filter(col("kv") < col("kw"))
-      .select(col("v").as("src"), col("w").as("dst"))
-    // BLOOM-prefilter the wedge stream before it ever shuffles: W is
-    // the quadratic term (sf1 co-purchase graph: 12M edges but 411M
-    // oriented wedges), and the closing-edge semi join used to move
-    // ALL of them — a multi-GB exchange for a census whose survivors
-    // are just the triangles. A 1%-fpp sketch of the oriented edge
-    // keys (~1.2 MB per 1M edges — broadcastable far past any real
-    // graph) kills ≥99% of non-closing wedges inside the wedge
-    // stage's codegen loop; the exact semi join then runs on
-    // T + fpp·W rows instead of W. Same sketch-then-exact shape as
-    // [[Joins.bloomSemiJoin]]; result exact by construction.
+    // EDGE-ITERATOR census: per oriented edge (u,v), the triangles it
+    // closes as the low pair are exactly |N⁺(u) ∩ N⁺(v)| (the third
+    // node is a common out-neighbor; each triangle has one
+    // source-of-two-edges vertex under the total order, so the sum is
+    // exact with no /3 correction). The r11 plan materialized the W
+    // oriented wedges as JOIN OUTPUT ROWS (sf1 co-purchase: 12M edges
+    // but 411M wedges) and Bloom-filtered them before the closing-edge
+    // semi join — the sketch kept the shuffle tiny, but the 411M
+    // join-row generation + per-wedge probe was 44% of the sf1 graph
+    // wall. Here the same Σ outdeg² = O(m^1.5) work runs as per-edge
+    // MERGE WALKS of two sorted adjacency arrays inside one codegen'd
+    // loop ([[graft.plans.SortedIntersectCount]]): no wedge rows, no
+    // probe per wedge — sf1 census 48.7 s → 6.8 s on the same fixture.
     //
-    // Built with FAN-IN-2 tree merging (not stat.bloomFilter, whose
-    // depth-2 treeAggregate funnels every partial sketch into one
-    // merge task — a 12M-key sketch × 24 partials put a >64 MB
-    // single-task shuffle read in the plan, which is exactly the
-    // relation-sized-single-task smell the scale sweep's listener
-    // invariant exists to catch, even though the payload here is
-    // sketch bits): with fan-in 2 no merge task ever reads more than
-    // two sketch-sized partials, whatever the partition count.
-    val keyed = ori.select(xxhash64(col("src"), col("dst")).as("k"))
-    // ONE edge-count job, shared: it sizes the sketch AND becomes the
-    // census's n_edges literal (orient is row-preserving, so |ori| =
-    // |und|) — the census used to re-scan und for the same number
-    val nEdgeRows = math.max(und.count(), 1L)
-    val bloom = fanIn2Bloom(keyed, nEdgeRows, 0.01)
-    val pre = wedges.filter(org.apache.spark.sql.GraftBridge.column(
-      graft.plans.BloomMightContainLong(
-        org.apache.spark.sql.GraftBridge.expression(
-          xxhash64(col("src"), col("dst"))), bloom)))
-    val nTri = pre
-      .join(ori.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    // Scale posture: adjacency arrays are per-ORIENTED-node, so each
+    // is O(√m) even on power-law graphs (a celebrity hub never ships
+    // its million-neighbor list); the dst-side join moves Σ outdeg(u)
+    // array cells — bounded by the same O(m^1.5) term as the work
+    // itself, spread across ordinary hash-join shuffles with no
+    // single hot task.
+    val adj = ori.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"))
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SortedIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    // inner joins drop edges whose dst has no out-neighbors — those
+    // close nothing (empty intersection), so the sum is unchanged
+    val nTri = ori.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(adj.select(col("node").as("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("node").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .agg(coalesce(sum(intersectCount(col("nu"), col("nv"))), lit(0L))
+        .cast("long").as("n_triangles"))
+    val nEdgeRows = und.count()
     val nEdges = und.sparkSession.range(1).select(lit(nEdgeRows).as("n_edges"))
     val nWedges = deg.agg(sum(expr("deg * (deg - 1) div 2"))
       .cast("long").as("n_wedges"))
