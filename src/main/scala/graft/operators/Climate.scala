@@ -1355,6 +1355,128 @@ object Climate {
             sqrt(denomX * denomY)), 6).as("tau_b"))
   }
 
+  /** SPEARMAN'S ρ rank correlation between the same paired daily
+    * series — the rank-domain companion of [[kendallTau]] (τ counts
+    * pairwise order agreements; ρ is Pearson over the rank
+    * transforms, so it reads monotone-but-nonlinear association at
+    * Pearson cost and is the cross-check every stats package reports
+    * next to τ). Ties get AVERAGE ranks, the classical tie treatment.
+    *
+    * Parity is exact end to end, with no quantization needed: daily
+    * means are the usual exact quantized reduction, so rank
+    * comparisons are on bit-identical doubles; average ranks are
+    * half-integers, carried here as INTEGER doubled ranks r2 =
+    * 2·rank() + ties − 1 (= 2·avgRank, a BIGINT both engines compute
+    * identically); Pearson is scale-invariant, so ρ over r2 equals ρ
+    * over the ranks, and every moment (Σx, Σx², Σxy …) is an exact
+    * BIGINT sum — the final ρ is one fixed-order double chain over
+    * exact integers. NULL when either series is constant
+    * (denominator 0).
+    *
+    * Scale posture: facts reduce once to the calendar-bounded paired
+    * daily table; the rank windows run over that bounded table (the
+    * Theil–Sen argument — a single partition is correct BY BOUND;
+    * partitionBy(lit(0)) keeps WindowExec's partition-less warning a
+    * signal, the withGlobalPrefixSums posture); the readout is one
+    * moments-only aggregate. */
+  def spearmanRho(events: DataFrame, typeA: String, typeB: String,
+      x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val paired = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("y").as("x"))
+      .join(daily.filter(col("event_type") === typeB)
+        .select(col("day").as("day_b"), col("y").as("yy")),
+        col("day") === col("day_b"))
+      .select(col("day"), col("x"), col("yy"))
+    // r2 = 2·avgRank as an exact BIGINT: rank() = (# strictly less)+1,
+    // count over the value partition = tie-group size
+    val r2x = rank().over(Window.partitionBy(lit(0)).orderBy(col("x")))
+      .cast("long") * 2L +
+      count(lit(1)).over(Window.partitionBy(col("x"))) - 1L
+    val r2y = rank().over(Window.partitionBy(lit(0)).orderBy(col("yy")))
+      .cast("long") * 2L +
+      count(lit(1)).over(Window.partitionBy(col("yy"))) - 1L
+    val m = paired.select(r2x.as("rx"), r2y.as("ry"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+    val nD = col("n_days").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n_days"),
+      halfUp(when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+        .otherwise(cov / sqrt(vx * vy)), 6).as("rho"))
+  }
+
+  /** ROLLING CORRELATION between the paired daily series: trailing
+    * `window`-day Pearson r over (day-ordered) paired daily means —
+    * the TIME-LOCAL association readout next to [[crossCorrelation]]'s
+    * whole-series r ("are views and purchases coupling or decoupling
+    * this week?" — regime changes that a global coefficient averages
+    * away). NULL until the frame holds ≥ 2 days or while either side
+    * is constant within the frame.
+    *
+    * Parity: the 1e-9-grid daily means re-quantize to a 1e-4 grid as
+    * BIGINTs; all five rolling moments (Σx, Σy, Σx², Σy², Σxy)
+    * accumulate LONGS — exact under Spark's sequential vs DuckDB's
+    * segment-tree frame evaluation (the q_window_volatility
+    * argument) — and r is one fixed-order double chain per row.
+    * Grid headroom: |daily mean| < 10⁷ keeps a 7-row frame's Σxy
+    * under 2⁶³.
+    *
+    * Scale posture: facts reduce once; the rolling frame runs over
+    * the calendar-bounded paired daily table (single partition BY
+    * BOUND, partitionBy(lit(0)) as in [[spearmanRho]]); one window
+    * shuffle serves all five moments. */
+  def rollingCorrelation(events: DataFrame, typeA: String, typeB: String,
+      window: Int = 7, x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"need window >= 2: $window")
+    val daily = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val paired = daily.filter(col("event_type") === typeA)
+      .select(col("day"), floor(col("y") * lit(1e4) + lit(0.5))
+        .cast("long").as("xq"))
+      .join(daily.filter(col("event_type") === typeB)
+        .select(col("day").as("day_b"), floor(col("y") * lit(1e4) + lit(0.5))
+          .cast("long").as("yq")),
+        col("day") === col("day_b"))
+      .select(col("day"), col("xq"), col("yq"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val nw = count(lit(1)).over(w)
+    val sx = sum(col("xq")).over(w).cast("double")
+    val sy = sum(col("yq")).over(w).cast("double")
+    val sxx = sum(col("xq") * col("xq")).over(w).cast("double")
+    val syy = sum(col("yq") * col("yq")).over(w).cast("double")
+    val sxy = sum(col("xq") * col("yq")).over(w).cast("double")
+    val nD = nw.cast("double")
+    val cov = nD * sxy - sx * sy
+    val vx = nD * sxx - sx * sx
+    val vy = nD * syy - sy * sy
+    paired.select(col("day"), nw.as("n_window"),
+        halfUp(when(nw < 2 || vx === 0.0 || vy === 0.0,
+            lit(null).cast("double"))
+          .otherwise(cov / sqrt(vx * vy)), 6).as("r"))
+      .orderBy(col("day"))
+  }
+
   /** WALD–WOLFOWITZ runs test on each series' daily up/down moves —
     * "is this series' day-to-day direction random, trending, or
     * oscillating?" (too FEW runs: momentum/trending; too MANY:
@@ -1976,6 +2098,10 @@ object Climate {
     // rank (not magnitude) association between the CCF pair
     "q_stats_kendall" -> ((s, d) =>
       kendallTau(Tables.events(s, d), "view", "purchase")),
+    "q_stats_spearman" -> ((s, d) =>
+      spearmanRho(Tables.events(s, d), "view", "purchase")),
+    "q_window_rolling_corr" -> ((s, d) =>
+      rollingCorrelation(Tables.events(s, d), "view", "purchase")),
     // one whiteness scalar over the ACF curve per series
     "q_stats_ljungbox" -> ((s, d) =>
       ljungBox(Tables.events(s, d))),
@@ -2184,6 +2310,82 @@ object Climate {
         |                          * CAST(n0 - ty AS DOUBLE)) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS tau_b
         |FROM c CROSS JOIN nd""".stripMargin,
+    // same quantized paired daily means, same doubled-average-rank
+    // integers (2*rank + ties - 1), same exact BIGINT moments and
+    // fixed-order Pearson chain over them
+    "q_stats_spearman" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |paired AS (
+        |  SELECT a.day, a.y AS x, b.y AS yy
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'),
+        |rk AS (
+        |  SELECT 2 * rank() OVER (ORDER BY x)
+        |           + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |         2 * rank() OVER (ORDER BY yy)
+        |           + count(*) OVER (PARTITION BY yy) - 1 AS ry
+        |  FROM paired),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |         CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |         CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM rk)
+        |SELECT n_days,
+        |       floor((CASE WHEN CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0.0
+        |                     OR CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0.0
+        |              THEN NULL
+        |              ELSE (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |                   / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                          * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM m""".stripMargin,
+    // same quantized paired daily means re-quantized to the 1e-4
+    // grid, same trailing frame of exact BIGINT moments, same
+    // fixed-order per-row r chain
+    "q_window_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |paired AS (
+        |  SELECT a.day,
+        |         CAST(floor(a.y * 10000.0 + 0.5) AS BIGINT) AS xq,
+        |         CAST(floor(b.y * 10000.0 + 0.5) AS BIGINT) AS yq
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'),
+        |r AS (
+        |  SELECT day,
+        |         CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |         CAST(sum(xq) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(yq) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(xq * xq) OVER w AS BIGINT) AS sxx,
+        |         CAST(sum(yq * yq) OVER w AS BIGINT) AS syy,
+        |         CAST(sum(xq * yq) OVER w AS BIGINT) AS sxy
+        |  FROM paired WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n_window,
+        |       floor((CASE WHEN n_window < 2
+        |                     OR CAST(n_window AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0.0
+        |                     OR CAST(n_window AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0.0
+        |              THEN NULL
+        |              ELSE (CAST(n_window AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |                   / sqrt((CAST(n_window AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                          * (CAST(n_window AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS r
+        |FROM r ORDER BY day""".stripMargin,
     // same quantized daily mean, same strict-> direction, same
     // lag-break run count, same fixed-order z chain
     "q_stats_runs" ->

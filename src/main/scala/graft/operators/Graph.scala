@@ -330,6 +330,51 @@ object Graph {
       d: String): DataFrame =
     basketPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
 
+  /** LOCAL clustering coefficient per node: lcc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)) for deg ≥ 2 — the per-node companion of
+    * [[triangleStats]]'s global 3T/W ("which nodes sit in tight
+    * neighborhoods vs radiate open wedges"; the spam/community
+    * screen local to each node). T(v) = triangles containing v.
+    *
+    * Per-node counts ride the same edge-iterator shape as the census:
+    * per oriented edge (u,v), the common out-neighbors I = N⁺(u) ∩
+    * N⁺(v) close |I| triangles through BOTH u and v and one through
+    * each w ∈ I — so each edge row emits u and v repeated |I| times
+    * plus I itself (one flat array concat, ONE generator pass — no
+    * triangle-row enumeration, no re-execution of the adjacency
+    * join), and a counts-only hash aggregate sums per node. Every
+    * triangle contributes exactly 3 node increments, one per member,
+    * so Σ n_tri = 3T ties out against the census.
+    *
+    * Scale posture: identical to the census — O(√m) sorted adjacency
+    * arrays, O(m^1.5) total intersection work, shuffles carry (node,
+    * node) pairs, adjacency arrays, and counts. */
+  def localClusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint()
+    val ori = orient(und).localCheckpoint()
+    val adj = ori.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"))
+    val contrib = ori.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(adj.select(col("node").as("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("node").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .withColumn("common", array_intersect(col("nu"), col("nv")))
+      .select(explode(concat(
+        array_repeat(col("src"), size(col("common"))),
+        array_repeat(col("dst"), size(col("common"))),
+        col("common"))).as("node"))
+    val tri = contrib.groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    degreesOf(und)
+      .select(col("node").cast("long").as("node"), col("deg"))
+      .filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        graft.halfUp(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+          (col("deg") * (col("deg") - lit(1L))).cast("double"), 6).as("lcc"))
+      .orderBy(col("node"))
+  }
+
   /** TWO-HOP RECOMMENDATIONS over an undirected edge list: for each
     * node, the top-k non-neighbors reachable through the most common
     * neighbors — "customers who bought X also bought Y" distilled to
@@ -643,6 +688,10 @@ object Graph {
     // "also bought": top-3 common-neighbor recs per node
     "q_graph_two_hop" -> ((s, d) =>
       twoHopRecs(copurchaseStrong(s, d), k = 3)),
+    // per-node local clustering coefficient of the same thresholded
+    // graph (consumes the memoized basket-pair artifact)
+    "q_graph_local_cc" -> ((s, d) =>
+      localClusteringCoeff(copurchaseStrong(s, d))),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -753,6 +802,34 @@ object Graph {
         |SELECT n_edges, n_wedges, n_triangles,
         |       round(3.0 * n_triangles / n_wedges, 6) AS global_cc
         |FROM st, wd, tri""".stripMargin,
+    // id-ordered triangle enumeration (a < b < c) over the same
+    // thresholded edge set, exploded to the three member NODES —
+    // per-node counts are order-independent, so the id-ordered
+    // enumeration and the engine's degree-ordered one agree exactly
+    "q_graph_local_cc" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |               FROM lineitem),
+        |e AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM (SELECT x AS node FROM tri
+        |             UNION ALL SELECT y FROM tri
+        |             UNION ALL SELECT z FROM tri)
+        |       GROUP BY node)
+        |SELECT deg.node, deg.deg, coalesce(n_tri, 0) AS n_tri,
+        |       floor(2.0 * coalesce(n_tri, 0)
+        |             / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS lcc
+        |FROM deg LEFT JOIN tn ON deg.node = tn.node
+        |WHERE deg.deg >= 2
+        |ORDER BY deg.node""".stripMargin,
     // id-ordered triangle enumeration (a < b < c), exploded to the
     // three member edges — per-edge counts are order-independent.
     // Edge set = pairs in >= 2 distinct orders (the engine's

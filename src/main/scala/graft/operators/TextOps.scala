@@ -1320,7 +1320,66 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ZIPF rank-frequency fit over the corpus token census: OLS of
+    * ln(freq) on ln(rank) over the top-`topK` terms — slope (the Zipf
+    * exponent, ≈ −1 for natural language), intercept, and r² ("does
+    * this corpus have a natural frequency profile, or is it
+    * template/boilerplate-skewed?" — the corpus-health screen next to
+    * [[q_text_vocab_growth]]; synthetic or deduplicate-starved
+    * corpora show up as a bent or shallow rank-frequency line).
+    *
+    * Parity: the census total order (freq DESC, term ASC) is exact;
+    * ln() runs on small exact integers on both engines and every
+    * per-term moment (x, y, x², y², xy) quantizes to the 1e-6 grid AS
+    * LONGS before the order-free integer sums (the entropy/benford
+    * transcendental posture — the grid is part of the spec, so the
+    * rendered digits are engine-independent); the OLS closed form is
+    * one fixed-order double chain. NULL fit on a degenerate census
+    * (all-equal frequencies still fit; an empty corpus yields no
+    * row).
+    *
+    * Scale posture: the census is one hash aggregate with map-side
+    * partials; the top-K cut is a TakeOrderedAndProject (every map
+    * task ships ≤ K rows); the fit runs over the K-row bounded table
+    * (single-partition window BY BOUND, the spearman posture). */
+  def zipfFit(docs: DataFrame, topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 10, s"need topK >= 10: $topK")
+    val census = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topK)
+    val ranked = census
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("freq").desc, col("term"))).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val m = ranked.agg(count(lit(1)).as("n_terms"),
+      sum(q6(col("x"))).as("sxq"), sum(q6(col("y"))).as("syq"),
+      sum(q6(col("x") * col("x"))).as("sxxq"),
+      sum(q6(col("y") * col("y"))).as("syyq"),
+      sum(q6(col("x") * col("y"))).as("sxyq"))
+    val nD = col("n_terms").cast("double")
+    val sx = col("sxq").cast("double") / lit(1e6)
+    val sy = col("syq").cast("double") / lit(1e6)
+    val sxx = col("sxxq").cast("double") / lit(1e6)
+    val syy = col("syyq").cast("double") / lit(1e6)
+    val sxy = col("sxyq").cast("double") / lit(1e6)
+    val cov = nD * sxy - sx * sy
+    val vx = nD * sxx - sx * sx
+    val vy = nD * syy - sy * sy
+    val slope = cov / vx
+    m.select(col("n_terms"),
+      graft.halfUp(slope, 6).as("slope"),
+      graft.halfUp((sy - slope * sx) / nD, 6).as("intercept"),
+      graft.halfUp(when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+        .otherwise(cov * cov / (vx * vy)), 6).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "q_text_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
@@ -1496,6 +1555,43 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // same census total order and top-K cut, same 1e-6-grid quantized
+    // ln moments as order-free BIGINT sums, same fixed OLS chain
+    "q_text_zipf" ->
+      """WITH census AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY freq DESC, term LIMIT 200),
+        |rk AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+        |         ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM census),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+        |         CAST(sum(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+        |         CAST(sum(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+        |         CAST(sum(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy,
+        |         CAST(sum(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+        |  FROM rk)
+        |SELECT n_terms,
+        |       floor((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |       floor((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |                   / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+        |             / CAST(n_terms AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+        |       floor((CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx = 0.0
+        |                     OR CAST(n_terms AS DOUBLE) * syy - sy * sy = 0.0
+        |              THEN NULL
+        |              ELSE (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |                   * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |                   / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+        |                      * (CAST(n_terms AS DOUBLE) * syy - sy * sy)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM m""".stripMargin,
     // generate_series is INCLUSIVE (upper bound = last chunk index);
     // unnest-in-SELECT because the table-function form can't take
     // column parameters (same convention as the q_embed oracles)

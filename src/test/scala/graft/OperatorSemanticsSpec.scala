@@ -1978,6 +1978,96 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r3.isNullAt(3), s"got $r3")
   }
 
+  test("spearmanRho: nonlinear monotone is +1, reversal -1, average-rank ties hand-checked") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(t: String, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), t, v)
+    // purchase = view² day-wise: NONLINEAR but monotone → ρ = 1
+    // exactly (the τ-vs-ρ point: Pearson on the raw values would not
+    // be 1 here, Pearson on the ranks is)
+    val up = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, (10.0 + i) * (10.0 + i))))
+    val r1 = Climate.spearmanRho(up.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert((r1.getLong(0), r1.getDouble(1)) == ((10L, 1.0)), s"got $r1")
+    // reversed → -1
+    val dn = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, 30.0 - i)))
+    assert(Climate.spearmanRho(dn.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head.getDouble(1) == -1.0)
+    // constant purchase → zero rank variance → NULL
+    val ct = (0 until 10).flatMap(i =>
+      Seq(ev("view", i, 10.0 + i), ev("purchase", i, 5.0)))
+    assert(Climate.spearmanRho(ct.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head.isNullAt(1))
+    // tie case, hand-computed: x ranks 1,2,3,4; y = [5,7,7,9] → avg
+    // ranks 1,2.5,2.5,4 → ρ = 18/√(20·18) = 0.948683 at 6 dp
+    val tie = Seq(ev("view", 0, 1.0), ev("view", 1, 2.0),
+      ev("view", 2, 3.0), ev("view", 3, 4.0),
+      ev("purchase", 0, 5.0), ev("purchase", 1, 7.0),
+      ev("purchase", 2, 7.0), ev("purchase", 3, 9.0))
+    assert(Climate.spearmanRho(tie.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head.getDouble(1) == 0.948683)
+  }
+
+  test("rollingCorrelation: warmup NULL, perfect coupling +1, reversal -1, constant side NULLs") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(t: String, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), t, v)
+    val up = (0 until 5).flatMap(i =>
+      Seq(ev("view", i, 1.0 + i), ev("purchase", i, 2.0 + 2 * i)))
+    val rows = Climate.rollingCorrelation(up.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect()
+    assert(rows.length == 5)
+    assert(rows.head.isNullAt(2), s"day 0 has a 1-row frame: ${rows.head}")
+    rows.tail.foreach(r => assert(r.getDouble(2) == 1.0, s"got $r"))
+    val dn = (0 until 5).flatMap(i =>
+      Seq(ev("view", i, 1.0 + i), ev("purchase", i, 9.0 - i)))
+    Climate.rollingCorrelation(dn.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().tail
+      .foreach(r => assert(r.getDouble(2) == -1.0, s"got $r"))
+    // constant purchase → zero in-frame variance at every width
+    val ct = (0 until 5).flatMap(i =>
+      Seq(ev("view", i, 1.0 + i), ev("purchase", i, 4.0)))
+    Climate.rollingCorrelation(ct.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect()
+      .foreach(r => assert(r.isNullAt(2), s"got $r"))
+  }
+
+  test("localClusteringCoeff: known graph, degree-1 nodes excluded, sums tie out to 3T") {
+    import spark.implicits._
+    // the triangleStats fixture: triangles {123},{124},{129}, spoke 59
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 2L),
+      (9L, 1L), (9L, 2L), (9L, 5L), (5L, 9L))
+      .toDF("src", "dst")
+    val r = operators.Graph.localClusteringCoeff(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) == ((4L, 3L, 0.5)), s"got $r")
+    assert(r(2L) == ((4L, 3L, 0.5)), s"got $r")
+    assert(r(3L) == ((2L, 1L, 1.0)), s"got $r")
+    assert(r(4L) == ((2L, 1L, 1.0)), s"got $r")
+    assert(r(9L) == ((3L, 1L, 0.333333)), s"got $r")
+    assert(!r.contains(5L), "degree-1 node must be excluded")
+    assert(r.values.map(_._2).sum == 9L, "sum of per-node counts = 3T")
+  }
+
+  test("zipfFit: an exact 1/rank corpus fits slope -1, intercept ln(C), r^2 ~ 1") {
+    import spark.implicits._
+    // freqs 12, 6, 4, 3 = 12/rank for ranks 1..4 → exact Zipf line
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = operators.TextOps.zipfFit(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getLong(0) == 4L, s"got $r")
+    assert(math.abs(r.getDouble(1) + 1.0) <= 1e-4, s"slope: $r")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) <= 1e-3, s"intercept: $r")
+    assert(r.getDouble(3) >= 0.9999, s"r2: $r")
+  }
+
   test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
     import spark.implicits._
     import graft.operators.Aggregations
