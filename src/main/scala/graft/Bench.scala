@@ -53,6 +53,7 @@ object Bench {
     "q_graph_kcore" -> Seq("basket_pairs"),
     "q_graph_two_hop" -> Seq("basket_pairs"),
     "q_graph_local_cc" -> Seq("basket_pairs"),
+    "q_graph_assortativity" -> Seq("basket_pairs"),
     "q_assoc_rules" -> Seq("basket_pairs"),
     "q_similarity_ivf" -> Seq("cents"),
     "q_similarity_ivfpq" -> Seq("cents", "books"),

@@ -121,6 +121,45 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** THEIL T inequality index per group over a POSITIVE measure:
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — the entropy-based concentration
+    * readout next to [[groupGini]] (same 0-at-equality floor, but
+    * DECOMPOSABLE: sub-population Theils aggregate exactly into the
+    * whole, which is why corpus-mix audits report it alongside gini;
+    * non-positive values are excluded — the log is undefined there,
+    * the classical treatment). Two passes: exact-quantized group
+    * means broadcast back, then one hash aggregate of the
+    * per-row terms.
+    *
+    * Parity: μ is the exact quantized mean; xᵢ/μ divides
+    * bit-identical doubles; each (x/μ)·ln(x/μ) term quantizes to the
+    * 1e-6 grid AS LONGS before the order-free sum (the
+    * entropy/benford transcendental posture — coarse enough that a
+    * 1-ulp ln() disagreement cannot reach a grid boundary at this
+    * magnitude); the final T is one fixed division chain.
+    *
+    * Scale posture: two counts-only hash aggregates with map-side
+    * partials and one broadcast join — no window, no sort, nothing
+    * group-serialized. */
+  def theilIndex(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(group.as("grp"), value.as("v"))
+      .filter(col("v") > 0.0)
+    val mu = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1)).cast("double")).as("mu"))
+    val term = (col("v") / col("mu")) * log(col("v") / col("mu"))
+    base.join(broadcast(mu), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        (sum(floor(term * lit(1e6) + lit(0.5)).cast("long")).cast("double")
+          / lit(1e6)).as("st"))
+      .select(col("grp"), col("n"),
+        halfUp(col("st") / col("n").cast("double"), 6).as("theil"))
+      .orderBy(col("grp"))
+  }
+
   /** Gini concentration coefficient per group over a non-negative
     * measure — "how concentrated is this stratum's mass" (corpus-mix
     * and revenue-concentration QA): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
@@ -925,6 +964,11 @@ object Aggregations {
     "q_agg_gini" -> ((s, d) =>
       groupGini(Tables.orders(s, d), col("o_orderpriority"),
         col("o_totalprice"), Seq(col("o_orderkey")))),
+    // Theil T inequality per priority — the decomposable companion
+    // of gini over the same substrate
+    "q_agg_theil" -> ((s, d) =>
+      theilIndex(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_totalprice"))),
     // revenue-concentration deciles over customers (Lorenz table)
     "q_agg_topshare" -> ((s, d) =>
       topShare(Tables.orders(s, d))),
@@ -1316,6 +1360,24 @@ object Aggregations {
         |SELECT grp, round(min(v), 2) AS weighted_median
         |FROM w WHERE cum >= tot / 2.0
         |GROUP BY grp ORDER BY grp""".stripMargin,
+    // same positive filter, same exact-quantized means, same
+    // 1e-6-grid quantized (x/mu)*ln(x/mu) terms, same division chain
+    "q_agg_theil" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v
+        |  FROM orders WHERE o_totalprice > 0.0),
+        |mu AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000.0 / count(*) AS mu
+        |  FROM b GROUP BY grp)
+        |SELECT b.grp, max(n) AS n,
+        |       floor(CAST(sum(CAST(floor((v / mu) * ln(v / mu) * 1000000.0 + 0.5)
+        |                          AS BIGINT)) AS DOUBLE) / 1000000.0
+        |             / CAST(max(n) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS theil
+        |FROM b JOIN mu ON b.grp = mu.grp
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin,
     "q_agg_gini" ->
       """WITH r AS (
         |  SELECT o_orderpriority AS grp, o_totalprice AS v,

@@ -1093,6 +1093,185 @@ object Climate {
       .orderBy(col("series"))
   }
 
+  /** Registered Holt–Winters constants — EXACT-BINARY doubles (the
+    * [[HoltAlpha]] posture), one definition feeding plan + oracle. */
+  val HwAlpha = 0.5
+  val HwBeta = 0.25
+  val HwGamma = 0.25
+  val HwSeason = 7
+
+  /** HOLT–WINTERS additive triple-exponential smoothing per series —
+    * [[holtTrend]] plus a rotating additive WEEKLY seasonal state
+    * (level + trend track the drifting mean, the season-7 factors
+    * absorb the day-of-week cycle q_stats_seasonality only measures):
+    * l_t = α(y_t − s_{t−m}) + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b,
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−m}, m = 7. Init over the first
+    * two weeks: l = mean(week 1), b = Σ(y_{i+m} − y_i)/m², s_i =
+    * y_i − l; series shorter than 2m+1 days are dropped (no seasonal
+    * information). Forecast ŷ_{n+1} = l + b + s_next.
+    *
+    * Parity: α,β,γ are exact-binary; the state is a fold over the
+    * calendar-bounded per-series day array (the holtTrend posture:
+    * sequential IN TIME, independent across series), every operand
+    * in fixed order; the seasonal state rotates as an array — head
+    * is always the factor due at the current step, so after the last
+    * step the head is next day's factor. The DuckDB twin replays the
+    * fold as a recursive CTE carrying the same LIST state.
+    *
+    * Scale posture: identical to holtTrend — one exact-quantized
+    * (series, day) reduction, bounded collect per series with the
+    * same maxDays pre-flight, k tiny one-row folds. */
+  def holtWinters(events: DataFrame, alpha: Double = HwAlpha,
+      beta: Double = HwBeta, gamma: Double = HwGamma,
+      season: Int = HwSeason, x0: String = "2024-01-01",
+      maxDays: Int = 36600): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, s"need (0,1) constants: $alpha $beta $gamma")
+    require(season >= 2, s"need season >= 2: $season")
+    val m = season
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val packed = daily.groupBy(col("series"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2 * m + 1)
+      .withColumn("pts",
+        when(size(col("pts")) > maxDays, raise_error(concat(
+          lit("holtWinters: series "), col("series").cast("string"),
+          lit(" has "), size(col("pts")).cast("string"),
+          lit(s" days > maxDays=$maxDays — fix the input or raise " +
+            "maxDays explicitly"))))
+          .otherwise(col("pts")))
+    val vs = transform(col("pts"), p => p("y"))
+    val seqSum = (arr: Column) => aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val l0 = seqSum(slice(vs, 1, m)) / lit(m.toDouble)
+    val b0 = seqSum(zip_with(slice(vs, m + 1, m), slice(vs, 1, m),
+      (hi, lo) => hi - lo)) / lit((m * m).toDouble)
+    val s0 = transform(slice(vs, 1, m), v => v - l0)
+    val zero = struct(l0.as("l"), b0.as("b"), s0.as("s"))
+    val st = aggregate(slice(vs, lit(m + 1), size(vs) - m), zero, (acc, x) => {
+      val sDue = element_at(acc("s"), 1)
+      val lNew = lit(alpha) * (x - sDue) +
+        lit(1 - alpha) * (acc("l") + acc("b"))
+      val bNew = lit(beta) * (lNew - acc("l")) + lit(1 - beta) * acc("b")
+      val sNew = concat(slice(acc("s"), 2, m - 1),
+        array(lit(gamma) * (x - lNew) + lit(1 - gamma) * sDue))
+      struct(lNew.as("l"), bNew.as("b"), sNew.as("s"))
+    })
+    packed
+      .withColumn("st", st)
+      .select(col("series"), size(col("pts")).cast("long").as("n_days"),
+        halfUp(col("st.l"), 4).as("level"),
+        halfUp(col("st.b"), 6).as("trend"),
+        halfUp(element_at(col("st.s"), 1), 4).as("seasonal_next"),
+        halfUp(col("st.l") + col("st.b") + element_at(col("st.s"), 1), 4)
+          .as("forecast_next"))
+      .orderBy(col("series"))
+  }
+
+  /** Generated DuckDB twin of [[holtWinters]]: recursive CTE stepping
+    * one day-rank at a time with the rotating seasonal LIST as CTE
+    * state — same init (list_sum = the sequential fold), same fixed
+    * operand order, constants emitted from the same Scala vals. */
+  private[graft] def holtWintersOracleSql(alpha: Double, beta: Double,
+      gamma: Double, season: Int): String = {
+    val (a, a1) = (alpha.toString, (1 - alpha).toString)
+    val (b, b1) = (beta.toString, (1 - beta).toString)
+    val (g, g1) = (gamma.toString, (1 - gamma).toString)
+    val m = season
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type AS series,
+       |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+       |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / 1000000000.0 / count(*) AS y
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT series, list(y ORDER BY day) AS vs,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM daily GROUP BY series HAVING count(*) >= ${2 * m + 1}),
+       |ini AS (
+       |  SELECT series, vs, n,
+       |         list_sum(vs[1:$m]) / $m.0 AS l0
+       |  FROM packed),
+       |rec(series, vs, n, t, l, b, s) AS (
+       |  SELECT series, vs, n, CAST($m AS BIGINT), l0,
+       |         list_sum(list_transform(range(1, ${m + 1}),
+       |           i -> vs[$m + i] - vs[i])) / ${m * m}.0,
+       |         list_transform(vs[1:$m], v -> v - l0)
+       |  FROM ini
+       |  UNION ALL
+       |  SELECT series, vs, n, t + 1,
+       |         $a * (vs[t + 1] - s[1]) + $a1 * (l + b),
+       |         $b * (($a * (vs[t + 1] - s[1]) + $a1 * (l + b)) - l) + $b1 * b,
+       |         list_append(s[2:],
+       |           $g * (vs[t + 1] - ($a * (vs[t + 1] - s[1]) + $a1 * (l + b)))
+       |             + $g1 * s[1])
+       |  FROM rec WHERE t < n)
+       |SELECT series, n AS n_days,
+       |       floor(l * 10000.0 + 0.5) / 10000.0 AS level,
+       |       floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       |       floor(s[1] * 10000.0 + 0.5) / 10000.0 AS seasonal_next,
+       |       floor((l + b + s[1]) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+       |FROM rec WHERE t = n ORDER BY series""".stripMargin
+  }
+
+  /** CLASSICAL seasonal DECOMPOSITION per series (additive,
+    * moving-average flavor): y = trend + seasonal + residual, with
+    * trend = the CENTERED 7-day moving average (NULL at the 3-day
+    * edges — no partial-window extrapolation), seasonal = the
+    * per-day-of-week mean of the detrended values, residual = the
+    * remainder — the decomposition read BEFORE forecasting (is the
+    * weekly cycle stable? is the residual white? [[holtWinters]]
+    * then models what this exposes). Day-of-week is pmod(day, 7)
+    * (the q_stats_seasonality integer-arithmetic posture).
+    *
+    * Parity: daily means are the exact quantized reduction; the
+    * centered trend is an exact LONG frame sum over the quantized
+    * grid divided in fixed order; detrended values re-quantize to the
+    * 1e-9 grid AS LONGS before the per-dow mean (order-free); every
+    * output renders via halfUp.
+    *
+    * Scale posture: one (series, day) reduction; ONE series-key
+    * window shuffle for the centered frame (calendar-bounded rows);
+    * the dow means are a counts-only hash aggregate broadcast back. */
+  def seasonalDecompose(events: DataFrame,
+      x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg(sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long")).as("qs"),
+        count(lit(1)).as("cnt"))
+      .select(col("series"), col("day"),
+        (col("qs").cast("double") / lit(1e9) / col("cnt").cast("double")).as("y"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val yq = floor(col("y") * lit(1e9) + lit(0.5)).cast("long")
+    val trended = daily
+      .withColumn("yq", yq)
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("nf") === 7,
+          sum(col("yq")).over(w).cast("double") / lit(7.0) / lit(1e9)))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .withColumn("dq",
+        when(col("trend").isNotNull,
+          floor((col("y") - col("trend")) * lit(1e9) + lit(0.5)).cast("long")))
+    val seas = trended.filter(col("dq").isNotNull)
+      .groupBy(col("series"), col("dow"))
+      .agg((sum(col("dq")).cast("double") / lit(1e9) /
+        count(lit(1)).cast("double")).as("seasonal"))
+    trended.join(broadcast(seas), Seq("series", "dow"), "left")
+      .select(col("series"), col("day"),
+        halfUp(col("y"), 4).as("y"),
+        halfUp(col("trend"), 4).as("trend"),
+        halfUp(col("seasonal"), 4).as("seasonal"),
+        halfUp(col("y") - col("trend") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("series"), col("day"))
+  }
+
   /** Generated DuckDB twin of [[holtTrend]]: the fold is replayed as
     * a recursive CTE stepping one day-rank at a time — same init,
     * same fixed operand order, constants emitted from the SAME Scala
@@ -2100,6 +2279,8 @@ object Climate {
       kendallTau(Tables.events(s, d), "view", "purchase")),
     "q_stats_spearman" -> ((s, d) =>
       spearmanRho(Tables.events(s, d), "view", "purchase")),
+    "q_stats_holtwinters" -> ((s, d) => holtWinters(Tables.events(s, d))),
+    "q_time_decompose" -> ((s, d) => seasonalDecompose(Tables.events(s, d))),
     "q_window_rolling_corr" -> ((s, d) =>
       rollingCorrelation(Tables.events(s, d), "view", "purchase")),
     // one whiteness scalar over the ACF curve per series
@@ -2559,6 +2740,44 @@ object Climate {
         |ORDER BY tot.series""".stripMargin,
     // generated recursive-CTE twin — see holtOracleSql
     "q_stats_holt" -> holtOracleSql(HoltAlpha, HoltBeta),
+    // generated recursive-CTE twin with the rotating seasonal LIST
+    // as CTE state — see holtWintersOracleSql
+    "q_stats_holtwinters" ->
+      holtWintersOracleSql(HwAlpha, HwBeta, HwGamma, HwSeason),
+    // same quantized daily means, same exact-long centered frame sum
+    // (NULL at partial edges), same re-quantized detrended dow means,
+    // same fixed render chains
+    "q_time_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT series, day, y, day % 7 AS dow,
+        |         CASE WHEN CAST(count(*) OVER w AS BIGINT) = 7
+        |              THEN CAST(sum(CAST(floor(y * 1000000000.0 + 0.5) AS BIGINT)) OVER w
+        |                        AS DOUBLE) / 7.0 / 1000000000.0 END AS trend
+        |  FROM daily WINDOW w AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dq AS (
+        |  SELECT series, day, y, dow, trend,
+        |         CASE WHEN trend IS NOT NULL
+        |              THEN CAST(floor((y - trend) * 1000000000.0 + 0.5) AS BIGINT)
+        |         END AS dq
+        |  FROM tr),
+        |seas AS (
+        |  SELECT series, dow,
+        |         CAST(sum(dq) AS DOUBLE) / 1000000000.0 / count(*) AS seasonal
+        |  FROM dq WHERE dq IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.series, d.day,
+        |       floor(d.y * 10000.0 + 0.5) / 10000.0 AS y,
+        |       floor(d.trend * 10000.0 + 0.5) / 10000.0 AS trend,
+        |       floor(s.seasonal * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        |       floor((d.y - d.trend - s.seasonal) * 10000.0 + 0.5) / 10000.0 AS residual
+        |FROM dq d LEFT JOIN seas s ON d.series = s.series AND d.dow = s.dow
+        |ORDER BY d.series, d.day""".stripMargin,
     // same exact-integer design moments, same Cramer chain operand
     // for operand, same unit conversions at the chain's end
     "q_stats_ols2" ->

@@ -375,6 +375,45 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** DEGREE ASSORTATIVITY of an undirected edge list (Newman): the
+    * Pearson correlation of endpoint degrees over directed STUBS
+    * (each undirected edge counted in both directions) — "do hubs
+    * attach to hubs (r > 0, social-graph shape) or to leaves (r < 0,
+    * hub-and-spoke / star shape)?", the one-scalar topology readout
+    * next to [[degreeDistribution]]'s marginal view. NULL on a
+    * degree-regular graph (zero variance).
+    *
+    * Parity is exact end to end: degrees are exact BIGINTs, the stub
+    * expansion is row duplication, and every Pearson moment (Σx, Σx²,
+    * Σxy over stubs) is an exact BIGINT sum — order-free; the final r
+    * is one fixed-order double chain (by stub symmetry Σx = Σy and
+    * Σx² = Σy², so the x-moments serve both axes).
+    *
+    * Scale posture: one degree aggregate, two broadcast-size-safe
+    * hash joins of degrees onto the edge list, one moments-only
+    * aggregate — shuffles carry (node, node) pairs and longs. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint()
+    val deg = degreesOf(und)
+    val stubs = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val m = stubs
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_stubs"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val nD = col("n_stubs").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    m.select((col("n_stubs") / lit(2)).cast("long").as("n_edges"),
+      graft.halfUp(when(vx === 0.0, lit(null).cast("double"))
+        .otherwise(cov / vx), 6).as("assortativity"))
+  }
+
   /** TWO-HOP RECOMMENDATIONS over an undirected edge list: for each
     * node, the top-k non-neighbors reachable through the most common
     * neighbors — "customers who bought X also bought Y" distilled to
@@ -692,6 +731,9 @@ object Graph {
     // graph (consumes the memoized basket-pair artifact)
     "q_graph_local_cc" -> ((s, d) =>
       localClusteringCoeff(copurchaseStrong(s, d))),
+    // degree assortativity of the same thresholded graph
+    "q_graph_assortativity" -> ((s, d) =>
+      degreeAssortativity(copurchaseStrong(s, d))),
     "q_graph_components" -> ((s, d) => {
       val cc = Dedup.connectedComponents(copurchaseStrong(s, d), "src", "dst")
       val w = org.apache.spark.sql.expressions.Window
@@ -802,6 +844,33 @@ object Graph {
         |SELECT n_edges, n_wedges, n_triangles,
         |       round(3.0 * n_triangles / n_wedges, 6) AS global_cc
         |FROM st, wd, tri""".stripMargin,
+    // same thresholded edge set; stubs = both directions; exact
+    // BIGINT moments and the same fixed Pearson chain (x-moments
+    // serve both axes by stub symmetry)
+    "q_graph_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |               FROM lineitem),
+        |e AS (SELECT x.item AS a, y.item AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node),
+        |st AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+        |             CAST(sum(du.deg) AS BIGINT) AS sx,
+        |             CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+        |             CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+        |      FROM st JOIN deg du ON du.node = st.u
+        |              JOIN deg dv ON dv.node = st.v)
+        |SELECT CAST(n_stubs / 2 AS BIGINT) AS n_edges,
+        |       floor((CASE WHEN CAST(n_stubs AS DOUBLE) * sxx
+        |                        - CAST(sx AS DOUBLE) * sx = 0.0
+        |              THEN NULL
+        |              ELSE (CAST(n_stubs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+        |                   / (CAST(n_stubs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+        |FROM m""".stripMargin,
     // id-ordered triangle enumeration (a < b < c) over the same
     // thresholded edge set, exploded to the three member NODES —
     // per-node counts are order-independent, so the id-ordered

@@ -2068,6 +2068,98 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(r.getDouble(3) >= 0.9999, s"r2: $r")
   }
 
+  test("degreeAssortativity: star is exactly -1, regular graph NULLs, duplicates ignored") {
+    import spark.implicits._
+    // K1,3 star: every edge joins deg 3 to deg 1 → r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r1 = operators.Graph.degreeAssortativity(star).collect().head
+    assert((r1.getLong(0), r1.getDouble(1)) == ((3L, -1.0)), s"got $r1")
+    // 4-cycle: degree-regular → zero variance → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r2 = operators.Graph.degreeAssortativity(cyc).collect().head
+    assert(r2.getLong(0) == 4L && r2.isNullAt(1), s"got $r2")
+  }
+
+  test("holtWinters: Scala replay of the fold matches digit for digit, short series dropped") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), "view", v)
+    // 21 days with a planted weekly cycle + drift, one event per day
+    // so the daily mean is the raw value
+    val ys = (0 until 21).map(i => 10.0 + 0.25 * i + Array(
+      2.0, -1.0, 0.5, -0.5, 1.0, -2.0, 0.0)(i % 7))
+    val df = ys.zipWithIndex.map { case (v, i) => ev(i, v) }
+      .toDF("ts", "event_type", "value")
+    val r = Climate.holtWinters(df).collect().head
+    // independent replay: same init, same operand order
+    val q = ys.map(v => math.floor(v * 1e9 + 0.5) / 1e9) // 1-event daily mean
+    var l = q.take(7).foldLeft(0.0)(_ + _) / 7.0
+    var b = (0 until 7).map(i => q(7 + i) - q(i)).foldLeft(0.0)(_ + _) / 49.0
+    var s = q.take(7).map(_ - l).toArray
+    for (t <- 7 until 21) {
+      val x = q(t); val sDue = s(0)
+      val lN = 0.5 * (x - sDue) + 0.5 * (l + b)
+      val bN = 0.25 * (lN - l) + 0.75 * b
+      s = s.drop(1) :+ (0.25 * (x - lN) + 0.75 * sDue)
+      l = lN; b = bN
+    }
+    def h(x: Double, n: Int) = math.floor(x * math.pow(10, n) + 0.5) / math.pow(10, n)
+    assert(r.getLong(1) == 21L, s"got $r")
+    assert(r.getDouble(2) == h(l, 4), s"level: $r vs ${h(l, 4)}")
+    assert(r.getDouble(3) == h(b, 6), s"trend: $r vs ${h(b, 6)}")
+    assert(r.getDouble(4) == h(s(0), 4), s"seasonal: $r vs ${h(s(0), 4)}")
+    assert(r.getDouble(5) == h(l + b + s(0), 4), s"forecast: $r")
+    // a 14-day series has no post-init step → dropped
+    val short = ys.take(14).zipWithIndex.map { case (v, i) => ev(i, v) }
+      .toDF("ts", "event_type", "value")
+    assert(Climate.holtWinters(short).count() == 0L)
+  }
+
+  test("seasonalDecompose: pure weekly cycle decomposes exactly, edges NULL the trend") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), "view", v)
+    // y = dow: every full centered frame sums 0+..+6 → trend 3.0,
+    // seasonal = dow - 3, residual 0
+    val df = (0 until 21).map(i => ev(i, (i % 7).toDouble))
+      .toDF("ts", "event_type", "value")
+    val rows = Climate.seasonalDecompose(df).collect()
+    assert(rows.length == 21)
+    rows.foreach { r =>
+      val day = r.getLong(1)
+      if (day < 3 || day > 17) {
+        assert(r.isNullAt(3) && r.isNullAt(5), s"edge day $day: $r")
+      } else {
+        assert(r.getDouble(3) == 3.0, s"trend day $day: $r")
+        assert(r.getDouble(5) == 0.0, s"residual day $day: $r")
+      }
+      assert(r.getDouble(4) == (day % 7).toDouble - 3.0, s"seasonal: $r")
+    }
+  }
+
+  test("theilIndex: zero at equality, positive-only filter, hand-replayed two-value case") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val eq = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", -1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = Aggregations.theilIndex(eq, col("g"), col("v")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("a") == ((3L, 0.0)), s"got $r")
+    // group b keeps only v=2.0 (positive filter) → single value → 0
+    assert(r("b") == ((1L, 0.0)), s"got $r")
+    // two-value replay with the engine's exact quantization chain
+    val tv = Seq(("g", 1.0), ("g", 3.0)).toDF("g", "v")
+    val got = Aggregations.theilIndex(tv, col("g"), col("v"))
+      .collect().head.getDouble(2)
+    val mu = (math.floor(1.0 * 1e6 + 0.5) + math.floor(3.0 * 1e6 + 0.5)) / 1e6 / 2.0
+    val t1 = math.floor((1.0 / mu) * math.log(1.0 / mu) * 1e6 + 0.5)
+    val t2 = math.floor((3.0 / mu) * math.log(3.0 / mu) * 1e6 + 0.5)
+    val want = math.floor((t1 + t2) / 1e6 / 2.0 * 1e6 + 0.5) / 1e6
+    assert(got == want, s"got $got want $want")
+  }
+
   test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
     import spark.implicits._
     import graft.operators.Aggregations
