@@ -1599,6 +1599,62 @@ object Climate {
         .otherwise(cov / sqrt(vx * vy)), 6).as("rho"))
   }
 
+  /** WILCOXON SIGNED-RANK test on the paired daily series — the
+    * PAIRED companion of the Mann–Whitney rank-sum (that one asks
+    * "do two independent samples differ?", this one "is the paired
+    * day-wise difference systematically signed?" — the matched-days
+    * design cancels day effects): dᵢ = xᵢ − yᵢ, zero differences
+    * dropped (classical), |d| ranked ascending with AVERAGE ranks,
+    * W⁺ = Σ ranks of positive d, normal approximation with the tie
+    * correction: z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 −
+    * Σ(t³−t)/48). NULL z when the variance degenerates (all |d|
+    * tied in one group).
+    *
+    * Parity: daily means are the exact quantized reduction, so d and
+    * |d| compare bit-identically; average ranks are INTEGER doubled
+    * ranks (the spearman posture) and W⁺ = (Σ r2)/2 is exact in
+    * halves; the tie term Σ(t³−t) is an exact BIGINT; the z chain is
+    * fixed-order doubles. Scale: rank windows over the
+    * calendar-bounded paired table (single partition BY BOUND,
+    * partitionBy(lit(0))); one counts-only tie aggregate. */
+  def wilcoxonSignedRank(events: DataFrame, typeA: String, typeB: String,
+      x0: String = "2024-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(x0))).cast("long").as("day"))
+      .agg((sum(floor(col("value") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("y"))
+    val diffs = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("y").as("x"))
+      .join(daily.filter(col("event_type") === typeB)
+        .select(col("day").as("day_b"), col("y").as("yy")),
+        col("day") === col("day_b"))
+      .select((col("x") - col("yy")).as("d"))
+      .filter(col("d") =!= 0.0)
+      .withColumn("ad", abs(col("d")))
+    val r2 = rank().over(Window.partitionBy(lit(0)).orderBy(col("ad")))
+      .cast("long") * 2L +
+      count(lit(1)).over(Window.partitionBy(col("ad"))) - 1L
+    val m = diffs.select(col("d"), col("ad"), r2.as("r2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") > 0.0, col("r2")).otherwise(0L)).as("w2"))
+    val ties = diffs.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+        .as("tsum"))
+    val nD = col("n_pairs").cast("double")
+    val wPlus = col("w2").cast("double") / lit(2.0)
+    val e = nD * (nD + lit(1.0)) / lit(4.0)
+    val varW = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) / lit(24.0) -
+      col("tsum").cast("double") / lit(48.0)
+    m.crossJoin(broadcast(ties))
+      .select(col("n_pairs"),
+        halfUp(wPlus, 1).as("w_plus"),
+        halfUp(when(varW <= 0.0, lit(null).cast("double"))
+          .otherwise((wPlus - e) / sqrt(varW)), 6).as("z"))
+  }
+
   /** ROLLING CORRELATION between the paired daily series: trailing
     * `window`-day Pearson r over (day-ordered) paired daily means —
     * the TIME-LOCAL association readout next to [[crossCorrelation]]'s
@@ -2280,6 +2336,8 @@ object Climate {
     "q_stats_spearman" -> ((s, d) =>
       spearmanRho(Tables.events(s, d), "view", "purchase")),
     "q_stats_holtwinters" -> ((s, d) => holtWinters(Tables.events(s, d))),
+    "q_stats_wilcoxon" -> ((s, d) =>
+      wilcoxonSignedRank(Tables.events(s, d), "view", "purchase")),
     "q_time_decompose" -> ((s, d) => seasonalDecompose(Tables.events(s, d))),
     "q_window_rolling_corr" -> ((s, d) =>
       rollingCorrelation(Tables.events(s, d), "view", "purchase")),
@@ -2529,6 +2587,48 @@ object Climate {
         |                          * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS rho
         |FROM m""".stripMargin,
+    // same quantized paired daily means, same nonzero-diff filter and
+    // doubled-average-rank integers over |d|, same exact tie term and
+    // fixed z chain
+    "q_stats_wilcoxon" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000000.0 / count(*) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |diffs AS (
+        |  SELECT a.y - b.y AS d, abs(a.y - b.y) AS ad
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |    AND a.y - b.y <> 0.0),
+        |rk AS (
+        |  SELECT d,
+        |         2 * rank() OVER (ORDER BY ad)
+        |           + count(*) OVER (PARTITION BY ad) - 1 AS r2
+        |  FROM diffs),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN d > 0.0 THEN r2 ELSE 0 END) AS BIGINT) AS w2
+        |  FROM rk),
+        |tt AS (
+        |  SELECT coalesce(CAST(sum(t * t * t - t) AS BIGINT), 0) AS tsum
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM diffs GROUP BY ad))
+        |SELECT n_pairs,
+        |       floor(CAST(w2 AS DOUBLE) / 2.0 * 10.0 + 0.5) / 10.0 AS w_plus,
+        |       floor((CASE WHEN CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+        |                        * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+        |                        - CAST(tsum AS DOUBLE) / 48.0 <= 0.0
+        |              THEN NULL
+        |              ELSE (CAST(w2 AS DOUBLE) / 2.0
+        |                    - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+        |                   / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+        |                          * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+        |                          - CAST(tsum AS DOUBLE) / 48.0) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM m CROSS JOIN tt""".stripMargin,
     // same quantized paired daily means re-quantized to the 1e-4
     // grid, same trailing frame of exact BIGINT moments, same
     // fixed-order per-row r chain

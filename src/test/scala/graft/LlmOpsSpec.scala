@@ -293,6 +293,83 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.forall { case (id, (n, _)) => meta(id) == n.toLong })
   }
 
+  test("imageFeaturesOf REALLY decodes: PNG/BMP exact, JPEG approximate, garbage refused") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def imgBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+      out.toByteArray
+    }
+    val solid = (200 << 16) | (100 << 8) | 50
+    val rows = Seq(
+      (1L, imgBytes("png", 17, 9, solid)),
+      (2L, imgBytes("bmp", 5, 31, solid)),
+      (3L, imgBytes("jpg", 16, 16, solid)),
+      (4L, "definitely not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val f = Multimodal.imageFeaturesOf(df).collect().map(x => x.id -> x).toMap
+    // lossless formats: exact dimensions AND exact channel means
+    assert(f(1L).decode_ok && (f(1L).width, f(1L).height) == ((17, 9)))
+    assert((f(1L).mean_r, f(1L).mean_g, f(1L).mean_b) == ((200.0, 100.0, 50.0)))
+    assert(f(2L).decode_ok && (f(2L).width, f(2L).height) == ((5, 31)))
+    assert((f(2L).mean_r, f(2L).mean_g, f(2L).mean_b) == ((200.0, 100.0, 50.0)))
+    // JPEG is lossy: exact dims, means within a small tolerance
+    assert(f(3L).decode_ok && (f(3L).width, f(3L).height) == ((16, 16)))
+    assert(math.abs(f(3L).mean_r - 200.0) < 5.0 &&
+      math.abs(f(3L).mean_g - 100.0) < 5.0 && math.abs(f(3L).mean_b - 50.0) < 5.0,
+      s"jpeg means: ${f(3L)}")
+    assert(!f(4L).decode_ok)
+    // partition invariance
+    val g = Multimodal.imageFeaturesOf(df.repartition(3)).collect()
+      .map(x => x.id -> ((x.decode_ok, x.width, x.height, x.mean_r))).toMap
+    assert(g == f.map { case (k, v) =>
+      k -> ((v.decode_ok, v.width, v.height, v.mean_r)) })
+  }
+
+  test("wavFeaturesOf REALLY parses RIFF/PCM: rate, frames, exact RMS; non-PCM refused") {
+    import spark.implicits._
+    def wav(rate: Int, ch: Int, bits: Int, fmtCode: Int,
+        samples: Array[Short]): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val dataLen = samples.length * bytesPerSample
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmtCode.toShort)
+        .putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bytesPerSample)
+        .putShort((ch * bytesPerSample).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataLen)
+      if (bits == 16) samples.foreach(bb.putShort)
+      else samples.foreach(s => bb.put(s.toByte))
+      bb.array()
+    }
+    // 100-frame stereo square wave at ±8192 → RMS = 8192/32768 = 0.25
+    val sq = Array.tabulate[Short](200)(i => if (i % 2 == 0) 8192 else -8192)
+    val rows = Seq(
+      (1L, wav(16000, 2, 16, 1, sq)),
+      (2L, wav(8000, 1, 16, 3, sq)), // IEEE-float format code: refused
+      (3L, "RIFFgarbage".getBytes("UTF-8")))
+    val f = Multimodal.wavFeaturesOf(rows.toDF("doc_id", "payload"))
+      .collect().map(x => x.id -> x).toMap
+    assert(f(1L).decode_ok, s"got ${f(1L)}")
+    assert((f(1L).sample_rate, f(1L).n_channels, f(1L).bits_per_sample) ==
+      ((16000, 2, 16)))
+    assert(f(1L).n_frames == 100L && f(1L).duration_ms == 6.25)
+    assert(f(1L).rms == 0.25, s"rms: ${f(1L)}")
+    assert(!f(2L).decode_ok && !f(3L).decode_ok)
+    // 8-bit mono: unsigned samples 128±64 → RMS = 64/128 = 0.5
+    val by8 = Array.tabulate[Short](64)(i => if (i % 2 == 0) 192 else 64)
+    val f8 = Multimodal.wavFeaturesOf(
+      Seq((9L, wav(8000, 1, 8, 1, by8))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(f8.decode_ok && f8.bits_per_sample == 8 && f8.n_frames == 64L)
+    assert(f8.rms == 0.5, s"rms8: $f8")
+  }
+
   test("stratifiedSample: rates land near target, selection is partition-invariant") {
     import graft.operators.TextOps
     val docs = Tables.documents(spark, sf)

@@ -2160,6 +2160,37 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("wilcoxonSignedRank: hand-checked W+ and z, zero diffs dropped, tie correction applied") {
+    import spark.implicits._
+    import graft.operators.Climate
+    def ev(t: String, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), t, v)
+    // diffs d = +1, +2, +3, -4 and one ZERO pair (dropped): |d| ranks
+    // 1..4, W+ = 6, E = 5, Var = 7.5, z = 1/sqrt(7.5) = 0.365148
+    val a = Seq(ev("view", 0, 11.0), ev("purchase", 0, 10.0),
+      ev("view", 1, 12.0), ev("purchase", 1, 10.0),
+      ev("view", 2, 13.0), ev("purchase", 2, 10.0),
+      ev("view", 3, 6.0), ev("purchase", 3, 10.0),
+      ev("view", 4, 7.0), ev("purchase", 4, 7.0))
+    val r1 = Climate.wilcoxonSignedRank(a.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert((r1.getLong(0), r1.getDouble(1), r1.getDouble(2)) ==
+      ((4L, 6.0, 0.365148)), s"got $r1")
+    // tie in |d|: d = +1, -1, +2 → avg ranks 1.5, 1.5, 3; W+ = 4.5;
+    // Var = 3·4·7/24 − (2³−2)/48 = 3.375; z = 1.5/sqrt(3.375)
+    val b = Seq(ev("view", 0, 11.0), ev("purchase", 0, 10.0),
+      ev("view", 1, 9.0), ev("purchase", 1, 10.0),
+      ev("view", 2, 12.0), ev("purchase", 2, 10.0))
+    val r2 = Climate.wilcoxonSignedRank(b.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head
+    assert((r2.getLong(0), r2.getDouble(1), r2.getDouble(2)) ==
+      ((3L, 4.5, 0.816497)), s"got $r2")
+    // all diffs zero → no pairs survive → empty result
+    val z = Seq(ev("view", 0, 5.0), ev("purchase", 0, 5.0))
+    assert(Climate.wilcoxonSignedRank(z.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect().head.getLong(0) == 0L)
+  }
+
   test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
     import spark.implicits._
     import graft.operators.Aggregations
