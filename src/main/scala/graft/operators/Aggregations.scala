@@ -121,6 +121,20 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** COUNT-OF-COUNTS (cardinality histogram): for each group size k,
+    * how many keys have exactly k rows — the KEY-SKEW audit run
+    * before planning any shuffle on that key ("is the distribution
+    * uniform, Zipfian, or is there one monster key?"; the histogram's
+    * tail IS the salting/AQE-skew-join decision). Also the frequency-
+    * of-frequencies table smoothing estimators (Good–Turing) start
+    * from. Two counts-only hash aggregates with map-side partials —
+    * exact integers end to end, nothing to quantize. */
+  def countOfCounts(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
   /** THEIL T inequality index per group over a POSITIVE measure:
     * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — the entropy-based concentration
     * readout next to [[groupGini]] (same 0-at-equality floor, but
@@ -969,6 +983,9 @@ object Aggregations {
     "q_agg_theil" -> ((s, d) =>
       theilIndex(Tables.orders(s, d), col("o_orderpriority"),
         col("o_totalprice"))),
+    // order-size histogram: the key-skew audit for l_orderkey
+    "q_agg_count_of_counts" -> ((s, d) =>
+      countOfCounts(Tables.lineitem(s, d), col("l_orderkey"))),
     // revenue-concentration deciles over customers (Lorenz table)
     "q_agg_topshare" -> ((s, d) =>
       topShare(Tables.orders(s, d))),
@@ -1360,6 +1377,12 @@ object Aggregations {
         |SELECT grp, round(min(v), 2) AS weighted_median
         |FROM w WHERE cum >= tot / 2.0
         |GROUP BY grp ORDER BY grp""".stripMargin,
+    // exact integers end to end
+    "q_agg_count_of_counts" ->
+      """SELECT n AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+        |FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY n ORDER BY group_size""".stripMargin,
     // same positive filter, same exact-quantized means, same
     // 1e-6-grid quantized (x/mu)*ln(x/mu) terms, same division chain
     "q_agg_theil" ->

@@ -903,8 +903,98 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** GREEDY k-CENTER (farthest-point) selection over the embedding
+    * corpus — the classical 2-approximation coreset/diversity sampler
+    * (Gonzalez): seed with the lowest vec_id, then k−1 times pick the
+    * point FARTHEST from everything selected so far. The
+    * training-data "maximize coverage of embedding space" selection
+    * step, dual to [[kmeansExact]]'s "summarize by centroids" (and
+    * the seeding k-means++ approximates). Output: selection rank,
+    * vec_id, and the squared distance to the nearest
+    * previously-selected center (the saturation curve — how fast the
+    * corpus stops yielding novel regions).
+    *
+    * Parity: distances are the [[graft.plans.VectorSqDist]]
+    * sequential fold; the per-point min over selected centers is
+    * order-independent exactly (min of exact doubles); the argmax
+    * resolves ties to the LOWEST vec_id via a struct max on
+    * (d, −vec_id). The DuckDB twin unrolls the k−1 steps into
+    * chained CTEs (the kcore/LPA posture) with the same fold, min,
+    * and tie rule.
+    *
+    * Scale posture: the kmeans shape — the selected set packs into
+    * ONE broadcast row per round, every candidate scores row-locally,
+    * the round reduces to a 1-row argmax (max of a struct, with
+    * map-side partials); k bounded; corpus never shuffles. */
+  def kCenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"need k >= 2: $k")
+    val pts = emb.select(col("vec_id").cast("long").as("vec_id"),
+      toDouble(col("embedding")).as("v"))
+    def d2(v: Column, cv: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.VectorSqDist(
+          org.apache.spark.sql.GraftBridge.expression(v),
+          org.apache.spark.sql.GraftBridge.expression(cv)))
+    var sel = pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), lit(1L).as("rank"),
+        lit(null).cast("double").as("dist2"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val packed = sel.agg(collect_list(col("v")).as("cs"))
+      // rename the probe side: sel's checkpoint keeps pts' expr ids,
+      // so a same-name anti join would self-conflict
+      val best = pts
+        .join(sel.select(col("vec_id").as("sel_id")),
+          col("vec_id") === col("sel_id"), "left_anti")
+        .crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cs"), c => d2(col("v"), c))).as("md"))
+        .agg(max(struct(col("md").as("d"), (-col("vec_id")).as("ni"),
+          col("v").as("bv"))).as("b"))
+        .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
+          lit(t.toLong).as("rank"), col("b.d").as("dist2"))
+      sel = sel.unionAll(best).localCheckpoint()
+    }
+    sel.select(col("rank"), col("vec_id"),
+        graft.halfUp(col("dist2"), 6).as("dist2"))
+      .orderBy(col("rank"))
+  }
+
+  /** Generated DuckDB twin of [[kCenterSelect]]: the k−1 greedy steps
+    * unroll into chained CTEs (the kcore/LPA unrolled-loop posture),
+    * each with the same sequential-fold distance, the same exact min
+    * over the selected set, and the same (md DESC, vec_id) tie rule. */
+  private[operators] def kCenterOracleSql(k: Int): String = {
+    val d2 = (e: String, c: String) =>
+      s"list_sum(list_transform(range(1, len($e.v) + 1), " +
+        s"m -> ($e.v[m] - $c.v[m]) * ($e.v[m] - $c.v[m])))"
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (
+         |  SELECT vec_id, v, CAST($t AS BIGINT) AS rank, md AS dist2 FROM (
+         |    SELECT e.vec_id, e.v,
+         |           (SELECT min(${d2("e", "c")}) FROM sel${t - 1} c) AS md
+         |    FROM pts e
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x WHERE x.vec_id = e.vec_id))
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sel1 AS (
+       |  SELECT vec_id, v, CAST(1 AS BIGINT) AS rank,
+       |         CAST(NULL AS DOUBLE) AS dist2
+       |  FROM pts ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT rank, vec_id,
+       |       floor(dist2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_kmeans" -> ((s, d) => kmeansExact(Tables.embeddings(s, d))),
+    "q_select_kcenter" -> ((s, d) => kCenterSelect(Tables.embeddings(s, d))),
     "q_embed_pca" -> ((s, d) => pcaTopComponent(Tables.embeddings(s, d))),
     "q_sample_negatives" -> ((s, d) =>
       negativeSample(Tables.embeddings(s, d))),
@@ -977,6 +1067,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // generated unrolled-CTE twin — see kCenterOracleSql
+    "q_select_kcenter" -> kCenterOracleSql(8),
     // the integer-quantized moments + sequential-fold iteration are
     // bit-identical across engines (see pcaTopComponent scaladoc), so
     // this replays the FULL pipeline: quantized sums, covariance,

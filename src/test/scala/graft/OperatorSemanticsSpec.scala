@@ -2191,6 +2191,23 @@ class OperatorSemanticsSpec extends SparkTestBase {
       "view", "purchase").collect().head.getLong(0) == 0L)
   }
 
+  test("kCenterSelect: hand-traced greedy farthest-point order on planted 2-D geometry") {
+    import spark.implicits._
+    // seed 0 at origin; then 1 (d2 100); then 3 (min(d2 to {0,1}) =
+    // min(50, 50) = 50); then 2 (min-d2 1)
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val rows = operators.Similarity.kCenterSelect(emb, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(rows(0)._1 == 1L && rows(0)._2 == 0L && rows(0)._3.isNaN)
+    assert(rows(1) == ((2L, 1L, 100.0)), s"got ${rows.toSeq}")
+    assert(rows(2) == ((3L, 3L, 50.0)), s"got ${rows.toSeq}")
+    assert(rows(3) == ((4L, 2L, 1.0)), s"got ${rows.toSeq}")
+  }
+
   test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
     import spark.implicits._
     import graft.operators.Aggregations
