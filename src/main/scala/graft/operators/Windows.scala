@@ -76,15 +76,18 @@ object Windows {
         .localCheckpoint()) { case (acc, ((v, _), i)) =>
       acc.withColumn(s"_lcs$i", sum(v).over(runFrame))
     }
-    // partitionBy(lit(0)): semantically the same single-partition
-    // window as a partition-less spec (the offsets table is bounded
-    // at <= shuffle-partitions rows BY CONSTRUCTION, so one task is
-    // correct), but WindowExec only logs its "No Partition Defined"
-    // performance warning for an EMPTY partition spec — ~400
-    // known-benign lines per test run that would bury a FUTURE
-    // partition-less window over an unbounded relation (a real bug).
-    // The constant keeps the log clean so the warning stays a signal.
-    val offFrame = Window.partitionBy(lit(0)).orderBy(col("_pid"))
+    // partitionBy(pmod(_pid, 1)): semantically the same
+    // single-partition window as a partition-less spec (the offsets
+    // table is bounded at <= shuffle-partitions rows BY CONSTRUCTION,
+    // so one task is correct), but WindowExec only logs its "No
+    // Partition Defined" performance warning for an EMPTY partition
+    // spec — ~400 known-benign lines per test run that would bury a
+    // FUTURE partition-less window over an unbounded relation (a real
+    // bug). The key must be NON-FOLDABLE: a literal partition key is
+    // constant-folded out of the spec (AQE re-optimizes checkpointed
+    // subplans too), bringing the warning back.
+    val offFrame = Window.partitionBy(pmod(col("_pid"), lit(1)))
+      .orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cnts = measures.zipWithIndex.map { case ((v, _), i) =>
       sum(v).as(s"_cnt$i") }

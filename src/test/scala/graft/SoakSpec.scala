@@ -2206,4 +2206,247 @@ class SoakSpec extends SparkTestBase {
         "Staged malformed split soak", section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("newcomer soak r12: paired stats / graph lcc+assortativity / Holt-Winters replay / decompose / theil+counts / k-center at scale") {
+    // Round-12 additions at scale, every outcome closed-form exact or
+    // replayed step-for-step, under the standing single-task
+    // shuffle-budget listener invariant:
+    //  - ONE 3M-event paired stream (1,000 days × 1,500 events per
+    //    (type, day); view = day/100, purchase = day/200) feeds three
+    //    operators: spearman (both series strictly increasing → ρ=1),
+    //    wilcoxon (d = day/200: distinct positive diffs, the day-0
+    //    zero diff DROPPED → n=999, W⁺=499500, z = the closed chain),
+    //    rolling corr (y = x/2 linear in the integer grid → vx·vy/4
+    //    is an exact perfect square → r = 1.0 EXACTLY in every ≥2-row
+    //    window);
+    //  - localClusteringCoeff over 100k disjoint 5-cliques (every
+    //    node deg 4, n_tri 6, lcc 1.0) and degreeAssortativity over
+    //    100k disjoint K1,4 stars (every edge joins deg 4 to deg 1 →
+    //    exactly −1 from exact integer moments);
+    //  - holtWinters over 1,000 series × 1,500 days (line + exact-
+    //    binary weekly cycle + per-series integer offset): all 1,000
+    //    folds replayed in Scala step for step, rendered digits equal;
+    //  - seasonalDecompose on the SAME input: Σcycle = 0 over any 7
+    //    consecutive days, so trend = 0.5·day + offset BIT-EXACTLY,
+    //    seasonal = the cycle value, residual = 0, edges NULL;
+    //  - theil = 0.0 over 3M all-equal-per-group rows; count-of-counts
+    //    over 2.8M rows with planted key sizes 1..7 → exactly 100k
+    //    keys per size;
+    //  - kCenterSelect over 200k dim-8 vectors: the greedy max-min
+    //    radius sequence is non-increasing (the Gonzalez invariant).
+    import graft.operators.{Aggregations, Climate, Graph, Similarity}
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- A: paired stream → spearman / wilcoxon / rolling corr ----
+      val paired = spark.range(3000000L).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(2L)) === 0L, "view")
+          .otherwise("purchase").as("event_type"),
+        expr("timestampadd(DAY, CAST(id div 3000 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        when(pmod(col("id"), lit(2L)) === 0L, expr("(id div 3000) / 100.0"))
+          .otherwise(expr("(id div 3000) / 200.0")).as("value"))
+        .repartition(8)
+      val (sp, tSp) = timed(
+        Climate.spearmanRho(paired, "view", "purchase").collect().head)
+      assert((sp.getLong(0), sp.getDouble(1)) == ((1000L, 1.0)), s"$sp")
+      val (wx, tWx) = timed(
+        Climate.wilcoxonSignedRank(paired, "view", "purchase").collect().head)
+      val zExp = math.floor(
+        (499500.0 - 999.0 * (999.0 + 1.0) / 4.0) /
+          math.sqrt(999.0 * (999.0 + 1.0) * (2.0 * 999.0 + 1.0) / 24.0 - 0.0 / 48.0)
+          * 1000000.0 + 0.5) / 1000000.0
+      assert((wx.getLong(0), wx.getDouble(1), wx.getDouble(2)) ==
+        ((999L, 499500.0, zExp)), s"$wx")
+      val (rc, tRc) = timed {
+        val r = Climate.rollingCorrelation(paired, "view", "purchase")
+        val bad = r.filter(
+          (col("day") === 0L && col("r").isNotNull) ||
+          (col("day") > 0L && (col("r").isNull || col("r") =!= 1.0))).count()
+        (bad, r.count())
+      }
+      assert(rc == ((0L, 1000L)), s"(bad, total) = $rc")
+
+      // ---- B: clique lcc + star assortativity ----
+      val pi = Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3)
+      val pj = Seq(1, 2, 3, 4, 2, 3, 4, 3, 4, 4)
+      val cliqueEdges = spark.range(1000000L).select(
+          expr("id div 10").as("c"), pmod(col("id"), lit(10L)).cast("int").as("p"))
+        .select(
+          (col("c") * 5 + element_at(
+            array(pi.map(x => lit(x.toLong)): _*), col("p") + 1)).as("src"),
+          (col("c") * 5 + element_at(
+            array(pj.map(x => lit(x.toLong)): _*), col("p") + 1)).as("dst"))
+        .repartition(8)
+      val (lc, tLc) = timed {
+        val r = Graph.localClusteringCoeff(cliqueEdges)
+        val bad = r.filter(col("deg") =!= 4L || col("n_tri") =!= 6L ||
+          col("lcc") =!= 1.0).count()
+        (bad, r.count())
+      }
+      assert(lc == ((0L, 500000L)), s"(bad, total) = $lc")
+      val starEdges = spark.range(400000L).select(
+        (expr("id div 4") * 5).as("src"),
+        (expr("id div 4") * 5 + pmod(col("id"), lit(4L)) + 1).as("dst"))
+        .repartition(8)
+      val (asr, tAs) = timed(
+        Graph.degreeAssortativity(starEdges).collect().head)
+      assert((asr.getLong(0), asr.getDouble(1)) == ((400000L, -1.0)), s"$asr")
+
+      // ---- C: Holt-Winters full replay + decompose on the same input ----
+      val cyc = Array(2.0, -1.0, 0.5, -0.5, 1.0, -2.0, 0.0)
+      val hwIn = spark.range(1500000L).select(
+        concat(lit("s"), expr("id div 1500")).as("event_type"),
+        expr("timestampadd(DAY, CAST(id % 1500 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        (lit(0.5) * pmod(col("id"), lit(1500L)).cast("double") +
+          element_at(array(cyc.map(lit): _*),
+            (pmod(pmod(col("id"), lit(1500L)), lit(7L)) + 1).cast("int")) +
+          expr("id div 1500").cast("double")).as("value"))
+        .repartition(8)
+      def hwReplay(s: Long): (Double, Double, Double) = {
+        val q = Array.tabulate(1500)(d => 0.5 * d + cyc(d % 7) + s.toDouble)
+        var l = q.take(7).foldLeft(0.0)(_ + _) / 7.0
+        var b = (0 until 7).map(i => q(7 + i) - q(i)).foldLeft(0.0)(_ + _) / 49.0
+        val sa = Array.tabulate(7)(i => q(i) - l)
+        var t = 7
+        while (t < 1500) {
+          val x = q(t)
+          val due = sa(0)
+          val lN = 0.5 * (x - due) + 0.5 * (l + b)
+          val bN = 0.25 * (lN - l) + 0.75 * b
+          val sN = 0.25 * (x - lN) + 0.75 * due
+          System.arraycopy(sa, 1, sa, 0, 6)
+          sa(6) = sN
+          l = lN; b = bN; t += 1
+        }
+        (l, b, sa(0))
+      }
+      def h(x: Double, n: Int) =
+        math.floor(x * math.pow(10, n) + 0.5) / math.pow(10, n)
+      val (hw, tHw) = timed {
+        val got = Climate.holtWinters(hwIn).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+        val bad = (0L until 1000L).count { s =>
+          val (l, b, s0) = hwReplay(s)
+          got(s"s$s") != ((1500L, h(l, 4), h(b, 6), h(s0, 4), h(l + b + s0, 4)))
+        }
+        (bad, got.size)
+      }
+      assert(hw == ((0, 1000)), s"(bad, total) = $hw")
+      val (dc, tDc) = timed {
+        val r = Climate.seasonalDecompose(hwIn)
+        val sOff = expr("CAST(substr(series, 2) AS LONG)").cast("double")
+        val expTrend = graft.halfUp(
+          lit(0.5) * col("day").cast("double") + sOff, 4)
+        val expSeas = graft.halfUp(element_at(array(cyc.map(lit): _*),
+          (pmod(col("day"), lit(7L)) + 1).cast("int")), 4)
+        val bad = r.filter(
+          (col("day").between(3, 1496) &&
+            (col("trend") =!= expTrend || col("residual") =!= 0.0)) ||
+          ((col("day") < 3 || col("day") > 1496) && col("trend").isNotNull) ||
+          col("seasonal") =!= expSeas).count()
+        (bad, r.count())
+      }
+      assert(dc == ((0L, 1500000L)), s"(bad, total) = $dc")
+
+      // ---- D: theil zero + count-of-counts closed form ----
+      val eqIn = spark.range(3000000L).select(
+        pmod(col("id"), lit(5L)).cast("string").as("grp"),
+        (pmod(col("id"), lit(5L)) + 1).cast("double").as("v"))
+        .repartition(8)
+      val (th, tTh) = timed {
+        val r = Aggregations.theilIndex(eqIn, col("grp"), col("v"))
+        val bad = r.filter(col("n") =!= 600000L || col("theil") =!= 0.0).count()
+        (bad, r.count())
+      }
+      assert(th == ((0L, 5L)), s"(bad, total) = $th")
+      val cocIn = (1 to 7).map(k =>
+        spark.range(700000L).select(col("id").as("key"))
+          .filter(pmod(col("key"), lit(7L)) === (k - 1).toLong)
+          .crossJoin(spark.range(k.toLong).select(col("id").as("rep")))
+          .select(col("key"))).reduce(_ unionAll _).repartition(8)
+      val (coc, tCoc) = timed {
+        Aggregations.countOfCounts(cocIn, col("key")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      assert(coc == (1 to 7).map(k => (k.toLong, 100000L)), s"got $coc")
+
+      // ---- E: k-center greedy invariant at 200k × dim 8 ----
+      val vecs = spark.range(200000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          pmod(col("id") * (j + 3) + j * j, lit(1000L)).cast("double") / 100.0)
+          .as("embedding"))
+      val (kc, tKc) = timed(
+        Similarity.kCenterSelect(vecs, k = 8).collect().sortBy(_.getLong(0)))
+      assert(kc.length == 8 && kc.map(_.getLong(1)).distinct.length == 8)
+      val radii = kc.drop(1).map(_.getDouble(2))
+      assert(radii.sliding(2).forall(p => p(0) >= p(1)),
+        s"greedy max-min radii must be non-increasing: ${radii.toSeq}")
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-12 newcomer soak (regenerated by SoakSpec)
+           |
+           |The round-12 additions at scale, every outcome closed-form
+           |exact or replayed step for step, same single-task
+           |shuffle-budget listener invariant as the other soaks. One
+           |3M-event paired stream (1,000 days) feeds three operators:
+           |Spearman reads exactly 1.0 on the strictly-monotone pair,
+           |Wilcoxon drops the planted day-0 zero diff and lands W⁺ =
+           |499,500 with z equal to the closed chain, and the rolling
+           |correlation reads EXACTLY 1.0 in every ≥2-row window (the
+           |linear integer grid makes vx·vy a perfect square). Local
+           |clustering over 100k disjoint 5-cliques: all 500k nodes
+           |read deg 4, n_tri 6, lcc 1.0. Degree assortativity over
+           |100k disjoint K1,4 stars: exactly −1 from exact integer
+           |moments. Holt–Winters over 1,000 series × 1,500 days
+           |(line + exact-binary weekly cycle + integer offsets): all
+           |1,000 folds replayed in Scala digit for digit. Seasonal
+           |decomposition on the same input: trend = 0.5·day + offset
+           |bit-exactly (Σcycle = 0 over any 7 consecutive days),
+           |seasonal = the cycle, residual = 0, edges NULL. Theil reads
+           |0.0 over 3M all-equal-per-group rows; count-of-counts over
+           |2.8M rows with planted key sizes 1..7 reads exactly 100k
+           |keys per size. k-center over 200k dim-8 vectors keeps the
+           |Gonzalez non-increasing max-min radius invariant.
+           |
+           || operator | rows in | wall s | cal ratio |
+           ||---|---|---|---|
+           || spearmanRho (3M paired events) | 3.0M | ${f"$tSp%.1f"} | ${f"$ratio%.2f"} |
+           || wilcoxonSignedRank (same stream) | 3.0M | ${f"$tWx%.1f"} | ${f"$ratio%.2f"} |
+           || rollingCorrelation (same stream) | 3.0M | ${f"$tRc%.1f"} | ${f"$ratio%.2f"} |
+           || localClusteringCoeff (100k cliques) | 1.0M edges | ${f"$tLc%.1f"} | ${f"$ratio%.2f"} |
+           || degreeAssortativity (100k stars) | 0.4M edges | ${f"$tAs%.1f"} | ${f"$ratio%.2f"} |
+           || holtWinters (1k series × 1.5k days) | 1.5M | ${f"$tHw%.1f"} | ${f"$ratio%.2f"} |
+           || seasonalDecompose (same input) | 1.5M | ${f"$tDc%.1f"} | ${f"$ratio%.2f"} |
+           || theilIndex (5 groups × 600k) | 3.0M | ${f"$tTh%.1f"} | ${f"$ratio%.2f"} |
+           || countOfCounts (sizes 1..7 × 100k) | 2.8M | ${f"$tCoc%.1f"} | ${f"$ratio%.2f"} |
+           || kCenterSelect (200k × dim 8) | 0.2M | ${f"$tKc%.1f"} | ${f"$ratio%.2f"} |
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-12 newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
