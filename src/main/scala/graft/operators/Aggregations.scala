@@ -121,6 +121,51 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** COHEN'S d standardized effect size between two event streams'
+    * value distributions — the magnitude readout the significance
+    * tests deliberately don't give ([[abTest]]'s Welch t and
+    * [[mannWhitney]]'s z say "is there a difference"; d says "how big
+    * in pooled-σ units" — the number meta-analyses and power
+    * calculations actually consume): d = (μ_a − μ_b)/s_pooled with
+    * s²_pooled = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2). NULL on a
+    * degenerate pool (both sides constant).
+    *
+    * Parity: ONE pass of conditional aggregates; values quantize to
+    * the 1e-6 grid and squares to the 1e-4 grid AS LONGS (the
+    * bootstrap SE posture) so every moment is an order-free integer
+    * sum; means, variances, and d are one fixed-order double chain
+    * with a ≤0 pool clamp to NULL (quantization can leave −ulp
+    * variance on constants). */
+  def cohensD(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val base = events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("t"), col("value").as("v"))
+    val qv = floor(col("v") * lit(1e6) + lit(0.5)).cast("long")
+    val qq = floor(col("v") * col("v") * lit(1e4) + lit(0.5)).cast("long")
+    val isA = col("t") === typeA
+    val m = base.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isA, qv).otherwise(0L)).as("sa"),
+      sum(when(!isA, qv).otherwise(0L)).as("sb"),
+      sum(when(isA, qq).otherwise(0L)).as("ssa"),
+      sum(when(!isA, qq).otherwise(0L)).as("ssb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val meanA = col("sa").cast("double") / lit(1e6) / naD
+    val meanB = col("sb").cast("double") / lit(1e6) / nbD
+    val varA = (col("ssa").cast("double") / lit(1e4) - naD * meanA * meanA) /
+      (naD - lit(1.0))
+    val varB = (col("ssb").cast("double") / lit(1e4) - nbD * meanB * meanB) /
+      (nbD - lit(1.0))
+    val pooled = ((naD - lit(1.0)) * varA + (nbD - lit(1.0)) * varB) /
+      (naD + nbD - lit(2.0))
+    m.select(col("n_a"), col("n_b"),
+      halfUp(meanA, 4).as("mean_a"), halfUp(meanB, 4).as("mean_b"),
+      halfUp(when(pooled <= 0.0, lit(null).cast("double"))
+        .otherwise((meanA - meanB) / sqrt(pooled)), 6).as("cohens_d"))
+  }
+
   /** COUNT-OF-COUNTS (cardinality histogram): for each group size k,
     * how many keys have exactly k rows — the KEY-SKEW audit run
     * before planning any shuffle on that key ("is the distribution
@@ -986,6 +1031,9 @@ object Aggregations {
     // order-size histogram: the key-skew audit for l_orderkey
     "q_agg_count_of_counts" -> ((s, d) =>
       countOfCounts(Tables.lineitem(s, d), col("l_orderkey"))),
+    // effect size between the view and purchase value distributions
+    "q_stats_cohens_d" -> ((s, d) =>
+      cohensD(Tables.events(s, d), "view", "purchase")),
     // revenue-concentration deciles over customers (Lorenz table)
     "q_agg_topshare" -> ((s, d) =>
       topShare(Tables.orders(s, d))),
@@ -1377,6 +1425,44 @@ object Aggregations {
         |SELECT grp, round(min(v), 2) AS weighted_median
         |FROM w WHERE cum >= tot / 2.0
         |GROUP BY grp ORDER BY grp""".stripMargin,
+    // same conditional quantized moments, same fixed chain and clamp
+    "q_stats_cohens_d" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |             THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN event_type <> 'view'
+        |             THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |             THEN CAST(floor(value * value * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssa,
+        |    CAST(sum(CASE WHEN event_type <> 'view'
+        |             THEN CAST(floor(value * value * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |k AS (
+        |  SELECT n_a, n_b,
+        |         CAST(sa AS DOUBLE) / 1000000.0 / CAST(n_a AS DOUBLE) AS ma,
+        |         CAST(sb AS DOUBLE) / 1000000.0 / CAST(n_b AS DOUBLE) AS mb,
+        |         CAST(ssa AS DOUBLE) / 10000.0 AS qa,
+        |         CAST(ssb AS DOUBLE) / 10000.0 AS qb
+        |  FROM m),
+        |v AS (
+        |  SELECT n_a, n_b, ma, mb,
+        |         ((CAST(n_a AS DOUBLE) - 1.0)
+        |            * ((qa - CAST(n_a AS DOUBLE) * ma * ma) / (CAST(n_a AS DOUBLE) - 1.0))
+        |          + (CAST(n_b AS DOUBLE) - 1.0)
+        |            * ((qb - CAST(n_b AS DOUBLE) * mb * mb) / (CAST(n_b AS DOUBLE) - 1.0)))
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS pooled
+        |  FROM k)
+        |SELECT n_a, n_b,
+        |       floor(ma * 10000.0 + 0.5) / 10000.0 AS mean_a,
+        |       floor(mb * 10000.0 + 0.5) / 10000.0 AS mean_b,
+        |       floor((CASE WHEN pooled <= 0.0 THEN NULL
+        |              ELSE (ma - mb) / sqrt(pooled) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cohens_d
+        |FROM v""".stripMargin,
     // exact integers end to end
     "q_agg_count_of_counts" ->
       """SELECT n AS group_size, CAST(count(*) AS BIGINT) AS n_groups

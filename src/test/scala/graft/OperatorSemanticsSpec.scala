@@ -2208,6 +2208,32 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(rows(3) == ((4L, 2L, 1.0)), s"got ${rows.toSeq}")
   }
 
+  test("cohensD: hand-checked effect size, zero at identical samples, degenerate pool NULLs") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    def ev(t: String, v: Double) =
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), t, v)
+    // a = [2,4], b = [1,3]: means 3, 2; s2 both 2 → pooled 2 → d = 1/√2
+    val r = Aggregations.cohensD(Seq(
+      ev("view", 2.0), ev("view", 4.0),
+      ev("purchase", 1.0), ev("purchase", 3.0))
+      .toDF("ts", "event_type", "value"), "view", "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((2L, 2L, 3.0, 2.0, 0.707107)), s"got $r")
+    // identical samples → d = 0
+    val z = Aggregations.cohensD(Seq(
+      ev("view", 5.0), ev("view", 7.0),
+      ev("purchase", 5.0), ev("purchase", 7.0))
+      .toDF("ts", "event_type", "value"), "view", "purchase").collect().head
+    assert(z.getDouble(4) == 0.0, s"got $z")
+    // both sides constant → degenerate pool → NULL
+    val c = Aggregations.cohensD(Seq(
+      ev("view", 5.0), ev("view", 5.0),
+      ev("purchase", 3.0), ev("purchase", 3.0))
+      .toDF("ts", "event_type", "value"), "view", "purchase").collect().head
+    assert(c.isNullAt(4), s"got $c")
+  }
+
   test("audienceOverlap: exact intersections, zero-overlap pairs kept, containment reads 1.0") {
     import spark.implicits._
     import graft.operators.Aggregations
