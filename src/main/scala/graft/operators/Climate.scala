@@ -1219,8 +1219,13 @@ object Climate {
 
   /** CLASSICAL seasonal DECOMPOSITION per series (additive,
     * moving-average flavor): y = trend + seasonal + residual, with
-    * trend = the CENTERED 7-day moving average (NULL at the 3-day
-    * edges — no partial-window extrapolation), seasonal = the
+    * trend = the CENTERED 7-ROW moving average (`rowsBetween(-3,3)`,
+    * NULL at the 3-row edges — no partial-window extrapolation;
+    * NOTE: rows, not calendar days — on a series with missing days
+    * the frame silently spans a wider calendar range and mixes
+    * days-of-week, so the classical reading assumes a DENSE daily
+    * series; the DuckDB twin uses the identical ROWS frame, so
+    * engine parity holds either way), seasonal = the
     * per-day-of-week mean of the detrended values, residual = the
     * remainder — the decomposition read BEFORE forecasting (is the
     * weekly cycle stable? is the residual white? [[holtWinters]]
@@ -1674,8 +1679,15 @@ object Climate {
     * accumulate LONGS — exact under Spark's sequential vs DuckDB's
     * segment-tree frame evaluation (the q_window_volatility
     * argument) — and r is one fixed-order double chain per row.
-    * Grid headroom: |daily mean| < 10⁷ keeps a 7-row frame's Σxy
-    * under 2⁶³.
+    * Grid headroom: a single Σxy term is xq·yq ≤ q², so a
+    * `window`-row frame's long Σxy stays under 2⁶³ only while
+    * |quantized mean| ≤ ⌊√(2⁶³/window)⌋ (≈ 1.148×10⁹ at window=7,
+    * i.e. |daily mean| < ~1.1×10⁵ on the 1e-4 grid — NOT 10⁷; Spark
+    * wraps long sums silently under non-ANSI while DuckDB widens to
+    * HUGEINT, so exceeding it is both wrong and cross-engine
+    * divergent). An in-plan raise_error pre-flight (the holtWinters
+    * maxDays posture — zero extra jobs) rejects any paired day past
+    * the bound instead of silently wrapping.
     *
     * Scale posture: facts reduce once; the rolling frame runs over
     * the calendar-bounded paired daily table, single partition BY
@@ -1704,6 +1716,19 @@ object Climate {
           .cast("long").as("yq")),
         col("day") === col("day_b"))
       .select(col("day"), col("xq"), col("yq"))
+    // Pre-flight overflow guard (see scaladoc): a frame's long Σxy is
+    // safe iff every |quantized mean| ≤ ⌊√(2⁶³/window)⌋. In-plan
+    // raise_error, zero extra jobs, mirroring holtWinters' maxDays.
+    val qmax = math.floor(math.sqrt(Long.MaxValue.toDouble / window)).toLong
+    def guarded(c: Column, nm: String): Column =
+      when(abs(c) > qmax, raise_error(concat(
+        lit(s"rollingCorrelation: |$nm| quantized daily mean "),
+        abs(c).cast("string"),
+        lit(s" exceeds $qmax (1e-4 grid, window=$window) — the frame's " +
+          "long sums would overflow 2^63; coarsen the grid or pre-scale " +
+          "the series")))).otherwise(c)
+    val gPaired = paired.select(col("day"),
+      guarded(col("xq"), "x").as("xq"), guarded(col("yq"), "y").as("yq"))
     val w = Window.partitionBy(pmod(col("day"), lit(1L))).orderBy(col("day"))
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
     val nw = count(lit(1)).over(w)
@@ -1716,7 +1741,7 @@ object Climate {
     val cov = nD * sxy - sx * sy
     val vx = nD * sxx - sx * sx
     val vy = nD * syy - sy * sy
-    paired.select(col("day"), nw.as("n_window"),
+    gPaired.select(col("day"), nw.as("n_window"),
         halfUp(when(nw < 2 || vx === 0.0 || vy === 0.0,
             lit(null).cast("double"))
           .otherwise(cov / sqrt(vx * vy)), 6).as("r"))

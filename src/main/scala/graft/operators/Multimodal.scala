@@ -227,7 +227,14 @@ object Multimodal {
                   dataOff = off + 8
                   dataLen = math.min(clen, (b.length - dataOff).toLong)
                 }
-                off += 8 + clen.toInt + (clen.toInt & 1) // chunks are word-aligned
+                // Word-aligned advance in Long arithmetic: clen is an
+                // unvalidated u32, and a narrowed `clen.toInt` near 2^32
+                // (e.g. 0xFFFFFFF8) makes the Int advance exactly 0 —
+                // a non-terminating loop the try/catch cannot see. Clamp
+                // past-the-end advances to b.length so the walk always
+                // terminates; the post-loop fmt/data checks reject the
+                // payload as decode_ok=false.
+                off = math.min(off.toLong + 8L + clen + (clen & 1L), b.length.toLong).toInt
               }
               if (!fmtOk || dataOff < 0 || ch <= 0 || rate <= 0 ||
                 (bits != 8 && bits != 16)) bad

@@ -20,8 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * matching pair step, so the caller's arrays should be duplicate-free
   * (collect_list over a DISTINCT edge set is).
   *
-  * Null semantics: a NULL array or a NULL element yields NULL (same
-  * poisoning contract as [[VectorDot]]).
+  * Null semantics: a NULL array yields NULL; a NULL ELEMENT yields
+  * NULL only if the merge walk actually VISITS it — the walk stops as
+  * soon as either array is exhausted, so e.g. (a=[1], b=[2, null])
+  * returns 0 without seeing b's null (identical in interpreted and
+  * codegen paths). This is weaker than [[VectorDot]]'s full-poisoning
+  * contract; it is exact for every current caller because
+  * `sort_array(collect_list(...))` never produces null elements. A
+  * caller that needs guaranteed poisoning on nullable-element arrays
+  * must pre-check (e.g. `exists(a, isnull)`) before the walk.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -370,6 +370,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f8.rms == 0.5, s"rms8: $f8")
   }
 
+  test("wavFeaturesOf chunk walk terminates on malformed u32 chunk lengths") {
+    import spark.implicits._
+    // Adversarial RIFF payloads whose chunk length makes the NARROWED
+    // Int advance `8 + clen.toInt + (clen.toInt & 1)` zero or negative —
+    // before the Long-arithmetic clamp these spun an executor task
+    // forever (no exception for try/catch to see). All must come back
+    // decode_ok=false, promptly.
+    def riff(chunkId: String, clen: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      bb.put(chunkId.getBytes).putInt((clen & 0xFFFFFFFFL).toInt)
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, riff("junk", 0xFFFFFFF8L)), // Int advance exactly 0
+      (2L, riff("junk", 0xFFFFFFF7L)), // odd variant, word-align pad -> 0
+      (3L, riff("junk", 0x7FFFFFFFL)), // huge but positive: clamps past end
+      (4L, riff("fmt ", 0xFFFFFFF8L))) // hostile length on a real chunk id
+    val fut = scala.concurrent.Future {
+      Multimodal.wavFeaturesOf(rows.toDF("doc_id", "payload")).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    val out = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(out.length == 4 && out.forall(!_.decode_ok), out.mkString("; "))
+  }
+
   test("stratifiedSample: rates land near target, selection is partition-invariant") {
     import graft.operators.TextOps
     val docs = Tables.documents(spark, sf)

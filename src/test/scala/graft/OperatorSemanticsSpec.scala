@@ -2034,6 +2034,28 @@ class OperatorSemanticsSpec extends SparkTestBase {
     Climate.rollingCorrelation(ct.toDF("ts", "event_type", "value"),
       "view", "purchase").collect()
       .foreach(r => assert(r.isNullAt(2), s"got $r"))
+    // overflow pre-flight: a daily mean past ⌊√(2⁶³/7)⌋/1e4 ≈ 1.148e5
+    // would silently wrap the frame's long Σxy (and diverge from
+    // DuckDB's HUGEINT) — the in-plan guard must refuse it loudly.
+    val hot = (0 until 3).flatMap(i =>
+      Seq(ev("view", i, if (i == 1) 2.0e5 else 1.0 + i),
+        ev("purchase", i, 2.0 + 2 * i)))
+    val err = intercept[Exception] {
+      Climate.rollingCorrelation(hot.toDF("ts", "event_type", "value"),
+        "view", "purchase").collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("rollingCorrelation"), chain)
+    // ...and values just under the bound pass clean (1.1e5 < qmax/1e4)
+    val warm = (0 until 5).flatMap(i =>
+      Seq(ev("view", i, 1.1e5 + i), ev("purchase", i, 2.0 + 2 * i)))
+    val ok = Climate.rollingCorrelation(warm.toDF("ts", "event_type", "value"),
+      "view", "purchase").collect()
+    // r rendered at 6 dp on the quantized grid: allow the last-digit wobble
+    assert(ok.length == 5 &&
+      ok.tail.forall(r => math.abs(r.getDouble(2) - 1.0) <= 2e-6), ok.mkString(","))
   }
 
   test("localClusteringCoeff: known graph, degree-1 nodes excluded, sums tie out to 3T") {
