@@ -562,10 +562,18 @@ object Dedup {
     * Shingles travel as xxhash64 digests (8 B/row on every shuffle,
     * never text; the string-comparing oracle cross-checks the digest
     * path end to end — the [[decontaminate]] posture). Scale: the df
-    * census and the per-doc sets are corpus-sized hash aggregates;
-    * the blocking self-join fans out ≤ maxDf² pairs per rare shingle;
-    * the exact-count join is candidates × per-doc set size — bounded
-    * by the blocking, never all-pairs. */
+    * census is a corpus-sized hash aggregate; the blocking self-join
+    * fans out ≤ maxDf² pairs per rare shingle; the exact |A∩B| is a
+    * per-pair MERGE WALK of the two docs' ASCENDING-sorted digest
+    * arrays (one `sort_array(collect_list)` aggregate over the
+    * checkpointed shingle table, then one codegen'd
+    * [[graft.plans.SortedIntersectCount]] per candidate pair) — the
+    * triangle-census posture. The previous plan joined each pair
+    * against the corpus-wide (doc, shingle) table twice and
+    * re-aggregated, a (pairs × set-size) row expansion this replaces
+    * with two array lookups + an O(|A|+|B|) walk; per-doc arrays are
+    * duplicate-free by construction (the shingle table explodes
+    * `array_distinct`) and bounded by doc length, never corpus size. */
   def dedupContainment(docsIn: DataFrame, k: Int = 3, maxDf: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val sh = spread(docsIn)
@@ -579,15 +587,26 @@ object Dedup {
       .join(rare.select(col("g"), col("doc_id").as("b")), "g")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // each doc's shingle SET as one sorted array + its size, in a
+    // single aggregate pass (sz == |set|: sh is distinct per doc)
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("sz"))
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SortedIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
     val contain = col("n_shared").cast("double") /
       least(col("sz_a"), col("sz_b"))
     cand
-      .join(sh.select(col("doc_id").as("a"), col("g")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .join(arrs.select(col("doc_id").as("a"),
+        col("gs").as("gs_a"), col("sz").as("sz_a")), "a")
+      .join(arrs.select(col("doc_id").as("b"),
+        col("gs").as("gs_b"), col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        intersectCount(col("gs_a"), col("gs_b")).as("n_shared"),
+        col("sz_a"), col("sz_b"))
       .filter(contain >= threshold)
       .select(col("a"), col("b"), col("n_shared"), col("sz_a"), col("sz_b"),
         halfUp(contain, 6).as("containment"))
