@@ -264,34 +264,102 @@ object Joins {
     * posture: zero extra jobs) — widen `bucketUs` or raise the bound
     * explicitly for legitimately long-lived intervals.
     *
-    * Skew note: a flash-crowd bucket (thousands of intervals live in
-    * the same window) makes the bucket-equi join locally quadratic on
-    * that bucket's task — that cost is the OUTPUT's (the pairs exist),
-    * not a plan defect, and the soak pins it (SOAK.md round-11 row:
-    * 2k-deep hot bucket). If one bucket's pair count alone dwarfs a
-    * task, pre-split the hot keys by salting the bucket id (append
-    * `pmod(id, S)` to `bk` on one side, explode the other S ways) —
-    * the same escape hatch [[nullSafeJoin]] documents. */
+    * Skew handling: a flash-crowd bucket (thousands of intervals live
+    * in the same window) makes the bucket-equi join locally quadratic
+    * on that bucket's ONE task — the pairs genuinely exist (the cost
+    * is the output's), but a single straggler task serializes what 32
+    * cores could share. Hot buckets are therefore SALTED, chosen by a
+    * bounded driver-side census over the (already-materialized) fan —
+    * the AQE posture of reading a tiny stage statistic to pick the
+    * plan; when no bucket holds > `hotBucketOcc` intervals (the
+    * common case) the plan is EXACTLY the unsalted one, zero overhead.
+    * When hot buckets exist (capped at the 4096 hottest — the hot set
+    * is a performance refinement, any subset is output-identical):
+    * on hot buckets side a appends `sal = pmod(xxhash64(id), salt)`
+    * to the join key while side b explodes all `salt` values (each
+    * qualifying pair still meets EXACTLY once — b covers every salt,
+    * a holds one), so a hot bucket's occ² probe work spreads across
+    * `salt` tasks instead of one; quiet buckets carry sal = 0 on both
+    * sides with zero fan-out, and the hot test is a literal InSet
+    * predicate inside whole-stage codegen. `salt <= 1` or
+    * `hotBucketOcc <= 0` disables the census entirely (the pre-r13
+    * plan). The SOAK.md flash-crowd row pins both paths on a 2k-deep
+    * hot bucket; the sf1 sweep's dense-bucket shape is where it pays
+    * (23.6 → 7.2 s at local[32]). */
   def intervalOverlapJoin(iv: DataFrame, key: Column, id: Column,
       startUs: Column, endUs: Column, bucketUs: Long,
-      maxBucketsPerInterval: Int = 1024): DataFrame = {
-    def fan(k: String, i: String, s: String, e: String) = {
-      val base = iv.select(key.as(k), id.as(i), startUs.as(s), endUs.as(e))
-      val bkLo = expr(s"$s div ${bucketUs}L")
-      val bkHi = expr(s"$e div ${bucketUs}L")
+      maxBucketsPerInterval: Int = 1024,
+      hotBucketOcc: Int = 1024, salt: Int = 32): DataFrame = {
+    // materialize the FANNED bucket table ONCE: sides a and b are
+    // differently-aliased reads of the same fan (Spark reuses no
+    // exchange across them — pre-r13 the whole upstream, often a
+    // window-heavy sessionize, plus the explode ran TWICE), and the
+    // salting census would be a third recompute. One localCheckpoint
+    // of the 5-column fan feeds all three; its size is the same
+    // Σ-spans row count the join shuffles anyway, guard-bounded.
+    val fanned = {
+      val base = iv.select(key.as("k"), id.as("i"),
+        startUs.as("s"), endUs.as("e"))
+      val bkLo = expr(s"s div ${bucketUs}L")
+      val bkHi = expr(s"e div ${bucketUs}L")
       val nb = bkHi - bkLo + lit(1L)
       val guardedLo = when(nb > maxBucketsPerInterval.toLong, raise_error(concat(
-          lit("intervalOverlapJoin: interval "), col(i).cast("string"),
+          lit("intervalOverlapJoin: interval "), col("i").cast("string"),
           lit(" spans "), nb.cast("string"),
           lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval at " +
             s"bucketUs=$bucketUs — almost certainly bad timestamps or a " +
             "too-narrow bucket; widen bucketUs or raise the bound explicitly"))))
         .otherwise(bkLo)
       base.withColumn("bk", explode(sequence(guardedLo, bkHi)))
+        .localCheckpoint()
     }
-    val a = fan("ka", "ia", "sa", "ea")
-    val b = fan("kb", "ib", "sb", "eb")
-    a.join(b, Seq("bk"))
+    def fan(k: String, i: String, s: String, e: String) =
+      fanned.select(col("k").as(k), col("i").as(i),
+        col("s").as(s), col("e").as(e), col("bk"))
+    val a0 = fan("ka", "ia", "sa", "ea")
+    val b0 = fan("kb", "ib", "sb", "eb")
+    val (a, b, joinKeys) =
+      if (salt <= 1 || hotBucketOcc <= 0) (a0, b0, Seq("bk"))
+      else {
+        // Bounded DRIVER-SIDE census read — the AQE posture (inspect a
+        // tiny statistic of an already-materialized stage, then pick
+        // the plan): `fanned` is localCheckpoint'ed above, so this is
+        // one cheap counts-only job, and the result is bounded by
+        // construction at min(nRows/hotBucketOcc, 4096) ids — never a
+        // relation-sized driver read. The hot set is a performance
+        // refinement only (any subset yields identical output), so
+        // capping at the 4096 hottest is always safe.
+        val hotIds = fanned.groupBy(col("bk")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > hotBucketOcc.toLong)
+          .orderBy(col("occ").desc, col("bk"))
+          .limit(4096)
+          .select("bk").collect().map(_.getLong(0)).toSeq
+        if (hotIds.isEmpty) (a0, b0, Seq("bk")) // common case: plain plan
+        else {
+          // hot test via a broadcast hash probe on the tiny collected
+          // id set (a driver-local relation — the census never
+          // recomputes in-plan). NOT a literal isin(): a 720-element
+          // In inside the explode generator evaluates interpreted,
+          // per row — measured 19x slower than the broadcast probe
+          // on the sf1 dense-bucket shape.
+          val spark = iv.sparkSession
+          import spark.implicits._
+          val hot = broadcast(hotIds.toDF("bk")
+            .select(col("bk"), lit(true).as("hot")))
+          val aS = a0.join(hot, Seq("bk"), "left")
+            .withColumn("sal", when(col("hot").isNotNull,
+              pmod(xxhash64(col("ia")), lit(salt.toLong)))
+              .otherwise(lit(0L)))
+            .drop("hot")
+          val bS = b0.join(hot, Seq("bk"), "left")
+            .withColumn("sal", explode(when(col("hot").isNotNull,
+              sequence(lit(0L), lit(salt.toLong - 1)))
+              .otherwise(array(lit(0L)))))
+            .drop("hot")
+          (aS, bS, Seq("bk", "sal"))
+        }
+      }
+    a.join(b, joinKeys)
       .filter(col("ka") < col("kb") &&
         col("sa") < col("eb") && col("sb") < col("ea") &&
         col("bk") === expr(s"greatest(sa, sb) div ${bucketUs}L"))

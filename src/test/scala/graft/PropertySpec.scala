@@ -366,6 +366,16 @@ class PropertySpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSeq
+      // force the hot-bucket SALTED path (every bucket salted 4 ways):
+      // exactly-once emission must survive the salt refinement
+      val gotSalted = Joins.intervalOverlapJoin(ivs.toDF("k", "i", "s", "e"),
+          col("k"), col("i"), col("s"), col("e"), bucketUs = width,
+          hotBucketOcc = 1, salt = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(gotSalted == got,
+        s"width=$width: salted path diverged from unsalted")
       val want = (for {
         a <- ivs; b <- ivs
         if a._1 < b._1 && a._3 < b._4 && b._3 < a._4

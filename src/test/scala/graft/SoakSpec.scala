@@ -1062,6 +1062,15 @@ class SoakSpec extends SparkTestBase {
         ((col("id") + 1L) * hourUs + 10L).as("s"),
         ((col("id") + 1L) * hourUs + 1010L).as("e"))
       val ivIn = hot.unionByName(quiet).repartition(8)
+      // one untimed warm-up so neither timed path eats the suite's
+      // cold JIT/codegen (the salted plan runs three jobs — census,
+      // broadcast, join — and absorbed ~7 s of first-run compilation
+      // before this warm-up existed)
+      Joins.intervalOverlapJoin(ivIn, col("u"), col("sid"), col("s"),
+        col("e"), bucketUs = hourUs).agg(count(lit(1))).head
+      // default path: the occupancy census finds the 2k-deep bucket
+      // and salts it 32 ways — the C(2000,2) probe work spreads over
+      // 32 tasks instead of serializing on one
       val (iv, tIv) = timed {
         Joins.intervalOverlapJoin(ivIn, col("u"), col("sid"), col("s"),
             col("e"), bucketUs = hourUs)
@@ -1069,6 +1078,14 @@ class SoakSpec extends SparkTestBase {
       }
       assert((iv.getLong(0), iv.getLong(1), iv.getLong(2)) ==
         ((1999000L, 1000L, 1000L)), s"flash-crowd census: $iv")
+      // unsalted legacy path on the same fixture: identical census
+      val (ivU, tIvU) = timed {
+        Joins.intervalOverlapJoin(ivIn, col("u"), col("sid"), col("s"),
+            col("e"), bucketUs = hourUs, hotBucketOcc = 0)
+          .agg(count(lit(1)), min(col("overlap_us")), max(col("overlap_us"))).head
+      }
+      assert((ivU.getLong(0), ivU.getLong(1), ivU.getLong(2)) ==
+        ((1999000L, 1000L, 1000L)), s"flash-crowd census (unsalted): $ivU")
 
       // ---- fuzzy join: one oversized block among 100k normal ones ----
       val bg = spark.range(1000000L).select(col("id"),
@@ -1150,10 +1167,15 @@ class SoakSpec extends SparkTestBase {
            |shuffle-budget listener invariant as the other soaks.
            |Flash-crowd interval overlap: 2,000 sessions concurrent in
            |ONE hourly bucket behind 1M quiet sessions — exactly
-           |C(2000,2) = 1,999,000 pairs, all 1000 µs; the hot bucket's
-           |locally quadratic join cost is the output's own size (the
-           |salting escape hatch stays documented on the operator for
-           |the case where one bucket's pairs alone dwarf a task).
+           |C(2000,2) = 1,999,000 pairs, all 1000 µs, from BOTH paths:
+           |the default occupancy-census salting (hot bucket split 32
+           |ways) and the unsalted legacy plan (one locally quadratic
+           |task) — identical output, both warm-timed. At this 2k
+           |depth the pair work is small, so the rows mostly bound the
+           |salting machinery's overhead (census job + broadcast hot
+           |probe); the shape where salting pays is the sf1 sweep's
+           |dense-every-bucket fixture (23.6 → 7.8 s at local[32],
+           |q_join_interval_overlap).
            |Oversized fuzzy block: one 3,000-member block among 100k
            |10-member blocks — the extra C(3000,2) pairs all surface at
            |distance 0, total exactly 8,998,500. Dominant asof user:
@@ -1171,7 +1193,8 @@ class SoakSpec extends SparkTestBase {
            |
            || operator | rows in | wall s | cal ratio |
            ||---|---|---|---|
-           || intervalOverlapJoin (flash crowd) | 1.0M | ${f"$tIv%.1f"} | ${f"$ratio%.2f"} |
+           || intervalOverlapJoin (flash crowd, salted) | 1.0M | ${f"$tIv%.1f"} | ${f"$ratio%.2f"} |
+           || intervalOverlapJoin (flash crowd, unsalted) | 1.0M | ${f"$tIvU%.1f"} | ${f"$ratio%.2f"} |
            || fuzzySelfJoin (3k-member block) | 1.0M | ${f"$tFz%.1f"} | ${f"$ratio%.2f"} |
            || asofTolerance ×2 (dominant user) | 3.0M | ${f"$tTol%.1f"} | ${f"$ratio%.2f"} |
            || asofNearest (dominant user) | 3.0M | ${f"$tNear%.1f"} | ${f"$ratio%.2f"} |
