@@ -365,21 +365,32 @@ object Multimodal {
         .orderBy(col("id"))),
     "q_multimodal_join" -> ((s, d) =>
       trainingRows(Tables.documents(s, d), Tables.embeddings(s, d))),
-    // REAL decoders over the stand-in corpus: text bytes are not
-    // valid PNG/WAV, so every row reads decode_ok=false — the triage
-    // predicate contract. Real decode (JDK ImageIO / RIFF parse) is
-    // pinned by MultimodalSpec on generated PNG/BMP/JPEG/WAV bytes.
+    // REAL decoders, BOTH paths oracle-hashed: the stand-in corpus's
+    // text bytes are never valid BMP/WAV (every corpus row reads
+    // decode_ok=false — the triage-predicate contract), and the
+    // unioned [[MediaFixture]] payloads are byte-exact GENERATED
+    // media whose decoded dims/channel-mean/rate/frames/RMS are
+    // closed-form functions of the generator constants — the oracle
+    // replays them as VALUES rows rendered from the same constants.
     "q_multimodal_image" -> ((s, d) =>
-      imageFeaturesOf(withPayload(Tables.documents(s, d))).toDF()
+      imageFeaturesOf(
+        withPayload(Tables.documents(s, d))
+          .select(col("doc_id"), col("payload"))
+          .unionByName(MediaFixture.imagePayloads(s))).toDF()
         .select(col("id").as("doc_id"), col("decode_ok"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"))
+          col("height").cast("long").as("height"),
+          col("mean_r"))
         .orderBy(col("doc_id"))),
     "q_multimodal_audio" -> ((s, d) =>
-      wavFeaturesOf(withPayload(Tables.documents(s, d))).toDF()
+      wavFeaturesOf(
+        withPayload(Tables.documents(s, d))
+          .select(col("doc_id"), col("payload"))
+          .unionByName(MediaFixture.audioPayloads(s))).toDF()
         .select(col("id").as("doc_id"), col("decode_ok"),
           col("sample_rate").cast("long").as("sample_rate"),
-          col("n_frames").as("n_frames"))
+          col("n_frames").as("n_frames"),
+          col("rms"))
         .orderBy(col("doc_id"))),
     // frame fan-out: every 2nd 256-byte frame; sizes/indices are pure
     // arithmetic on payload length (oracle-checked); the frame BYTES
@@ -426,19 +437,30 @@ object Multimodal {
         |FROM documents, generate_series(1, 4096) AS t(i)
         |WHERE (i - 1) * 2 * 256 < octet_length(encode(text))
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // the NEGATIVE decode path is what's checkable on the text-bytes
-    // corpus: every payload must read decode_ok=false with zeroed
-    // features and no row dropped (the triage-predicate contract).
-    // The POSITIVE path (real PNG/BMP/JPEG/WAV decode) has no SQL
-    // oracle and is pinned by MultimodalSpec on generated media bytes.
+    // BOTH decode paths hash-checked: the text-bytes corpus rows are
+    // all negatives (decode_ok=false, zeroed features, no row
+    // dropped — the triage-predicate contract), and the generated
+    // [[MediaFixture]] payloads replay as VALUES rows rendered from
+    // the SAME constants the byte generator used (negative fixture
+    // ids, so no collision with corpus doc_ids).
     "q_multimodal_image" ->
-      """SELECT doc_id, FALSE AS decode_ok,
-        |       CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, FALSE AS decode_ok,
+         |       CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         |       CAST(0 AS DOUBLE) AS mean_r
+         |FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES ${MediaFixture.imageOracleValues})
+         |  AS t(doc_id, decode_ok, width, height, mean_r)
+         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_audio" ->
-      """SELECT doc_id, FALSE AS decode_ok,
-        |       CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, FALSE AS decode_ok,
+         |       CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_frames,
+         |       CAST(0 AS DOUBLE) AS rms
+         |FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES ${MediaFixture.audioOracleValues})
+         |  AS t(doc_id, decode_ok, sample_rate, n_frames, rms)
+         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang,
         |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
