@@ -90,6 +90,30 @@ class ScaleSweepSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // ---- ingest-artifact pre-pass: build every ProcessCache artifact
+    // OUTSIDE the consumer slots by running ONE consumer per artifact
+    // untimed first. Pre-r13 the first consumer paid the build inside
+    // its own slot (the r12 triangles slot read 63.0 s while the
+    // census itself was 10.5 s) — attribution noise that would mask a
+    // real consumer regression. ProcessCache.builds then carries the
+    // per-artifact seconds for the record's own table, and every
+    // consumer slot below reflects query cost only (the pre-pass
+    // queries re-run timed, now hitting the cache). Stages completed
+    // here attribute to <artifact-prebuild>, still under the listener
+    // budget.
+    currentQuery = "<artifact-prebuild>"
+    val tArt0 = System.nanoTime()
+    val prebuilders = Bench.ArtifactConsumers.toSeq
+      .flatMap { case (q, ks) => ks.map(k => k -> q) }
+      .groupBy(_._1).map { case (_, qs) => qs.map(_._2).min }.toSet
+    prebuilders.toSeq.sorted.foreach { q =>
+      try SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // a failure re-surfaces timed below
+    }
+    val tArtPass = (System.nanoTime() - tArt0) / 1e9
+    val artBuilds = ProcessCache.builds.toSeq
+      .map { case (k, v) => (k.takeWhile(_ != ':'), v) }.sortBy(-_._2)
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         currentQuery = name
@@ -134,6 +158,8 @@ class ScaleSweepSpec extends AnyFunSuite {
     }.mkString("\n")
     val slowRows = slowest.map { case (q, s) => s"|| $q | ${f"$s%.1f"} |" }
       .mkString("\n")
+    val artRows = artBuilds.map { case (k, s) => s"|| $k | ${f"$s%.1f"} |" }
+      .mkString("\n")
     val section =
       s"""
          |## Full-registry sf1 sweep (regenerated by ScaleSweepSpec)
@@ -143,12 +169,12 @@ class ScaleSweepSpec extends AnyFunSuite {
          |copies of every sf0.1 table: 6M lineitem / 1.5M orders / 1M
          |events / 50k near-dup documents / 20k embeddings with per-copy
          |label space), local[$cpus], opt-in via GRAFT_SCALE_SWEEP=1.
-         |Fixture build ${f"$tFixture%.0f"} s; sweep total
+         |Fixture build ${f"$tFixture%.0f"} s; artifact pre-pass
+         |${f"$tArtPass%.0f"} s (ingest-time builds — LSH pair lists,
+         |trained quantizers, graph edges — timed as their OWN rows
+         |below; consumer slots reflect query cost only); sweep total
          |${f"$total%.0f"} s; **0 failures, 0 single-task stages over the
-         |32 MB shuffle budget** across the whole run (ingest-time
-         |artifact builds — LSH pair lists, trained quantizers, graph
-         |edges, bucketed tables — land on their first consuming query,
-         |as a cold cluster would pay them); cal ratio
+         |32 MB shuffle budget** across the whole run; cal ratio
          |${f"${calBefore / SweepCalibrationRefSec}%.2f"} before /
          |${f"${calAfter / SweepCalibrationRefSec}%.2f"} after (median
          |probe vs the ${SweepCalibrationRefSec} s quiet local[$cpus]
@@ -163,6 +189,12 @@ class ScaleSweepSpec extends AnyFunSuite {
          || query | wall s |
          ||---|---|
          |$slowRows
+         |
+         |Ingest-artifact builds (one-time cost, own pre-pass):
+         |
+         || artifact | build s |
+         ||---|---|
+         |$artRows
          |""".stripMargin
     SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
       "Full-registry sf1 sweep", section)
