@@ -21,11 +21,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * named by the `_ARRAY_DIMENSIONS` attribute (the xarray convention)
   * plus a `value` column of the array dtype.
   *
-  * Scope (the subset the reference actually exercises): zarr format 2,
-  * C order, little-endian `<f8 <f4 <i8 <i4`, compressor `null`/zlib/
-  * gzip/blosc (lz4, lz4hc, zlib, zstd inner codecs, byte- and
-  * bit-shuffle filters — see [[Blosc]]),
-  * `.`- or `/`-separated chunk keys, missing chunks = fill
+  * Scope: zarr format 2 (the subset the reference exercises) AND
+  * format 3 reads (`zarr.json` — zarr-python 3.x's default output;
+  * the wild is migrating): C order, little-endian `<f8 <f4 <i8 <i4` /
+  * `float64 float32 int64 int32`, compressor `null`/zlib/gzip/blosc
+  * (lz4, lz4hc, zlib, zstd inner codecs, byte- and bit-shuffle
+  * filters — see [[Blosc]]) plus v3's raw-zstd bytes→bytes codec,
+  * `.`- or `/`-separated chunk keys in both v2 and v3-`default`
+  * (`c/`-prefixed) encodings, v2 `.zmetadata` and v3 inline
+  * `consolidated_metadata` group documents, missing chunks = fill
   * value. Anything else fails LOUDLY at schema inference — silent
   * misreads of an unsupported codec are the one unacceptable outcome.
   *
@@ -46,8 +50,12 @@ object ZarrMeta {
 
   final case class Meta(shape: Array[Long], chunks: Array[Int], dtype: String,
       compressor: Option[String], fillValue: Double, dimSeparator: String,
-      dims: Array[String]) extends Serializable {
+      dims: Array[String], keyPrefix: String = "") extends Serializable {
     def nDims: Int = shape.length
+    /** Store key of a chunk: v2 keys are bare separator-joined coords;
+      * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. */
+    def chunkKey(cc: Array[Int]): String =
+      keyPrefix + cc.mkString(dimSeparator)
     def chunkCounts: Array[Int] =
       shape.zip(chunks).map { case (s, c) => ((s + c - 1) / c).toInt }
     def elemSize: Int = dtype.last match {
@@ -72,8 +80,10 @@ object ZarrMeta {
     * instead of one per key: the flag the reference passes,
     * precipitation_pipeline.py:83). */
   def read(dir: String): Meta = {
+    val v3 = Paths.get(dir, "zarr.json")
     val local = Paths.get(dir, ".zarray")
-    if (Files.exists(local)) {
+    if (Files.exists(v3)) buildV3(mapper.readTree(Files.readString(v3)))
+    else if (Files.exists(local)) {
       val attrsPath = Paths.get(dir, ".zattrs")
       val attrs = if (Files.exists(attrsPath))
         Some(mapper.readTree(Files.readString(attrsPath))) else None
@@ -82,26 +92,48 @@ object ZarrMeta {
       val arrayDir = Paths.get(dir).toAbsolutePath.normalize
       val name = arrayDir.getFileName.toString
       val zm = arrayDir.getParent.resolve(".zmetadata")
-      require(Files.exists(zm),
-        s"no .zarray in $dir and no consolidated .zmetadata in its group")
-      val doc = mapper.readTree(Files.readString(zm))
-      require(doc.path("zarr_consolidated_format").asInt == 1,
-        "unsupported zarr_consolidated_format")
-      val md = doc.path("metadata")
-      val za = md.path(s"$name/.zarray")
-      require(!za.isMissingNode, s"'$name/.zarray' absent from consolidated metadata")
-      val at = md.path(s"$name/.zattrs")
-      build(za, if (at.isMissingNode) None else Some(at))
+      val gv3 = arrayDir.getParent.resolve("zarr.json")
+      if (Files.exists(zm)) {
+        val doc = mapper.readTree(Files.readString(zm))
+        require(doc.path("zarr_consolidated_format").asInt == 1,
+          "unsupported zarr_consolidated_format")
+        val md = doc.path("metadata")
+        val za = md.path(s"$name/.zarray")
+        require(!za.isMissingNode, s"'$name/.zarray' absent from consolidated metadata")
+        val at = md.path(s"$name/.zattrs")
+        build(za, if (at.isMissingNode) None else Some(at))
+      } else if (Files.exists(gv3)) {
+        // zarr v3 consolidation: the GROUP's zarr.json carries an
+        // inline `consolidated_metadata` map of child metadata
+        // documents (what zarr-python 3 writes for consolidated=True)
+        val doc = mapper.readTree(Files.readString(gv3))
+        val cm = doc.path("consolidated_metadata")
+        require(!cm.isMissingNode && !cm.isNull,
+          s"no array metadata in $dir and the group's zarr.json carries " +
+            "no consolidated_metadata")
+        val md = cm.path("metadata").path(name)
+        require(!md.isMissingNode,
+          s"'$name' absent from the group's consolidated_metadata")
+        buildV3(md)
+      } else throw new IllegalArgumentException(
+        s"no zarr.json or .zarray in $dir and no consolidated metadata " +
+          "(.zmetadata / group zarr.json) in its group")
     }
   }
 
-  /** Does the group contain array `name` — by its own `.zarray` or by
-    * an entry in the group's consolidated `.zmetadata`? */
+  /** Does the group contain array `name` — by its own `zarr.json` /
+    * `.zarray`, or by an entry in the group's consolidated metadata
+    * (v2 `.zmetadata` or v3 group `zarr.json`)? */
   def hasArray(groupDir: String, name: String): Boolean =
-    Files.exists(Paths.get(groupDir, name, ".zarray")) || {
+    Files.exists(Paths.get(groupDir, name, ".zarray")) ||
+    Files.exists(Paths.get(groupDir, name, "zarr.json")) || {
       val zm = Paths.get(groupDir, ".zmetadata")
       Files.exists(zm) && mapper.readTree(Files.readString(zm))
         .path("metadata").has(s"$name/.zarray")
+    } || {
+      val gv3 = Paths.get(groupDir, "zarr.json")
+      Files.exists(gv3) && mapper.readTree(Files.readString(gv3))
+        .path("consolidated_metadata").path("metadata").has(name)
     }
 
   private def build(zarray: com.fasterxml.jackson.databind.JsonNode,
@@ -175,6 +207,115 @@ object ZarrMeta {
       s"_ARRAY_DIMENSIONS rank ${dims.length} != shape rank ${shape.length}")
     Meta(shape, chunks, dtype, compressor, fill, sep, dims)
   }
+
+  /** Zarr FORMAT 3 array metadata (`zarr.json` — what zarr-python 3.x
+    * writes by default). Same loud-rejection posture as v2: the
+    * supported subset is regular chunk grids, the `bytes` (little-
+    * endian) array→bytes codec, and at most one bytes→bytes codec of
+    * gzip / zstd (RFC 8878 raw frame) / blosc; `default` and `v2`
+    * chunk-key encodings; `dimension_names` (or the xarray attribute)
+    * for dim naming. Sharding, transpose, crc32c, and non-little
+    * endianness fail at schema inference, never mid-scan. */
+  private def buildV3(node: com.fasterxml.jackson.databind.JsonNode): Meta = {
+    require(node.path("zarr_format").asInt == 3,
+      s"zarr_format ${node.path("zarr_format")} unsupported (need 3)")
+    require(node.path("node_type").asText == "array",
+      s"node_type '${node.path("node_type").asText}' is not an array")
+    val dtype = node.path("data_type").asText match {
+      case "float64" => "<f8"
+      case "float32" => "<f4"
+      case "int64" => "<i8"
+      case "int32" => "<i4"
+      case other => throw new IllegalArgumentException(
+        s"data_type '$other' unsupported (float64/float32/int64/int32 only)")
+    }
+    val shape = node.path("shape").elements.asScala.map(_.asLong).toArray
+    val cg = node.path("chunk_grid")
+    require(cg.path("name").asText == "regular",
+      s"chunk_grid '${cg.path("name").asText}' unsupported (regular only)")
+    val chunks = cg.path("configuration").path("chunk_shape")
+      .elements.asScala.map(_.asInt).toArray
+    require(shape.nonEmpty && shape.length == chunks.length,
+      s"shape/chunk_shape rank mismatch: ${shape.length} vs ${chunks.length}")
+    require(shape.forall(_ >= 1) && chunks.forall(_ >= 1),
+      s"non-positive shape/chunks: ${shape.mkString(",")} / ${chunks.mkString(",")}")
+    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
+    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
+      s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
+        "byte buffer bound; re-chunk the store")
+    // chunk-key encoding: "default" prefixes c<sep> (sep default "/"),
+    // "v2" uses bare coords (sep default ".")
+    val cke = node.path("chunk_key_encoding")
+    val (sep, prefix) =
+      if (cke.isMissingNode || cke.isNull) ("/", "c/")
+      else {
+        val nm = cke.path("name").asText
+        val cfgSep = cke.path("configuration").path("separator")
+        nm match {
+          case "default" =>
+            val s = if (cfgSep.isMissingNode) "/" else cfgSep.asText
+            (s, "c" + s)
+          case "v2" =>
+            val s = if (cfgSep.isMissingNode) "." else cfgSep.asText
+            (s, "")
+          case other => throw new IllegalArgumentException(
+            s"chunk_key_encoding '$other' unsupported (default/v2 only)")
+        }
+      }
+    // codec chain: exactly one array->bytes codec ("bytes", little
+    // endian), then at most one supported bytes->bytes codec
+    val codecs = node.path("codecs")
+    require(codecs.isArray && codecs.size >= 1,
+      "zarr v3 array carries no codecs list")
+    val names = codecs.elements.asScala.map(_.path("name").asText).toSeq
+    require(names.head == "bytes",
+      s"first codec '${names.head}' unsupported (need the 'bytes' " +
+        "array->bytes codec; transpose/sharding_indexed are unsupported)")
+    val endian = codecs.get(0).path("configuration").path("endian")
+    require(endian.isMissingNode || endian.asText == "little",
+      s"endian '${endian.asText}' unsupported (little only)")
+    require(names.size <= 2,
+      s"codec chain [${names.mkString(", ")}] unsupported " +
+        "(at most one bytes->bytes codec)")
+    val compressor = names.drop(1).headOption.map { bb =>
+      val cfg = codecs.get(1).path("configuration")
+      bb match {
+        case "gzip" => "gzip"
+        case "zstd" => "zstd"
+        case "blosc" =>
+          val cname = cfg.path("cname").asText
+          require(Set("lz4", "lz4hc", "zlib", "zstd")(cname),
+            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd only)")
+          cname match {
+            case "zlib" => "blosc:zlib"
+            case "zstd" => "blosc:zstd"
+            case _ => "blosc:lz4"
+          }
+        case other => throw new IllegalArgumentException(
+          s"codec '$other' unsupported (gzip/zstd/blosc only; crc32c " +
+            "checksums are not read by this scan)")
+      }
+    }
+    val fillNode = node.path("fill_value")
+    val fill =
+      if (fillNode.isMissingNode || fillNode.isNull) 0.0
+      else if (fillNode.isTextual) fillNode.asText match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case t => t.toDouble
+      }
+      else fillNode.asDouble
+    val dn = node.path("dimension_names")
+    val ad = node.path("attributes").path("_ARRAY_DIMENSIONS")
+    val dims: Array[String] =
+      if (dn.isArray) dn.elements.asScala.map(_.asText).toArray
+      else if (ad.isArray) ad.elements.asScala.map(_.asText).toArray
+      else shape.indices.map(i => s"i$i").toArray
+    require(dims.length == shape.length,
+      s"dimension_names rank ${dims.length} != shape rank ${shape.length}")
+    Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix)
+  }
 }
 
 /** Shared chunk codec: the writer's compress and the reader's
@@ -196,6 +337,8 @@ private[zarr] object ZarrCodec {
       val out = new java.io.ByteArrayOutputStream(raw.length)
       val g = new java.util.zip.GZIPOutputStream(out)
       g.write(raw); g.close(); out.toByteArray
+    case Some("zstd") => // zarr v3's raw RFC 8878 frame
+      com.github.luben.zstd.Zstd.compress(raw, 5)
     case Some(other) => throw new IllegalArgumentException(s"unsupported codec $other")
   }
 
@@ -220,7 +363,7 @@ private[zarr] object ZarrCodec {
 private[zarr] object ZarrChunkIO {
   def load(path: String, meta: ZarrMeta.Meta, chunkCoords: Array[Int]): Option[ByteBuffer] = {
     val chunkElems = meta.chunks.map(_.toLong).product
-    val key = chunkCoords.mkString(meta.dimSeparator)
+    val key = meta.chunkKey(chunkCoords)
     val p = Paths.get(path, key)
     if (!Files.exists(p)) None
     else {
@@ -249,6 +392,14 @@ private[zarr] object ZarrChunkIO {
           var k = in.read(tmp)
           while (k >= 0) { out.write(tmp, 0, k); k = in.read(tmp) }
           out.toByteArray
+        case Some("zstd") => // zarr v3's raw RFC 8878 frame
+          val want = (chunkElems * meta.elemSize).toInt
+          val dst = new Array[Byte](want)
+          val n = com.github.luben.zstd.Zstd.decompressByteArray(
+            dst, 0, want, raw, 0, raw.length)
+          require(!com.github.luben.zstd.Zstd.isError(n) && n.toInt == want,
+            s"zstd chunk $key decoded ${n} bytes, expected $want")
+          dst
         case Some(other) =>
           throw new IllegalStateException(s"unsupported compressor $other")
       }

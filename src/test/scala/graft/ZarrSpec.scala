@@ -474,6 +474,140 @@ class ZarrSpec extends SparkTestBase {
     assert(Zarr.readArray(spark, i4).orderBy(col("i0")).collect()
       .map(_.getInt(1)).toSeq == Seq(0, 7, 14, 21))
   }
+
+  // ------------------------------------------------------------ zarr v3
+
+  test("golden v3 store: hand-written zarr.json + nested c/ chunk keys decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // written as LITERAL documents (not via writeArrayV3) so the
+    // reader is pinned against the v3 spec, not against our writer
+    val base = graft.sources.IO.tmp("graft_zarr_v3g_")
+    val d = Paths.get(base, "arr")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[3,4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,2]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":-1.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |          {"name":"gzip","configuration":{"level":5}}],
+        |"dimension_names":["row","col"],
+        |"attributes":{}}""".stripMargin)
+    // chunk (r,c) holds values 100*globalRow + globalCol, C order,
+    // padded at row edge (3 % 2 != 0); chunk (1,1) left MISSING → fill
+    def chunk(cr: Int, cc: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until 2) {
+        val (gr, gc) = (cr * 2 + r, cc * 2 + c)
+        buf.putDouble(if (gr < 3 && gc < 4) 100.0 * gr + gc else -1.0)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(buf.array()); g.close(); out.toByteArray
+    }
+    for ((cr, cc) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val p = d.resolve(s"c/$cr/$cc")
+      Files.createDirectories(p.getParent)
+      Files.write(p, chunk(cr, cc))
+    }
+    val meta = ZarrMeta.read(d.toString)
+    assert(meta.dims.toSeq == Seq("row", "col") &&
+      meta.compressor.contains("gzip") && meta.keyPrefix == "c/")
+    val rows = Zarr.readArray(spark, d.toString)
+      .orderBy(col("row"), col("col")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = for (r <- 0L until 3L; c <- 0L until 4L) yield
+      (r, c, if (c >= 2 && r >= 2) -1.0 else 100.0 * r + c) // missing chunk → fill
+    assert(rows.toSeq == want.toSeq, rows.mkString(", "))
+  }
+
+  test("v3 'v2' chunk-key encoding and raw-zstd codec decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr_v3k_")
+    val d = Paths.get(base, "arr")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+        |"chunk_key_encoding":{"name":"v2","configuration":{"separator":"."}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |          {"name":"zstd","configuration":{"level":3,"checksum":false}}],
+        |"attributes":{}}""".stripMargin)
+    def chunk(vals: Seq[Double]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(vals.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(buf.putDouble)
+      com.github.luben.zstd.Zstd.compress(buf.array(), 3)
+    }
+    Files.write(d.resolve("0"), chunk(Seq(10.0, 11.0))) // bare v2-style keys
+    Files.write(d.resolve("1"), chunk(Seq(12.0, 13.0)))
+    val meta = ZarrMeta.read(d.toString)
+    assert(meta.keyPrefix == "" && meta.dimSeparator == "." &&
+      meta.compressor.contains("zstd") && meta.dims.toSeq == Seq("i0"))
+    assert(Zarr.readArray(spark, d.toString).orderBy(col("i0")).collect()
+      .map(_.getDouble(1)).toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+  }
+
+  test("v3 consolidated_metadata: array readable from the group zarr.json alone") {
+    val base = graft.sources.IO.tmp("graft_zarr_v3c_")
+    // build a real store, then MOVE its metadata into the group doc
+    Zarr.writeArrayV3(s"$base/v", Array(4L), Array(2), Array("t"),
+      None, 0.0, i => i(0) * 2.5)
+    val arrayMeta = Files.readString(Paths.get(base, "v", "zarr.json"))
+    Files.delete(Paths.get(base, "v", "zarr.json"))
+    Files.writeString(Paths.get(base, "zarr.json"),
+      s"""{"zarr_format":3,"node_type":"group",
+         |"consolidated_metadata":{"kind":"inline","must_understand":false,
+         |"metadata":{"v":$arrayMeta}},
+         |"attributes":{}}""".stripMargin)
+    assert(ZarrMeta.hasArray(base, "v"))
+    assert(Zarr.readArray(spark, s"$base/v").orderBy(col("t")).collect()
+      .map(_.getDouble(1)).toSeq == Seq(0.0, 2.5, 5.0, 7.5))
+  }
+
+  test("writeArrayV3 round trips every supported v3 codec chain") {
+    for ((codec, tag) <- Seq(None -> "raw", Some("gzip") -> "gz",
+        Some("zstd") -> "zs", Some("blosc:zstd") -> "bz")) {
+      val dir = graft.sources.IO.tmp(s"graft_zarr_v3rt_${tag}_") + "/a"
+      Zarr.writeArrayV3(dir, Array(3L, 5L), Array(2, 2), Array("y", "x"),
+        codec, 0.0, i => (i(0) * 100 + i(1)).toDouble)
+      val got = Zarr.readArray(spark, dir).orderBy(col("y"), col("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val want = for (y <- 0L until 3L; x <- 0L until 5L) yield
+        (y, x, (y * 100 + x).toDouble)
+      assert(got.toSeq == want.toSeq, s"codec $codec")
+    }
+  }
+
+  test("unsupported v3 stores fail LOUDLY at metadata read, never misread") {
+    val dir = graft.sources.IO.tmp("graft_zarr_v3bad_")
+    def meta(d: String, body: String): Unit = {
+      Files.createDirectories(Paths.get(dir, d))
+      Files.writeString(Paths.get(dir, d, "zarr.json"), body)
+    }
+    def arr(extra: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[4],
+         |"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+         |"fill_value":0.0,$extra
+         |"attributes":{}}""".stripMargin
+    meta("crc", arr(
+      """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"crc32c"}],""".stripMargin))
+    meta("sharding", arr(
+      """"codecs":[{"name":"sharding_indexed","configuration":{}}],"""))
+    meta("bigend", arr(
+      """"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],"""))
+    meta("f16", arr(
+      """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""")
+      .replace("float64", "float16"))
+    Seq("crc", "sharding", "bigend", "f16").foreach { d =>
+      val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
+      assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
+    }
+  }
 }
 
 /** Static evaluation counter for the coordinate-drift test (executor
