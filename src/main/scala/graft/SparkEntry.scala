@@ -23,6 +23,7 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Snapshot.queries, Snapshot.oracle),
+    (Inference.queries, Inference.oracle),
     (Graph.queries, Graph.oracle),
     (Population.queries, Population.oracle),
     (graft.sources.IO.queries, graft.sources.IO.oracle),
