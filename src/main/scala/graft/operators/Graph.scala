@@ -623,11 +623,12 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  /** Generated DuckDB twin of [[labelPropagation]]: one chained CTE
-    * per round (the bpeTrain/kmeans oracle posture — the loop is
-    * unrolled into SQL, so the oracle replays the engine's exact
-    * semantics: synchronous rounds, count-then-min-label argmax). */
-  private[graft] def lpaOracleSql(rounds: Int): String = {
+  /** The unrolled-LPA CTE chain shared by [[lpaOracleSql]] and
+    * [[modularityOracleSql]] (one chained CTE per round — the
+    * bpeTrain/kmeans oracle posture: the loop is unrolled into SQL,
+    * so the oracle replays the engine's exact semantics: synchronous
+    * rounds, count-then-min-label argmax). */
+  private def lpaCtes(rounds: Int): String = {
     val head =
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
@@ -647,11 +648,93 @@ object Graph {
          |             ORDER BY c DESC, lbl ASC) AS rn
          |    FROM c$k) WHERE rn = 1)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Generated DuckDB twin of [[labelPropagation]]. */
+  private[graft] def lpaOracleSql(rounds: Int): String =
+    lpaCtes(rounds) +
       s"""
          |SELECT node, lbl AS community_id,
          |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_nodes
          |FROM l$rounds ORDER BY node""".stripMargin
+
+  /** Generated DuckDB twin of [[modularityOf]] over the LPA
+    * communities: same unrolled rounds, then the same exact integer
+    * censuses and the same single rational readout. */
+  private[graft] def modularityOracleSql(rounds: Int): String =
+    lpaCtes(rounds) +
+      s""",
+         |und AS (SELECT a AS src, b AS dst FROM p),
+         |comm AS (SELECT node, lbl AS cid FROM l$rounds),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT src AS node FROM und
+         |              UNION ALL SELECT dst FROM und)
+         |        GROUP BY 1),
+         |degc AS (SELECT cid, CAST(sum(deg) AS BIGINT) AS dc
+         |         FROM deg JOIN comm USING (node) GROUP BY 1),
+         |ec AS (SELECT ca.cid AS cid, CAST(count(*) AS BIGINT) AS ec
+         |       FROM und JOIN comm ca ON und.src = ca.node
+         |                JOIN comm cb ON und.dst = cb.node AND cb.cid = ca.cid
+         |       GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |       CAST(max(mm.m) AS BIGINT) AS n_edges,
+         |       floor(CAST(sum(4 * mm.m * coalesce(ec.ec, 0)
+         |                      - degc.dc * degc.dc) AS DOUBLE)
+         |             / (4.0 * CAST(max(mm.m) AS DOUBLE)
+         |                * CAST(max(mm.m) AS DOUBLE))
+         |             * 1000000.0 + 0.5) / 1000000.0 AS modularity
+         |FROM degc LEFT JOIN ec USING (cid), mm""".stripMargin
+
+  /** Newman MODULARITY Q of a community assignment over a canonical
+    * (a<b, simple) undirected edge set — "did the community detector
+    * find real structure?": Q = Σ_c [ e_c/m − (deg_c/2m)² ], the
+    * intra-community edge share against its degree-preserving random
+    * expectation; Q ≈ 0 for random assignments, commonly 0.3–0.7 for
+    * real community structure. The audit scalar run AFTER
+    * [[labelPropagation]], scoring what it found.
+    *
+    * EXACT arithmetic: with a common denominator the sum collapses to
+    * Q = Σ_c (4·m·e_c − deg_c²) / (4m²) — every census (m, e_c,
+    * deg_c) is an exact BIGINT, the numerator sum is an order-free
+    * BIGINT sum (deg_c ≤ 2m keeps deg_c² under 2⁶³ up to m ≈ 1.5×10⁹
+    * edges — guarded loudly), and the ONLY double operation is the
+    * final division. No per-community float terms to wobble.
+    *
+    * Scale: a degree aggregate, two broadcast-sized community tags on
+    * the edge set, a per-community counts-only aggregate, one scalar
+    * reduction. */
+  def modularityOf(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val und = edges.toDF("src", "dst")
+    val comm = communities.select(col("node"), col("community_id").as("cid"))
+    val deg = und.select(col("src").as("node"))
+      .unionAll(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degC = deg.join(comm, "node")
+      .groupBy(col("cid")).agg(sum(col("deg")).as("dc"))
+    val eC = und
+      .join(comm.select(col("node").as("src"), col("cid").as("ca")), "src")
+      .join(comm.select(col("node").as("dst"), col("cid").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cid")).agg(count(lit(1)).as("ec"))
+    // 4m² must stay under 2⁶³: loud in-plan guard, never silent wrap
+    val mMax = math.sqrt(Long.MaxValue.toDouble / 4.0).toLong // ≈ 1.518e9
+    val mRow = und.agg(count(lit(1)).as("m"))
+      .select(when(col("m") > mMax, raise_error(concat(
+          lit("modularityOf: "), col("m").cast("string"),
+          lit(s" edges > $mMax — the exact 4m² denominator would " +
+            "overflow 2^63; aggregate communities first"))))
+        .otherwise(col("m")).as("m"))
+    degC.join(eC, Seq("cid"), "left")
+      .crossJoin(broadcast(mRow))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges"),
+        graft.halfUp(
+          sum(lit(4L) * col("m") * coalesce(col("ec"), lit(0L)) -
+            col("dc") * col("dc")).cast("double") /
+          (lit(4.0) * max(col("m")).cast("double") *
+            max(col("m")).cast("double")), 6).as("modularity"))
   }
 
   /** Degree DISTRIBUTION of a canonical undirected edge set (deg →
@@ -717,6 +800,11 @@ object Graph {
     // basket-pair artifact like components/jaccard
     "q_graph_label_prop" -> ((s, d) =>
       labelPropagation(copurchaseStrong(s, d), rounds = 4)),
+    // modularity audit of those communities — exact integer censuses,
+    // one double division
+    "q_graph_modularity" -> ((s, d) =>
+      modularityOf(copurchaseStrong(s, d),
+        labelPropagation(copurchaseStrong(s, d), rounds = 4))),
     // hop distance from the node%100==0 seed parts, 3 synchronous
     // rounds over the same thresholded graph artifact
     "q_graph_bfs" -> ((s, d) =>
@@ -747,6 +835,8 @@ object Graph {
   val oracle: Map[String, String] = Map(
     // generated unrolled-round twin — see lpaOracleSql
     "q_graph_label_prop" -> lpaOracleSql(4),
+    // same unrolled LPA + exact integer censuses — see modularityOracleSql
+    "q_graph_modularity" -> modularityOracleSql(4),
     // generated unrolled-round twin — see bfsOracleSql
     "q_graph_bfs" -> bfsOracleSql(3),
     // generated unrolled-round twin — see kcoreOracleSql

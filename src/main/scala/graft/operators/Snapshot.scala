@@ -246,7 +246,128 @@ object Snapshot {
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
 
+  /** Per-column PROFILE of a table — the data-quality audit a lake
+    * runs before trusting a new drop: row count, null count, exact
+    * distinct cardinality, numeric min/max per column, one row per
+    * column. The table MELTS to (column, value) structs and profiles
+    * in ONE grouped pass per type class (never N count-distinct
+    * columns in one aggregate — that plans an N-way expand, N× the
+    * scan rows through the exchange; the melt ships the same cells
+    * once, and a single-distinct-per-group aggregate plans the
+    * ordinary two-phase distinct). String columns profile counts
+    * only (min/max NULL: cross-engine collation is not a parity
+    * surface this query wants to stand on). n_distinct excludes
+    * NULLs on both engines (COUNT(DISTINCT) semantics). */
+  def qualityProfile(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): DataFrame = {
+    def melt(cols: Seq[String], cast: String): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast(cast).as("v"))): _*)).as("x"))
+        .select(col("x.c").as("col_name"), col("x.v").as("v"))
+    val num = melt(numCols, "double")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        graft.halfUp(min(col("v")), 4).as("min_v"),
+        graft.halfUp(max(col("v")), 4).as("max_v"))
+    val str = melt(strCols, "string")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        lit(null).cast("double").as("min_v"),
+        lit(null).cast("double").as("max_v"))
+    num.unionByName(str).orderBy(col("col_name"))
+  }
+
+  /** REFERENTIAL-INTEGRITY census across a star schema's FK edges:
+    * per relation, how many child rows point at a missing parent —
+    * the orphan audit run on every ingest before joins silently drop
+    * rows (an inner join "loses" orphans without a trace; this query
+    * is the trace). NULL FKs are not orphans (they fail the
+    * not-null contract instead — q_validate_contract's rule).
+    *
+    * Scale: each relation is one LEFT ANTI join counting into a
+    * 1-row aggregate — dimension parents broadcast, the fact-fact
+    * edge (lineitem→orders) shuffles on the key like any join. */
+  def referentialOrphans(rels: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame = {
+    rels.map { case (name, child, fk, parent, pk) =>
+      val kids = child.select(col(fk).as("k")).filter(col("k").isNotNull)
+      kids.join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(kids.agg(count(lit(1)).as("n_child"))))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          graft.halfUp(col("n_orphans").cast("double") /
+            col("n_child").cast("double"), 6).as("orphan_ratio"))
+    }.reduce(_ unionByName _).orderBy(col("relation"))
+  }
+
+  private val profileNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profileStrCols = Seq("l_returnflag", "l_linestatus")
+
+  private[operators] val qualityProfileOracleSql: String = {
+    val num = profileNumCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  floor(CAST(min($c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS min_v,
+         |  floor(CAST(max($c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS max_v
+         |FROM lineitem""".stripMargin
+    }
+    val str = profileStrCols.map { c =>
+      s"""SELECT '$c', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM lineitem""".stripMargin
+    }
+    (num ++ str).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  private val orphanRels = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  private[operators] val orphansOracleSql: String =
+    orphanRels.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS relation,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN NOT EXISTS (
+         |    SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  floor(CAST(sum(CASE WHEN NOT EXISTS (
+         |    SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS orphan_ratio
+         |FROM $child c WHERE c.$fk IS NOT NULL""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+
   val queries: Map[String, Q] = Map(
+    // one-pass per-column audit of the fact table (melt, never an
+    // N-way count-distinct expand)
+    "q_quality_profile" -> ((s, d) =>
+      qualityProfile(Tables.lineitem(s, d), profileNumCols, profileStrCols)),
+    // FK orphan census across every star edge of the schema
+    "q_quality_orphans" -> ((s, d) => referentialOrphans(Seq(
+      ("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      ("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      ("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      ("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey")))),
     // only changed keys are emitted (the unchanged mass stays in the
     // cluster)
     "q_snapshot_diff" -> ((s, d) => {
@@ -306,6 +427,10 @@ object Snapshot {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-column UNION ALL twin generated from the same column lists
+    "q_quality_profile" -> qualityProfileOracleSql,
+    // NOT EXISTS twin generated from the same relation list
+    "q_quality_orphans" -> orphansOracleSql,
     // same planting chain (same WHEN precedence — a key divisible by
     // both 97 and 79 nulls, it does not orphan), same four rules
     "q_validate_contract" ->

@@ -2058,6 +2058,54 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ok.tail.forall(r => math.abs(r.getDouble(2) - 1.0) <= 2e-6), ok.mkString(","))
   }
 
+  test("qualityProfile: nulls, distincts, min/max exact; strings count-only") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.5), Some("a")),
+      (None, Some("b")), (Some(2.5), None))
+      .toDF("x", "s")
+    val r = Snapshot.qualityProfile(df, Seq("x"), Seq("s")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val x = r("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3)) == ((4L, 1L, 2L)))
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 2.5, x.toString)
+    val s = r("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((4L, 1L, 2L)))
+    assert(s.isNullAt(4) && s.isNullAt(5))
+  }
+
+  test("referentialOrphans: planted orphans counted, NULL FKs excluded") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val child = Seq(Some(1L), Some(2L), Some(99L), None, Some(98L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Snapshot.referentialOrphans(
+      Seq(("c->p", child, "fk", parent, "pk"))).collect().head
+    // 4 non-null children, 2 orphans (99, 98), ratio 0.5
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((4L, 2L, 0.5)),
+      r.toString)
+  }
+
+  test("modularityOf: barbell graph scores 0.357143 split, 0 merged (textbook)") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two triangles bridged by one edge (canonical a<b form), m = 7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    // the natural split: e_c = 3 each, deg_c = 7 each
+    // Q = 2·(4·7·3 − 49)/(4·49) = 70/196 = 0.357143 at 6 dp
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community_id")
+    val r = Graph.modularityOf(edges, split).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 7L)), r.toString)
+    assert(r.getDouble(2) == 0.357143, r.toString)
+    // everything in ONE community: Q = (4m·m − (2m)²)/(4m²) = 0 exactly
+    val merged = (1L to 6L).map(n => (n, 0L)).toDF("node", "community_id")
+    assert(Graph.modularityOf(edges, merged).collect().head.getDouble(2) == 0.0)
+  }
+
   test("localClusteringCoeff: known graph, degree-1 nodes excluded, sums tie out to 3T") {
     import spark.implicits._
     // the triangleStats fixture: triangles {123},{124},{129}, spoke 59
