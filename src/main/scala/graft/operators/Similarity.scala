@@ -976,7 +976,8 @@ object Similarity {
          |    FROM pts e
          |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x WHERE x.vec_id = e.vec_id))
          |  ORDER BY md DESC, vec_id LIMIT 1),
-         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH pts AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -992,9 +993,124 @@ object Similarity {
        |FROM sel$k ORDER BY rank""".stripMargin
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    * 1998): greedily pick k items maximizing λ·rel(x) −
+    * (1−λ)·max_{s∈S} cos(x, s) — the relevance-AND-diversity
+    * selector behind search-result diversification and training-
+    * example curation ("most relevant to the query, least redundant
+    * with what's already picked"); [[kCenterSelect]]'s pure-coverage
+    * sibling with a relevance pull. Relevance = cosine to the query
+    * vector; rank 1 is the plain relevance argmax (empty selected
+    * set → redundancy 0). Ties break to the smaller vec_id.
+    *
+    * Parity: relevance and redundancy are the same sequential-fold
+    * [[cosine]] both engines evaluate; λ and 1−λ are SCALA-side
+    * doubles emitted verbatim into the generated oracle (single
+    * source for 1−0.7's last-ulp repr). Scale: the k−1 greedy rounds
+    * are each one broadcast of ≤ k selected vectors + a row-local
+    * codegen'd score + a 1-row argmax reduction (the kCenter
+    * posture); relevance computes ONCE into a checkpoint. */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 8,
+      lam: Double = 0.7): DataFrame = {
+    require(k >= 2, s"need k >= 2: $k")
+    val pts = emb.select(col("vec_id").cast("long").as("vec_id"),
+      toDouble(col("embedding")).as("v"))
+    val qv = pts.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cand = pts.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .localCheckpoint()
+    var sel = cand
+      .agg(max(struct(col("rel"), (-col("vec_id")).as("ni"), col("v").as("bv")))
+        .as("b"))
+      .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
+        col("b.rel").as("rel"), lit(1L).as("rank"),
+        lit(null).cast("double").as("max_sim"),
+        (lit(lam) * col("b.rel")).as("score"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val packed = sel.agg(collect_list(col("v")).as("cs"))
+      val best = cand
+        .join(sel.select(col("vec_id").as("sel_id")),
+          col("vec_id") === col("sel_id"), "left_anti")
+        .crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"), col("rel"),
+          array_max(transform(col("cs"), c => cosine(col("v"), c))).as("ms"))
+        .select(col("vec_id"), col("v"), col("rel"), col("ms"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("ms")).as("score"))
+        .agg(max(struct(col("score"), (-col("vec_id")).as("ni"),
+          col("v").as("bv"), col("rel").as("br"), col("ms").as("bm"))).as("b"))
+        .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
+          col("b.br").as("rel"), lit(t.toLong).as("rank"),
+          col("b.bm").as("max_sim"), col("b.score").as("score"))
+      sel = sel.unionAll(best).localCheckpoint()
+    }
+    sel.select(col("rank"), col("vec_id"),
+        graft.halfUp(col("rel"), 6).as("rel"),
+        graft.halfUp(col("max_sim"), 6).as("max_sim"),
+        graft.halfUp(col("score"), 6).as("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Generated DuckDB twin of [[mmrSelect]]: k−1 chained greedy CTEs
+    * (the kCenter posture) with the same sequential-fold cosine, the
+    * same λ/(1−λ) double literals, and the same (score DESC, vec_id)
+    * tie rule. The chained CTEs are AS MATERIALIZED: each selN is
+    * referenced by BOTH the next step's argmax subquery and its
+    * NOT EXISTS, and DuckDB's inliner otherwise re-expands the whole
+    * chain per reference — exponential in k (measured: >10 min
+    * inlined vs 0.2 s materialized at sf0.01). */
+  private[operators] def mmrOracleSql(queryId: Long, k: Int,
+      lam: Double): String = {
+    val cos = (e: String, c: String) =>
+      s"(list_sum(list_transform(range(1, len($e.v) + 1), " +
+        s"m -> $e.v[m] * $c.v[m])) / " +
+        s"(sqrt(list_sum(list_transform(range(1, len($e.v) + 1), " +
+        s"m -> $e.v[m] * $e.v[m]))) * " +
+        s"sqrt(list_sum(list_transform(range(1, len($c.v) + 1), " +
+        s"m -> $c.v[m] * $c.v[m])))))"
+    val (l, l1) = (lam.toString, (1.0 - lam).toString)
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, CAST($t AS BIGINT) AS rank, ms AS max_sim,
+         |         $l * rel - $l1 * ms AS score FROM (
+         |    SELECT e.vec_id, e.v, e.rel,
+         |           (SELECT max(${cos("e", "c")}) FROM sel${t - 1} c) AS ms
+         |    FROM cand e
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |                      WHERE x.vec_id = e.vec_id))
+         |  ORDER BY $l * rel - $l1 * ms DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |qv AS (SELECT v FROM pts WHERE vec_id = $queryId),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${cos("e", "q")} AS rel
+       |  FROM pts e, (SELECT v FROM qv) q(v)
+       |  WHERE e.vec_id <> $queryId),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, v, rel, CAST(1 AS BIGINT) AS rank,
+       |         CAST(NULL AS DOUBLE) AS max_sim, $l * rel AS score
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT rank, vec_id,
+       |       floor(rel * 1000000.0 + 0.5) / 1000000.0 AS rel,
+       |       floor(max_sim * 1000000.0 + 0.5) / 1000000.0 AS max_sim,
+       |       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_kmeans" -> ((s, d) => kmeansExact(Tables.embeddings(s, d))),
     "q_select_kcenter" -> ((s, d) => kCenterSelect(Tables.embeddings(s, d))),
+    // relevance+diversity greedy pick against vec 0 (the bruteForce
+    // query), λ = 0.7 — the curation selector next to kcenter's
+    // pure-coverage pick
+    "q_select_mmr" -> ((s, d) => mmrSelect(Tables.embeddings(s, d))),
     "q_embed_pca" -> ((s, d) => pcaTopComponent(Tables.embeddings(s, d))),
     "q_sample_negatives" -> ((s, d) =>
       negativeSample(Tables.embeddings(s, d))),
@@ -1069,6 +1185,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // generated unrolled-CTE twin — see kCenterOracleSql
     "q_select_kcenter" -> kCenterOracleSql(8),
+    "q_select_mmr" -> mmrOracleSql(0L, 8, 0.7),
     // the integer-quantized moments + sequential-fold iteration are
     // bit-identical across engines (see pcaTopComponent scaladoc), so
     // this replays the FULL pipeline: quantized sums, covariance,

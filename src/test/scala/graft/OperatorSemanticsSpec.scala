@@ -2058,6 +2058,25 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ok.tail.forall(r => math.abs(r.getDouble(2) - 1.0) <= 2e-6), ok.mkString(","))
   }
 
+  test("mmrSelect: relevance tie to smaller id, redundancy penalty demotes the clone") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // query 0 = (1,0); 1 and 2 point the same way (rel 1), 3 is
+    // orthogonal (rel 0). Rank 1: rel tie -> id 1. Rank 2: the clone
+    // still wins (0.7 - 0.3*1 = 0.4 > 0). Rank 3: the orthogonal
+    // vector at score 0.7*0 - 0.3*0 = 0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(emb, queryId = 0L, k = 3, lam = 0.7)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getDouble(2), if (x.isNullAt(3)) -1.0 else x.getDouble(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq((1L, 1L, 1.0, -1.0, 0.7),
+      (2L, 2L, 1.0, 1.0, 0.4), (3L, 3L, 0.0, 0.0, 0.0)), r.mkString(", "))
+  }
+
   test("qualityProfile: nulls, distincts, min/max exact; strings count-only") {
     import spark.implicits._
     import graft.operators.Snapshot
