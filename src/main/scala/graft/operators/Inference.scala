@@ -92,6 +92,92 @@ object Inference {
       |             * 1000000.0 + 0.5) / 1000000.0 AS f_stat
       |FROM m""".stripMargin
 
+  /** BROWN–FORSYTHE LEVENE test across the event-type arms: the
+    * one-way F statistic computed on d = |x − median_j| — "are the
+    * arm VARIANCES equal?", the homogeneity assumption [[anovaOneWay]]
+    * quietly stands on, in its robust (median-centered) form. Group
+    * medians are RANK-PICKED order statistics (the lower median at
+    * rank ⌊(n+1)/2⌋ — an actual data value, engine-independent by
+    * construction; interpolated medians differ across engines in the
+    * last ulp), so every deviation is an exact BIGINT |cents − med|
+    * and the F chain reuses the ANOVA moments posture unchanged.
+    *
+    * Scale: one ranked window partitioned by the bounded arm key for
+    * the median pick (the winsorizedMean posture), medians broadcast
+    * back, then the same counts-only aggregate as ANOVA. */
+  def leveneBrownForsythe(events: DataFrame): DataFrame = {
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("grp"), cents(col("value")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("c"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val med = graft.spread(v, col("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .groupBy(col("grp"))
+      // integer floor division: Spark's `/` on longs is FRACTIONAL
+      // (n even → rank 100.5 matches nothing and the median nulls out)
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("c"))).as("med"))
+    val g = v.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("c") - col("med")).as("d"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+        sum(col("d") * col("d")).as("q"))
+    val sD = col("s").cast("double")
+    val m = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("n"),
+      sum(col("s")).as("st"), sum(col("q")).as("qt"),
+      sum(sD * sD / col("n").cast("double")).as("a"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val stD = col("st").cast("double")
+    val ssb = (col("a") - stD * stD / nD) / lit(1e4)
+    val ssw = (col("qt").cast("double") - col("a")) / lit(1e4)
+    m.select(col("k").as("n_groups"), col("n"),
+      halfUp(ssb, 4).as("ss_between"),
+      halfUp(ssw, 4).as("ss_within"),
+      halfUp(when(col("k") < 2 || col("n") <= col("k") || ssw <= 0.0,
+          lit(null).cast("double"))
+        .otherwise((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))), 6)
+        .as("w_stat"))
+  }
+
+  private[operators] val leveneOracleSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT grp, c,
+      |             row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+      |             count(*) OVER (PARTITION BY grp) AS n
+      |      FROM v),
+      |med AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+      |        FROM r GROUP BY 1),
+      |d AS (SELECT v.grp, abs(v.c - med.med) AS d FROM v JOIN med USING (grp)),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(d) AS BIGINT) AS s,
+      |             CAST(sum(d * d) AS BIGINT) AS q
+      |      FROM d GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(n) AS BIGINT) AS n,
+      |             CAST(sum(s) AS BIGINT) AS st,
+      |             CAST(sum(q) AS BIGINT) AS qt,
+      |             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |                 / CAST(n AS DOUBLE)) AS a
+      |      FROM g)
+      |SELECT k AS n_groups, n,
+      |       floor(((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |               / CAST(n AS DOUBLE)) / 1e4) * 10000.0 + 0.5) / 10000.0
+      |         AS ss_between,
+      |       floor(((CAST(qt AS DOUBLE) - a) / 1e4) * 10000.0 + 0.5) / 10000.0
+      |         AS ss_within,
+      |       floor((((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |                / CAST(n AS DOUBLE)) / 1e4 / (CAST(k AS DOUBLE) - 1.0))
+      |              / ((CAST(qt AS DOUBLE) - a) / 1e4
+      |                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS w_stat
+      |FROM m""".stripMargin
+
   /** KRUSKAL–WALLIS H across the event-type arms — the rank-based
     * k-sample test (the heavy-tail-robust sibling of [[anovaOneWay]],
     * generalizing q_stats_mannwhitney past two arms), with the
@@ -362,6 +448,8 @@ object Inference {
     "q_stats_anova" -> ((s, d) => anovaOneWay(Tables.events(s, d))),
     // rank-based k-sample test with tie correction, same arms
     "q_stats_kruskal" -> ((s, d) => kruskalWallis(Tables.events(s, d))),
+    // variance-homogeneity gate for the ANOVA (median-centered form)
+    "q_stats_levene" -> ((s, d) => leveneBrownForsythe(Tables.events(s, d))),
     // product-limit view→purchase conversion curves per A/B arm
     "q_stats_survival" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     // symmetric bounded drift between the view/purchase value mixes
@@ -372,6 +460,7 @@ object Inference {
   val oracle: Map[String, String] = Map(
     "q_stats_anova" -> anovaOracleSql,
     "q_stats_kruskal" -> kruskalOracleSql,
+    "q_stats_levene" -> leveneOracleSql,
     "q_stats_survival" -> kaplanMeierOracleSql,
     "q_drift_js" -> jensenShannonOracleSql,
   )

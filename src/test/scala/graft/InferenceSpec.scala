@@ -33,6 +33,25 @@ class InferenceSpec extends SparkTestBase {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4), r.toString)
   }
 
+  test("leveneBrownForsythe: hand-traced deviations, even AND odd group sizes") {
+    import spark.implicits._
+    // view {1,2,3,10}: n even -> lower median at rank 2 = 2; d = 1,0,1,8
+    // purchase {5,5,5}: median 5; d = 0,0,0
+    // moments (cents grid /1e4 cancels): SSB/SSW from d-cents exactly:
+    // group A: n=4, s=1000, q=6600*100... derive via the oracle chain:
+    // dA(cents)={100,0,100,800}, sA=1000, qA=660000; dB={0,0,0}
+    // a = 1000^2/4 = 250000; st=1000, n=7 -> ssb=(250000-1000000/7)/1e4
+    // = 10.7143 (4dp); ssw=(660000-250000)/1e4 = 41.0
+    // F = (10.714286/1)/(41/5) = 1.306620 (6dp)
+    val rows = Seq(1.0, 2.0, 3.0, 10.0).map(v => ev("view", 0, 1L, v)) ++
+      Seq(5.0, 5.0, 5.0).map(v => ev("purchase", 0, 2L, v))
+    val r = Inference.leveneBrownForsythe(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 7)
+    assert(r.getDouble(2) == 10.7143 && r.getDouble(3) == 41.0, r.toString)
+    assert(r.getDouble(4) == 1.306620 || r.getDouble(4) == 1.30662, r.toString)
+  }
+
   test("kruskalWallis: tie-free two-group H matches the closed form") {
     import spark.implicits._
     // ranks 1..6, R1 = 6, R2 = 15: H = 12/42 * (36/3 + 225/3) - 21
