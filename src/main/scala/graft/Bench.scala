@@ -54,6 +54,8 @@ object Bench {
     "q_graph_two_hop" -> Seq("basket_pairs"),
     "q_graph_local_cc" -> Seq("basket_pairs"),
     "q_graph_assortativity" -> Seq("basket_pairs"),
+    "q_graph_modularity" -> Seq("basket_pairs"),
+    "q_graph_hits" -> Seq("cust_supp_edges"),
     "q_assoc_rules" -> Seq("basket_pairs"),
     "q_similarity_ivf" -> Seq("cents"),
     "q_similarity_ivfpq" -> Seq("cents", "books"),

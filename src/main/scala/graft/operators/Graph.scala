@@ -737,6 +737,69 @@ object Graph {
             max(col("m")).cast("double")), 6).as("modularity"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * set, k synchronous iterations with L1 normalization per half-
+    * step: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v) — run
+    * here on the customer→supplier purchase digraph, where the two
+    * scores mean something a symmetric graph can't give: hubs are
+    * customers whose baskets concentrate on authoritative suppliers,
+    * authorities are suppliers bought by the strong hubs (the
+    * mutually-reinforcing readout PageRank's single score flattens).
+    *
+    * Parity: the pagerank posture — per-node double sums over
+    * neighbor sets (order-absorbed by the 6 dp rendering; the oracle
+    * replays the identical unrolled iterations), L1 totals via a
+    * broadcast 1-row aggregate. Scale: per half-step ONE edge join
+    * shuffling (node, score) pairs + a counts-only aggregate; the
+    * edge table checkpoints once; score tables stay node-sized. */
+  def hitsBipartite(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1: $iterations")
+    val e = edges.toDF("src", "dst")
+    var hub = e.select(col("src")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val a0 = e.join(hub, "src").groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(sum(col("a")).as("t"))))
+        .select(col("dst"), (col("a") / col("t")).as("a"))
+      val h0 = e.join(auth, "dst").groupBy(col("src")).agg(sum(col("a")).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("t"))))
+        .select(col("src"), (col("h") / col("t")).as("h"))
+    }
+    hub.select(lit("hub").as("side"), col("src").as("id"),
+        round(col("h"), 6).as("score"))
+      .unionByName(auth.select(lit("authority").as("side"),
+        col("dst").as("id"), round(col("a"), 6).as("score")))
+      .orderBy(col("side"), col("id"))
+  }
+
+  /** Generated DuckDB twin of [[hitsBipartite]]: unrolled iterations
+    * (the pagerank posture), each CTE AS MATERIALIZED — the score
+    * tables are referenced by both the next half-step and their own
+    * L1 total, and DuckDB's inliner otherwise re-expands the chain
+    * exponentially (the q_select_mmr lesson). */
+  private[graft] def hitsOracleSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""a${k}r AS MATERIALIZED (
+         |  SELECT dst, sum(h) AS a FROM e JOIN h${k - 1} USING (src) GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT dst, a / (SELECT sum(a) FROM a${k}r) AS a FROM a${k}r),
+         |h${k}r AS MATERIALIZED (
+         |  SELECT src, sum(a) AS h FROM e JOIN a$k USING (dst) GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT src, h / (SELECT sum(h) FROM h${k}r) AS h FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src, 1.0 AS h FROM e),
+       |$steps
+       |SELECT 'authority' AS side, dst AS id, round(a, 6) AS score
+       |FROM a$iterations
+       |UNION ALL
+       |SELECT 'hub', src, round(h, 6) FROM h$iterations
+       |ORDER BY side, id""".stripMargin
+  }
+
   /** Degree DISTRIBUTION of a canonical undirected edge set (deg →
     * node count) — the first-look graph-health summary (power-law
     * tail check, hub detection) next to the triangle census. Two
@@ -805,6 +868,17 @@ object Graph {
     "q_graph_modularity" -> ((s, d) =>
       modularityOf(copurchaseStrong(s, d),
         labelPropagation(copurchaseStrong(s, d), rounds = 4))),
+    // hubs/authorities on the customer→supplier purchase digraph —
+    // the edge set is a memoized ingest artifact like the others
+    "q_graph_hits" -> ((s, d) => hitsBipartite(
+      graft.ProcessCache.get(s, "cust_supp_edges:" + d)(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+            "o_orderkey")
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+          .distinct().localCheckpoint()),
+      iterations = 3)),
     // hop distance from the node%100==0 seed parts, 3 synchronous
     // rounds over the same thresholded graph artifact
     "q_graph_bfs" -> ((s, d) =>
@@ -837,6 +911,8 @@ object Graph {
     "q_graph_label_prop" -> lpaOracleSql(4),
     // same unrolled LPA + exact integer censuses — see modularityOracleSql
     "q_graph_modularity" -> modularityOracleSql(4),
+    // generated unrolled-iteration twin — see hitsOracleSql
+    "q_graph_hits" -> hitsOracleSql(3),
     // generated unrolled-round twin — see bfsOracleSql
     "q_graph_bfs" -> bfsOracleSql(3),
     // generated unrolled-round twin — see kcoreOracleSql

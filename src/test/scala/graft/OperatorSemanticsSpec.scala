@@ -2058,6 +2058,20 @@ class OperatorSemanticsSpec extends SparkTestBase {
       ok.tail.forall(r => math.abs(r.getDouble(2) - 1.0) <= 2e-6), ok.mkString(","))
   }
 
+  test("hitsBipartite: 3 iterations on the 3-edge fixture hit the Fibonacci ratios") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // customers {1,2} → suppliers {10,20}: 1→10, 1→20, 2→10.
+    // L1-normalized half-steps walk the Fibonacci ladder:
+    // a3 = (13/21, 8/21), h3 = (21/34, 13/34).
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("src", "dst")
+    val r = Graph.hitsBipartite(e, iterations = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r(("authority", 10L)) == 0.619048 && r(("authority", 20L)) == 0.380952,
+      r.toString)
+    assert(r(("hub", 1L)) == 0.617647 && r(("hub", 2L)) == 0.382353, r.toString)
+  }
+
   test("mmrSelect: relevance tie to smaller id, redundancy penalty demotes the clone") {
     import spark.implicits._
     import graft.operators.Similarity
