@@ -758,10 +758,17 @@ object Graph {
     var hub = e.select(col("src")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val a0 = e.join(hub, "src").groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      // checkpoint each half-step (the labelPropagation posture): the
+      // L1 total's broadcast subplan and the next half-step both read
+      // it — unchecked, every level re-executes its whole upstream
+      // chain and the plan cost doubles per half-step (measured 6.6 s
+      // at sf0.1 unchecked vs sub-second checkpointed)
+      val a0 = e.join(hub, "src").groupBy(col("dst"))
+        .agg(sum(col("h")).as("a")).localCheckpoint()
       auth = a0.crossJoin(broadcast(a0.agg(sum(col("a")).as("t"))))
         .select(col("dst"), (col("a") / col("t")).as("a"))
-      val h0 = e.join(auth, "dst").groupBy(col("src")).agg(sum(col("a")).as("h"))
+      val h0 = e.join(auth, "dst").groupBy(col("src"))
+        .agg(sum(col("a")).as("h")).localCheckpoint()
       hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("t"))))
         .select(col("src"), (col("h") / col("t")).as("h"))
     }
