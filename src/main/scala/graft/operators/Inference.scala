@@ -375,6 +375,57 @@ object Inference {
       |       floor(s * 1000000.0 + 0.5) / 1000000.0 AS survival
       |FROM rec ORDER BY arm, day""".stripMargin
 
+  /** JARQUE–BERA normality screen per group: JB = n/6·(S² + K²/4)
+    * from the standardized third/fourth moments — "is this group's
+    * distribution even roughly normal?", the gate before leaning on
+    * any normal-theory readout (q_ab_test's z, [[anovaOneWay]]'s F);
+    * JB ~ χ²(2) under normality, so values past ~6 reject at 5%.
+    * Same two-pass z-score formulation as q_agg_moments (windowed
+    * mean/stddev, then per-group z-power averages — the proven
+    * moments parity posture: double sums absorbed by the rendering),
+    * with S/K feeding JB unrounded. Degenerate groups (zero variance,
+    * n < 4) read NULL, never a blowup.
+    *
+    * Scale: one group-key window + one counts-only aggregate. */
+  def jarqueBera(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val z = ((col("v") - avg(col("v")).over(w)) /
+      stddev_samp(col("v")).over(w)).as("z")
+    val m = df.select(group.as("grp"), value.as("v"))
+      .select(col("grp"), z)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("z") * col("z") * col("z")).as("s"),
+        (avg(col("z") * col("z") * col("z") * col("z")) - lit(3.0)).as("k"))
+    val nD = col("n").cast("double")
+    m.select(col("grp"), col("n"),
+        halfUp(col("s"), 4).as("skewness"),
+        halfUp(col("k"), 4).as("kurtosis_excess"),
+        halfUp(when(col("n") < 4L || col("s").isNull, lit(null).cast("double"))
+          .otherwise(nD / lit(6.0) *
+            (col("s") * col("s") + col("k") * col("k") / lit(4.0))), 4)
+          .as("jb"))
+      .orderBy(col("grp"))
+  }
+
+  private[operators] val jarqueBeraOracleSql: String =
+    """WITH w AS (
+      |  SELECT c_nationkey AS grp,
+      |         (c_acctbal - avg(c_acctbal) OVER g)
+      |           / stddev_samp(c_acctbal) OVER g AS z
+      |  FROM customer WINDOW g AS (PARTITION BY c_nationkey)),
+      |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |             avg(z * z * z) AS s,
+      |             avg(z * z * z * z) - 3.0 AS k
+      |      FROM w GROUP BY grp)
+      |SELECT grp, n,
+      |       floor(s * 10000.0 + 0.5) / 10000.0 AS skewness,
+      |       floor(k * 10000.0 + 0.5) / 10000.0 AS kurtosis_excess,
+      |       CASE WHEN n < 4 THEN NULL
+      |            ELSE floor(CAST(n AS DOUBLE) / 6.0 * (s * s + k * k / 4.0)
+      |                       * 10000.0 + 0.5) / 10000.0 END AS jb
+      |FROM m ORDER BY grp""".stripMargin
+
   /** JENSEN–SHANNON divergence between the view and purchase value
     * distributions over a fixed 24-bucket grid (25-wide bins, top
     * bucket open) — the symmetric, bounded (≤ ln 2) drift readout
@@ -450,6 +501,10 @@ object Inference {
     "q_stats_kruskal" -> ((s, d) => kruskalWallis(Tables.events(s, d))),
     // variance-homogeneity gate for the ANOVA (median-centered form)
     "q_stats_levene" -> ((s, d) => leveneBrownForsythe(Tables.events(s, d))),
+    // normality screen per nation over account balances (the
+    // q_agg_moments grouping, plus the chi-square-2 readout)
+    "q_stats_jarque_bera" -> ((s, d) =>
+      jarqueBera(Tables.customer(s, d), col("c_nationkey"), col("c_acctbal"))),
     // product-limit view→purchase conversion curves per A/B arm
     "q_stats_survival" -> ((s, d) => kaplanMeier(Tables.events(s, d))),
     // symmetric bounded drift between the view/purchase value mixes
@@ -461,6 +516,7 @@ object Inference {
     "q_stats_anova" -> anovaOracleSql,
     "q_stats_kruskal" -> kruskalOracleSql,
     "q_stats_levene" -> leveneOracleSql,
+    "q_stats_jarque_bera" -> jarqueBeraOracleSql,
     "q_stats_survival" -> kaplanMeierOracleSql,
     "q_drift_js" -> jensenShannonOracleSql,
   )

@@ -103,6 +103,20 @@ class InferenceSpec extends SparkTestBase {
       r.head.getLong(1) == 1L && r.head.getLong(3) == 1L, r.mkString(", "))
   }
 
+  test("jarqueBera: symmetric two-point group exact; n<4 guarded NULL") {
+    import spark.implicits._
+    // {0,0,10,10}: z = ±√3/2, S = 0, K = 9/16 − 3 = −2.4375,
+    // JB = 4/6 · (−2.4375)²/4 = 0.9902 at 4 dp
+    val df = Seq(("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 10.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Inference.jarqueBera(df, col("g"), col("v")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getDouble(2) == 0.0 && a.getDouble(3) == -2.4375, a.toString)
+    assert(a.getDouble(4) == 0.9902, a.toString)
+    assert(r("b").isNullAt(4), r("b").toString) // n = 3 < 4
+  }
+
   test("jensenShannon: identical mixes read 0, disjoint mixes read ln 2") {
     import spark.implicits._
     val same = Seq(ev("view", 0, 1L, 10.0), ev("purchase", 0, 2L, 10.0),
