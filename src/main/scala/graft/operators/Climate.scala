@@ -1719,7 +1719,14 @@ object Climate {
     // Pre-flight overflow guard (see scaladoc): a frame's long Σxy is
     // safe iff every |quantized mean| ≤ ⌊√(2⁶³/window)⌋. In-plan
     // raise_error, zero extra jobs, mirroring holtWinters' maxDays.
-    val qmax = math.floor(math.sqrt(Long.MaxValue.toDouble / window)).toLong
+    // the √ bound alone is off by one when 2⁶³/window is a perfect
+    // square (window = 2, 8, 32, …): qmax²·window == 2⁶³ > MaxValue,
+    // so a frame of values exactly at ±qmax would wrap — tighten by
+    // exact integer decrement (BigInt: window·qmax² itself can wrap)
+    var qmax = math.floor(math.sqrt(Long.MaxValue.toDouble / window)).toLong
+    while (qmax > 0 &&
+        BigInt(window) * BigInt(qmax) * BigInt(qmax) > BigInt(Long.MaxValue))
+      qmax -= 1
     def guarded(c: Column, nm: String): Column =
       when(abs(c) > qmax, raise_error(concat(
         lit(s"rollingCorrelation: |$nm| quantized daily mean "),

@@ -772,10 +772,13 @@ object Graph {
       hub = h0.crossJoin(broadcast(h0.agg(sum(col("h")).as("t"))))
         .select(col("src"), (col("h") / col("t")).as("h"))
     }
+    // halfUp, not round(): round() renders the shortest-decimal repr
+    // and is not engine-independent at .5 boundaries (the r10
+    // q_anomaly_mad lesson) — same floor(x*1e6+0.5)/1e6 in the twin
     hub.select(lit("hub").as("side"), col("src").as("id"),
-        round(col("h"), 6).as("score"))
+        graft.halfUp(col("h"), 6).as("score"))
       .unionByName(auth.select(lit("authority").as("side"),
-        col("dst").as("id"), round(col("a"), 6).as("score")))
+        col("dst").as("id"), graft.halfUp(col("a"), 6).as("score")))
       .orderBy(col("side"), col("id"))
   }
 
@@ -800,10 +803,12 @@ object Graph {
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |h0 AS MATERIALIZED (SELECT DISTINCT src, 1.0 AS h FROM e),
        |$steps
-       |SELECT 'authority' AS side, dst AS id, round(a, 6) AS score
+       |SELECT 'authority' AS side, dst AS id,
+       |       floor(a * 1000000.0 + 0.5) / 1000000.0 AS score
        |FROM a$iterations
        |UNION ALL
-       |SELECT 'hub', src, round(h, 6) FROM h$iterations
+       |SELECT 'hub', src, floor(h * 1000000.0 + 0.5) / 1000000.0
+       |FROM h$iterations
        |ORDER BY side, id""".stripMargin
   }
 

@@ -85,11 +85,13 @@ object Inference {
       |         AS ss_between,
       |       floor(((CAST(qt AS DOUBLE) - a) / 1e4) * 10000.0 + 0.5) / 10000.0
       |         AS ss_within,
-      |       floor((((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |       CASE WHEN k < 2 OR n <= k OR (CAST(qt AS DOUBLE) - a) / 1e4 <= 0
+      |            THEN NULL
+      |            ELSE floor((((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
       |                / CAST(n AS DOUBLE)) / 1e4 / (CAST(k AS DOUBLE) - 1.0))
       |              / ((CAST(qt AS DOUBLE) - a) / 1e4
       |                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
-      |             * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS f_stat
       |FROM m""".stripMargin
 
   /** BROWN–FORSYTHE LEVENE test across the event-type arms: the
@@ -171,11 +173,13 @@ object Inference {
       |         AS ss_between,
       |       floor(((CAST(qt AS DOUBLE) - a) / 1e4) * 10000.0 + 0.5) / 10000.0
       |         AS ss_within,
-      |       floor((((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |       CASE WHEN k < 2 OR n <= k OR (CAST(qt AS DOUBLE) - a) / 1e4 <= 0
+      |            THEN NULL
+      |            ELSE floor((((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
       |                / CAST(n AS DOUBLE)) / 1e4 / (CAST(k AS DOUBLE) - 1.0))
       |              / ((CAST(qt AS DOUBLE) - a) / 1e4
       |                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
-      |             * 1000000.0 + 0.5) / 1000000.0 AS w_stat
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS w_stat
       |FROM m""".stripMargin
 
   /** KRUSKAL–WALLIS H across the event-type arms — the rank-based
@@ -242,12 +246,17 @@ object Inference {
       |       floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * a
       |              - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)
       |         / 1000000.0 AS h,
-      |       floor(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * a
+      |       CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+      |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) <= 0
+      |            THEN NULL
+      |            ELSE floor(((12.0 / (CAST(n AS DOUBLE)
+      |                  * (CAST(n AS DOUBLE) + 1.0)) * a
       |               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
       |              / (1.0 - CAST(tsum AS DOUBLE)
       |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
       |                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))))
-      |             * 1000000.0 + 0.5) / 1000000.0 AS h_tie_corrected
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS h_tie_corrected
       |FROM m, ties""".stripMargin
 
   /** KAPLAN–MEIER survival curve of view→purchase conversion, one

@@ -827,10 +827,12 @@ object Similarity {
     *
     * Scale posture: the corpus never shuffles for assignment — the
     * k-row model packs into ONE broadcast row and every point picks
-    * its cell row-locally inside codegen; the update shuffles
-    * (cid, pos, quantized-long) scalars with map-side partials, never
-    * vectors; each iteration localCheckpoints k rows so plan depth
-    * stays O(1) in iters. */
+    * its cell row-locally inside codegen; the update is ONE
+    * fixed-width hash aggregate (d quantized-long sum columns + a
+    * count per cid) whose exchange carries k·(d+1) longs per map
+    * task — never vectors, never the r13 n·d (cid, pos, x) explode;
+    * each iteration localCheckpoints k rows so plan depth stays O(1)
+    * in iters. */
   def kmeansExact(emb: DataFrame, k: Int = 4, iters: Int = 6): DataFrame = {
     require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1: $k, $iters")
     val pts = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -870,6 +872,12 @@ object Similarity {
         (acc, c) => when(c.getField("d") < acc.getField("d"), c)
           .otherwise(acc))
     }
+    // model dimensionality, read once from the first vector (a
+    // LIMIT-1 scan, not a relation read) — the means update below
+    // generates one fixed-width sum column per component, so d must
+    // be static at plan-build; ragged rows fail loudly in-plan
+    val dims = pts.select(size(col("v")).as("d")).head.getInt(0)
+    require(dims >= 1, s"kmeansExact: empty embedding vectors")
     var cents = pts.orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
       .select(posexplode(transform(col("ss"), s => s.getField("v")))
@@ -879,15 +887,31 @@ object Similarity {
     for (_ <- 1 to iters) {
       val packed = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
-      val means = pts.crossJoin(broadcast(packed))
+      // means update as ONE fixed-width hash aggregate: quantize each
+      // component to the 1e-9 integer grid (exact, order-free longs —
+      // the same grid the r13 posexplode form summed), then sum all d
+      // components as d separate codegen'd long aggregates per cid.
+      // The exchange carries k·(d+1) longs per map task instead of
+      // n·d (cid, pos, x) rows per iteration — the r13 plan's whole
+      // shuffle volume. Each mean divides the identical long sum by
+      // the identical count in the identical order, so every digit
+      // (and the oracle hash) is unchanged.
+      val qv = pts.crossJoin(broadcast(packed))
         .select(best(col("v"), col("cs")).getField("cid").as("cid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(floor(col("x") * lit(1e9) + lit(0.5)).cast("long"))
-          .cast("double") / lit(1e9) / count(lit(1)).cast("double")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          p => p.getField("m")).as("cvn"))
+          when(size(col("v")) === lit(dims),
+            transform(col("v"),
+              x => floor(x * lit(1e9) + lit(0.5)).cast("long")))
+            .otherwise(raise_error(concat(
+              lit("kmeansExact: ragged embedding — expected dim "),
+              lit(dims).cast("string"), lit(", got "),
+              size(col("v")).cast("string")))).as("qv"))
+      val sums = (1 to dims).map(i =>
+        sum(element_at(col("qv"), i)).as(s"s$i"))
+      val means = qv.groupBy(col("cid"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cid"), array((1 to dims).map(i =>
+          col(s"s$i").cast("double") / lit(1e9) /
+            col("cnt").cast("double")): _*).as("cvn"))
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cvn"), col("cv")).as("cv"))
         .localCheckpoint()
