@@ -417,34 +417,55 @@ object Joins {
   /** BLOCKED fuzzy self-join (record linkage): pairs of rows whose
     * string key is within `maxDist` Levenshtein edits, found WITHOUT
     * an all-pairs comparison — candidates are generated only inside
-    * blocks that share the exact blocking key, plus the free
-    * `|len(a)−len(b)| ≤ maxDist` necessary condition evaluated BEFORE
-    * the O(len²) edit distance (Catalyst orders the conjunction
-    * left-to-right, so the cheap length band short-circuits most
-    * candidates).
+    * blocks that share the exact blocking key AND a length band.
+    *
+    * The `|len(a)−len(b)| ≤ maxDist` necessary condition is not just
+    * a post-join filter (the r13 form — every in-block pair was still
+    * GENERATED before it ran): with band = len div (maxDist+1), two
+    * names within maxDist edits have bands differing by at most 1, so
+    * the probe side emits each row at {band, band+1} and the band
+    * joins INTO the equi key. An oversized block whose member lengths
+    * vary now expands only within-band + adjacent-band candidates —
+    * the quadratic is cut by the length distribution instead of
+    * surviving to the filter (a block of same-length members is
+    * irreducible either way: its pairs are genuine candidates).
+    *
+    * Pair uniqueness: a same-band pair appears in both probe orders
+    * (de-mirrored by `a_key < b_key`); an adjacent-band pair appears
+    * exactly once (only the lower band probes upward), whichever key
+    * order — kept unconditionally and key-sorted in the output, so
+    * the emitted pair set is bit-identical to the r13 form.
     *
     * Scale contract: correctness of the blocking step is the USER'S
     * schema knowledge (a true match must share the block key — the
-    * standard record-linkage deal); cost is Σ_b |block_b|² which stays
-    * linear-ish when blocks are bounded. The shuffle carries
-    * (block key, name) — narrow rows, and the self-join is an equi
-    * join on the block key (hash-partitioned both sides, no
-    * broadcast-of-everything, no cartesian). `a.key < b.key`
-    * de-mirrors pairs inside the join condition, so reflexive and
-    * mirrored candidates die before the edit distance runs. */
+    * standard record-linkage deal); cost is Σ_(b,band) |cell|² which
+    * stays linear-ish when cells are bounded. The shuffle carries
+    * (block key, band, name) — narrow rows (probe side ×2 for the
+    * band explode), and the self-join is an equi join on
+    * (block key, band): hash-partitioned both sides, no
+    * broadcast-of-everything, no cartesian. */
   def fuzzySelfJoin(df: DataFrame, key: Column, block: Seq[Column],
       name: Column, maxDist: Int): DataFrame = {
+    val w = maxDist + 1
     val a = df.select(key.as("a_key") +: name.as("a_name") +:
       block.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+      .withColumn("a_band",
+        floor(length(col("a_name")).cast("long") / lit(w)).cast("long"))
+      .withColumn("p_band",
+        explode(array(col("a_band"), col("a_band") + lit(1L))))
     val b = df.select(key.as("b_key") +: name.as("b_name") +:
       block.zipWithIndex.map { case (c, i) => c.as(s"bb$i") }: _*)
+      .withColumn("b_band",
+        floor(length(col("b_name")).cast("long") / lit(w)).cast("long"))
     val blockEq = block.indices.map(i => col(s"b$i") === col(s"bb$i"))
       .reduce(_ && _)
-    val cond = blockEq && col("a_key") < col("b_key") &&
+    val cond = blockEq && col("p_band") === col("b_band") &&
+      (col("a_band") =!= col("b_band") || col("a_key") < col("b_key")) &&
       abs(length(col("a_name")) - length(col("b_name"))) <= maxDist &&
       levenshtein(col("a_name"), col("b_name")) <= maxDist
     a.join(b, cond, "inner")
-      .select(col("a_key"), col("b_key"),
+      .select(least(col("a_key"), col("b_key")).as("a_key"),
+        greatest(col("a_key"), col("b_key")).as("b_key"),
         levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
       .orderBy(col("a_key"), col("b_key"))
   }

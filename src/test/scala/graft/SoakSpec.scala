@@ -1103,6 +1103,28 @@ class SoakSpec extends SparkTestBase {
       }
       assert(fz == Map(0L -> 8998500L), s"fuzzy pair histogram: $fz")
 
+      // ---- fuzzy join: oversized block with VARIED lengths (r14) ----
+      // One 3,200-member block of 32 length classes × 100 identical
+      // members, lengths stepping by 3 (> maxDist=2), so every
+      // cross-class pair fails the length band. The r14 banded equi
+      // key confines candidate generation to within-band cells
+      // (32·C(100,2) = 158,400 true dist-0 pairs + ~313k adjacent-band
+      // candidates pruned by the length filter) instead of expanding
+      // all C(3200,2) = 5,118,400 in-block pairs the r13
+      // post-expansion filter paid for. Exact outcome: bg 4.5M dist-0
+      // + 158,400 dist-0 from the hot block.
+      val varBlk = spark.range(3200).select((col("id") + 2000000L).as("id"),
+        lit(300000L).as("blk"),
+        expr("repeat('x', CAST(10 + 3 * (id % 32) AS INT))").as("name"))
+      val fzIn2 = bg.unionByName(varBlk).repartition(8)
+      val (fz2, tFz2) = timed {
+        Joins.fuzzySelfJoin(fzIn2, col("id"), Seq(col("blk")), col("name"),
+            maxDist = 2)
+          .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(fz2 == Map(0L -> 4658400L), s"varied-length fuzzy histogram: $fz2")
+
       // ---- asof under a dominant user: 90% of events on one key ----
       val n = 3000000L
       val asofIn = spark.range(n).select(
@@ -1178,7 +1200,15 @@ class SoakSpec extends SparkTestBase {
            |q_join_interval_overlap).
            |Oversized fuzzy block: one 3,000-member block among 100k
            |10-member blocks — the extra C(3000,2) pairs all surface at
-           |distance 0, total exactly 8,998,500. Dominant asof user:
+           |distance 0, total exactly 8,998,500 (same-length members:
+           |the quadratic here IS the output — irreducible by any
+           |banding). Varied-length oversized block (r14): 3,200
+           |members in 32 length classes stepping by 3 > maxDist — the
+           |length-band equi key generates only within-band +
+           |adjacent-band candidates (~471k) instead of the r13 form's
+           |C(3200,2) = 5,118,400 post-expansion-filtered pairs;
+           |exactly 32·C(100,2) = 158,400 hot dist-0 pairs on top of
+           |the bg 4.5M. Dominant asof user:
            |one user owns 2.7M of 3M events (a single 2.7M-row window
            |partition — inherent key skew, it must complete, not
            |collapse); the ±1 s lattice makes every backward dt exactly
@@ -1196,6 +1226,7 @@ class SoakSpec extends SparkTestBase {
            || intervalOverlapJoin (flash crowd, salted) | 1.0M | ${f"$tIv%.1f"} | ${f"$ratio%.2f"} |
            || intervalOverlapJoin (flash crowd, unsalted) | 1.0M | ${f"$tIvU%.1f"} | ${f"$ratio%.2f"} |
            || fuzzySelfJoin (3k-member block) | 1.0M | ${f"$tFz%.1f"} | ${f"$ratio%.2f"} |
+           || fuzzySelfJoin (varied-length 3.2k block, banded) | 1.0M | ${f"$tFz2%.1f"} | ${f"$ratio%.2f"} |
            || asofTolerance ×2 (dominant user) | 3.0M | ${f"$tTol%.1f"} | ${f"$ratio%.2f"} |
            || asofNearest (dominant user) | 3.0M | ${f"$tNear%.1f"} | ${f"$ratio%.2f"} |
            || bitmapDistinct (3×1M distinct) | 3.0M | ${f"$tBm%.1f"} | ${f"$ratio%.2f"} |
