@@ -200,6 +200,105 @@ object Zarr {
     expand(0, Array.empty)
   }
 
+  /** Fixture-grade zarr v3 `sharding_indexed` array writer: each
+    * stored object is a SHARD of `shardShape` elements packing its
+    * inner `chunks`-shaped chunks C-order-contiguously, followed by
+    * the uint64 little-endian (offset, nbytes) index + crc32c
+    * trailer (`index_location: end`, `index_codecs: [bytes, crc32c]`
+    * — what zarr-python 3.x writes by default for large arrays).
+    * Inner chunks listed in `omit` are left unwritten: their index
+    * entries hold the all-ones sentinel and every element reads as
+    * the fill value — the shard-level sparse-store contract. */
+  private[graft] def writeArrayV3Sharded(dir: String, shape: Array[Long],
+      shardShape: Array[Int], chunks: Array[Int], dims: Array[String],
+      compressor: Option[String], fillValue: Double,
+      f: Array[Long] => Double, omit: Set[Seq[Int]] = Set.empty): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val n = shape.length
+    require(shardShape.length == n && chunks.length == n)
+    shardShape.indices.foreach(i => require(shardShape(i) % chunks(i) == 0,
+      s"shard ${shardShape.mkString("x")} not a multiple of inner " +
+        s"chunk ${chunks.mkString("x")}"))
+    val bb = compressor match {
+      case None => ""
+      case Some("gzip") => """,{"name":"gzip","configuration":{"level":5}}"""
+      case Some("zstd") =>
+        """,{"name":"zstd","configuration":{"level":5,"checksum":false}}"""
+      case Some(other) =>
+        throw new IllegalArgumentException(s"v3 shard fixture codec $other")
+    }
+    Files.writeString(d.resolve("zarr.json"),
+      s"""{"zarr_format":3,"node_type":"array",
+         |"shape":[${shape.mkString(",")}],"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${shardShape.mkString(",")}]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fillValue,
+         |"codecs":[{"name":"sharding_indexed","configuration":{
+         |"chunk_shape":[${chunks.mkString(",")}],
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}$bb],
+         |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+         |"index_location":"end"}}],
+         |"dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],
+         |"attributes":{}}""".stripMargin)
+    val shardCounts =
+      shape.zip(shardShape).map { case (s0, c) => ((s0 + c - 1) / c).toInt }
+    val cps = shardShape.zip(chunks).map { case (s0, c) => s0 / c } // chunks/shard per dim
+    val nEntries = cps.map(_.toLong).product.toInt
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    def innerBytes(sc: Array[Int], ic: Array[Int]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Long](n)
+      (0 until chunkElems).foreach { p =>
+        var rem = p.toLong
+        var inBounds = true
+        var dd = n - 1
+        while (dd >= 0) {
+          idx(dd) = sc(dd).toLong * shardShape(dd) +
+            ic(dd).toLong * chunks(dd) + rem % chunks(dd)
+          rem /= chunks(dd)
+          if (idx(dd) >= shape(dd)) inBounds = false
+          dd -= 1
+        }
+        buf.putDouble(if (inBounds) f(idx) else fillValue)
+      }
+      ZarrCodec.compress(buf.array(), compressor)
+    }
+    def writeShard(sc: Array[Int]): Unit = {
+      val data = new java.io.ByteArrayOutputStream()
+      val index = ByteBuffer.allocate(nEntries * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      def innerExpand(dd: Int, acc: Array[Int]): Unit =
+        if (dd == n) {
+          val globalInner = acc.indices.map(i => sc(i) * cps(i) + acc(i))
+          if (omit(globalInner)) { index.putLong(-1L); index.putLong(-1L) }
+          else {
+            val enc = innerBytes(sc, acc)
+            index.putLong(data.size().toLong)
+            index.putLong(enc.length.toLong)
+            data.write(enc)
+          }
+        } else (0 until cps(dd)).foreach(c => innerExpand(dd + 1, acc :+ c))
+      innerExpand(0, Array.empty)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(index.array(), 0, nEntries * 16)
+      val trailer = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(crc.getValue.toInt)
+      val p = d.resolve("c/" + sc.mkString("/"))
+      Files.createDirectories(p.getParent)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(data.toByteArray)
+      out.write(index.array())
+      out.write(trailer.array())
+      Files.write(p, out.toByteArray)
+      ()
+    }
+    def expand(dd: Int, acc: Array[Int]): Unit =
+      if (dd == n) writeShard(acc)
+      else (0 until shardCounts(dd)).foreach(c => expand(dd + 1, acc :+ c))
+    expand(0, Array.empty)
+  }
+
   /** Test instrumentation for the sink's memory bound: live chunk
     * buffers across all sink tasks in this JVM (meaningful on
     * local[n], where tasks share the process). The flush-on-key-change
@@ -509,6 +608,26 @@ object Zarr {
     }
   }
 
+  /** The same precip fixture as a zarr v3 `sharding_indexed` store
+    * (2×10×15-element shards of 1×5×15 inner chunks, zstd inner
+    * codec, crc32c-trailed end index) — what zarr-python 3.x emits
+    * for large arrays; built once per process. */
+  private val builtV3Sharded =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def climateArrayV3Sharded(s: SparkSession): String = {
+    val cur = builtV3Sharded.get
+    if (cur != null) cur
+    else {
+      val dir = graft.sources.IO.tmp("graft_zarr3s_")
+      writeArrayV3Sharded(s"$dir/precip", Array(6L, 20L, 30L),
+        Array(2, 10, 15), Array(1, 5, 15), Array("time", "lat", "lon"),
+        Some("zstd"), 0.0, precipValue)
+      if (builtV3Sharded.compareAndSet(null, dir)) dir
+      else builtV3Sharded.get
+    }
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -525,6 +644,16 @@ object Zarr {
     // edge chunks) — any v3 metadata/key/codec misread breaks the hash
     "q_scan_zarr_v3" -> ((s, _) =>
       readArray(s, climateArrayV3(s) + "/precip")
+        .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
+          col("lon").as("lon_idx"), col("value"))
+        .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
+
+    // the same element space through a v3 SHARDED store
+    // (sharding_indexed: range-read crc32c-trailed shard index, inner
+    // chunks decoded one at a time — what zarr-python 3.x writes for
+    // large arrays): any index/offset/codec misread breaks the hash
+    "q_scan_zarr_sharded" -> ((s, _) =>
+      readArray(s, climateArrayV3Sharded(s) + "/precip")
         .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
           col("lon").as("lon_idx"), col("value"))
         .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
@@ -593,6 +722,12 @@ object Zarr {
         |     generate_series(0, 29) x(g)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_scan_zarr_v3" ->
+      """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_scan_zarr_sharded" ->
       """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
         |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
         |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),

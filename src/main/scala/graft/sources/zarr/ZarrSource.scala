@@ -48,12 +48,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object ZarrMeta {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Zarr v3 `sharding_indexed` layout: the STORED object is a shard
+    * of `shardChunks` elements holding a C-order-indexed pack of inner
+    * chunks (the Meta's `chunks`); the uint64 (offset, nbytes) index
+    * sits at the shard's start or end, `bytes`-coded little-endian
+    * with an optional trailing crc32c. Inner-chunk codecs live in the
+    * Meta's `compressor` — the shard itself is never decompressed as
+    * a unit (it is read by RANGE, so a shard may exceed the 2 GiB
+    * single-buffer bound that still applies to each inner chunk). */
+  final case class ShardInfo(shardChunks: Array[Int], indexAtEnd: Boolean,
+      indexCrc32c: Boolean) extends Serializable
+
   final case class Meta(shape: Array[Long], chunks: Array[Int], dtype: String,
       compressor: Option[String], fillValue: Double, dimSeparator: String,
-      dims: Array[String], keyPrefix: String = "") extends Serializable {
+      dims: Array[String], keyPrefix: String = "",
+      shard: Option[ShardInfo] = None) extends Serializable {
     def nDims: Int = shape.length
     /** Store key of a chunk: v2 keys are bare separator-joined coords;
-      * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. */
+      * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. For a
+      * sharded array the stored object is the SHARD, so the key is
+      * taken over shard-grid coords (the caller divides). */
     def chunkKey(cc: Array[Int]): String =
       keyPrefix + cc.mkString(dimSeparator)
     def chunkCounts: Array[Int] =
@@ -233,16 +247,15 @@ object ZarrMeta {
     val cg = node.path("chunk_grid")
     require(cg.path("name").asText == "regular",
       s"chunk_grid '${cg.path("name").asText}' unsupported (regular only)")
-    val chunks = cg.path("configuration").path("chunk_shape")
+    // the GRID chunk: for a plain array this is the decode unit; for
+    // a sharded array it is the shard shape (the stored object) and
+    // the decode unit is the inner chunk_shape parsed below
+    val shardChunks = cg.path("configuration").path("chunk_shape")
       .elements.asScala.map(_.asInt).toArray
-    require(shape.nonEmpty && shape.length == chunks.length,
-      s"shape/chunk_shape rank mismatch: ${shape.length} vs ${chunks.length}")
-    require(shape.forall(_ >= 1) && chunks.forall(_ >= 1),
-      s"non-positive shape/chunks: ${shape.mkString(",")} / ${chunks.mkString(",")}")
-    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
-    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
-      s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
-        "byte buffer bound; re-chunk the store")
+    require(shape.nonEmpty && shape.length == shardChunks.length,
+      s"shape/chunk_shape rank mismatch: ${shape.length} vs ${shardChunks.length}")
+    require(shape.forall(_ >= 1) && shardChunks.forall(_ >= 1),
+      s"non-positive shape/chunks: ${shape.mkString(",")} / ${shardChunks.mkString(",")}")
     // chunk-key encoding: "default" prefixes c<sep> (sep default "/"),
     // "v2" uses bare coords (sep default ".")
     val cke = node.path("chunk_key_encoding")
@@ -262,40 +275,62 @@ object ZarrMeta {
             s"chunk_key_encoding '$other' unsupported (default/v2 only)")
         }
       }
-    // codec chain: exactly one array->bytes codec ("bytes", little
-    // endian), then at most one supported bytes->bytes codec
+    // codec chain: exactly one array->bytes codec — "bytes" (little
+    // endian) or "sharding_indexed" (whose inner chain recurses into
+    // the same parse) — then at most one supported bytes->bytes codec
     val codecs = node.path("codecs")
     require(codecs.isArray && codecs.size >= 1,
       "zarr v3 array carries no codecs list")
     val names = codecs.elements.asScala.map(_.path("name").asText).toSeq
-    require(names.head == "bytes",
-      s"first codec '${names.head}' unsupported (need the 'bytes' " +
-        "array->bytes codec; transpose/sharding_indexed are unsupported)")
-    val endian = codecs.get(0).path("configuration").path("endian")
-    require(endian.isMissingNode || endian.asText == "little",
-      s"endian '${endian.asText}' unsupported (little only)")
-    require(names.size <= 2,
-      s"codec chain [${names.mkString(", ")}] unsupported " +
-        "(at most one bytes->bytes codec)")
-    val compressor = names.drop(1).headOption.map { bb =>
-      val cfg = codecs.get(1).path("configuration")
-      bb match {
-        case "gzip" => "gzip"
-        case "zstd" => "zstd"
-        case "blosc" =>
-          val cname = cfg.path("cname").asText
-          require(Set("lz4", "lz4hc", "zlib", "zstd")(cname),
-            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd only)")
-          cname match {
-            case "zlib" => "blosc:zlib"
-            case "zstd" => "blosc:zstd"
-            case _ => "blosc:lz4"
-          }
-        case other => throw new IllegalArgumentException(
-          s"codec '$other' unsupported (gzip/zstd/blosc only; crc32c " +
-            "checksums are not read by this scan)")
-      }
-    }
+    val (chunks, compressor, shard) =
+      if (names.head == "sharding_indexed") {
+        require(names.size == 1,
+          s"codec chain [${names.mkString(", ")}] unsupported (codecs " +
+            "after sharding_indexed are not read by this scan)")
+        val cfg = codecs.get(0).path("configuration")
+        val innerShape = cfg.path("chunk_shape")
+        require(innerShape.isArray && innerShape.size == shape.length,
+          "sharding_indexed configuration carries no rank-matching " +
+            "chunk_shape — unsupported/malformed shard codec")
+        val inner = innerShape.elements.asScala.map(_.asInt).toArray
+        require(inner.forall(_ >= 1), s"non-positive inner chunk_shape: " +
+          inner.mkString(","))
+        shardChunks.indices.foreach { d =>
+          require(shardChunks(d) % inner(d) == 0,
+            s"shard shape ${shardChunks.mkString("x")} not a multiple of " +
+              s"inner chunk_shape ${inner.mkString("x")} (dim $d) — " +
+              "unsupported/malformed shard codec")
+        }
+        val innerCodecs = cfg.path("codecs")
+        require(innerCodecs.isArray && innerCodecs.size >= 1,
+          "sharding_indexed carries no inner codecs list")
+        val innerNames =
+          innerCodecs.elements.asScala.map(_.path("name").asText).toSeq
+        require(innerNames.head != "sharding_indexed",
+          "nested sharding_indexed unsupported")
+        val comp = parseByteChain(innerCodecs, innerNames)
+        // index codecs: "bytes" (little) + optional trailing crc32c —
+        // what zarr-python 3 writes; anything else is rejected
+        val idxCodecs = cfg.path("index_codecs")
+        val idxNames =
+          if (idxCodecs.isArray)
+            idxCodecs.elements.asScala.map(_.path("name").asText).toSeq
+          else Seq("bytes")
+        require(idxNames == Seq("bytes") || idxNames == Seq("bytes", "crc32c"),
+          s"shard index_codecs [${idxNames.mkString(", ")}] unsupported " +
+            "(bytes [+ crc32c] only)")
+        if (idxCodecs.isArray) {
+          val e = idxCodecs.get(0).path("configuration").path("endian")
+          require(e.isMissingNode || e.asText == "little",
+            s"shard index endian '${e.asText}' unsupported (little only)")
+        }
+        val loc = cfg.path("index_location")
+        val atEnd = loc.isMissingNode || loc.isNull || loc.asText == "end"
+        require(atEnd || loc.asText == "start",
+          s"index_location '${loc.asText}' unsupported (start/end only)")
+        (inner, comp,
+          Some(ShardInfo(shardChunks, atEnd, idxNames.size == 2)))
+      } else (shardChunks, parseByteChain(codecs, names), None)
     val fillNode = node.path("fill_value")
     val fill =
       if (fillNode.isMissingNode || fillNode.isNull) 0.0
@@ -314,7 +349,50 @@ object ZarrMeta {
       else shape.indices.map(i => s"i$i").toArray
     require(dims.length == shape.length,
       s"dimension_names rank ${dims.length} != shape rank ${shape.length}")
-    Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix)
+    // the 2^31-1 single-buffer bound applies to the DECODE unit (the
+    // inner chunk for a sharded array — the shard itself is read by
+    // range and may be arbitrarily large)
+    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
+    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
+      s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
+        "byte buffer bound; re-chunk the store")
+    Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix, shard)
+  }
+
+  /** A v3 `bytes` (little-endian) array→bytes codec followed by at
+    * most one supported bytes→bytes codec — the chain shape shared by
+    * plain arrays and a shard's inner chunks. Returns the
+    * [[ZarrCodec]] compressor id. */
+  private def parseByteChain(codecs: com.fasterxml.jackson.databind.JsonNode,
+      names: Seq[String]): Option[String] = {
+    require(names.head == "bytes",
+      s"first codec '${names.head}' unsupported (need the 'bytes' " +
+        "array->bytes codec; transpose is unsupported)")
+    val endian = codecs.get(0).path("configuration").path("endian")
+    require(endian.isMissingNode || endian.asText == "little",
+      s"endian '${endian.asText}' unsupported (little only)")
+    require(names.size <= 2,
+      s"codec chain [${names.mkString(", ")}] unsupported " +
+        "(at most one bytes->bytes codec)")
+    names.drop(1).headOption.map { bb =>
+      val cfg = codecs.get(1).path("configuration")
+      bb match {
+        case "gzip" => "gzip"
+        case "zstd" => "zstd"
+        case "blosc" =>
+          val cname = cfg.path("cname").asText
+          require(Set("lz4", "lz4hc", "zlib", "zstd")(cname),
+            s"blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd only)")
+          cname match {
+            case "zlib" => "blosc:zlib"
+            case "zstd" => "blosc:zstd"
+            case _ => "blosc:lz4"
+          }
+        case other => throw new IllegalArgumentException(
+          s"codec '$other' unsupported (gzip/zstd/blosc only; crc32c " +
+            "checksums are not read by this scan)")
+      }
+    }
   }
 }
 
@@ -361,14 +439,86 @@ private[zarr] object ZarrCodec {
   * sparse-store contract — every element reads as the fill value).
   * Shared by the row and columnar readers. */
 private[zarr] object ZarrChunkIO {
-  def load(path: String, meta: ZarrMeta.Meta, chunkCoords: Array[Int]): Option[ByteBuffer] = {
-    val chunkElems = meta.chunks.map(_.toLong).product
-    val key = meta.chunkKey(chunkCoords)
+  def load(path: String, meta: ZarrMeta.Meta, chunkCoords: Array[Int]): Option[ByteBuffer] = meta.shard match {
+    case Some(sh) => loadSharded(path, meta, sh, chunkCoords)
+    case None =>
+      val key = meta.chunkKey(chunkCoords)
+      val p = Paths.get(path, key)
+      if (!Files.exists(p)) None
+      else Some(decode(Files.readAllBytes(p), meta, key))
+  }
+
+  /** One INNER chunk out of a `sharding_indexed` shard: resolve the
+    * shard object from the shard-grid coords, range-read its uint64
+    * (offset, nbytes) index (crc32c-verified when declared), then
+    * range-read and decode just this inner chunk — the shard is never
+    * materialized whole, so shards may exceed the single-buffer
+    * bound. An absent shard, or an unwritten inner chunk (the
+    * all-ones index sentinel), reads as the fill value. */
+  private def loadSharded(path: String, meta: ZarrMeta.Meta,
+      sh: ZarrMeta.ShardInfo, chunkCoords: Array[Int]): Option[ByteBuffer] = {
+    val cps = sh.shardChunks.zip(meta.chunks).map { case (s, c) => s / c }
+    val shardCoords = chunkCoords.zip(cps).map { case (c, k) => c / k }
+    val inner = chunkCoords.zip(cps).map { case (c, k) => c % k }
+    val key = meta.chunkKey(shardCoords)
     val p = Paths.get(path, key)
-    if (!Files.exists(p)) None
-    else {
-      val raw = Files.readAllBytes(p)
-      val bytes = meta.compressor match {
+    if (!Files.exists(p)) return None
+    val nEntries = cps.map(_.toLong).product
+    val idxLen = nEntries * 16 + (if (sh.indexCrc32c) 4L else 0L)
+    require(idxLen <= Int.MaxValue,
+      s"shard index of $nEntries entries exceeds the 2^31-1 buffer bound")
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try {
+      val fsize = ch.size()
+      require(fsize >= idxLen,
+        s"shard $key: ${fsize} bytes < its $idxLen-byte chunk index")
+      val idx = readFully(ch, if (sh.indexAtEnd) fsize - idxLen else 0L,
+        idxLen.toInt)
+      if (sh.indexCrc32c) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx.array(), 0, (nEntries * 16).toInt)
+        val stored = idx.getInt((nEntries * 16).toInt)
+        require(crc.getValue.toInt == stored,
+          f"shard $key: index crc32c mismatch (stored 0x$stored%08x, " +
+            f"computed 0x${crc.getValue.toInt}%08x)")
+      }
+      var lin = 0L
+      var d = 0
+      while (d < cps.length) { lin = lin * cps(d) + inner(d); d += 1 }
+      val off = idx.getLong((lin * 16).toInt)
+      val len = idx.getLong((lin * 16).toInt + 8)
+      if (off == -1L && len == -1L) None // unwritten inner chunk: fill
+      else {
+        require(off >= 0 && len >= 0 && len <= Int.MaxValue &&
+            off + len <= fsize,
+          s"shard $key: inner chunk ${inner.mkString(",")} range " +
+            s"($off, $len) outside the $fsize-byte shard")
+        Some(decode(readFully(ch, off, len.toInt).array(), meta,
+          s"$key[${inner.mkString(",")}]"))
+      }
+    } finally ch.close()
+  }
+
+  private def readFully(ch: java.nio.channels.FileChannel, pos: Long,
+      len: Int): ByteBuffer = {
+    val b = ByteBuffer.allocate(len)
+    var p = pos
+    while (b.hasRemaining) {
+      val k = ch.read(b, p)
+      require(k >= 0, s"unexpected EOF at $p reading $len bytes")
+      p += k
+    }
+    b.flip()
+    b.order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  /** Decompress + validate one decode unit's bytes → little-endian
+    * buffer (shared by plain chunks and a shard's inner chunks). */
+  private def decode(raw: Array[Byte], meta: ZarrMeta.Meta,
+      key: String): ByteBuffer = {
+    val chunkElems: Long = meta.chunks.map(_.toLong).product
+    val bytes = meta.compressor match {
         case None => raw
         case Some(b) if b.startsWith("blosc:") => Blosc.decompress(raw)
         case Some("zlib") =>
@@ -403,10 +553,9 @@ private[zarr] object ZarrChunkIO {
         case Some(other) =>
           throw new IllegalStateException(s"unsupported compressor $other")
       }
-      require(bytes.length.toLong == chunkElems * meta.elemSize,
-        s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
-      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
-    }
+    require(bytes.length.toLong == chunkElems * meta.elemSize,
+      s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
   }
 }
 

@@ -581,6 +581,73 @@ class ZarrSpec extends SparkTestBase {
     }
   }
 
+  test("sharding_indexed: golden sharded store reads exactly, prunes at inner-chunk granularity, fills omitted inner chunks") {
+    val dir = graft.sources.IO.tmp("graft_zarr_shard_") + "/a"
+    // 4×6 array in 2×6 shards (2 stored objects), 1×3 inner chunks
+    // (2×2 per shard); global inner chunk (3,1) left unwritten — its
+    // index entry is the all-ones sentinel, elements read as fill
+    Zarr.writeArrayV3Sharded(dir, Array(4L, 6L), Array(2, 6), Array(1, 3),
+      Array("y", "x"), Some("zstd"), -5.0,
+      i => (i(0) * 100 + i(1)).toDouble, omit = Set(Seq(3, 1)))
+    val df = Zarr.readArray(spark, dir)
+    val got = df.orderBy(col("y"), col("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = for (y <- 0L until 4L; x <- 0L until 6L) yield
+      (y, x, if (y == 3 && x >= 3) -5.0 else (y * 100 + x).toDouble)
+    assert(got.toSeq == want.toSeq)
+    // pruning is INNER-chunk granular: y=0 intersects 2 of the 8
+    // inner chunks (not a whole 2×6 shard)
+    val sliced = df.filter(col("y") === 0)
+    assert(sliced.rdd.getNumPartitions == 2,
+      s"expected 2 pruned inner-chunk partitions, got ${sliced.rdd.getNumPartitions}")
+    assert(sliced.count() == 6)
+  }
+
+  test("sharding_indexed: index_location=start with bytes-only index codecs") {
+    // hand-authored 1-D store (shape 4, one 4-element shard, 2-element
+    // raw inner chunks): 32-byte index FIRST, then the two chunks
+    val dir = graft.sources.IO.tmp("graft_zarr_shardst_")
+    val a = Paths.get(dir, "a")
+    Files.createDirectories(a)
+    Files.writeString(a.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"sharding_indexed","configuration":{
+        |"chunk_shape":[2],
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"index_location":"start"}}],
+        |"dimension_names":["t"],"attributes":{}}""".stripMargin)
+    val buf = java.nio.ByteBuffer.allocate(32 + 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(32L).putLong(16L)  // chunk 0: offset 32, 16 bytes
+    buf.putLong(48L).putLong(16L)  // chunk 1: offset 48, 16 bytes
+    Seq(7.0, 11.0, 13.0, 17.0).foreach(buf.putDouble)
+    Files.createDirectories(a.resolve("c"))
+    Files.write(a.resolve("c/0"), buf.array())
+    val got = Zarr.readArray(spark, s"$dir/a").orderBy(col("t"))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(7.0, 11.0, 13.0, 17.0))
+  }
+
+  test("sharding_indexed: a corrupted shard index fails the crc32c check loudly") {
+    val dir = graft.sources.IO.tmp("graft_zarr_shardcrc_") + "/a"
+    Zarr.writeArrayV3Sharded(dir, Array(4L), Array(4), Array(2),
+      Array("t"), None, 0.0, i => i(0).toDouble)
+    val shard = Paths.get(dir, "c/0")
+    val bytes = Files.readAllBytes(shard)
+    bytes(bytes.length - 5) = (bytes(bytes.length - 5) ^ 0x40).toByte // flip an index bit
+    Files.write(shard, bytes)
+    val e = intercept[Exception](
+      Zarr.readArray(spark, dir).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("crc32c"), s"wanted a crc32c failure: ${chain(e)}")
+  }
+
   test("unsupported v3 stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_v3bad_")
     def meta(d: String, body: String): Unit = {
@@ -596,14 +663,21 @@ class ZarrSpec extends SparkTestBase {
     meta("crc", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
         |{"name":"crc32c"}],""".stripMargin))
+    // malformed shard codec (no chunk_shape) still rejects loudly
     meta("sharding", arr(
       """"codecs":[{"name":"sharding_indexed","configuration":{}}],"""))
+    // NESTED sharding is out of scope — loud rejection, never misread
+    meta("shardnest", arr(
+      """"codecs":[{"name":"sharding_indexed","configuration":{
+        |"chunk_shape":[2],
+        |"codecs":[{"name":"sharding_indexed","configuration":{"chunk_shape":[1],
+        |"codecs":[{"name":"bytes"}]}}]}}],""".stripMargin))
     meta("bigend", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],"""))
     meta("f16", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""")
       .replace("float64", "float16"))
-    Seq("crc", "sharding", "bigend", "f16").foreach { d =>
+    Seq("crc", "sharding", "shardnest", "bigend", "f16").foreach { d =>
       val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
       assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
     }
