@@ -268,6 +268,90 @@ object Multimodal {
       }
   }
 
+  /** MPEG-1 Layer III stream features — REAL header walk, pure JVM. */
+  final case class Mp3Features(id: Long, decode_ok: Boolean,
+      sample_rate: Int, n_channels: Int, bitrate_kbps: Int,
+      n_frames: Long, duration_ms: Double)
+
+  /** REAL mp3 parse at the decoder boundary — the same hand-parsed
+    * public-spec posture as [[wavFeaturesOf]]'s RIFF walk, one format
+    * further: an MPEG-1 Layer III stream is a sequence of
+    * self-describing 4-byte frame headers (11-bit sync, version,
+    * layer, bitrate/sample-rate indices, padding, channel mode), each
+    * frame spanning 144·bitrate/rate (+padding) bytes and decoding to
+    * 1152 PCM samples. The walk skips a leading ID3v2 tag (synchsafe
+    * 28-bit size) and a trailing 128-byte ID3v1 'TAG' block, then
+    * requires every byte to belong to a well-formed frame — duration,
+    * first-frame bitrate, rate, and channel count are the triage
+    * features an audio-curation pipeline gates on before running a
+    * real decoder. NON-goals kept loud and honest: audio SAMPLES are
+    * not decoded (no Huffman/MDCT here — that stays the declared stub
+    * boundary), and free-format (bitrate index 0), Layer I/II, MPEG-2
+    * and mid-stream rate changes yield decode_ok = false rows, never
+    * a misread. */
+  def mp3FeaturesOf(payloads: DataFrame): Dataset[Mp3Features] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    // MPEG-1 Layer III bitrate (kbps) and sample-rate tables
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320, 0)
+    val rates = Array(44100, 48000, 32000, 0)
+    payloads.select(col("doc_id").as("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bad = Mp3Features(r.id, false, 0, 0, 0, 0L, 0.0)
+          val b = r.payload
+          try {
+            var off = 0
+            // ID3v2: "ID3" + version(2) + flags + synchsafe u28 size
+            if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+              val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+                ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+              off = 10 + size
+            }
+            var end = b.length
+            // ID3v1: fixed 128-byte "TAG" trailer
+            if (end - off >= 128 && b(end - 128) == 'T' &&
+              b(end - 127) == 'A' && b(end - 126) == 'G') end -= 128
+            var nFrames = 0L
+            var rate = 0; var ch = 0; var kb0 = 0
+            var ok = off < end
+            while (ok && off + 4 <= end) {
+              if ((b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xE0) != 0xE0) ok = false
+              else {
+                val ver = (b(off + 1) >> 3) & 3
+                val layer = (b(off + 1) >> 1) & 3
+                val ki = (b(off + 2) >> 4) & 15
+                val ri = (b(off + 2) >> 2) & 3
+                val pad = (b(off + 2) >> 1) & 1
+                val mode = (b(off + 3) >> 6) & 3
+                // MPEG-1 (ver 3) Layer III (layer 1) only; bitrate
+                // index 0 is free-format, 15 reserved; rate index 3
+                // reserved; a mid-stream rate change is malformed
+                if (ver != 3 || layer != 1 || ki == 0 || ki == 15 ||
+                  ri == 3 || (rate != 0 && rates(ri) != rate)) ok = false
+                else {
+                  val fLen = 144000 * kbps(ki) / rates(ri) + pad
+                  if (off + fLen > end) ok = false // truncated frame
+                  else {
+                    if (nFrames == 0L) {
+                      rate = rates(ri); kb0 = kbps(ki)
+                      ch = if (mode == 3) 1 else 2
+                    }
+                    nFrames += 1
+                    off += fLen
+                  }
+                }
+              }
+            }
+            if (!ok || off != end || nFrames == 0L) bad
+            else Mp3Features(r.id, true, rate, ch, kb0, nFrames,
+              nFrames * 1152000.0 / rate)
+          } catch { case _: Exception => bad }
+        }
+      }
+  }
+
   /** One sampled frame at the decoder boundary. */
   final case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -392,6 +476,18 @@ object Multimodal {
           col("n_frames").as("n_frames"),
           col("rms"))
         .orderBy(col("doc_id"))),
+    "q_multimodal_mp3" -> ((s, d) =>
+      mp3FeaturesOf(
+        withPayload(Tables.documents(s, d))
+          .select(col("doc_id"), col("payload"))
+          .unionByName(MediaFixture.mp3Payloads(s))).toDF()
+        .select(col("id").as("doc_id"), col("decode_ok"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("n_frames"),
+          graft.halfUp(col("duration_ms"), 3).as("duration_ms"))
+        .orderBy(col("doc_id"))),
     // frame fan-out: every 2nd 256-byte frame; sizes/indices are pure
     // arithmetic on payload length (oracle-checked); the frame BYTES
     // themselves flow through mapPartitions and are spec-checked
@@ -460,6 +556,19 @@ object Multimodal {
          |UNION ALL
          |SELECT * FROM (VALUES ${MediaFixture.audioOracleValues})
          |  AS t(doc_id, decode_ok, sample_rate, n_frames, rms)
+         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_mp3" ->
+      s"""SELECT doc_id, FALSE AS decode_ok,
+         |       CAST(0 AS BIGINT) AS sample_rate,
+         |       CAST(0 AS BIGINT) AS n_channels,
+         |       CAST(0 AS BIGINT) AS bitrate_kbps,
+         |       CAST(0 AS BIGINT) AS n_frames,
+         |       CAST(0 AS DOUBLE) AS duration_ms
+         |FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES ${MediaFixture.mp3OracleValues})
+         |  AS t(doc_id, decode_ok, sample_rate, n_channels, bitrate_kbps,
+         |       n_frames, duration_ms)
          |ORDER BY doc_id""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, MediaFixture, Multimodal, Similarity, TextOps}
 
 /** Semantic assertions for the LLM-data-pipeline operators on PLANTED
   * inputs — duplicates, near-duplicates, language samples, and
@@ -368,6 +368,39 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().head
     assert(f8.decode_ok && f8.bits_per_sample == 8 && f8.n_frames == 64L)
     assert(f8.rms == 0.5, s"rms8: $f8")
+  }
+
+  test("mp3FeaturesOf walks MPEG-1 Layer III headers: ID3 skip, VBR, strict refusals") {
+    import spark.implicits._
+    // 40 CBR frames, 128 kbps @ 44100, stereo, both ID3 tags present
+    val cbr = MediaFixture.mp3Bytes(0, 9, mono = false, nFrames = 40,
+      id3v2 = true, id3v1 = true)
+    // VBR: bitrate varies per frame (rate fixed) — legal mp3; the
+    // features report the FIRST frame's bitrate
+    val f1 = MediaFixture.mp3Bytes(1, 5, mono = true, nFrames = 1)
+    val f2 = MediaFixture.mp3Bytes(1, 9, mono = true, nFrames = 2)
+    val vbr = f1 ++ f2
+    // mid-stream RATE change is malformed — refused
+    val rateFlip = MediaFixture.mp3Bytes(0, 5, mono = true, nFrames = 1) ++
+      MediaFixture.mp3Bytes(2, 5, mono = true, nFrames = 1)
+    // free-format (bitrate index 0) refused
+    val free = {
+      val b = MediaFixture.mp3Bytes(0, 5, mono = true, nFrames = 1)
+      b(2) = (b(2) & 0x0F).toByte
+      b
+    }
+    val rows = Seq((1L, cbr), (2L, vbr), (3L, rateFlip), (4L, free),
+      (5L, "not audio at all".getBytes("UTF-8")))
+    val f = Multimodal.mp3FeaturesOf(rows.toDF("doc_id", "payload"))
+      .collect().map(x => x.id -> x).toMap
+    assert(f(1L).decode_ok, s"cbr: ${f(1L)}")
+    assert((f(1L).sample_rate, f(1L).n_channels, f(1L).bitrate_kbps,
+      f(1L).n_frames) == ((44100, 2, 128, 40L)))
+    assert(f(1L).duration_ms == 40 * 1152000.0 / 44100)
+    assert(f(2L).decode_ok && f(2L).n_frames == 3L &&
+      f(2L).bitrate_kbps == 64 && f(2L).sample_rate == 48000,
+      s"vbr: ${f(2L)}")
+    assert(!f(3L).decode_ok && !f(4L).decode_ok && !f(5L).decode_ok)
   }
 
   test("wavFeaturesOf chunk walk terminates on malformed u32 chunk lengths") {
