@@ -278,9 +278,12 @@ object Inference {
     * Scale: facts reduce to one row per (arm, user) then one row per
     * (arm, day); the fold runs over the calendar-bounded event-day
     * list per arm (guarded), never over users. */
-  def kaplanMeier(events: DataFrame, maxDays: Int = 36600): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  /** One row per viewing user: (arm = user_id % 2, ev = converted
+    * 0/1, t = days from first view to conversion or horizon) — the
+    * shared time-to-event reduction under [[kaplanMeier]],
+    * [[logRank]] and [[wilsonCi]]. Facts reduce to one row per
+    * (arm, user) before anything downstream sees them. */
+  private[operators] def conversionSpans(events: DataFrame): DataFrame = {
     val horizon = events.agg(max(to_date(col("ts"))).as("h"))
     val users = events
       .select((col("user_id") % 2).as("arm"), col("user_id"),
@@ -293,7 +296,7 @@ object Inference {
       .select(col("user_id"), to_date(col("ts")).as("pd"))
       .groupBy(col("user_id"))
       .agg(min(col("pd")).as("p0"))
-    val spans = users.join(conv, Seq("user_id"), "left")
+    users.join(conv, Seq("user_id"), "left")
       .crossJoin(broadcast(horizon))
       .select(col("arm"),
         when(col("p0").isNotNull && col("p0") >= col("v0"), lit(1L))
@@ -301,6 +304,33 @@ object Inference {
         when(col("p0").isNotNull && col("p0") >= col("v0"),
           datediff(col("p0"), col("v0")).cast("long"))
           .otherwise(datediff(col("h"), col("v0")).cast("long")).as("t"))
+  }
+
+  /** The spans CTE chain shared verbatim by the survival-family
+    * oracle twins (u → c → spans mirrors [[conversionSpans]]). */
+  private val spansOracleCte: String =
+    """h AS (
+      |  SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hd FROM events),
+      |u AS (
+      |  SELECT user_id % 2 AS arm, user_id,
+      |         min(CASE WHEN event_type = 'view'
+      |                  THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS v0
+      |  FROM events GROUP BY 1, 2 HAVING v0 IS NOT NULL),
+      |c AS (
+      |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS p0
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |spans AS (
+      |  SELECT u.arm,
+      |         CASE WHEN c.p0 IS NOT NULL AND c.p0 >= u.v0 THEN 1 ELSE 0 END AS ev,
+      |         CASE WHEN c.p0 IS NOT NULL AND c.p0 >= u.v0
+      |              THEN CAST(date_diff('day', u.v0, c.p0) AS BIGINT)
+      |              ELSE CAST(date_diff('day', u.v0, h.hd) AS BIGINT) END AS t
+      |  FROM u LEFT JOIN c USING (user_id), h)""".stripMargin
+
+  def kaplanMeier(events: DataFrame, maxDays: Int = 36600): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val spans = conversionSpans(events)
     val byDay = spans.groupBy(col("arm"), col("t").as("day"))
       .agg(sum(col("ev")).as("d"), count(lit(1)).as("closed"))
     val wArm = org.apache.spark.sql.expressions.Window
@@ -499,6 +529,447 @@ object Inference {
       |         AS js_divergence
       |FROM t""".stripMargin
 
+  /** TWO-ARM LOG-RANK test over the [[conversionSpans]] time-to-event
+    * table — "are the two arms' conversion CURVES the same?", the
+    * hypothesis test behind the [[kaplanMeier]] picture (eyeballing
+    * two survival curves is not a test). At each pooled event day:
+    * observed arm-1 conversions d₁ vs expected E₁ = D·n₁/N under the
+    * pooled-risk null, variance V₁ = D·(n₁/N)(1−n₁/N)(N−D)/(N−1);
+    * χ² = (ΣO₁−ΣE₁)²/ΣV₁ ~ χ²(1). Censoring enters only through the
+    * risk sets, exactly as in the product-limit curve.
+    *
+    * Parity: counts and risk sets are exact prefix subtractions; each
+    * day's E/V term quantizes to a 1e-6 grid as BIGINT before the sum
+    * (the q_stats_chi2 posture — order-free under any partitioning;
+    * ΣE ≤ total conversions, so the grid overflows past ~9e12
+    * conversions, far beyond the risk-set Long bound itself). Only
+    * the final (O−E)²/V chain touches unquantized doubles.
+    *
+    * Scale: facts reduce to (arm, user) → pooled (day) rows; the one
+    * ordered window runs over the calendar-bounded event-day list
+    * (the kaplanMeier bound — days, never users or events). */
+  def logRank(events: DataFrame): DataFrame = {
+    val byDay = conversionSpans(events)
+      .groupBy(col("t").as("day"))
+      .agg(sum(col("ev")).as("d"),
+        sum(when(col("arm") === 1L, col("ev")).otherwise(0L)).as("d1"),
+        count(lit(1)).as("closed"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("closed1"))
+    val tot = byDay.agg(sum(col("closed")).as("nt"),
+      sum(col("closed1")).as("n1t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(Window_unboundedPreceding, -1)
+    val risk = byDay.crossJoin(broadcast(tot))
+      .withColumn("gone", coalesce(sum(col("closed")).over(w), lit(0L)))
+      .withColumn("gone1", coalesce(sum(col("closed1")).over(w), lit(0L)))
+      .withColumn("n", col("nt") - col("gone"))
+      .withColumn("n1", col("n1t") - col("gone1"))
+      .filter(col("d") > 0)
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val dD = col("d").cast("double")
+    val e1 = dD * n1D / nD
+    val v1 = when(col("n") > 1L,
+      dD * (n1D / nD) * (lit(1.0) - n1D / nD) *
+        (nD - dD) / (nD - lit(1.0))).otherwise(lit(0.0))
+    val a = risk.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("d1")).as("o1"),
+      sum(floor(e1 * lit(1e6) + lit(0.5)).cast("long")).as("e1q"),
+      sum(floor(v1 * lit(1e6) + lit(0.5)).cast("long")).as("v1q"))
+    val e1v = col("e1q").cast("double") / lit(1e6)
+    val vv = col("v1q").cast("double") / lit(1e6)
+    val o1v = col("o1").cast("double")
+    a.select(col("n_days"), col("o1"),
+      halfUp(e1v, 4).as("e1"),
+      halfUp(vv, 4).as("v1"),
+      halfUp(when(col("v1q") <= 0L, lit(null).cast("double"))
+        .otherwise((o1v - e1v) * (o1v - e1v) / vv), 6).as("chi2"))
+  }
+
+  private[operators] val logRankOracleSql: String =
+    s"""WITH $spansOracleCte,
+      |byday AS (
+      |  SELECT t AS day, CAST(sum(ev) AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+      |         CAST(count(*) AS BIGINT) AS closed,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS closed1
+      |  FROM spans GROUP BY 1),
+      |tot AS (SELECT CAST(sum(closed) AS BIGINT) AS nt,
+      |               CAST(sum(closed1) AS BIGINT) AS n1t FROM byday),
+      |risk AS (
+      |  SELECT day, d, d1,
+      |         tot.nt - CAST(coalesce(sum(closed) OVER (ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n,
+      |         tot.n1t - CAST(coalesce(sum(closed1) OVER (ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n1
+      |  FROM byday, tot),
+      |terms AS (
+      |  SELECT day, d1,
+      |         CAST(floor(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS eq,
+      |         CAST(floor(CASE WHEN n > 1 THEN
+      |             CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |             * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) - 1.0) ELSE 0.0 END
+      |             * 1000000.0 + 0.5) AS BIGINT) AS vq
+      |  FROM risk WHERE d > 0),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |             CAST(sum(d1) AS BIGINT) AS o1,
+      |             CAST(sum(eq) AS BIGINT) AS e1q,
+      |             CAST(sum(vq) AS BIGINT) AS v1q FROM terms)
+      |SELECT n_days, o1,
+      |       floor(CAST(e1q AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+      |         AS e1,
+      |       floor(CAST(v1q AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+      |         AS v1,
+      |       CASE WHEN v1q <= 0 THEN NULL ELSE
+      |         floor((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0)
+      |             * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0)
+      |             / (CAST(v1q AS DOUBLE) / 1000000.0)
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS chi2
+      |FROM a""".stripMargin
+
+  /** McNEMAR's test on PAIRED per-user binaries: did the same user
+    * purchase in the first vs second half of the corpus calendar?
+    * Only the discordant pairs carry information — b = first-half-only
+    * converters, c = second-half-only; χ² = (|b−c|−1)²/(b+c) (Edwards
+    * continuity correction) ~ χ²(1). The within-subject design the
+    * independent-sample tests (q_ab_test, [[anovaOneWay]]) get wrong
+    * when the same users appear in both periods.
+    *
+    * Parity: the calendar midpoint is an exact integer-datediff
+    * comparison; b/c/χ²-numerator are exact BIGINTs (the squared
+    * corrected difference stays integral) — ONE double division at
+    * the end. Degenerate b+c = 0 reads NULL.
+    *
+    * Scale: one (user) hash aggregate, then a 1-row reduction;
+    * the calendar bounds are a broadcast 1-row aggregate. */
+  def mcnemarPaired(events: DataFrame): DataFrame = {
+    val bounds = events.agg(min(to_date(col("ts"))).as("lo"),
+      max(to_date(col("ts"))).as("hi"))
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" &&
+          datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")),
+          1L).otherwise(0L).as("p1"),
+        when(col("event_type") === "purchase" &&
+          datediff(col("d"), col("lo")) * 2 > datediff(col("hi"), col("lo")),
+          1L).otherwise(0L).as("p2"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p1")).as("x1"), max(col("p2")).as("x2"))
+    val cnt = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x1") * col("x2")).as("both_halves"),
+      sum(col("x1") * (lit(1L) - col("x2"))).as("first_only"),
+      sum((lit(1L) - col("x1")) * col("x2")).as("second_only"))
+    val diff = abs(col("first_only") - col("second_only")) - lit(1L)
+    cnt.select(col("n_users"), col("both_halves"), col("first_only"),
+      col("second_only"),
+      halfUp(when(col("first_only") + col("second_only") === 0L,
+          lit(null).cast("double"))
+        .otherwise((diff * diff).cast("double") /
+          (col("first_only") + col("second_only")).cast("double")), 6)
+        .as("chi2"))
+  }
+
+  private[operators] val mcnemarOracleSql: String =
+    """WITH b AS (
+      |  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+      |         max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase'
+      |             AND date_diff('day', b.lo,
+      |                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |               <= date_diff('day', b.lo, b.hi)
+      |             THEN 1 ELSE 0 END) AS x1,
+      |         max(CASE WHEN event_type = 'purchase'
+      |             AND date_diff('day', b.lo,
+      |                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |               > date_diff('day', b.lo, b.hi)
+      |             THEN 1 ELSE 0 END) AS x2
+      |  FROM events, b GROUP BY 1),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(x1 * x2) AS BIGINT) AS both_halves,
+      |         CAST(sum(x1 * (1 - x2)) AS BIGINT) AS first_only,
+      |         CAST(sum((1 - x1) * x2) AS BIGINT) AS second_only
+      |  FROM pu)
+      |SELECT n_users, both_halves, first_only, second_only,
+      |       CASE WHEN first_only + second_only = 0 THEN NULL ELSE
+      |         floor(CAST((abs(first_only - second_only) - 1)
+      |               * (abs(first_only - second_only) - 1) AS DOUBLE)
+      |             / CAST(first_only + second_only AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS chi2
+      |FROM c""".stripMargin
+
+  /** COCHRAN–MANTEL–HAENSZEL test + Mantel–Haenszel pooled odds
+    * ratio over per-stratum 2×2 tables — exposure = urgent/high order
+    * priority, outcome = fulfilled status, stratified by the
+    * customer's market segment. The stratified readout that dodges
+    * Simpson's paradox: a crude 2×2 over the pooled table can show an
+    * association that reverses inside every stratum; CMH tests the
+    * common-odds-ratio null WITHIN strata, and OR_MH = Σ(aᵢdᵢ/Tᵢ) /
+    * Σ(bᵢcᵢ/Tᵢ) is the classic pooled effect estimate.
+    *
+    * Parity: per-stratum cells are exact BIGINTs from ONE conditional
+    * hash aggregate; the E/V/OR chains are per-stratum doubles summed
+    * over the bounded segment set (the anova Σs²/n posture — cell
+    * products go through doubles deliberately: n₁·n₀·m₁·m₀ overflows
+    * BIGINT past ~55k-row strata). χ² carries the standard −0.5
+    * continuity correction; degenerate ΣV ≤ 0 or Σbc ≤ 0 read NULL.
+    *
+    * Scale: one fact-to-dim equi-join, one counts-only hash aggregate
+    * to ≤ |segments| rows, then a bounded reduction. */
+  def cmhStratified(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val exposed = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val outcome = col("o_orderstatus") === "F"
+    val cells = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment").as("stratum"))
+      .agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed, 1L).otherwise(0L)).as("n1"),
+        sum(when(outcome, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("tt"))
+    val aD = col("a").cast("double")
+    val n1D = col("n1").cast("double")
+    val m1D = col("m1").cast("double")
+    val tD = col("tt").cast("double")
+    val bD = n1D - aD            // exposed, no outcome
+    val cD = m1D - aD            // unexposed, outcome
+    val dD = tD - n1D - m1D + aD // unexposed, no outcome
+    val e = n1D * m1D / tD
+    val v = when(col("tt") > 1L,
+      n1D * (tD - n1D) * m1D * (tD - m1D) / (tD * tD * (tD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val m = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sum_a"),
+      sum(e).as("se"), sum(v).as("sv"),
+      sum(aD * dD / tD).as("sr"), sum(bD * cD / tD).as("ss"))
+    val num = abs(col("sum_a").cast("double") - col("se")) - lit(0.5)
+    m.select(col("n_strata"), col("sum_a"),
+      halfUp(col("se"), 4).as("expected"),
+      halfUp(when(col("sv") <= 0.0, lit(null).cast("double"))
+        .otherwise(num * num / col("sv")), 6).as("cmh_chi2"),
+      halfUp(when(col("ss") <= 0.0, lit(null).cast("double"))
+        .otherwise(col("sr") / col("ss")), 6).as("or_mh"))
+  }
+
+  private[operators] val cmhOracleSql: String =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS stratum,
+      |         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS a,
+      |         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS m1,
+      |         CAST(count(*) AS BIGINT) AS tt
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |         CAST(sum(a) AS BIGINT) AS sum_a,
+      |         sum(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+      |             / CAST(tt AS DOUBLE)) AS se,
+      |         sum(CASE WHEN tt > 1 THEN
+      |             CAST(n1 AS DOUBLE) * (CAST(tt AS DOUBLE) - CAST(n1 AS DOUBLE))
+      |             * CAST(m1 AS DOUBLE)
+      |             * (CAST(tt AS DOUBLE) - CAST(m1 AS DOUBLE))
+      |             / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+      |                * (CAST(tt AS DOUBLE) - 1.0)) ELSE 0.0 END) AS sv,
+      |         sum(CAST(a AS DOUBLE)
+      |             * (CAST(tt AS DOUBLE) - CAST(n1 AS DOUBLE)
+      |                - CAST(m1 AS DOUBLE) + CAST(a AS DOUBLE))
+      |             / CAST(tt AS DOUBLE)) AS sr,
+      |         sum((CAST(n1 AS DOUBLE) - CAST(a AS DOUBLE))
+      |             * (CAST(m1 AS DOUBLE) - CAST(a AS DOUBLE))
+      |             / CAST(tt AS DOUBLE)) AS ss
+      |  FROM cells)
+      |SELECT n_strata, sum_a,
+      |       floor(se * 10000.0 + 0.5) / 10000.0 AS expected,
+      |       CASE WHEN sv <= 0 THEN NULL ELSE
+      |         floor((abs(CAST(sum_a AS DOUBLE) - se) - 0.5)
+      |             * (abs(CAST(sum_a AS DOUBLE) - se) - 0.5) / sv
+      |             * 1000000.0 + 0.5) / 1000000.0 END AS cmh_chi2,
+      |       CASE WHEN ss <= 0 THEN NULL ELSE
+      |         floor(sr / ss * 1000000.0 + 0.5) / 1000000.0 END AS or_mh
+      |FROM m""".stripMargin
+
+  /** BENJAMINI–HOCHBERG FDR control over a battery of per-cohort
+    * two-sided proportion z-tests — the multiple-comparisons step
+    * every per-segment screen needs: run one test per cohort
+    * (user_id % 20), convert |z| to a two-sided p through the
+    * Abramowitz–Stegun 7.1.26 erfc polynomial (|err| < 1.5e-7,
+    * spelled operand-for-operand in both engines), then step-up
+    * adjust: p̃₍ᵢ₎ = min_{j ≥ i} p₍ⱼ₎·m/j, reject at q = 0.05.
+    * Reading 20 raw p-values at α = 0.05 expects a false positive per
+    * screen; BH caps the false-discovery RATE instead.
+    *
+    * Parity: cohort counts are exact BIGINTs; z/p are one shared
+    * double chain; the adjustment is rank + suffix-min windows over
+    * the BOUNDED cohort set, ordered by (p, cohort) so ties break
+    * deterministically; the reject flag compares the RENDERED p̃ so
+    * both engines gate on identical digits.
+    *
+    * Scale: one counts-only hash aggregate to m rows; every window
+    * runs over the bounded battery, never the facts. */
+  def fdrBh(events: DataFrame, cohorts: Int = 20): DataFrame = {
+    val g = events.filter(col("event_type").isin("view", "purchase"))
+      .groupBy((col("user_id") % cohorts.toLong).as("cohort"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("x"),
+        count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("x")).as("xt"), sum(col("n")).as("nt"),
+      count(lit(1)).as("mm"))
+    val pPool = col("xt").cast("double") / col("nt").cast("double")
+    val rate = col("x").cast("double") / col("n").cast("double")
+    val z = (rate - pPool) /
+      sqrt(pPool * (lit(1.0) - pPool) / col("n").cast("double"))
+    val xA = abs(col("z")) / sqrt(lit(2.0))
+    val tA = lit(1.0) / (lit(1.0) + lit(0.3275911) * xA)
+    val poly = ((((lit(1.061405429) * tA - lit(1.453152027)) * tA
+      + lit(1.421413741)) * tA - lit(0.284496736)) * tA
+      + lit(0.254829592)) * tA
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pval"), col("cohort"))
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc)
+      .rowsBetween(Window_unboundedPreceding, 0)
+    val adj = g.crossJoin(broadcast(tot))
+      .withColumn("rate", rate)
+      .withColumn("z", z)
+      .withColumn("pval", poly * exp(-xA * xA))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("p_bh", least(lit(1.0),
+        min(col("pval") * col("mm").cast("double") /
+          col("rank").cast("double")).over(wSuffix)))
+    adj.select(col("cohort"), col("x"), col("n"),
+      halfUp(col("rate"), 6).as("rate"),
+      halfUp(col("z"), 6).as("z"),
+      halfUp(col("pval"), 6).as("pval"),
+      halfUp(col("p_bh"), 6).as("p_bh"),
+      (halfUp(col("p_bh"), 6) <= lit(0.05)).cast("int").as("reject"))
+      .orderBy(col("cohort"))
+  }
+
+  private[operators] val fdrBhOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id % 20 AS cohort,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+      |tot AS (SELECT CAST(sum(x) AS BIGINT) AS xt,
+      |               CAST(sum(n) AS BIGINT) AS nt,
+      |               CAST(count(*) AS BIGINT) AS mm FROM g),
+      |zed AS (
+      |  SELECT cohort, x, n, mm,
+      |         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |         (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |          - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |         / sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |                * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                / CAST(n AS DOUBLE)) AS z
+      |  FROM g, tot),
+      |pv AS (
+      |  SELECT cohort, x, n, mm, rate, z,
+      |         ((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |             - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |             + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |             - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |             + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |           * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))) AS pval
+      |  FROM zed),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY pval, cohort) AS rank FROM pv),
+      |adj AS (
+      |  SELECT *,
+      |         least(1.0, min(pval * CAST(mm AS DOUBLE) / CAST(rank AS DOUBLE))
+      |           OVER (ORDER BY rank DESC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |           AS p_bh
+      |  FROM rk)
+      |SELECT cohort, x, n,
+      |       floor(rate * 1000000.0 + 0.5) / 1000000.0 AS rate,
+      |       floor(z * 1000000.0 + 0.5) / 1000000.0 AS z,
+      |       floor(pval * 1000000.0 + 0.5) / 1000000.0 AS pval,
+      |       floor(p_bh * 1000000.0 + 0.5) / 1000000.0 AS p_bh,
+      |       CAST(floor(p_bh * 1000000.0 + 0.5) / 1000000.0 <= 0.05
+      |         AS INTEGER) AS reject
+      |FROM adj ORDER BY cohort""".stripMargin
+
+  /** WILSON score confidence intervals for the per-arm view→purchase
+    * conversion rate over the [[conversionSpans]] table — the
+    * interval the q_ab_test point estimate should ship with. Wilson
+    * (not Wald): stays inside [0,1] and behaves at small n or extreme
+    * p̂, where Wald's ±z√(p̂q̂/n) collapses to zero width at p̂ ∈ {0,1}.
+    * center = (p̂ + z²/2n)/(1 + z²/n), half-width = z·√(p̂q̂/n +
+    * z²/4n²)/(1 + z²/n) at z = 1.96.
+    *
+    * Parity: x/n are exact BIGINTs from the span reduction; the CI
+    * chain is one shared double expression per arm, mirrored
+    * operand-for-operand (1.96·1.96 spelled as the same product).
+    *
+    * Scale: the span reduction then a 2-row closed form. */
+  def wilsonCi(events: DataFrame): DataFrame = {
+    val s = conversionSpans(events).groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("ev")).as("x"))
+    val nD = col("n").cast("double")
+    val xD = col("x").cast("double")
+    val ph = xD / nD
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / nD
+    val center = (ph + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(1.96) *
+      sqrt(ph * (lit(1.0) - ph) / nD + z2 / (lit(4.0) * nD * nD)) / denom
+    s.select(col("arm"), col("x"), col("n"),
+      halfUp(ph, 6).as("rate"),
+      halfUp(center - half, 6).as("ci_lo"),
+      halfUp(center + half, 6).as("ci_hi"))
+      .orderBy(col("arm"))
+  }
+
+  private[operators] val wilsonCiOracleSql: String =
+    s"""WITH $spansOracleCte,
+      |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(ev) AS BIGINT) AS x
+      |      FROM spans GROUP BY 1)
+      |SELECT arm, x, n,
+      |       floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS rate,
+      |       floor(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |               + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+      |              - 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |                  * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  / CAST(n AS DOUBLE)
+      |                  + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+      |                      * CAST(n AS DOUBLE)))
+      |                / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+      |       floor(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |               + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+      |              + 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |                  * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  / CAST(n AS DOUBLE)
+      |                  + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+      |                      * CAST(n AS DOUBLE)))
+      |                / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+      |FROM s ORDER BY arm""".stripMargin
+
   // Window.unboundedPreceding without the import collision
   private val Window_unboundedPreceding: Long =
     org.apache.spark.sql.expressions.Window.unboundedPreceding
@@ -519,6 +990,17 @@ object Inference {
     // symmetric bounded drift between the view/purchase value mixes
     "q_drift_js" -> ((s, d) =>
       jensenShannon(Tables.events(s, d), "view", "purchase")),
+    // two-arm log-rank test over the survival-curve risk sets
+    "q_stats_logrank" -> ((s, d) => logRank(Tables.events(s, d))),
+    // paired within-user before/after conversion test
+    "q_stats_mcnemar" -> ((s, d) => mcnemarPaired(Tables.events(s, d))),
+    // stratified 2x2 CMH chi-square + Mantel-Haenszel pooled OR
+    "q_stats_cmh" -> ((s, d) =>
+      cmhStratified(Tables.orders(s, d), Tables.customer(s, d))),
+    // BH step-up FDR over the per-cohort proportion z battery
+    "q_stats_fdr" -> ((s, d) => fdrBh(Tables.events(s, d))),
+    // Wilson score CIs for the per-arm conversion rates
+    "q_stats_wilson" -> ((s, d) => wilsonCi(Tables.events(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -528,5 +1010,10 @@ object Inference {
     "q_stats_jarque_bera" -> jarqueBeraOracleSql,
     "q_stats_survival" -> kaplanMeierOracleSql,
     "q_drift_js" -> jensenShannonOracleSql,
+    "q_stats_logrank" -> logRankOracleSql,
+    "q_stats_mcnemar" -> mcnemarOracleSql,
+    "q_stats_cmh" -> cmhOracleSql,
+    "q_stats_fdr" -> fdrBhOracleSql,
+    "q_stats_wilson" -> wilsonCiOracleSql,
   )
 }

@@ -432,6 +432,188 @@ object Zarr {
       }
   }
 
+  /** DISTRIBUTED zarr v3 SHARDED sink — the write side of
+    * `sharding_indexed`, the layout zarr-python 3.x emits for large
+    * arrays (so the 100 TB cube a user writes through this engine is
+    * the same object the rest of their v3 tooling reads). Rows key by
+    * SHARD coordinate and repartition so each shard lands in one
+    * task, sorted by (shard, inner-chunk) so the task streams: one
+    * fill-initialized INNER-chunk buffer at a time, each compressed
+    * inner chunk APPENDED straight to the shard file as it closes —
+    * the shard is never materialized in memory (the exact mirror of
+    * the read side's range-read posture, so shards may exceed the
+    * 2^31-1 single-buffer bound that still guards the inner chunk).
+    * Task memory = one inner-chunk buffer + the 16-byte/entry index.
+    *
+    * Inner chunks with no rows keep the all-ones sentinel in the
+    * index (readers serve fill); shards with no rows are never
+    * created (absent key = fill, per spec). The index is written at
+    * `index_location=end` behind its crc32c, `bytes`+`crc32c` index
+    * codecs — byte-compatible with [[writeArrayV3Sharded]]'s goldens
+    * and zarr-python's default shard layout. Each shard builds in a
+    * task-attempt-unique temp file and atomically renames into place
+    * (zombie/speculative attempts can't interleave bytes). */
+  def writeArrayV3ShardedDistributed(df: DataFrame, dir: String,
+      shape: Array[Long], shardShape: Array[Int], chunks: Array[Int],
+      dims: Array[String], compressor: Option[String] = Some("zstd"),
+      fillValue: Double = 0.0): Unit = {
+    val n = shape.length
+    require(dims.length == n && shardShape.length == n && chunks.length == n,
+      s"rank mismatch: dims=${dims.length} shape=$n " +
+        s"shard=${shardShape.length} chunks=${chunks.length}")
+    shardShape.indices.foreach(i => require(shardShape(i) % chunks(i) == 0,
+      s"shard ${shardShape.mkString("x")} not a multiple of inner " +
+        s"chunk ${chunks.mkString("x")}"))
+    require(chunks.map(_.toLong).product * 8 <= Int.MaxValue,
+      s"inner chunk of ${chunks.mkString("x")} f8 elements exceeds the " +
+        "2^31-1 byte buffer bound; pick smaller inner chunks")
+    val cps = shardShape.zip(chunks).map { case (s0, c) => s0 / c }
+    val nEntries = cps.map(_.toLong).product
+    require(nEntries * 16 <= Int.MaxValue,
+      s"$nEntries inner chunks per shard need a ${nEntries * 16}-byte " +
+        "index buffer; pick a smaller shard/inner-chunk ratio")
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    // sweep temp files orphaned by a previous write's hard-killed
+    // attempts (same hygiene as the v2 sink)
+    val tmpListing = Files.list(d)
+    try tmpListing.iterator().asScala
+      .filter { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith(".") && nm.endsWith(".tmp")
+      }
+      .foreach(p => Files.deleteIfExists(p))
+    finally tmpListing.close()
+    val bb = compressor match {
+      case None => ""
+      case Some("gzip") => """,{"name":"gzip","configuration":{"level":5}}"""
+      case Some("zstd") =>
+        """,{"name":"zstd","configuration":{"level":5,"checksum":false}}"""
+      case Some(other) => throw new IllegalArgumentException(
+        s"v3 sharded sink supports gzip/zstd/none inner codecs, not $other")
+    }
+    Files.writeString(d.resolve("zarr.json"),
+      s"""{"zarr_format":3,"node_type":"array",
+         |"shape":[${shape.mkString(",")}],"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${shardShape.mkString(",")}]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fillValue,
+         |"codecs":[{"name":"sharding_indexed","configuration":{
+         |"chunk_shape":[${chunks.mkString(",")}],
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}$bb],
+         |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+         |"index_location":"end"}}],
+         |"dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],
+         |"attributes":{}}""".stripMargin)
+    // shard key "s0/s1/..." (names the file under c/); inner-chunk
+    // C-order linear index within the shard (groups + orders the
+    // stream inside each shard). Nonneg indices, so `div` IS floor.
+    val shardKey = concat_ws("/",
+      dims.zip(shardShape).map { case (dm, c) =>
+        expr(s"CAST(`$dm` AS BIGINT) div $c").cast("string") }: _*)
+    val innerExprSql = dims.indices.map { i =>
+      s"((CAST(`${dims(i)}` AS BIGINT) % ${shardShape(i)}) div ${chunks(i)})"
+    }.zipWithIndex.map { case (e, i) =>
+      val mult = (i + 1 until n).map(j => cps(j).toLong).product
+      s"$e * ${mult}L"
+    }.mkString(" + ")
+    val (shapeC, chunksC, dimsC, dirC, compC, fillC) =
+      (shape, chunks, dims, dir, compressor, fillValue)
+    val nEntriesI = nEntries.toInt
+    df.select(dims.map(c => col(c).cast("long").as(c)) :+
+        col("value").cast("double").as("value"): _*)
+      .withColumn("_shard", shardKey)
+      .withColumn("_inner", expr(innerExprSql))
+      .repartition(col("_shard"))
+      .sortWithinPartitions("_shard", "_inner")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val chunkElems = chunksC.map(_.toLong).product.toInt
+        val dRoot = Paths.get(dirC)
+        var curShard: String = null
+        var tmp: java.nio.file.Path = null
+        var ch: java.nio.channels.FileChannel = null
+        var index: ByteBuffer = null
+        var written = 0L
+        var curInner = -1L
+        var buf: ByteBuffer = null
+        def flushInner(): Unit = if (buf != null) {
+          val enc = ZarrCodec.compress(buf.array(), compC)
+          index.putLong((curInner * 16).toInt, written)
+          index.putLong((curInner * 16 + 8).toInt, enc.length.toLong)
+          val w = ch.write(ByteBuffer.wrap(enc))
+          require(w == enc.length, s"short write: $w of ${enc.length}")
+          written += enc.length
+          buf = null
+        }
+        def finalizeShard(): Unit = if (ch != null) {
+          try {
+            flushInner()
+            val crc = new java.util.zip.CRC32C()
+            crc.update(index.array(), 0, nEntriesI * 16)
+            ch.write(ByteBuffer.wrap(index.array()))
+            val trailer = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            trailer.putInt(crc.getValue.toInt)
+            trailer.flip()
+            ch.write(trailer)
+            ch.close()
+            ch = null
+            val target = dRoot.resolve("c/" + curShard)
+            Files.createDirectories(target.getParent)
+            Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally {
+            if (ch != null) { ch.close(); ch = null }
+            if (tmp != null) { Files.deleteIfExists(tmp); tmp = null }
+          }
+        }
+        try {
+          rows.foreach { r =>
+            val sk = r.getString(dimsC.length + 1)
+            val ik = r.getLong(dimsC.length + 2)
+            if (sk != curShard) { // sorted: each shard appears exactly once
+              finalizeShard()
+              curShard = sk
+              curInner = -1L
+              written = 0L
+              tmp = Files.createTempFile(dRoot,
+                s".${sk.replace('/', '.')}.", ".tmp")
+              ch = java.nio.channels.FileChannel.open(tmp,
+                java.nio.file.StandardOpenOption.WRITE,
+                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+              index = ByteBuffer.allocate(nEntriesI * 16)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              java.util.Arrays.fill(index.array(), 0xFF.toByte) // sentinel
+            }
+            if (ik != curInner) { // sorted: each inner chunk appears once
+              flushInner()
+              curInner = ik
+              buf = ByteBuffer.allocate(chunkElems * 8)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              var i = 0
+              while (i < chunkElems) { buf.putDouble(i * 8, fillC); i += 1 }
+            }
+            // C-order position of the row within its INNER chunk
+            var p = 0L
+            var dd = 0
+            while (dd < dimsC.length) {
+              val idx = r.getLong(dd)
+              require(idx >= 0 && idx < shapeC(dd),
+                s"${dimsC(dd)}=$idx outside [0, ${shapeC(dd)})")
+              p = p * chunksC(dd) + (idx % chunksC(dd))
+              dd += 1
+            }
+            buf.putDouble((p * 8).toInt, r.getDouble(dimsC.length))
+          }
+          finalizeShard()
+        } finally {
+          // a failure mid-shard must not strand the temp file or fd
+          if (ch != null) { ch.close(); ch = null }
+          if (tmp != null) Files.deleteIfExists(tmp)
+        }
+      }
+  }
+
   /** GROUP-level distributed sink — the write shape of the reference's
     * store (variable array + one 1-D coordinate array per dim +
     * consolidated metadata, precipitation_pipeline.py:79-86), i.e. the
@@ -678,6 +860,29 @@ object Zarr {
         .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))
     }),
 
+    // the SHARDED v3 sink → scan round trip: rows shuffled to their
+    // SHARDS, inner chunks streamed through the codec behind a
+    // crc32c-trailed index, read back through the connector's
+    // range-read path — any loss in shard addressing, inner-chunk
+    // packing, index offsets, or edge padding breaks the hash match.
+    // Shard (4,8,16) over a 6x20x30 array pads edge shards in every
+    // dimension; inner chunks (2,4,8) pad within the edge shards too.
+    "q_sink_zarr_sharded" -> ((s, _) => {
+      val out = graft.sources.IO.tmp("graft_zarr_shard_sink_") + "/cube"
+      val rows = s.range(0L, 6L * 20 * 30).select(
+        expr("id div 600").as("time"),
+        expr("(id div 30) % 20").as("lat"),
+        expr("id % 30").as("lon"))
+        .withColumn("value",
+          (col("time") * 10000 + col("lat") * 100 + col("lon")).cast("double"))
+      writeArrayV3ShardedDistributed(rows, out, Array(6L, 20L, 30L),
+        Array(4, 8, 16), Array(2, 4, 8), Array("time", "lat", "lon"))
+      readArray(s, out)
+        .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
+          col("lon").as("lon_idx"), col("value"))
+        .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))
+    }),
+
     // the reference's actual read shape: open group, flatten to a
     // (time, lat, lon, var) table with coordinate VALUES on each row
     // (xr.open_dataset(...).to_dataframe, precipitation_pipeline.py:79-86)
@@ -734,6 +939,12 @@ object Zarr {
         |     generate_series(0, 29) x(g)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_sink_zarr" ->
+      """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sink_zarr_sharded" ->
       """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
         |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
         |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),

@@ -131,4 +131,164 @@ class InferenceSpec extends SparkTestBase {
       .collect().head
     assert(r1.getDouble(3) == 0.693147, r1.toString) // ln 2 at 6 dp
   }
+
+  test("logRank: hand-traced two-day risk sets and quantized E/V sums") {
+    import spark.implicits._
+    // arm1 = odd users {1,3}, arm0 = even {2,4}; horizon = day 3.
+    // u1: view d1, purchase d2 -> t=1, ev=1 (arm1)
+    // u2: view d1, purchase d3 -> t=2, ev=1 (arm0)
+    // u3/u4: view d1, censored at horizon -> t=2
+    // day1: D=1, d1=1, N=4, n1=2 -> E=0.5, V=0.25
+    // day2: D=1, d1=0, N=3, n1=1 -> E=1/3, V=2/9
+    val rows = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("purchase", 3, 2L, 1.0),
+      ev("view", 1, 3L, 1.0), ev("view", 1, 4L, 1.0))
+    val r = Inference.logRank(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1, r.toString)
+    assert(r.getDouble(2) == 0.8333 && r.getDouble(3) == 0.4722, r.toString)
+    // chi2 replays the engine's quantized chain exactly
+    val e = 833333.0 / 1e6; val v = 472222.0 / 1e6
+    val want = math.floor((1.0 - e) * (1.0 - e) / v * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == want, s"$r vs $want")
+  }
+
+  test("logRank: everyone-dies-at-once variance degenerates to NULL; staggered exact") {
+    import spark.implicits._
+    // both arms convert on the SAME day: N-D = 0 kills every V term
+    // -> chi2 must read NULL, never 0/0
+    val sameDay = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("purchase", 2, 2L, 1.0))
+    val r0 = Inference.logRank(
+      sameDay.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r0.getLong(1) == 1 && r0.getDouble(2) == 1.0, r0.toString)
+    assert(r0.isNullAt(4), r0.toString)
+    // staggered: u1 (arm1) converts day 1, u2 (arm0) day 2 ->
+    // day1: E=0.5, V=0.25; day2: arm1 empty, E=V=0 -> chi2 = .25/.25 = 1
+    val staggered = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("purchase", 3, 2L, 1.0))
+    val r1 = Inference.logRank(
+      staggered.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r1.getLong(1) == 1 && r1.getDouble(2) == 0.5 &&
+      r1.getDouble(3) == 0.25, r1.toString)
+    assert(r1.getDouble(4) == 1.0, r1.toString)
+  }
+
+  test("mcnemar: only discordant pairs drive the corrected statistic") {
+    import spark.implicits._
+    // 10-day calendar (d1..d11): first half = days <= 6.
+    // u1 purchases d2 only (b), u2 purchases d10 only (c),
+    // u3 purchases both halves, u4 only views (calendar pins).
+    val rows = Seq(
+      ev("view", 0, 4L, 1.0), ev("view", 10, 4L, 1.0),
+      ev("purchase", 1, 1L, 1.0),
+      ev("purchase", 9, 2L, 1.0),
+      ev("purchase", 1, 3L, 1.0), ev("purchase", 9, 3L, 1.0))
+    val r = Inference.mcnemarPaired(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1, r.toString)  // n, both
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1, r.toString)  // b, c
+    // (|1-1|-1)^2 / 2 = 0.5
+    assert(r.getDouble(4) == 0.5, r.toString)
+  }
+
+  test("mcnemar: zero discordant pairs read NULL, not a division blowup") {
+    import spark.implicits._
+    val rows = Seq(ev("view", 0, 1L, 1.0), ev("view", 10, 1L, 1.0))
+    val r = Inference.mcnemarPaired(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.isNullAt(4), r.toString)
+  }
+
+  test("cmhStratified: two hand-built strata, chi2 and pooled OR exact") {
+    import spark.implicits._
+    // stratum A: a=3,b=0,c=0,d=3 (T=6): E=1.5, V=0.45, r=1.5, s=0
+    // stratum B: a=1,b=1,c=1,d=1 (T=4): E=1,   V=1/3,  r=1/4, s=1/4
+    // sum_a=4, E=2.5, V=0.78333..; chi2=(1.5-0.5)^2/V; OR=1.75/0.25=7
+    def o(k: Long, cust: Long, pri: String, st: String) =
+      (k, cust, st, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pri)
+    val orders = (
+      (1L to 3L).map(i => o(i, 1L, "1-URGENT", "F")) ++
+      (4L to 6L).map(i => o(i, 1L, "5-LOW", "O")) ++
+      Seq(o(7L, 2L, "2-HIGH", "F"), o(8L, 2L, "2-HIGH", "O"),
+        o(9L, 2L, "5-LOW", "F"), o(10L, 2L, "5-LOW", "O"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val customer = Seq((1L, "a", 1, 0.0, "BUILDING"),
+      (2L, "b", 1, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Inference.cmhStratified(orders, customer).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4, r.toString)
+    assert(r.getDouble(2) == 2.5, r.toString)
+    val sv = 0.45 + 2.0 * 2.0 * 2.0 * 2.0 / (4.0 * 4.0 * 3.0)
+    val want = math.floor(1.0 / sv * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(3) == want, s"$r vs $want")
+    assert(r.getDouble(4) == 7.0, r.toString)
+  }
+
+  test("fdrBh: tied battery adjusts to the raw p; step-up never exceeds 1") {
+    import spark.implicits._
+    // cohort 0: 10 views, 0 purchases; cohort 1: 5 views + 5 purchases
+    // -> |z| identical, pvals tie, BH leaves both at p (m/rank chain:
+    // min(2p, p) = p); neither rejects at q=.05
+    val rows =
+      (1 to 10).map(i => ev("view", i % 9, 20L, 1.0)) ++
+      (1 to 5).map(i => ev("view", i, 21L, 1.0)) ++
+      (1 to 5).map(i => ev("purchase", i, 21L, 1.0))
+    val r = Inference.fdrBh(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect()
+    assert(r.length == 2, r.mkString(", "))
+    val byC = r.map(x => x.getLong(0) -> x).toMap
+    assert(byC(0L).getLong(1) == 0 && byC(0L).getLong(2) == 10)
+    assert(byC(1L).getLong(1) == 5 && byC(1L).getLong(2) == 10)
+    assert(byC(0L).getDouble(3) == 0.0 && byC(1L).getDouble(3) == 0.5)
+    // symmetric battery: equal-magnitude opposite z, tied p
+    assert(byC(0L).getDouble(4) == -byC(1L).getDouble(4),
+      r.mkString(", "))
+    assert(byC(0L).getDouble(5) == byC(1L).getDouble(5))
+    assert(byC(0L).getDouble(6) == byC(0L).getDouble(5),
+      "BH on a tied 2-battery must leave p_bh = p")
+    assert(byC(0L).getInt(7) == 0 && byC(1L).getInt(7) == 0)
+    // p from the A&S 7.1.26 replay: z = 0.25/sqrt(.25*.75/10)
+    val z = 0.25 / math.sqrt(0.25 * 0.75 / 10.0)
+    val x = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val p = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    assert(byC(1L).getDouble(5) == math.floor(p * 1e6 + 0.5) / 1e6,
+      s"${byC(1L)} vs $p")
+  }
+
+  test("wilsonCi: closed-form replay; zero-converter arm stays inside [0,1]") {
+    import spark.implicits._
+    // arm1 (u1): view+purchase (x=1, n=1); arm0 (u2,u4): views only (x=0, n=2)
+    val rows = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("view", 1, 4L, 1.0))
+    val r = Inference.wilsonCi(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect()
+    val byArm = r.map(x => x.getLong(0) -> x).toMap
+    val a0 = byArm(0L)
+    assert(a0.getLong(1) == 0 && a0.getLong(2) == 2 &&
+      a0.getDouble(3) == 0.0, a0.toString)
+    // Wald would read [0,0] here; Wilson must open a real interval
+    assert(a0.getDouble(4) == 0.0 && a0.getDouble(5) > 0.0 &&
+      a0.getDouble(5) < 1.0, a0.toString)
+    def wilson(x: Long, n: Long): (Double, Double) = {
+      val nD = n.toDouble; val ph = x.toDouble / nD
+      val z2 = 1.96 * 1.96
+      val den = 1.0 + z2 / nD
+      val c = (ph + z2 / (2.0 * nD)) / den
+      val h = 1.96 * math.sqrt(ph * (1.0 - ph) / nD +
+        z2 / (4.0 * nD * nD)) / den
+      (math.floor((c - h) * 1e6 + 0.5) / 1e6,
+        math.floor((c + h) * 1e6 + 0.5) / 1e6)
+    }
+    val (lo1, hi1) = wilson(1L, 1L)
+    val a1 = byArm(1L)
+    assert(a1.getDouble(4) == lo1 && a1.getDouble(5) == hi1, a1.toString)
+  }
 }

@@ -648,6 +648,54 @@ class ZarrSpec extends SparkTestBase {
     assert(chain(e).contains("crc32c"), s"wanted a crc32c failure: ${chain(e)}")
   }
 
+  test("sharded sink: rowless inner chunks keep the sentinel, rowless shards are never created") {
+    import spark.implicits._
+    val dir = graft.sources.IO.tmp("graft_zarr_shsink_gap_") + "/a"
+    // 5×7 array, (2,6) shards -> 3×2 shard grid, (1,3) inner chunks.
+    // Drop global inner chunk (3,0) (y=3, x<3 — mid-shard sentinel)
+    // and every y=4 row (the whole bottom shard row stays absent).
+    val rows = (for (y <- 0L until 5L; x <- 0L until 7L) yield (y, x))
+      .filterNot { case (y, x) => y == 3 && x < 3 }
+      .filterNot { case (y, _) => y == 4 }
+      .map { case (y, x) => (y, x, (y * 100 + x).toDouble) }
+    Zarr.writeArrayV3ShardedDistributed(
+      rows.toDF("y", "x", "value").repartition(5), dir,
+      Array(5L, 7L), Array(2, 6), Array(1, 3), Array("y", "x"),
+      Some("zstd"), fillValue = -5.0)
+    assert(!Files.exists(Paths.get(dir, "c/2/0")) &&
+      !Files.exists(Paths.get(dir, "c/2/1")),
+      "a shard no row mapped to must not exist")
+    assert(Files.exists(Paths.get(dir, "c/1/0")))
+    val got = Zarr.readArray(spark, dir).orderBy(col("y"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = for (y <- 0L until 5L; x <- 0L until 7L) yield
+      (y, x,
+        if ((y == 3 && x < 3) || y == 4) -5.0 else (y * 100 + x).toDouble)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("sharded sink: bytes identical to the golden fixture writer at full coverage") {
+    import spark.implicits._
+    val d1 = graft.sources.IO.tmp("graft_zarr_shfix_") + "/a"
+    val d2 = graft.sources.IO.tmp("graft_zarr_shdist_") + "/a"
+    Zarr.writeArrayV3Sharded(d1, Array(4L, 6L), Array(2, 6), Array(1, 3),
+      Array("y", "x"), Some("zstd"), 0.0, i => (i(0) * 10 + i(1)).toDouble)
+    val rows = for (y <- 0L until 4L; x <- 0L until 6L)
+      yield (y, x, (y * 10 + x).toDouble)
+    Zarr.writeArrayV3ShardedDistributed(
+      rows.toDF("y", "x", "value").repartition(4), d2,
+      Array(4L, 6L), Array(2, 6), Array(1, 3), Array("y", "x"),
+      Some("zstd"))
+    // same codec chain + same C-order stream -> byte-identical shards
+    Seq("0/0", "1/0").foreach { k =>
+      val a = Files.readAllBytes(Paths.get(d1, "c/" + k))
+      val b = Files.readAllBytes(Paths.get(d2, "c/" + k))
+      assert(java.util.Arrays.equals(a, b), s"shard $k bytes differ")
+    }
+    assert(Files.readString(Paths.get(d1, "zarr.json")) ==
+      Files.readString(Paths.get(d2, "zarr.json")))
+  }
+
   test("unsupported v3 stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_v3bad_")
     def meta(d: String, body: String): Unit = {
