@@ -970,6 +970,317 @@ object Inference {
       |             * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
       |FROM s ORDER BY arm""".stripMargin
 
+  /** FISHER's EXACT two-sided test on the arm × converted 2×2 over a
+    * DETERMINISTIC BOUNDED subsample (top-`k` users by md5 rank) —
+    * the exact small-sample test next to the asymptotic battery
+    * (q_ab_test's z, q_stats_chi2): p = Σ over hypergeometric tables
+    * with pmf ≤ pmf(observed)·(1+1e-7), the scipy `two-sided`
+    * convention. The subsample cap is the SCALE CONTRACT, not a
+    * shortcut: exact Fisher on a billion users is statistically
+    * meaningless (any nonzero effect reads p≈0 — that regime belongs
+    * to q_stats_chi2) and its factorial spine grows with the corpus;
+    * capping at k keeps the ln-factorial fold calendar-bounded at any
+    * corpus size, and md5 rank makes the subsample replayable
+    * bit-for-bit in both engines.
+    *
+    * Parity: cell counts are exact BIGINTs; ln-factorials are ONE
+    * sequential ascending fold (packed-array aggregate here, the
+    * recursive-CTE walk in the twin — identical IEEE add order, the
+    * kaplanMeier posture); the pmf ≤ threshold branch compares
+    * identical doubles on both sides; included pmfs quantize to a
+    * 1e-9 BIGINT grid before the sum (order-free).
+    *
+    * Scale: one (user) hash aggregate, a TakeOrdered top-k by hash,
+    * then a 1-row frame exploded to ≤ k+1 term rows. */
+  def fisherExact(events: DataFrame, k: Int = 120): DataFrame = {
+    val users = events
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("d"))).as("v0"),
+        min(when(col("event_type") === "purchase", col("d"))).as("p0"))
+      .filter(col("v0").isNotNull)
+      .select(col("user_id"), (col("user_id") % 2).as("arm"),
+        when(col("p0").isNotNull && col("p0") >= col("v0"), lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+    val sub = users.orderBy(md5(col("user_id").cast("string"))).limit(k)
+    val cells = sub.agg(
+      sum(when(col("arm") === 1L && col("ev") === 1L, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(col("ev")).as("m1"),
+      count(lit(1)).as("t"))
+    // lf[i] = ln(i!) by one sequential ascending fold; lf[0] seeds 0
+    val withLf = cells.withColumn("lf", expr(
+      """aggregate(sequence(0, t),
+        |  struct(CAST(0.0 AS DOUBLE) AS s,
+        |         CAST(array(0.0) AS ARRAY<DOUBLE>) AS o),
+        |  (acc, x) -> IF(x = 0, acc,
+        |    struct(acc.s + ln(CAST(x AS DOUBLE)) AS s,
+        |           concat(acc.o, array(acc.s + ln(CAST(x AS DOUBLE)))) AS o)),
+        |  acc -> acc.o)""".stripMargin))
+    def lf(c: Column): Column =
+      element_at(col("lf"), (c + lit(1L)).cast("int"))
+    val n0 = col("t") - col("n1")
+    def lnpmf(kk: Column): Column =
+      lf(col("n1")) - lf(kk) - lf(col("n1") - kk) +
+        lf(n0) - lf(col("m1") - kk) - lf(n0 - (col("m1") - kk)) -
+        (lf(col("t")) - lf(col("m1")) - lf(col("t") - col("m1")))
+    val terms = withLf
+      .withColumn("klo", greatest(lit(0L), col("m1") - (col("t") - col("n1"))))
+      .withColumn("khi", least(col("n1"), col("m1")))
+      .select(col("a"), col("n1"), col("m1"), col("t"), col("lf"),
+        explode(expr("sequence(klo, khi)")).as("k"))
+      .withColumn("pmf", exp(lnpmf(col("k"))))
+      .withColumn("pmfa", exp(lnpmf(col("a"))))
+    terms
+      .agg(max(col("a")).as("a"), max(col("n1")).as("n1"),
+        max(col("m1")).as("m1"), max(col("t")).as("n"),
+        sum(when(col("pmf") <= col("pmfa") * lit(1.0 + 1e-7),
+          floor(col("pmf") * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L))).as("pq"))
+      .select(col("a"), col("n1"), col("m1"), col("n"),
+        halfUp(least(lit(1.0), col("pq").cast("double") / lit(1e9)), 6)
+          .as("p_two_sided"))
+  }
+
+  private[operators] val fisherOracleSql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view'
+      |                  THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS v0,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS p0
+      |  FROM events GROUP BY 1 HAVING v0 IS NOT NULL),
+      |sub AS (
+      |  SELECT user_id % 2 AS arm,
+      |         CASE WHEN p0 IS NOT NULL AND p0 >= v0 THEN 1 ELSE 0 END AS ev
+      |  FROM u ORDER BY md5(CAST(user_id AS VARCHAR)) LIMIT 120),
+      |cells AS (
+      |  SELECT CAST(sum(CASE WHEN arm = 1 AND ev = 1 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(ev) AS BIGINT) AS m1,
+      |         CAST(count(*) AS BIGINT) AS t
+      |  FROM sub),
+      |rec(i, s) AS (
+      |  SELECT 0, CAST(0.0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT r.i + 1, r.s + ln(CAST(r.i + 1 AS DOUBLE))
+      |  FROM rec r, cells c WHERE r.i < c.t),
+      |ks AS (
+      |  SELECT c.a, c.n1, c.m1, c.t, g.g AS k
+      |  FROM cells c, generate_series(0, 120) g(g)
+      |  WHERE g.g >= greatest(0, c.m1 - (c.t - c.n1))
+      |    AND g.g <= least(c.n1, c.m1)),
+      |pm AS (
+      |  SELECT a, n1, m1, t, k,
+      |         exp((SELECT s FROM rec WHERE i = ks.n1)
+      |           - (SELECT s FROM rec WHERE i = ks.k)
+      |           - (SELECT s FROM rec WHERE i = ks.n1 - ks.k)
+      |           + (SELECT s FROM rec WHERE i = ks.t - ks.n1)
+      |           - (SELECT s FROM rec WHERE i = ks.m1 - ks.k)
+      |           - (SELECT s FROM rec WHERE i = ks.t - ks.n1 - (ks.m1 - ks.k))
+      |           - ((SELECT s FROM rec WHERE i = ks.t)
+      |              - (SELECT s FROM rec WHERE i = ks.m1)
+      |              - (SELECT s FROM rec WHERE i = ks.t - ks.m1))) AS pmf,
+      |         exp((SELECT s FROM rec WHERE i = ks.n1)
+      |           - (SELECT s FROM rec WHERE i = ks.a)
+      |           - (SELECT s FROM rec WHERE i = ks.n1 - ks.a)
+      |           + (SELECT s FROM rec WHERE i = ks.t - ks.n1)
+      |           - (SELECT s FROM rec WHERE i = ks.m1 - ks.a)
+      |           - (SELECT s FROM rec WHERE i = ks.t - ks.n1 - (ks.m1 - ks.a))
+      |           - ((SELECT s FROM rec WHERE i = ks.t)
+      |              - (SELECT s FROM rec WHERE i = ks.m1)
+      |              - (SELECT s FROM rec WHERE i = ks.t - ks.m1))) AS pmfa
+      |  FROM ks)
+      |SELECT max(a) AS a, max(n1) AS n1, max(m1) AS m1, max(t) AS n,
+      |       floor(least(1.0, CAST(sum(CASE WHEN pmf <= pmfa * (1.0 + 0.0000001)
+      |           THEN CAST(floor(pmf * 1000000000.0 + 0.5) AS BIGINT)
+      |           ELSE 0 END) AS DOUBLE) / 1000000000.0)
+      |         * 1000000.0 + 0.5) / 1000000.0 AS p_two_sided
+      |FROM pm""".stripMargin
+
+  /** TOST EQUIVALENCE screen (two one-sided tests, z-approximation)
+    * between the view and purchase value distributions — the readout
+    * q_ab_test cannot give: failing to reject "different" is NOT
+    * evidence of "same"; TOST reverses the burden, rejecting
+    * non-equivalence when the 90% CI of the difference sits inside
+    * ±δ (δ = 5% of the pooled mean — a relative margin, so the
+    * screen is scale-free in the measure's units). Equivalent iff
+    * t_lower = (Δ+δ)/se ≥ 1.644854 AND t_upper = (Δ−δ)/se ≤
+    * −1.644854 (α = .05, large-n z critical value).
+    *
+    * Parity: the anova cents-moments posture (exact BIGINT n/Σ/Σ²
+    * per arm); Δ/δ/se/t chains are one fixed-order double expression;
+    * the equivalent flag compares the RENDERED t's. Degenerate
+    * (zero-variance or empty) arms read NULL t's and equivalent=0.
+    *
+    * Scale: ONE conditional hash aggregate to a 1-row frame. */
+  def tostEquivalence(events: DataFrame, typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    val v = events.filter(col("value").isNotNull &&
+      col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("et"), cents(col("value")).as("c"))
+    val m = v.agg(
+      sum(when(col("et") === typeA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("et") === typeA, col("c")).otherwise(0L)).as("sa"),
+      sum(when(col("et") === typeA, col("c") * col("c")).otherwise(0L))
+        .as("qa"),
+      sum(when(col("et") === typeB, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("et") === typeB, col("c")).otherwise(0L)).as("sb"),
+      sum(when(col("et") === typeB, col("c") * col("c")).otherwise(0L))
+        .as("qb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val ma = col("sa").cast("double") / naD / lit(100.0)
+    val mb = col("sb").cast("double") / nbD / lit(100.0)
+    // sample variance in value² units: (Σc² − (Σc)²/n)/(n−1)/1e4
+    val va = (col("qa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") / naD) /
+      (naD - lit(1.0)) / lit(1e4)
+    val vb = (col("qb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") / nbD) /
+      (nbD - lit(1.0)) / lit(1e4)
+    val diff = ma - mb
+    val delta = lit(0.05) *
+      abs((col("sa").cast("double") + col("sb").cast("double")) /
+        (naD + nbD) / lit(100.0))
+    val se = sqrt(va / naD + vb / nbD)
+    // !(se > 0) also catches NaN — a zero-variance pair must read
+    // NULL, never an inf/NaN that renders differently across engines
+    val degenerate = col("na") < 2L || col("nb") < 2L || !(se > lit(0.0))
+    val tLo = when(degenerate, lit(null).cast("double"))
+      .otherwise((diff + delta) / se)
+    val tHi = when(degenerate, lit(null).cast("double"))
+      .otherwise((diff - delta) / se)
+    val tLoR = halfUp(tLo, 6); val tHiR = halfUp(tHi, 6)
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      halfUp(diff, 6).as("mean_diff"),
+      halfUp(delta, 6).as("delta"),
+      tLoR.as("t_lower"), tHiR.as("t_upper"),
+      when(tLoR >= lit(1.644854) && tHiR <= lit(-1.644854), lit(1))
+        .otherwise(lit(0)).as("equivalent"))
+  }
+
+  private[operators] val tostOracleSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS et,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |m AS (
+      |  SELECT CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS na,
+      |         CAST(sum(CASE WHEN et = 'view' THEN c ELSE 0 END) AS BIGINT)
+      |           AS sa,
+      |         CAST(sum(CASE WHEN et = 'view' THEN c * c ELSE 0 END)
+      |           AS BIGINT) AS qa,
+      |         CAST(sum(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS nb,
+      |         CAST(sum(CASE WHEN et = 'purchase' THEN c ELSE 0 END)
+      |           AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN et = 'purchase' THEN c * c ELSE 0 END)
+      |           AS BIGINT) AS qb
+      |  FROM v),
+      |x AS (
+      |  SELECT na, nb,
+      |         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+      |           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS diff,
+      |         0.05 * abs((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+      |           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 100.0)
+      |           AS delta,
+      |         sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+      |                 * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+      |               / (CAST(na AS DOUBLE) - 1.0) / 10000.0
+      |               / CAST(na AS DOUBLE)
+      |             + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+      |                 * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |               / (CAST(nb AS DOUBLE) - 1.0) / 10000.0
+      |               / CAST(nb AS DOUBLE)) AS se
+      |  FROM m),
+      |r AS (
+      |  SELECT na, nb, diff, delta,
+      |         CASE WHEN na < 2 OR nb < 2 OR NOT (se > 0) THEN NULL
+      |              ELSE floor((diff + delta) / se * 1000000.0 + 0.5)
+      |                / 1000000.0 END AS t_lower,
+      |         CASE WHEN na < 2 OR nb < 2 OR NOT (se > 0) THEN NULL
+      |              ELSE floor((diff - delta) / se * 1000000.0 + 0.5)
+      |                / 1000000.0 END AS t_upper
+      |  FROM x)
+      |SELECT na AS n_a, nb AS n_b,
+      |       floor(diff * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
+      |       floor(delta * 1000000.0 + 0.5) / 1000000.0 AS delta,
+      |       t_lower, t_upper,
+      |       CASE WHEN t_lower >= 1.644854 AND t_upper <= -1.644854
+      |            THEN 1 ELSE 0 END AS equivalent
+      |FROM r""".stripMargin
+
+  /** POWER / MDE readout for the A/B conversion experiment — the
+    * design-side number every test in this battery stands on: at
+    * α = .05 (two-sided) and 80% power, the minimal detectable
+    * absolute lift with the arms as sized is MDE = (z_{α/2}+z_β)·
+    * √(p̄(1−p̄)(1/n₀+1/n₁)), and the per-arm n required to detect a
+    * 10% RELATIVE lift is (z_{α/2}+z_β)²·2p̄(1−p̄)/(0.1·p̄)². An
+    * underpowered readout ("not significant" at 20% power) is noise,
+    * not evidence — this row says so before anyone reads q_ab_test.
+    *
+    * Parity: per-arm (x, n) are exact BIGINTs from the shared
+    * [[conversionSpans]] reduction; z constants are literals spelled
+    * identically in both engines; one fixed-order double chain.
+    *
+    * Scale: the span reduction then a 1-row closed form. */
+  def powerMde(events: DataFrame): DataFrame = {
+    val s = conversionSpans(events).groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("ev")).as("x"))
+    val m = s.agg(
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1L, col("n")).otherwise(0L)).as("n1"),
+      sum(col("x")).as("xt"), sum(col("n")).as("nt"))
+    val n0D = col("n0").cast("double"); val n1D = col("n1").cast("double")
+    val p = col("xt").cast("double") / col("nt").cast("double")
+    val zsum = lit(1.959964) + lit(0.841621) // z_{.025} + z_{.20}
+    val mde = zsum * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / n0D + lit(1.0) / n1D))
+    val nReq = zsum * zsum * lit(2.0) * p * (lit(1.0) - p) /
+      ((lit(0.1) * p) * (lit(0.1) * p))
+    val degenerate = col("n0") === 0L || col("n1") === 0L ||
+      col("xt") === 0L || col("xt") === col("nt")
+    m.select(col("n0"), col("n1"),
+      halfUp(p, 6).as("pooled_rate"),
+      halfUp(when(degenerate, lit(null).cast("double")).otherwise(mde), 6)
+        .as("mde_absolute"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(ceil(nReq).cast("long")).as("n_per_arm_10pct_lift"))
+  }
+
+  private[operators] val powerOracleSql: String =
+    s"""WITH $spansOracleCte,
+      |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(ev) AS BIGINT) AS x
+      |      FROM spans GROUP BY 1),
+      |m AS (SELECT
+      |        CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+      |        CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+      |        CAST(sum(x) AS BIGINT) AS xt,
+      |        CAST(sum(n) AS BIGINT) AS nt
+      |      FROM s)
+      |SELECT n0, n1,
+      |       floor(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS pooled_rate,
+      |       CASE WHEN n0 = 0 OR n1 = 0 OR xt = 0 OR xt = nt THEN NULL
+      |            ELSE floor((1.959964 + 0.841621)
+      |              * sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |                  * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      |              * 1000000.0 + 0.5) / 1000000.0 END AS mde_absolute,
+      |       CASE WHEN n0 = 0 OR n1 = 0 OR xt = 0 OR xt = nt THEN NULL
+      |            ELSE CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+      |              * 2.0 * (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |              * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |              / ((0.1 * CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                 * (0.1 * CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))))
+      |              AS BIGINT) END AS n_per_arm_10pct_lift
+      |FROM m""".stripMargin
+
   // Window.unboundedPreceding without the import collision
   private val Window_unboundedPreceding: Long =
     org.apache.spark.sql.expressions.Window.unboundedPreceding
@@ -1001,6 +1312,12 @@ object Inference {
     "q_stats_fdr" -> ((s, d) => fdrBh(Tables.events(s, d))),
     // Wilson score CIs for the per-arm conversion rates
     "q_stats_wilson" -> ((s, d) => wilsonCi(Tables.events(s, d))),
+    // exact hypergeometric 2x2 p over the md5-capped subsample
+    "q_stats_fisher" -> ((s, d) => fisherExact(Tables.events(s, d))),
+    // two one-sided equivalence screen on the view/purchase values
+    "q_stats_tost" -> ((s, d) => tostEquivalence(Tables.events(s, d))),
+    // minimal detectable effect + required-n design readout
+    "q_stats_power" -> ((s, d) => powerMde(Tables.events(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1015,5 +1332,8 @@ object Inference {
     "q_stats_cmh" -> cmhOracleSql,
     "q_stats_fdr" -> fdrBhOracleSql,
     "q_stats_wilson" -> wilsonCiOracleSql,
+    "q_stats_fisher" -> fisherOracleSql,
+    "q_stats_tost" -> tostOracleSql,
+    "q_stats_power" -> powerOracleSql,
   )
 }

@@ -291,4 +291,73 @@ class InferenceSpec extends SparkTestBase {
     val a1 = byArm(1L)
     assert(a1.getDouble(4) == lo1 && a1.getDouble(5) == hi1, a1.toString)
   }
+
+  test("fisherExact: textbook 3v3 table, two-sided tail exact") {
+    import spark.implicits._
+    // arm1 {1,3,5} all convert, arm0 {2,4,6} none: a=3, n1=3, m1=3,
+    // T=6. Hypergeom pmf over C(6,3)=20: k=0 -> .05, 1 -> .45,
+    // 2 -> .45, 3 -> .05; two-sided p = P(0)+P(3) = 0.1
+    val rows = Seq(1L, 3L, 5L).flatMap(u =>
+      Seq(ev("view", 1, u, 1.0), ev("purchase", 2, u, 1.0))) ++
+      Seq(2L, 4L, 6L).map(u => ev("view", 1, u, 1.0))
+    val r = Inference.fisherExact(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 &&
+      r.getLong(2) == 3 && r.getLong(3) == 6, r.toString)
+    assert(r.getDouble(4) == 0.1, r.toString)
+  }
+
+  test("fisherExact: degenerate margin (no conversions) reads p = 1") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L).map(u => ev("view", 1, u, 1.0))
+    val r = Inference.fisherExact(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(2) == 0 && r.getDouble(4) == 1.0, r.toString)
+  }
+
+  test("tostEquivalence: identical tight arms read equivalent; zero variance reads NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      ev("view", 0, 1L, 10.0), ev("view", 0, 1L, 10.01),
+      ev("purchase", 0, 2L, 10.0), ev("purchase", 0, 2L, 10.01))
+    val r = Inference.tostEquivalence(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, r.toString)
+    assert(r.getDouble(2) == 0.0, r.toString)          // mean_diff
+    assert(r.getDouble(3) == 0.50025, r.toString)      // delta = 5% of 10.005
+    assert(r.getDouble(4) == -r.getDouble(5), r.toString)
+    assert(r.getDouble(4) >= 1.644854 && r.getInt(6) == 1, r.toString)
+    // zero-variance pair: se = 0 must read NULL t's, equivalent = 0
+    val flat = Seq(ev("view", 0, 1L, 5.0), ev("view", 0, 1L, 5.0),
+      ev("purchase", 0, 2L, 5.0), ev("purchase", 0, 2L, 5.0))
+    val r0 = Inference.tostEquivalence(
+      flat.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r0.isNullAt(4) && r0.isNullAt(5) && r0.getInt(6) == 0,
+      r0.toString)
+  }
+
+  test("powerMde: closed-form replay; degenerate pooled rate reads NULL") {
+    import spark.implicits._
+    // arm0 {2,4}: u2 converts; arm1 {1,3}: u1 converts -> pooled 0.5
+    val rows = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("purchase", 2, 2L, 1.0),
+      ev("view", 1, 3L, 1.0), ev("view", 1, 4L, 1.0))
+    val r = Inference.powerMde(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 &&
+      r.getDouble(2) == 0.5, r.toString)
+    val zsum = 1.959964 + 0.841621
+    val mde = zsum * math.sqrt(0.5 * 0.5 * (0.5 + 0.5))
+    assert(r.getDouble(3) == math.floor(mde * 1e6 + 0.5) / 1e6, r.toString)
+    val nreq = zsum * zsum * 2.0 * 0.25 / (0.05 * 0.05)
+    assert(r.getLong(4) == math.ceil(nreq).toLong, r.toString)
+    // every user converts: xt = nt -> NULL mde, NULL n
+    val all = Seq(
+      ev("view", 1, 1L, 1.0), ev("purchase", 2, 1L, 1.0),
+      ev("view", 1, 2L, 1.0), ev("purchase", 2, 2L, 1.0))
+    val r1 = Inference.powerMde(
+      all.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r1.isNullAt(3) && r1.isNullAt(4), r1.toString)
+  }
 }
