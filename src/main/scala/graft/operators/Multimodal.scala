@@ -352,6 +352,109 @@ object Multimodal {
       }
   }
 
+  final case class WebpFeatures(id: Long, decode_ok: Boolean,
+    variant: String, width: Int, height: Int, lossless: Boolean,
+    has_alpha: Boolean, has_animation: Boolean)
+
+  /** REAL webp CONTAINER + bitstream-header parse at the decoder
+    * boundary, hand-walked from the public spec (the posture of the
+    * RIFF/WAVE and mp3 walks — the JDK has no webp ImageIO plugin,
+    * so this closes the triage gap for the web's dominant crawl
+    * format without a native codec): RIFF "WEBP" container, then the
+    * first chunk decides the variant — `VP8 ` (lossy: 3-byte frame
+    * tag, 0x9D012A start code, 14-bit u16le dimensions), `VP8L`
+    * (lossless: 0x2F signature, 14+14-bit packed dims, alpha bit,
+    * version bits must be 0), or `VP8X` (extended: feature flags +
+    * 24-bit LE canvas dims, then the remaining chunk walk must stay
+    * well-formed — fourcc/size/odd-padding all the way to the end).
+    * Pixel DECODE stays the declared stub boundary (VP8 arithmetic
+    * coding / VP8L Huffman — a real deployment hands payloads to
+    * libwebp behind this same partition-local boundary); width/
+    * height/lossless/alpha/animation are exactly the features a
+    * crawl-curation filter gates on (min-resolution, no-animation,
+    * alpha-aware) before paying for a decoder. Truncation, bad
+    * signatures, reserved version bits, or a chunk walk that does
+    * not land exactly on the container end read decode_ok = false,
+    * never a misread. */
+  def webpFeaturesOf(payloads: DataFrame): Dataset[WebpFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").as("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bad = WebpFeatures(r.id, false, "", 0, 0, false, false, false)
+          val b = r.payload
+          def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+          def u24(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+            ((b(o + 2) & 0xFF) << 16)
+          def u32(o: Int) = (b(o) & 0xFF).toLong |
+            ((b(o + 1) & 0xFF).toLong << 8) |
+            ((b(o + 2) & 0xFF).toLong << 16) |
+            ((b(o + 3) & 0xFF).toLong << 24)
+          try {
+            if (b.length < 20 || b(0) != 'R' || b(1) != 'I' ||
+              b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'E' ||
+              b(10) != 'B' || b(11) != 'P' ||
+              u32(4) != b.length - 8L) bad
+            else {
+              val fourcc = new String(b, 12, 4, "US-ASCII")
+              val csize = u32(16)
+              // every chunk (incl. the first) must fit with odd-size
+              // padding; the whole walk must land exactly on the end
+              def walkOk(from: Int): Boolean = {
+                var off = from
+                var ok = true
+                while (ok && off < b.length) {
+                  if (off + 8 > b.length) ok = false
+                  else {
+                    val sz = u32(off + 4)
+                    val padded = sz + (sz & 1L)
+                    if (off + 8 + padded > b.length) ok = false
+                    else off += 8 + padded.toInt
+                  }
+                }
+                ok && off == b.length
+              }
+              if (!walkOk(12)) bad
+              else fourcc match {
+                case "VP8 " =>
+                  // keyframe: frame-tag bit 0 = 0, start code 9D 01 2A
+                  if (csize < 10 || (b(20) & 1) != 0 ||
+                    (b(23) & 0xFF) != 0x9D || (b(24) & 0xFF) != 0x01 ||
+                    (b(25) & 0xFF) != 0x2A) bad
+                  else WebpFeatures(r.id, true, "VP8",
+                    u16(26) & 0x3FFF, u16(28) & 0x3FFF,
+                    lossless = false, has_alpha = false,
+                    has_animation = false)
+                case "VP8L" =>
+                  if (csize < 5 || (b(20) & 0xFF) != 0x2F) bad
+                  else {
+                    val bits = u32(21)
+                    // 3 version bits (29..31) are reserved = 0
+                    if ((bits >>> 29) != 0L) bad
+                    else WebpFeatures(r.id, true, "VP8L",
+                      (bits & 0x3FFF).toInt + 1,
+                      ((bits >>> 14) & 0x3FFF).toInt + 1,
+                      lossless = true,
+                      has_alpha = ((bits >>> 28) & 1L) == 1L,
+                      has_animation = false)
+                  }
+                case "VP8X" =>
+                  // 1 flags byte + 3 reserved + 24-bit w-1 / h-1
+                  if (csize != 10) bad
+                  else WebpFeatures(r.id, true, "VP8X",
+                    u24(24) + 1, u24(27) + 1,
+                    lossless = false,
+                    has_alpha = (b(20) & 0x10) != 0,
+                    has_animation = (b(20) & 0x02) != 0)
+                case _ => bad
+              }
+            }
+          } catch { case _: Exception => bad }
+        }
+      }
+  }
+
   /** One sampled frame at the decoder boundary. */
   final case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -488,6 +591,20 @@ object Multimodal {
           col("n_frames"),
           graft.halfUp(col("duration_ms"), 3).as("duration_ms"))
         .orderBy(col("doc_id"))),
+    // webp container/header walk over corpus negatives + generated
+    // byte-exact fixtures (all three variants); pixel decode stays
+    // the declared stub boundary
+    "q_multimodal_webp" -> ((s, d) =>
+      webpFeaturesOf(
+        withPayload(Tables.documents(s, d))
+          .select(col("doc_id"), col("payload"))
+          .unionByName(MediaFixture.webpPayloads(s))).toDF()
+        .select(col("id").as("doc_id"), col("decode_ok"), col("variant"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("lossless"), col("has_alpha"), col("has_animation"))
+        .orderBy(col("doc_id"))),
+
     // frame fan-out: every 2nd 256-byte frame; sizes/indices are pure
     // arithmetic on payload length (oracle-checked); the frame BYTES
     // themselves flow through mapPartitions and are spec-checked
@@ -569,6 +686,17 @@ object Multimodal {
          |SELECT * FROM (VALUES ${MediaFixture.mp3OracleValues})
          |  AS t(doc_id, decode_ok, sample_rate, n_channels, bitrate_kbps,
          |       n_frames, duration_ms)
+         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_webp" ->
+      s"""SELECT doc_id, FALSE AS decode_ok, '' AS variant,
+         |       CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         |       FALSE AS lossless, FALSE AS has_alpha,
+         |       FALSE AS has_animation
+         |FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES ${MediaFixture.webpOracleValues})
+         |  AS t(doc_id, decode_ok, variant, width, height, lossless,
+         |       has_alpha, has_animation)
          |ORDER BY doc_id""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang,

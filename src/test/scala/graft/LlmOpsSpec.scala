@@ -403,6 +403,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!f(3L).decode_ok && !f(4L).decode_ok && !f(5L).decode_ok)
   }
 
+  test("webpFeaturesOf parses all three variants, strict container refusals") {
+    import spark.implicits._
+    val vp8 = MediaFixture.webpBytes(0, 640, 480, alpha = false, anim = false)
+    val vp8l = MediaFixture.webpBytes(1, 2, 3, alpha = true, anim = false)
+    val vp8x = MediaFixture.webpBytes(2, 100, 50, alpha = false, anim = true)
+    // bad start code in the VP8 bitstream header
+    val badStart = {
+      val b = MediaFixture.webpBytes(0, 8, 8, alpha = false, anim = false)
+      b(23) = 0x00.toByte
+      b
+    }
+    // container size field disagrees with the byte count
+    val badSize = {
+      val b = MediaFixture.webpBytes(1, 4, 4, alpha = false, anim = false)
+      b(4) = (b(4) + 1).toByte
+      b
+    }
+    // an inner chunk whose declared size runs past the container end
+    val badChunk = {
+      val b = MediaFixture.webpBytes(2, 4, 4, alpha = false, anim = false)
+      b(16) = (b(16) + 40).toByte
+      b
+    }
+    val rows = Seq((1L, vp8), (2L, vp8l), (3L, vp8x), (4L, badStart),
+      (5L, badSize), (6L, badChunk),
+      (7L, "not an image".getBytes("UTF-8")))
+    val f = Multimodal.webpFeaturesOf(rows.toDF("doc_id", "payload"))
+      .collect().map(x => x.id -> x).toMap
+    assert(f(1L).decode_ok && f(1L).variant == "VP8" &&
+      (f(1L).width, f(1L).height) == ((640, 480)) && !f(1L).lossless,
+      s"vp8: ${f(1L)}")
+    assert(f(2L).decode_ok && f(2L).variant == "VP8L" &&
+      (f(2L).width, f(2L).height) == ((2, 3)) && f(2L).lossless &&
+      f(2L).has_alpha, s"vp8l: ${f(2L)}")
+    assert(f(3L).decode_ok && f(3L).variant == "VP8X" &&
+      (f(3L).width, f(3L).height) == ((100, 50)) && f(3L).has_animation &&
+      !f(3L).has_alpha, s"vp8x: ${f(3L)}")
+    Seq(4L, 5L, 6L, 7L).foreach(i =>
+      assert(!f(i).decode_ok && f(i).variant == "", s"$i: ${f(i)}"))
+  }
+
   test("wavFeaturesOf chunk walk terminates on malformed u32 chunk lengths") {
     import spark.implicits._
     // Adversarial RIFF payloads whose chunk length makes the NARROWED
