@@ -2503,4 +2503,186 @@ class SoakSpec extends SparkTestBase {
         "Round-12 newcomer soak", section)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("newcomer soak r14: log-rank / McNemar / BH-FDR battery / sharded zarr sink at scale") {
+    // Round-14 additions at scale, every outcome closed-form exact or
+    // replayed step-for-step, under the standing single-task
+    // shuffle-budget listener invariant:
+    //  - log-rank over a 1.5M-event survival stream where the plant
+    //    makes the arms symmetric BY CONSTRUCTION (converter bit =
+    //    bit1 of user_id, arm = bit0 — independent), so O₁ = E₁ =
+    //    250,000 exactly and χ² = 0 through the quantized chain;
+    //  - McNemar over a 1.75M-event paired calendar with planted
+    //    250k/250k discordant pairs → χ² = 1/500000 exactly;
+    //  - the BH-FDR battery over 200k users with one hot cohort:
+    //    counts exact, and the FULL z → A&S-erfc → step-up chain
+    //    replayed in Scala digit-for-digit from the planted counts;
+    //  - the sharded v3 sink writing a 3M-element cube (24 shards ×
+    //    125 inner chunks), read back through the range-read scan:
+    //    sum exact, pruning inner-chunk granular.
+    import graft.operators.Inference
+    import graft.sources.zarr.Zarr
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ---- A: symmetric-arm survival stream -> log-rank chi2 = 0 ----
+      // 1M users view on day u%500; users with bit1 = 0 purchase 3
+      // days later. No censored span falls below 3 (502−499), so the
+      // single event day's risk set is ALL 1M, split exactly in half.
+      val views = spark.range(1000000L).select(
+        col("id").as("user_id"), lit("view").as("event_type"),
+        expr("timestampadd(DAY, CAST(id % 500 AS INT), " +
+          "TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+        lit(1.0).as("value"))
+      val purchases = spark.range(1000000L)
+        .filter(expr("(id div 2) % 2 = 0"))
+        .select(col("id").as("user_id"), lit("purchase").as("event_type"),
+          expr("timestampadd(DAY, CAST(id % 500 AS INT) + 3, " +
+            "TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+          lit(1.0).as("value"))
+      val survEvents = views.unionByName(purchases).repartition(8)
+      val (lr, tLr) = timed(Inference.logRank(survEvents).collect().head)
+      assert((lr.getLong(0), lr.getLong(1), lr.getDouble(2),
+        lr.getDouble(4)) == ((1L, 250000L, 250000.0, 0.0)), s"$lr")
+
+      // ---- B: planted discordant pairs -> McNemar exact ----
+      val mcViews = spark.range(1000000L).select(
+        col("id").as("user_id"), lit("view").as("event_type"),
+        expr("TIMESTAMP '2024-01-01 00:00:00'").as("ts"),
+        lit(1.0).as("value"))
+      val p1 = spark.range(1000000L).filter(expr("id % 4 IN (1, 3)"))
+        .select(col("id").as("user_id"), lit("purchase").as("event_type"),
+          expr("timestampadd(DAY, 100, TIMESTAMP '2024-01-01 00:00:00')")
+            .as("ts"),
+          lit(1.0).as("value"))
+      val p2 = spark.range(1000000L).filter(expr("id % 4 IN (2, 3)"))
+        .select(col("id").as("user_id"), lit("purchase").as("event_type"),
+          expr("timestampadd(DAY, 900, TIMESTAMP '2024-01-01 00:00:00')")
+            .as("ts"),
+          lit(1.0).as("value"))
+      val mcEvents = mcViews.unionByName(p1).unionByName(p2).repartition(8)
+      val (mc, tMc) = timed(
+        Inference.mcnemarPaired(mcEvents).collect().head)
+      assert((mc.getLong(0), mc.getLong(1), mc.getLong(2), mc.getLong(3),
+        mc.getDouble(4)) ==
+        ((1000000L, 250000L, 250000L, 250000L, 0.000002)), s"$mc")
+
+      // ---- C: BH-FDR battery, full chain replayed from the plant ----
+      // cohort 0: x=1200 of n=11200 (hot); cohorts 1..19: x=1000 of
+      // n=11000 each — near the pool, so only the hot cohort rejects.
+      val fViews = spark.range(200000L).select(
+        col("id").as("user_id"), lit("view").as("event_type"),
+        expr("TIMESTAMP '2024-01-01 00:00:00'").as("ts"),
+        lit(1.0).as("value"))
+      val fPur = spark.range(200000L).filter(expr(
+        "(id % 20 = 0 AND (id div 20) % 100 < 12) OR " +
+          "(id % 20 <> 0 AND (id div 20) % 10 = 0)"))
+        .select(col("id").as("user_id"), lit("purchase").as("event_type"),
+          expr("TIMESTAMP '2024-01-02 00:00:00'").as("ts"),
+          lit(1.0).as("value"))
+      val fEvents = fViews.unionByName(fPur).repartition(8)
+      val (fr, tF) = timed(Inference.fdrBh(fEvents).collect())
+      assert(fr.length == 20)
+      val byCo = fr.map(r => r.getLong(0) -> r).toMap
+      assert(byCo(0L).getLong(1) == 1200 && byCo(0L).getLong(2) == 11200,
+        s"${byCo(0L)}")
+      (1L until 20L).foreach(i => assert(
+        byCo(i).getLong(1) == 1000 && byCo(i).getLong(2) == 11000,
+        s"${byCo(i)}"))
+      // replay z -> A&S erfc -> rank -> step-up -> render, exactly
+      val xs = 1200L +: Seq.fill(19)(1000L)
+      val nsC = 11200L +: Seq.fill(19)(11000L)
+      val pPool = xs.sum.toDouble / nsC.sum.toDouble
+      def pv(x: Long, n: Long): Double = {
+        val rate = x.toDouble / n.toDouble
+        val z = (rate - pPool) /
+          math.sqrt(pPool * (1.0 - pPool) / n.toDouble)
+        val xa = math.abs(z) / math.sqrt(2.0)
+        val t = 1.0 / (1.0 + 0.3275911 * xa)
+        ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+          - 0.284496736) * t + 0.254829592) * t * math.exp(-xa * xa)
+      }
+      val ranked = (0 until 20).map(i => (pv(xs(i), nsC(i)), i))
+        .sorted.zipWithIndex
+        .map { case ((p, co), r0) => (co, p, r0 + 1) }
+      val suffixMin = ranked.reverse
+        .scanLeft(Double.MaxValue) { case (acc, (_, p, rk)) =>
+          math.min(acc, p * 20.0 / rk) }.tail
+      val wantBh = ranked.reverse.zip(suffixMin)
+        .map { case ((co, _, _), m) =>
+          co -> math.floor(math.min(1.0, m) * 1e6 + 0.5) / 1e6 }.toMap
+      (0L until 20L).foreach { co =>
+        assert(byCo(co).getDouble(6) == wantBh(co.toInt),
+          s"cohort $co: ${byCo(co)} vs ${wantBh(co.toInt)}")
+        assert(byCo(co).getInt(7) == (if (co == 0L) 1 else 0),
+          s"reject drift: ${byCo(co)}")
+      }
+
+      // ---- D: sharded v3 sink, 3M-element cube ----
+      val (st, sy, sx) = (300L, 100L, 100L)
+      val dir = graft.sources.IO.tmp("graft_zarr_shard_soak_") + "/cube"
+      val cube = spark.range(0L, st * sy * sx).select(
+        expr(s"id div ${sy * sx}").as("t"),
+        expr(s"(id div $sx) % $sy").as("y"),
+        expr(s"id % $sx").as("x"))
+        .withColumn("value",
+          (col("t") * 1000000 + col("y") * 1000 + col("x")).cast("double"))
+      val (_, tWrite) = timed(Zarr.writeArrayV3ShardedDistributed(
+        cube, dir, Array(st, sy, sx), Array(50, 50, 50),
+        Array(10, 10, 10), Array("t", "y", "x")))
+      val back = Zarr.readArray(spark, dir)
+      assert(back.rdd.getNumPartitions == 3000) // inner-chunk granular
+      val (got, tRead) = timed(
+        back.agg(count(lit(1)).as("n"), sum(col("value")).as("s")).head())
+      val want = cube.agg(sum(col("value"))).head().getDouble(0)
+      assert(got.getLong(0) == st * sy * sx && got.getDouble(1) == want)
+      val sliced = back.filter(col("t") >= 250)
+      assert(sliced.rdd.getNumPartitions == 500) // 1 of 6 t-shards
+      assert(sliced.count() == 50L * sy * sx)
+
+      Thread.sleep(2000) // drain the listener bus
+      val violations = stages.toArray(Array.empty[(Int, Int, Long)])
+        .filter { case (_, tasks, bytes) =>
+          tasks == 1 && bytes > SingleTaskShuffleBudget }
+      assert(violations.isEmpty,
+        s"single-task stages read relation-sized shuffles: ${violations.mkString(", ")}")
+
+      val ratio = calRatio()
+      val section =
+        s"""
+           |## Round-14 newcomer soak (regenerated by SoakSpec)
+           |
+           |local[4], planted closed forms, same single-task
+           |shuffle-budget listener invariant as above (no violations):
+           |log-rank over a 1.5M-event symmetric-arm survival stream
+           |(O₁ = E₁ = 250,000 exactly, χ² = 0 through the quantized
+           |chain) ${f"$tLr%.1f"} s; McNemar over 1.75M paired events
+           |(250k/250k discordant, χ² = 1/500000 exactly)
+           |${f"$tMc%.1f"} s; BH-FDR battery over 200k users with one
+           |hot cohort — counts exact and the full z → A&S-erfc →
+           |step-up chain replayed digit-for-digit, only the hot
+           |cohort rejects — ${f"$tF%.1f"} s; sharded v3 sink writing
+           |a 3M-element cube (24 shards × 125 inner chunks,
+           |zstd) ${f"$tWrite%.1f"} s, full range-read scan-back sum
+           |exact over 3,000 inner-chunk partitions ${f"$tRead%.1f"} s,
+           |a 1-of-6 t-slice prunes to 500 partitions
+           |(cal ratio ${f"$ratio%.2f"}).
+           |""".stripMargin
+      SoakDoc.upsert(java.nio.file.Paths.get("SOAK.md"),
+        "Round-14 newcomer soak", section)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
