@@ -106,6 +106,32 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id"))),
 
+    // Spark 4 VARIANT surface (the OPEN semi-structured path that
+    // replaces stringly-JSON pipelines at scale: parse ONCE into the
+    // shredded binary encoding, then typed path extraction is a
+    // codegen'd read, not a per-access reparse): parse_json the props
+    // column, variant_get typed paths — a present key aggregated per
+    // arm, a missing key proving NULL (never error) semantics, and
+    // schema_of_variant pinning what the parse inferred. Row-local
+    // projection + one counts-only hash aggregate.
+    "q_fn_variant" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'long')")
+          .as("miss"),
+        expr("schema_of_variant(parse_json(props))").as("sch"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          count(col("miss")).as("n_missing"),
+          countDistinct(col("sch")).as("n_schemas"))
+        .select(col("event_type"), col("n_k"), col("sum_k"),
+          col("n_missing"), col("n_schemas"),
+          graft.halfUp(col("sum_k").cast("double") /
+            col("n_k").cast("double"), 6).as("avg_k"))
+        .orderBy(col("event_type"))),
+
     // XML scalar surface (Spark 4's to_xml/from_xml, the row-level
     // siblings of the q_sink_xml file round trip): render each nation
     // row as an XML fragment, parse it back with an explicit schema,
@@ -209,6 +235,23 @@ object Scalars {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    // the harness props are uniformly {"k": <int>} so the inferred
+    // variant schema is one distinct struct per arm
+    "q_fn_variant" ->
+      """SELECT event_type,
+        |       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS n_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
+        |       CAST(count(CAST(json_extract_string(props, '$.missing')
+        |         AS BIGINT)) AS BIGINT) AS n_missing,
+        |       CAST(1 AS BIGINT) AS n_schemas,
+        |       floor(CAST(sum(CAST(json_extract_string(props, '$.k')
+        |             AS BIGINT)) AS DOUBLE)
+        |           / CAST(count(CAST(json_extract_string(props, '$.k')
+        |             AS BIGINT)) AS DOUBLE) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the parse must reproduce the source fields; the fragment length
     // is recomputed from the raw fields (to_xml's fixed frame is 38
     // chars for a 2-field row: <ROW>\n 4sp <k>…</k>\n 4sp <nm>…</nm>\n

@@ -44,6 +44,14 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_stats_fisher: the md5 subsample cap is a TakeOrdered merge, never a full sort") {
+    // the scale contract of the exact test: the bounded subsample is
+    // a per-partition heap + driver merge, so the factorial spine and
+    // the exploded term frame stay k-bounded at ANY corpus size
+    val plan = executed("q_stats_fisher")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q_join_broadcast plans as BroadcastHashJoin") {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
