@@ -545,10 +545,12 @@ object Inference {
     * conversions, far beyond the risk-set Long bound itself). Only
     * the final (O−E)²/V chain touches unquantized doubles.
     *
-    * Scale: facts reduce to (arm, user) → pooled (day) rows; the one
-    * ordered window runs over the calendar-bounded event-day list
-    * (the kaplanMeier bound — days, never users or events). */
-  def logRank(events: DataFrame): DataFrame = {
+    * Scale: facts reduce to (arm, user) → pooled (day) rows; the
+    * risk-set walk is a sequential packed-array fold over the
+    * calendar-bounded event-day list (the kaplanMeier posture with
+    * the same maxDays pre-flight — days, never users or events; no
+    * partition-less window anywhere). */
+  def logRank(events: DataFrame, maxDays: Int = 36600): DataFrame = {
     val byDay = conversionSpans(events)
       .groupBy(col("t").as("day"))
       .agg(sum(col("ev")).as("d"),
@@ -557,33 +559,55 @@ object Inference {
         sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("closed1"))
     val tot = byDay.agg(sum(col("closed")).as("nt"),
       sum(col("closed1")).as("n1t"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
-      .rowsBetween(Window_unboundedPreceding, -1)
-    val risk = byDay.crossJoin(broadcast(tot))
-      .withColumn("gone", coalesce(sum(col("closed")).over(w), lit(0L)))
-      .withColumn("gone1", coalesce(sum(col("closed1")).over(w), lit(0L)))
-      .withColumn("n", col("nt") - col("gone"))
-      .withColumn("n1", col("n1t") - col("gone1"))
-      .filter(col("d") > 0)
-    val nD = col("n").cast("double")
-    val n1D = col("n1").cast("double")
-    val dD = col("d").cast("double")
-    val e1 = dD * n1D / nD
-    val v1 = when(col("n") > 1L,
-      dD * (n1D / nD) * (lit(1.0) - n1D / nD) *
-        (nD - dD) / (nD - lit(1.0))).otherwise(lit(0.0))
-    val a = risk.agg(
-      count(lit(1)).as("n_days"),
-      sum(col("d1")).as("o1"),
-      sum(floor(e1 * lit(1e6) + lit(0.5)).cast("long")).as("e1q"),
-      sum(floor(v1 * lit(1e6) + lit(0.5)).cast("long")).as("v1q"))
-    val e1v = col("e1q").cast("double") / lit(1e6)
-    val vv = col("v1q").cast("double") / lit(1e6)
-    val o1v = col("o1").cast("double")
-    a.select(col("n_days"), col("o1"),
+    // the risk-set walk is a SEQUENTIAL fold over the calendar-bounded
+    // day list (the kaplanMeier packed-array posture, with the same
+    // maxDays pre-flight) — never a partition-less window: risk sets
+    // by exact prefix subtraction, each event day's E/V term quantized
+    // to the 1e-6 grid and added as exact BIGINTs
+    val packed = byDay
+      .agg(sort_array(collect_list(struct(col("day"), col("d"),
+        col("d1"), col("closed"), col("closed1")))).as("pts"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pts",
+        when(size(col("pts")) > maxDays, raise_error(concat(
+          lit("logRank: "), size(col("pts")).cast("string"),
+          lit(s" event days > maxDays=$maxDays — fix the input or raise " +
+            "maxDays explicitly")))).otherwise(col("pts")))
+    val folded = packed.select(expr(
+      """aggregate(pts,
+        |  struct(CAST(0 AS BIGINT) AS gone, CAST(0 AS BIGINT) AS gone1,
+        |         CAST(0 AS BIGINT) AS ndays, CAST(0 AS BIGINT) AS o1,
+        |         CAST(0 AS BIGINT) AS e1q, CAST(0 AS BIGINT) AS v1q),
+        |  (acc, x) -> struct(
+        |    acc.gone + x.closed AS gone,
+        |    acc.gone1 + x.closed1 AS gone1,
+        |    acc.ndays + IF(x.d > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |      AS ndays,
+        |    acc.o1 + IF(x.d > 0, x.d1, CAST(0 AS BIGINT)) AS o1,
+        |    acc.e1q + IF(x.d > 0,
+        |      CAST(floor(CAST(x.d AS DOUBLE)
+        |          * CAST(n1t - acc.gone1 AS DOUBLE)
+        |          / CAST(nt - acc.gone AS DOUBLE) * 1000000.0 + 0.5)
+        |        AS BIGINT),
+        |      CAST(0 AS BIGINT)) AS e1q,
+        |    acc.v1q + IF(x.d > 0 AND nt - acc.gone > 1,
+        |      CAST(floor(CAST(x.d AS DOUBLE)
+        |          * (CAST(n1t - acc.gone1 AS DOUBLE)
+        |             / CAST(nt - acc.gone AS DOUBLE))
+        |          * (1.0 - CAST(n1t - acc.gone1 AS DOUBLE)
+        |             / CAST(nt - acc.gone AS DOUBLE))
+        |          * (CAST(nt - acc.gone AS DOUBLE) - CAST(x.d AS DOUBLE))
+        |          / (CAST(nt - acc.gone AS DOUBLE) - 1.0)
+        |          * 1000000.0 + 0.5) AS BIGINT),
+        |      CAST(0 AS BIGINT)) AS v1q),
+        |  acc -> acc)""".stripMargin).as("r"))
+    val e1v = col("r.e1q").cast("double") / lit(1e6)
+    val vv = col("r.v1q").cast("double") / lit(1e6)
+    val o1v = col("r.o1").cast("double")
+    folded.select(col("r.ndays").as("n_days"), col("r.o1").as("o1"),
       halfUp(e1v, 4).as("e1"),
       halfUp(vv, 4).as("v1"),
-      halfUp(when(col("v1q") <= 0L, lit(null).cast("double"))
+      halfUp(when(col("r.v1q") <= 0L, lit(null).cast("double"))
         .otherwise((o1v - e1v) * (o1v - e1v) / vv), 6).as("chi2"))
   }
 
@@ -817,13 +841,16 @@ object Inference {
     * screen; BH caps the false-discovery RATE instead.
     *
     * Parity: cohort counts are exact BIGINTs; z/p are one shared
-    * double chain; the adjustment is rank + suffix-min windows over
-    * the BOUNDED cohort set, ordered by (p, cohort) so ties break
-    * deterministically; the reject flag compares the RENDERED p̃ so
-    * both engines gate on identical digits.
+    * double chain; the adjustment is a rank + reverse-running-min
+    * pass over the BOUNDED cohort battery packed into a sorted array
+    * (ordered by (p, cohort) so ties break deterministically — the
+    * oracle's windows step the identical order); the reject flag
+    * compares the RENDERED p̃ so both engines gate on identical
+    * digits.
     *
-    * Scale: one counts-only hash aggregate to m rows; every window
-    * runs over the bounded battery, never the facts. */
+    * Scale: one counts-only hash aggregate to m rows; the adjust is
+    * a packed-array fold over the bounded battery, never a
+    * partition-less window, never the facts. */
   def fdrBh(events: DataFrame, cohorts: Int = 20): DataFrame = {
     val g = events.filter(col("event_type").isin("view", "purchase"))
       .groupBy((col("user_id") % cohorts.toLong).as("cohort"))
@@ -841,25 +868,36 @@ object Inference {
     val poly = ((((lit(1.061405429) * tA - lit(1.453152027)) * tA
       + lit(1.421413741)) * tA - lit(0.284496736)) * tA
       + lit(0.254829592)) * tA
-    val wRank = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pval"), col("cohort"))
-    val wSuffix = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank").desc)
-      .rowsBetween(Window_unboundedPreceding, 0)
-    val adj = g.crossJoin(broadcast(tot))
+    // rank + step-up adjust as a packed-array pass over the BOUNDED
+    // battery (sort_array orders by (pval, cohort) — the struct's
+    // leading fields — so ties break deterministically): rank = array
+    // position, p̃ = reverse running min of p·m/rank. No partition-less
+    // window — the battery folds on one row with map-side partials.
+    val scored = g.crossJoin(broadcast(tot))
       .withColumn("rate", rate)
       .withColumn("z", z)
       .withColumn("pval", poly * exp(-xA * xA))
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("p_bh", least(lit(1.0),
-        min(col("pval") * col("mm").cast("double") /
-          col("rank").cast("double")).over(wSuffix)))
-    adj.select(col("cohort"), col("x"), col("n"),
-      halfUp(col("rate"), 6).as("rate"),
-      halfUp(col("z"), 6).as("z"),
-      halfUp(col("pval"), 6).as("pval"),
-      halfUp(col("p_bh"), 6).as("p_bh"),
-      (halfUp(col("p_bh"), 6) <= lit(0.05)).cast("int").as("reject"))
+    val packed = scored.agg(sort_array(collect_list(struct(
+      col("pval"), col("cohort"), col("x"), col("n"),
+      col("rate"), col("z"), col("mm")))).as("arr"))
+    val adj = packed.select(col("arr"), expr(
+      """reverse(aggregate(
+        |  reverse(transform(arr, (e, i) ->
+        |    e.pval * CAST(e.mm AS DOUBLE) / CAST(i + 1 AS DOUBLE))),
+        |  struct(CAST(2.0 AS DOUBLE) AS mn,
+        |         CAST(array() AS ARRAY<DOUBLE>) AS o),
+        |  (acc, p) -> struct(least(acc.mn, p) AS mn,
+        |                     concat(acc.o, array(least(acc.mn, p))) AS o),
+        |  acc -> acc.o))""".stripMargin).as("bh"))
+      .select(posexplode(col("arr")).as(Seq("i", "e")), col("bh"))
+    val pBh = least(lit(1.0), element_at(col("bh"), col("i") + lit(1)))
+    adj.select(col("e.cohort").as("cohort"), col("e.x").as("x"),
+      col("e.n").as("n"),
+      halfUp(col("e.rate"), 6).as("rate"),
+      halfUp(col("e.z"), 6).as("z"),
+      halfUp(col("e.pval"), 6).as("pval"),
+      halfUp(pBh, 6).as("p_bh"),
+      (halfUp(pBh, 6) <= lit(0.05)).cast("int").as("reject"))
       .orderBy(col("cohort"))
   }
 

@@ -488,4 +488,108 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round-14 inference battery: (user, day, purchase?) streams ----
+
+  private val infEvGen: Gen[(Long, Int, Boolean)] = for {
+    u <- Gen.choose(0L, 15L)
+    d <- Gen.choose(0, 20)
+    p <- Gen.oneOf(true, false)
+  } yield (u, d, p)
+
+  private def infEvents(rows: List[(Long, Int, Boolean)]) =
+    rows.map { case (u, d, p) =>
+      (Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (p) "purchase" else "view", u, 1.0)
+    }.toDF("ts", "event_type", "user_id", "value")
+
+  test("wilsonCi: intervals bracket the rate inside [0,1], for all event sets") {
+    forAllSeeded(Gen.listOfN(60, infEvGen), trials = 10) { rows =>
+      if (rows.nonEmpty) {
+        graft.operators.Inference.wilsonCi(infEvents(rows)).collect()
+          .foreach { x =>
+            val (rate, lo, hi) =
+              (x.getDouble(3), x.getDouble(4), x.getDouble(5))
+            assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi,
+              x.toString)
+          }
+      }
+    }
+  }
+
+  test("fisherExact: a mirrored two-arm table sits at the hypergeometric mode -> p = 1, for all event sets") {
+    forAllSeeded(Gen.listOfN(25, infEvGen), trials = 8) { rows =>
+      // every user cloned into an even/odd twin with identical events:
+      // n1 = n0 and a = m1/2 exactly, so pmf(a) is the mode and the
+      // two-sided tail is the whole distribution
+      val mirrored = rows.flatMap { case (u, d, p) =>
+        List((u * 2, d, p), (u * 2 + 1, d, p)) }
+      if (mirrored.nonEmpty) {
+        val r = graft.operators.Inference.fisherExact(infEvents(mirrored))
+          .collect().head
+        if (r.getLong(3) > 0)
+          assert(r.getDouble(4) == 1.0, r.toString)
+      }
+    }
+  }
+
+  test("fdrBh: adjusted p is within [pval, 1] and monotone in p-rank, for all event sets") {
+    forAllSeeded(Gen.listOfN(80, infEvGen), trials = 8) { rows =>
+      if (rows.exists(_._3) && rows.exists(!_._3)) { // pooled p in (0,1)
+        val r = graft.operators.Inference.fdrBh(infEvents(rows)).collect()
+        r.foreach { x =>
+          assert(x.getDouble(5) <= x.getDouble(6) && x.getDouble(6) <= 1.0,
+            x.toString)
+        }
+        val inRankOrder = r.sortBy(x => (x.getDouble(5), x.getLong(0)))
+          .map(_.getDouble(6))
+        inRankOrder.sliding(2).foreach {
+          case Array(a, b) => assert(a <= b, inRankOrder.mkString(","))
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("logRank totals ≡ the kaplanMeier curve it tests, for all event sets") {
+    forAllSeeded(Gen.listOfN(60, infEvGen), trials = 10) { rows =>
+      if (rows.nonEmpty) {
+        val ev = infEvents(rows)
+        val km = graft.operators.Inference.kaplanMeier(ev).collect()
+        if (km.exists(_.getLong(3) > 0)) {
+          val lr = graft.operators.Inference.logRank(ev).collect().head
+          val o1 = km.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum
+          val days = km.map(_.getLong(1)).toSet
+          assert(lr.getLong(1) == o1, s"$lr vs KM o1=$o1")
+          assert(lr.getLong(0) == days.size, s"$lr vs KM days=$days")
+        }
+      }
+    }
+  }
+
+  test("mcnemar: reversing the calendar swaps the discordant cells, chi2 invariant") {
+    forAllSeeded(Gen.listOfN(50, infEvGen), trials = 10) { rows =>
+      if (rows.nonEmpty) {
+        val lo = rows.map(_._2).min
+        val hi = rows.map(_._2).max
+        // a purchase AT the exact midpoint is "first half" under BOTH
+        // orientations (the <= tie-break), so exclude that boundary
+        val midSafe = rows.forall { case (_, d, p) =>
+          !p || 2 * (d - lo) != (hi - lo) }
+        if (midSafe) {
+          val fwd = graft.operators.Inference.mcnemarPaired(infEvents(rows))
+            .collect().head
+          val rev = graft.operators.Inference.mcnemarPaired(infEvents(
+            rows.map { case (u, d, p) => (u, hi + lo - d, p) }))
+            .collect().head
+          assert(fwd.getLong(0) == rev.getLong(0) &&
+            fwd.getLong(1) == rev.getLong(1), s"$fwd vs $rev")
+          assert(fwd.getLong(2) == rev.getLong(3) &&
+            fwd.getLong(3) == rev.getLong(2), s"$fwd vs $rev")
+          assert((fwd.isNullAt(4) && rev.isNullAt(4)) ||
+            fwd.getDouble(4) == rev.getDouble(4), s"$fwd vs $rev")
+        }
+      }
+    }
+  }
 }
