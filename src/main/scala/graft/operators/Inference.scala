@@ -1319,6 +1319,114 @@ object Inference {
       |              AS BIGINT) END AS n_per_arm_10pct_lift
       |FROM m""".stripMargin
 
+  /** PAIRED t-TEST on per-user mean values across the two calendar
+    * halves — the continuous sibling of [[mcnemarPaired]]: each user
+    * is their own control, so between-user variance cancels and the
+    * test runs on the within-user differences d_u = mean(first half)
+    * − mean(second half), over users observed in BOTH halves.
+    * t = d̄ / (s_d/√n) ~ t(n−1). The unpaired q_ab_test on the same
+    * stream mixes between-user variance into its denominator — on
+    * repeated-measure data this one is the right readout.
+    *
+    * Parity: per-(user, half) (n, Σcents) are exact BIGINTs; each
+    * user's d quantizes to the 1e-6 grid (and d² to 1e-4) AS LONGS
+    * before the user-level sums — the bootstrap replicate-moment
+    * posture, order-free under any partitioning; the t chain is one
+    * fixed-order double expression with n<2 / zero-variance NULL
+    * guards.
+    *
+    * Scale: one (user) hash aggregate, then a 1-row reduction;
+    * calendar bounds are a broadcast 1-row aggregate. */
+  def pairedTTest(events: DataFrame): DataFrame = {
+    val bounds = events.agg(min(to_date(col("ts"))).as("lo"),
+      max(to_date(col("ts"))).as("hi"))
+    val perUser = events.filter(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        cents(col("value")).as("c"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("h1"), col("c")).otherwise(0L)).as("sa"),
+        sum(when(!col("h1"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("h1"), col("c")).otherwise(0L)).as("sb"))
+      .filter(col("na") > 0L && col("nb") > 0L)
+    val dU = (col("sa").cast("double") / col("na").cast("double") -
+      col("sb").cast("double") / col("nb").cast("double")) / lit(100.0)
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(floor(dU * lit(1e6) + lit(0.5)).cast("long")).as("sdq"),
+      sum(floor(dU * dU * lit(1e4) + lit(0.5)).cast("long")).as("sqq"))
+    val nD = col("n").cast("double")
+    val sd = col("sdq").cast("double") / lit(1e6)
+    val sq = col("sqq").cast("double") / lit(1e4)
+    val md = sd / nD
+    val varD = (sq - sd * sd / nD) / (nD - lit(1.0))
+    val t = md / sqrt(varD / nD)
+    m.select(col("n").as("n_pairs"),
+      halfUp(md, 6).as("mean_diff"),
+      halfUp(when(col("n") < 2L || !(varD > lit(0.0)),
+        lit(null).cast("double")).otherwise(t), 6).as("t_stat"))
+  }
+
+  private[operators] val pairedTOracleSql: String =
+    """WITH b AS (
+      |  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+      |         max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN date_diff('day', b.lo,
+      |               CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |             <= date_diff('day', b.lo, b.hi) THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN date_diff('day', b.lo,
+      |               CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |             <= date_diff('day', b.lo, b.hi)
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |             ELSE 0 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN date_diff('day', b.lo,
+      |               CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |             > date_diff('day', b.lo, b.hi) THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS nb,
+      |         CAST(sum(CASE WHEN date_diff('day', b.lo,
+      |               CAST(CAST(ts AS TIMESTAMP) AS DATE)) * 2
+      |             > date_diff('day', b.lo, b.hi)
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |             ELSE 0 END) AS BIGINT) AS sb
+      |  FROM events, b WHERE value IS NOT NULL GROUP BY 1
+      |  HAVING na > 0 AND nb > 0),
+      |q AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(
+      |             (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      |              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0
+      |             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sdq,
+      |         CAST(sum(CAST(floor(
+      |             ((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      |               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0)
+      |             * ((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      |                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0)
+      |             * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sqq
+      |  FROM pu)
+      |SELECT n AS n_pairs,
+      |       floor(CAST(sdq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+      |           * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
+      |       CASE WHEN n < 2 OR NOT ((CAST(sqq AS DOUBLE) / 10000.0
+      |               - (CAST(sdq AS DOUBLE) / 1000000.0)
+      |                 * (CAST(sdq AS DOUBLE) / 1000000.0)
+      |                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0)
+      |            THEN NULL
+      |            ELSE floor(CAST(sdq AS DOUBLE) / 1000000.0
+      |                / CAST(n AS DOUBLE)
+      |              / sqrt((CAST(sqq AS DOUBLE) / 10000.0
+      |                  - (CAST(sdq AS DOUBLE) / 1000000.0)
+      |                    * (CAST(sdq AS DOUBLE) / 1000000.0)
+      |                    / CAST(n AS DOUBLE))
+      |                / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+      |              * 1000000.0 + 0.5) / 1000000.0 END AS t_stat
+      |FROM q""".stripMargin
+
   // Window.unboundedPreceding without the import collision
   private val Window_unboundedPreceding: Long =
     org.apache.spark.sql.expressions.Window.unboundedPreceding
@@ -1356,6 +1464,8 @@ object Inference {
     "q_stats_tost" -> ((s, d) => tostEquivalence(Tables.events(s, d))),
     // minimal detectable effect + required-n design readout
     "q_stats_power" -> ((s, d) => powerMde(Tables.events(s, d))),
+    // within-user paired t on the half-calendar mean differences
+    "q_stats_ttest_paired" -> ((s, d) => pairedTTest(Tables.events(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1373,5 +1483,6 @@ object Inference {
     "q_stats_fisher" -> fisherOracleSql,
     "q_stats_tost" -> tostOracleSql,
     "q_stats_power" -> powerOracleSql,
+    "q_stats_ttest_paired" -> pairedTOracleSql,
   )
 }

@@ -360,4 +360,32 @@ class InferenceSpec extends SparkTestBase {
       all.toDF("ts", "event_type", "user_id", "value")).collect().head
     assert(r1.isNullAt(3) && r1.isNullAt(4), r1.toString)
   }
+
+  test("pairedTTest: hand-traced two-user differences; zero variance reads NULL") {
+    import spark.implicits._
+    // 10-day calendar (pins at d1/d11): first half = days <= 6.
+    // u1: first {10, 20} -> 15, second {12} -> d = 3
+    // u2: first {5},      second {9}        -> d = -4
+    // u3: second-half only -> excluded from the pairs
+    // mean_d = -0.5; var = 24.5; t = -0.5 / sqrt(24.5/2) = -0.142857
+    val rows = Seq(
+      ev("view", 0, 1L, 10.0), ev("view", 1, 1L, 20.0),
+      ev("view", 9, 1L, 12.0),
+      ev("view", 1, 2L, 5.0), ev("view", 9, 2L, 9.0),
+      ev("view", 10, 3L, 7.0))
+    val r = Inference.pairedTTest(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 2 && r.getDouble(1) == -0.5, r.toString)
+    val want = math.floor(-0.5 / math.sqrt(24.5 / 2.0) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(2) == want, s"$r vs $want")
+    // identical differences across users: s_d = 0 -> NULL t
+    val flat = Seq(
+      ev("view", 0, 1L, 10.0), ev("view", 9, 1L, 8.0),
+      ev("view", 1, 2L, 6.0), ev("view", 9, 2L, 4.0),
+      ev("view", 10, 2L, 4.0))
+    val r0 = Inference.pairedTTest(
+      flat.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r0.getLong(0) == 2 && r0.getDouble(1) == 2.0 && r0.isNullAt(2),
+      r0.toString)
+  }
 }
