@@ -1427,6 +1427,81 @@ object Inference {
       |              * 1000000.0 + 0.5) / 1000000.0 END AS t_stat
       |FROM q""".stripMargin
 
+  /** COCHRAN–ARMITAGE trend test: is the fulfilled-rate MONOTONE in
+    * the ordered priority factor (weights w = the priority digit
+    * 1..5)? The ordering-aware sibling of q_stats_chi2: a χ²
+    * independence test spends (k−1) degrees of freedom noticing ANY
+    * deviation and is blind to direction; the trend test puts its one
+    * degree of freedom on the ordered alternative, z = (T − p̄Σwn) /
+    * √(p̄q̄(Σw²n − (Σwn)²/N)) with T = Σwx ~ N(0,1) under the null —
+    * far more powerful when the actual question is "does it rise
+    * with priority". Degenerate pools (p̄ ∈ {0,1}, zero weight
+    * variance) read NULL.
+    *
+    * Parity: w, x, n are integers, so T/Σwn/Σw²n are EXACT BIGINTs —
+    * the entire statistic is one fixed-order double chain over five
+    * exact integers; nothing to quantize.
+    *
+    * Scale: ONE counts-only hash aggregate to ≤ |priorities| rows,
+    * then a bounded reduction. */
+  def cochranArmitage(orders: DataFrame): DataFrame = {
+    val g = orders.select(
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("s"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    val m = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+      sum(col("x")).as("xt"),
+      sum(col("w") * col("x")).as("t"),
+      sum(col("w") * col("n")).as("wn"),
+      sum(col("w") * col("w") * col("n")).as("wwn"))
+    val p = col("xt").cast("double") / col("nt").cast("double")
+    val e = p * col("wn").cast("double")
+    val v = p * (lit(1.0) - p) * (col("wwn").cast("double") -
+      col("wn").cast("double") * col("wn").cast("double") /
+        col("nt").cast("double"))
+    m.select(col("k").as("n_groups"), col("nt").as("n"),
+      col("t").as("t_sum"),
+      halfUp(e, 4).as("expected"),
+      halfUp(when(!(v > lit(0.0)), lit(null).cast("double"))
+        .otherwise((col("t").cast("double") - e) / sqrt(v)), 6)
+        .as("z_trend"))
+  }
+
+  private[operators] val cochranArmitageOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(n) AS BIGINT) AS nt,
+      |         CAST(sum(x) AS BIGINT) AS xt,
+      |         CAST(sum(w * x) AS BIGINT) AS t,
+      |         CAST(sum(w * n) AS BIGINT) AS wn,
+      |         CAST(sum(w * w * n) AS BIGINT) AS wwn
+      |  FROM g)
+      |SELECT k AS n_groups, nt AS n, t AS t_sum,
+      |       floor(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |           * CAST(wn AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |         AS expected,
+      |       CASE WHEN NOT (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |             * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |             * (CAST(wwn AS DOUBLE) - CAST(wn AS DOUBLE)
+      |                * CAST(wn AS DOUBLE) / CAST(nt AS DOUBLE)) > 0)
+      |            THEN NULL
+      |            ELSE floor((CAST(t AS DOUBLE)
+      |                - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |                  * CAST(wn AS DOUBLE))
+      |              / sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |                  * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                  * (CAST(wwn AS DOUBLE) - CAST(wn AS DOUBLE)
+      |                     * CAST(wn AS DOUBLE) / CAST(nt AS DOUBLE)))
+      |              * 1000000.0 + 0.5) / 1000000.0 END AS z_trend
+      |FROM m""".stripMargin
+
   // Window.unboundedPreceding without the import collision
   private val Window_unboundedPreceding: Long =
     org.apache.spark.sql.expressions.Window.unboundedPreceding
@@ -1466,6 +1541,8 @@ object Inference {
     "q_stats_power" -> ((s, d) => powerMde(Tables.events(s, d))),
     // within-user paired t on the half-calendar mean differences
     "q_stats_ttest_paired" -> ((s, d) => pairedTTest(Tables.events(s, d))),
+    // ordered-factor trend in the fulfilled rate (1-df, direction-aware)
+    "q_stats_trend" -> ((s, d) => cochranArmitage(Tables.orders(s, d))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1484,5 +1561,6 @@ object Inference {
     "q_stats_tost" -> tostOracleSql,
     "q_stats_power" -> powerOracleSql,
     "q_stats_ttest_paired" -> pairedTOracleSql,
+    "q_stats_trend" -> cochranArmitageOracleSql,
   )
 }

@@ -388,4 +388,27 @@ class InferenceSpec extends SparkTestBase {
     assert(r0.getLong(0) == 2 && r0.getDouble(1) == 2.0 && r0.isNullAt(2),
       r0.toString)
   }
+
+  test("cochranArmitage: textbook two-level trend exact; all-success pool reads NULL") {
+    import spark.implicits._
+    def o(k: Long, pri: String, st: String) =
+      (k, 1L, st, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pri)
+    // w=1: n=2, x=0; w=2: n=2, x=2: p=.5, T=4, E=3, V=.25*(10-36/4)=.25
+    // -> z = (4-3)/0.5 = 2
+    val orders = Seq(
+      o(1, "1-URGENT", "O"), o(2, "1-URGENT", "P"),
+      o(3, "2-HIGH", "F"), o(4, "2-HIGH", "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Inference.cochranArmitage(orders).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4 && r.getLong(2) == 4,
+      r.toString)
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 2.0, r.toString)
+    // every order fulfilled: p = 1 -> zero variance -> NULL z
+    val flat = Seq(o(1, "1-URGENT", "F"), o(2, "2-HIGH", "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r0 = Inference.cochranArmitage(flat).collect().head
+    assert(r0.isNullAt(4), r0.toString)
+  }
 }
