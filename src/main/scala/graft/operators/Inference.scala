@@ -873,9 +873,15 @@ object Inference {
     // leading fields — so ties break deterministically): rank = array
     // position, p̃ = reverse running min of p·m/rank. No partition-less
     // window — the battery folds on one row with map-side partials.
+    // degenerate pooled rate (0 or 1): the z denominator is 0 and the
+    // whole battery would read NaN — whose ordering/rendering is the
+    // one place the chain and the DuckDB twin are not pinned. Emit
+    // NULL z (pval/p_bh/reject propagate NULL below), the tost /
+    // powerMde degenerate-pool posture.
+    val pooled = col("xt") > lit(0L) && col("xt") < col("nt")
     val scored = g.crossJoin(broadcast(tot))
       .withColumn("rate", rate)
-      .withColumn("z", z)
+      .withColumn("z", when(pooled, z))
       .withColumn("pval", poly * exp(-xA * xA))
     val packed = scored.agg(sort_array(collect_list(struct(
       col("pval"), col("cohort"), col("x"), col("n"),
@@ -896,14 +902,21 @@ object Inference {
       halfUp(col("e.rate"), 6).as("rate"),
       halfUp(col("e.z"), 6).as("z"),
       halfUp(col("e.pval"), 6).as("pval"),
-      halfUp(pBh, 6).as("p_bh"),
-      (halfUp(pBh, 6) <= lit(0.05)).cast("int").as("reject"))
+      // degenerate battery (NULL pval, see `pooled` above): no
+      // adjusted p, no decision — NULL, never a NaN rendering
+      when(col("e.pval").isNotNull, halfUp(pBh, 6)).as("p_bh"),
+      when(col("e.pval").isNotNull,
+        (halfUp(pBh, 6) <= lit(0.05)).cast("int")).as("reject"))
       .orderBy(col("cohort"))
   }
 
-  private[operators] val fdrBhOracleSql: String =
-    """WITH g AS (
-      |  SELECT user_id % 20 AS cohort,
+  /** Oracle twin of [[fdrBh]] — `cohorts` is interpolated so a caller
+    * using a non-default battery width cannot silently desync the
+    * engine from its oracle. The degenerate-pool CASE guards mirror
+    * the engine's NULL short-circuit operand-for-operand. */
+  private[operators] def fdrBhOracleSql(cohorts: Int = 20): String =
+    s"""WITH g AS (
+      |  SELECT user_id % $cohorts AS cohort,
       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |           AS BIGINT) AS x,
       |         CAST(count(*) AS BIGINT) AS n
@@ -914,11 +927,12 @@ object Inference {
       |zed AS (
       |  SELECT cohort, x, n, mm,
       |         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |         CASE WHEN xt > 0 AND xt < nt THEN
       |         (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
       |          - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
       |         / sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
       |                * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
-      |                / CAST(n AS DOUBLE)) AS z
+      |                / CAST(n AS DOUBLE)) END AS z
       |  FROM g, tot),
       |pv AS (
       |  SELECT cohort, x, n, mm, rate, z,
@@ -933,10 +947,11 @@ object Inference {
       |  SELECT *, row_number() OVER (ORDER BY pval, cohort) AS rank FROM pv),
       |adj AS (
       |  SELECT *,
+      |         CASE WHEN pval IS NULL THEN NULL ELSE
       |         least(1.0, min(pval * CAST(mm AS DOUBLE) / CAST(rank AS DOUBLE))
       |           OVER (ORDER BY rank DESC
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |           AS p_bh
+      |           END AS p_bh
       |  FROM rk)
       |SELECT cohort, x, n,
       |       floor(rate * 1000000.0 + 0.5) / 1000000.0 AS rate,
@@ -1081,8 +1096,11 @@ object Inference {
           .as("p_two_sided"))
   }
 
-  private[operators] val fisherOracleSql: String =
-    """WITH RECURSIVE u AS (
+  /** Oracle twin of [[fisherExact]] — `k` is interpolated so a caller
+    * using a non-default subsample cap cannot silently desync the
+    * engine from its oracle. */
+  private[operators] def fisherOracleSql(k: Int = 120): String =
+    s"""WITH RECURSIVE u AS (
       |  SELECT user_id,
       |         min(CASE WHEN event_type = 'view'
       |                  THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS v0,
@@ -1092,7 +1110,7 @@ object Inference {
       |sub AS (
       |  SELECT user_id % 2 AS arm,
       |         CASE WHEN p0 IS NOT NULL AND p0 >= v0 THEN 1 ELSE 0 END AS ev
-      |  FROM u ORDER BY md5(CAST(user_id AS VARCHAR)) LIMIT 120),
+      |  FROM u ORDER BY md5(CAST(user_id AS VARCHAR)) LIMIT $k),
       |cells AS (
       |  SELECT CAST(sum(CASE WHEN arm = 1 AND ev = 1 THEN 1 ELSE 0 END)
       |           AS BIGINT) AS a,
@@ -1107,7 +1125,7 @@ object Inference {
       |  FROM rec r, cells c WHERE r.i < c.t),
       |ks AS (
       |  SELECT c.a, c.n1, c.m1, c.t, g.g AS k
-      |  FROM cells c, generate_series(0, 120) g(g)
+      |  FROM cells c, generate_series(0, $k) g(g)
       |  WHERE g.g >= greatest(0, c.m1 - (c.t - c.n1))
       |    AND g.g <= least(c.n1, c.m1)),
       |pm AS (
@@ -1555,9 +1573,9 @@ object Inference {
     "q_stats_logrank" -> logRankOracleSql,
     "q_stats_mcnemar" -> mcnemarOracleSql,
     "q_stats_cmh" -> cmhOracleSql,
-    "q_stats_fdr" -> fdrBhOracleSql,
+    "q_stats_fdr" -> fdrBhOracleSql(),
     "q_stats_wilson" -> wilsonCiOracleSql,
-    "q_stats_fisher" -> fisherOracleSql,
+    "q_stats_fisher" -> fisherOracleSql(),
     "q_stats_tost" -> tostOracleSql,
     "q_stats_power" -> powerOracleSql,
     "q_stats_ttest_paired" -> pairedTOracleSql,

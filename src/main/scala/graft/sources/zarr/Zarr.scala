@@ -492,7 +492,18 @@ object Zarr {
       case Some(other) => throw new IllegalArgumentException(
         s"v3 sharded sink supports gzip/zstd/none inner codecs, not $other")
     }
-    Files.writeString(d.resolve("zarr.json"),
+    // v3 treats an ABSENT shard as fill, so a store whose zarr.json
+    // exists before the data does reads back "successfully" with fill
+    // where unwritten shards belong — a mid-write crash would be
+    // indistinguishable from a complete write. Store-level commit
+    // discipline to match the per-shard temp+atomic-rename: build the
+    // metadata string now, write it only AFTER the foreachPartition
+    // action below returns (every shard renamed into place). Until
+    // then the directory has no zarr.json and readers refuse it; a
+    // stale zarr.json from an aborted earlier attempt is removed
+    // up front for the same reason.
+    Files.deleteIfExists(d.resolve("zarr.json"))
+    val metaJson =
       s"""{"zarr_format":3,"node_type":"array",
          |"shape":[${shape.mkString(",")}],"data_type":"float64",
          |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${shardShape.mkString(",")}]}},
@@ -504,7 +515,7 @@ object Zarr {
          |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
          |"index_location":"end"}}],
          |"dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],
-         |"attributes":{}}""".stripMargin)
+         |"attributes":{}}""".stripMargin
     // shard key "s0/s1/..." (names the file under c/); inner-chunk
     // C-order linear index within the shard (groups + orders the
     // stream inside each shard). Nonneg indices, so `div` IS floor.
@@ -550,11 +561,16 @@ object Zarr {
             flushInner()
             val crc = new java.util.zip.CRC32C()
             crc.update(index.array(), 0, nEntriesI * 16)
-            ch.write(ByteBuffer.wrap(index.array()))
+            // index_location=end: a short write here silently corrupts
+            // the layout readers seek to — guard like the inner chunks
+            val wi = ch.write(ByteBuffer.wrap(index.array()))
+            require(wi == nEntriesI * 16,
+              s"short index write: $wi of ${nEntriesI * 16}")
             val trailer = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
             trailer.putInt(crc.getValue.toInt)
             trailer.flip()
-            ch.write(trailer)
+            val wt = ch.write(trailer)
+            require(wt == 4, s"short crc32c trailer write: $wt of 4")
             ch.close()
             ch = null
             val target = dRoot.resolve("c/" + curShard)
@@ -612,6 +628,9 @@ object Zarr {
           if (tmp != null) Files.deleteIfExists(tmp)
         }
       }
+    // every shard atomically renamed into place — only now publish
+    // the store (the store-level half of the commit discipline)
+    Files.writeString(d.resolve("zarr.json"), metaJson)
   }
 
   /** GROUP-level distributed sink — the write shape of the reference's
