@@ -146,9 +146,13 @@ object Zarr {
     * drift. */
   private[graft] def writeArrayV3(dir: String, shape: Array[Long],
       chunks: Array[Int], dims: Array[String], compressor: Option[String],
-      fillValue: Double, f: Array[Long] => Double): Unit = {
+      fillValue: Double, f: Array[Long] => Double,
+      order: Option[Array[Int]] = None, checksum: Boolean = false): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
+    val tp = order.map(o =>
+      s"""{"name":"transpose","configuration":{"order":[${o.mkString(",")}]}},""")
+      .getOrElse("")
     val bb = compressor match {
       case None => ""
       case Some("gzip") => """,{"name":"gzip","configuration":{"level":5}}"""
@@ -160,13 +164,14 @@ object Zarr {
       case Some(other) =>
         throw new IllegalArgumentException(s"v3 fixture codec $other")
     }
+    val cs = if (checksum) """,{"name":"crc32c"}""" else ""
     Files.writeString(d.resolve("zarr.json"),
       s"""{"zarr_format":3,"node_type":"array",
          |"shape":[${shape.mkString(",")}],"data_type":"float64",
          |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
          |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
          |"fill_value":$fillValue,
-         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}$bb],
+         |"codecs":[$tp{"name":"bytes","configuration":{"endian":"little"}}$bb$cs],
          |"dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],
          |"attributes":{}}""".stripMargin)
     val n = shape.length
@@ -175,23 +180,46 @@ object Zarr {
     def writeChunk(cc: Array[Int]): Unit = {
       val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
       val idx = new Array[Long](n)
+      val off = new Array[Int](n)
       (0 until chunkElems).foreach { p =>
         var rem = p.toLong
         var inBounds = true
         var dd = n - 1
         while (dd >= 0) {
-          idx(dd) = cc(dd).toLong * chunks(dd) + rem % chunks(dd)
+          off(dd) = (rem % chunks(dd)).toInt
+          idx(dd) = cc(dd).toLong * chunks(dd) + off(dd)
           rem /= chunks(dd)
           if (idx(dd) >= shape(dd)) inBounds = false
           dd -= 1
         }
-        buf.putDouble(if (inBounds) f(idx) else fillValue)
+        // transpose codec: the stored buffer is the chunk permuted by
+        // `order` — element (off) lands at the C-order position of
+        // the permuted offsets over the permuted chunk shape
+        val sp = order match {
+          case None => p.toLong
+          case Some(o) =>
+            var bp = 0L
+            var k = 0
+            while (k < n) { bp = bp * chunks(o(k)) + off(o(k)); k += 1 }
+            bp
+        }
+        buf.putDouble((sp * 8).toInt, if (inBounds) f(idx) else fillValue)
+      }
+      val enc0 = ZarrCodec.compress(buf.array(), compressor)
+      // crc32c codec: 4-byte little-endian checksum trailer over the
+      // encoded payload
+      val enc = if (!checksum) enc0 else {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(enc0, 0, enc0.length)
+        val out = java.util.Arrays.copyOf(enc0, enc0.length + 4)
+        ByteBuffer.wrap(out, enc0.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(crc.getValue.toInt)
+        out
       }
       // v3 "default" keys nest: c/0/1/2 is a directory path
       val p = d.resolve("c/" + cc.mkString("/"))
       Files.createDirectories(p.getParent)
-      Files.write(p,
-        ZarrCodec.compress(buf.array(), compressor))
+      Files.write(p, enc)
       ()
     }
     def expand(dd: Int, acc: Array[Int]): Unit =
@@ -809,6 +837,27 @@ object Zarr {
     }
   }
 
+  /** The same precip fixture as a zarr v3 array carrying the full
+    * codec-tail chain a real zarr-python 3.x store can declare:
+    * `transpose` (order [2,0,1] — lon-major storage) → `bytes` →
+    * `zstd` → chunk-level `crc32c` trailer; built once per process
+    * for the codec-chain read-path query. */
+  private val builtV3Codecs =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def climateArrayV3Codecs(s: SparkSession): String = {
+    val cur = builtV3Codecs.get
+    if (cur != null) cur
+    else {
+      val dir = graft.sources.IO.tmp("graft_zarr3c_")
+      writeArrayV3(s"$dir/precip", Array(6L, 20L, 30L), Array(2, 8, 16),
+        Array("time", "lat", "lon"), Some("zstd"), 0.0, precipValue,
+        order = Some(Array(2, 0, 1)), checksum = true)
+      if (builtV3Codecs.compareAndSet(null, dir)) dir
+      else builtV3Codecs.get
+    }
+  }
+
   /** The same precip fixture as a zarr v3 `sharding_indexed` store
     * (2×10×15-element shards of 1×5×15 inner chunks, zstd inner
     * codec, crc32c-trailed end index) — what zarr-python 3.x emits
@@ -845,6 +894,16 @@ object Zarr {
     // edge chunks) — any v3 metadata/key/codec misread breaks the hash
     "q_scan_zarr_v3" -> ((s, _) =>
       readArray(s, climateArrayV3(s) + "/precip")
+        .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
+          col("lon").as("lon_idx"), col("value"))
+        .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
+
+    // the same element space through a v3 store declaring the full
+    // codec tail (transpose [2,0,1] → bytes → zstd → chunk crc32c):
+    // a wrong permutation direction scrambles every value, a wrong
+    // checksum strip corrupts the frame — either breaks the hash
+    "q_scan_zarr_codecs" -> ((s, _) =>
+      readArray(s, climateArrayV3Codecs(s) + "/precip")
         .select(col("time").as("time_idx"), col("lat").as("lat_idx"),
           col("lon").as("lon_idx"), col("value"))
         .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))),
@@ -946,6 +1005,12 @@ object Zarr {
         |     generate_series(0, 29) x(g)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_scan_zarr_v3" ->
+      """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
+        |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
+        |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
+        |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_scan_zarr_codecs" ->
       """SELECT t.g AS time_idx, y.g AS lat_idx, x.g AS lon_idx,
         |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
         |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),

@@ -27,6 +27,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `float64 float32 int64 int32`, compressor `null`/zlib/gzip/blosc
   * (lz4, lz4hc, zlib, zstd inner codecs, byte- and bit-shuffle
   * filters — see [[Blosc]]) plus v3's raw-zstd bytes→bytes codec,
+  * v3's `transpose` array→array codec (permuted buffer walk, no
+  * re-copy) and chunk-level `crc32c` checksum codec (verified and
+  * stripped before decompression),
   * `.`- or `/`-separated chunk keys in both v2 and v3-`default`
   * (`c/`-prefixed) encodings, v2 `.zmetadata` and v3 inline
   * `consolidated_metadata` group documents, missing chunks = fill
@@ -62,7 +65,15 @@ object ZarrMeta {
   final case class Meta(shape: Array[Long], chunks: Array[Int], dtype: String,
       compressor: Option[String], fillValue: Double, dimSeparator: String,
       dims: Array[String], keyPrefix: String = "",
-      shard: Option[ShardInfo] = None) extends Serializable {
+      shard: Option[ShardInfo] = None,
+      // v3 `transpose` array→array codec: the stored decode unit is
+      // the chunk permuted by `order` (numpy transpose semantics) —
+      // the buffer walk applies the permutation, nothing re-copies
+      order: Option[Array[Int]] = None,
+      // v3 `crc32c` bytes→bytes codec: the stored decode unit carries
+      // a 4-byte little-endian CRC32C trailer over the preceding
+      // bytes — verified and stripped before decompression
+      checksum: Boolean = false) extends Serializable {
     def nDims: Int = shape.length
     /** Store key of a chunk: v2 keys are bare separator-joined coords;
       * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. For a
@@ -224,12 +235,14 @@ object ZarrMeta {
 
   /** Zarr FORMAT 3 array metadata (`zarr.json` — what zarr-python 3.x
     * writes by default). Same loud-rejection posture as v2: the
-    * supported subset is regular chunk grids, the `bytes` (little-
-    * endian) array→bytes codec, and at most one bytes→bytes codec of
-    * gzip / zstd (RFC 8878 raw frame) / blosc; `default` and `v2`
-    * chunk-key encodings; `dimension_names` (or the xarray attribute)
-    * for dim naming. Sharding, transpose, crc32c, and non-little
-    * endianness fail at schema inference, never mid-scan. */
+    * supported subset is regular chunk grids, an optional `transpose`
+    * array→array codec, the `bytes` (little-endian) array→bytes
+    * codec, at most one compression codec of gzip / zstd (RFC 8878
+    * raw frame) / blosc, and an optional trailing `crc32c` checksum
+    * codec; `default` and `v2` chunk-key encodings; `dimension_names`
+    * (or the xarray attribute) for dim naming. Anything outside that
+    * chain shape, and non-little endianness, fail at schema
+    * inference, never mid-scan. */
   private def buildV3(node: com.fasterxml.jackson.databind.JsonNode): Meta = {
     require(node.path("zarr_format").asInt == 3,
       s"zarr_format ${node.path("zarr_format")} unsupported (need 3)")
@@ -282,7 +295,7 @@ object ZarrMeta {
     require(codecs.isArray && codecs.size >= 1,
       "zarr v3 array carries no codecs list")
     val names = codecs.elements.asScala.map(_.path("name").asText).toSeq
-    val (chunks, compressor, shard) =
+    val (chunks, (compressor, checksum, order), shard) =
       if (names.head == "sharding_indexed") {
         require(names.size == 1,
           s"codec chain [${names.mkString(", ")}] unsupported (codecs " +
@@ -308,7 +321,7 @@ object ZarrMeta {
           innerCodecs.elements.asScala.map(_.path("name").asText).toSeq
         require(innerNames.head != "sharding_indexed",
           "nested sharding_indexed unsupported")
-        val comp = parseByteChain(innerCodecs, innerNames)
+        val comp = parseByteChain(innerCodecs, innerNames, shape.length)
         // index codecs: "bytes" (little) + optional trailing crc32c —
         // what zarr-python 3 writes; anything else is rejected
         val idxCodecs = cfg.path("index_codecs")
@@ -330,7 +343,7 @@ object ZarrMeta {
           s"index_location '${loc.asText}' unsupported (start/end only)")
         (inner, comp,
           Some(ShardInfo(shardChunks, atEnd, idxNames.size == 2)))
-      } else (shardChunks, parseByteChain(codecs, names), None)
+      } else (shardChunks, parseByteChain(codecs, names, shape.length), None)
     val fillNode = node.path("fill_value")
     val fill =
       if (fillNode.isMissingNode || fillNode.isNull) 0.0
@@ -356,26 +369,51 @@ object ZarrMeta {
     require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
       s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
         "byte buffer bound; re-chunk the store")
-    Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix, shard)
+    Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix, shard,
+      order, checksum)
   }
 
-  /** A v3 `bytes` (little-endian) array→bytes codec followed by at
-    * most one supported bytes→bytes codec — the chain shape shared by
-    * plain arrays and a shard's inner chunks. Returns the
-    * [[ZarrCodec]] compressor id. */
+  /** Codec chain of a plain array or a shard's inner chunks:
+    * `[transpose?] bytes [gzip|zstd|blosc]? [crc32c]?` — an optional
+    * `transpose` array→array codec, the mandatory `bytes` (little-
+    * endian) array→bytes codec, at most one supported compression
+    * codec, and an optional trailing `crc32c` checksum (zarr-python's
+    * chunk-level integrity codec). Returns ([[ZarrCodec]] compressor
+    * id, crc32c present, transpose order). Anything else fails loudly
+    * at schema inference — the no-silent-misread contract. */
   private def parseByteChain(codecs: com.fasterxml.jackson.databind.JsonNode,
-      names: Seq[String]): Option[String] = {
-    require(names.head == "bytes",
-      s"first codec '${names.head}' unsupported (need the 'bytes' " +
-        "array->bytes codec; transpose is unsupported)")
-    val endian = codecs.get(0).path("configuration").path("endian")
+      names: Seq[String], rank: Int)
+      : (Option[String], Boolean, Option[Array[Int]]) = {
+    var i = 0
+    // optional leading transpose: order must be a true permutation of
+    // 0..rank-1; the identity permutation is dropped (no-op walk)
+    val order: Option[Array[Int]] =
+      if (names.headOption.contains("transpose")) {
+        val o = codecs.get(0).path("configuration").path("order")
+        require(o.isArray && o.size == rank,
+          s"transpose order rank ${o.size} != array rank $rank")
+        val ord = o.elements.asScala.map(_.asInt).toArray
+        require(ord.sorted.sameElements(0 until rank),
+          s"transpose order [${ord.mkString(",")}] is not a permutation " +
+            s"of 0..${rank - 1}")
+        i = 1
+        if (ord.zipWithIndex.forall { case (v, k) => v == k }) None
+        else Some(ord)
+      } else None
+    require(names.lift(i).contains("bytes"),
+      s"codec chain [${names.mkString(", ")}] unsupported (need the " +
+        "'bytes' array->bytes codec after an optional transpose)")
+    val endian = codecs.get(i).path("configuration").path("endian")
     require(endian.isMissingNode || endian.asText == "little",
       s"endian '${endian.asText}' unsupported (little only)")
-    require(names.size <= 2,
+    i += 1
+    val checksum = names.lastOption.contains("crc32c") && names.size > i
+    val compNames = names.drop(i).dropRight(if (checksum) 1 else 0)
+    require(compNames.size <= 1,
       s"codec chain [${names.mkString(", ")}] unsupported " +
-        "(at most one bytes->bytes codec)")
-    names.drop(1).headOption.map { bb =>
-      val cfg = codecs.get(1).path("configuration")
+        "(at most one compression codec between bytes and crc32c)")
+    val comp = compNames.headOption.map { bb =>
+      val cfg = codecs.get(i).path("configuration")
       bb match {
         case "gzip" => "gzip"
         case "zstd" => "zstd"
@@ -389,10 +427,10 @@ object ZarrMeta {
             case _ => "blosc:lz4"
           }
         case other => throw new IllegalArgumentException(
-          s"codec '$other' unsupported (gzip/zstd/blosc only; crc32c " +
-            "checksums are not read by this scan)")
+          s"codec '$other' unsupported (gzip/zstd/blosc only)")
       }
     }
+    (comp, checksum, order)
   }
 }
 
@@ -515,9 +553,23 @@ private[zarr] object ZarrChunkIO {
 
   /** Decompress + validate one decode unit's bytes → little-endian
     * buffer (shared by plain chunks and a shard's inner chunks). */
-  private def decode(raw: Array[Byte], meta: ZarrMeta.Meta,
+  private def decode(raw0: Array[Byte], meta: ZarrMeta.Meta,
       key: String): ByteBuffer = {
     val chunkElems: Long = meta.chunks.map(_.toLong).product
+    // v3 crc32c codec: 4-byte little-endian checksum over the
+    // preceding payload — verify, then strip before decompression
+    val raw = if (!meta.checksum) raw0 else {
+      require(raw0.length >= 4,
+        s"chunk $key: ${raw0.length} bytes < its 4-byte crc32c trailer")
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw0, 0, raw0.length - 4)
+      val stored = ByteBuffer.wrap(raw0, raw0.length - 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(crc.getValue.toInt == stored,
+        f"chunk $key: crc32c mismatch (stored 0x$stored%08x, " +
+          f"computed 0x${crc.getValue.toInt}%08x)")
+      java.util.Arrays.copyOfRange(raw0, 0, raw0.length - 4)
+    }
     val bytes = meta.compressor match {
         case None => raw
         case Some(b) if b.startsWith("blosc:") => Blosc.decompress(raw)
@@ -702,6 +754,12 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
   private var pos = -1L
   private val offsets = new Array[Long](n) // per-dim offset within the chunk
   private val globals = new Array[Long](n) // global indices of current element
+  // v3 transpose codec: the buffer is the chunk permuted by `order`,
+  // so the element's buffer position is the C-order linear index of
+  // the permuted offsets over the permuted chunk shape (identity
+  // order was normalized away at parse)
+  private val ord: Array[Int] = meta.order.orNull
+  private var bufPos = -1L
 
   private def decodePos(p: Long): Boolean = {
     // C order: last dimension fastest
@@ -714,6 +772,12 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
       globals(d) = chunkCoords(d).toLong * meta.chunks(d) + offsets(d)
       if (globals(d) >= meta.shape(d)) inBounds = false
       d -= 1
+    }
+    bufPos = if (ord == null) p else {
+      var bp = 0L
+      var k = 0
+      while (k < n) { bp = bp * meta.chunks(ord(k)) + offsets(ord(k)); k += 1 }
+      bp
     }
     inBounds
   }
@@ -743,7 +807,7 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
     val row = new Array[Any](fieldPlan.length)
     var i = 0
     while (i < fieldPlan.length) {
-      row(i) = if (fieldPlan(i) < 0) valueAt(pos) else globals(fieldPlan(i))
+      row(i) = if (fieldPlan(i) < 0) valueAt(bufPos) else globals(fieldPlan(i))
       i += 1
     }
     new GenericInternalRow(row)
@@ -781,6 +845,10 @@ class ZarrColumnarChunkReader(path: String, meta: ZarrMeta.Meta,
   private var pos = 0L // next chunk position to examine
   private val offsets = new Array[Long](n)
   private val globals = new Array[Long](n)
+  // v3 transpose codec: see ZarrChunkReader — buffer position of the
+  // current logical element under the stored permutation
+  private val ord: Array[Int] = meta.order.orNull
+  private var bufPos = 0L
 
   private def decodePos(p: Long): Boolean = {
     // C order: last dimension fastest
@@ -793,6 +861,12 @@ class ZarrColumnarChunkReader(path: String, meta: ZarrMeta.Meta,
       globals(d) = chunkCoords(d).toLong * meta.chunks(d) + offsets(d)
       if (globals(d) >= meta.shape(d)) inBounds = false
       d -= 1
+    }
+    bufPos = if (ord == null) p else {
+      var bp = 0L
+      var k = 0
+      while (k < n) { bp = bp * meta.chunks(ord(k)) + offsets(ord(k)); k += 1 }
+      bp
     }
     inBounds
   }
@@ -822,7 +896,7 @@ class ZarrColumnarChunkReader(path: String, meta: ZarrMeta.Meta,
         while (f < fieldPlan.length) {
           val fp = fieldPlan(f)
           if (fp >= 0) vectors(f).putLong(rows, globals(fp))
-          else putValue(vectors(f), rows, pos)
+          else putValue(vectors(f), rows, bufPos)
           f += 1
         }
         rows += 1

@@ -696,6 +696,105 @@ class ZarrSpec extends SparkTestBase {
       Files.readString(Paths.get(d2, "zarr.json")))
   }
 
+  test("golden v3 transpose store: permutation direction pinned against literal bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // written as LITERAL documents with HAND-COMPUTED stored bytes so
+    // the reader is pinned against the v3 transpose spec (stored =
+    // chunk.transpose(order), numpy semantics), not against our writer
+    val base = graft.sources.IO.tmp("graft_zarr_v3t_")
+    val d = Paths.get(base, "arr")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[2,3],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"transpose","configuration":{"order":[1,0]}},
+        |          {"name":"bytes","configuration":{"endian":"little"}}],
+        |"dimension_names":["r","c"],
+        |"attributes":{}}""".stripMargin)
+    // logical A[r][c] = 10r + c; stored buffer is A.transpose([1,0])
+    // = B[c][r] in C order: B[0][0]=A[0][0], B[0][1]=A[1][0], ... —
+    // the doubled sequence 0, 10, 1, 11, 2, 12
+    val buf = ByteBuffer.allocate(6 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 10.0, 1.0, 11.0, 2.0, 12.0).foreach(buf.putDouble)
+    val p = d.resolve("c/0/0")
+    Files.createDirectories(p.getParent)
+    Files.write(p, buf.array())
+    val got = Zarr.readArray(spark, d.toString)
+      .orderBy(col("r"), col("c")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val want = for (r <- 0L until 2L; c <- 0L until 3L)
+      yield (r, c, (10 * r + c).toDouble)
+    assert(got.toSeq == want.toSeq, got.mkString(", "))
+  }
+
+  test("golden v3 crc32c store: valid trailer reads; a flipped payload byte fails loudly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr_v3crc_")
+    val d = Paths.get(base, "arr")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |          {"name":"crc32c"}],
+        |"dimension_names":["t"],
+        |"attributes":{}}""".stripMargin)
+    val buf = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5, 2.5, 3.5, 4.5).foreach(buf.putDouble)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(buf.array(), 0, 32)
+    val enc = java.util.Arrays.copyOf(buf.array(), 36)
+    ByteBuffer.wrap(enc, 32, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt)
+    val p = d.resolve("c/0")
+    Files.createDirectories(p.getParent)
+    Files.write(p, enc)
+    assert(Zarr.readArray(spark, d.toString).orderBy(col("t")).collect()
+      .map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5, 4.5))
+    // flip one payload byte: the checksum must catch it, never misread
+    enc(7) = (enc(7) ^ 0x40).toByte
+    Files.write(p, enc)
+    val e = intercept[Exception] {
+      Zarr.readArray(spark, d.toString).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("crc32c mismatch")),
+      chain(e).mkString(" | "))
+  }
+
+  test("writeArrayV3 round trips transpose + crc32c codec tails (both readers)") {
+    for (((order, codec, cs), tag) <- Seq(
+        (Some(Array(2, 0, 1)), Some("zstd"), true) -> "tzc",
+        (Some(Array(1, 2, 0)), None, false) -> "t",
+        (None, Some("gzip"), true) -> "gc",
+        (Some(Array(0, 1, 2)), None, true) -> "idc")) {
+      val dir = graft.sources.IO.tmp(s"graft_zarr_v3ct_${tag}_") + "/a"
+      Zarr.writeArrayV3(dir, Array(3L, 4L, 5L), Array(2, 2, 2),
+        Array("z", "y", "x"), codec, -1.0,
+        i => (i(0) * 100 + i(1) * 10 + i(2)).toDouble,
+        order = order, checksum = cs)
+      val got = Zarr.readArray(spark, dir).orderBy(col("z"), col("y"), col("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val want = for (z <- 0L until 3L; y <- 0L until 4L; x <- 0L until 5L)
+        yield (z, y, x, (z * 100 + y * 10 + x).toDouble)
+      assert(got.toSeq == want.toSeq, s"tail $tag")
+      // chunk pruning is coordinate-space, untouched by the stored
+      // permutation: a one-element slice plans exactly one partition
+      val sliced = Zarr.readArray(spark, dir)
+        .filter(col("z") === 2 && col("y") === 3 && col("x") === 4)
+      assert(sliced.rdd.getNumPartitions == 1, s"tail $tag pruning")
+      assert(sliced.collect().map(_.getDouble(3)).toSeq == Seq(234.0))
+    }
+  }
+
   test("unsupported v3 stores fail LOUDLY at metadata read, never misread") {
     val dir = graft.sources.IO.tmp("graft_zarr_v3bad_")
     def meta(d: String, body: String): Unit = {
@@ -708,9 +807,11 @@ class ZarrSpec extends SparkTestBase {
          |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
          |"fill_value":0.0,$extra
          |"attributes":{}}""".stripMargin
-    meta("crc", arr(
+    // crc32c is only supported as the TRAILING codec — in the middle
+    // of the chain it would silently shift the compression offsets
+    meta("crcmid", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
-        |{"name":"crc32c"}],""".stripMargin))
+        |{"name":"crc32c"},{"name":"gzip","configuration":{"level":5}}],""".stripMargin))
     // malformed shard codec (no chunk_shape) still rejects loudly
     meta("sharding", arr(
       """"codecs":[{"name":"sharding_indexed","configuration":{}}],"""))
@@ -725,10 +826,18 @@ class ZarrSpec extends SparkTestBase {
     meta("f16", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""")
       .replace("float64", "float16"))
-    Seq("crc", "sharding", "shardnest", "bigend", "f16").foreach { d =>
+    Seq("crcmid", "sharding", "shardnest", "bigend", "f16").foreach { d =>
       val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
       assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
     }
+    // a transpose order that is not a permutation rejects loudly too
+    meta("badorder", arr(
+      """"codecs":[{"name":"transpose","configuration":{"order":[0,0]}},
+        |{"name":"bytes","configuration":{"endian":"little"}}],""".stripMargin)
+      .replace(""""shape":[4]""", """"shape":[4,4]""")
+      .replace(""""chunk_shape":[2]""", """"chunk_shape":[2,2]"""))
+    val eo = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/badorder"))
+    assert(eo.getMessage.contains("not a permutation"), eo.getMessage)
   }
 }
 
