@@ -389,6 +389,105 @@ class InferenceSpec extends SparkTestBase {
       r0.toString)
   }
 
+  // ------------------------------------------------- degenerate tier
+  // The battery's central parity claim is that the engine and its
+  // DuckDB twin guard the SAME degenerate inputs with the SAME NULLs.
+  // The registered sf fixtures never exercise those branches
+  // end-to-end, so this tier pins them: single arm (k < 2), one row
+  // per arm (n <= k), all-constant values (zero variance / all ties),
+  // and EMPTY input — each must read NULL (never NaN, never a crash),
+  // exactly the branch the oracle's CASE guard takes.
+
+  test("degenerate tier: single arm reads NULL across anova/levene/kruskal") {
+    import spark.implicits._
+    val one = Seq(ev("view", 0, 1L, 1.0), ev("view", 1, 2L, 2.0),
+      ev("view", 2, 3L, 3.0)).toDF("ts", "event_type", "user_id", "value")
+    val a = Inference.anovaOneWay(one).collect().head
+    assert(a.getLong(0) == 1 && a.isNullAt(4), a.toString)
+    val l = Inference.leveneBrownForsythe(one).collect().head
+    assert(l.getLong(0) == 1 && l.isNullAt(4), l.toString)
+    // kruskal: a single arm holds ALL the ranks, so H is identically 0
+    // in the closed form — both twins compute the same degenerate 0.0
+    // (no guard needed; parity is at the value, not at NULL)
+    val k = Inference.kruskalWallis(one).collect().head
+    assert(k.getLong(0) == 1 && k.getDouble(2) == 0.0 &&
+      k.getDouble(3) == 0.0, k.toString)
+  }
+
+  test("degenerate tier: one row per arm (n = k) reads NULL F") {
+    import spark.implicits._
+    val tiny = Seq(ev("view", 0, 1L, 1.0), ev("purchase", 0, 2L, 2.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val a = Inference.anovaOneWay(tiny).collect().head
+    assert(a.getLong(0) == 2 && a.getLong(1) == 2 && a.isNullAt(4), a.toString)
+    val l = Inference.leveneBrownForsythe(tiny).collect().head
+    assert(l.isNullAt(4), l.toString)
+  }
+
+  test("degenerate tier: all-constant values read NULL across the battery") {
+    import spark.implicits._
+    val const = Seq(ev("view", 0, 1L, 5.0), ev("view", 1, 2L, 5.0),
+      ev("purchase", 0, 3L, 5.0), ev("purchase", 1, 4L, 5.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    assert(Inference.anovaOneWay(const).collect().head.isNullAt(4))
+    assert(Inference.leveneBrownForsythe(const).collect().head.isNullAt(4))
+    assert(Inference.kruskalWallis(const).collect().head.isNullAt(3))
+    val t = Inference.tostEquivalence(const).collect().head
+    // zero pooled variance: both one-sided t's and the flag read NULL
+    assert(t.isNullAt(t.fieldIndex("t_lower")) &&
+      t.isNullAt(t.fieldIndex("t_upper")), t.toString)
+  }
+
+  test("degenerate tier: EMPTY input yields a guarded row, never a blowup") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+      .toDF("ts", "event_type", "user_id", "value")
+    // the global aggregate's one row reads k=0 with NULL sums — the
+    // exact row DuckDB's CAST(sum(...) AS BIGINT) yields on zero input
+    val a = Inference.anovaOneWay(empty).collect().head
+    assert(a.getLong(0) == 0 && a.isNullAt(1) && a.isNullAt(4), a.toString)
+    val k = Inference.kruskalWallis(empty).collect().head
+    assert(k.getLong(0) == 0 && k.isNullAt(1) && k.isNullAt(3), k.toString)
+    val l = Inference.leveneBrownForsythe(empty).collect().head
+    assert(l.isNullAt(4), l.toString)
+  }
+
+  test("degenerate tier: fdrBh all-purchase pool (rate 1) reads NULL, never NaN") {
+    import spark.implicits._
+    // every event converts: pooled rate = 1 -> zero z denominator;
+    // the battery must read NULL pval/p_bh/reject on every cohort
+    val rows = (1 to 8).map(i => ev("purchase", i % 5, i.toLong, 1.0))
+    val r = Inference.fdrBh(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.isNullAt(x.fieldIndex("z")) &&
+        x.isNullAt(x.fieldIndex("pval")) &&
+        x.isNullAt(x.fieldIndex("p_bh")) &&
+        x.isNullAt(x.fieldIndex("reject")), x.toString)
+    }
+  }
+
+  test("degenerate tier: pairedTTest with no both-halves users reads a guarded row") {
+    import spark.implicits._
+    // u1 first half only, u2 second half only: zero pairs
+    val rows = Seq(ev("view", 0, 1L, 1.0), ev("view", 9, 2L, 2.0))
+    val r = Inference.pairedTTest(
+      rows.toDF("ts", "event_type", "user_id", "value")).collect().head
+    assert(r.getLong(0) == 0 && r.isNullAt(2), r.toString)
+  }
+
+  test("degenerate tier: cochranArmitage single priority level reads NULL z") {
+    import spark.implicits._
+    def o(k: Long, pri: String, st: String) =
+      (k, 1L, st, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pri)
+    val orders = Seq(o(1, "1-URGENT", "F"), o(2, "1-URGENT", "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Inference.cochranArmitage(orders).collect().head
+    assert(r.isNullAt(4), r.toString)
+  }
+
   test("cochranArmitage: textbook two-level trend exact; all-success pool reads NULL") {
     import spark.implicits._
     def o(k: Long, pri: String, st: String) =
