@@ -567,6 +567,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------ partitioning invariance
+  // The r14 battery's central parity argument: every double that
+  // crosses an engine boundary is either an exact integer moment
+  // (trend), a 1e-6/1e-4-grid quantized long (ttest_paired), or a
+  // 1e-6-grid quantized term (logrank) BEFORE the order-sensitive
+  // sum — so the rendered output cannot depend on how the input is
+  // partitioned. Property-tested directly: any repartitioning of the
+  // same rows renders bit-identical rows.
+  private def renderAll(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def assertPartitionInvariant(
+      input: org.apache.spark.sql.DataFrame,
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      tag: String): Unit = {
+    val base = renderAll(op(input.repartition(1)))
+    for (k <- Seq(3, 7, 16)) {
+      val got = renderAll(op(input.repartition(k)))
+      assert(got == base, s"$tag: $k-partition run diverged\n$got\nvs\n$base")
+    }
+    // a skewed, key-clustered layout too — not just round-robin
+    val clustered = renderAll(op(input.repartition(5, col("user_id"))))
+    assert(clustered == base, s"$tag: key-clustered run diverged")
+  }
+
+  test("logRank / pairedTTest / fdrBh render identically under ANY partitioning, for all event sets") {
+    forAllSeeded(Gen.listOfN(70, infEvGen), trials = 6) { rows =>
+      if (rows.nonEmpty) {
+        val ev = infEvents(rows)
+        assertPartitionInvariant(ev,
+          graft.operators.Inference.logRank(_), "logRank")
+        assertPartitionInvariant(ev,
+          graft.operators.Inference.pairedTTest(_), "pairedTTest")
+        if (rows.exists(_._3) && rows.exists(!_._3))
+          assertPartitionInvariant(ev,
+            graft.operators.Inference.fdrBh(_), "fdrBh")
+      }
+    }
+  }
+
+  test("cochranArmitage renders identically under ANY partitioning, for all order sets") {
+    val orderGen = for {
+      pri <- Gen.choose(1, 5)
+      st <- Gen.oneOf("F", "O", "P")
+      price <- Gen.choose(1, 99999)
+    } yield (pri, st, price)
+    val priNames = Map(1 -> "1-URGENT", 2 -> "2-HIGH", 3 -> "3-MEDIUM",
+      4 -> "4-NOT SPECIFIED", 5 -> "5-LOW")
+    forAllSeeded(Gen.listOfN(60, orderGen), trials = 6) { rows =>
+      if (rows.nonEmpty) {
+        val orders = rows.zipWithIndex.map { case ((pri, st, price), i) =>
+          (i.toLong, (i % 7).toLong, st, price / 100.0,
+            Timestamp.valueOf("2024-01-01 00:00:00"), priNames(pri))
+        }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        val base = renderAll(
+          graft.operators.Inference.cochranArmitage(orders.repartition(1)))
+        for (k <- Seq(4, 11)) {
+          val got = renderAll(graft.operators.Inference.cochranArmitage(
+            orders.repartition(k)))
+          assert(got == base, s"trend: $k-partition run diverged")
+        }
+        val clustered = renderAll(graft.operators.Inference.cochranArmitage(
+          orders.repartition(3, col("o_orderpriority"))))
+        assert(clustered == base, "trend: key-clustered run diverged")
+      }
+    }
+  }
+
   test("mcnemar: reversing the calendar swaps the discordant cells, chi2 invariant") {
     forAllSeeded(Gen.listOfN(50, infEvGen), trials = 10) { rows =>
       if (rows.nonEmpty) {
