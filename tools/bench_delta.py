@@ -49,6 +49,10 @@ RATIO_RE = re.compile(r'"median_ratio":([0-9.eE+-]+)')
 # band_ratio is a flat {"q":num,...} object, so the first } terminates it
 BANDS_RE = re.compile(r'"band_ratio":\{([^}]*)\}')
 PAIR_RE = re.compile(r'"(q_\w+)":([0-9.eE+-]+)')
+# ingest-artifact pre-pass timings (memoized graph/pair builds): flat
+# {"name":sec,...} — names are NOT q_-prefixed, so a generic pair regex
+ARTS_RE = re.compile(r'"artifacts":\{([^}]*)\}')
+ANY_PAIR_RE = re.compile(r'"(\w+)":([0-9.eE+-]+)')
 
 
 def load_record(path):
@@ -71,8 +75,12 @@ def load_record(path):
     b = BANDS_RE.search(raw)
     if b:
         bands = {q: float(v) for q, v in PAIR_RE.findall(b.group(1))}
+    arts = {}
+    a = ARTS_RE.search(raw)
+    if a:
+        arts = {n: float(v) for n, v in ANY_PAIR_RE.findall(a.group(1))}
     truncated = not raw.lstrip().startswith("{")
-    return mins, ratio, bands, truncated
+    return mins, ratio, bands, arts, truncated
 
 
 def main():
@@ -89,8 +97,8 @@ def main():
                   f"prev is {os.path.basename(prev_path)!r} — notes ignored",
                   file=sys.stderr)
 
-    prev, prev_ratio, prev_bands, prev_trunc = load_record(prev_path)
-    cur, cur_ratio, cur_bands, cur_trunc = load_record(cur_path)
+    prev, prev_ratio, prev_bands, prev_arts, prev_trunc = load_record(prev_path)
+    cur, cur_ratio, cur_bands, cur_arts, cur_trunc = load_record(cur_path)
     shared = sorted(set(prev) & set(cur))
     if not shared:
         print("no shared queries between records", file=sys.stderr)
@@ -164,6 +172,39 @@ def main():
         lines += ["", f"Coverage drift: only-prev={only_prev} "
                       f"only-cur={only_cur} (front-truncated tails drop "
                       "the alphabetically-early queries)."]
+    # ingest-artifact pre-pass: these one-shot builds (memoized graphs,
+    # pair expansions) are timed OUTSIDE the per-query triples, so a
+    # regression there would otherwise hide from this table entirely.
+    # Single-pass timings get the global-ratio normalization only (no
+    # per-artifact bands); notes key as "artifact:<name>".
+    if prev_arts or cur_arts:
+        lines += ["", "## Artifact pre-pass", "",
+                  "| artifact | prev s | cur s | norm delta | verdict | note |",
+                  "|---|---|---|---|---|---|"]
+        for n in sorted(set(prev_arts) | set(cur_arts)):
+            note = notes.get(f"artifact:{n}", "")
+            if n not in prev_arts or n not in cur_arts:
+                which = "new" if n not in prev_arts else "dropped"
+                lines.append(f"| {n} | {prev_arts.get(n, float('nan')):.3f} "
+                             f"| {cur_arts.get(n, float('nan')):.3f} "
+                             f"| — | {which} | {note} |")
+                continue
+            p_norm = prev_arts[n] / prev_ratio
+            c_norm = cur_arts[n] / cur_ratio
+            delta = c_norm / p_norm if p_norm > 0 else float("inf")
+            verdict = ""
+            if delta > FLAG_RATIO and max(prev_arts[n], cur_arts[n]) >= ABS_FLOOR:
+                verdict = "expected" if note else "REGRESSION?"
+                if not note:
+                    flagged_unexplained.append(f"artifact:{n}")
+                mark = f"**{delta:.2f}x**" if not note else f"{delta:.2f}x"
+            else:
+                if delta < 1 / FLAG_RATIO and \
+                        max(prev_arts[n], cur_arts[n]) >= ABS_FLOOR:
+                    verdict = "improved"
+                mark = f"{delta:.2f}x"
+            lines.append(f"| {n} | {prev_arts[n]:.3f} | {cur_arts[n]:.3f} "
+                         f"| {mark} | {verdict} | {note} |")
     doc = "\n".join(lines) + "\n"
     if out_md:
         with open(out_md, "w") as f:
