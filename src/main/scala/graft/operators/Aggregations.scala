@@ -739,11 +739,8 @@ object Aggregations {
     * the plan and the generated oracle (Double.toString round-trips
     * exactly) — the single source of truth that makes the
     * transcendental e⁻¹ thresholds engine-independent. */
-  private val poissonCdf: Seq[Double] = {
-    val e1 = math.exp(-1.0)
-    Seq(e1, e1 * 2.0, e1 * 2.5, e1 * 2.5 + e1 / 6.0,
-      e1 * 2.5 + e1 / 6.0 + e1 / 24.0)
-  }
+  private val poissonCdf: Seq[Double] =
+    graft.plans.BootstrapDraws.poissonCdf.toSeq
 
   /** DETERMINISTIC Poisson bootstrap of a mean — standard error and
     * percentile confidence interval with zero distributional
@@ -768,7 +765,18 @@ object Aggregations {
     * is a 1-row fold. */
   def bootstrapMean(df: DataFrame, id: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column, b: Int = 100,
-      salt: String = "bs"): DataFrame = {
+      salt: String = "bs"): DataFrame =
+    bootstrapMeanImpl(df, id, value, b, salt, nativeDraws = true)
+
+  /** `nativeDraws` switches the weight projection between the fused
+    * [[graft.plans.BootstrapDraws]] expression (default — one digest
+    * loop per row, no hex render/parse) and the original B-column
+    * sha2 tree; both emit bit-identical weights (pinned in
+    * OperatorSemanticsSpec), the flag exists so the bench probe can
+    * alternate variants inside one JVM. */
+  private[graft] def bootstrapMeanImpl(df: DataFrame,
+      id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      b: Int, salt: String, nativeDraws: Boolean): DataFrame = {
     require(b >= 10, s"need b >= 10: $b")
     val base = df.select(id.as("rid"), value.as("v"))
     // SINGLE-PASS replicate sums: 2·B conditional aggregate columns
@@ -794,10 +802,29 @@ object Aggregations {
     // and the harness tables arrive as one split — without the
     // exchange the whole pass runs on one core (integer sums are
     // partitioning-invariant, so parity is unaffected)
-    val wide = graft.spread(base, col("rid")).select(col("v") +:
-      (0 until b).map(r => wFor(r).as(s"w$r")): _*)
-    val sums = (0 until b).flatMap(r => Seq(
-      sum(col(s"w$r") * xq).as(s"s$r"), sum(col(s"w$r")).as(s"c$r")))
+    val spreadBase = graft.spread(base, col("rid"))
+    val (wide, sums) =
+      if (nativeDraws) {
+        // ONE fused digest loop per row emits all B weights as an
+        // array column; the aggregate expressions element_at into the
+        // projected attribute, so the loop runs once per row (the
+        // aggregate never collapses into its project child)
+        val ws = org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BootstrapDraws(
+            org.apache.spark.sql.GraftBridge.expression(
+              col("rid").cast("string")), salt, b))
+        val w = spreadBase.select(col("v"), ws.as("ws"))
+        val s = (0 until b).flatMap(r => Seq(
+          sum(element_at(col("ws"), r + 1) * xq).as(s"s$r"),
+          sum(element_at(col("ws"), r + 1)).as(s"c$r")))
+        (w, s)
+      } else {
+        val w = spreadBase.select(col("v") +:
+          (0 until b).map(r => wFor(r).as(s"w$r")): _*)
+        val s = (0 until b).flatMap(r => Seq(
+          sum(col(s"w$r") * xq).as(s"s$r"), sum(col(s"w$r")).as(s"c$r")))
+        (w, s)
+      }
     val oneRow = wide.agg(sums.head, sums.tail: _*)
     val repMeans = oneRow.select(explode(array((0 until b).map(r =>
         struct(lit(r.toLong).as("rep"),

@@ -1670,6 +1670,15 @@ class OperatorSemanticsSpec extends SparkTestBase {
     // pure digest function: a rerun is bit-identical
     val r2 = Aggregations.bootstrapMean(ramp, col("id"), col("v")).collect().head
     assert(r.toSeq == r2.toSeq)
+    // the fused BootstrapDraws expression and the original B-column
+    // sha2 tree must emit bit-identical output rows (the native path
+    // is the default; the tree is the reference the oracle mirrors)
+    val tree = Aggregations.bootstrapMeanImpl(ramp, col("id"), col("v"),
+      100, "bs", nativeDraws = false).collect().head
+    assert(r.toSeq == tree.toSeq, s"native $r vs tree $tree")
+    val treeC = Aggregations.bootstrapMeanImpl(const, col("id"), col("v"),
+      100, "bs", nativeDraws = false).collect().head
+    assert(rc.toSeq == treeC.toSeq, s"native $rc vs tree $treeC")
   }
 
   test("crossCorrelation: planted 2-day shift peaks at exactly 1.0, constant series NULLs") {
