@@ -916,6 +916,39 @@ object Aggregations {
       .agg(sum(col("cnt")).as("n_distinct"))
       .orderBy(col("grp"))
 
+  /** MERGEABLE quantile sketch per group — the approximate,
+    * stream/cube-refresh complement of [[bitmapDistinct]]'s exact
+    * mergeable state and the scale path next to the exact
+    * `percentile` rank pick (q_agg_percentile): Spark's native
+    * `percentile_approx` (Greenwald–Khanna summaries) keeps one
+    * bounded sketch per (group, task) that MERGES associatively —
+    * map-side partials shuffle O(accuracy) state per group instead of
+    * raw rows, segments can pre-aggregate independently and combine
+    * later, and the same state serves a streaming window refresh.
+    * Rank error is bounded by 1/accuracy; at the default 10⁴ the
+    * returned value's true rank sits within 10⁻⁴·n of the target
+    * (band pinned in OperatorSemanticsSpec — the q_agg_approx_distinct
+    * spec posture; approximate sketches carry a spec, not an oracle).
+    *
+    * Scale: ONE hash aggregate, counts-plus-sketch only; no window,
+    * no sort, no raw-value shuffle — at 100 TB the shuffle carries a
+    * few KB per (group, mapper). */
+  def approxPercentiles(df: DataFrame, group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
+    df.select(group.as("grp"), value.as("v"))
+      .groupBy(col("grp"))
+      .agg(percentile_approx(col("v"), pcts, lit(accuracy)).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("n"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        element_at(col("ps"), 4).as("p95"))
+      .orderBy(col("grp"))
+  }
+
   /** Ordered string aggregation (LISTAGG): per group, the member ids
     * concatenated in an EXPLICIT order — the "top offenders" /
     * "sample ids per stratum" report cell every BI surface renders.
@@ -1119,6 +1152,12 @@ object Aggregations {
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // mergeable GK quantile sketch per return flag — approximate, so
+    // spec-banded (OperatorSemanticsSpec) instead of oracle-hashed
+    "q_agg_approx_percentile" -> ((s, d) =>
+      approxPercentiles(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"))),
 
     // Key→value aggregation: one value per key, arg-max semantics
     // (deterministic replacement for the reference's last-wins dict).

@@ -362,6 +362,40 @@ class OperatorSemanticsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("approxPercentiles: rank error inside the GK band, under any partitioning") {
+    import graft.operators.Aggregations
+    val li = Tables.lineitem(spark, sf)
+    // exact per-group sorted values, once
+    val exact = li.select(col("l_returnflag").as("g"),
+        col("l_extendedprice").as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    // the sketch's contract: the returned value's true rank sits
+    // within eps·n of the target (eps = 1/accuracy; sf0.001 groups are
+    // small enough that the tolerance below is dominated by ties/±1)
+    def rankCheck(df: org.apache.spark.sql.DataFrame): Unit =
+      df.collect().foreach { r =>
+        val vals = exact(r.getString(0))
+        val n = vals.length
+        for ((q, i) <- Seq(0.25 -> 2, 0.5 -> 3, 0.75 -> 4, 0.95 -> 5)) {
+          val v = r.getDouble(i)
+          val lo = vals.count(_ < v)       // lowest rank v could hold
+          val hi = vals.count(_ <= v)      // highest rank v could hold
+          val target = q * n
+          val tol = math.max(1.0, 1e-4 * n) + 1.0
+          assert(lo - tol <= target && target <= hi + tol,
+            s"g=${r.getString(0)} q=$q v=$v rank∈[$lo,$hi] target=$target n=$n")
+        }
+      }
+    rankCheck(Aggregations.approxPercentiles(li, col("l_returnflag"),
+      col("l_extendedprice")))
+    // MERGEABLE state: the band must hold however the partials are
+    // laid out (sketch merge order may vary; the GUARANTEE is the band)
+    for (k <- Seq(1, 7, 32))
+      rankCheck(Aggregations.approxPercentiles(li.repartition(k),
+        col("l_returnflag"), col("l_extendedprice")))
+  }
+
   test("hive orders layout: per-sfDir isolation and stable memoization") {
     import graft.sources.IO
     val a = IO.hivePartitionedOrders(spark, "/root/testdata/sf0.001")
