@@ -412,6 +412,85 @@ class ZarrSpec extends SparkTestBase {
     assert(leftover2.isEmpty, s"failing flush stranded tmp files: $leftover2")
   }
 
+  test("sharded sink: zarr.json publishes only AFTER every shard commits (crash = unreadable store, not silent fill)") {
+    // v3 reads an absent shard as fill, so metadata-first would make a
+    // crashed write indistinguishable from a complete one. A failing
+    // job must leave NO zarr.json; a stale one from a prior aborted
+    // attempt must be removed up front, not left readable mid-write.
+    val dir = graft.sources.IO.tmp("graft_zarr_commit_") + "/a"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "zarr.json"), """{"stale":true}""")
+    val bad = spark.range(0L, 4L).select(
+      expr("id div 2").as("r"), expr("id % 2").as("c"))
+      .withColumn("value", col("r").cast("double"))
+      // row outside the declared shape: the task fails mid-write
+      .union(spark.range(0L, 1L).select(lit(9L).as("r"), lit(0L).as("c"))
+        .withColumn("value", lit(1.0)))
+    intercept[org.apache.spark.SparkException] {
+      Zarr.writeArrayV3ShardedDistributed(bad, dir, Array(2L, 2L),
+        Array(2, 2), Array(1, 2), Array("r", "c"), None)
+    }
+    assert(!Files.exists(Paths.get(dir, "zarr.json")),
+      "a failed sharded write left a readable zarr.json behind")
+    // ...and the reader refuses the half-written store
+    intercept[Exception] { Zarr.readArray(spark, dir).collect() }
+    // the same rows minus the poison pill write + read back fine
+    val good = spark.range(0L, 4L).select(
+      expr("id div 2").as("r"), expr("id % 2").as("c"))
+      .withColumn("value", (col("r") * 2 + col("c")).cast("double"))
+    Zarr.writeArrayV3ShardedDistributed(good, dir, Array(2L, 2L),
+      Array(2, 2), Array(1, 2), Array("r", "c"), None)
+    assert(Files.exists(Paths.get(dir, "zarr.json")))
+    assert(Zarr.readArray(spark, dir).orderBy(col("r"), col("c")).collect()
+      .map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 2.0, 3.0))
+  }
+
+  test("sharding_indexed: inner chunks may carry the crc32c tail codec (shared chain parse)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built one-shard store whose INNER codec chain is
+    // [bytes, crc32c] — parseByteChain is shared with plain arrays,
+    // this pins the sharded decode path end-to-end
+    val base = graft.sources.IO.tmp("graft_zarr_shcrc_")
+    val d = Paths.get(base, "arr")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":-1.0,
+        |"codecs":[{"name":"sharding_indexed","configuration":{
+        |"chunk_shape":[2],
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+        |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"index_location":"end"}}],
+        |"dimension_names":["t"],
+        |"attributes":{}}""".stripMargin)
+    def innerChunk(v0: Double, v1: Double): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(v0); b.putDouble(v1)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(b.array(), 0, 16)
+      val out = java.util.Arrays.copyOf(b.array(), 20)
+      ByteBuffer.wrap(out, 16, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(crc.getValue.toInt)
+      out
+    }
+    val c0 = innerChunk(1.0, 2.0)
+    val c1 = innerChunk(3.0, 4.0)
+    // shard = c0 ++ c1 ++ index (2 entries x 16 bytes, bytes-only)
+    val shard = ByteBuffer.allocate(c0.length + c1.length + 32)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    shard.put(c0).put(c1)
+    shard.putLong(0L).putLong(c0.length.toLong)
+    shard.putLong(c0.length.toLong).putLong(c1.length.toLong)
+    val p = d.resolve("c/0")
+    Files.createDirectories(p.getParent)
+    Files.write(p, shard.array())
+    assert(Zarr.readArray(spark, d.toString).orderBy(col("t")).collect()
+      .map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("sliceByCoord: non-monotonic coordinate values never leak out-of-range rows") {
     // coord values [0, 10, 5, 20]: a [0,5] VALUE slice maps to index
     // span [0,2], which COVERS index 1 (value 10) — the residual value
