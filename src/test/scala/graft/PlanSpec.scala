@@ -56,6 +56,26 @@ class PlanSpec extends SparkTestBase {
     assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_agg_approx_percentile: one mergeable hash aggregate, no sort, no window") {
+    // the sketch's scale contract: partial sketches merge map-side,
+    // the shuffle carries O(accuracy) state per group, and nothing
+    // ever globally sorts or windows the raw values
+    val plan = executed("q_agg_approx_percentile")
+    val aggs = plan.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n${plan.take(2000)}")
+    assert(plan.contains("partial_percentile_approx") ||
+      plan.contains("percentile_approx"), plan.take(2000))
+    assert(!plan.contains("Window"), "sketch path must not window")
+    // `executed` concatenates the formatted AND raw renderings of the
+    // SAME plan, so one physical Sort prints twice; the single allowed
+    // sort is the tiny post-aggregate orderBy(grp) — ≤ 2 lines here
+    // means ≤ 1 SortExec in the plan
+    val sorts = plan.linesIterator.count(l =>
+      l.trim.startsWith("Sort ") || l.contains("(Sort)") || l.contains("+- Sort"))
+    assert(sorts <= 2, s"unexpected sorts in the sketch path:\n${plan.take(2000)}")
+  }
+
   test("q_climate_anomaly: climatology and anomaly share ONE cell-month exchange") {
     val plan = executed("q_climate_anomaly")
     // the REPARTITION_BY_NUM exchange is spread()'s single-file-scan
