@@ -23,8 +23,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope: zarr format 2 (the subset the reference exercises) AND
   * format 3 reads (`zarr.json` — zarr-python 3.x's default output;
-  * the wild is migrating): C order, little-endian `<f8 <f4 <i8 <i4` /
-  * `float64 float32 int64 int32`, compressor `null`/zlib/gzip/blosc
+  * the wild is migrating): C order, `<f8 <f4 <i8 <i4` (and their
+  * big-endian `>` twins) / `float64 float32 int64 int32` in either
+  * byte order, compressor `null`/zlib/gzip/blosc
   * (lz4, lz4hc, zlib, zstd inner codecs, byte- and bit-shuffle
   * filters — see [[Blosc]]) plus v3's raw-zstd bytes→bytes codec,
   * v3's `transpose` array→array codec (permuted buffer walk, no
@@ -73,7 +74,11 @@ object ZarrMeta {
       // v3 `crc32c` bytes→bytes codec: the stored decode unit carries
       // a 4-byte little-endian CRC32C trailer over the preceding
       // bytes — verified and stripped before decompression
-      checksum: Boolean = false) extends Serializable {
+      checksum: Boolean = false,
+      // element byte order (v2 `>f8`-style dtypes / v3 `bytes` codec
+      // endian "big"): dtype is NORMALIZED to the `<`-prefixed form,
+      // this flag alone flips the decode buffer's order
+      bigEndian: Boolean = false) extends Serializable {
     def nDims: Int = shape.length
     /** Store key of a chunk: v2 keys are bare separator-joined coords;
       * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. For a
@@ -169,9 +174,13 @@ object ZarrMeta {
       s"order '${zarray.path("order").asText}' unsupported (need C)")
     require(zarray.path("filters").isNull,
       "zarr filters are unsupported")
-    val dtype = zarray.path("dtype").asText
-    require(Set("<f8", "<f4", "<i8", "<i4")(dtype),
-      s"dtype '$dtype' unsupported (little-endian f8/f4/i8/i4 only)")
+    val rawDtype = zarray.path("dtype").asText
+    require(Set("<f8", "<f4", "<i8", "<i4",
+        ">f8", ">f4", ">i8", ">i4")(rawDtype),
+      s"dtype '$rawDtype' unsupported (little/big-endian f8/f4/i8/i4 only)")
+    // normalize to the little-prefixed form; byte order rides the flag
+    val bigEndian = rawDtype.head == '>'
+    val dtype = "<" + rawDtype.drop(1)
     val comp = zarray.path("compressor")
     val compressor =
       if (comp.isNull) None
@@ -230,18 +239,19 @@ object ZarrMeta {
     }
     require(dims.length == shape.length,
       s"_ARRAY_DIMENSIONS rank ${dims.length} != shape rank ${shape.length}")
-    Meta(shape, chunks, dtype, compressor, fill, sep, dims)
+    Meta(shape, chunks, dtype, compressor, fill, sep, dims,
+      bigEndian = bigEndian)
   }
 
   /** Zarr FORMAT 3 array metadata (`zarr.json` — what zarr-python 3.x
     * writes by default). Same loud-rejection posture as v2: the
     * supported subset is regular chunk grids, an optional `transpose`
     * array→array codec, the `bytes` (little-endian) array→bytes
-    * codec, at most one compression codec of gzip / zstd (RFC 8878
-    * raw frame) / blosc, and an optional trailing `crc32c` checksum
-    * codec; `default` and `v2` chunk-key encodings; `dimension_names`
-    * (or the xarray attribute) for dim naming. Anything outside that
-    * chain shape, and non-little endianness, fail at schema
+    * codec (little OR big endian), at most one compression codec of
+    * gzip / zstd (RFC 8878 raw frame) / blosc, and an optional
+    * trailing `crc32c` checksum codec; `default` and `v2` chunk-key
+    * encodings; `dimension_names` (or the xarray attribute) for dim
+    * naming. Anything outside that chain shape fails at schema
     * inference, never mid-scan. */
   private def buildV3(node: com.fasterxml.jackson.databind.JsonNode): Meta = {
     require(node.path("zarr_format").asInt == 3,
@@ -295,7 +305,7 @@ object ZarrMeta {
     require(codecs.isArray && codecs.size >= 1,
       "zarr v3 array carries no codecs list")
     val names = codecs.elements.asScala.map(_.path("name").asText).toSeq
-    val (chunks, (compressor, checksum, order), shard) =
+    val (chunks, (compressor, checksum, order, bigEndian), shard) =
       if (names.head == "sharding_indexed") {
         require(names.size == 1,
           s"codec chain [${names.mkString(", ")}] unsupported (codecs " +
@@ -370,20 +380,21 @@ object ZarrMeta {
       s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
         "byte buffer bound; re-chunk the store")
     Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix, shard,
-      order, checksum)
+      order, checksum, bigEndian)
   }
 
   /** Codec chain of a plain array or a shard's inner chunks:
     * `[transpose?] bytes [gzip|zstd|blosc]? [crc32c]?` — an optional
-    * `transpose` array→array codec, the mandatory `bytes` (little-
-    * endian) array→bytes codec, at most one supported compression
+    * `transpose` array→array codec, the mandatory `bytes` (little or
+    * big endian) array→bytes codec, at most one supported compression
     * codec, and an optional trailing `crc32c` checksum (zarr-python's
     * chunk-level integrity codec). Returns ([[ZarrCodec]] compressor
-    * id, crc32c present, transpose order). Anything else fails loudly
-    * at schema inference — the no-silent-misread contract. */
+    * id, crc32c present, transpose order, big-endian). Anything else
+    * fails loudly at schema inference — the no-silent-misread
+    * contract. */
   private def parseByteChain(codecs: com.fasterxml.jackson.databind.JsonNode,
       names: Seq[String], rank: Int)
-      : (Option[String], Boolean, Option[Array[Int]]) = {
+      : (Option[String], Boolean, Option[Array[Int]], Boolean) = {
     var i = 0
     // optional leading transpose: order must be a true permutation of
     // 0..rank-1; the identity permutation is dropped (no-op walk)
@@ -404,8 +415,10 @@ object ZarrMeta {
       s"codec chain [${names.mkString(", ")}] unsupported (need the " +
         "'bytes' array->bytes codec after an optional transpose)")
     val endian = codecs.get(i).path("configuration").path("endian")
-    require(endian.isMissingNode || endian.asText == "little",
-      s"endian '${endian.asText}' unsupported (little only)")
+    require(endian.isMissingNode || endian.asText == "little" ||
+        endian.asText == "big",
+      s"endian '${endian.asText}' unsupported (little/big only)")
+    val bigEndian = !endian.isMissingNode && endian.asText == "big"
     i += 1
     val checksum = names.lastOption.contains("crc32c") && names.size > i
     val compNames = names.drop(i).dropRight(if (checksum) 1 else 0)
@@ -430,7 +443,7 @@ object ZarrMeta {
           s"codec '$other' unsupported (gzip/zstd/blosc only)")
       }
     }
-    (comp, checksum, order)
+    (comp, checksum, order, bigEndian)
   }
 }
 
@@ -607,7 +620,8 @@ private[zarr] object ZarrChunkIO {
       }
     require(bytes.length.toLong == chunkElems * meta.elemSize,
       s"chunk $key: ${bytes.length} bytes != $chunkElems elems × ${meta.elemSize}")
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    ByteBuffer.wrap(bytes).order(
+      if (meta.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
   }
 }
 

@@ -516,9 +516,9 @@ class ZarrSpec extends SparkTestBase {
       |"compressor":null,"fill_value":0,"order":"F","filters":null}""".stripMargin)
     meta("blosc", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<f8",
       |"compressor":{"id":"blosc"},"fill_value":0,"order":"C","filters":null}""".stripMargin)
-    meta("bigend", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":">f8",
+    meta("nativeend", """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"=f8",
       |"compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
-    Seq("forder", "blosc", "bigend").foreach { d =>
+    Seq("forder", "blosc", "nativeend").foreach { d =>
       val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
       assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
     }
@@ -809,6 +809,48 @@ class ZarrSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq, got.mkString(", "))
   }
 
+  test("golden big-endian stores: v3 bytes endian=big and v2 >f8 both decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // v3: the bytes codec declares endian "big" — literal big-endian
+    // doubles on disk must read back as the logical values
+    val base = graft.sources.IO.tmp("graft_zarr_be_")
+    val d3 = Paths.get(base, "v3")
+    Files.createDirectories(d3)
+    Files.writeString(d3.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[3],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[3]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],
+        |"dimension_names":["t"],
+        |"attributes":{}}""".stripMargin)
+    val b3 = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+    Seq(1.25, -2.5, 3.75).foreach(b3.putDouble)
+    val p3 = d3.resolve("c/0")
+    Files.createDirectories(p3.getParent)
+    Files.write(p3, b3.array())
+    assert(Zarr.readArray(spark, d3.toString).orderBy(col("t")).collect()
+      .map(_.getDouble(1)).toSeq == Seq(1.25, -2.5, 3.75))
+    // v2: dtype ">i4" (big-endian int32), raw chunks
+    val d2 = Paths.get(base, "v2")
+    Files.createDirectories(d2)
+    Files.writeString(d2.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":">i4",
+        |"compressor":null,"fill_value":0,"order":"C","filters":null,
+        |"dimension_separator":"."}""".stripMargin)
+    Files.writeString(d2.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t"]}""")
+    def c2(v0: Int, v1: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(v0); b.putInt(v1); b.array()
+    }
+    Files.write(d2.resolve("0"), c2(7, -8))
+    Files.write(d2.resolve("1"), c2(9, 1000000))
+    assert(Zarr.readArray(spark, d2.toString).orderBy(col("t")).collect()
+      .map(_.getInt(1)).toSeq == Seq(7, -8, 9, 1000000))
+  }
+
   test("golden v3 crc32c store: valid trailer reads; a flipped payload byte fails loudly") {
     import java.nio.{ByteBuffer, ByteOrder}
     val base = graft.sources.IO.tmp("graft_zarr_v3crc_")
@@ -900,12 +942,12 @@ class ZarrSpec extends SparkTestBase {
         |"chunk_shape":[2],
         |"codecs":[{"name":"sharding_indexed","configuration":{"chunk_shape":[1],
         |"codecs":[{"name":"bytes"}]}}]}}],""".stripMargin))
-    meta("bigend", arr(
-      """"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],"""))
+    meta("midend", arr(
+      """"codecs":[{"name":"bytes","configuration":{"endian":"middle"}}],"""))
     meta("f16", arr(
       """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""")
       .replace("float64", "float16"))
-    Seq("crcmid", "sharding", "shardnest", "bigend", "f16").foreach { d =>
+    Seq("crcmid", "sharding", "shardnest", "midend", "f16").foreach { d =>
       val e = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/$d"))
       assert(e.getMessage.contains("unsupported"), s"$d: ${e.getMessage}")
     }
