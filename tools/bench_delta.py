@@ -52,7 +52,9 @@ PAIR_RE = re.compile(r'"(q_\w+)":([0-9.eE+-]+)')
 # ingest-artifact pre-pass timings (memoized graph/pair builds): flat
 # {"name":sec,...} — names are NOT q_-prefixed, so a generic pair regex
 ARTS_RE = re.compile(r'"artifacts":\{([^}]*)\}')
-ANY_PAIR_RE = re.compile(r'"(\w+)":([0-9.eE+-]+)')
+# artifact names may carry '-', '.', etc. — match any quoted key so no
+# artifact is silently dropped from the pre-pass table
+ANY_PAIR_RE = re.compile(r'"([^"]+)":([0-9.eE+-]+)')
 
 
 def load_record(path):
