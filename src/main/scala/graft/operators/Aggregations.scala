@@ -809,10 +809,19 @@ object Aggregations {
         // array column; the aggregate expressions element_at into the
         // projected attribute, so the loop runs once per row (the
         // aggregate never collapses into its project child)
-        val ws = org.apache.spark.sql.GraftBridge.column(
-          graft.plans.BootstrapDraws(
-            org.apache.spark.sql.GraftBridge.expression(
-              col("rid").cast("string")), salt, b))
+        // NULL-id parity: the tree form's when-chain falls to
+        // .otherwise(5L) when the hashed uniform is NULL (null rid) —
+        // and the DuckDB oracle's CASE ... ELSE 5 does the same — but
+        // the fused expression is null-in/null-out, which would
+        // silently EXCLUDE null-id rows from the replicate sums.
+        // Coalescing to the all-5s array keeps the three paths
+        // bit-identical on any id column, not just non-null ones.
+        val ws = coalesce(
+          org.apache.spark.sql.GraftBridge.column(
+            graft.plans.BootstrapDraws(
+              org.apache.spark.sql.GraftBridge.expression(
+                col("rid").cast("string")), salt, b)),
+          array_repeat(lit(5L), b))
         val w = spreadBase.select(col("v"), ws.as("ws"))
         val s = (0 until b).flatMap(r => Seq(
           sum(element_at(col("ws"), r + 1) * xq).as(s"s$r"),

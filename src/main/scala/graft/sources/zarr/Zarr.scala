@@ -480,7 +480,17 @@ object Zarr {
     * codecs — byte-compatible with [[writeArrayV3Sharded]]'s goldens
     * and zarr-python's default shard layout. Each shard builds in a
     * task-attempt-unique temp file and atomically renames into place
-    * (zombie/speculative attempts can't interleave bytes). */
+    * (zombie/speculative attempts can't interleave bytes).
+    *
+    * OVERWRITE semantics: rewriting an existing store removes its
+    * `zarr.json` up front and republishes it only after every shard
+    * lands, so a FAILED rewrite leaves the store unreadable (data
+    * files intact, metadata absent) rather than silently readable
+    * with a mix of old and new shards — the deliberate trade: v3
+    * treats absent shards as fill, so stale metadata over a partial
+    * rewrite would serve WRONG values, while a missing zarr.json
+    * fails loudly. Callers who need old-data-readable-until-commit
+    * should write to a fresh directory and swap the path. */
   def writeArrayV3ShardedDistributed(df: DataFrame, dir: String,
       shape: Array[Long], shardShape: Array[Int], chunks: Array[Int],
       dims: Array[String], compressor: Option[String] = Some("zstd"),

@@ -1713,6 +1713,20 @@ class OperatorSemanticsSpec extends SparkTestBase {
     val treeC = Aggregations.bootstrapMeanImpl(const, col("id"), col("v"),
       100, "bs", nativeDraws = false).collect().head
     assert(rc.toSeq == treeC.toSeq, s"native $rc vs tree $treeC")
+    // NULL-id rows: the tree's when-chain (and the DuckDB oracle's
+    // CASE) weight a null-hashed uniform as 5 per replicate; the fused
+    // path must coalesce its null array to the same, never silently
+    // drop the row (n_rows counts it either way — a divergence shows
+    // in boot_se/CI, not just counts)
+    val withNull = (1L to 99L).map(i => (java.lang.Long.valueOf(i), i.toDouble))
+      .toDF("id", "v")
+      .union(Seq((Option.empty[java.lang.Long], 100.0)).toDF("id", "v"))
+    val nNative = Aggregations.bootstrapMean(withNull, col("id"), col("v"))
+      .collect().head
+    val nTree = Aggregations.bootstrapMeanImpl(withNull, col("id"), col("v"),
+      100, "bs", nativeDraws = false).collect().head
+    assert(nNative.toSeq == nTree.toSeq, s"null-id: native $nNative vs tree $nTree")
+    assert(nNative.getAs[Long]("n_rows") == 100L)
   }
 
   test("crossCorrelation: planted 2-day shift peaks at exactly 1.0, constant series NULLs") {
