@@ -63,7 +63,24 @@ object Zarr {
     * only chunks intersecting the index range are ever read (pinned in
     * ZarrSpec via the partition count). */
   def sliceByCoord(s: SparkSession, groupDir: String, varName: String,
-      dim: String, loVal: Double, hiVal: Double): DataFrame = {
+      dim: String, loVal: Double, hiVal: Double): DataFrame =
+    sliceByCoordImpl(s, groupDir, varName, dim, lit(loVal), lit(hiVal))
+
+  /** [[sliceByCoord]] over a TIMESTAMP-typed coordinate (a datetime64
+    * or CF-units time axis): the reference's filter-times-THEN-read
+    * (`sel(time=filtered_times)` after `pd.to_datetime`,
+    * precipitation_pipeline.py:91-101) against the store's own time
+    * encoding — the index range resolves through the decoded
+    * coordinate, chunk pruning engages identically. */
+  def sliceByTime(s: SparkSession, groupDir: String, varName: String,
+      dim: String, loVal: java.time.Instant, hiVal: java.time.Instant): DataFrame =
+    sliceByCoordImpl(s, groupDir, varName, dim,
+      lit(java.sql.Timestamp.from(loVal)), lit(java.sql.Timestamp.from(hiVal)))
+
+  private def sliceByCoordImpl(s: SparkSession, groupDir: String,
+      varName: String, dim: String,
+      loVal: org.apache.spark.sql.Column,
+      hiVal: org.apache.spark.sql.Column): DataFrame = {
     val meta = ZarrMeta.read(s"$groupDir/$varName")
     val d = meta.dims.indexOf(dim)
     require(d >= 0, s"dim '$dim' not in ${meta.dims.mkString(",")}")
@@ -128,6 +145,76 @@ object Zarr {
       }
       Files.write(d.resolve(cc.mkString(".")),
         ZarrCodec.compress(buf.array(), compressor))
+      ()
+    }
+    def expand(dd: Int, acc: Array[Int]): Unit =
+      if (dd == n) writeChunk(acc)
+      else (0 until counts(dd)).foreach(c => expand(dd + 1, acc :+ c))
+    expand(0, Array.empty)
+  }
+
+  /** Fixture-grade TYPED zarr v2 array writer: any supported dtype
+    * (incl. `<M8[unit]` datetime64 and big-endian twins) plus extra
+    * `.zattrs` entries (CF `units`/`calendar` — values are JSON
+    * literals, pre-quoted by the caller). `f` returns the element as
+    * a Double — exact for every fixture magnitude used (datetime64
+    * counts in minutes/hours/seconds stay far below 2^53). A NaN
+    * `fillValue` writes JSON null (NaT for datetime64). */
+  private[graft] def writeArrayTyped(dir: String, shape: Array[Long],
+      chunks: Array[Int], dims: Array[String], compressor: Option[String],
+      dtype: String, fillValue: Double, f: Array[Long] => Double,
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val big = dtype.head == '>'
+    val kind = if (dtype.drop(1).startsWith("M8")) "M8" else dtype.drop(1)
+    val esize = kind match {
+      case "M8" | "i8" | "f8" => 8
+      case "f4" | "i4" => 4
+      case "i2" => 2
+      case "i1" | "u1" | "b1" => 1
+    }
+    def put(buf: ByteBuffer, off: Int, v: Double): Unit = kind match {
+      case "f8" => buf.putDouble(off, v)
+      case "f4" => buf.putFloat(off, v.toFloat)
+      case "i8" | "M8" => buf.putLong(off, v.toLong)
+      case "i4" => buf.putInt(off, v.toInt)
+      case "i2" => buf.putShort(off, v.toShort)
+      case "i1" => buf.put(off, v.toByte)
+      case "u1" => buf.put(off, (v.toInt & 0xFF).toByte)
+      case "b1" => buf.put(off, if (v != 0.0) 1.toByte else 0.toByte)
+    }
+    val fillJson = if (fillValue.isNaN) "null" else fillValue.toString
+    Files.writeString(d.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
+         |"chunks":[${chunks.mkString(",")}],"dtype":"$dtype",
+         |"compressor":${ZarrCodec.json(compressor)},"fill_value":$fillJson,
+         |"order":"C","filters":null}""".stripMargin)
+    val attrs = (s""""_ARRAY_DIMENSIONS":[${dims.map("\"" + _ + "\"").mkString(",")}]""" +:
+      extraAttrs.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" })
+      .mkString(",")
+    Files.writeString(d.resolve(".zattrs"), s"{$attrs}")
+    val n = shape.length
+    val counts = shape.zip(chunks).map { case (s0, c) => ((s0 + c - 1) / c).toInt }
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    def writeChunk(cc: Array[Int]): Unit = {
+      val buf = ByteBuffer.allocate(chunkElems * esize)
+        .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Long](n)
+      (0 until chunkElems).foreach { p =>
+        var rem = p.toLong
+        var inBounds = true
+        var dd = n - 1
+        while (dd >= 0) {
+          idx(dd) = cc(dd).toLong * chunks(dd) + rem % chunks(dd)
+          rem /= chunks(dd)
+          if (idx(dd) >= shape(dd)) inBounds = false
+          dd -= 1
+        }
+        put(buf, p * esize, if (inBounds) f(idx) else 0.0) // padded edge
+      }
+      Files.write(d.resolve(cc.mkString(".")),
+        ZarrCodec.compress(buf.array(), compressor, esize))
       ()
     }
     def expand(dd: Int, acc: Array[Int]): Unit =
@@ -357,18 +444,26 @@ object Zarr {
     * last rename wins with a complete chunk either way.
     *
     * `df` must carry `dims` columns of integral indices in
-    * [0, shape_d) plus a `value` column castable to `<f8` (the dtype
-    * this writer emits). Files land on the task's filesystem —
+    * [0, shape_d) plus a `value` column castable to double (the
+    * shuffle carries doubles; the task encodes to `dtype` at put
+    * time with LOUD range/integrality checks — exact for f8 and for
+    * every integer dtype within double's 2^53 integer range, which
+    * the i8 check enforces). Files land on the task's filesystem —
     * correct on local[n]; a multi-node deployment points `dir` at
     * shared storage, a config (not code) change, same as every file
     * sink here. */
   def writeArrayDistributed(df: DataFrame, dir: String, shape: Array[Long],
       chunks: Array[Int], dims: Array[String], compressor: Option[String] = Some("zlib"),
-      fillValue: Double = 0.0): Unit = {
+      fillValue: Double = 0.0, dtype: String = "<f8"): Unit = {
     require(dims.length == shape.length && shape.length == chunks.length,
       s"rank mismatch: dims=${dims.length} shape=${shape.length} chunks=${chunks.length}")
-    require(chunks.map(_.toLong).product * 8 <= Int.MaxValue,
-      s"chunk of ${chunks.mkString("x")} f8 elements exceeds the 2^31-1 " +
+    val kind = dtype.drop(1)
+    require(dtype.head == '<' &&
+        Set("f8", "f4", "i8", "i4", "i2", "i1", "u1", "b1")(kind),
+      s"sink dtype '$dtype' unsupported (<f8/<f4/<i8/<i4/<i2/<i1/<u1/<b1)")
+    val esize = ZarrMeta.elemSizeOf(dtype)
+    require(chunks.map(_.toLong).product * esize <= Int.MaxValue,
+      s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
         "byte buffer bound; pick smaller chunks")
     val d = Paths.get(dir)
     Files.createDirectories(d)
@@ -386,9 +481,11 @@ object Zarr {
       .foreach(p => Files.deleteIfExists(p))
     finally tmpListing.close()
     val compJson = ZarrCodec.json(compressor)
+    // 1-byte dtypes carry numpy's '|' order char in stored metadata
+    val dtypeJson = if (esize == 1) "|" + kind else dtype
     Files.writeString(d.resolve(".zarray"),
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],
-         |"chunks":[${chunks.mkString(",")}],"dtype":"<f8",
+         |"chunks":[${chunks.mkString(",")}],"dtype":"$dtypeJson",
          |"compressor":$compJson,"fill_value":$fillValue,
          |"order":"C","filters":null}""".stripMargin)
     Files.writeString(d.resolve(".zattrs"),
@@ -400,6 +497,7 @@ object Zarr {
     val n = shape.length
     val (shapeC, chunksC, dimsC, dirC, compC, fillC) =
       (shape, chunks, dims, dir, compressor, fillValue)
+    val (kindC, esizeC) = (kind, esize)
     df.select(dims.map(c => col(c).cast("long").as(c)) :+
         col("value").cast("double").as("value"): _*)
       .withColumn("_chunk", chunkKey)
@@ -407,6 +505,25 @@ object Zarr {
       .sortWithinPartitions("_chunk")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val chunkElems = chunksC.map(_.toLong).product.toInt
+        // dtype encoder: double → stored element, LOUD on any value
+        // the dtype cannot hold exactly (silent truncation is the one
+        // unacceptable outcome on the write side too)
+        def checkInt(v: Double, lo: Double, hi: Double): Long = {
+          require(v == math.rint(v) && v >= lo && v <= hi,
+            s"value $v not an exact $kindC integer in [$lo, $hi]")
+          v.toLong
+        }
+        def putAt(buf: ByteBuffer, off: Int, v: Double): Unit = kindC match {
+          case "f8" => buf.putDouble(off, v)
+          case "f4" => buf.putFloat(off, v.toFloat)
+          case "i8" => // double holds integers exactly only to 2^53
+            buf.putLong(off, checkInt(v, -9007199254740992.0, 9007199254740992.0))
+          case "i4" => buf.putInt(off, checkInt(v, Int.MinValue, Int.MaxValue).toInt)
+          case "i2" => buf.putShort(off, checkInt(v, Short.MinValue, Short.MaxValue).toShort)
+          case "i1" => buf.put(off, checkInt(v, Byte.MinValue, Byte.MaxValue).toByte)
+          case "u1" => buf.put(off, checkInt(v, 0, 255).toByte)
+          case "b1" => buf.put(off, checkInt(v, 0, 1).toByte)
+        }
         // captured ONCE per task: a write straddling the spec's on/off
         // window must pair its increment and decrement consistently
         val instrumented = instrumentSink.get
@@ -420,7 +537,7 @@ object Zarr {
           // must not strand the temp file; after a successful move the
           // delete is a no-op on an absent path
           try {
-            Files.write(tmp, ZarrCodec.compress(buf.array(), compC))
+            Files.write(tmp, ZarrCodec.compress(buf.array(), compC, esizeC))
             Files.move(tmp, target,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -434,9 +551,10 @@ object Zarr {
           if (k != key) { // sorted by key: each chunk appears exactly once
             flush()
             key = k
-            buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+            buf = ByteBuffer.allocate(chunkElems * esizeC)
+              .order(ByteOrder.LITTLE_ENDIAN)
             var i = 0
-            while (i < chunkElems) { buf.putDouble(i * 8, fillC); i += 1 }
+            while (i < chunkElems) { putAt(buf, i * esizeC, fillC); i += 1 }
             if (instrumented) {
               val live = liveBuffers.incrementAndGet()
               var hw = liveBuffersHighWater.get()
@@ -454,7 +572,7 @@ object Zarr {
             p = p * chunksC(dd) + (idx % chunksC(dd))
             dd += 1
           }
-          buf.putDouble((p * 8).toInt, r.getDouble(n))
+          putAt(buf, (p * esizeC).toInt, r.getDouble(n))
         }
         flush()
       }
@@ -888,6 +1006,70 @@ object Zarr {
     }
   }
 
+  /** Time-axis fixture group — the reference's REAL store shape
+    * (precipitation_pipeline.py:91: a datetime64 `time` coordinate
+    * read via `pd.to_datetime`): `temp[time=50, level=6]` (f8, zlib,
+    * padded chunk edges both dims) with a datetime64 `<M8[m]` time
+    * coordinate (2020-01-01 in 30-minute steps), a plain f8 `level`
+    * coordinate, and `obs_end[time, level]` — an f8 variable carrying
+    * CF `units: "hours since 2000-01-01 06:00:00"` with fractional
+    * values (the other wild time encoding, xarray decode_cf's input).
+    * Built once per process. */
+  private val builtTime = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def timeGroup(s: SparkSession): String = {
+    val cur = builtTime.get
+    if (cur != null) cur
+    else {
+      val dir = graft.sources.IO.tmp("graft_zarr_time_")
+      writeArray(s"$dir/temp", Array(50L, 6L), Array(16, 4),
+        Array("time", "level"), Some("zlib"), 0.0,
+        i => (i(0) * 100 + i(1)).toDouble)
+      // minutes since 1970 at 2020-01-01T00:00Z = 1577836800 / 60
+      writeArrayTyped(s"$dir/time", Array(50L), Array(50), Array("time"),
+        None, "<M8[m]", Double.NaN,
+        i => (26297280L + 30L * i(0)).toDouble)
+      writeArray(s"$dir/level", Array(6L), Array(6), Array("level"), None,
+        0.0, i => i(0) * 12.5)
+      writeArrayTyped(s"$dir/obs_end", Array(50L, 6L), Array(16, 4),
+        Array("time", "level"), Some("zlib"), "<f8", 0.0,
+        i => i(0).toDouble + i(1) * 0.25,
+        extraAttrs = Map(
+          "units" -> "\"hours since 2000-01-01 06:00:00\"",
+          "calendar" -> "\"proleptic_gregorian\""))
+      if (builtTime.compareAndSet(null, dir)) dir else builtTime.get
+    }
+  }
+
+  /** Small-dtype fixture group — the mask/QC byte grids a real store
+    * carries (the reference probes a boolean land mask,
+    * precipitation_pipeline.py:160): bool, uint8 (values past 127 pin
+    * the unsigned widen), int16 in BOTH byte orders, int8 — all over
+    * a padded-edge chunk grid. Built once per process. */
+  private val builtDtypes = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def dtypeGroup(s: SparkSession): String = {
+    val cur = builtDtypes.get
+    if (cur != null) cur
+    else {
+      val dir = graft.sources.IO.tmp("graft_zarr_dt_")
+      val dims = Array("y", "x")
+      val shape = Array(9L, 14L)
+      val chunks = Array(4, 8) // padded edges both dims
+      writeArrayTyped(s"$dir/mask", shape, chunks, dims, Some("zlib"), "|b1",
+        0.0, i => if ((i(0) + i(1)) % 3 == 0) 1.0 else 0.0)
+      writeArrayTyped(s"$dir/qc", shape, chunks, dims, Some("zlib"), "|u1",
+        0.0, i => ((i(0) * 31 + i(1) * 7) % 256).toDouble)
+      writeArrayTyped(s"$dir/anom", shape, chunks, dims, Some("zlib"), "<i2",
+        0.0, i => (i(0) * 100 - i(1) * 50 - 3000).toDouble)
+      writeArrayTyped(s"$dir/anom_be", shape, chunks, dims, Some("zlib"), ">i2",
+        0.0, i => (i(0) * 100 - i(1) * 50 - 3000).toDouble)
+      writeArrayTyped(s"$dir/cat", shape, chunks, dims, Some("zlib"), "|i1",
+        0.0, i => ((i(0) * 3 + i(1)) % 200 - 100).toDouble)
+      if (builtDtypes.compareAndSet(null, dir)) dir else builtDtypes.get
+    }
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -971,6 +1153,68 @@ object Zarr {
         .orderBy(col("time_idx"), col("lat_idx"), col("lon_idx"))
     }),
 
+    // TIME-AXIS decode — the reference's real store shape
+    // (pd.to_datetime over a datetime64 time coordinate,
+    // precipitation_pipeline.py:91): the flatten joins a `<M8[m]`
+    // datetime64 coordinate (→ TimestampType) onto each row, and the
+    // CF-encoded variable ("hours since 2000-01-01 06:00", fractional
+    // f8 values) decodes through the chunked scan itself. A wrong
+    // unit scale, epoch, or rounding in either path breaks the hash
+    // against the oracle's independent interval arithmetic.
+    "q_scan_zarr_time" -> ((s, _) => {
+      val g = timeGroup(s)
+      toDataFrame(s, g, "temp")
+        .join(broadcast(toDataFrame(s, g, "obs_end")), Seq("time", "level"))
+        .select(col("time"), col("level"), col("temp"), col("obs_end"))
+        .orderBy(col("time"), col("level"))
+    }),
+
+    // SMALL-DTYPE matrix (bool / uint8 / int16 LE+BE / int8) through
+    // the same padded-edge chunk grid: a wrong width, sign, or byte
+    // order shifts or corrupts every value — any of them breaks the
+    // hash (uint8 values past 127 pin the unsigned widen; the BE
+    // twin of the int16 array pins the byte order)
+    "q_scan_zarr_dtypes" -> ((s, _) => {
+      val g = dtypeGroup(s)
+      def one(name: String) = readArray(s, s"$g/$name")
+        .select(lit(name).as("arr"), col("y"), col("x"),
+          col("value").cast("long").as("v"))
+      Seq("anom", "anom_be", "cat", "mask", "qc").map(one)
+        .reduce(_ unionAll _)
+        .orderBy(col("arr"), col("y"), col("x"))
+    }),
+
+    // the DISTRIBUTED sink → scan round trip across the small-dtype
+    // matrix: each array shuffles to its chunks, encodes at its own
+    // width (loud on any value the dtype can't hold), reads back
+    // through the connector — any loss in the per-dtype encode, fill
+    // init, or decode breaks the hash
+    "q_sink_zarr_dtypes" -> ((s, _) => {
+      val base = graft.sources.IO.tmp("graft_zarr_dt_sink_")
+      val rows = s.range(0L, 9L * 14).select(
+        expr("id div 14").as("y"), expr("id % 14").as("x"))
+      def sink(name: String, dtype: String,
+          v: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val out = s"$base/$name"
+        writeArrayDistributed(rows.withColumn("value", v), out,
+          Array(9L, 14L), Array(4, 8), Array("y", "x"), Some("zlib"),
+          0.0, dtype)
+        readArray(s, out).select(lit(name).as("arr"), col("y"), col("x"),
+          col("value").cast("long").as("v"))
+      }
+      Seq(
+        sink("anom", "<i2",
+          (col("y") * 100 - col("x") * 50 - 3000).cast("double")),
+        sink("cat", "<i1",
+          ((col("y") * 3 + col("x")) % 200 - 100).cast("double")),
+        sink("mask", "<b1",
+          when((col("y") + col("x")) % 3 === 0, 1.0).otherwise(0.0)),
+        sink("qc", "<u1",
+          ((col("y") * 31 + col("x") * 7) % 256).cast("double")))
+        .reduce(_ unionAll _)
+        .orderBy(col("arr"), col("y"), col("x"))
+    }),
+
     // the reference's actual read shape: open group, flatten to a
     // (time, lat, lon, var) table with coordinate VALUES on each row
     // (xr.open_dataset(...).to_dataframe, precipitation_pipeline.py:79-86)
@@ -1043,6 +1287,33 @@ object Zarr {
         |       CAST(t.g * 10000 + y.g * 100 + x.g AS DOUBLE) AS value
         |FROM generate_series(0, 5) t(g), generate_series(0, 19) y(g),
         |     generate_series(0, 29) x(g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_scan_zarr_time" ->
+      """SELECT TIMESTAMP '2020-01-01 00:00:00' + t.g * 30 * INTERVAL '1 minute' AS time,
+        |       l.g * 12.5 AS level,
+        |       CAST(t.g * 100 + l.g AS DOUBLE) AS temp,
+        |       TIMESTAMP '2000-01-01 06:00:00'
+        |         + to_microseconds(CAST((t.g + l.g * 0.25) * 3600000000 AS BIGINT)) AS obs_end
+        |FROM generate_series(0, 49) t(g), generate_series(0, 5) l(g)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_scan_zarr_dtypes" ->
+      """WITH g AS (SELECT y.g AS y, x.g AS x
+        |           FROM generate_series(0, 8) y(g), generate_series(0, 13) x(g))
+        |SELECT arr, y, x, v FROM (
+        |  SELECT 'anom' AS arr, y, x, CAST(y*100 - x*50 - 3000 AS BIGINT) AS v FROM g
+        |  UNION ALL SELECT 'anom_be', y, x, CAST(y*100 - x*50 - 3000 AS BIGINT) FROM g
+        |  UNION ALL SELECT 'cat', y, x, CAST((y*3 + x) % 200 - 100 AS BIGINT) FROM g
+        |  UNION ALL SELECT 'mask', y, x, CAST(CASE WHEN (y+x) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM g
+        |  UNION ALL SELECT 'qc', y, x, CAST((y*31 + x*7) % 256 AS BIGINT) FROM g)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sink_zarr_dtypes" ->
+      """WITH g AS (SELECT y.g AS y, x.g AS x
+        |           FROM generate_series(0, 8) y(g), generate_series(0, 13) x(g))
+        |SELECT arr, y, x, v FROM (
+        |  SELECT 'anom' AS arr, y, x, CAST(y*100 - x*50 - 3000 AS BIGINT) AS v FROM g
+        |  UNION ALL SELECT 'cat', y, x, CAST((y*3 + x) % 200 - 100 AS BIGINT) FROM g
+        |  UNION ALL SELECT 'mask', y, x, CAST(CASE WHEN (y+x) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM g
+        |  UNION ALL SELECT 'qc', y, x, CAST((y*31 + x*7) % 256 AS BIGINT) FROM g)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_scan_zarr_coords" ->
       """SELECT CAST(t.g * 3600 AS DOUBLE) AS time,

@@ -23,9 +23,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope: zarr format 2 (the subset the reference exercises) AND
   * format 3 reads (`zarr.json` — zarr-python 3.x's default output;
-  * the wild is migrating): C order, `<f8 <f4 <i8 <i4` (and their
-  * big-endian `>` twins) / `float64 float32 int64 int32` in either
-  * byte order, compressor `null`/zlib/gzip/blosc
+  * the wild is migrating): C order, `<f8 <f4 <i8 <i4 <i2 <i1 <u1 <b1`
+  * (multi-byte types also in big-endian `>`, 1-byte in numpy's `|`) /
+  * `float64 float32 int64 int32 int16 int8 uint8 bool` in either
+  * byte order, TIME AXES decoded to TimestampType — numpy datetime64
+  * (v2 `<M8[unit]` dtypes, v3's `numpy.datetime64` extension
+  * data_type; NaT → null) and CF-convention numeric coordinates
+  * (`units: "<unit> since <epoch>"` attributes, the encoding xarray's
+  * decode_cf reads; the reference's NASA POWER store carries exactly
+  * this shape, precipitation_pipeline.py:91) —
+  * compressor `null`/zlib/gzip/blosc
   * (lz4, lz4hc, zlib, zstd inner codecs, byte- and bit-shuffle
   * filters — see [[Blosc]]) plus v3's raw-zstd bytes→bytes codec,
   * v3's `transpose` array→array codec (permuted buffer walk, no
@@ -63,6 +70,21 @@ object ZarrMeta {
   final case class ShardInfo(shardChunks: Array[Int], indexAtEnd: Boolean,
       indexCrc32c: Boolean) extends Serializable
 
+  /** Time semantics of an array's values — the two ways a real store
+    * encodes a time axis (the reference's NASA POWER store carries a
+    * datetime64 `time` coordinate, precipitation_pipeline.py:91):
+    *  - numpy datetime64 dtype (v2 `<M8[unit]`, v3's numpy.datetime64
+    *    extension): int64 counts of `unitNanos` since the 1970 epoch,
+    *    Long.MinValue = NaT → null;
+    *  - CF-convention numeric coords (`units: "<unit> since <epoch>"`
+    *    attribute on an int/float array).
+    * Values decode to TimestampType micros:
+    * `epochMicros + raw * unitNanos / 1000` (exact integer arithmetic
+    * for integral dtypes; rounded for CF float values, whose µs
+    * magnitudes are exact in double for any realistic axis). */
+  final case class TimeInfo(unitNanos: Long, epochMicros: Long)
+      extends Serializable
+
   final case class Meta(shape: Array[Long], chunks: Array[Int], dtype: String,
       compressor: Option[String], fillValue: Double, dimSeparator: String,
       dims: Array[String], keyPrefix: String = "",
@@ -78,7 +100,10 @@ object ZarrMeta {
       // element byte order (v2 `>f8`-style dtypes / v3 `bytes` codec
       // endian "big"): dtype is NORMALIZED to the `<`-prefixed form,
       // this flag alone flips the decode buffer's order
-      bigEndian: Boolean = false) extends Serializable {
+      bigEndian: Boolean = false,
+      // time semantics: datetime64 dtype or CF units attr — when set,
+      // `value` decodes to TimestampType (nullable: NaT/NaN → null)
+      time: Option[TimeInfo] = None) extends Serializable {
     def nDims: Int = shape.length
     /** Store key of a chunk: v2 keys are bare separator-joined coords;
       * zarr v3's "default" chunk-key encoding prefixes `c<sep>`. For a
@@ -88,19 +113,31 @@ object ZarrMeta {
       keyPrefix + cc.mkString(dimSeparator)
     def chunkCounts: Array[Int] =
       shape.zip(chunks).map { case (s, c) => ((s + c - 1) / c).toInt }
-    def elemSize: Int = dtype.last match {
-      case '8' => 8
-      case '4' => 4
-    }
-    def valueType: DataType = dtype match {
-      case "<f8" => DoubleType
-      case "<f4" => FloatType
-      case "<i8" => LongType
-      case "<i4" => IntegerType
-    }
+    def elemSize: Int = ZarrMeta.elemSizeOf(dtype)
+    def valueType: DataType =
+      if (time.isDefined) TimestampType
+      else dtype match {
+        case "<f8" => DoubleType
+        case "<f4" => FloatType
+        case "<i8" => LongType
+        case "<i4" => IntegerType
+        case "<i2" => ShortType
+        case "<i1" => ByteType
+        case "<u1" => ShortType // unsigned byte widened (Spark has no u8)
+        case "<b1" => BooleanType
+      }
     def schema: StructType = StructType(
       dims.map(d => StructField(d, LongType, nullable = false)) :+
-        StructField("value", valueType, nullable = false))
+        // a time axis can carry NaT (datetime64 Long.MinValue) / NaN
+        // (CF float) — both decode to null, so only then is it nullable
+        StructField("value", valueType, nullable = time.isDefined))
+  }
+
+  private[zarr] def elemSizeOf(dtype: String): Int = dtype match {
+    case "<f8" | "<i8" | "<M8" => 8
+    case "<f4" | "<i4" => 4
+    case "<i2" => 2
+    case "<i1" | "<u1" | "<b1" => 1
   }
 
   /** Array metadata: the per-array `.zarray`/`.zattrs` documents, or —
@@ -166,6 +203,96 @@ object ZarrMeta {
         .path("consolidated_metadata").path("metadata").has(name)
     }
 
+  /** Fixed-length datetime64 / CF time units → nanoseconds. Y/M are
+    * calendar-dependent and rejected loudly (the CF recommendation). */
+  private def unitNanosOf(u: String): Long = u match {
+    case "W" | "weeks" | "week" => 604800000000000L
+    case "D" | "days" | "day" | "d" => 86400000000000L
+    case "h" | "hours" | "hour" | "hr" | "hrs" => 3600000000000L
+    case "m" | "minutes" | "minute" | "min" | "mins" => 60000000000L
+    case "s" | "seconds" | "second" | "sec" | "secs" => 1000000000L
+    case "ms" | "milliseconds" | "millisecond" => 1000000L
+    case "us" | "microseconds" | "microsecond" => 1000L
+    case "ns" | "nanoseconds" | "nanosecond" => 1L
+    case other => throw new IllegalArgumentException(
+      s"time unit '$other' unsupported (fixed-length units only — " +
+        "years/months are calendar-dependent)")
+  }
+
+  /** Epoch of a CF `units` attribute → micros since 1970 (UTC):
+    * `YYYY-MM-DD[ T]HH:MM:SS[.f][Z|+HH:MM]` or a bare date. */
+  private[zarr] def parseEpochMicros(s0: String): Long = {
+    val s = s0.trim.stripSuffix("Z").stripSuffix("UTC").trim
+    val norm = if (s.contains('T') || !s.contains(' ')) s
+      else s.replaceFirst(" ", "T")
+    val inst =
+      try {
+        if (!norm.contains('T'))
+          java.time.LocalDate.parse(norm).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC)
+        else
+          try java.time.LocalDateTime.parse(norm)
+            .toInstant(java.time.ZoneOffset.UTC)
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.OffsetDateTime.parse(norm).toInstant }
+      } catch { case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"CF epoch '$s0' unparseable (ISO date[time][offset] only)", e)
+      }
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+      (inst.getNano / 1000).toLong)
+  }
+
+  private val CfSinceRe = """(?i)^\s*([a-z]+)\s+since\s+(.+?)\s*$""".r
+
+  /** CF time decode from an array's attributes: a `units` attribute of
+    * the form "<unit> since <epoch>" makes a NUMERIC array a time
+    * axis (what xarray's decode_cf reads). Non-time units strings
+    * ("mm", "kg m-2") pass through as None; a "since" attr with an
+    * unsupported unit, epoch, or calendar fails loudly — silent
+    * misreads of a time axis are the one unacceptable outcome. */
+  private def cfTime(attrsOpt: Option[com.fasterxml.jackson.databind.JsonNode],
+      dtype: String): Option[TimeInfo] = attrsOpt.flatMap { attrs =>
+    val u = attrs.path("units")
+    if (!u.isTextual) None
+    else u.asText match {
+      case CfSinceRe(unit, epoch) =>
+        val cal = attrs.path("calendar")
+        require(!cal.isTextual || Set("standard", "gregorian",
+            "proleptic_gregorian")(cal.asText.toLowerCase),
+          s"CF calendar '${cal.asText}' unsupported (standard/gregorian/" +
+            "proleptic_gregorian map to timestamps; others cannot)")
+        require(dtype != "<M8",
+          "datetime64 dtype with CF 'units since' attrs is ambiguous — " +
+            "a datetime64 axis is already absolute")
+        require(Set("<f8", "<f4", "<i8", "<i4", "<i2")(dtype),
+          s"CF time units on dtype '$dtype' unsupported (numeric f8/f4/" +
+            "i8/i4/i2 only)")
+        Some(TimeInfo(unitNanosOf(unit.toLowerCase), parseEpochMicros(epoch)))
+      case _ => None // a plain physical-units attr, not a time axis
+    }
+  }
+
+  private val M8Re = """^([<>])M8\[([A-Za-z]+)\]$""".r
+
+  /** v2 dtype string → (normalized `<`-prefixed dtype, big-endian,
+    * datetime64 TimeInfo). 1-byte types use numpy's `|` order char
+    * (order-irrelevant); datetime64 normalizes to `<M8` with its
+    * bracket unit carried in TimeInfo (epoch 1970). */
+  private def normalizeDtype(raw: String): (String, Boolean, Option[TimeInfo]) =
+    raw match {
+      case M8Re(ord, unit) =>
+        ("<M8", ord == ">", Some(TimeInfo(unitNanosOf(unit), 0L)))
+      case _ =>
+        require(raw.length == 3 && "<>|".contains(raw.head),
+          s"dtype '$raw' unsupported")
+        val kind = raw.drop(1)
+        require(Set("f8", "f4", "i8", "i4", "i2", "i1", "u1", "b1")(kind),
+          s"dtype '$raw' unsupported (f8/f4/i8/i4/i2/i1/u1/b1/M8[unit] " +
+            "in either byte order)")
+        ("<" + kind, raw.head == '>' && elemSizeOf("<" + kind) > 1, None)
+    }
+
   private def build(zarray: com.fasterxml.jackson.databind.JsonNode,
       attrsOpt: Option[com.fasterxml.jackson.databind.JsonNode]): Meta = {
     require(zarray.path("zarr_format").asInt == 2,
@@ -175,12 +302,14 @@ object ZarrMeta {
     require(zarray.path("filters").isNull,
       "zarr filters are unsupported")
     val rawDtype = zarray.path("dtype").asText
-    require(Set("<f8", "<f4", "<i8", "<i4",
-        ">f8", ">f4", ">i8", ">i4")(rawDtype),
-      s"dtype '$rawDtype' unsupported (little/big-endian f8/f4/i8/i4 only)")
-    // normalize to the little-prefixed form; byte order rides the flag
-    val bigEndian = rawDtype.head == '>'
-    val dtype = "<" + rawDtype.drop(1)
+    val (dtype, bigEndian, m8Time) = normalizeDtype(rawDtype)
+    // time semantics: the dtype itself (datetime64) or a CF units attr
+    // on a numeric array — a store carrying both would be ambiguous
+    val cf = cfTime(attrsOpt, dtype)
+    require(m8Time.isEmpty || cf.isEmpty,
+      "datetime64 dtype with CF 'units since' attrs is ambiguous — " +
+        "a datetime64 axis is already absolute")
+    val time = m8Time.orElse(cf)
     val comp = zarray.path("compressor")
     val compressor =
       if (comp.isNull) None
@@ -212,13 +341,13 @@ object ZarrMeta {
     // a >2 GB chunk would silently truncate — refuse it at metadata
     // read, on BOTH the read and write paths (no sane store uses
     // chunks anywhere near this; zarr guidance is ~1-100 MB)
-    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
-    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
+    require(chunks.map(_.toLong).product * elemSizeOf(dtype) <= Int.MaxValue,
       s"chunk of ${chunks.mkString("x")} ${dtype} elements exceeds the 2^31-1 " +
         "byte buffer bound; re-chunk the store")
     val fillNode = zarray.path("fill_value")
     val fill =
-      if (fillNode.isNull) 0.0
+      // a datetime64 axis's null fill is NaT (reads as null), not 0
+      if (fillNode.isNull) { if (dtype == "<M8") Double.NaN else 0.0 }
       else if (fillNode.isTextual) fillNode.asText match {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity
@@ -240,7 +369,7 @@ object ZarrMeta {
     require(dims.length == shape.length,
       s"_ARRAY_DIMENSIONS rank ${dims.length} != shape rank ${shape.length}")
     Meta(shape, chunks, dtype, compressor, fill, sep, dims,
-      bigEndian = bigEndian)
+      bigEndian = bigEndian, time = time)
   }
 
   /** Zarr FORMAT 3 array metadata (`zarr.json` — what zarr-python 3.x
@@ -258,14 +387,43 @@ object ZarrMeta {
       s"zarr_format ${node.path("zarr_format")} unsupported (need 3)")
     require(node.path("node_type").asText == "array",
       s"node_type '${node.path("node_type").asText}' is not an array")
-    val dtype = node.path("data_type").asText match {
-      case "float64" => "<f8"
-      case "float32" => "<f4"
-      case "int64" => "<i8"
-      case "int32" => "<i4"
-      case other => throw new IllegalArgumentException(
-        s"data_type '$other' unsupported (float64/float32/int64/int32 only)")
-    }
+    val dtNode = node.path("data_type")
+    // data_type is a name string for core types, or an extension
+    // object — zarr-python 3 writes numpy datetime64 columns as
+    // {"name":"numpy.datetime64","configuration":{"unit":…,"scale_factor":…}}
+    val (dtype, m8Time) =
+      if (dtNode.isObject) dtNode.path("name").asText match {
+        case "numpy.datetime64" =>
+          val cfg = dtNode.path("configuration")
+          val unit = cfg.path("unit").asText
+          val sf = if (cfg.path("scale_factor").isMissingNode) 1L
+            else cfg.path("scale_factor").asLong
+          require(sf >= 1, s"numpy.datetime64 scale_factor $sf invalid")
+          ("<M8", Some(TimeInfo(
+            Math.multiplyExact(unitNanosOf(unit), sf), 0L)))
+        case other => throw new IllegalArgumentException(
+          s"extension data_type '$other' unsupported (numpy.datetime64 only)")
+      }
+      else (dtNode.asText match {
+        case "float64" => "<f8"
+        case "float32" => "<f4"
+        case "int64" => "<i8"
+        case "int32" => "<i4"
+        case "int16" => "<i2"
+        case "int8" => "<i1"
+        case "uint8" => "<u1"
+        case "bool" => "<b1"
+        case other => throw new IllegalArgumentException(
+          s"data_type '$other' unsupported (float64/float32/int64/int32/" +
+            "int16/int8/uint8/bool/numpy.datetime64 only)")
+      }, None)
+    // CF units attr on a numeric v3 array — same decode as v2
+    val attrsNode = node.path("attributes")
+    val cf = cfTime(if (attrsNode.isObject) Some(attrsNode) else None, dtype)
+    require(m8Time.isEmpty || cf.isEmpty,
+      "datetime64 data_type with CF 'units since' attrs is ambiguous — " +
+        "a datetime64 axis is already absolute")
+    val time = m8Time.orElse(cf)
     val shape = node.path("shape").elements.asScala.map(_.asLong).toArray
     val cg = node.path("chunk_grid")
     require(cg.path("name").asText == "regular",
@@ -356,7 +514,10 @@ object ZarrMeta {
       } else (shardChunks, parseByteChain(codecs, names, shape.length), None)
     val fillNode = node.path("fill_value")
     val fill =
-      if (fillNode.isMissingNode || fillNode.isNull) 0.0
+      if (fillNode.isMissingNode || fillNode.isNull) {
+        if (dtype == "<M8") Double.NaN else 0.0 // datetime null fill = NaT
+      }
+      else if (fillNode.isBoolean) { if (fillNode.asBoolean) 1.0 else 0.0 }
       else if (fillNode.isTextual) fillNode.asText match {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity
@@ -375,12 +536,11 @@ object ZarrMeta {
     // the 2^31-1 single-buffer bound applies to the DECODE unit (the
     // inner chunk for a sharded array — the shard itself is read by
     // range and may be arbitrarily large)
-    val elemBytes = dtype.last match { case '8' => 8L; case _ => 4L }
-    require(chunks.map(_.toLong).product * elemBytes <= Int.MaxValue,
+    require(chunks.map(_.toLong).product * elemSizeOf(dtype) <= Int.MaxValue,
       s"chunk of ${chunks.mkString("x")} $dtype elements exceeds the 2^31-1 " +
         "byte buffer bound; re-chunk the store")
     Meta(shape, chunks, dtype, compressor, fill, sep, dims, prefix, shard,
-      order, checksum, bigEndian)
+      order, checksum, bigEndian, time)
   }
 
   /** Codec chain of a plain array or a shard's inner chunks:
@@ -625,6 +785,21 @@ private[zarr] object ZarrChunkIO {
   }
 }
 
+/** Raw time counts → Spark TimestampType micros (UTC). Integral counts
+  * convert with exact integer arithmetic (multiplyExact fails loudly
+  * on the astronomically-far-future overflow instead of wrapping);
+  * CF float values round at the µs — exact in double for any
+  * realistic axis (µs magnitudes < 2^53 through year ~2255). */
+private[zarr] object ZarrTime {
+  def microsOfLong(raw: Long, ti: ZarrMeta.TimeInfo): Long =
+    Math.addExact(
+      Math.floorDiv(Math.multiplyExact(raw, ti.unitNanos), 1000L),
+      ti.epochMicros)
+  def microsOfDouble(v: Double, ti: ZarrMeta.TimeInfo): Long =
+    Math.addExact(Math.round(v * (ti.unitNanos.toDouble / 1000.0)),
+      ti.epochMicros)
+}
+
 class ZarrDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrMeta.read(options.get("path")).schema
@@ -802,19 +977,59 @@ class ZarrChunkReader(path: String, meta: ZarrMeta.Meta,
     pos < chunkElems
   }
 
+  // time decode (datetime64 / CF units): values box to TimestampType
+  // micros, NaT (Long.MinValue) and CF NaN to null
+  private val ti = meta.time.orNull
+  private def cfMicros(v: Double): Any =
+    if (v.isNaN) null else ZarrTime.microsOfDouble(v, ti)
+
   private def valueAt(p: Long): Any = buf match {
     case Some(b) => meta.dtype match {
-      case "<f8" => b.getDouble((p * 8).toInt)
-      case "<f4" => b.getFloat((p * 4).toInt)
-      case "<i8" => b.getLong((p * 8).toInt)
-      case "<i4" => b.getInt((p * 4).toInt)
+      case "<f8" =>
+        val v = b.getDouble((p * 8).toInt)
+        if (ti == null) v else cfMicros(v)
+      case "<f4" =>
+        val v = b.getFloat((p * 4).toInt)
+        if (ti == null) v else cfMicros(v.toDouble)
+      case "<i8" =>
+        val v = b.getLong((p * 8).toInt)
+        if (ti == null) v else ZarrTime.microsOfLong(v, ti)
+      case "<M8" =>
+        val v = b.getLong((p * 8).toInt)
+        if (v == Long.MinValue) null else ZarrTime.microsOfLong(v, ti)
+      case "<i4" =>
+        val v = b.getInt((p * 4).toInt)
+        if (ti == null) v else ZarrTime.microsOfLong(v.toLong, ti)
+      case "<i2" =>
+        val v = b.getShort((p * 2).toInt)
+        if (ti == null) v else ZarrTime.microsOfLong(v.toLong, ti)
+      case "<i1" => b.get(p.toInt)
+      case "<u1" => (b.get(p.toInt) & 0xFF).toShort // unsigned widen
+      case "<b1" => b.get(p.toInt) != 0
     }
-    case None => meta.dtype match { // missing chunk: fill value
-      case "<f8" => meta.fillValue
-      case "<f4" => meta.fillValue.toFloat
-      case "<i8" => meta.fillValue.toLong
-      case "<i4" => meta.fillValue.toInt
-    }
+    case None => fillAny // missing chunk: fill value
+  }
+
+  private lazy val fillAny: Any = meta.dtype match {
+    case "<f8" =>
+      if (ti == null) meta.fillValue else cfMicros(meta.fillValue)
+    case "<f4" =>
+      if (ti == null) meta.fillValue.toFloat else cfMicros(meta.fillValue)
+    case "<i8" =>
+      if (ti == null) meta.fillValue.toLong
+      else ZarrTime.microsOfLong(meta.fillValue.toLong, ti)
+    case "<M8" =>
+      if (meta.fillValue.isNaN) null // NaT fill
+      else ZarrTime.microsOfLong(meta.fillValue.toLong, ti)
+    case "<i4" =>
+      if (ti == null) meta.fillValue.toInt
+      else ZarrTime.microsOfLong(meta.fillValue.toLong, ti)
+    case "<i2" =>
+      if (ti == null) meta.fillValue.toShort
+      else ZarrTime.microsOfLong(meta.fillValue.toLong, ti)
+    case "<i1" => meta.fillValue.toByte
+    case "<u1" => meta.fillValue.toInt.toShort
+    case "<b1" => meta.fillValue != 0.0
   }
 
   override def get(): InternalRow = {
@@ -885,18 +1100,60 @@ class ZarrColumnarChunkReader(path: String, meta: ZarrMeta.Meta,
     inBounds
   }
 
+  // time decode (datetime64 / CF units): TimestampType vectors are
+  // long-backed micros; NaT / CF NaN vectorize as nulls
+  private val ti = meta.time.orNull
+  private def putCf(v: OnHeapColumnVector, row: Int, x: Double): Unit =
+    if (x.isNaN) v.putNull(row)
+    else v.putLong(row, ZarrTime.microsOfDouble(x, ti))
+
   private def putValue(v: OnHeapColumnVector, row: Int, p: Long): Unit = buf match {
     case Some(b) => meta.dtype match {
-      case "<f8" => v.putDouble(row, b.getDouble((p * 8).toInt))
-      case "<f4" => v.putFloat(row, b.getFloat((p * 4).toInt))
-      case "<i8" => v.putLong(row, b.getLong((p * 8).toInt))
-      case "<i4" => v.putInt(row, b.getInt((p * 4).toInt))
+      case "<f8" =>
+        if (ti == null) v.putDouble(row, b.getDouble((p * 8).toInt))
+        else putCf(v, row, b.getDouble((p * 8).toInt))
+      case "<f4" =>
+        if (ti == null) v.putFloat(row, b.getFloat((p * 4).toInt))
+        else putCf(v, row, b.getFloat((p * 4).toInt).toDouble)
+      case "<i8" =>
+        if (ti == null) v.putLong(row, b.getLong((p * 8).toInt))
+        else v.putLong(row, ZarrTime.microsOfLong(b.getLong((p * 8).toInt), ti))
+      case "<M8" =>
+        val raw = b.getLong((p * 8).toInt)
+        if (raw == Long.MinValue) v.putNull(row) // NaT
+        else v.putLong(row, ZarrTime.microsOfLong(raw, ti))
+      case "<i4" =>
+        if (ti == null) v.putInt(row, b.getInt((p * 4).toInt))
+        else v.putLong(row, ZarrTime.microsOfLong(b.getInt((p * 4).toInt).toLong, ti))
+      case "<i2" =>
+        if (ti == null) v.putShort(row, b.getShort((p * 2).toInt))
+        else v.putLong(row, ZarrTime.microsOfLong(b.getShort((p * 2).toInt).toLong, ti))
+      case "<i1" => v.putByte(row, b.get(p.toInt))
+      case "<u1" => v.putShort(row, (b.get(p.toInt) & 0xFF).toShort)
+      case "<b1" => v.putBoolean(row, b.get(p.toInt) != 0)
     }
     case None => meta.dtype match { // missing chunk: fill value
-      case "<f8" => v.putDouble(row, meta.fillValue)
-      case "<f4" => v.putFloat(row, meta.fillValue.toFloat)
-      case "<i8" => v.putLong(row, meta.fillValue.toLong)
-      case "<i4" => v.putInt(row, meta.fillValue.toInt)
+      case "<f8" =>
+        if (ti == null) v.putDouble(row, meta.fillValue)
+        else putCf(v, row, meta.fillValue)
+      case "<f4" =>
+        if (ti == null) v.putFloat(row, meta.fillValue.toFloat)
+        else putCf(v, row, meta.fillValue)
+      case "<i8" =>
+        if (ti == null) v.putLong(row, meta.fillValue.toLong)
+        else v.putLong(row, ZarrTime.microsOfLong(meta.fillValue.toLong, ti))
+      case "<M8" =>
+        if (meta.fillValue.isNaN) v.putNull(row) // NaT fill
+        else v.putLong(row, ZarrTime.microsOfLong(meta.fillValue.toLong, ti))
+      case "<i4" =>
+        if (ti == null) v.putInt(row, meta.fillValue.toInt)
+        else v.putLong(row, ZarrTime.microsOfLong(meta.fillValue.toLong, ti))
+      case "<i2" =>
+        if (ti == null) v.putShort(row, meta.fillValue.toShort)
+        else v.putLong(row, ZarrTime.microsOfLong(meta.fillValue.toLong, ti))
+      case "<i1" => v.putByte(row, meta.fillValue.toByte)
+      case "<u1" => v.putShort(row, meta.fillValue.toInt.toShort)
+      case "<b1" => v.putBoolean(row, meta.fillValue != 0.0)
     }
   }
 

@@ -105,6 +105,28 @@ class ZarrSpec extends SparkTestBase {
     assert(none.isEmpty && none.columns.toSeq == Seq("time", "lat", "lon", "precip"))
   }
 
+  test("sliceByTime: a TIMESTAMP slice prunes chunks through a datetime64 coord") {
+    // timeGroup: temp[time=50, level=6] in (16,4) chunks → 4×2 grid;
+    // time coord = 2020-01-01 + 30-min steps (<M8[m]). A slice over
+    // steps 16..31 (08:00..15:30) covers exactly the second time-chunk
+    // → 1 × 2 level-chunks = 2 of 8 partitions
+    val g = Zarr.timeGroup(spark)
+    val lo = java.time.Instant.parse("2020-01-01T08:00:00Z")
+    val hi = java.time.Instant.parse("2020-01-01T15:30:00Z")
+    val sliced = Zarr.sliceByTime(spark, g, "temp", "time", lo, hi)
+    assert(sliced.rdd.getNumPartitions == 2,
+      s"expected 2 pruned partitions, got ${sliced.rdd.getNumPartitions}")
+    assert(sliced.count() == 16 * 6)
+    val times = sliced.select("time").distinct().collect()
+      .map(_.getTimestamp(0).toInstant).sortBy(_.getEpochSecond)
+    assert(times.head == lo && times.last == hi && times.length == 16)
+    // an empty slice yields an empty frame with the full schema
+    val none = Zarr.sliceByTime(spark, g, "temp", "time",
+      java.time.Instant.parse("2031-01-01T00:00:00Z"),
+      java.time.Instant.parse("2032-01-01T00:00:00Z"))
+    assert(none.isEmpty && none.columns.toSeq == Seq("time", "level", "temp"))
+  }
+
   test("consolidated .zmetadata: the group reads with NO per-array metadata files") {
     // copy the climate group, consolidate, then DELETE every per-array
     // .zarray/.zattrs — everything must resolve through the one group
@@ -959,6 +981,263 @@ class ZarrSpec extends SparkTestBase {
       .replace(""""chunk_shape":[2]""", """"chunk_shape":[2,2]"""))
     val eo = intercept[IllegalArgumentException](ZarrMeta.read(s"$dir/badorder"))
     assert(eo.getMessage.contains("not a permutation"), eo.getMessage)
+  }
+
+  // ------------------------------------------------------------ time axes
+
+  test("datetime64 goldens: <M8[s], <M8[D], big-endian >M8[s]; NaT reads as null") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr_m8_")
+    def store(name: String, dtype: String, big: Boolean,
+        vals: Seq[Long]): String = {
+      val d = Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(".zarray"),
+        s"""{"zarr_format":2,"shape":[${vals.size}],"chunks":[${vals.size}],
+           |"dtype":"$dtype","compressor":null,"fill_value":null,
+           |"order":"C","filters":null}""".stripMargin)
+      Files.writeString(d.resolve(".zattrs"), """{"_ARRAY_DIMENSIONS":["t"]}""")
+      val b = ByteBuffer.allocate(vals.size * 8)
+        .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putLong)
+      Files.write(d.resolve("0"), b.array())
+      d.toString
+    }
+    // 2021-03-04T05:06:07Z = 1614834367 s since epoch
+    val sEpoch = 1614834367L
+    // seconds unit, little-endian, with a NaT sentinel in the middle
+    val le = store("s_le", "<M8[s]", big = false,
+      Seq(sEpoch, Long.MinValue, sEpoch + 90))
+    val rowsLe = Zarr.readArray(spark, le).orderBy(col("t")).collect()
+    assert(rowsLe(0).getTimestamp(1).toInstant ==
+      java.time.Instant.ofEpochSecond(sEpoch))
+    assert(rowsLe(1).isNullAt(1), "NaT must decode to null")
+    assert(rowsLe(2).getTimestamp(1).toInstant ==
+      java.time.Instant.ofEpochSecond(sEpoch + 90))
+    // the big-endian twin must decode to the same instants
+    val be = store("s_be", ">M8[s]", big = true,
+      Seq(sEpoch, Long.MinValue, sEpoch + 90))
+    val rowsBe = Zarr.readArray(spark, be).orderBy(col("t")).collect()
+    assert(rowsBe(0).getTimestamp(1) == rowsLe(0).getTimestamp(1))
+    assert(rowsBe(1).isNullAt(1))
+    assert(rowsBe(2).getTimestamp(1) == rowsLe(2).getTimestamp(1))
+    // days unit: D counts scale by 86400e6 µs (incl. pre-epoch)
+    val dd = store("d_le", "<M8[D]", big = false, Seq(-1L, 0L, 18993L))
+    val rowsD = Zarr.readArray(spark, dd).orderBy(col("t")).collect()
+    assert(rowsD(0).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("1969-12-31T00:00:00Z"))
+    assert(rowsD(1).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("1970-01-01T00:00:00Z"))
+    assert(rowsD(2).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2022-01-01T00:00:00Z"))
+    // schema: a time axis is nullable TimestampType
+    val sc = Zarr.readArray(spark, le).schema
+    assert(sc("value").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(sc("value").nullable)
+  }
+
+  test("CF units-since coords: int seconds exact, float days with fraction, missing chunk NaT fill") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr_cf_")
+    // i8 "seconds since 1970-01-01": raw counts ARE epoch seconds
+    val di = Paths.get(base, "isec")
+    Files.createDirectories(di)
+    Files.writeString(di.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"<i8",
+        |"compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
+    Files.writeString(di.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t"],"units":"seconds since 1970-01-01","calendar":"standard"}""")
+    val bi = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 86400L, 1614834367L).foreach(bi.putLong)
+    Files.write(di.resolve("0"), bi.array())
+    val ri = Zarr.readArray(spark, di.toString).orderBy(col("t")).collect()
+    assert(ri.map(_.getTimestamp(1).toInstant.getEpochSecond).toSeq ==
+      Seq(0L, 86400L, 1614834367L))
+    // f8 "days since 2020-01-01" with a half-day fraction, exact in µs
+    val df8 = Paths.get(base, "fday")
+    Files.createDirectories(df8)
+    Files.writeString(df8.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"<f8",
+        |"compressor":null,"fill_value":"NaN","order":"C","filters":null}""".stripMargin)
+    Files.writeString(df8.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t"],"units":"days since 2020-01-01"}""")
+    val bf = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 0.5, Double.NaN).foreach(bf.putDouble)
+    Files.write(df8.resolve("0"), bf.array())
+    val rf = Zarr.readArray(spark, df8.toString).orderBy(col("t")).collect()
+    assert(rf(0).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    assert(rf(1).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2020-01-01T12:00:00Z"))
+    assert(rf(2).isNullAt(1), "CF NaN must decode to null")
+    // missing chunk on a null-fill datetime64 array: every element NaT
+    val dm = Paths.get(base, "m8fill")
+    Files.createDirectories(dm)
+    Files.writeString(dm.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<M8[s]",
+        |"compressor":null,"fill_value":null,"order":"C","filters":null}""".stripMargin)
+    val rm = Zarr.readArray(spark, dm.toString).collect()
+    assert(rm.length == 2 && rm.forall(_.isNullAt(1)))
+    // row/columnar parity on a time axis (both readers, both dtype families)
+    import graft.sources.zarr.{ZarrChunkPartition, ZarrReaderFactory, ZarrMeta => ZM}
+    for (dir <- Seq(di.toString, df8.toString)) {
+      val meta = ZM.read(dir)
+      val fac = new ZarrReaderFactory(dir, meta, Array("t", "value"))
+      val part = ZarrChunkPartition(Array(0))
+      val rowReader = fac.createReader(part)
+      val rows = Iterator.continually(rowReader)
+        .takeWhile(_.next()).map(_.get().copy()).toVector
+      val colReader = fac.createColumnarReader(part)
+      val cols = Iterator.continually(colReader)
+        .takeWhile(_.next()).flatMap(_.get().rowIterator().asScala.map(_.copy()))
+        .toVector
+      assert(rows.size == cols.size && rows.nonEmpty)
+      rows.zip(cols).foreach { case (a, b) =>
+        assert(a.isNullAt(1) == b.isNullAt(1))
+        if (!a.isNullAt(1)) assert(a.getLong(1) == b.getLong(1))
+      }
+    }
+  }
+
+  test("time-axis rejects are LOUD: calendar-dependent units, exotic calendars, ambiguity") {
+    val base = graft.sources.IO.tmp("graft_zarr_cfrej_")
+    def store(name: String, dtype: String, attrs: String): String = {
+      val d = Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(".zarray"),
+        s"""{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"$dtype",
+           |"compressor":null,"fill_value":0,"order":"C","filters":null}""".stripMargin)
+      Files.writeString(d.resolve(".zattrs"), attrs)
+      d.toString
+    }
+    // months-since: calendar-dependent, must not silently misread
+    val em = intercept[IllegalArgumentException](ZarrMeta.read(store("months",
+      "<i4", """{"_ARRAY_DIMENSIONS":["t"],"units":"months since 2000-01-01"}""")))
+    assert(em.getMessage.contains("calendar-dependent"), em.getMessage)
+    // a 360_day calendar cannot map to timestamps
+    val ec = intercept[IllegalArgumentException](ZarrMeta.read(store("cal360",
+      "<i4", """{"_ARRAY_DIMENSIONS":["t"],"units":"days since 2000-01-01","calendar":"360_day"}""")))
+    assert(ec.getMessage.contains("calendar"), ec.getMessage)
+    // datetime64 dtype + CF units: ambiguous, reject
+    val ea = intercept[IllegalArgumentException](ZarrMeta.read(store("ambig",
+      "<M8[s]", """{"_ARRAY_DIMENSIONS":["t"],"units":"seconds since 2000-01-01"}""")))
+    assert(ea.getMessage.contains("ambiguous"), ea.getMessage)
+    // datetime64 year unit: calendar-dependent
+    val ey = intercept[IllegalArgumentException](ZarrMeta.read(store("m8y",
+      "<M8[Y]", """{"_ARRAY_DIMENSIONS":["t"]}""")))
+    assert(ey.getMessage.contains("calendar-dependent"), ey.getMessage)
+    // an unparseable CF epoch
+    val ee = intercept[IllegalArgumentException](ZarrMeta.read(store("badepoch",
+      "<i4", """{"_ARRAY_DIMENSIONS":["t"],"units":"days since whenever"}""")))
+    assert(ee.getMessage.contains("unparseable"), ee.getMessage)
+    // a plain physical-units attr is NOT a time axis — no decode, no error
+    val ok = ZarrMeta.read(store("mm", "<f8",
+      """{"_ARRAY_DIMENSIONS":["t"],"units":"kg m-2"}"""))
+    assert(ok.time.isEmpty &&
+      ok.valueType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("v3 numpy.datetime64 extension data_type decodes; scale_factor honored") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val d = Paths.get(graft.sources.IO.tmp("graft_zarr3_m8_"), "t")
+    Files.createDirectories(d)
+    // unit "s" scale_factor 60: each count is one minute
+    Files.writeString(d.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[3],
+        |"data_type":{"name":"numpy.datetime64","configuration":{"unit":"s","scale_factor":60}},
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[3]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":null,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"dimension_names":["t"],
+        |"attributes":{}}""".stripMargin)
+    val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    // 2020-01-01T00:00Z in minutes, +90 min, NaT
+    Seq(26297280L, 26297370L, Long.MinValue).foreach(b.putLong)
+    val p = d.resolve("c/0")
+    Files.createDirectories(p.getParent)
+    Files.write(p, b.array())
+    val rows = Zarr.readArray(spark, d.toString).orderBy(col("t")).collect()
+    assert(rows(0).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    assert(rows(1).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2020-01-01T01:30:00Z"))
+    assert(rows(2).isNullAt(1))
+  }
+
+  // ------------------------------------------------------------ small dtypes
+
+  test("v3 small dtypes: int16/int8/uint8/bool golden stores decode; v3 CF attrs too") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = graft.sources.IO.tmp("graft_zarr3_small_")
+    def store(name: String, dataType: String, bytes: Array[Byte],
+        attrs: String = "{}"): String = {
+      val d = Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("zarr.json"),
+        s"""{"zarr_format":3,"node_type":"array","shape":[4],
+           |"data_type":"$dataType",
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+           |"fill_value":0,
+           |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+           |"dimension_names":["t"],
+           |"attributes":$attrs}""".stripMargin)
+      val p = d.resolve("c/0")
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+      d.toString
+    }
+    val i16 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(-300, 0, 700, 32767).foreach(v => i16.putShort(v.toShort))
+    assert(Zarr.readArray(spark, store("i2", "int16", i16.array()))
+      .orderBy(col("t")).collect().map(_.getShort(1)).toSeq ==
+      Seq[Short](-300, 0, 700, 32767))
+    assert(Zarr.readArray(spark, store("i1", "int8",
+        Array[Byte](-100, 0, 5, 127)))
+      .orderBy(col("t")).collect().map(_.getByte(1)).toSeq ==
+      Seq[Byte](-100, 0, 5, 127))
+    // uint8 values past 127 pin the unsigned widen (stored 0xFF = 255)
+    assert(Zarr.readArray(spark, store("u1", "uint8",
+        Array[Byte](0, 1, -1, -128)))
+      .orderBy(col("t")).collect().map(_.getShort(1)).toSeq ==
+      Seq[Short](0, 1, 255, 128))
+    assert(Zarr.readArray(spark, store("b1", "bool",
+        Array[Byte](0, 1, 1, 0)))
+      .orderBy(col("t")).collect().map(_.getBoolean(1)).toSeq ==
+      Seq(false, true, true, false))
+    // v3 attributes carry CF units too (int32 hours since an epoch)
+    val h = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 1, 2, 3).foreach(h.putInt)
+    val cf = Zarr.readArray(spark, store("cf", "int32", h.array(),
+      """{"units":"hours since 2000-06-01"}"""))
+      .orderBy(col("t")).collect()
+    assert(cf(3).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2000-06-01T03:00:00Z"))
+  }
+
+  test("sink dtype encode is LOUD on values the dtype cannot hold") {
+    import org.apache.spark.sql.functions.lit
+    val rows = spark.range(0L, 4L).select(col("id").as("t"))
+      .withColumn("value", lit(256.0)) // u1 holds 0..255
+    val out = graft.sources.IO.tmp("graft_zarr_sinkrange_") + "/bad"
+    val e = intercept[Exception] {
+      Zarr.writeArrayDistributed(rows, out, Array(4L), Array(4),
+        Array("t"), None, 0.0, "<u1")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("not an exact u1")),
+      chain(e).mkString(" | "))
+    // fractional value into an integer dtype: same loud posture
+    val frac = spark.range(0L, 4L).select(col("id").as("t"))
+      .withColumn("value", lit(1.5))
+    val e2 = intercept[Exception] {
+      Zarr.writeArrayDistributed(frac, graft.sources.IO.tmp("graft_zarr_sinkfrac_") + "/bad",
+        Array(4L), Array(4), Array("t"), None, 0.0, "<i2")
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("not an exact i2")),
+      chain(e2).mkString(" | "))
   }
 }
 
