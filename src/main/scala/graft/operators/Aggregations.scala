@@ -958,6 +958,41 @@ object Aggregations {
       .orderBy(col("grp"))
   }
 
+  /** Driver-visible BAND CHECK over [[approxPercentiles]] — the
+    * oracle-eligible form of an approximate operator: re-count each
+    * estimate's exact rank interval [count(<)+1, count(<=)] in a
+    * second pass and assert it intersects the GK guarantee band
+    * target·n ± (n/accuracy + 1) (the +1 absorbs the target-rank
+    * rounding convention). The DuckDB twin asserts the booleans TRUE,
+    * so a sketch outside its own contract breaks the hash exactly
+    * like a wrong exact answer — no bit-parity pretended, the BAND is
+    * the contract. Two scans + one broadcast join of the per-group
+    * sketch row; both aggregations are map-side-combined counts. */
+  def approxPercentileBandCheck(df: DataFrame,
+      group: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      accuracy: Int = 10000): DataFrame = {
+    val est = approxPercentiles(df, group, value, accuracy)
+      .withColumnRenamed("grp", "egrp").withColumnRenamed("n", "en")
+    val base = df.select(group.as("grp"), value.as("v"))
+    val pcts = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val counts = count(lit(1)).as("n") +: pcts.flatMap { case (nm, _) => Seq(
+      sum(when(col("v") <= col(nm), 1L).otherwise(0L)).as(s"le_$nm"),
+      sum(when(col("v") < col(nm), 1L).otherwise(0L)).as(s"lt_$nm")) }
+    val agg = base.join(broadcast(est), base("grp") === est("egrp"))
+      .groupBy(col("grp"))
+      .agg(counts.head, counts.tail: _*)
+    val eps = 1.0 / accuracy
+    val checks = pcts.map { case (nm, p) =>
+      val band = col("n").cast("double") * eps + lit(1.0)
+      val lo = col("n").cast("double") * p - band
+      val hi = col("n").cast("double") * p + band
+      // the estimate's rank interval [lt+1, le] must intersect [lo, hi]
+      (col(s"le_$nm").cast("double") >= lo &&
+        (col(s"lt_$nm") + lit(1L)).cast("double") <= hi).as(s"${nm}_in_band")
+    }
+    agg.select(col("grp") +: col("n") +: checks: _*).orderBy(col("grp"))
+  }
+
   /** Ordered string aggregation (LISTAGG): per group, the member ids
     * concatenated in an EXPLICIT order — the "top offenders" /
     * "sample ids per stratum" report cell every BI surface renders.
@@ -1162,10 +1197,15 @@ object Aggregations {
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
-    // mergeable GK quantile sketch per return flag — approximate, so
-    // spec-banded (OperatorSemanticsSpec) instead of oracle-hashed
+    // mergeable GK quantile sketch per return flag, registered as a
+    // DRIVER-VISIBLE banded check: the estimates' exact ranks (second
+    // pass) must sit inside the sketch's own 1/accuracy guarantee —
+    // Spark emits the booleans, the oracle asserts them true, so a
+    // sketch drifting out of band breaks the hash like any wrong
+    // answer (the raw estimates stay spec-banded vs exact quantiles
+    // in OperatorSemanticsSpec; `approxPercentiles` is the operator)
     "q_agg_approx_percentile" -> ((s, d) =>
-      approxPercentiles(Tables.lineitem(s, d), col("l_returnflag"),
+      approxPercentileBandCheck(Tables.lineitem(s, d), col("l_returnflag"),
         col("l_extendedprice"))),
 
     // Key→value aggregation: one value per key, arg-max semantics
@@ -1729,6 +1769,14 @@ object Aggregations {
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the banded check's DuckDB twin: the engine's booleans assert the
+    // GK rank-error contract; the oracle asserts they all hold — a
+    // sketch outside its band hash-mismatches like any wrong answer
+    "q_agg_approx_percentile" ->
+      """SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p25_in_band, TRUE AS p50_in_band,
+        |       TRUE AS p75_in_band, TRUE AS p95_in_band
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_map_build" ->
       """SELECT c_nationkey,

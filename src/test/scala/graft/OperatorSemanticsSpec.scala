@@ -394,6 +394,13 @@ class OperatorSemanticsSpec extends SparkTestBase {
     for (k <- Seq(1, 7, 32))
       rankCheck(Aggregations.approxPercentiles(li.repartition(k),
         col("l_returnflag"), col("l_extendedprice")))
+    // the driver-visible band check (the registered query's shape)
+    // must agree: every boolean true, here at a much coarser accuracy
+    // than the registered default so the band itself does real work
+    val bc = Aggregations.approxPercentileBandCheck(li,
+      col("l_returnflag"), col("l_extendedprice"), accuracy = 100).collect()
+    assert(bc.nonEmpty && bc.forall(r => (2 to 5).forall(r.getBoolean)),
+      bc.mkString(" | "))
   }
 
   test("hive orders layout: per-sfDir isolation and stable memoization") {
