@@ -807,6 +807,16 @@ object Zarr {
       dims: Seq[String], chunks: Array[Int], compressor: Option[String] = Some("zlib"),
       fillValue: Double = 0.0, maxIndexSize: Int = 1 << 22): Unit = {
     val s = df.sparkSession
+    // TIME-typed dims round-trip: a TimestampType dim factorizes on
+    // its epoch-MICROS value (exact in double through year ~2255 —
+    // guarded below) and its coordinate array writes as `<M8[us]`
+    // datetime64, so toDataFrame over the written group returns the
+    // same TimestampType column — never a silently-retyped double
+    val isTs: Map[String, Boolean] = dims.map(dm =>
+      dm -> (df.schema(dm).dataType == org.apache.spark.sql.types.TimestampType)).toMap
+    def keyExpr(dm: String): org.apache.spark.sql.Column =
+      if (isTs(dm)) unix_micros(col(dm)).cast("double")
+      else col(dm).cast("double")
     // CARDINALITY pre-flight: the factorized index is one value per
     // distinct coordinate (the xarray index object — driver-resident
     // and broadcast). A non-grid column (a measurement mistyped as a
@@ -842,9 +852,9 @@ object Zarr {
     // the null count is over the CAST value — a string dim whose value
     // casts to null (e.g. "2020-01") must trip this guard too, not
     // just a literal null in the source column
-    val aggs = dims.map(dm => collect_set(col(dm).cast("double")).as(dm)) ++
+    val aggs = dims.map(dm => collect_set(keyExpr(dm)).as(dm)) ++
       dims.map(dm =>
-        count(when(col(dm).cast("double").isNull, 1)).as(s"__nulls_$dm")) :+
+        count(when(keyExpr(dm).isNull, 1)).as(s"__nulls_$dm")) :+
       count(lit(1)).as("__n")
     val sets = df.agg(aggs.head, aggs.tail: _*).head()
     require(sets.getLong(2 * dims.length) > 0,
@@ -862,11 +872,21 @@ object Zarr {
     }.toMap
     dims.foreach { dm =>
       val vals = coordVals(dm)
-      writeArray(s"$groupDir/$dm", Array(vals.length.toLong),
-        Array(vals.length), Array(dm), None, 0.0, i => vals(i(0).toInt))
+      if (isTs(dm)) {
+        // epoch-micros exactness bound for the double-keyed factorize
+        require(vals.forall(v => math.abs(v) < 9007199254740992.0),
+          s"writeGroupDistributed($groupDir): dim '$dm' carries a timestamp " +
+            "beyond ±2^53 µs (~year 2255) — the double-keyed factorization " +
+            "would round it")
+        writeArrayTyped(s"$groupDir/$dm", Array(vals.length.toLong),
+          Array(vals.length), Array(dm), None, "<M8[us]", Double.NaN,
+          i => vals(i(0).toInt))
+      } else
+        writeArray(s"$groupDir/$dm", Array(vals.length.toLong),
+          Array(vals.length), Array(dm), None, 0.0, i => vals(i(0).toInt))
     }
     var indexed = df.select(
-      dims.map(dm => col(dm).cast("double").as(dm)) :+
+      dims.map(dm => keyExpr(dm).as(dm)) :+
         col("value").cast("double").as("value"): _*)
     dims.foreach { dm =>
       import s.implicits._
@@ -1215,6 +1235,28 @@ object Zarr {
         .orderBy(col("arr"), col("y"), col("x"))
     }),
 
+    // the GROUP round trip with a TIMESTAMP dim — the write half of
+    // the time-axis story: a flattened frame whose `time` column is
+    // TimestampType factorizes on epoch micros, its coordinate array
+    // lands as `<M8[us]` datetime64, and the coords-joining read
+    // returns the same TimestampType values (never a silently-retyped
+    // double). Any loss in the µs factorization, datetime64 encode,
+    // or decode breaks the hash against the interval-arithmetic oracle.
+    "q_sink_zarr_time" -> ((s, _) => {
+      val out = graft.sources.IO.tmp("graft_zarr_time_sink_") + "/group"
+      val rows = s.range(0L, 48L * 5).select(
+        expr("id div 5").as("t"), expr("id % 5").as("st"))
+        .select(
+          timestamp_micros(lit(1577836800000000L) +
+            col("t") * 1800000000L).as("time"),
+          (col("st") * 2.5).as("station"),
+          (col("t") * 10 + col("st")).cast("double").as("value"))
+      writeGroupDistributed(rows, out, "reading",
+        Seq("time", "station"), Array(16, 5))
+      toDataFrame(s, out, "reading")
+        .orderBy(col("time"), col("station"))
+    }),
+
     // the reference's actual read shape: open group, flatten to a
     // (time, lat, lon, var) table with coordinate VALUES on each row
     // (xr.open_dataset(...).to_dataframe, precipitation_pipeline.py:79-86)
@@ -1315,6 +1357,12 @@ object Zarr {
         |  UNION ALL SELECT 'mask', y, x, CAST(CASE WHEN (y+x) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM g
         |  UNION ALL SELECT 'qc', y, x, CAST((y*31 + x*7) % 256 AS BIGINT) FROM g)
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_sink_zarr_time" ->
+      """SELECT TIMESTAMP '2020-01-01 00:00:00' + t.g * 30 * INTERVAL '1 minute' AS time,
+        |       s.g * 2.5 AS station,
+        |       CAST(t.g * 10 + s.g AS DOUBLE) AS reading
+        |FROM generate_series(0, 47) t(g), generate_series(0, 4) s(g)
+        |ORDER BY 1, 2""".stripMargin,
     "q_scan_zarr_coords" ->
       """SELECT CAST(t.g * 3600 AS DOUBLE) AS time,
         |       -90 + y.g * 0.5 AS lat,

@@ -1216,6 +1216,41 @@ class ZarrSpec extends SparkTestBase {
       java.time.Instant.parse("2000-06-01T03:00:00Z"))
   }
 
+  test("group sink: a TimestampType dim writes a <M8[us] coordinate and round-trips typed") {
+    import org.apache.spark.sql.functions.{expr, lit, timestamp_micros}
+    val out = graft.sources.IO.tmp("graft_zarr_tsgroup_") + "/g"
+    val rows = spark.range(0L, 12L).select(
+      timestamp_micros(lit(1577836800000000L) + col("id") * 3600000000L).as("time"),
+      (col("id") % lit(3)).cast("double").as("lev"),
+      col("id").cast("double").as("value"))
+    Zarr.writeGroupDistributed(rows, out, "v", Seq("time", "lev"), Array(4, 3))
+    // the stored coordinate IS datetime64 micros, not a retyped double
+    val meta = ZarrMeta.read(s"$out/time")
+    assert(meta.dtype == "<M8" && meta.time.exists(_.unitNanos == 1000L),
+      s"${meta.dtype} / ${meta.time}")
+    val back = Zarr.toDataFrame(spark, out, "v")
+    assert(back.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val times = back.select("time").distinct().collect()
+      .map(_.getTimestamp(0).toInstant).sortBy(_.getEpochSecond)
+    assert(times.head == java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    assert(times.length == 12 &&
+      times.last == java.time.Instant.parse("2020-01-01T11:00:00Z"))
+    // a timestamp beyond the ±2^53 µs double-exactness bound is LOUD
+    val far = spark.range(0L, 2L).select(
+      timestamp_micros(lit(9100000000000000000L) + col("id")).as("time"),
+      lit(0.0).as("lev"), col("id").cast("double").as("value"))
+    val e = intercept[Exception] {
+      Zarr.writeGroupDistributed(far,
+        graft.sources.IO.tmp("graft_zarr_tsfar_") + "/g", "v",
+        Seq("time", "lev"), Array(2, 1))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("2^53")),
+      chain(e).mkString(" | "))
+  }
+
   test("sink dtype encode is LOUD on values the dtype cannot hold") {
     import org.apache.spark.sql.functions.lit
     val rows = spark.range(0L, 4L).select(col("id").as("t"))
