@@ -1193,9 +1193,21 @@ object Aggregations {
 
     // HLL++ sketch — no oracle (approximate by design); asserted
     // within ±5% of exact in OperatorSemanticsSpec.
+    // HLL++ distinct, registered as a DRIVER-VISIBLE banded check (the
+    // q_agg_approx_percentile posture): the exact distinct count is
+    // recomputed alongside and the query asserts the estimate inside
+    // ±15% (3× the default 5% rsd — the estimate is deterministic for
+    // a fixed input, so the row is stable); the oracle re-derives the
+    // exact count and asserts the boolean TRUE. An estimator drifting
+    // out of its own error contract hash-mismatches like any wrong
+    // answer. The raw 5% band stays pinned in OperatorSemanticsSpec.
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("n_exact_parts"))
+        .select(col("n_exact_parts"),
+          (abs(col("approx").cast("double") - col("n_exact_parts").cast("double"))
+            <= col("n_exact_parts").cast("double") * 0.15).as("hll_in_band"))),
 
     // mergeable GK quantile sketch per return flag, registered as a
     // DRIVER-VISIBLE banded check: the estimates' exact ranks (second
@@ -1770,6 +1782,12 @@ object Aggregations {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // banded-check twin: exact distinct re-derived, the band boolean
+    // asserted TRUE (see the registered query's scaladoc)
+    "q_agg_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact_parts,
+        |       TRUE AS hll_in_band
+        |FROM lineitem""".stripMargin,
     // the banded check's DuckDB twin: the engine's booleans assert the
     // GK rank-error contract; the oracle asserts they all hold — a
     // sketch outside its band hash-mismatches like any wrong answer

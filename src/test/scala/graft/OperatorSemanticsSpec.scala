@@ -355,11 +355,14 @@ class OperatorSemanticsSpec extends SparkTestBase {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val approx = li.select(approx_count_distinct(col("l_partkey")))
       .head.getLong(0).toDouble
-    val exact = Tables.lineitem(spark, sf)
-      .select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
+    // the registered banded-check shape: exact count + band boolean
+    val row = SparkEntry.queries("q_agg_approx_distinct")(spark, sf).head
+    assert(row.getLong(0).toDouble == exact && row.getBoolean(1))
   }
 
   test("approxPercentiles: rank error inside the GK band, under any partitioning") {
