@@ -1183,8 +1183,14 @@ object Zarr {
     // against the oracle's independent interval arithmetic.
     "q_scan_zarr_time" -> ((s, _) => {
       val g = timeGroup(s)
+      // two variables of one cube joined on their dims (xarray's
+      // multi-variable to_dataframe): NO broadcast hint — both sides
+      // are cube-sized at scale, so AQE must pick (it broadcasts at
+      // fixture scale, sort-merges two chunk-partitioned scans at
+      // 100 TB); the join keys are decoded coordinate VALUES, exact
+      // on both sides because both decode the same stored coords
       toDataFrame(s, g, "temp")
-        .join(broadcast(toDataFrame(s, g, "obs_end")), Seq("time", "level"))
+        .join(toDataFrame(s, g, "obs_end"), Seq("time", "level"))
         .select(col("time"), col("level"), col("temp"), col("obs_end"))
         .orderBy(col("time"), col("level"))
     }),
