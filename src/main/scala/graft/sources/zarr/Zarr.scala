@@ -34,10 +34,41 @@ object Zarr {
       readArray(s, s"$groupDir/$varName").withColumnRenamed("value", varName), varName)
   }
 
+  /** MULTI-variable `to_dataframe` — xarray's actual flatten shape
+    * (every data variable of the Dataset lands as a column on one
+    * (dims..., var1, var2, …) table): same-dimensioned variables
+    * equi-join on their INDEX columns before the coordinate join, so
+    * the join keys are exact integers and the coords join once. At
+    * scale each side is a chunk-partitioned scan and the index join
+    * sort-merges; variables must share the lead variable's dims
+    * EXACTLY (xarray broadcasts mismatched dims — this engine rejects
+    * them loudly instead of silently exploding rows). */
+  def toDataFrame(s: SparkSession, groupDir: String,
+      varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "toDataFrame: no variables named")
+    val metas = varNames.map(v => v -> ZarrMeta.read(s"$groupDir/$v"))
+    val lead = metas.head._2
+    metas.foreach { case (v, m) =>
+      require(m.dims.sameElements(lead.dims),
+        s"toDataFrame($groupDir): variable '$v' has dims " +
+          s"[${m.dims.mkString(",")}] != lead [${lead.dims.mkString(",")}] — " +
+          "mismatched-dim variables need separate flattens (this engine " +
+          "does not silently broadcast)")
+    }
+    val joined = metas.map { case (v, _) =>
+      readArray(s, s"$groupDir/$v").withColumnRenamed("value", v)
+    }.reduce(_.join(_, lead.dims.toSeq))
+    joinCoordsMulti(s, groupDir, lead, joined, varNames)
+  }
+
   /** Swap each index column for the group's stored coordinate values
     * (dims with no coordinate array keep their integer index). */
   private def joinCoords(s: SparkSession, groupDir: String, meta: ZarrMeta.Meta,
-      in: DataFrame, varName: String): DataFrame = {
+      in: DataFrame, varName: String): DataFrame =
+    joinCoordsMulti(s, groupDir, meta, in, Seq(varName))
+
+  private def joinCoordsMulti(s: SparkSession, groupDir: String,
+      meta: ZarrMeta.Meta, in: DataFrame, varNames: Seq[String]): DataFrame = {
     var df = in
     meta.dims.foreach { dim =>
       if (ZarrMeta.hasArray(groupDir, dim)) {
@@ -50,7 +81,7 @@ object Zarr {
           .withColumnRenamed(s"__${dim}_val", dim)
       }
     }
-    df.select(meta.dims.map(col).toSeq :+ col(varName): _*)
+    df.select(meta.dims.map(col).toSeq ++ varNames.map(col): _*)
   }
 
   /** Coordinate-VALUE slice, the reference's `sel(time=filtered_times)`
@@ -1183,15 +1214,12 @@ object Zarr {
     // against the oracle's independent interval arithmetic.
     "q_scan_zarr_time" -> ((s, _) => {
       val g = timeGroup(s)
-      // two variables of one cube joined on their dims (xarray's
-      // multi-variable to_dataframe): NO broadcast hint — both sides
-      // are cube-sized at scale, so AQE must pick (it broadcasts at
-      // fixture scale, sort-merges two chunk-partitioned scans at
-      // 100 TB); the join keys are decoded coordinate VALUES, exact
-      // on both sides because both decode the same stored coords
-      toDataFrame(s, g, "temp")
-        .join(toDataFrame(s, g, "obs_end"), Seq("time", "level"))
-        .select(col("time"), col("level"), col("temp"), col("obs_end"))
+      // multi-variable to_dataframe (xarray's actual flatten): the two
+      // variables equi-join on exact INTEGER index columns before the
+      // coordinate values join once — at scale that's a sort-merge of
+      // two chunk-partitioned scans, no value-typed join keys, no
+      // broadcast of a cube-sized side
+      toDataFrame(s, g, Seq("temp", "obs_end"))
         .orderBy(col("time"), col("level"))
     }),
 

@@ -105,6 +105,25 @@ class ZarrSpec extends SparkTestBase {
     assert(none.isEmpty && none.columns.toSeq == Seq("time", "lat", "lon", "precip"))
   }
 
+  test("multi-variable to_dataframe: one table, dims exact-joined, mismatched dims LOUD") {
+    val g = Zarr.timeGroup(spark)
+    val multi = Zarr.toDataFrame(spark, g, Seq("temp", "obs_end"))
+    assert(multi.columns.toSeq == Seq("time", "level", "temp", "obs_end"))
+    assert(multi.count() == 50L * 6)
+    // row-identical to the manual per-variable flatten + dim join
+    val manual = Zarr.toDataFrame(spark, g, "temp")
+      .join(Zarr.toDataFrame(spark, g, "obs_end"), Seq("time", "level"))
+      .select(col("time"), col("level"), col("temp"), col("obs_end"))
+    assert(multi.exceptAll(manual).isEmpty && manual.exceptAll(multi).isEmpty)
+    // a variable with different dims must reject loudly, never
+    // silently broadcast/explode rows
+    Zarr.writeArray(s"$g/profile", Array(6L), Array(6), Array("level"),
+      None, 0.0, i => i(0) * 2.0)
+    val e = intercept[IllegalArgumentException](
+      Zarr.toDataFrame(spark, g, Seq("temp", "profile")))
+    assert(e.getMessage.contains("mismatched-dim"), e.getMessage)
+  }
+
   test("sliceByTime: a TIMESTAMP slice prunes chunks through a datetime64 coord") {
     // timeGroup: temp[time=50, level=6] in (16,4) chunks → 4×2 grid;
     // time coord = 2020-01-01 + 30-min steps (<M8[m]). A slice over
