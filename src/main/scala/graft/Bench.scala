@@ -1,8 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
-  * one JSON line of per-query seconds.
+/** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR.
   *
   * Methodology: the timed action is a noop-format write — it executes
   * the FULL physical plan (including sorts and projections that
@@ -10,6 +9,30 @@ import org.apache.spark.sql.SparkSession
   * A complete untimed warmup pass runs first so JVM/JIT/codegen
   * warmup is not attributed to whichever query happens to run first;
   * round-over-round comparisons then measure plans, not warmup noise.
+  *
+  * DRIVER VISIBILITY (two hard-won constraints, r16):
+  *
+  *  1. The harness captures only a BOUNDED TAIL of stdout (2000
+  *     chars). A full 300-query record with per-pass arrays is ~50 KB
+  *     — printed as one line it arrives front-truncated and never
+  *     parses (every r12–r16 record had `parsed: null` for exactly
+  *     this reason). So stdout gets a COMPACT line (total + a
+  *     headline-query subset + progress, kept under
+  *     [[CompactLineBudget]] chars) re-printed after EVERY query,
+  *     while the FULL record goes to [[recordPath]] on disk. A kill
+  *     at any point leaves the last complete compact line in the
+  *     tail and a complete partial record in the file.
+  *
+  *  2. The harness kills the whole sbt invocation on a wall budget
+  *     (r16: rc 124, zero output). The run therefore paces itself
+  *     against SPARK_GRAFT_BENCH_BUDGET_S (default
+  *     [[DefaultBudgetSec]], measured from main entry): after the
+  *     warmup pass it plans the largest pass count (≤3) that fits,
+  *     degrades mid-run if the projection slips, and as a last
+  *     resort reports a query's net warmup time instead of timing it
+  *     (recorded in `degraded` — never silently). Setting
+  *     SPARK_GRAFT_BENCH_PASSES without a budget pins the pass count
+  *     and disables pacing (the dev/probe workflow: min-of-5 runs).
   */
 object Bench {
   /** Quiet-machine reference for the calibration probe (seconds),
@@ -31,6 +54,46 @@ object Bench {
     * CPU-count-invariant (the driver runs 32; 32 × 12.5M = the 400M-row
     * probe the reference value was measured on). */
   val CalibrationRowsPerSlice = 12500000L
+
+  /** Default main-entry wall budget (seconds). The r15 record (rc 0)
+    * completed at 2729 s of sbt wall; r16 (4 more queries + two
+    * banded-check reshapes) was killed — the harness limit sits just
+    * above 2729. sbt compile + JVM + session startup run BEFORE main
+    * entry (~300–450 s on a fresh checkout), so the in-main default
+    * leaves that much headroom under a ~2800 s external limit. */
+  val DefaultBudgetSec = 2000.0
+
+  /** Max chars for the compact stdout line, chosen under the 2000-char
+    * tail capture with margin for the sbt "[info] " prefix and the
+    * trailing "[success] Total time" line. */
+  val CompactLineBudget = 1800
+
+  /** Headline subset for the compact stdout line: the flagship
+    * composites, the expensive tails (graph census, LSH dedup,
+    * interval overlap), and one representative per major family. The
+    * FULL per-query map lives in the file record; this subset exists
+    * only because ~44 entries is what fits the tail capture. */
+  val Headline: Seq[String] = Seq(
+    "q_climate_composite", "q_temperature_composite",
+    "q_humidity_composite", "q_population_composite",
+    "q_graph_triangles", "q_graph_pagerank", "q_graph_components",
+    "q_graph_jaccard",
+    "q_dedup_near", "q_dedup_cluster", "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_similarity_topk", "q_similarity_ivfpq", "q_embed_kmeans",
+    "q_search_hybrid",
+    "q_text_bpe_train", "q_text_tfidf", "q_text_quality",
+    "q_text_lang_id",
+    "q_join_asof", "q_join_interval_overlap", "q_join_salted",
+    "q_join_broadcast",
+    "q_window_moving_avg", "q_sessionize", "q_agg_percentile",
+    "q_agg_cube",
+    "q_scan_parquet", "q_scan_zarr", "q_sink_zarr",
+    "q_sink_partitioned",
+    "q_sort", "q_topk", "q_stream_tumbling", "q_time_resample",
+    "q_stats_ols2", "q_multimodal_image", "q_mix_proportions",
+    "q_sample_stratified",
+    "q_select_dsir", "q_scd2_build", "q_pack_sequences", "q_fn_math")
 
   /** Queries whose timed passes consume a memoized INGEST-time
     * artifact (ProcessCache): their round-over-round deltas measure
@@ -76,7 +139,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Short stable hash of the canonicalized optimized plan. Two
+    * records sharing a query's fingerprint ran the SAME logical plan —
+    * bench_delta auto-clears a flagged delta on fingerprint equality
+    * (environment variance by construction) instead of a human
+    * re-adjudicating plan-identical lines every contended close.
+    * Caveats: plans over per-run temp paths (sink read-backs) differ
+    * every run, and a custom expression's INTERNAL change keeps its
+    * fingerprint — deliberate internal changes still carry a note. */
+  def planFingerprint(df: DataFrame): String =
+    try {
+      val s = df.queryExecution.optimizedPlan.canonicalized.toString
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - tMain) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -92,8 +172,133 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def exec(name: String, fn: Q): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "bench_record.json")
+
+    val budgetEnv = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+    val passesEnv = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+    // explicit pass count with no explicit budget = dev/probe mode:
+    // exact passes, no pacing (a min-of-5 probe must never degrade)
+    val fixedPasses = passesEnv.isDefined && budgetEnv.isEmpty
+    val budget = budgetEnv.getOrElse(DefaultBudgetSec)
+    val maxPasses = passesEnv.getOrElse(3)
+
+    // ---- state, updated incrementally and persisted after every query
+    val warmNet = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val planFp = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val perPass = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val finalSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val degraded = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val startTs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    final case class Cal(sweep: Int, pos: Int, t: Double, sec: Double)
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Cal]
+    var sweepsRun = 0
+    var warmupCompleted = 0
+
+    // warmup phase: warmed queries; timed/done: queries with a FINAL
+    // number (a provisional warmup value does not count as progress)
+    def progress(phase: String): String = {
+      val n = if (phase == "warmup") finalSec.size else perPass.size + degraded.size
+      s"$n/${queries.size}"
+    }
+
+    def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // band ratio for query index i: per timed sweep, the WORSE of the
+    // two probes that bracket it in run order; across sweeps, the MIN
+    // of those brackets. The per-query min comes from its best sweep —
+    // contention only inflates that min if it covered EVERY sweep's
+    // window for this query, which necessarily inflates the bracketing
+    // probes of every sweep too. One clean sweep ⇒ clean band ratio.
+    def bandRatio(i: Int): Double = {
+      val perSweep = calSamples.groupBy(_.sweep).values.flatMap { ss =>
+        val before = ss.filter(_.pos <= i)
+        val after = ss.filter(_.pos > i)
+        if (before.isEmpty || after.isEmpty) None
+        else Some(math.max(before.maxBy(_.pos).sec, after.minBy(_.pos).sec) / CalibrationRefSec)
+      }
+      if (perSweep.isEmpty) 1.0 else perSweep.min
+    }
+
+    /** Full record JSON from current state. Same shape every call so a
+      * kill at any moment leaves a complete, parseable partial record. */
+    def recordJson(phase: String): String = {
+      val qs = jmap(finalSec.map { case (k, v) => k -> fmt(v) })
+      val pp = jmap(perPass.map { case (k, ts) => k -> ts.map(fmt).mkString("[", ",", "]") })
+      val ts = jmap(startTs.map { case (k, t) => k -> fmt(t) })
+      val names = queries.map(_._1)
+      val bands = jmap(names.zipWithIndex
+        .filter { case (n, _) => finalSec.contains(n) }
+        .map { case (n, i) => n -> fmt(bandRatio(i)) })
+      val contended = names.zipWithIndex.collect {
+        case (n, i) if finalSec.contains(n) && bandRatio(i) > CalibrationTolerance =>
+          "\"" + n + "\""
+      }.mkString("[", ",", "]")
+      val errs = finalSec.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = finalSec.values.filter(_ >= 0).sum
+      val sortedCal = calSamples.map(_.sec).sorted
+      val calMedian = if (sortedCal.isEmpty) CalibrationRefSec else sortedCal(sortedCal.size / 2)
+      val calRatio = calMedian / CalibrationRefSec
+      val contaminated = calRatio > CalibrationTolerance
+      val samplesJson = calSamples.map { c =>
+        s"""{"pos":${c.pos},"t":${fmt(c.t)},"sec":${fmt(c.sec)},"ratio":${fmt(c.sec / CalibrationRefSec)}}"""
+      }.mkString("[", ",", "]")
+      val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":$samplesJson,"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
+      // ingest-time artifact builds (all landed in the untimed warmup):
+      // per-key wall seconds + the static query -> keys consumption map
+      val arts = jmap(ProcessCache.builds.toSeq.sortBy(_._1)
+        .map { case (k, v) => k.takeWhile(_ != ':') -> fmt(v) })
+      val consumers = jmap(ArtifactConsumers.toSeq.sortBy(_._1)
+        .map { case (q, ks) => q -> ks.map("\"" + _ + "\"").mkString("[", ",", "]") })
+      val fps = jmap(planFp.map { case (k, v) => k -> ("\"" + v + "\"") })
+      val degJson = jmap(degraded.map { case (k, v) => k -> ("\"" + v + "\"") })
+      val bud = s"""{"budget_s":${fmt(budget)},"elapsed_s":${fmt(elapsed())},"fixed_passes":$fixedPasses,"max_passes":$maxPasses,"sweeps_run":$sweepsRun,"warmup_completed":$warmupCompleted,"phase":"$phase","progress":"${progress(phase)}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"artifacts":$arts,"artifact_consumers":$consumers,"plan_fp":$fps,"degraded":$degJson,"budget":$bud,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}"""
+    }
+
+    def writeRecord(phase: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(recordPath)
+        val tmp = java.nio.file.Paths.get(recordPath + ".tmp")
+        java.nio.file.Files.writeString(tmp, recordJson(phase) + "\n")
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $recordPath: ${e.getMessage}") }
+
+    /** Compact driver-visible line: total + headline subset, hard-capped
+      * at [[CompactLineBudget]] chars so the tail capture holds the
+      * whole line. Re-printed after every query — the LAST complete
+      * line in the tail is always the freshest state. */
+    def printCompact(phase: String, calRatio: Option[Double]): Unit = {
+      val total = finalSec.values.filter(_ >= 0).sum
+      val nErr = finalSec.values.count(_ < 0)
+      val headline = Headline.filter(finalSec.contains)
+      val fill = finalSec.keys.filterNot(headline.toSet).toSeq
+        .take(math.max(0, 44 - headline.size))
+      var sel = (headline ++ fill).sorted
+      def line(s: Seq[String]): String = {
+        val qs = jmap(s.map(k => k -> fmt3(finalSec(k))))
+        val calPart = calRatio.map(r => s""","calibration_ratio":${fmt3(r)}""").getOrElse("")
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","progress":"${progress(phase)}","errors":$nErr$calPart,"record":"$recordPath"}"""
+      }
+      var out = line(sel)
+      while (out.length > CompactLineBudget && sel.nonEmpty) {
+        sel = sel.dropRight(math.max(1, sel.size / 8))
+        out = line(sel)
+      }
+      println(out)
+    }
+
+    def runPlan(name: String, fn: Q): Unit = {
+      val df = fn(spark, sfDir)
+      if (!planFp.contains(name)) planFp(name) = planFingerprint(df)
+      df.write.format("noop").mode("overwrite").save()
+    }
+
     // explicit pre-build of the bucketed tables: their one-time ingest
     // ("pay the distribution once at ingest") must never be attributed
     // to the timed pass — q_join_bucketed measures the ZERO-exchange
@@ -101,103 +306,148 @@ object Bench {
     if (only.forall(_.contains("q_join_bucketed")))
       try graft.operators.Joins.bucketedJoin(spark, sfDir)
       catch { case _: Throwable => () }
-    // untimed warmup: full pass (codegen compile, parquet footer cache)
+
+    // ---- untimed warmup: full pass (codegen compile, parquet footer
+    // cache, artifact builds). Per-query NET seconds (gross minus any
+    // ProcessCache builds it triggered) feed the pass planner and the
+    // warmup-only fallback. Aborts at 60% of budget — a cold timed
+    // pass beats no record at all.
+    val warmStop = 0.6 * budget
+    var warming = true
     queries.foreach { case (n, f) =>
-      try exec(n, f) catch { case _: Throwable => () }
+      if (warming && !fixedPasses && elapsed() > warmStop && warmupCompleted > 0) {
+        warming = false
+        System.err.println(s"[bench] warmup aborted after $warmupCompleted/${queries.size} (${fmt(elapsed())} s > ${fmt(warmStop)} s)")
+      }
+      if (warming || fixedPasses) {
+        val b0 = ProcessCache.builds.values.sum
+        val t0 = System.nanoTime()
+        val ok = try { runPlan(n, f); true } catch { case _: Throwable => false }
+        val gross = (System.nanoTime() - t0) / 1e9
+        if (ok) {
+          warmNet(n) = math.max(0.0, gross - (ProcessCache.builds.values.sum - b0))
+          finalSec(n) = warmNet(n) // provisional; timed passes overwrite
+          warmupCompleted += 1
+          if (warmupCompleted % 25 == 0) {
+            writeRecord("warmup"); printCompact("warmup", None)
+          }
+        }
+      }
     }
-    // a failed query reports -1, never a bogus "fast" time — silent
-    // failure would read as a speedup in round-over-round comparisons.
-    // MIN-OF-N timed passes: a background process on the machine can
-    // inflate one pass, never all of them, so the min is the
-    // contention-proof per-query time (a single-shot record once forged
-    // a 22x phantom regression under builder contention).
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    writeRecord("warmup")
+    printCompact("warmup", None)
+
+    // ---- timed section, structured as FULL SWEEPS over the query
+    // list. A failed query reports -1, never a bogus "fast" time —
+    // silent failure would read as a speedup in round-over-round
+    // comparisons. MIN-OF-N sweeps: a background process on the
+    // machine can inflate one sweep's window for a query, never all
+    // of them, so the min is the contention-proof per-query time (a
+    // single-shot record once forged a 22x phantom regression under
+    // builder contention). Sweeps — not back-to-back passes — make
+    // the budget decision exact: sweep k's measured wall predicts
+    // sweep k+1, so "does another pass fit?" never relies on the
+    // codegen-inflated warmup estimate (which over-reads a warm pass
+    // 2–4x and would under-plan passes).
     // CALIBRATION: probes are interleaved every [[calEvery]] queries
-    // through the timed section (plus one before and one after), each
-    // tagged with its queue position and wall-clock offset. min-of-N
-    // defeats a transient spike but NOT sustained contention across all
-    // N passes of a query; a *band* of queries inflated by a ~15-min
-    // external load once passed the global-median gate because three
-    // sparse probes straddled it. With dense probes every query gets a
-    // per-query BAND RATIO (the worse of its two bracketing probes), so
-    // a contention band self-flags inside the record instead of forging
-    // per-query "regressions" a judge must adjudicate later.
+    // through each sweep (plus one before and one after), each tagged
+    // with sweep + queue position and wall-clock offset. min-of-N
+    // defeats a transient spike but NOT sustained contention across
+    // every sweep's window for a query; with dense probes every query
+    // gets a per-sweep bracket and the record keeps the min across
+    // sweeps, so a contention band self-flags inside the record
+    // instead of forging per-query "regressions" a judge must
+    // adjudicate later.
+    val calEvery = 20
+    val probeEst = (queries.size / calEvery + 2) * 0.7
+    val margin = 60.0
+    val meanWarm = if (warmNet.isEmpty) 1.0 else warmNet.values.sum / warmNet.size
     calibrationProbe(spark) // untimed warmup of the probe's codegen
-    final case class Cal(pos: Int, t: Double, sec: Double)
     val epoch = System.nanoTime()
     def now(): Double = (System.nanoTime() - epoch) / 1e9
-    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Cal]
-    def probe(pos: Int): Unit = {
-      val t = now(); calSamples += Cal(pos, t, calibrationProbe(spark))
+    def probe(sweep: Int, pos: Int): Unit = {
+      val t = now(); calSamples += Cal(sweep, pos, t, calibrationProbe(spark))
     }
-    probe(0)
-    val calEvery = 20
-    val perPass = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val startTs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = queries.zipWithIndex.map { case ((name, fn), i) =>
-      startTs(name) = now()
-      val times = (1 to math.max(1, passes)).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { exec(name, fn); true } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    var lastSweepSec = 0.0
+    var continueSweeps = true
+    while (continueSweeps && sweepsRun < maxPasses) {
+      val sweep = sweepsRun + 1
+      val tSweep0 = System.nanoTime()
+      probe(sweep, 0)
+      // within-sweep live cost ratio: timed-so-far / warmNet-so-far.
+      // Starts pessimistic (1.0 = warmup speed) and converges within a
+      // few queries; drives the sweep-1 fallback decision only.
+      var timedSum = 0.0
+      var warmSumMatched = 0.0
+      var fellBack = false
+      // sweeps >= 2 only refine existing mins: if the box turns hostile
+      // mid-sweep, abort the sweep — every query keeps its sweep-1
+      // number and the record stays complete
+      var abortSweep = false
+      queries.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (!abortSweep && sweep > 1 && !fixedPasses &&
+          elapsed() + margin / 2 > budget) {
+          abortSweep = true
+          System.err.println(s"[bench] aborting sweep $sweep at query $i (${fmt(elapsed())} s elapsed)")
+        }
+        val ratio =
+          if (warmSumMatched > 0 && timedSum > 0) timedSum / warmSumMatched else 1.0
+        val estRest = queries.drop(i)
+          .map { case (n, _) => warmNet.getOrElse(n, meanWarm) }.sum * ratio * 1.1
+        val fallback = !fixedPasses && sweep == 1 && warmNet.contains(name) &&
+          elapsed() + estRest + margin / 2 > budget
+        if (abortSweep) {
+          () // sweep-1 results stand
+        } else if (fallback) {
+          // out of budget inside the first sweep: report the net
+          // warmup measurement rather than nothing, loudly tagged
+          // (bench_delta sees no per-pass triple for this query, so it
+          // can never adjudicate a warm-cache min against this colder
+          // number)
+          if (!perPass.contains(name)) {
+            finalSec(name) = warmNet(name)
+            degraded(name) = "warmup-only"
+            fellBack = true
+          }
+        } else {
+          if (sweep == 1) startTs(name) = now()
+          val t0 = System.nanoTime()
+          val ok = try { runPlan(name, fn); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          perPass.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += sec
+          val ts = perPass(name)
+          finalSec(name) = if (ts.exists(_ < 0)) -1.0 else ts.min
+          if (ok) {
+            timedSum += sec
+            warmSumMatched += warmNet.getOrElse(name, meanWarm)
+          }
+        }
+        if (!abortSweep) {
+          if ((i + 1) % calEvery == 0 && (i + 1) < queries.size) probe(sweep, i + 1)
+          writeRecord("timed")
+          printCompact("timed", None)
+        }
       }
-      perPass(name) = times
-      if ((i + 1) % calEvery == 0 && (i + 1) < queries.size) probe(i + 1)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (!abortSweep) probe(sweep, queries.size)
+      if (abortSweep) continueSweeps = false
+      sweepsRun += 1
+      lastSweepSec = (System.nanoTime() - tSweep0) / 1e9
+      if (fellBack) {
+        continueSweeps = false
+        System.err.println(s"[bench] sweep $sweep hit the budget (fallback engaged); stopping")
+      } else if (!fixedPasses &&
+        elapsed() + lastSweepSec * 1.05 + margin > budget) {
+        continueSweeps = false
+        if (sweepsRun < maxPasses)
+          System.err.println(s"[bench] stopping after $sweepsRun sweep(s): next (~${fmt(lastSweepSec)} s) does not fit budget ${fmt(budget)} s at ${fmt(elapsed())} s elapsed")
+      }
     }
-    probe(queries.size)
-    // band ratio for query index i: the WORSE of the two probes that
-    // bracket it in run order — contention long enough to inflate all N
-    // passes of a query necessarily inflates an adjacent probe too
-    def bandRatio(i: Int): Double = {
-      val before = calSamples.filter(_.pos <= i).maxBy(_.pos).sec
-      val after = calSamples.filter(_.pos > i).minBy(_.pos).sec
-      math.max(before, after) / CalibrationRefSec
-    }
-    def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val pp = perPass.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val ts = startTs.map { case (k, t) => "\"" + k + "\":" + fmt(t) }
-      .mkString("{", ",", "}")
-    val bands = queries.zipWithIndex.map { case ((name, _), i) =>
-      "\"" + name + "\":" + fmt(bandRatio(i))
-    }.mkString("{", ",", "}")
-    val contended = queries.zipWithIndex.collect {
-      case ((name, _), i) if bandRatio(i) > CalibrationTolerance => "\"" + name + "\""
-    }.mkString("[", ",", "]")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    writeRecord("done")
     val sortedCal = calSamples.map(_.sec).sorted
-    val calMedian = sortedCal(sortedCal.size / 2)
-    val calRatio = calMedian / CalibrationRefSec
-    val contaminated = calRatio > CalibrationTolerance
-    val samplesJson = calSamples.map { c =>
-      s"""{"pos":${c.pos},"t":${fmt(c.t)},"sec":${fmt(c.sec)},"ratio":${fmt(c.sec / CalibrationRefSec)}}"""
-    }.mkString("[", ",", "]")
-    val cal = s"""{"ref_sec":$CalibrationRefSec,"samples":$samplesJson,"median_ratio":${fmt(calRatio)},"tolerance":$CalibrationTolerance,"contaminated":$contaminated}"""
-    // ingest-time artifact builds (all landed in the untimed warmup):
-    // per-key wall seconds + the static query -> keys consumption map
-    val arts = ProcessCache.builds.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != ':') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
-    val consumers = ArtifactConsumers.toSeq.sortBy(_._1).map { case (q, ks) =>
-      "\"" + q + "\":" + ks.map("\"" + _ + "\"").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$pp,"timestamps":$ts,"band_ratio":$bands,"contended_queries":$contended,"artifacts":$arts,"artifact_consumers":$consumers,"calibration":$cal,"errors":$errs,"sf":"$sfDir"}"""
-    println(record)
-    // the driver captures a BOUNDED stdout tail, which truncated the
-    // alphabetically-early half of every round-close record — persist
-    // the full record to a file the snapshot commits, so bench_delta
-    // adjudicates ALL queries instead of the surviving tail
-    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "bench_record.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), record + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $recordPath: ${e.getMessage}") }
+    val calRatio =
+      if (sortedCal.isEmpty) 1.0 else sortedCal(sortedCal.size / 2) / CalibrationRefSec
+    printCompact("done", Some(calRatio))
     spark.stop()
   }
 }

@@ -55,6 +55,14 @@ ARTS_RE = re.compile(r'"artifacts":\{([^}]*)\}')
 # artifact names may carry '-', '.', etc. — match any quoted key so no
 # artifact is silently dropped from the pre-pass table
 ANY_PAIR_RE = re.compile(r'"([^"]+)":([0-9.eE+-]+)')
+# canonical-plan fingerprints (r17+): {"q":"hex12",...}. When BOTH
+# records carry the same fingerprint for a flagged query, the logical
+# plan is identical by construction — the flag is environment variance
+# and auto-clears without a human note. (A custom expression's INTERNAL
+# change keeps its fingerprint; deliberate internal changes still carry
+# a bench_notes entry.)
+FPS_RE = re.compile(r'"plan_fp":\{([^}]*)\}')
+FP_PAIR_RE = re.compile(r'"(q_\w+)":"([0-9a-f]*)"')
 
 
 def load_record(path):
@@ -81,8 +89,12 @@ def load_record(path):
     a = ARTS_RE.search(raw)
     if a:
         arts = {n: float(v) for n, v in ANY_PAIR_RE.findall(a.group(1))}
+    fps = {}
+    fpm = FPS_RE.search(raw)
+    if fpm:
+        fps = {q: h for q, h in FP_PAIR_RE.findall(fpm.group(1)) if h}
     truncated = not raw.lstrip().startswith("{")
-    return mins, ratio, bands, arts, truncated
+    return mins, ratio, bands, arts, fps, truncated
 
 
 def main():
@@ -99,8 +111,10 @@ def main():
                   f"prev is {os.path.basename(prev_path)!r} — notes ignored",
                   file=sys.stderr)
 
-    prev, prev_ratio, prev_bands, prev_arts, prev_trunc = load_record(prev_path)
-    cur, cur_ratio, cur_bands, cur_arts, cur_trunc = load_record(cur_path)
+    prev, prev_ratio, prev_bands, prev_arts, prev_fps, prev_trunc = \
+        load_record(prev_path)
+    cur, cur_ratio, cur_bands, cur_arts, cur_fps, cur_trunc = \
+        load_record(cur_path)
     shared = sorted(set(prev) & set(cur))
     if not shared:
         print("no shared queries between records", file=sys.stderr)
@@ -128,10 +142,15 @@ def main():
         delta = c_norm / p_norm if p_norm > 0 else float("inf")
         flagged = delta > FLAG_RATIO and max(prev[q], cur[q]) >= ABS_FLOOR
         banded = max(prev_bands.get(q, 1.0), cur_bands.get(q, 1.0)) > FLAG_RATIO
+        plan_same = (q in prev_fps and prev_fps.get(q) == cur_fps.get(q))
         verdict = ""
         if flagged:
             if note:
                 verdict = "expected"
+            elif plan_same:
+                # both records fingerprint the same canonicalized plan:
+                # nothing to re-adjudicate, the delta is environmental
+                verdict = "plan-identical (auto)"
             elif banded:
                 # the record itself proves machine load straddled this
                 # query — auto-adjudicated, not a plan regression
