@@ -631,15 +631,22 @@ object Zarr {
     * task-attempt-unique temp file and atomically renames into place
     * (zombie/speculative attempts can't interleave bytes).
     *
-    * OVERWRITE semantics: rewriting an existing store removes its
-    * `zarr.json` up front and republishes it only after every shard
-    * lands, so a FAILED rewrite leaves the store unreadable (data
-    * files intact, metadata absent) rather than silently readable
-    * with a mix of old and new shards — the deliberate trade: v3
-    * treats absent shards as fill, so stale metadata over a partial
-    * rewrite would serve WRONG values, while a missing zarr.json
-    * fails loudly. Callers who need old-data-readable-until-commit
-    * should write to a fresh directory and swap the path. */
+    * OVERWRITE semantics (non-destructive, r17): rewriting an
+    * EXISTING store (a `zarr.json` is present) stages the complete
+    * new store into a sibling `<dir>.__rewrite.tmp` directory and
+    * swaps it in only once fully written — a failed rewrite leaves
+    * the PRIOR store readable and untouched (the tmp-staging posture
+    * the non-sharded sink already had, now store-wide). The swap is
+    * two atomic renames (old → `<dir>.__old.tmp`, staged → `<dir>`);
+    * a crash exactly between them leaves the prior store intact
+    * under `.__old.tmp` — recoverable by hand, and a vanishingly
+    * smaller window than the whole distributed write. Stale staging
+    * dirs from an aborted earlier attempt are swept up front. A
+    * FRESH write (no prior `zarr.json`) writes in place and
+    * publishes `zarr.json` only after every shard lands, so a
+    * mid-write crash reads as "no store" — never as fill-valued
+    * data (v3 treats absent shards as fill, so premature metadata
+    * over missing shards would serve WRONG values silently). */
   def writeArrayV3ShardedDistributed(df: DataFrame, dir: String,
       shape: Array[Long], shardShape: Array[Int], chunks: Array[Int],
       dims: Array[String], compressor: Option[String] = Some("zstd"),
@@ -660,6 +667,33 @@ object Zarr {
       s"$nEntries inner chunks per shard need a ${nEntries * 16}-byte " +
         "index buffer; pick a smaller shard/inner-chunk ratio")
     val d = Paths.get(dir)
+    if (Files.exists(d.resolve("zarr.json"))) {
+      // REWRITE path: build the replacement store COMPLETELY in a
+      // sibling staging dir (recursing hits the fresh-write path
+      // there), then swap. Any failure before the swap leaves the
+      // prior store byte-untouched.
+      val name = d.getFileName.toString
+      val staged = d.resolveSibling(name + ".__rewrite.tmp")
+      val old = d.resolveSibling(name + ".__old.tmp")
+      graft.sources.IO.rmTree(staged.toString) // stale aborted attempt
+      graft.sources.IO.rmTree(old.toString)
+      try writeArrayV3ShardedDistributed(df, staged.toString, shape,
+        shardShape, chunks, dims, compressor, fillValue)
+      catch { case e: Throwable =>
+        // the prior store was never touched; drop the partial staging
+        graft.sources.IO.rmTree(staged.toString)
+        throw e
+      }
+      Files.move(d, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(staged, d, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: Throwable =>
+        // restore the prior store before surfacing the failure
+        Files.move(old, d, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        throw e
+      }
+      graft.sources.IO.rmTree(old.toString)
+      return
+    }
     Files.createDirectories(d)
     // sweep temp files orphaned by a previous write's hard-killed
     // attempts (same hygiene as the v2 sink)

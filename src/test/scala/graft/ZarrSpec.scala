@@ -453,37 +453,57 @@ class ZarrSpec extends SparkTestBase {
     assert(leftover2.isEmpty, s"failing flush stranded tmp files: $leftover2")
   }
 
-  test("sharded sink: zarr.json publishes only AFTER every shard commits (crash = unreadable store, not silent fill)") {
+  test("sharded sink: fresh crash = no store; failed REWRITE leaves the prior store readable (staged swap)") {
     // v3 reads an absent shard as fill, so metadata-first would make a
-    // crashed write indistinguishable from a complete one. A failing
-    // job must leave NO zarr.json; a stale one from a prior aborted
-    // attempt must be removed up front, not left readable mid-write.
+    // crashed write indistinguishable from a complete one. FRESH path:
+    // a failing job must leave NO zarr.json. REWRITE path (store
+    // already published): the new store stages in a sibling dir and
+    // swaps atomically, so a failing rewrite leaves the PRIOR store
+    // byte-untouched and readable — never unreadable, never a mix.
     val dir = graft.sources.IO.tmp("graft_zarr_commit_") + "/a"
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(Paths.get(dir, "zarr.json"), """{"stale":true}""")
-    val bad = spark.range(0L, 4L).select(
+    def poisoned = spark.range(0L, 4L).select(
       expr("id div 2").as("r"), expr("id % 2").as("c"))
       .withColumn("value", col("r").cast("double"))
       // row outside the declared shape: the task fails mid-write
       .union(spark.range(0L, 1L).select(lit(9L).as("r"), lit(0L).as("c"))
         .withColumn("value", lit(1.0)))
+    // 1) FRESH-path crash: no zarr.json, reader refuses
     intercept[org.apache.spark.SparkException] {
-      Zarr.writeArrayV3ShardedDistributed(bad, dir, Array(2L, 2L),
+      Zarr.writeArrayV3ShardedDistributed(poisoned, dir, Array(2L, 2L),
         Array(2, 2), Array(1, 2), Array("r", "c"), None)
     }
     assert(!Files.exists(Paths.get(dir, "zarr.json")),
-      "a failed sharded write left a readable zarr.json behind")
-    // ...and the reader refuses the half-written store
+      "a failed fresh sharded write left a readable zarr.json behind")
     intercept[Exception] { Zarr.readArray(spark, dir).collect() }
-    // the same rows minus the poison pill write + read back fine
+    // 2) publish a good store
     val good = spark.range(0L, 4L).select(
       expr("id div 2").as("r"), expr("id % 2").as("c"))
       .withColumn("value", (col("r") * 2 + col("c")).cast("double"))
     Zarr.writeArrayV3ShardedDistributed(good, dir, Array(2L, 2L),
       Array(2, 2), Array(1, 2), Array("r", "c"), None)
-    assert(Files.exists(Paths.get(dir, "zarr.json")))
     assert(Zarr.readArray(spark, dir).orderBy(col("r"), col("c")).collect()
       .map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 2.0, 3.0))
+    // 3) REWRITE crash: the prior store stays fully readable with its
+    //    original values, and no staging/backup dirs survive
+    intercept[org.apache.spark.SparkException] {
+      Zarr.writeArrayV3ShardedDistributed(poisoned, dir, Array(2L, 2L),
+        Array(2, 2), Array(1, 2), Array("r", "c"), None)
+    }
+    assert(Zarr.readArray(spark, dir).orderBy(col("r"), col("c")).collect()
+      .map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 2.0, 3.0),
+      "a failed rewrite disturbed the prior store")
+    val sibs = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+      .filter(n => n.contains(".__rewrite.tmp") || n.contains(".__old.tmp"))
+    assert(sibs.isEmpty, s"rewrite left staging/backup dirs: ${sibs.toSeq}")
+    // 4) successful REWRITE swaps the new values in
+    val shifted = good.withColumn("value", col("value") + 10.0)
+    Zarr.writeArrayV3ShardedDistributed(shifted, dir, Array(2L, 2L),
+      Array(2, 2), Array(1, 2), Array("r", "c"), None)
+    assert(Zarr.readArray(spark, dir).orderBy(col("r"), col("c")).collect()
+      .map(_.getDouble(2)).toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+    val sibs2 = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+      .filter(n => n.contains(".__rewrite.tmp") || n.contains(".__old.tmp"))
+    assert(sibs2.isEmpty, s"successful rewrite left dirs: ${sibs2.toSeq}")
   }
 
   test("sharding_indexed: inner chunks may carry the crc32c tail codec (shared chain parse)") {
