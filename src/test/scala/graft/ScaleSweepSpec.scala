@@ -41,6 +41,11 @@ class ScaleSweepSpec extends AnyFunSuite {
     * its own reference and ratios compare only same-shape runs. */
   private val SweepCalibrationRefSec = 0.25
 
+  /** First-shot walls above this get one warm retime pass (see the
+    * retime block below) — bounds the extra sweep cost to the slow
+    * tail only. */
+  private val RetimeThresholdSec = 15.0
+
   test("full-registry sweep at 10x bench scale: every query runs, no single-task relation-sized shuffle") {
     assume(sys.env.get("GRAFT_SCALE_SWEEP").contains("1"),
       "set GRAFT_SCALE_SWEEP=1 to run the sf1 sweep (tens of minutes)")
@@ -89,6 +94,7 @@ class ScaleSweepSpec extends AnyFunSuite {
     val calBefore = Seq.fill(3)(Bench.calibrationProbe(spark)).sorted.apply(1)
     spark.sparkContext.addSparkListener(listener)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val retimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // ---- ingest-artifact pre-pass: build every ProcessCache artifact
     // OUTSIDE the consumer slots by running ONE consumer per artifact
@@ -126,6 +132,24 @@ class ScaleSweepSpec extends AnyFunSuite {
         }
         Thread.sleep(50) // let this query's stage completions land on it
       }
+      // RETIME the slow tail: first-shot rows are single-sample and
+      // band-sensitive — r16's q_graph_pagerank read 84.3/171.8 s
+      // across two sweeps vs a 12.3 s isolated warm probe at the same
+      // shape, purely in-sweep pressure. One warm second shot (caches
+      // and artifacts hot, plans compiled) separates plan cost from
+      // the band: the table reports the MIN and keeps the first shot
+      // visible. Bounded: only rows over the threshold pay it.
+      val slowQs = results.filter(_._2 > RetimeThresholdSec).map(_._1)
+      slowQs.foreach { name =>
+        currentQuery = name
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          retimes += ((name, (System.nanoTime() - t0) / 1e9))
+        } catch { case _: Throwable => () } // first shot already succeeded
+        Thread.sleep(50)
+      }
       Thread.sleep(2000) // drain the listener bus
     } finally spark.sparkContext.removeSparkListener(listener)
     val calAfter = Seq.fill(3)(Bench.calibrationProbe(spark)).sorted.apply(1)
@@ -141,15 +165,20 @@ class ScaleSweepSpec extends AnyFunSuite {
           s"  $q stage $sid read ${bytes / 1024 / 1024} MB ($sname)"
       }.mkString("\n"))
 
-    // per-family rollup: group on the q_<family> prefix
+    // per-family rollup on MIN(first shot, retime): the retimed value
+    // is the query's warm in-sweep cost, the first shot stays visible
+    // in the retime table below
+    val retimeMap = retimes.toMap
+    val minResults = results.map { case (q, s) =>
+      (q, math.min(s, retimeMap.getOrElse(q, s))) }
     def family(q: String): String = q.split("_").take(2).mkString("_")
-    val byFam = results.groupBy(r => family(r._1)).toSeq
+    val byFam = minResults.groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) =>
         val worst = rs.maxBy(_._2)
         (f, rs.size, rs.map(_._2).sum, worst._1, worst._2)
       }.sortBy(-_._3)
-    val slowest = results.sortBy(-_._2).take(10)
-    val total = results.map(_._2).sum
+    val slowest = minResults.sortBy(-_._2).take(10)
+    val total = minResults.map(_._2).sum
 
     // rows carry a doubled leading pipe: the section template's
     // stripMargin treats a line-leading '|' as the margin bar
@@ -160,6 +189,24 @@ class ScaleSweepSpec extends AnyFunSuite {
       .mkString("\n")
     val artRows = artBuilds.map { case (k, s) => s"|| $k | ${f"$s%.1f"} |" }
       .mkString("\n")
+    val firstMap = results.toMap
+    val retimeRows = retimes.toSeq.sortBy(-_._2).map { case (q, r) =>
+      s"|| $q | ${f"${firstMap(q)}%.1f"} | ${f"$r%.1f"} |"
+    }.mkString("\n")
+    // assembled OUTSIDE the template's stripMargin, so prose lines are
+    // plain and table rows carry the doubled leading pipe like the
+    // sibling row blocks
+    val retimeSection =
+      if (retimes.isEmpty) ""
+      else Seq("",
+        s"Slow-tail retime (rows over ${f"$RetimeThresholdSec%.0f"} s got one",
+        "warm second shot; family/slowest tables above use the min — a",
+        "large first/retime gap is in-sweep band pressure, not plan cost):",
+        "",
+        "|| query | first shot s | retime s |",
+        "||---|---|---|",
+        retimeRows,
+        "").mkString("\n")
     val section =
       s"""
          |## Full-registry sf1 sweep (regenerated by ScaleSweepSpec)
@@ -189,7 +236,7 @@ class ScaleSweepSpec extends AnyFunSuite {
          || query | wall s |
          ||---|---|
          |$slowRows
-         |
+         |$retimeSection
          |Ingest-artifact builds (one-time cost, own pre-pass):
          |
          || artifact | build s |
