@@ -197,7 +197,8 @@ object Bench {
     // warmup phase: warmed queries; timed/done: queries with a FINAL
     // number (a provisional warmup value does not count as progress)
     def progress(phase: String): String = {
-      val n = if (phase == "warmup") finalSec.size else perPass.size + degraded.size
+      val n = if (phase == "warmup") finalSec.size
+        else (perPass.keySet ++ degraded.keySet).size
       s"$n/${queries.size}"
     }
 
@@ -337,112 +338,100 @@ object Bench {
     writeRecord("warmup")
     printCompact("warmup", None)
 
-    // ---- timed section, structured as FULL SWEEPS over the query
-    // list. A failed query reports -1, never a bogus "fast" time —
-    // silent failure would read as a speedup in round-over-round
-    // comparisons. MIN-OF-N sweeps: a background process on the
-    // machine can inflate one sweep's window for a query, never all
-    // of them, so the min is the contention-proof per-query time (a
-    // single-shot record once forged a 22x phantom regression under
-    // builder contention). Sweeps — not back-to-back passes — make
-    // the budget decision exact: sweep k's measured wall predicts
-    // sweep k+1, so "does another pass fit?" never relies on the
-    // codegen-inflated warmup estimate (which over-reads a warm pass
-    // 2–4x and would under-plan passes).
+    // ---- timed section: per-query BACK-TO-BACK min-of-N passes —
+    // the methodology of every round record since r10, restored in
+    // r17 after one interim record (tools/bench_r17_baseline.json)
+    // measured the full-sweep variant of 88fc08c ~25-30% colder
+    // UNIFORMLY on a git-identical operator tree (calibration 1.033
+    // vs the r16 close's 1.035): between two
+    // sweep passes of a query, 299 other queries evict its JIT/cache
+    // state, so sweep minimums measure cache cooling, not plans, and
+    // every cross-round comparison would carry that offset. A failed
+    // query reports -1, never a bogus "fast" time — silent failure
+    // would read as a speedup in round-over-round comparisons.
+    // MIN-OF-N: a background process on the machine can inflate one
+    // pass, never all of them, so the min is the contention-proof
+    // per-query time (a single-shot record once forged a 22x phantom
+    // regression under builder contention).
+    // BUDGET pacing (the r16 lesson — rc 124, no record): before each
+    // query, the remaining-work estimate (net warmup seconds x the
+    // live timed/warm ratio) picks the largest pass count <= maxPasses
+    // that still leaves every remaining query one timed pass; the
+    // ladder is 3 -> fewer passes -> net-warmup fallback (recorded in
+    // `degraded`, never silent). The record is rewritten after every
+    // query, so an external kill still leaves a complete partial
+    // record.
     // CALIBRATION: probes are interleaved every [[calEvery]] queries
-    // through each sweep (plus one before and one after), each tagged
-    // with sweep + queue position and wall-clock offset. min-of-N
-    // defeats a transient spike but NOT sustained contention across
-    // every sweep's window for a query; with dense probes every query
-    // gets a per-sweep bracket and the record keeps the min across
-    // sweeps, so a contention band self-flags inside the record
-    // instead of forging per-query "regressions" a judge must
-    // adjudicate later.
+    // (plus one before and one after), each tagged with queue position
+    // and wall-clock offset. min-of-N defeats a transient spike but
+    // NOT sustained contention across all N back-to-back passes; with
+    // dense probes every query gets a bracketing band ratio, so a
+    // contention band self-flags inside the record instead of forging
+    // per-query "regressions" a judge must adjudicate later.
     val calEvery = 20
-    val probeEst = (queries.size / calEvery + 2) * 0.7
-    val margin = 60.0
+    // safety margin under the budget: absolute 60 s at the production
+    // default (2000 s), proportional for small dev budgets so a tight
+    // budget still times queries instead of degrading everything
+    val margin = math.min(60.0, budget * 0.05)
     val meanWarm = if (warmNet.isEmpty) 1.0 else warmNet.values.sum / warmNet.size
     calibrationProbe(spark) // untimed warmup of the probe's codegen
     val epoch = System.nanoTime()
     def now(): Double = (System.nanoTime() - epoch) / 1e9
-    def probe(sweep: Int, pos: Int): Unit = {
-      val t = now(); calSamples += Cal(sweep, pos, t, calibrationProbe(spark))
+    def probe(pos: Int): Unit = {
+      val t = now(); calSamples += Cal(1, pos, t, calibrationProbe(spark))
     }
-    var lastSweepSec = 0.0
-    var continueSweeps = true
-    while (continueSweeps && sweepsRun < maxPasses) {
-      val sweep = sweepsRun + 1
-      val tSweep0 = System.nanoTime()
-      probe(sweep, 0)
-      // within-sweep live cost ratio: timed-so-far / warmNet-so-far.
-      // Starts pessimistic (1.0 = warmup speed) and converges within a
-      // few queries; drives the sweep-1 fallback decision only.
-      var timedSum = 0.0
-      var warmSumMatched = 0.0
-      var fellBack = false
-      // sweeps >= 2 only refine existing mins: if the box turns hostile
-      // mid-sweep, abort the sweep — every query keeps its sweep-1
-      // number and the record stays complete
-      var abortSweep = false
-      queries.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (!abortSweep && sweep > 1 && !fixedPasses &&
-          elapsed() + margin / 2 > budget) {
-          abortSweep = true
-          System.err.println(s"[bench] aborting sweep $sweep at query $i (${fmt(elapsed())} s elapsed)")
-        }
-        val ratio =
-          if (warmSumMatched > 0 && timedSum > 0) timedSum / warmSumMatched else 1.0
-        val estRest = queries.drop(i)
-          .map { case (n, _) => warmNet.getOrElse(n, meanWarm) }.sum * ratio * 1.1
-        val fallback = !fixedPasses && sweep == 1 && warmNet.contains(name) &&
-          elapsed() + estRest + margin / 2 > budget
-        if (abortSweep) {
-          () // sweep-1 results stand
-        } else if (fallback) {
-          // out of budget inside the first sweep: report the net
-          // warmup measurement rather than nothing, loudly tagged
-          // (bench_delta sees no per-pass triple for this query, so it
-          // can never adjudicate a warm-cache min against this colder
-          // number)
-          if (!perPass.contains(name)) {
-            finalSec(name) = warmNet(name)
-            degraded(name) = "warmup-only"
-            fellBack = true
-          }
-        } else {
-          if (sweep == 1) startTs(name) = now()
+    probe(0)
+    // live cost ratio: timed-pass seconds / net warmup seconds for the
+    // queries timed so far. Starts at 0.5 (a warm pass re-runs the
+    // SAME plan back-to-back and historically lands at 0.3-0.6x of its
+    // net warmup time) and converges within a few queries.
+    var timedPassSum = 0.0
+    var warmSumMatched = 0.0
+    var minPassesUsed = Int.MaxValue
+    queries.zipWithIndex.foreach { case ((name, fn), i) =>
+      val ratio =
+        if (warmSumMatched > 0 && timedPassSum > 0) timedPassSum / warmSumMatched
+        else 0.5
+      def est(n: String): Double = warmNet.getOrElse(n, meanWarm) * ratio
+      val restOnePass = queries.drop(i + 1).map { case (n, _) => est(n) }.sum
+      // largest pass count for THIS query that leaves the rest one
+      // timed pass each inside the budget (x1.1 estimate slack)
+      val passes =
+        if (fixedPasses) maxPasses
+        else (maxPasses to 1 by -1).find { p =>
+          elapsed() + (est(name) * p + restOnePass) * 1.1 + margin / 2 <= budget
+        }.getOrElse(0)
+      if (passes == 0 && warmNet.contains(name)) {
+        // out of budget: report the net warmup measurement rather
+        // than nothing, loudly tagged (bench_delta sees no per-pass
+        // triple for this query, so it can never adjudicate a
+        // warm-cache min against this colder number)
+        finalSec(name) = warmNet(name)
+        degraded(name) = "warmup-only"
+      } else {
+        startTs(name) = now()
+        val times = (1 to math.max(1, passes)).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { runPlan(name, fn); true } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          perPass.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += sec
-          val ts = perPass(name)
-          finalSec(name) = if (ts.exists(_ < 0)) -1.0 else ts.min
-          if (ok) {
-            timedSum += sec
-            warmSumMatched += warmNet.getOrElse(name, meanWarm)
-          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        if (!abortSweep) {
-          if ((i + 1) % calEvery == 0 && (i + 1) < queries.size) probe(sweep, i + 1)
-          writeRecord("timed")
-          printCompact("timed", None)
+        perPass.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) ++= times
+        finalSec(name) = if (times.exists(_ < 0)) -1.0 else times.min
+        minPassesUsed = math.min(minPassesUsed, times.size)
+        if (times.size < maxPasses && !fixedPasses)
+          degraded(name) = s"passes-${times.size}"
+        if (!times.exists(_ < 0)) {
+          timedPassSum += times.min
+          warmSumMatched += warmNet.getOrElse(name, meanWarm)
         }
       }
-      if (!abortSweep) probe(sweep, queries.size)
-      if (abortSweep) continueSweeps = false
-      sweepsRun += 1
-      lastSweepSec = (System.nanoTime() - tSweep0) / 1e9
-      if (fellBack) {
-        continueSweeps = false
-        System.err.println(s"[bench] sweep $sweep hit the budget (fallback engaged); stopping")
-      } else if (!fixedPasses &&
-        elapsed() + lastSweepSec * 1.05 + margin > budget) {
-        continueSweeps = false
-        if (sweepsRun < maxPasses)
-          System.err.println(s"[bench] stopping after $sweepsRun sweep(s): next (~${fmt(lastSweepSec)} s) does not fit budget ${fmt(budget)} s at ${fmt(elapsed())} s elapsed")
-      }
+      if ((i + 1) % calEvery == 0 && (i + 1) < queries.size) probe(i + 1)
+      writeRecord("timed")
+      printCompact("timed", None)
     }
+    probe(queries.size)
+    sweepsRun = if (minPassesUsed == Int.MaxValue) 0 else minPassesUsed
     writeRecord("done")
     val sortedCal = calSamples.map(_.sec).sorted
     val calRatio =
