@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 300-query session compiles thousands of whole-stage-codegen
+  // methods; the JDK 17 default code cache (240 MB) fills mid-run and
+  // the JIT then churns (flush + recompile), inflating later
+  // compute-heavy queries 2-4x (measured r17: q_grid_coarsen 0.7 s
+  // isolated vs 2.8 s at position ~120 of the full bench). Scale- and
+  // core-count-independent: this is per-JVM compiler state, not a
+  // local[32] tune.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_DRIVER_CODECACHE", "512m")}",
 )
