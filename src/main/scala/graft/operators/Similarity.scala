@@ -749,24 +749,32 @@ object Similarity {
     val v = toDouble(col("embedding"))
     val q = lit(1e9)
 
-    val sRow = emb.select(posexplode(v).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(floor(col("x") * q + 0.5)).as("sq"))
-      .groupBy().agg(sort_array(collect_list(struct(col("i"), col("sq")))).as("ss"))
-      .select(transform(col("ss"), s => s.getField("sq")).as("sArr"))
     // UPPER TRIANGLE only: xᵢxⱼ = xⱼxᵢ term-for-term, so the mirrored
-    // entry reconstructs bit-identically at assembly — the moment
-    // shuffle carries d(d+1)/2 keys per row, not d²
-    val pRow = emb.select(explode(flatten(transform(v, (xi, i) =>
-        transform(slice(v, i + 1, lit(dim) - i), (xj, jj) =>
-          struct(i.as("i"), (i + jj).as("j"),
-            floor(xi * xj * q + 0.5).as("t")))))).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
-      .groupBy(col("i"), col("j")).agg(sum(col("t")).as("pq"))
-      .groupBy().agg(sort_array(collect_list(struct(col("i"), col("j"), col("pq")))).as("ps"))
-      .select(transform(col("ps"), s => s.getField("pq")).as("pArr"))
+    // entry reconstructs bit-identically at assembly. r17 (guide
+    // §2.3/§2.4): the former posexplode + nested-transform/struct
+    // explode shipped every (i,j) term as a ROW through a d(d+1)/2-key
+    // hash aggregate (4.2M rows at d=64 over 2k vectors — 2.2 s, 73%
+    // of the query); the fused [[graft.plans.QuantMomentTerms]] +
+    // [[graft.plans.LongVecSum]] pair computes all d + d(d+1)/2
+    // quantized-long terms per row in one codegen loop and reduces
+    // them as ONE elementwise array sum (map-side partial, one array
+    // per partition on the wire). Each term is the identical IEEE
+    // chain and integer sums are order-free, so every assembled moment
+    // — and every hash-checked digit — is bit-identical to the explode
+    // form (QuantMomentsSpec pins term-for-term and null parity).
+    val terms = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.QuantMomentTerms(
+        org.apache.spark.sql.GraftBridge.expression(v), 1e9))
+    val momentsRow = emb.select(terms.as("t"))
+      .agg(org.apache.spark.sql.GraftBridge.column(
+        graft.plans.LongVecSum(
+          org.apache.spark.sql.GraftBridge.expression(col("t")))
+          .toAggregateExpression()).as("m"))
+      .select(slice(col("m"), 1, dim).as("sArr"),
+        slice(col("m"), dim + 1, dim * (dim + 1) / 2).as("pArr"))
 
     val nD = lit(n.toDouble)
-    val cRow = pRow.crossJoin(broadcast(sRow))
+    val cRow = momentsRow
       .select(transform(sequence(lit(0), lit(dim - 1)), i =>
         transform(sequence(lit(0), lit(dim - 1)), j => {
           // triangular index of (min,max) in the (i,j)-sorted i<=j list
