@@ -167,10 +167,25 @@ object Windows {
     * (same decomposition as q_window_ntile, reusable). Sort keys must
     * be a total order. */
   def withGlobalNtile(df: DataFrame, out: String, buckets: Int,
-      sortCols: Column*): DataFrame = {
+      sortCols: Column*): DataFrame =
+    withGlobalNtileFrom(df, df.agg(count(lit(1)).as("__n")), out, buckets,
+      sortCols: _*)
+
+  /** [[withGlobalNtile]] with a caller-supplied 1-row COUNT frame —
+    * for callers that cut several ntiles over the same rows (RFM's
+    * three quantile passes): the row count is invariant across the
+    * passes, and the default per-pass `df.agg(count)` re-executes the
+    * whole input chain of pass k (pass k-1's broadcast join included)
+    * once more per pass just to recount it (r17, guide §1.2 "don't
+    * compute things you throw away": q_rfm ran 53 jobs, three of them
+    * chain-recounts). The bucket arithmetic is unchanged — same
+    * SQL-standard formula, same rank machinery, bit-identical buckets
+    * (the count frame must hold count(*) of `df` as a BIGINT `__n`). */
+  def withGlobalNtileFrom(df: DataFrame, countFrame: DataFrame, out: String,
+      buckets: Int, sortCols: Column*): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1: $buckets")
     withGlobalRowNumber(df, "__rn", sortCols: _*)
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .crossJoin(broadcast(countFrame.select(col("__n"))))
       .withColumn("__q", expr(s"__n div $buckets"))
       .withColumn("__r", expr(s"__n % $buckets"))
       .withColumn(out,
@@ -212,10 +227,15 @@ object Windows {
     val base = per.crossJoin(broadcast(ref))
       .withColumn("r_days", datediff(col("__ref"), col("__last")).cast("long"))
       .drop("__ref", "__last")
+    // ONE count frame over the checkpointed entity table shared by all
+    // three quantile passes (r17): the per-pass default re-executed
+    // pass k-1's whole chain once more per pass just to recount the
+    // same invariant N (guide §1.2) — 53 jobs -> fewer, same buckets
+    val nFrame = per.agg(count(lit(1)).as("__n")).localCheckpoint()
     val scored = Seq(
       ("r_q", col("r_days")), ("f_q", col("f_orders")), ("m_q", col("m_total")))
       .foldLeft(base) { case (df, (out, metric)) =>
-        withGlobalNtile(df, out, buckets, metric, col("o_custkey"))
+        withGlobalNtileFrom(df, nFrame, out, buckets, metric, col("o_custkey"))
       }
     scored
       .withColumn("segment", concat(col("r_q").cast("string"),
