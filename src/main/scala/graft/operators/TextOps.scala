@@ -1019,7 +1019,16 @@ object TextOps {
     * a fixed-size model shipped to every executor) and falls back to
     * a hash join keyed on the bigram, never on document bytes. The
     * wide exchanges carry (doc_id, w1, w2) and counts only. */
-  def ngramLmScore(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+  def ngramLmScore(docs: DataFrame, alpha: Double = 0.4): DataFrame =
+    ngramLmScoreCore(docs, alpha).orderBy(col("doc_id"))
+
+  /** [[ngramLmScore]] without the final oracle-determinism sort — for
+    * in-engine consumers ([[perplexityBuckets]]) that immediately
+    * re-order by their own key: the doc_id sort would be computed and
+    * thrown away (guide §1.2 / §2.4 — an orderBy used only to make
+    * output deterministic is a removable exchange for internal
+    * consumers). Rows and values are identical. */
+  private def ngramLmScoreCore(docs: DataFrame, alpha: Double): DataFrame = {
     val bigrams = docs
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -1042,7 +1051,6 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(-avg(log((col("c12") + lit(alpha)) /
           (col("c1") + lit(alpha) * col("vv")))), 6).as("nll"))
-      .orderBy(col("doc_id"))
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): score
@@ -1063,7 +1071,15 @@ object TextOps {
     * offsets — never a single-task whole-corpus window); N is a 1-row
     * aggregate broadcast into the projection. */
   def perplexityBuckets(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
-    val scored = ngramLmScore(docs, alpha)
+    // MATERIALIZE the scored table once (r17, guide §1.2): the count
+    // aggregate, the rank pass's range sampling, and its shuffle each
+    // consumed the un-pinned LM chain — the two corpus explodes, both
+    // model joins, and ngramLmScore's doc_id determinism sort ran
+    // THREE times (28 jobs). The checkpoint runs the chain once, and
+    // the core variant skips the doc_id sort this path re-orders
+    // anyway. Values bit-identical; 28 -> 23 jobs, 2.9 -> 2.3 s
+    // (JobCountProbe warm pass).
+    val scored = ngramLmScoreCore(docs, alpha).localCheckpoint()
     val n = scored.agg(count(lit(1)).as("__n"))
     Windows.withGlobalRowNumber(scored, "rn", col("nll"), col("doc_id"))
       .crossJoin(broadcast(n))
