@@ -260,8 +260,20 @@ object Snapshot {
     * NULLs on both engines (COUNT(DISTINCT) semantics). */
   def qualityProfile(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String]): DataFrame = {
-    def melt(cols: Seq[String], cast: String): DataFrame =
-      df.select(explode(array(cols.map(c =>
+    // narrow projection, then spread ONLY if the scan arrives under
+    // the session parallelism (r17, guide §2.3/§2.5): the harness
+    // tables are one parquet row group, so the N-way melt explode +
+    // partial distinct — the whole CPU of this query — ran on ONE
+    // core (2.3 s single-task stage, StageProfile); hash-spreading
+    // the 10 projected columns costs one ~14 MB exchange locally and
+    // is a NO-OP on a real many-split archive. Both melts share the
+    // spread subtree (reused exchange), and every aggregate here is
+    // order-free, so results are partition-invariant.
+    val cols = numCols ++ strCols
+    val base = graft.spreadIfNarrow(
+      df.select(cols.map(col): _*), cols.map(col): _*)
+    def melt(colNames: Seq[String], cast: String): DataFrame =
+      base.select(explode(array(colNames.map(c =>
           struct(lit(c).as("c"), col(c).cast(cast).as("v"))): _*)).as("x"))
         .select(col("x.c").as("col_name"), col("x.v").as("v"))
     val num = melt(numCols, "double")

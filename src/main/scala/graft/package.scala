@@ -39,4 +39,21 @@ package object graft {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(n, keys: _*)
   }
+
+  /** [[spread]] only when the input's PLANNED partition count is below
+    * the session parallelism (r17, guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read"):
+    * the harness tables arrive as ONE parquet row group, so any
+    * CPU-heavy narrow stage directly over a scan runs on one core
+    * locally — but an unconditional repartition would add a full
+    * shuffle of the same rows on a real archive, whose scans already
+    * arrive in thousands of splits. The partition count comes from the
+    * planned RDD DAG (no job runs); at scale the condition is false
+    * and the plan is untouched, so the exchange exists exactly where
+    * the parallelism deficit exists. */
+  def spreadIfNarrow(df: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < n) spread(df, keys: _*) else df
+  }
 }
