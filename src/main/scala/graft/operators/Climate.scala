@@ -1592,6 +1592,12 @@ object Climate {
         .select(col("day").as("day_b"), col("y").as("yy")),
         col("day") === col("day_b"))
       .select(col("day"), col("x"), col("yy"))
+      // pinned once (r17, guide §1.2): the main moment chain and BOTH
+      // broadcast rank builds consumed this un-pinned day-pair join —
+      // the events scan + daily aggregate + self-join executed three
+      // times (30 jobs). The checkpoint is day-count-sized. Values
+      // unchanged (same rows feed the same aggregates).
+      .localCheckpoint()
     val m = paired
       .join(broadcast(doubledRanks(paired, "x", "rx")), "x")
       .join(broadcast(doubledRanks(paired, "yy", "ry")), "yy")
@@ -1647,6 +1653,9 @@ object Climate {
       .select((col("x") - col("yy")).as("d"))
       .filter(col("d") =!= 0.0)
       .withColumn("ad", abs(col("d")))
+      // pinned once (r17): W⁺ chain, rank build, and tie census all
+      // consumed the un-pinned diff join (the spearman fix's shape)
+      .localCheckpoint()
     val m = diffs
       .join(broadcast(doubledRanks(diffs, "ad", "r2")), "ad")
       .agg(count(lit(1)).as("n_pairs"),
