@@ -886,15 +886,23 @@ object Similarity {
     // be static at plan-build; ragged rows fail loudly in-plan
     val dims = pts.select(size(col("v")).as("d")).head.getInt(0)
     require(dims >= 1, s"kmeansExact: empty embedding vectors")
-    var cents = pts.orderBy(col("vec_id")).limit(k)
+    // PACKED model state (r17, guide §1.2): the model lives as ONE
+    // checkpointed row holding the cid-sorted struct array the
+    // assignment broadcast consumes, instead of k rows re-packed by a
+    // separate aggregate job every iteration. The empty-cell rule
+    // (keep the previous centroid) is a per-cid map lookup against the
+    // means of the update aggregate — same coalesce, no k-row join.
+    // Every number on the wire is unchanged: the same quantized-long
+    // sums divide in the same order, and the array keeps the initial
+    // cid-ascending order, so assignments, means, and the oracle hash
+    // are bit-identical to the k-row form (kmeans spec + oracle pins).
+    var packed = pts.orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
-      .select(posexplode(transform(col("ss"), s => s.getField("v")))
-        .as(Seq("cid0", "cv")))
-      .select(col("cid0").cast("long").as("cid"), col("cv"))
+      .select(transform(col("ss"), (s, i) => namedStruct(
+        "cid" -> i.cast("long"),
+        "cv" -> s.getField("v"))).as("cs"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val packed = cents
-        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
       // means update as ONE fixed-width hash aggregate: quantize each
       // component to the 1e-9 integer grid (exact, order-free longs —
       // the same grid the r13 posexplode form summed), then sum all d
@@ -920,12 +928,16 @@ object Similarity {
         .select(col("cid"), array((1 to dims).map(i =>
           col(s"s$i").cast("double") / lit(1e9) /
             col("cnt").cast("double")): _*).as("cvn"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cvn"), col("cv")).as("cv"))
+      packed = means
+        .agg(map_from_entries(collect_list(struct(col("cid"), col("cvn"))))
+          .as("mm"))
+        .crossJoin(broadcast(packed))
+        .select(transform(col("cs"), c => namedStruct(
+          "cid" -> c.getField("cid"),
+          "cv" -> coalesce(element_at(col("mm"), c.getField("cid")),
+            c.getField("cv")))).as("cs"))
         .localCheckpoint()
     }
-    val packed = cents
-      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
     pts.crossJoin(broadcast(packed))
       .withColumn("b", best(col("v"), col("cs")))
       // the winner struct already carries its distance — same value
