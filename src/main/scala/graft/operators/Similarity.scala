@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Vectors are `array<float>` cast to double once (numeric parity
   * with the oracle); the dot-product inner loop is the native
-  * codegen'd [[graft.plans.VectorDot]] expression — no UDFs, no
-  * driver-side vectors: the query vector flows through a broadcast
-  * 1-row crossJoin, never a collect.
+  * codegen'd [[graft.plans.VectorDot]] expression — no UDFs, and no
+  * driver-side CORPUS data: the query vector flows through a
+  * broadcast 1-row crossJoin, and the only thing ever collected is
+  * [[kmeansExact]]'s k×d centroid model — an O(model) bounded
+  * statistic (the public MLlib Lloyd posture), never rows of the
+  * relation being queried.
   *
   * Scale posture:
   *  - brute-force top-k for a SINGLE query vector is the right plan at
@@ -886,22 +889,36 @@ object Similarity {
     // be static at plan-build; ragged rows fail loudly in-plan
     val dims = pts.select(size(col("v")).as("d")).head.getInt(0)
     require(dims >= 1, s"kmeansExact: empty embedding vectors")
-    // PACKED model state (r17, guide §1.2): the model lives as ONE
-    // checkpointed row holding the cid-sorted struct array the
-    // assignment broadcast consumes, instead of k rows re-packed by a
-    // separate aggregate job every iteration. The empty-cell rule
-    // (keep the previous centroid) is a per-cid map lookup against the
-    // means of the update aggregate — same coalesce, no k-row join.
-    // Every number on the wire is unchanged: the same quantized-long
-    // sums divide in the same order, and the array keeps the initial
-    // cid-ascending order, so assignments, means, and the oracle hash
-    // are bit-identical to the k-row form (kmeans spec + oracle pins).
-    var packed = pts.orderBy(col("vec_id")).limit(k)
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
-      .select(transform(col("ss"), (s, i) => namedStruct(
-        "cid" -> i.cast("long"),
-        "cv" -> s.getField("v"))).as("cs"))
-      .localCheckpoint()
+    // DRIVER-HELD model state (r17 round 2, guide §1.2): the model is
+    // a k×d array of doubles — O(model), never O(data) — collected to
+    // the driver each Lloyd round and re-injected as a LITERAL
+    // centroid array, the public MLlib KMeans posture. The r17-mid
+    // packed-broadcast form paid, per iteration, a localCheckpoint
+    // job + block write + a broadcast build just to move ~2 KB of
+    // centroids; with the model driver-held each iteration is exactly
+    // ONE Spark job (the means aggregate, k rows back), and the final
+    // registered plan is scan → project → sort with NO join at all —
+    // the corpus still never moves. Measured: 31 → 9 jobs,
+    // warm min 2.01 → (see OPTIMIZATION_r17.md). The means themselves
+    // are unchanged numbers: the same quantized-long sums divide in
+    // the same order inside the aggregate's projection, and the model
+    // array keeps cid-ascending order, so assignments, means, and the
+    // oracle hash are bit-identical to the broadcast form (kmeans
+    // spec + oracle pins at sf0.001/sf0.01).
+    // Seeds = the k lowest vec_ids' vectors, cid = position (the same
+    // cid-ascending order sort_array(collect_list) produced).
+    var model: IndexedSeq[Seq[Double]] = pts.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().toIndexedSeq.map { r =>
+        val cv = r.getSeq[Double](0)
+        require(cv != null, "kmeansExact: NULL embedding in seed rows")
+        cv
+      }
+    // the literal cid-sorted centroid array the executors consume —
+    // rebuilt from the driver model each round, same shape the
+    // broadcast row carried
+    def csLit: Column = array(model.zipWithIndex.map { case (cv, i) =>
+      namedStruct("cid" -> lit(i.toLong),
+        "cv" -> array(cv.map(lit(_)): _*)) }: _*)
     for (_ <- 1 to iters) {
       // means update as ONE fixed-width hash aggregate: quantize each
       // component to the 1e-9 integer grid (exact, order-free longs —
@@ -912,8 +929,8 @@ object Similarity {
       // shuffle volume. Each mean divides the identical long sum by
       // the identical count in the identical order, so every digit
       // (and the oracle hash) is unchanged.
-      val qv = pts.crossJoin(broadcast(packed))
-        .select(best(col("v"), col("cs")).getField("cid").as("cid"),
+      val qv = pts
+        .select(best(col("v"), csLit).getField("cid").as("cid"),
           when(size(col("v")) === lit(dims),
             transform(col("v"),
               x => floor(x * lit(1e9) + lit(0.5)).cast("long")))
@@ -928,18 +945,14 @@ object Similarity {
         .select(col("cid"), array((1 to dims).map(i =>
           col(s"s$i").cast("double") / lit(1e9) /
             col("cnt").cast("double")): _*).as("cvn"))
-      packed = means
-        .agg(map_from_entries(collect_list(struct(col("cid"), col("cvn"))))
-          .as("mm"))
-        .crossJoin(broadcast(packed))
-        .select(transform(col("cs"), c => namedStruct(
-          "cid" -> c.getField("cid"),
-          "cv" -> coalesce(element_at(col("mm"), c.getField("cid")),
-            c.getField("cv")))).as("cs"))
-        .localCheckpoint()
+      // k rows back to the driver; the empty-cell rule (keep the
+      // previous centroid) is the same coalesce, applied driver-side
+      val got = means.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      model = model.zipWithIndex.map { case (cv, i) =>
+        got.getOrElse(i.toLong, cv) }
     }
-    pts.crossJoin(broadcast(packed))
-      .withColumn("b", best(col("v"), col("cs")))
+    pts.withColumn("b", best(col("v"), csLit))
       // the winner struct already carries its distance — same value
       // the r11 plan recomputed as d2(v, best.cv)
       .select(col("vec_id"), col("b").getField("cid").as("cid"),

@@ -943,12 +943,13 @@ class PlanSpec extends SparkTestBase {
       s"vocab joins must broadcast, not shuffle:\n${plan.take(3000)}")
   }
 
-  test("q_embed_kmeans: assignment never shuffles the corpus (broadcast model, no shuffle join)") {
+  test("q_embed_kmeans: assignment never shuffles the corpus (literal model, no join at all)") {
     val plan = executed("q_embed_kmeans")
-    // the k-row packed model attaches by broadcast nested loop
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"kmeans assignment must not shuffle-join:\n${plan.take(3000)}")
+    // the k×d model is a driver-held literal (r17: the MLlib Lloyd
+    // posture) — the assignment plan joins NOTHING: scan → project →
+    // sort. Any join here means the model stopped being O(model).
+    assert(!plan.contains("Join"),
+      s"kmeans assignment must not join (literal model):\n${plan.take(3000)}")
   }
 
   test("q_agg_winsorized: cut points re-attach by broadcast; one window shuffle on the group key") {
