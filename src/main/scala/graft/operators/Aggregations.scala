@@ -111,9 +111,14 @@ object Aggregations {
     val tb = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
     val tbCols = tiebreak.indices.map(i => col(s"_tb$i"))
     val base = df.select((group.as("grp") +: value.as("v") +: weight.as("w") +: tb): _*)
-    val cum = Windows.withGroupedPrefixSum(base, "grp", col("w"), "cum",
-      (col("v") +: tbCols): _*)
-    val tot = base.groupBy(col("grp")).agg(sum(col("w")).as("tot"))
+    // totals ride out of the prefix-sum machinery's own partials (r17:
+    // the separate base.groupBy(sum) re-ran the whole input chain once
+    // more per query). Exactness: the harness weight (l_quantity) is
+    // integer-valued, so the partial-sum reassociation is bit-exact —
+    // see withGroupedPrefixSumAndTotals' contract.
+    val (cum, tots) = Windows.withGroupedPrefixSumAndTotals(base, "grp",
+      col("w"), "cum", (col("v") +: tbCols): _*)
+    val tot = tots.select(col("grp"), col("_tot").as("tot"))
     cum.join(broadcast(tot), "grp")
       .filter(col("cum") >= col("tot") / 2.0)
       .groupBy(col("grp"))
@@ -511,10 +516,12 @@ object Aggregations {
       .groupBy(col("grp"), col("o_custkey").as("cust"))
       .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
         .cast("long")).as("cents"))
-    val cum = Windows.withGroupedPrefixSum(rev, "grp", col("cents"), "cum",
-      col("cents").desc, col("cust"))
-    val tot = rev.groupBy(col("grp"))
-      .agg(sum(col("cents")).as("tot"), count(lit(1)).as("n"))
+    // totals/counts from the prefix-sum partials (r17): the separate
+    // rev.groupBy re-ran the orders×customer join + aggregate once
+    // more per query; cents are longs — exact under any association
+    val (cum, tots) = Windows.withGroupedPrefixSumAndTotals(rev, "grp",
+      col("cents"), "cum", col("cents").desc, col("cust"))
+    val tot = tots.select(col("grp"), col("_tot").as("tot"), col("_n").as("n"))
     cum.join(broadcast(tot), Seq("grp"))
       .filter(col("cum") - col("cents") <
         expr(s"(tot * $pct + 99) div 100"))
@@ -590,9 +597,12 @@ object Aggregations {
     val tb = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
     val tbCols = tiebreak.indices.map(i => col(s"_tb$i"))
     val base = df.select((group.as("grp") +: value.as("v") +: tb): _*)
-    val ranked = Windows.withGroupedPrefixSum(base, "grp", lit(1L), "rn",
-      (col("v") +: tbCols): _*)
-    val counts = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // group counts come from the rank machinery's own partials (r17:
+    // the separate base.groupBy(count) re-scanned the fact table once
+    // more per query); long sums — exact under any association
+    val (ranked, tots) = Windows.withGroupedPrefixSumAndTotals(base, "grp",
+      lit(1L), "rn", (col("v") +: tbCols): _*)
+    val counts = tots.select(col("grp"), col("_n").as("n"))
     // ⌈p·n/100⌉ in pure integer arithmetic (div, not /): a float
     // quotient at an exact-integer boundary is the classic off-by-one
     val picks = pcts.map(p =>

@@ -992,29 +992,66 @@ object Similarity {
         graft.plans.VectorSqDist(
           org.apache.spark.sql.GraftBridge.expression(v),
           org.apache.spark.sql.GraftBridge.expression(cv)))
-    var sel = pts.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("v"), lit(1L).as("rank"),
-        lit(null).cast("double").as("dist2"))
-      .localCheckpoint()
+    // DRIVER-HELD selected set (r17 round 2, the kmeansExact posture):
+    // each greedy pick is a 1-row argmax — an O(d) bounded statistic —
+    // and the selected set is O(k·d), so holding it on the driver and
+    // re-injecting it as literals replaces, per round, a
+    // localCheckpoint job + a packed-set broadcast + an anti-join
+    // broadcast with ONE aggregate job whose single row comes back via
+    // head(). The corpus still never shuffles; every candidate scores
+    // row-locally against the literal centers. Values are
+    // bit-identical: same VectorSqDist folds, same exact min, same
+    // (d, −vec_id) struct-max tie rule (semantics spec + oracle pins).
+    val seed = pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head
+    // (vec_id, vector, dist2-to-nearest-prior; None for the seed)
+    var sel = Vector((seed.getLong(0), seed.getSeq[Double](1),
+      Option.empty[Double]))
     for (t <- 2 to k) {
-      val packed = sel.agg(collect_list(col("v")).as("cs"))
-      // rename the probe side: sel's checkpoint keeps pts' expr ids,
-      // so a same-name anti join would self-conflict
-      val best = pts
-        .join(sel.select(col("vec_id").as("sel_id")),
-          col("vec_id") === col("sel_id"), "left_anti")
-        .crossJoin(broadcast(packed))
+      val csLit = array(sel.map { case (_, cv, _) =>
+        array(cv.map(lit(_)): _*) }: _*)
+      val selIds = sel.map(_._1)
+      // NOT-IN over the literal (non-null) picked ids + an explicit
+      // null-keep mirrors the anti join exactly (anti keeps null-key
+      // rows, as does the oracle twin's NOT EXISTS)
+      val b = pts
+        .filter(col("vec_id").isNull ||
+          !col("vec_id").isin(selIds: _*))
         .select(col("vec_id"), col("v"),
-          array_min(transform(col("cs"), c => d2(col("v"), c))).as("md"))
+          array_min(transform(csLit, c => d2(col("v"), c))).as("md"))
         .agg(max(struct(col("md").as("d"), (-col("vec_id")).as("ni"),
           col("v").as("bv"))).as("b"))
         .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
-          lit(t.toLong).as("rank"), col("b.d").as("dist2"))
-      sel = sel.unionAll(best).localCheckpoint()
+          col("b.d").as("d"))
+        .head
+      if (b.isNullAt(0)) throw new IllegalStateException(
+        s"kCenterSelect: candidate set exhausted at rank $t (k=$k > corpus)")
+      sel = sel :+ ((b.getLong(0), b.getSeq[Double](1), Some(b.getDouble(2))))
     }
-    sel.select(col("rank"), col("vec_id"),
+    // k driver rows back out as a local relation; same columns, same
+    // rounding, same rank order as the checkpointed-union form
+    localPicks(emb.sparkSession,
+        sel.zipWithIndex.map { case ((id, _, d), i) =>
+          ((i + 1).toLong, id, d) },
+        "dist2")
+      .select(col("rank"), col("vec_id"),
         graft.halfUp(col("dist2"), 6).as("dist2"))
       .orderBy(col("rank"))
+  }
+
+  /** (rank, vec_id, one nullable double measure) driver rows as a
+    * local relation — the result shell of the driver-held greedy
+    * selectors. */
+  private def localPicks(spark: SparkSession,
+      rows: Seq[(Long, Long, Option[Double])], measure: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("rank", LongType, false),
+      StructField("vec_id", LongType, false),
+      StructField(measure, DoubleType, true)))
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (r, id, d) =>
+      jrows.add(org.apache.spark.sql.Row(r, id, d.orNull)) }
+    spark.createDataFrame(jrows, schema)
   }
 
   /** Generated DuckDB twin of [[kCenterSelect]]: the k−1 greedy steps
@@ -1077,32 +1114,64 @@ object Similarity {
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
       .localCheckpoint()
-    var sel = cand
+    // DRIVER-HELD selected set (r17 round 2 — see [[kCenterSelect]]):
+    // per round, ONE argmax aggregate job over the pinned relevance
+    // table, its single row collected; the picked O(k·d) vectors
+    // re-enter as literals. Same cosine folds, same struct-max tie
+    // rule, same λ arithmetic — values bit-identical (spec + oracle).
+    val first = cand
       .agg(max(struct(col("rel"), (-col("vec_id")).as("ni"), col("v").as("bv")))
         .as("b"))
       .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
-        col("b.rel").as("rel"), lit(1L).as("rank"),
-        lit(null).cast("double").as("max_sim"),
+        col("b.rel").as("rel"),
         (lit(lam) * col("b.rel")).as("score"))
-      .localCheckpoint()
+      .head
+    if (first.isNullAt(0)) throw new IllegalStateException(
+      "mmrSelect: no candidates (corpus is empty or only the query row)")
+    // (vec_id, v, rel, max_sim, score)
+    var sel = Vector((first.getLong(0), first.getSeq[Double](1),
+      first.getDouble(2), Option.empty[Double], first.getDouble(3)))
     for (t <- 2 to k) {
-      val packed = sel.agg(collect_list(col("v")).as("cs"))
-      val best = cand
-        .join(sel.select(col("vec_id").as("sel_id")),
-          col("vec_id") === col("sel_id"), "left_anti")
-        .crossJoin(broadcast(packed))
+      val csLit = array(sel.map { case (_, cv, _, _, _) =>
+        array(cv.map(lit(_)): _*) }: _*)
+      val selIds = sel.map(_._1)
+      val b = cand
+        .filter(col("vec_id").isNull ||
+          !col("vec_id").isin(selIds: _*))
         .select(col("vec_id"), col("v"), col("rel"),
-          array_max(transform(col("cs"), c => cosine(col("v"), c))).as("ms"))
+          array_max(transform(csLit, c => cosine(col("v"), c))).as("ms"))
         .select(col("vec_id"), col("v"), col("rel"), col("ms"),
           (lit(lam) * col("rel") - lit(1.0 - lam) * col("ms")).as("score"))
         .agg(max(struct(col("score"), (-col("vec_id")).as("ni"),
           col("v").as("bv"), col("rel").as("br"), col("ms").as("bm"))).as("b"))
         .select((-col("b.ni")).as("vec_id"), col("b.bv").as("v"),
-          col("b.br").as("rel"), lit(t.toLong).as("rank"),
-          col("b.bm").as("max_sim"), col("b.score").as("score"))
-      sel = sel.unionAll(best).localCheckpoint()
+          col("b.br").as("rel"), col("b.bm").as("max_sim"),
+          col("b.score").as("score"))
+        .head
+      if (b.isNullAt(0)) throw new IllegalStateException(
+        s"mmrSelect: candidate set exhausted at rank $t (k=$k > corpus)")
+      sel = sel :+ ((b.getLong(0), b.getSeq[Double](1), b.getDouble(2),
+        Some(b.getDouble(3)), b.getDouble(4)))
     }
-    sel.select(col("rank"), col("vec_id"),
+    // k driver rows back out as a local relation; same columns, same
+    // rounding, same rank order as the checkpointed-union form
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.DoubleType, false),
+      org.apache.spark.sql.types.StructField("max_sim",
+        org.apache.spark.sql.types.DoubleType, true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, false)))
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sel.zipWithIndex.foreach { case ((id, _, rel, ms, score), i) =>
+      jrows.add(org.apache.spark.sql.Row((i + 1).toLong, id, rel,
+        ms.orNull, score)) }
+    emb.sparkSession.createDataFrame(jrows, schema)
+      .select(col("rank"), col("vec_id"),
         graft.halfUp(col("rel"), 6).as("rel"),
         graft.halfUp(col("max_sim"), 6).as("max_sim"),
         graft.halfUp(col("score"), 6).as("score"))

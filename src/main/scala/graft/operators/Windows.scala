@@ -137,7 +137,36 @@ object Windows {
     groupedPrefixSum(df, grpCol, valueCol, out, sortCols, eagerPin = false)
 
   private def groupedPrefixSum(df: DataFrame, grpCol: String, valueCol: Column,
-      out: String, sortCols: Seq[Column], eagerPin: Boolean): DataFrame = {
+      out: String, sortCols: Seq[Column], eagerPin: Boolean): DataFrame =
+    groupedPrefixSumImpl(df, grpCol, valueCol, out, sortCols, eagerPin)._1
+
+  /** [[withGroupedPrefixSum]] that ALSO hands back the per-group
+    * totals the machinery computes anyway (r17 round 2, guide §1.2
+    * "don't compute things twice"): `(ranked, totals)` where totals
+    * has one row per group — `grpCol`, `_tot` = sum of `valueCol`,
+    * `_n` = row count. Callers that need "the running sum AND the
+    * group total" (weightedMedian's half-the-mass boundary,
+    * quantilesRank's ⌈q·n⌉ cuts, paretoCut's budget threshold)
+    * previously re-aggregated their INPUT for the totals — re-running
+    * the whole upstream chain (for paretoCut a join + aggregate over
+    * the order log) to recount numbers already sitting in the offsets
+    * table. The totals here aggregate the checkpointed ranged layout
+    * (group-count-bound rows), not the input chain.
+    *
+    * EXACTNESS CONTRACT: `_tot` is a sum of per-(partition, group)
+    * partial sums. For LONG measures and for doubles whose values are
+    * exact small integers (counts, cents, TPC-H quantities) this is
+    * bit-identical to a direct one-pass sum under ANY association;
+    * for general doubles the reassociation could differ in the last
+    * ulp — callers with inexact double measures must keep their own
+    * direct aggregate. */
+  def withGroupedPrefixSumAndTotals(df: DataFrame, grpCol: String,
+      valueCol: Column, out: String, sortCols: Column*): (DataFrame, DataFrame) =
+    groupedPrefixSumImpl(df, grpCol, valueCol, out, sortCols, eagerPin = true)
+
+  private def groupedPrefixSumImpl(df: DataFrame, grpCol: String,
+      valueCol: Column, out: String, sortCols: Seq[Column],
+      eagerPin: Boolean): (DataFrame, DataFrame) = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // same layout-pinning rationale as withGlobalPrefixSum (see there);
     // eager checkpoint for query paths, lazy persist for plan-only paths
@@ -148,16 +177,22 @@ object Windows {
         sum(valueCol).over(Window.partitionBy(col("_pid"), col(grpCol))
           .orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("_pid"), col(grpCol))
-      .agg(sum(valueCol).as("_cnt"))
+    // per-(partition, group) partials: the running-sum offsets AND the
+    // group totals both derive from this group-count-bound aggregate
+    val partials = local.groupBy(col("_pid"), col(grpCol))
+      .agg(sum(valueCol).as("_cnt"), count(lit(1)).as("_rc"))
+    val offsets = partials
       .withColumn("_off", coalesce(sum(col("_cnt")).over(
         Window.partitionBy(col(grpCol)).orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("_pid"), col(grpCol), col("_off"))
-    local.join(broadcast(offsets), Seq("_pid", grpCol))
+    val totals = partials.groupBy(col(grpCol))
+      .agg(sum(col("_cnt")).as("_tot"), sum(col("_rc")).as("_n"))
+    val ranked = local.join(broadcast(offsets), Seq("_pid", grpCol))
       .withColumn(out, col("_lcs") + col("_off"))
       .drop("_pid", "_lcs", "_off")
+    (ranked, totals)
   }
 
   /** Distributed GLOBAL ntile over the `sortCols` total order — the
