@@ -116,18 +116,25 @@ object TextOps {
     * costs more than the vocab×10 filter saves; r15's 5.26 s bench
     * flag adjudicated as contention (clean probe passes: ~1.6 s). */
   private[graft] def vocabGrowthImpl(docs: DataFrame, folded: Boolean): DataFrame = {
-    val ranked = Windows.withGlobalRowNumber(
-      docs.select(col("doc_id")), "r", col("doc_id"))
+    // ONE ranged layout carries BOTH the doc rank (prefix sum of 1)
+    // and the cumulative token count (r17 round 2, guide §2.4): the
+    // previous withGlobalRowNumber + withGlobalPrefixSum pair paid two
+    // range exchanges + two checkpoints over the same doc_id total
+    // order, plus a doc_id join to reunite rank with the token sums —
+    // exactly the shape the multi-measure withGlobalPrefixSums exists
+    // for. Same rows into the same running sums in the same order ⇒
+    // r, cumtok, and every output digit unchanged (oracle-pinned).
+    val rc = Windows.withGlobalPrefixSums(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("nt")),
+      Seq((lit(1L), "r"), (col("nt"), "cumtok")), col("doc_id"))
+    val ranked = rc.select(col("doc_id"), col("r"))
     val n1 = ranked.agg(max(col("r")).as("n"))
     val spine = n1
       .select(explode(sequence(lit(1L), lit(10L))).as("i"), col("n"))
       .select(col("i"), expr("(n * i + 9) div 10").as("k"))
-    val perDoc = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("nt"))
-    val cum = Windows.withGlobalPrefixSum(
-      perDoc.join(ranked, "doc_id"), col("nt"), "cumtok", col("r"))
     val tokensAt = broadcast(spine)
-      .join(cum, col("k") === col("r"))
+      .join(rc, col("k") === col("r"))
       .select(col("i"), col("k"), col("cumtok").as("n_tokens"))
     val firstSeen = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
