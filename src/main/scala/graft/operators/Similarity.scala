@@ -877,12 +877,20 @@ object Similarity {
       transform(cs, c => namedStruct(
         "cid" -> c.getField("cid"),
         "d" -> d2(v, c.getField("cv"))))
-    def best(v: Column, cs: Column): Column = {
-      val ds = distArr(v, cs)
-      aggregate(slice(ds, lit(2), size(ds) - 1), element_at(ds, 1),
-        (acc, c) => when(c.getField("d") < acc.getField("d"), c)
+    // argmin as ONE null-seeded fold over the distance array (r17
+    // round 2): the slice/element_at/size form embedded the distArr
+    // transform THREE times in the expression tree, and higher-order
+    // functions are interpreted (CodegenFallback) with no common-
+    // subexpression elimination — every row paid the k-distance
+    // transform three times. The null seed takes the first element
+    // unconditionally (acc IS NULL), then the same first-strict-
+    // improvement rule — identical winner on every input, including
+    // NULL distances (a NULL comparison keeps acc, as before).
+    def best(v: Column, cs: Column): Column =
+      aggregate(distArr(v, cs),
+        lit(null).cast("struct<cid:bigint,d:double>"),
+        (acc, c) => when(acc.isNull || c.getField("d") < acc.getField("d"), c)
           .otherwise(acc))
-    }
     // model dimensionality, read once from the first vector (a
     // LIMIT-1 scan, not a relation read) — the means update below
     // generates one fixed-width sum column per component, so d must
