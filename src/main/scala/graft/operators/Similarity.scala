@@ -906,8 +906,9 @@ object Similarity {
     // centroids; with the model driver-held each iteration is exactly
     // ONE Spark job (the means aggregate, k rows back), and the final
     // registered plan is scan → project → sort with NO join at all —
-    // the corpus still never moves. Measured: 31 → 9 jobs,
-    // warm min 2.01 → (see OPTIMIZATION_r17.md). The means themselves
+    // the corpus still never moves. Measured: 31 → 18 jobs; min-of-5
+    // stash A/B 2.80 → 2.21 s at matching calibration
+    // (OPTIMIZATION_r17.md, continuation session). The means themselves
     // are unchanged numbers: the same quantized-long sums divide in
     // the same order inside the aggregate's projection, and the model
     // array keeps cid-ascending order, so assignments, means, and the
